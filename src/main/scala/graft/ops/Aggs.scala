@@ -1,0 +1,245 @@
+package graft.ops
+
+import graft.core.{Policy => P, Tables => T}
+import org.apache.spark.sql.functions._
+
+/** §2.D aggregations.
+  *
+  * Scale notes: every groupBy here compiles to partial (map-side) +
+  * final HashAggregate, so the shuffle carries one row per (partition,
+  * group), not per input row — the 100 TB-safe shape. Continuous stats
+  * (avg/stddev/corr) are derived from EXACT decimal sums cast to double
+  * and then combined with scalar IEEE arithmetic written identically in
+  * both engines — deterministic under any partitioning/AQE re-plan,
+  * unlike a floating `avg()` whose accumulation order is engine- and
+  * partitioning-dependent.
+  */
+object Aggs {
+  // cast(sum(decimal(x)) as double) — exact, order-independent.
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(P.dec2(c)).cast("double")
+  // exact decimal sum of squares (scale 4), cast to double
+  private def dsumsq(c: org.apache.spark.sql.Column) =
+    sum((P.dec2(c) * P.dec2(c)).cast("decimal(38,4)")).cast("double")
+
+  val ops: Seq[OpSpec] = Seq(
+    OpSpec(
+      "agg_global",
+      (s, d) =>
+        T.lineitem(s, d).agg(
+          sum(P.dec2(col("l_quantity"))).cast("decimal(18,2)").as("sum_qty"),
+          min("l_quantity").as("min_qty"),
+          max("l_quantity").as("max_qty"),
+          count(lit(1)).as("n")),
+      Some("""SELECT cast(sum(cast(l_quantity as decimal(18,2))) as decimal(18,2)) AS sum_qty,
+             |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty, count(*) AS n
+             |FROM lineitem""".stripMargin),
+    ),
+    // Flagship TPC-H-Q1 shape.
+    OpSpec(
+      "agg_groupby_multi",
+      (s, d) =>
+        T.lineitem(s, d)
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            sum(P.dec2(col("l_quantity"))).cast("decimal(18,2)").as("sum_qty"),
+            sum(P.dec2(col("l_extendedprice"))).cast("decimal(18,2)").as("sum_base_price"),
+            sum((P.dec2(col("l_extendedprice")) *
+              (lit(1) - col("l_discount")).cast("decimal(4,2)")).cast("decimal(38,4)"))
+              .cast("decimal(18,4)").as("sum_disc_price"),
+            P.r4(dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+            P.r4(dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  cast(sum(cast(l_quantity as decimal(18,2))) as decimal(18,2)) AS sum_qty,
+             |  cast(sum(cast(l_extendedprice as decimal(18,2))) as decimal(18,2)) AS sum_base_price,
+             |  cast(sum(cast(cast(l_extendedprice as decimal(18,2)) * cast(1 - l_discount as decimal(4,2)) as decimal(38,4))) as decimal(18,4)) AS sum_disc_price,
+             |  round(cast(sum(cast(l_quantity as decimal(18,2))) as double) / count(*), 4) AS avg_qty,
+             |  round(cast(sum(cast(l_extendedprice as decimal(18,2))) as double) / count(*), 4) AS avg_price,
+             |  count(*) AS count_order
+             |FROM lineitem GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+    ),
+    OpSpec(
+      "agg_count_distinct",
+      (s, d) =>
+        T.lineitem(s, d).agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          countDistinct(col("l_returnflag"), col("l_linestatus")).as("n_flag_status")),
+      Some("""SELECT count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_supps,
+             |  count(DISTINCT (l_returnflag, l_linestatus)) AS n_flag_status
+             |FROM lineitem""".stripMargin),
+    ),
+    OpSpec(
+      "agg_value_counts",
+      (s, d) =>
+        T.events(s, d)
+          .groupBy("event_type").agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), col("event_type")),
+      Some("""SELECT event_type, count(*) AS n FROM events
+             |GROUP BY event_type ORDER BY n DESC, event_type""".stripMargin),
+    ),
+    // Deterministic because the ordering value is unique per group at the
+    // extremes (verified via oracle_check; continuous 2-dp doubles).
+    OpSpec(
+      "agg_min_max_by",
+      (s, d) =>
+        T.orders(s, d)
+          .groupBy("o_orderstatus")
+          .agg(
+            max_by(col("o_orderkey"), col("o_totalprice")).as("key_of_max"),
+            min_by(col("o_orderkey"), col("o_totalprice")).as("key_of_min"),
+            max("o_totalprice").as("max_price"),
+            min("o_totalprice").as("min_price"))
+          .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus, arg_max(o_orderkey, o_totalprice) AS key_of_max,
+             |  arg_min(o_orderkey, o_totalprice) AS key_of_min,
+             |  max(o_totalprice) AS max_price, min(o_totalprice) AS min_price
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+    ),
+    // Subtotal NULL labels folded to 'ALL' so ordering is NULL-free and
+    // identical in both engines (data itself has no NULLs).
+    OpSpec(
+      "agg_rollup",
+      (s, d) =>
+        T.lineitem(s, d)
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(
+            sum(P.dec2(col("l_quantity"))).cast("decimal(18,2)").as("sum_qty"),
+            count(lit(1)).as("n"))
+          .select(
+            coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+            col("sum_qty"), col("n"))
+          .orderBy("rf", "ls"),
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+             |  cast(sum(cast(l_quantity as decimal(18,2))) as decimal(18,2)) AS sum_qty, count(*) AS n
+             |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+             |ORDER BY rf, ls""".stripMargin),
+    ),
+    OpSpec(
+      "agg_cube",
+      (s, d) =>
+        T.lineitem(s, d)
+          .cube("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n"))
+          .select(
+            coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+            col("n"))
+          .orderBy("rf", "ls"),
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls, count(*) AS n
+             |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+             |ORDER BY rf, ls""".stripMargin),
+    ),
+    OpSpec(
+      "agg_grouping_sets",
+      (s, d) => {
+        val v = s"li_gs_${Math.abs(d.hashCode)}"
+        T.lineitem(s, d).createOrReplaceTempView(v)
+        s.sql(
+          s"""SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+             |  count(*) AS n
+             |FROM $v
+             |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+             |ORDER BY rf, ls""".stripMargin)
+      },
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls, count(*) AS n
+             |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+             |ORDER BY rf, ls""".stripMargin),
+    ),
+    // Explicit pivot values → deterministic column set; oracle stays
+    // ANSI (CASE-WHEN sums) rather than DuckDB's PIVOT statement.
+    OpSpec(
+      "agg_pivot",
+      (s, d) =>
+        T.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .pivot("l_linestatus", Seq("F", "O"))
+          .agg(sum(P.dec2(col("l_quantity"))).cast("decimal(18,2)"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  cast(sum(CASE WHEN l_linestatus = 'F' THEN cast(l_quantity as decimal(18,2)) END) as decimal(18,2)) AS F,
+             |  cast(sum(CASE WHEN l_linestatus = 'O' THEN cast(l_quantity as decimal(18,2)) END) as decimal(18,2)) AS O
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+    ),
+    // Both engines linear-interpolate exact percentiles; r4 absorbs the
+    // last-ulp association difference.
+    OpSpec(
+      "agg_quantile",
+      (s, d) =>
+        T.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(
+            P.r4(expr("percentile(l_quantity, 0.5)")).as("p50"),
+            P.r4(expr("percentile(l_quantity, 0.9)")).as("p90"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+             |  round(quantile_cont(l_quantity, 0.9), 4) AS p90
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+    ),
+    // stddev/variance from exact sums: sqrt((Σx² − (Σx)²/n)/(n−1)) with
+    // identical IEEE expression text in both engines.
+    OpSpec(
+      "agg_stddev_var",
+      (s, d) =>
+        T.orders(s, d)
+          .groupBy("o_orderstatus")
+          .agg(
+            count(lit(1)).as("n"),
+            dsum(col("o_totalprice")).as("s"),
+            dsumsq(col("o_totalprice")).as("q"))
+          .select(
+            col("o_orderstatus"),
+            P.r4((col("q") - col("s") * col("s") / col("n")) / (col("n") - 1)).as("var_samp"),
+            P.r4(sqrt((col("q") - col("s") * col("s") / col("n")) / (col("n") - 1))).as("stddev_samp"))
+          .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus,
+             |  round((q - s * s / n) / (n - 1), 4) AS var_samp,
+             |  round(sqrt((q - s * s / n) / (n - 1)), 4) AS stddev_samp
+             |FROM (
+             |  SELECT o_orderstatus, count(*) AS n,
+             |    cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS s,
+             |    cast(sum(cast(cast(o_totalprice as decimal(18,2)) * cast(o_totalprice as decimal(18,2)) as decimal(38,4))) as double) AS q
+             |  FROM orders GROUP BY o_orderstatus)
+             |ORDER BY o_orderstatus""".stripMargin),
+    ),
+    // Pearson r from exact sums — same determinism device.
+    OpSpec(
+      "agg_corr",
+      (s, d) =>
+        T.lineitem(s, d)
+          .agg(
+            count(lit(1)).cast("double").as("n"),
+            dsum(col("l_quantity")).as("sx"),
+            dsum(col("l_extendedprice")).as("sy"),
+            dsumsq(col("l_quantity")).as("sxx"),
+            dsumsq(col("l_extendedprice")).as("syy"),
+            sum((P.dec2(col("l_quantity")) * P.dec2(col("l_extendedprice"))).cast("decimal(38,4)"))
+              .cast("double").as("sxy"))
+          .select(
+            P.r4((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+                sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("corr_qty_price")),
+      Some("""SELECT round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 4) AS corr_qty_price
+             |FROM (
+             |  SELECT cast(count(*) as double) AS n,
+             |    cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sx,
+             |    cast(sum(cast(l_extendedprice as decimal(18,2))) as double) AS sy,
+             |    cast(sum(cast(cast(l_quantity as decimal(18,2)) * cast(l_quantity as decimal(18,2)) as decimal(38,4))) as double) AS sxx,
+             |    cast(sum(cast(cast(l_extendedprice as decimal(18,2)) * cast(l_extendedprice as decimal(18,2)) as decimal(38,4))) as double) AS syy,
+             |    cast(sum(cast(cast(l_quantity as decimal(18,2)) * cast(l_extendedprice as decimal(18,2)) as decimal(38,4))) as double) AS sxy
+             |  FROM lineitem)""".stripMargin),
+    ),
+    // HLL sketch — DuckDB's differs; declared without oracle (driver
+    // records rows-only). Unit test asserts within 5% of exact.
+    OpSpec(
+      "agg_approx_distinct",
+      (s, d) =>
+        T.lineitem(s, d).agg(approx_count_distinct(col("l_partkey")).as("approx_parts")),
+      None,
+    ),
+  )
+}

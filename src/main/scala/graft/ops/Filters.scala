@@ -1,0 +1,150 @@
+package graft.ops
+
+import graft.core.{Tables => T}
+import org.apache.spark.sql.functions._
+
+/** §2.B projection / filter / predicates.
+  *
+  * All row-local (narrow) transformations: no shuffle, fully fused by
+  * whole-stage codegen, filters and column pruning pushed to the scan.
+  * Money arithmetic is done decimal-first (cast the 2-dp inputs to
+  * decimal BEFORE multiplying) so results are exact in both engines —
+  * rounding a double product instead would hit cross-engine tie-breaking
+  * differences on the ~1% of products landing exactly on a half-cent.
+  */
+object Filters {
+  private def li(s: org.apache.spark.sql.SparkSession, d: String) = T.lineitem(s, d)
+
+  val ops: Seq[OpSpec] = Seq(
+    OpSpec(
+      "proj_select_rename",
+      (s, d) =>
+        T.customer(s, d)
+          .select(
+            col("c_custkey").as("id"),
+            col("c_name").as("name"),
+            col("c_mktsegment").as("segment"))
+          .orderBy("id"),
+      Some("SELECT c_custkey AS id, c_name AS name, c_mktsegment AS segment FROM customer ORDER BY id"),
+    ),
+    OpSpec(
+      "proj_compute",
+      (s, d) =>
+        li(s, d)
+          .select(
+            col("l_orderkey"),
+            col("l_linenumber"),
+            (col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(1) - col("l_discount")).cast("decimal(4,2)"))
+              .cast("decimal(18,4)").as("revenue"))
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  cast(cast(l_extendedprice as decimal(18,2)) * cast(1 - l_discount as decimal(4,2)) as decimal(18,4)) AS revenue
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin),
+    ),
+    OpSpec(
+      "filter_compare",
+      (s, d) =>
+        li(s, d)
+          .filter(col("l_quantity") > 45)
+          .select("l_orderkey", "l_linenumber", "l_quantity")
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+             |WHERE l_quantity > 45 ORDER BY l_orderkey, l_linenumber""".stripMargin),
+    ),
+    OpSpec(
+      "filter_compound",
+      (s, d) =>
+        li(s, d)
+          .filter(
+            (col("l_returnflag") === "A" || col("l_linestatus") === "F") &&
+              !(col("l_discount") < 0.05))
+          .agg(count(lit(1)).as("n")),
+      Some("""SELECT count(*) AS n FROM lineitem
+             |WHERE (l_returnflag = 'A' OR l_linestatus = 'F') AND NOT (l_discount < 0.05)""".stripMargin),
+    ),
+    OpSpec(
+      "filter_isin",
+      (s, d) =>
+        T.orders(s, d)
+          .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+          .select("o_orderkey", "o_orderpriority")
+          .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_orderpriority FROM orders
+             |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') ORDER BY o_orderkey""".stripMargin),
+    ),
+    OpSpec(
+      "filter_between",
+      (s, d) =>
+        li(s, d)
+          .filter(col("l_quantity").between(10, 15))
+          .agg(count(lit(1)).as("n"), min("l_quantity").as("min_q"), max("l_quantity").as("max_q")),
+      Some("""SELECT count(*) AS n, min(l_quantity) AS min_q, max(l_quantity) AS max_q
+             |FROM lineitem WHERE l_quantity BETWEEN 10 AND 15""".stripMargin),
+    ),
+    // No NULLs exist in the data (FIXTURES) — manufacture them with
+    // nullif so the null predicates actually fire.
+    OpSpec(
+      "filter_null",
+      (s, d) =>
+        li(s, d)
+          .withColumn("d", when(col("l_discount") === 0.0, lit(null)).otherwise(col("l_discount")))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            count(col("d")).as("n_not_null"),
+            sum(when(col("d").isNull, 1L).otherwise(0L)).as("n_null")),
+      Some("""SELECT count(*) AS n_rows, count(d) AS n_not_null,
+             |  sum(CASE WHEN d IS NULL THEN 1 ELSE 0 END) AS n_null
+             |FROM (SELECT nullif(l_discount, 0.0) AS d FROM lineitem)""".stripMargin),
+    ),
+    OpSpec(
+      "cond_case_when",
+      (s, d) =>
+        li(s, d)
+          .select(
+            when(col("l_quantity") < 10, "low")
+              .when(col("l_quantity") < 25, "mid")
+              .otherwise("high").as("bucket"))
+          .groupBy("bucket").agg(count(lit(1)).as("n"))
+          .orderBy("bucket"),
+      Some("""SELECT CASE WHEN l_quantity < 10 THEN 'low'
+             |            WHEN l_quantity < 25 THEN 'mid'
+             |            ELSE 'high' END AS bucket, count(*) AS n
+             |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin),
+    ),
+    OpSpec(
+      "null_coalesce",
+      (s, d) =>
+        li(s, d)
+          .select(
+            col("l_orderkey"),
+            col("l_linenumber"),
+            coalesce(
+              when(col("l_discount") === 0.0, lit(null)).otherwise(col("l_discount")),
+              lit(-1.0)).as("d"))
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, coalesce(nullif(l_discount, 0.0), -1.0) AS d
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin),
+    ),
+    // Casts restricted to the cross-engine-safe set: int widening and
+    // double→decimal of genuinely 2-dp values. (double→int is banned:
+    // Spark truncates, DuckDB rounds.)
+    OpSpec(
+      "cast_types",
+      (s, d) =>
+        li(s, d)
+          .select(
+            col("l_orderkey"),
+            col("l_linenumber").cast("bigint").as("ln_big"),
+            col("l_linenumber").cast("double").as("ln_dbl"),
+            col("l_extendedprice").cast("decimal(18,2)").as("price_dec"),
+            col("l_orderkey").cast("string").as("key_str"))
+          .orderBy("l_orderkey", "ln_big"),
+      Some("""SELECT l_orderkey, cast(l_linenumber as bigint) AS ln_big,
+             |  cast(l_linenumber as double) AS ln_dbl,
+             |  cast(l_extendedprice as decimal(18,2)) AS price_dec,
+             |  cast(l_orderkey as varchar) AS key_str
+             |FROM lineitem ORDER BY l_orderkey, ln_big""".stripMargin),
+    ),
+  )
+}

@@ -1,0 +1,58 @@
+package graft.ops
+
+import graft.core.{Tables => T}
+import org.apache.spark.sql.functions._
+
+/** §2.G set operations (pd.concat / drop_duplicates analogues).
+  * Projected to key columns so outputs are slim and NULL-free; distinct
+  * variants shuffle once on the full row — fine, that IS the operator.
+  */
+object SetOps {
+  private def side(s: org.apache.spark.sql.SparkSession, d: String, lo: Int, hi: Int) =
+    T.customer(s, d)
+      .filter(col("c_nationkey") >= lo && col("c_nationkey") <= hi)
+      .select("c_custkey", "c_nationkey")
+
+  val ops: Seq[OpSpec] = Seq(
+    OpSpec(
+      "set_union_all",
+      (s, d) =>
+        side(s, d, 0, 9).unionByName(side(s, d, 5, 15))
+          .orderBy("c_custkey", "c_nationkey"),
+      Some("""SELECT c_custkey, c_nationkey FROM customer WHERE c_nationkey BETWEEN 0 AND 9
+             |UNION ALL
+             |SELECT c_custkey, c_nationkey FROM customer WHERE c_nationkey BETWEEN 5 AND 15
+             |ORDER BY c_custkey, c_nationkey""".stripMargin),
+    ),
+    OpSpec(
+      "set_union_distinct",
+      (s, d) =>
+        side(s, d, 0, 9).union(side(s, d, 5, 15)).distinct()
+          .orderBy("c_custkey", "c_nationkey"),
+      Some("""SELECT c_custkey, c_nationkey FROM customer WHERE c_nationkey BETWEEN 0 AND 9
+             |UNION
+             |SELECT c_custkey, c_nationkey FROM customer WHERE c_nationkey BETWEEN 5 AND 15
+             |ORDER BY c_custkey, c_nationkey""".stripMargin),
+    ),
+    OpSpec(
+      "set_intersect",
+      (s, d) =>
+        side(s, d, 0, 9).intersect(side(s, d, 5, 15))
+          .orderBy("c_custkey", "c_nationkey"),
+      Some("""SELECT c_custkey, c_nationkey FROM customer WHERE c_nationkey BETWEEN 0 AND 9
+             |INTERSECT
+             |SELECT c_custkey, c_nationkey FROM customer WHERE c_nationkey BETWEEN 5 AND 15
+             |ORDER BY c_custkey, c_nationkey""".stripMargin),
+    ),
+    OpSpec(
+      "set_except",
+      (s, d) =>
+        side(s, d, 0, 9).except(side(s, d, 5, 15))
+          .orderBy("c_custkey", "c_nationkey"),
+      Some("""SELECT c_custkey, c_nationkey FROM customer WHERE c_nationkey BETWEEN 0 AND 9
+             |EXCEPT
+             |SELECT c_custkey, c_nationkey FROM customer WHERE c_nationkey BETWEEN 5 AND 15
+             |ORDER BY c_custkey, c_nationkey""".stripMargin),
+    ),
+  )
+}
