@@ -10,14 +10,20 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // One throwaway action absorbs JVM/codegen/task-pool warmup so it
+    // isn't attributed to whichever query happens to run first; queries
+    // then run in the stable Registry declaration order (round-1 lesson:
+    // Map iteration order made agg_pivot "cost" 5.96 s of warmup).
+    try { spark.read.parquet(s"$sfDir/lineitem.parquet").count() }
+    catch { case _: Throwable => () }
+    val results: Seq[(String, Double)] = ops.Registry.all.map { op =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { op.build(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      op.key -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

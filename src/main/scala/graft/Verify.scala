@@ -15,10 +15,18 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // declared.json records every declared key and its dump status so a
+    // throwing query can never silently vanish from the correctness
+    // output (round-1 lesson: two crashes were invisible). Additive —
+    // the driver only reads the per-query parquet + oracle_sql.json.
+    val status = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        status(name) = "ok"
+      } catch { case e: Throwable =>
+        status(name) = s"error: ${e.getClass.getSimpleName}: ${e.getMessage}"
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -37,6 +45,9 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val decl = status
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/declared.json"), decl)
     spark.stop()
   }
 }

@@ -27,11 +27,13 @@ object Aggs {
       "agg_global",
       (s, d) =>
         T.lineitem(s, d).agg(
-          sum(P.dec2(col("l_quantity"))).cast("decimal(18,2)").as("sum_qty"),
+          // exact decimal sum internally; emit double — the driver's
+          // comparator sees pandas float64 on both engine sides
+          dsum(col("l_quantity")).as("sum_qty"),
           min("l_quantity").as("min_qty"),
           max("l_quantity").as("max_qty"),
           count(lit(1)).as("n")),
-      Some("""SELECT cast(sum(cast(l_quantity as decimal(18,2))) as decimal(18,2)) AS sum_qty,
+      Some("""SELECT cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sum_qty,
              |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty, count(*) AS n
              |FROM lineitem""".stripMargin),
     ),
@@ -42,19 +44,19 @@ object Aggs {
         T.lineitem(s, d)
           .groupBy("l_returnflag", "l_linestatus")
           .agg(
-            sum(P.dec2(col("l_quantity"))).cast("decimal(18,2)").as("sum_qty"),
-            sum(P.dec2(col("l_extendedprice"))).cast("decimal(18,2)").as("sum_base_price"),
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_base_price"),
             sum((P.dec2(col("l_extendedprice")) *
               (lit(1) - col("l_discount")).cast("decimal(4,2)")).cast("decimal(38,4)"))
-              .cast("decimal(18,4)").as("sum_disc_price"),
+              .cast("double").as("sum_disc_price"),
             P.r4(dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
             P.r4(dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
             count(lit(1)).as("count_order"))
           .orderBy("l_returnflag", "l_linestatus"),
       Some("""SELECT l_returnflag, l_linestatus,
-             |  cast(sum(cast(l_quantity as decimal(18,2))) as decimal(18,2)) AS sum_qty,
-             |  cast(sum(cast(l_extendedprice as decimal(18,2))) as decimal(18,2)) AS sum_base_price,
-             |  cast(sum(cast(cast(l_extendedprice as decimal(18,2)) * cast(1 - l_discount as decimal(4,2)) as decimal(38,4))) as decimal(18,4)) AS sum_disc_price,
+             |  cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sum_qty,
+             |  cast(sum(cast(l_extendedprice as decimal(18,2))) as double) AS sum_base_price,
+             |  cast(sum(cast(cast(l_extendedprice as decimal(18,2)) * cast(1 - l_discount as decimal(4,2)) as decimal(38,4))) as double) AS sum_disc_price,
              |  round(cast(sum(cast(l_quantity as decimal(18,2))) as double) / count(*), 4) AS avg_qty,
              |  round(cast(sum(cast(l_extendedprice as decimal(18,2))) as double) / count(*), 4) AS avg_price,
              |  count(*) AS count_order
@@ -107,7 +109,7 @@ object Aggs {
         T.lineitem(s, d)
           .rollup("l_returnflag", "l_linestatus")
           .agg(
-            sum(P.dec2(col("l_quantity"))).cast("decimal(18,2)").as("sum_qty"),
+            dsum(col("l_quantity")).as("sum_qty"),
             count(lit(1)).as("n"))
           .select(
             coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
@@ -115,7 +117,7 @@ object Aggs {
             col("sum_qty"), col("n"))
           .orderBy("rf", "ls"),
       Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
-             |  cast(sum(cast(l_quantity as decimal(18,2))) as decimal(18,2)) AS sum_qty, count(*) AS n
+             |  cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sum_qty, count(*) AS n
              |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
              |ORDER BY rf, ls""".stripMargin),
     ),
@@ -136,16 +138,17 @@ object Aggs {
     ),
     OpSpec(
       "agg_grouping_sets",
-      (s, d) => {
-        val v = s"li_gs_${Math.abs(d.hashCode)}"
-        T.lineitem(s, d).createOrReplaceTempView(v)
-        s.sql(
-          s"""SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
-             |  count(*) AS n
-             |FROM $v
-             |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
-             |ORDER BY rf, ls""".stripMargin)
-      },
+      (s, d) =>
+        T.lineitem(s, d)
+          .groupingSets(
+            Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+            col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"))
+          .select(
+            coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+            col("n"))
+          .orderBy("rf", "ls"),
       Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls, count(*) AS n
              |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
              |ORDER BY rf, ls""".stripMargin),
@@ -158,11 +161,11 @@ object Aggs {
         T.lineitem(s, d)
           .groupBy("l_returnflag")
           .pivot("l_linestatus", Seq("F", "O"))
-          .agg(sum(P.dec2(col("l_quantity"))).cast("decimal(18,2)"))
+          .agg(sum(P.dec2(col("l_quantity"))).cast("double"))
           .orderBy("l_returnflag"),
       Some("""SELECT l_returnflag,
-             |  cast(sum(CASE WHEN l_linestatus = 'F' THEN cast(l_quantity as decimal(18,2)) END) as decimal(18,2)) AS F,
-             |  cast(sum(CASE WHEN l_linestatus = 'O' THEN cast(l_quantity as decimal(18,2)) END) as decimal(18,2)) AS O
+             |  cast(sum(CASE WHEN l_linestatus = 'F' THEN cast(l_quantity as decimal(18,2)) END) as double) AS F,
+             |  cast(sum(CASE WHEN l_linestatus = 'O' THEN cast(l_quantity as decimal(18,2)) END) as double) AS O
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
     ),
     // Both engines linear-interpolate exact percentiles; r4 absorbs the

@@ -27,20 +27,24 @@ object Filters {
           .orderBy("id"),
       Some("SELECT c_custkey AS id, c_name AS name, c_mktsegment AS segment FROM customer ORDER BY id"),
     ),
+    // Selective 1% predicate keeps verify output O(10^3) at any sf —
+    // full-table dumps under a global sort are a scale liability
+    // (the operator itself is still a narrow, fused projection).
     OpSpec(
       "proj_compute",
       (s, d) =>
         li(s, d)
+          .filter(col("l_orderkey") % 100 === 0)
           .select(
             col("l_orderkey"),
             col("l_linenumber"),
             (col("l_extendedprice").cast("decimal(18,2)") *
               (lit(1) - col("l_discount")).cast("decimal(4,2)"))
-              .cast("decimal(18,4)").as("revenue"))
+              .cast("decimal(18,4)").cast("double").as("revenue"))
           .orderBy("l_orderkey", "l_linenumber"),
       Some("""SELECT l_orderkey, l_linenumber,
-             |  cast(cast(l_extendedprice as decimal(18,2)) * cast(1 - l_discount as decimal(4,2)) as decimal(18,4)) AS revenue
-             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin),
+             |  cast(cast(cast(l_extendedprice as decimal(18,2)) * cast(1 - l_discount as decimal(4,2)) as decimal(18,4)) as double) AS revenue
+             |FROM lineitem WHERE l_orderkey % 100 = 0 ORDER BY l_orderkey, l_linenumber""".stripMargin),
     ),
     OpSpec(
       "filter_compare",
@@ -94,7 +98,7 @@ object Filters {
             count(col("d")).as("n_not_null"),
             sum(when(col("d").isNull, 1L).otherwise(0L)).as("n_null")),
       Some("""SELECT count(*) AS n_rows, count(d) AS n_not_null,
-             |  sum(CASE WHEN d IS NULL THEN 1 ELSE 0 END) AS n_null
+             |  cast(sum(CASE WHEN d IS NULL THEN 1 ELSE 0 END) as bigint) AS n_null
              |FROM (SELECT nullif(l_discount, 0.0) AS d FROM lineitem)""".stripMargin),
     ),
     OpSpec(
@@ -116,6 +120,7 @@ object Filters {
       "null_coalesce",
       (s, d) =>
         li(s, d)
+          .filter(col("l_orderkey") % 100 === 0)
           .select(
             col("l_orderkey"),
             col("l_linenumber"),
@@ -124,7 +129,7 @@ object Filters {
               lit(-1.0)).as("d"))
           .orderBy("l_orderkey", "l_linenumber"),
       Some("""SELECT l_orderkey, l_linenumber, coalesce(nullif(l_discount, 0.0), -1.0) AS d
-             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin),
+             |FROM lineitem WHERE l_orderkey % 100 = 0 ORDER BY l_orderkey, l_linenumber""".stripMargin),
     ),
     // Casts restricted to the cross-engine-safe set: int widening and
     // double→decimal of genuinely 2-dp values. (double→int is banned:
@@ -133,18 +138,21 @@ object Filters {
       "cast_types",
       (s, d) =>
         li(s, d)
+          .filter(col("l_orderkey") % 100 === 0)
           .select(
             col("l_orderkey"),
             col("l_linenumber").cast("bigint").as("ln_big"),
             col("l_linenumber").cast("double").as("ln_dbl"),
-            col("l_extendedprice").cast("decimal(18,2)").as("price_dec"),
+            // decimal round-trip exercises the cast; emit double (the
+            // comparator sees Decimal-vs-float64 dtype splits otherwise)
+            col("l_extendedprice").cast("decimal(18,2)").cast("double").as("price_rt"),
             col("l_orderkey").cast("string").as("key_str"))
           .orderBy("l_orderkey", "ln_big"),
       Some("""SELECT l_orderkey, cast(l_linenumber as bigint) AS ln_big,
              |  cast(l_linenumber as double) AS ln_dbl,
-             |  cast(l_extendedprice as decimal(18,2)) AS price_dec,
+             |  cast(cast(l_extendedprice as decimal(18,2)) as double) AS price_rt,
              |  cast(l_orderkey as varchar) AS key_str
-             |FROM lineitem ORDER BY l_orderkey, ln_big""".stripMargin),
+             |FROM lineitem WHERE l_orderkey % 100 = 0 ORDER BY l_orderkey, ln_big""".stripMargin),
     ),
   )
 }

@@ -20,22 +20,26 @@ object Scans {
       (s, d) => T.lineitem(s, d).agg(count(lit(1)).as("n")),
       Some("SELECT count(*) AS n FROM lineitem"),
     ),
-    // Time-range scan: filter reaches the parquet reader as a pushed
-    // predicate (asserted in PlanShapeSpec); whole-µs literals are safe
-    // against the ns(DuckDB)/µs(Spark) precision split because floor-
-    // truncation preserves >=/< against whole-µs bounds.
+    // Time-range scan: events.ts is stored as int64 nanos, so the range
+    // predicate is applied to the RAW nanos column against ns literals —
+    // a plain int64 compare that reaches the parquet reader as a pushed
+    // filter (row-group pruning; asserted in PlanShapeSpec). Filtering
+    // the rebuilt µs timestamp instead would defeat pushdown (Catalyst
+    // can't invert timestamp_micros). Whole-second bounds are exact in
+    // both ns and µs, so Spark-on-ns and DuckDB-on-ns agree.
     OpSpec(
       "scan_pushdown_range",
-      (s, d) =>
-        T.events(s, d)
-          .filter(
-            col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
-              col("ts") < lit("2024-01-20 00:00:00").cast("timestamp"))
+      (s, d) => {
+        val nsLo = 1704844800L * 1000000000L // 2024-01-10 00:00:00 UTC
+        val nsHi = 1705708800L * 1000000000L // 2024-01-20 00:00:00 UTC
+        T.eventsRawNanos(s, d)
+          .filter(col("ts") >= nsLo && col("ts") < nsHi)
           .agg(
             count(lit(1)).as("n"),
-            sum(P.dec2(col("value"))).cast("decimal(18,2)").as("sum_value")),
+            sum(P.dec2(col("value"))).cast("double").as("sum_value"))
+      },
       Some("""SELECT count(*) AS n,
-             |  cast(sum(cast(value as decimal(18,2))) as decimal(18,2)) AS sum_value
+             |  cast(sum(cast(value as decimal(18,2))) as double) AS sum_value
              |FROM events
              |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
              |  AND ts < TIMESTAMP '2024-01-20 00:00:00'""".stripMargin),

@@ -3,104 +3,151 @@
 
 Usage: python tools/oracle_check.py <verify_out_dir> <sf_dir>
 
-For each query dumped by `graft.Verify` into <verify_out_dir>/<name>/,
-runs the matching oracle SQL from oracle_sql.json in DuckDB over the
-same parquet tables, and compares:
-  - schema: column names (sorted),
-  - rows: exact values, both in emitted order and canonically sorted.
+Compares through the SAME path the driver uses (VERDICT r1 #3):
+  - Spark side : pandas read of the dumped parquet (pyarrow engine),
+  - oracle side: duckdb con.execute(sql).df().
+This surfaces dtype-level mismatches the old str()-canonicalization
+erased — e.g. Spark decimal -> pandas object(Decimal) vs DuckDB
+DECIMAL/HUGEINT -> float64, which the driver hash-fails.
 
-Exit code 0 iff every query matches. Prints a per-query verdict plus
-first-diff details on mismatch.
+Checks, per query:
+  1. every key in oracle_sql.json (and declared.json, if Verify wrote
+     one) must have a dump directory — a crashed query is a FAILURE,
+     not a skip;
+  2. column name sets equal;
+  3. after sorting columns by name: pandas dtypes must be equal
+     (any `object` dtype column is additionally flagged unless both
+     sides are plain str);
+  4. values exactly equal in emitted order (both sides carry ORDER BY).
+
+Exit 0 iff everything passes.
 """
+import glob
 import json
-import math
 import sys
+from decimal import Decimal
 from pathlib import Path
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
-def canon(v):
-    """Canonicalize a cell for comparison (mirror of a value-hash)."""
-    if v is None:
+def load_spark(out_dir: Path, name: str):
+    files = sorted(glob.glob(str(out_dir / name / "*.parquet")))
+    if not files:
         return None
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return repr(v)  # full precision; bit-exactness required
-    if isinstance(v, list):
-        return tuple(canon(x) for x in v)
-    # Decimal, int, str, datetime → via str
-    return str(v)
+    return pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
 
 
-def rows_of(con, sql):
-    cur = con.execute(sql)
-    cols = [d[0] for d in cur.description]
-    return cols, cur.fetchall()
+def col_repr(s: pd.Series) -> str:
+    d = str(s.dtype)
+    if d == "object":
+        kinds = {type(v).__name__ for v in s.head(20) if v is not None}
+        d += f"({'/'.join(sorted(kinds)) or 'empty'})"
+    return d
+
+
+def values_equal(a: pd.Series, b: pd.Series) -> bool:
+    if len(a) != len(b):
+        return False
+    av, bv = a.to_numpy(), b.to_numpy()
+    if a.dtype.kind == "f" and b.dtype.kind == "f":
+        return bool(np.array_equal(av, bv, equal_nan=True))
+    # nullable/object/datetime: elementwise with None==None
+    for x, y in zip(av.tolist(), bv.tolist()):
+        if x is None and y is None:
+            continue
+        if (x is None) != (y is None):
+            return False
+        if isinstance(x, float) and isinstance(y, float):
+            if x != y and not (np.isnan(x) and np.isnan(y)):
+                return False
+        elif x != y:
+            return False
+    return True
 
 
 def main():
     out_dir, sf_dir = Path(sys.argv[1]), sys.argv[2]
     oracle = json.loads((out_dir / "oracle_sql.json").read_text())
+    declared = {}
+    if (out_dir / "declared.json").exists():
+        declared = json.loads((out_dir / "declared.json").read_text())
 
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
+    dumped = {p.name for p in out_dir.iterdir() if p.is_dir()}
+    expected = set(oracle) | set(declared) | dumped
     failures, passed, no_oracle = [], 0, 0
-    names = sorted(p.name for p in out_dir.iterdir() if p.is_dir())
-    for name in names:
+
+    for name in sorted(expected):
+        if name not in dumped:
+            why = declared.get(name, "no dump directory (query crashed in Verify?)")
+            failures.append((name, f"MISSING DUMP: {why}"))
+            print(f"  MISSING!  {name}: {why}")
+            continue
+        sdf = load_spark(out_dir, name)
         if name not in oracle:
-            n = con.execute(
-                f"SELECT count(*) FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchone()[0]
-            status = "ROWS-ONLY" if n > 0 else "EMPTY!"
+            n = 0 if sdf is None else len(sdf)
             if n == 0:
                 failures.append((name, "rows-only query returned 0 rows"))
+                print(f"  EMPTY!    {name}")
             else:
                 no_oracle += 1
-            print(f"  {status:9} {name} ({n} rows)")
+                print(f"  ROWS-ONLY {name} ({n} rows)")
             continue
         try:
-            scols, srows = rows_of(
-                con, f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
-            ocols, orows = rows_of(con, oracle[name])
+            odf = con.execute(oracle[name]).df()
         except Exception as e:
-            failures.append((name, f"exec error: {e}"))
+            failures.append((name, f"oracle exec error: {e}"))
             print(f"  ERROR     {name}: {e}")
             continue
 
-        if sorted(scols) != sorted(ocols):
-            failures.append((name, f"schema: spark={sorted(scols)} oracle={sorted(ocols)}"))
-            print(f"  SCHEMA!   {name}: spark={sorted(scols)} oracle={sorted(ocols)}")
+        if sorted(sdf.columns) != sorted(odf.columns):
+            failures.append(
+                (name, f"schema: spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}"))
+            print(f"  SCHEMA!   {name}")
             continue
-        # align column order by sorted name (driver sorts by name)
-        sidx = [scols.index(c) for c in sorted(scols)]
-        oidx = [ocols.index(c) for c in sorted(ocols)]
-        s = [tuple(canon(r[i]) for i in sidx) for r in srows]
-        o = [tuple(canon(r[i]) for i in oidx) for r in orows]
-        if len(s) != len(o):
-            failures.append((name, f"rowcount: spark={len(s)} oracle={len(o)}"))
-            print(f"  COUNT!    {name}: spark={len(s)} oracle={len(o)}")
+        sdf = sdf[sorted(sdf.columns)]
+        odf = odf[sorted(odf.columns)]
+        if len(sdf) != len(odf):
+            failures.append((name, f"rowcount: spark={len(sdf)} oracle={len(odf)}"))
+            print(f"  COUNT!    {name}: spark={len(sdf)} oracle={len(odf)}")
             continue
-        if s == o:
+
+        bad = []
+        for c in sdf.columns:
+            sr, orr = col_repr(sdf[c]), col_repr(odf[c])
+            # normalize datetime unit spellings: driver compares values
+            # via pandas; ns-vs-us datetime64 columns ARE a real split
+            if sr != orr:
+                bad.append(f"dtype[{c}]: spark={sr} oracle={orr}")
+                continue
+            if sdf[c].dtype == object:
+                if any(isinstance(v, Decimal) for v in sdf[c].head(20)):
+                    bad.append(f"decimal-object[{c}] would hash-fail in driver")
+            if not values_equal(sdf[c], odf[c]):
+                i = next(
+                    (i for i, (x, y) in enumerate(zip(sdf[c].tolist(), odf[c].tolist()))
+                     if x != y and not (pd.isna(x) and pd.isna(y))), -1)
+                bad.append(
+                    f"values[{c}] first diff row {i}: "
+                    f"spark={sdf[c].iloc[i]!r} oracle={odf[c].iloc[i]!r}")
+        if bad:
+            failures.append((name, "; ".join(bad)))
+            print(f"  VALUES!   {name}: " + "; ".join(bad[:3]))
+        else:
             passed += 1
-            print(f"  OK        {name} ({len(s)} rows)")
-            continue
-        if sorted(s) == sorted(o):
-            failures.append((name, "values match but ROW ORDER differs"))
-            print(f"  ORDER!    {name}: same multiset, different order")
-            continue
-        # first differing row
-        diff = next(
-            (i, a, b) for i, (a, b) in enumerate(zip(s, o)) if a != b)
-        failures.append((name, f"first diff at row {diff[0]}"))
-        print(f"  VALUES!   {name}: row {diff[0]}\n    spark : {diff[1]}\n    oracle: {diff[2]}")
+            print(f"  OK        {name} ({len(sdf)} rows)")
 
     print(f"\n{passed} ok, {no_oracle} rows-only, {len(failures)} failed "
-          f"of {len(names)} queries")
+          f"of {len(expected)} queries")
     for n, why in failures:
         print(f"  FAIL {n}: {why}")
     sys.exit(1 if failures else 0)
