@@ -11,6 +11,10 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // µs-encoded parquet timestamps: pandas then reads datetime64[us]
+      // on the Spark side, matching DuckDB's .df() unit (INT96 default
+      // would read back as ns and dtype-split the driver's comparator).
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -27,5 +27,12 @@ object Policy {
   /** Guarded division: NULL on zero denominator in both engines. */
   def div(num: Column, den: Column): Column = num / nullif(den, lit(0))
 
+  /** Timestamp OUTPUT policy: emit timestamp_ntz. Spark's tz-aware
+    * TimestampType round-trips through parquet as datetime64[us, UTC] in
+    * pandas while DuckDB's .df() is naive datetime64[us] — a dtype split
+    * the driver's comparator fails. Session tz is pinned UTC, so the
+    * ntz cast is value-identity. */
+  def tsOut(c: Column): Column = c.cast("timestamp_ntz")
+
   private def nullif(c: Column, v: Column): Column = when(c === v, null).otherwise(c)
 }

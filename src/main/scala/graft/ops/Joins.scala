@@ -1,6 +1,232 @@
 package graft.ops
 
-/** Placeholder — filled in by the next milestone. */
+import graft.core.{Policy => P, Tables => T}
+import graft.ts.AsofJoin
+import org.apache.spark.sql.functions._
+
+/** §2.C joins (pandas `merge` / `merge_asof` analogues).
+  *
+  * Scale notes: big⋈big equi-joins (orders⋈lineitem) compile to
+  * sort-merge on the shuffled key — the 100 TB default. Dimension joins
+  * broadcast (nation/region/part are KB–MB at any sf; part is explicitly
+  * hinted, the others are under the 10 MB auto-threshold). The as-of
+  * family uses the union-and-window idiom in [[graft.ts.AsofJoin]]:
+  * one shuffle + one sort, no range explosion (see its scaladoc).
+  * Aggregated outputs keep verify dumps O(groups), not O(rows).
+  */
 object Joins {
-  val ops: Seq[OpSpec] = Seq()
+
+  // events split into a probe stream (purchases) and a build stream
+  // (signups/clicks) — the classic "enrich each purchase with the most
+  // recent prior marketing touch" as-of shape.
+  private def purchases(s: org.apache.spark.sql.SparkSession, d: String) =
+    T.events(s, d).filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+
+  val ops: Seq[OpSpec] = Seq(
+    OpSpec(
+      "join_inner",
+      (s, d) =>
+        T.orders(s, d)
+          .join(T.lineitem(s, d), col("o_orderkey") === col("l_orderkey"), "inner")
+          .groupBy("o_orderpriority")
+          .agg(
+            count(lit(1)).as("n_lines"),
+            sum(P.dec2(col("l_extendedprice"))).cast("double").as("sum_price"))
+          .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, count(*) AS n_lines,
+             |  cast(sum(cast(l_extendedprice as decimal(18,2))) as double) AS sum_price
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+    ),
+    // Same semantics, explicitly-broadcast small side → BroadcastHashJoin
+    // (plan shape asserted in PlanShapeSpec).
+    OpSpec(
+      "join_broadcast",
+      (s, d) =>
+        T.lineitem(s, d)
+          .join(broadcast(T.part(s, d)), col("l_partkey") === col("p_partkey"))
+          .groupBy("p_brand")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(P.dec2(col("l_quantity"))).cast("double").as("sum_qty"))
+          .orderBy("p_brand"),
+      Some("""SELECT p_brand, count(*) AS n,
+             |  cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sum_qty
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |GROUP BY p_brand ORDER BY p_brand""".stripMargin),
+    ),
+    // Left join with genuinely unmatched left rows (customers without
+    // urgent orders): count(o_orderkey) < count(*) proves NULL rows flow.
+    OpSpec(
+      "join_left",
+      (s, d) =>
+        T.customer(s, d)
+          .join(
+            T.orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+            col("c_custkey") === col("o_custkey"), "left")
+          .groupBy("c_mktsegment")
+          .agg(
+            count(lit(1)).as("n_rows"),
+            count(col("o_orderkey")).as("n_matched"),
+            countDistinct(col("c_custkey")).as("n_customers"))
+          .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment, count(*) AS n_rows, count(o_orderkey) AS n_matched,
+             |  count(DISTINCT c_custkey) AS n_customers
+             |FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
+             |  ON c_custkey = o_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+    ),
+    // Full outer with misses on BOTH sides (filtered key ranges overlap
+    // only partially); null-side counters prove both directions fire.
+    OpSpec(
+      "join_outer",
+      (s, d) =>
+        T.customer(s, d).filter(col("c_nationkey") < 13)
+          .select("c_custkey", "c_nationkey")
+          .join(
+            T.orders(s, d).filter(col("o_totalprice") > 150000)
+              .select("o_orderkey", "o_custkey"),
+            col("c_custkey") === col("o_custkey"), "full_outer")
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("n_left_null"),
+            sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("n_right_null")),
+      Some("""SELECT count(*) AS n_rows,
+             |  cast(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) as bigint) AS n_left_null,
+             |  cast(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) as bigint) AS n_right_null
+             |FROM (SELECT c_custkey FROM customer WHERE c_nationkey < 13) c
+             |FULL JOIN (SELECT o_orderkey, o_custkey FROM orders WHERE o_totalprice > 150000) o
+             |  ON c_custkey = o_custkey""".stripMargin),
+    ),
+    OpSpec(
+      "join_semi",
+      (s, d) =>
+        T.customer(s, d)
+          .join(
+            T.orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+            col("c_custkey") === col("o_custkey"), "left_semi")
+          .groupBy("c_nationkey").agg(count(lit(1)).as("n"))
+          .orderBy("c_nationkey"),
+      Some("""SELECT c_nationkey, count(*) AS n FROM customer
+             |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+             |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin),
+    ),
+    OpSpec(
+      "join_anti",
+      (s, d) =>
+        T.customer(s, d)
+          .join(T.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy("c_nationkey").agg(count(lit(1)).as("n"))
+          .orderBy("c_nationkey"),
+      Some("""SELECT c_nationkey, count(*) AS n FROM customer
+             |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+             |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin),
+    ),
+    OpSpec(
+      "join_cross",
+      (s, d) =>
+        T.region(s, d).crossJoin(T.nation(s, d))
+          .select("r_regionkey", "r_name", "n_nationkey", "n_name")
+          .orderBy("r_regionkey", "n_nationkey"),
+      Some("""SELECT r_regionkey, r_name, n_nationkey, n_name
+             |FROM region CROSS JOIN nation
+             |ORDER BY r_regionkey, n_nationkey""".stripMargin),
+    ),
+    // Equi key + range predicate: lineitems shipped within 30 days of
+    // their order's date. Compiles to sort-merge on the equi key with the
+    // range as a residual filter — no range explosion at scale.
+    OpSpec(
+      "join_theta_range",
+      (s, d) =>
+        T.orders(s, d)
+          .join(
+            T.lineitem(s, d),
+            col("o_orderkey") === col("l_orderkey") &&
+              col("l_shipdate") >= col("o_orderdate") &&
+              col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+          .groupBy("o_orderstatus")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(P.dec2(col("l_quantity"))).cast("double").as("sum_qty"))
+          .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             |  cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sum_qty
+             |FROM orders JOIN lineitem
+             |  ON o_orderkey = l_orderkey
+             |  AND l_shipdate >= o_orderdate
+             |  AND l_shipdate < o_orderdate + INTERVAL 30 DAY
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+    ),
+    // Global backward as-of: each purchase picks up the most recent
+    // signup at-or-before it. Oracle truncates ts to µs INSIDE the join
+    // so both engines compare at the same precision.
+    OpSpec(
+      "join_asof_backward",
+      (s, d) => {
+        val build = T.events(s, d).filter(col("event_type") === "signup")
+          .select(col("ts"), col("value").as("sig_value"))
+        AsofJoin.backward(
+          purchases(s, d).drop("user_id"), build,
+          on = "ts", by = Nil, payload = Seq("sig_value"))
+          .select(col("event_id"), P.tsOut(col("ts")).as("ts"),
+            P.tsOut(col("matched_ts")).as("matched_ts"), col("sig_value"))
+          .orderBy("event_id")
+      },
+      Some("""WITH p AS (SELECT event_id, cast(ts as timestamp) AS ts, value
+             |          FROM events WHERE event_type = 'purchase'),
+             |     b AS (SELECT cast(ts as timestamp) AS ts, value AS sig_value
+             |          FROM events WHERE event_type = 'signup')
+             |SELECT p.event_id, p.ts, b.ts AS matched_ts, b.sig_value
+             |FROM p ASOF LEFT JOIN b ON p.ts >= b.ts
+             |ORDER BY p.event_id""".stripMargin),
+    ),
+    // Keyed as-of: last prior click BY THE SAME USER before each
+    // purchase (the per-entity enrichment every TSDB pipeline runs).
+    OpSpec(
+      "join_asof_by",
+      (s, d) => {
+        val build = T.events(s, d).filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("value").as("click_value"))
+        AsofJoin.backward(
+          purchases(s, d), build,
+          on = "ts", by = Seq("user_id"), payload = Seq("click_value"))
+          .select(col("event_id"), col("user_id"),
+            P.tsOut(col("matched_ts")).as("matched_ts"), col("click_value"))
+          .orderBy("event_id")
+      },
+      Some("""WITH p AS (SELECT event_id, user_id, cast(ts as timestamp) AS ts
+             |          FROM events WHERE event_type = 'purchase'),
+             |     b AS (SELECT user_id, cast(ts as timestamp) AS ts, value AS click_value
+             |          FROM events WHERE event_type = 'click')
+             |SELECT p.event_id, p.user_id, b.ts AS matched_ts, b.click_value
+             |FROM p ASOF LEFT JOIN b ON p.user_id = b.user_id AND p.ts >= b.ts
+             |ORDER BY p.event_id""".stripMargin),
+    ),
+    // Tolerance: matches farther than 1 hour back are nulled, not
+    // dropped (pandas merge_asof(tolerance=...) semantics).
+    OpSpec(
+      "join_asof_tolerance",
+      (s, d) => {
+        val build = T.events(s, d).filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("value").as("click_value"))
+        AsofJoin.backward(
+          purchases(s, d), build,
+          on = "ts", by = Seq("user_id"), payload = Seq("click_value"),
+          toleranceMicros = Some(3600L * 1000000L))
+          .select(col("event_id"), col("user_id"),
+            P.tsOut(col("matched_ts")).as("matched_ts"), col("click_value"))
+          .orderBy("event_id")
+      },
+      Some("""WITH p AS (SELECT event_id, user_id, cast(ts as timestamp) AS ts
+             |          FROM events WHERE event_type = 'purchase'),
+             |     b AS (SELECT user_id, cast(ts as timestamp) AS ts, value AS click_value
+             |          FROM events WHERE event_type = 'click')
+             |SELECT p.event_id, p.user_id,
+             |  CASE WHEN p.ts - b.ts <= INTERVAL 1 HOUR THEN b.ts END AS matched_ts,
+             |  CASE WHEN p.ts - b.ts <= INTERVAL 1 HOUR THEN b.click_value END AS click_value
+             |FROM p ASOF LEFT JOIN b ON p.user_id = b.user_id AND p.ts >= b.ts
+             |ORDER BY p.event_id""".stripMargin),
+    ),
+  )
 }
