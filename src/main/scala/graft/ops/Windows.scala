@@ -1,6 +1,210 @@
 package graft.ops
 
-/** Placeholder — filled in by the next milestone. */
+import graft.core.{Policy => P, Tables => T}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.E window functions (pandas rolling/expanding/shift/rank analogues).
+  *
+  * All windows partition by `user_id` and order by `event_id` (generated
+  * in ts order — FIXTURES), so ordering is identical in both engines
+  * regardless of the ns(DuckDB)/µs(Spark) ts precision split. The
+  * `user_id < 10` filter keeps verify output O(10²–10³) at any sf while
+  * the window semantics are unchanged.
+  *
+  * Scale: one shuffle on user_id + one per-partition sort serves every
+  * frame here; at 100 TB the same plan holds (windows never re-shuffle
+  * per function, Spark fuses same-spec window functions into one
+  * WindowExec). Running sums use the exact-decimal device (Policy.dec2)
+  * so results are partition-order-independent.
+  */
 object Windows {
-  val ops: Seq[OpSpec] = Seq()
+  private def ev(s: org.apache.spark.sql.SparkSession, d: String) =
+    T.events(s, d).filter(col("user_id") < 10)
+
+  private val byUser = Window.partitionBy("user_id").orderBy("event_id")
+  private val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+  private val full = byUser.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+  private val roll5 = byUser.rowsBetween(-4, 0)
+
+  // Every oracle shares this subquery shape.
+  private val EV = "(SELECT * FROM events WHERE user_id < 10)"
+
+  val ops: Seq[OpSpec] = Seq(
+    OpSpec(
+      "win_row_number",
+      (s, d) =>
+        ev(s, d)
+          .select(col("event_id"), col("user_id"),
+            row_number().over(byUser).cast("bigint").as("rn"))
+          .orderBy("event_id"),
+      Some(s"""SELECT event_id, user_id,
+              |  row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+              |FROM $EV ORDER BY event_id""".stripMargin),
+    ),
+    // Ranking over a low-cardinality column: ties collapse to the same
+    // rank in both engines — deterministic without a hidden tie-break.
+    OpSpec(
+      "win_rank_dense",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("event_type")
+        ev(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            rank().over(w).cast("bigint").as("rnk"),
+            dense_rank().over(w).cast("bigint").as("drnk"))
+          .orderBy("event_id")
+      },
+      Some(s"""SELECT event_id, user_id, event_type,
+              |  rank() OVER (PARTITION BY user_id ORDER BY event_type) AS rnk,
+              |  dense_rank() OVER (PARTITION BY user_id ORDER BY event_type) AS drnk
+              |FROM $EV ORDER BY event_id""".stripMargin),
+    ),
+    OpSpec(
+      "win_ntile",
+      (s, d) =>
+        ev(s, d)
+          .select(col("event_id"), col("user_id"),
+            ntile(4).over(byUser).cast("bigint").as("quartile"))
+          .orderBy("event_id"),
+      Some(s"""SELECT event_id, user_id,
+              |  ntile(4) OVER (PARTITION BY user_id ORDER BY event_id) AS quartile
+              |FROM $EV ORDER BY event_id""".stripMargin),
+    ),
+    OpSpec(
+      "win_lag_lead",
+      (s, d) =>
+        ev(s, d)
+          .select(col("event_id"), col("user_id"), col("value"),
+            lag("value", 1).over(byUser).as("prev_value"),
+            lead("value", 1).over(byUser).as("next_value"))
+          .orderBy("event_id"),
+      Some(s"""SELECT event_id, user_id, value,
+              |  lag(value, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_value,
+              |  lead(value, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS next_value
+              |FROM $EV ORDER BY event_id""".stripMargin),
+    ),
+    // diff(): exact — 2-dp doubles subtract bit-identically via decimal.
+    OpSpec(
+      "win_diff",
+      (s, d) =>
+        ev(s, d)
+          .select(col("event_id"), col("user_id"),
+            (P.dec2(col("value")) - P.dec2(lag("value", 1).over(byUser)))
+              .cast("double").as("diff"))
+          .orderBy("event_id"),
+      Some(s"""SELECT event_id, user_id,
+              |  cast(cast(value as decimal(18,2)) -
+              |       cast(lag(value, 1) OVER (PARTITION BY user_id ORDER BY event_id) as decimal(18,2))
+              |       as double) AS diff
+              |FROM $EV ORDER BY event_id""".stripMargin),
+    ),
+    OpSpec(
+      "win_pct_change",
+      (s, d) =>
+        ev(s, d)
+          .select(col("event_id"), col("user_id"),
+            (P.div(col("value"), lag("value", 1).over(byUser)) - 1)
+              .as("pct_change"))
+          .orderBy("event_id"),
+      Some(s"""SELECT event_id, user_id,
+              |  value / nullif(lag(value, 1) OVER (PARTITION BY user_id ORDER BY event_id), 0) - 1 AS pct_change
+              |FROM $EV ORDER BY event_id""".stripMargin),
+    ),
+    OpSpec(
+      "win_cumsum",
+      (s, d) =>
+        ev(s, d)
+          .select(col("event_id"), col("user_id"),
+            sum(P.dec2(col("value"))).over(cum).cast("double").as("cum_value"))
+          .orderBy("event_id"),
+      Some(s"""SELECT event_id, user_id,
+              |  cast(sum(cast(value as decimal(18,2))) OVER
+              |    (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |    as double) AS cum_value
+              |FROM $EV ORDER BY event_id""".stripMargin),
+    ),
+    OpSpec(
+      "win_cummax_min",
+      (s, d) =>
+        ev(s, d)
+          .select(col("event_id"), col("user_id"),
+            max("value").over(cum).as("cum_max"),
+            min("value").over(cum).as("cum_min"))
+          .orderBy("event_id"),
+      Some(s"""SELECT event_id, user_id,
+              |  max(value) OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_max,
+              |  min(value) OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_min
+              |FROM $EV ORDER BY event_id""".stripMargin),
+    ),
+    OpSpec(
+      "win_first_last",
+      (s, d) =>
+        ev(s, d)
+          .select(col("event_id"), col("user_id"),
+            first("value").over(full).as("first_value"),
+            last("value").over(full).as("last_value"))
+          .orderBy("event_id"),
+      Some(s"""SELECT event_id, user_id,
+              |  first_value(value) OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_value,
+              |  last_value(value) OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_value
+              |FROM $EV ORDER BY event_id""".stripMargin),
+    ),
+    // rolling(5).mean() with pandas min_periods: NULL until the frame is
+    // full. Mean from the exact decimal sum — no FP accumulation drift.
+    OpSpec(
+      "win_rolling_rows",
+      (s, d) =>
+        ev(s, d)
+          .select(col("event_id"), col("user_id"),
+            when(count(lit(1)).over(roll5) === 5,
+              sum(P.dec2(col("value"))).over(roll5).cast("double") / 5)
+              .as("roll_avg5"))
+          .orderBy("event_id"),
+      Some(s"""SELECT event_id, user_id,
+              |  CASE WHEN count(*) OVER w = 5 THEN
+              |    cast(sum(cast(value as decimal(18,2))) OVER w as double) / 5
+              |  END AS roll_avg5
+              |FROM $EV
+              |WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+              |ORDER BY event_id""".stripMargin),
+    ),
+    // rolling('1h') time-based: Spark rangeBetween needs a numeric order
+    // column → unix_micros; DuckDB ranges over the µs-truncated ts. Both
+    // frames are [t−1h, t] at µs precision.
+    OpSpec(
+      "win_rolling_time",
+      (s, d) => {
+        val wt = Window.partitionBy("user_id").orderBy(unix_micros(col("ts")))
+          .rangeBetween(-3600000000L, 0)
+        ev(s, d)
+          .select(col("event_id"), col("user_id"),
+            count(lit(1)).over(wt).as("n_1h"),
+            sum(P.dec2(col("value"))).over(wt).cast("double").as("sum_1h"))
+          .orderBy("event_id")
+      },
+      Some(s"""SELECT event_id, user_id, count(*) OVER w AS n_1h,
+              |  cast(sum(cast(value as decimal(18,2))) OVER w as double) AS sum_1h
+              |FROM (SELECT event_id, user_id, cast(ts as timestamp) AS ts, value
+              |      FROM events WHERE user_id < 10)
+              |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+              |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+              |ORDER BY event_id""".stripMargin),
+    ),
+    // expanding().avg(): unbounded-preceding frame, exact-sum mean.
+    OpSpec(
+      "win_expanding",
+      (s, d) =>
+        ev(s, d)
+          .select(col("event_id"), col("user_id"),
+            (sum(P.dec2(col("value"))).over(cum).cast("double") /
+              count(lit(1)).over(cum)).as("expanding_avg"))
+          .orderBy("event_id"),
+      Some(s"""SELECT event_id, user_id,
+              |  cast(sum(cast(value as decimal(18,2))) OVER w as double)
+              |    / count(*) OVER w AS expanding_avg
+              |FROM $EV
+              |WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |ORDER BY event_id""".stripMargin),
+    ),
+  )
 }
