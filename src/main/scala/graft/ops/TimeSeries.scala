@@ -1,6 +1,292 @@
 package graft.ops
 
-/** Placeholder — filled in by the next milestone. */
+import graft.core.{Policy => P, Tables => T}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.H time-series operators — the reference's core surface (resample /
+  * ffill / sessionize / as-of are what a TSDB adds over a DataFrame).
+  *
+  * Design rules:
+  *  - buckets via date_trunc / epoch-floor arithmetic (codegen'd,
+  *    groupBy compiles to partial+final hash agg — the 100 TB shape);
+  *  - gap-filling and interpolation via ordered windows with
+  *    ignoreNulls first/last — one shuffle + sort per series key;
+  *  - every ts comparison happens at µs on both engines (oracle casts
+  *    ns→µs first) so the precision split can never flip a bucket edge;
+  *  - single-partition windows appear only on deliberately single-series
+  *    queries (user_id = 7) — keyed variants shard by user_id.
+  */
 object TimeSeries {
-  val ops: Seq[OpSpec] = Seq()
+  private def ev(s: org.apache.spark.sql.SparkSession, d: String) =
+    T.events(s, d)
+
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(P.dec2(c)).cast("double")
+
+  val ops: Seq[OpSpec] = Seq(
+    // resample('1h').agg — downsample, non-empty buckets only (SQL
+    // semantics; gap-filling is ts_upsample_ffill's job).
+    OpSpec(
+      "ts_resample_agg",
+      (s, d) =>
+        ev(s, d)
+          .groupBy(date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .select(P.tsOut(col("h")).as("h"), col("n"), col("sum_value"))
+          .orderBy("h"),
+      Some("""SELECT date_trunc('hour', cast(ts as timestamp)) AS h, count(*) AS n,
+             |  cast(sum(cast(value as decimal(18,2))) as double) AS sum_value
+             |FROM events GROUP BY 1 ORDER BY h""".stripMargin),
+    ),
+    // resample('1d').ohlc — open/close picked by event_id (ts order),
+    // deterministic in both engines via arg_min/arg_max ≡ min_by/max_by.
+    OpSpec(
+      "ts_resample_ohlc",
+      (s, d) =>
+        ev(s, d)
+          .groupBy(date_trunc("day", col("ts")).as("day"))
+          .agg(
+            min_by(col("value"), col("event_id")).as("open"),
+            max("value").as("high"),
+            min("value").as("low"),
+            max_by(col("value"), col("event_id")).as("close"))
+          .select(P.tsOut(col("day")).as("day"),
+            col("open"), col("high"), col("low"), col("close"))
+          .orderBy("day"),
+      Some("""SELECT date_trunc('day', cast(ts as timestamp)) AS day,
+             |  arg_min(value, event_id) AS open, max(value) AS high,
+             |  min(value) AS low, arg_max(value, event_id) AS close
+             |FROM events GROUP BY 1 ORDER BY day""".stripMargin),
+    ),
+    // between_time('09:00','17:00') — inclusive start, exclusive end.
+    OpSpec(
+      "ts_between_time",
+      (s, d) =>
+        ev(s, d)
+          .filter(hour(col("ts")) >= 9 && hour(col("ts")) < 17)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type, count(*) AS n,
+             |  cast(sum(cast(value as decimal(18,2))) as double) AS sum_value
+             |FROM events
+             |WHERE extract(hour FROM cast(ts as timestamp)) >= 9
+             |  AND extract(hour FROM cast(ts as timestamp)) < 17
+             |GROUP BY event_type ORDER BY event_type""".stripMargin),
+    ),
+    // shift(freq='1h') — lattice shift of the time index.
+    OpSpec(
+      "ts_shift_time",
+      (s, d) =>
+        ev(s, d)
+          .filter(col("user_id") < 3)
+          .select(col("event_id"),
+            P.tsOut(col("ts")).as("ts"),
+            P.tsOut(col("ts") + expr("INTERVAL 1 HOUR")).as("ts_shifted"))
+          .orderBy("event_id"),
+      Some("""SELECT event_id, cast(ts as timestamp) AS ts,
+             |  cast(ts as timestamp) + INTERVAL 1 HOUR AS ts_shifted
+             |FROM events WHERE user_id < 3 ORDER BY event_id""".stripMargin),
+    ),
+    // ffill(): data has no NULLs — manufacture them (view-events' value
+    // masked), then carry last non-null forward per user.
+    OpSpec(
+      "ts_ffill",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev(s, d)
+          .filter(col("user_id") < 10)
+          .withColumn("v", when(col("event_type") === "view", lit(null)).otherwise(col("value")))
+          .select(col("event_id"), col("user_id"), col("v"),
+            last("v", ignoreNulls = true).over(w).as("v_ffill"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, v,
+             |  last_value(v IGNORE NULLS) OVER
+             |    (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill
+             |FROM (SELECT event_id, user_id,
+             |        CASE WHEN event_type = 'view' THEN NULL ELSE value END AS v
+             |      FROM events WHERE user_id < 10)
+             |ORDER BY event_id""".stripMargin),
+    ),
+    OpSpec(
+      "ts_bfill",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("event_id")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        ev(s, d)
+          .filter(col("user_id") < 10)
+          .withColumn("v", when(col("event_type") === "view", lit(null)).otherwise(col("value")))
+          .select(col("event_id"), col("user_id"), col("v"),
+            first("v", ignoreNulls = true).over(w).as("v_bfill"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, v,
+             |  first_value(v IGNORE NULLS) OVER
+             |    (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v_bfill
+             |FROM (SELECT event_id, user_id,
+             |        CASE WHEN event_type = 'view' THEN NULL ELSE value END AS v
+             |      FROM events WHERE user_id < 10)
+             |ORDER BY event_id""".stripMargin),
+    ),
+    // asfreq('1h') + ffill: hourly time-spine over one sparse series
+    // (user 7 ⇒ ~67 events over 30 days ⇒ most buckets empty, so the
+    // fill actually fires). Spine = sequence + explode; at scale the
+    // spine is tiny relative to data and the join broadcasts.
+    OpSpec(
+      "ts_upsample_ffill",
+      (s, d) => {
+        val e7 = ev(s, d).filter(col("user_id") === 7).select(col("ts"), col("value"))
+        val hourly = e7.groupBy(date_trunc("hour", col("ts")).as("h"))
+          .agg(dsum(col("value")).as("v"))
+        val spine = e7
+          .agg(date_trunc("hour", min(col("ts"))).as("t0"),
+            date_trunc("hour", max(col("ts"))).as("t1"))
+          .select(explode(sequence(col("t0"), col("t1"), expr("INTERVAL 1 HOUR"))).as("h"))
+        val w = Window.orderBy("h")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        spine.join(hourly, Seq("h"), "left")
+          .select(P.tsOut(col("h")).as("h"), col("v"),
+            last("v", ignoreNulls = true).over(w).as("v_ffill"))
+          .orderBy("h")
+      },
+      Some("""WITH e AS (SELECT cast(ts as timestamp) AS ts, value FROM events WHERE user_id = 7),
+             |hourly AS (SELECT date_trunc('hour', ts) AS h,
+             |             cast(sum(cast(value as decimal(18,2))) as double) AS v
+             |           FROM e GROUP BY 1),
+             |bounds AS (SELECT date_trunc('hour', min(ts)) AS t0, date_trunc('hour', max(ts)) AS t1 FROM e),
+             |spine AS (SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS h FROM bounds)
+             |SELECT spine.h, hourly.v AS v,
+             |  last_value(hourly.v IGNORE NULLS) OVER
+             |    (ORDER BY spine.h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill
+             |FROM spine LEFT JOIN hourly ON spine.h = hourly.h
+             |ORDER BY spine.h""".stripMargin),
+    ),
+    // interpolate('linear') positionally, pandas-style: null cells get
+    // prev + (next−prev)·(i−pi)/(ni−pi); leading/trailing nulls stay.
+    // Identical IEEE expression on both sides — no rounding needed.
+    OpSpec(
+      "ts_interpolate_linear",
+      (s, d) => {
+        val ordered = Window.orderBy("event_id")
+        val back = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val fwd = ordered.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        ev(s, d)
+          .filter(col("user_id") === 7)
+          .withColumn("v", when(col("event_type") === "view", lit(null)).otherwise(col("value")))
+          .withColumn("i", row_number().over(ordered).cast("bigint"))
+          .withColumn("prev_v", last("v", ignoreNulls = true).over(back))
+          .withColumn("pi", last(when(col("v").isNotNull, col("i")), ignoreNulls = true).over(back))
+          .withColumn("next_v", first("v", ignoreNulls = true).over(fwd))
+          .withColumn("ni", first(when(col("v").isNotNull, col("i")), ignoreNulls = true).over(fwd))
+          .select(col("event_id"), col("v"),
+            when(col("v").isNotNull, col("v"))
+              .when(col("prev_v").isNotNull && col("next_v").isNotNull,
+                col("prev_v") + (col("next_v") - col("prev_v")) *
+                  (col("i") - col("pi")).cast("double") /
+                  (col("ni") - col("pi")).cast("double"))
+              .as("v_interp"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, v,
+             |  CASE WHEN v IS NOT NULL THEN v
+             |       WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+             |         prev_v + (next_v - prev_v) * cast(i - pi as double) / cast(ni - pi as double)
+             |  END AS v_interp
+             |FROM (
+             |  SELECT event_id, v, i,
+             |    last_value(v IGNORE NULLS) OVER b AS prev_v,
+             |    last_value(CASE WHEN v IS NOT NULL THEN i END IGNORE NULLS) OVER b AS pi,
+             |    first_value(v IGNORE NULLS) OVER f AS next_v,
+             |    first_value(CASE WHEN v IS NOT NULL THEN i END IGNORE NULLS) OVER f AS ni
+             |  FROM (
+             |    SELECT event_id,
+             |      CASE WHEN event_type = 'view' THEN NULL ELSE value END AS v,
+             |      cast(row_number() OVER (ORDER BY event_id) as bigint) AS i
+             |    FROM events WHERE user_id = 7)
+             |  WINDOW b AS (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             |         f AS (ORDER BY event_id ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+             |ORDER BY event_id""".stripMargin),
+    ),
+    // .dt accessor family; weekday pinned Mon=0 on both engines
+    // (Spark weekday ≡ DuckDB isodow−1 — the only portable encoding).
+    OpSpec(
+      "ts_dt_extract",
+      (s, d) =>
+        T.orders(s, d)
+          .filter(col("o_orderkey") % 500 === 0)
+          .select(col("o_orderkey"),
+            year(col("o_orderdate")).cast("bigint").as("yr"),
+            month(col("o_orderdate")).cast("bigint").as("mo"),
+            dayofmonth(col("o_orderdate")).cast("bigint").as("dom"),
+            weekday(col("o_orderdate")).cast("bigint").as("wd"))
+          .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, cast(extract(year FROM o_orderdate) as bigint) AS yr,
+             |  cast(extract(month FROM o_orderdate) as bigint) AS mo,
+             |  cast(extract(day FROM o_orderdate) as bigint) AS dom,
+             |  cast(isodow(o_orderdate) - 1 as bigint) AS wd
+             |FROM orders WHERE o_orderkey % 500 = 0 ORDER BY o_orderkey""".stripMargin),
+    ),
+    // .dt.floor('15min') via epoch-floor; identical to DuckDB
+    // time_bucket (same 900 s lattice from any epoch-aligned origin).
+    OpSpec(
+      "ts_date_floor",
+      (s, d) =>
+        ev(s, d)
+          .filter(
+            col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+              col("ts") < lit("2024-01-12 00:00:00").cast("timestamp"))
+          .groupBy(timestamp_micros(
+            expr("(unix_micros(ts) div 900000000) * 900000000")).as("bucket"))
+          .agg(count(lit(1)).as("n"))
+          .select(P.tsOut(col("bucket")).as("bucket"), col("n"))
+          .orderBy("bucket"),
+      Some("""SELECT time_bucket(INTERVAL 15 MINUTES, cast(ts as timestamp)) AS bucket, count(*) AS n
+             |FROM events
+             |WHERE cast(ts as timestamp) >= TIMESTAMP '2024-01-10 00:00:00'
+             |  AND cast(ts as timestamp) < TIMESTAMP '2024-01-12 00:00:00'
+             |GROUP BY 1 ORDER BY bucket""".stripMargin),
+    ),
+    // Gap-based sessionization (30 min) — lag + cumulative flag-sum, the
+    // batch twin of streaming session_window. Gaps compared at µs.
+    OpSpec(
+      "ts_sessionize",
+      (s, d) => {
+        val byUser = Window.partitionBy("user_id").orderBy("event_id")
+        val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev(s, d)
+          .filter(col("user_id") < 10)
+          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+          .withColumn("new_sess",
+            when(col("prev_us").isNull ||
+              unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1L).otherwise(0L))
+          .withColumn("session_id", sum("new_sess").over(cum))
+          .groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"),
+            min("ts").as("t0"), max("ts").as("t1"),
+            dsum(col("value")).as("sum_value"))
+          .select(col("user_id"), col("session_id"), col("n_events"),
+            P.tsOut(col("t0")).as("t_start"), P.tsOut(col("t1")).as("t_end"),
+            col("sum_value"))
+          .orderBy("user_id", "session_id")
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, cast(ts as timestamp) AS ts, value
+             |          FROM events WHERE user_id < 10),
+             |flagged AS (
+             |  SELECT *, CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTES
+             |                 THEN 1 ELSE 0 END AS new_sess
+             |  FROM (SELECT *, lag(ts, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_ts FROM e)),
+             |sess AS (
+             |  SELECT *, cast(sum(new_sess) OVER
+             |    (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS session_id
+             |  FROM flagged)
+             |SELECT user_id, session_id, count(*) AS n_events,
+             |  min(ts) AS t_start, max(ts) AS t_end,
+             |  cast(sum(cast(value as decimal(18,2))) as double) AS sum_value
+             |FROM sess GROUP BY user_id, session_id
+             |ORDER BY user_id, session_id""".stripMargin),
+    ),
+  )
 }
