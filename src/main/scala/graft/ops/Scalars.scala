@@ -1,6 +1,174 @@
 package graft.ops
 
-/** Placeholder — filled in by the next milestone. */
+import graft.core.{Policy => P, Tables => T}
+import org.apache.spark.sql.functions._
+
+/** §2.I scalar function families (pandas .str / .dt accessors, numpy
+  * ufuncs, json/array handling). One declared query per family, several
+  * functions each; all row-local → fused into whole-stage codegen, no
+  * shuffle except the final determinism orderBy.
+  *
+  * Cross-engine pins (SURVEY §7.3.4):
+  *  - regex restricted to the Java∩RE2-safe subset (no lookaround,
+  *    no backrefs) — probed literally against DuckDB 1.0;
+  *  - transcendentals (ln/exp/pow) rounded to 4 dp: libm vs JVM can
+  *    differ in the last ulp (sqrt is IEEE-exact, left raw);
+  *  - float32 embeddings cast element-wise to double BEFORE any
+  *    arithmetic on both engines;
+  *  - day-difference via Spark datediff ≡ DuckDB date_diff('day',…)
+  *    (midnight-aligned data, verified identical).
+  */
 object Scalars {
-  val ops: Seq[OpSpec] = Seq()
+  val ops: Seq[OpSpec] = Seq(
+    OpSpec(
+      "str_basic",
+      (s, d) =>
+        T.customer(s, d)
+          .filter(col("c_custkey") % 100 === 0)
+          .select(col("c_custkey"),
+            upper(col("c_name")).as("name_up"),
+            lower(col("c_mktsegment")).as("seg_lo"),
+            length(col("c_name")).cast("bigint").as("name_len"),
+            lpad(col("c_name"), 25, "*").as("name_pad"),
+            trim(lit("  padded  ")).as("trimmed"))
+          .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, upper(c_name) AS name_up, lower(c_mktsegment) AS seg_lo,
+             |  cast(length(c_name) as bigint) AS name_len,
+             |  lpad(c_name, 25, '*') AS name_pad, trim('  padded  ') AS trimmed
+             |FROM customer WHERE c_custkey % 100 = 0 ORDER BY c_custkey""".stripMargin),
+    ),
+    OpSpec(
+      "str_substr_concat",
+      (s, d) =>
+        T.customer(s, d)
+          .filter(col("c_custkey") % 100 === 0)
+          .select(col("c_custkey"),
+            substring(col("c_name"), 1, 8).as("name_prefix"),
+            concat_ws("-", col("c_mktsegment"), col("c_name")).as("seg_name"),
+            concat(col("c_name"), lit("!")).as("name_bang"))
+          .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, substring(c_name, 1, 8) AS name_prefix,
+             |  concat_ws('-', c_mktsegment, c_name) AS seg_name,
+             |  concat(c_name, '!') AS name_bang
+             |FROM customer WHERE c_custkey % 100 = 0 ORDER BY c_custkey""".stripMargin),
+    ),
+    // LIKE + regex family on part's word-ish columns; pattern subset is
+    // identical in Java regex and DuckDB RE2.
+    OpSpec(
+      "str_like_regex",
+      (s, d) =>
+        T.part(s, d)
+          .filter(col("p_name").like("%e%") && col("p_name").rlike("^[a-z]+ [a-z]+$"))
+          .select(col("p_partkey"),
+            regexp_extract(col("p_type"), "^(\\w+)", 1).as("type_head"),
+            regexp_replace(col("p_brand"), "#", "_").as("brand_u"))
+          .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, regexp_extract(p_type, '^(\w+)', 1) AS type_head,
+             |  regexp_replace(p_brand, '#', '_') AS brand_u
+             |FROM part
+             |WHERE p_name LIKE '%e%' AND regexp_matches(p_name, '^[a-z]+ [a-z]+$')
+             |ORDER BY p_partkey""".stripMargin),
+    ),
+    // split + explode → Generator (the UDTF surface, §2.L).
+    OpSpec(
+      "str_split_explode",
+      (s, d) =>
+        T.part(s, d)
+          .filter(col("p_partkey") % 200 === 0)
+          .select(col("p_partkey"), explode(split(col("p_type"), " ")).as("token"))
+          .orderBy("p_partkey", "token"),
+      Some("""SELECT p_partkey, unnest(string_split(p_type, ' ')) AS token
+             |FROM part WHERE p_partkey % 200 = 0
+             |ORDER BY p_partkey, token""".stripMargin),
+    ),
+    OpSpec(
+      "math_funcs",
+      (s, d) =>
+        T.orders(s, d)
+          .filter(col("o_orderkey") % 200 === 0)
+          .select(col("o_orderkey"),
+            abs(col("o_totalprice") * -1).as("abs_v"),
+            sqrt(col("o_totalprice")).as("sqrt_v"),
+            P.r4(log(col("o_totalprice"))).as("ln_v"),
+            P.r4(exp(col("o_totalprice") / 100000)).as("exp_v"),
+            P.r4(pow(col("o_totalprice"), 2)).as("pow_v"),
+            floor(col("o_totalprice") / 100).cast("double").as("floor_v"),
+            ceil(col("o_totalprice") / 100).cast("double").as("ceil_v"),
+            (col("o_orderkey") % 7).as("mod_v"))
+          .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, abs(o_totalprice * -1) AS abs_v, sqrt(o_totalprice) AS sqrt_v,
+             |  round(ln(o_totalprice), 4) AS ln_v,
+             |  round(exp(o_totalprice / 100000), 4) AS exp_v,
+             |  round(pow(o_totalprice, 2), 4) AS pow_v,
+             |  floor(o_totalprice / 100) AS floor_v, ceil(o_totalprice / 100) AS ceil_v,
+             |  o_orderkey % 7 AS mod_v
+             |FROM orders WHERE o_orderkey % 200 = 0 ORDER BY o_orderkey""".stripMargin),
+    ),
+    OpSpec(
+      "date_math",
+      (s, d) =>
+        T.orders(s, d)
+          .filter(col("o_orderkey") % 200 === 0)
+          .select(col("o_orderkey"),
+            P.tsOut(col("o_orderdate")).as("od"),
+            P.tsOut(col("o_orderdate") + expr("INTERVAL 7 DAYS")).as("od_plus7"),
+            P.tsOut(date_trunc("month", col("o_orderdate"))).as("od_month"),
+            datediff(lit("2000-01-01").cast("timestamp"), col("o_orderdate"))
+              .cast("bigint").as("days_to_y2k"))
+          .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_orderdate AS od,
+             |  o_orderdate + INTERVAL 7 DAY AS od_plus7,
+             |  date_trunc('month', o_orderdate) AS od_month,
+             |  cast(date_diff('day', o_orderdate, TIMESTAMP '2000-01-01') as bigint) AS days_to_y2k
+             |FROM orders WHERE o_orderkey % 200 = 0 ORDER BY o_orderkey""".stripMargin),
+    ),
+    // props is JSON text '{"k": <int>}' — extract + cast (pandas
+    // json_normalize analogue).
+    OpSpec(
+      "json_get",
+      (s, d) =>
+        T.events(s, d)
+          .filter(col("user_id") < 3)
+          .select(col("event_id"),
+            get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+          .orderBy("event_id"),
+      Some("""SELECT event_id, cast(json_extract_string(props, '$.k') as bigint) AS k
+             |FROM events WHERE user_id < 3 ORDER BY event_id""".stripMargin),
+    ),
+    // Array surface on the embeddings: size / index / max / ordered
+    // fold-sum, all on element-wise double-cast values (float32 rule).
+    OpSpec(
+      "arr_ops",
+      (s, d) =>
+        T.embeddings(s, d)
+          .filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id"),
+            size(col("embedding")).cast("bigint").as("dim"),
+            element_at(col("embedding"), 1).cast("double").as("first_elem"),
+            array_max(expr("transform(embedding, x -> cast(x as double))")).as("max_elem"),
+            expr("aggregate(transform(embedding, x -> cast(x as double)), 0D, (acc, x) -> acc + x)")
+              .as("sum_elems"))
+          .orderBy("vec_id"),
+      Some("""SELECT vec_id, cast(len(embedding) as bigint) AS dim,
+             |  embedding[1]::DOUBLE AS first_elem,
+             |  list_max(embedding::DOUBLE[]) AS max_elem,
+             |  list_sum(embedding::DOUBLE[]) AS sum_elems
+             |FROM embeddings WHERE vec_id % 50 = 0 ORDER BY vec_id""".stripMargin),
+    ),
+    // collect_list is unordered in Spark — always sort_array (rule
+    // 2.0.5); DuckDB list(x ORDER BY x) matches.
+    OpSpec(
+      "arr_collect",
+      (s, d) =>
+        T.customer(s, d)
+          .filter(col("c_custkey") % 100 === 0)
+          .groupBy("c_nationkey")
+          .agg(sort_array(collect_list(col("c_name"))).as("names"),
+            count(lit(1)).as("n"))
+          .orderBy("c_nationkey"),
+      Some("""SELECT c_nationkey, list(c_name ORDER BY c_name) AS names, count(*) AS n
+             |FROM customer WHERE c_custkey % 100 = 0
+             |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin),
+    ),
+  )
 }

@@ -50,12 +50,24 @@ def col_repr(s: pd.Series) -> str:
     return d
 
 
+def _norm(v):
+    """Array-valued cells (numpy arrays / lists) -> tuples so == is scalar."""
+    if isinstance(v, np.ndarray):
+        return tuple(_norm(x) for x in v.tolist())
+    if isinstance(v, list):
+        return tuple(_norm(x) for x in v)
+    return v
+
+
 def values_equal(a: pd.Series, b: pd.Series) -> bool:
     if len(a) != len(b):
         return False
     av, bv = a.to_numpy(), b.to_numpy()
     if a.dtype.kind == "f" and b.dtype.kind == "f":
         return bool(np.array_equal(av, bv, equal_nan=True))
+    if a.dtype == object:
+        av = np.array([_norm(x) for x in av.tolist()], dtype=object)
+        bv = np.array([_norm(x) for x in bv.tolist()], dtype=object)
     # nullable/object/datetime: elementwise with None==None
     for x, y in zip(av.tolist(), bv.tolist()):
         if x is None and y is None:
