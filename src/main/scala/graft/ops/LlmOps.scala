@@ -1,6 +1,224 @@
 package graft.ops
 
-/** Placeholder — filled in by the next milestone. */
+import graft.core.{Policy => P, Tables => T}
+import org.apache.spark.sql.functions._
+
+/** §2.J LLM-data-pipeline operators over `documents` / `embeddings`.
+  *
+  * Scale notes (the whole point of these ops at 100 TB):
+  *  - dedup is groupBy(key)+min — shuffles one row per distinct key,
+  *    never materializes pairs; the hash variant shuffles 32-byte
+  *    digests instead of full documents (dedup_hash), which is how you
+  *    dedup a 100 TB corpus without moving it;
+  *  - tf-idf is two hash aggregations + a broadcast of the tiny
+  *    per-word df table — no self-join of the token stream;
+  *  - brute-force cosine top-k broadcasts ONE query vector and reduces
+  *    via TakeOrderedAndProject (per-partition top-k, O(k) to driver);
+  *  - all-pairs similarity is bounded by a selective label filter
+  *    before the self-join (the declared-query stand-in for LSH
+  *    bucketing; the MinHash/LSH capability tier lives in
+  *    graft.text.MinHash and is exercised by tests);
+  *  - float32 embeddings are element-wise cast to double BEFORE any
+  *    arithmetic on both engines; similarity scores rounded to 4 dp.
+  *
+  * Spark's `dropDuplicates` keeps an arbitrary row — never used here;
+  * the deterministic survivor is always min(doc_id) (SURVEY §2.0.5).
+  */
 object LlmOps {
-  val ops: Seq[OpSpec] = Seq()
+  /** Ordered left-fold dot product over double arrays — matches DuckDB
+    * list_inner_product / list_sum accumulation (probed bit-equal). */
+  private def dot(a: String, b: String) =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+
+  private def toDouble(c: String) = expr(s"transform($c, x -> cast(x as double))")
+
+  val ops: Seq[OpSpec] = Seq(
+    OpSpec(
+      "dedup_exact",
+      (s, d) =>
+        T.documents(s, d)
+          .groupBy("text")
+          .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_dups"))
+          .select("doc_id", "n_dups")
+          .orderBy("doc_id"),
+      Some("""SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+             |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin),
+    ),
+    // Content-hash dedup: shuffle 32-byte digests, not documents.
+    OpSpec(
+      "dedup_hash",
+      (s, d) =>
+        T.documents(s, d)
+          .groupBy(sha2(col("text"), 256).as("content_hash"))
+          .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_dups"))
+          .orderBy("doc_id"),
+      Some("""SELECT sha256(text) AS content_hash, min(doc_id) AS doc_id, count(*) AS n_dups
+             |FROM documents GROUP BY sha256(text) ORDER BY doc_id""".stripMargin),
+    ),
+    OpSpec(
+      "text_tokenize_count",
+      (s, d) =>
+        T.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("word"))
+          .groupBy("word").agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), col("word"))
+          .limit(20),
+      Some("""SELECT word, count(*) AS n
+             |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+             |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin),
+    ),
+    // Bigrams via positional transform (Spark) ≡ list_zip shift (DuckDB).
+    OpSpec(
+      "text_ngram",
+      (s, d) =>
+        T.documents(s, d)
+          .select(split(col("text"), " ").as("w"))
+          .filter(size(col("w")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, size(w) - 1), i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+            .as("bigram"))
+          .groupBy("bigram").agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), col("bigram"))
+          .limit(20),
+      Some("""SELECT p[1] || ' ' || p[2] AS bigram, count(*) AS n
+             |FROM (SELECT unnest(list_zip(w, w[2:])) AS p
+             |      FROM (SELECT string_split(text, ' ') AS w FROM documents)
+             |      WHERE len(w) >= 2)
+             |WHERE p[2] IS NOT NULL
+             |GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20""".stripMargin),
+    ),
+    // tf·idf: two hash aggs + broadcast df join; idf = ln(N/df).
+    OpSpec(
+      "text_tfidf",
+      (s, d) => {
+        val tokens = T.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        val tf = tokens.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+        val df = tokens.groupBy("word")
+          .agg(countDistinct(col("doc_id")).as("df"))
+        val n = T.documents(s, d).agg(count(lit(1)).as("n_docs"))
+        tf.join(broadcast(df), Seq("word"))
+          .crossJoin(broadcast(n))
+          .filter(col("doc_id") < 20)
+          .select(col("doc_id"), col("word"), col("tf"),
+            P.r4(col("tf") * log(col("n_docs").cast("double") / col("df")))
+              .as("tfidf"))
+          .orderBy("doc_id", "word")
+      },
+      Some("""WITH tokens AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+             |tf AS (SELECT doc_id, word, count(*) AS tf FROM tokens GROUP BY 1, 2),
+             |df AS (SELECT word, count(DISTINCT doc_id) AS df FROM tokens GROUP BY 1),
+             |n AS (SELECT count(*) AS n_docs FROM documents)
+             |SELECT doc_id, tf.word AS word, tf,
+             |  round(tf * ln(cast(n_docs as double) / df), 4) AS tfidf
+             |FROM tf JOIN df ON tf.word = df.word CROSS JOIN n
+             |WHERE doc_id < 20 ORDER BY doc_id, word""".stripMargin),
+    ),
+    // Language-ID'd corpus stats (lang is the metadata column the
+    // driver ships; heuristic n-gram language ID lives in graft.text).
+    OpSpec(
+      "text_lang_topk",
+      (s, d) =>
+        T.documents(s, d)
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            countDistinct(col("source")).as("n_sources"),
+            sum(col("n_chars")).as("total_chars"),
+            (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"))
+          .orderBy("lang"),
+      Some("""SELECT lang, count(*) AS n_docs, count(DISTINCT source) AS n_sources,
+             |  cast(sum(n_chars) as bigint) AS total_chars,
+             |  cast(sum(n_chars) as double) / count(*) AS avg_chars
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
+    ),
+    // Brute-force cosine top-k against the vec_id=0 query vector:
+    // broadcast 1 row, TakeOrderedAndProject reduction. Ordering uses
+    // the ROUNDED score so the cutoff is identical in both engines.
+    OpSpec(
+      "sim_cosine_topk",
+      (s, d) => {
+        val v = T.embeddings(s, d)
+          .select(col("vec_id"), toDouble("embedding").as("e"))
+        val q = v.filter(col("vec_id") === 0)
+          .select(col("e").as("qe"))
+        v.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= 0)
+          .select(col("vec_id"),
+            P.r4(dot("e", "qe") /
+              (sqrt(dot("e", "e")) * sqrt(dot("qe", "qe")))).as("cos_sim"))
+          .orderBy(desc("cos_sim"), col("vec_id"))
+          .limit(10)
+      },
+      Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+             |q AS (SELECT e AS qe FROM v WHERE vec_id = 0)
+             |SELECT vec_id,
+             |  round(list_inner_product(e, qe) /
+             |        (sqrt(list_inner_product(e, e)) * sqrt(list_inner_product(qe, qe))), 4) AS cos_sim
+             |FROM v, q WHERE vec_id <> 0
+             |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin),
+    ),
+    // All-pairs over a label-filtered subset (the exact-verification
+    // half of near-dup detection; LSH prunes candidates at scale).
+    OpSpec(
+      "sim_pairs_threshold",
+      (s, d) => {
+        val v = T.embeddings(s, d).filter(col("label") === 3)
+          .select(col("vec_id"), toDouble("embedding").as("e"))
+        val a = v.select(col("vec_id").as("id_a"), col("e").as("ea"))
+        val b = v.select(col("vec_id").as("id_b"), col("e").as("eb"))
+        a.join(b, col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            P.r4(dot("ea", "eb") /
+              (sqrt(dot("ea", "ea")) * sqrt(dot("eb", "eb")))).as("cos_sim"))
+          .filter(col("cos_sim") >= 0.25)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE label = 3)
+             |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |  round(list_inner_product(a.e, b.e) /
+             |        (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))), 4) AS cos_sim
+             |FROM v a JOIN v b ON a.vec_id < b.vec_id
+             |WHERE round(list_inner_product(a.e, b.e) /
+             |        (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))), 4) >= 0.25
+             |ORDER BY id_a, id_b""".stripMargin),
+    ),
+    // L2-normalize; emit norm + first 4 normalized components.
+    OpSpec(
+      "embed_norm",
+      (s, d) =>
+        T.embeddings(s, d)
+          .filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id"), toDouble("embedding").as("e"))
+          .select(col("vec_id"),
+            P.r4(sqrt(dot("e", "e"))).as("l2_norm"),
+            P.r4(element_at(col("e"), 1) / sqrt(dot("e", "e"))).as("u1"),
+            P.r4(element_at(col("e"), 2) / sqrt(dot("e", "e"))).as("u2"),
+            P.r4(element_at(col("e"), 3) / sqrt(dot("e", "e"))).as("u3"),
+            P.r4(element_at(col("e"), 4) / sqrt(dot("e", "e"))).as("u4"))
+          .orderBy("vec_id"),
+      Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id % 50 = 0)
+             |SELECT vec_id, round(sqrt(list_inner_product(e, e)), 4) AS l2_norm,
+             |  round(e[1] / sqrt(list_inner_product(e, e)), 4) AS u1,
+             |  round(e[2] / sqrt(list_inner_product(e, e)), 4) AS u2,
+             |  round(e[3] / sqrt(list_inner_product(e, e)), 4) AS u3,
+             |  round(e[4] / sqrt(list_inner_product(e, e)), 4) AS u4
+             |FROM v ORDER BY vec_id""".stripMargin),
+    ),
+    // Multimodal: text metadata ⋈ vector metadata (doc_id ≡ vec_id).
+    OpSpec(
+      "multimodal_join",
+      (s, d) =>
+        T.documents(s, d)
+          .join(T.embeddings(s, d), col("doc_id") === col("vec_id"))
+          .groupBy("label", "lang")
+          .agg(count(lit(1)).as("n"),
+            (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"))
+          .orderBy("label", "lang"),
+      Some("""SELECT label, lang, count(*) AS n,
+             |  cast(sum(n_chars) as double) / count(*) AS avg_chars
+             |FROM documents JOIN embeddings ON doc_id = vec_id
+             |GROUP BY label, lang ORDER BY label, lang""".stripMargin),
+    ),
+  )
 }
