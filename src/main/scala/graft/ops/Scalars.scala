@@ -91,7 +91,7 @@ object Scalars {
             sqrt(col("o_totalprice")).as("sqrt_v"),
             P.r4(log(col("o_totalprice"))).as("ln_v"),
             P.r4(exp(col("o_totalprice") / 100000)).as("exp_v"),
-            P.r4(pow(col("o_totalprice"), 2)).as("pow_v"),
+            P.r4(pow(col("o_totalprice") / 100000, 2)).as("pow_v"),
             floor(col("o_totalprice") / 100).cast("double").as("floor_v"),
             ceil(col("o_totalprice") / 100).cast("double").as("ceil_v"),
             (col("o_orderkey") % 7).as("mod_v"))
@@ -99,7 +99,7 @@ object Scalars {
       Some("""SELECT o_orderkey, abs(o_totalprice * -1) AS abs_v, sqrt(o_totalprice) AS sqrt_v,
              |  round(ln(o_totalprice), 4) AS ln_v,
              |  round(exp(o_totalprice / 100000), 4) AS exp_v,
-             |  round(pow(o_totalprice, 2), 4) AS pow_v,
+             |  round(pow(o_totalprice / 100000, 2), 4) AS pow_v,
              |  floor(o_totalprice / 100) AS floor_v, ceil(o_totalprice / 100) AS ceil_v,
              |  o_orderkey % 7 AS mod_v
              |FROM orders WHERE o_orderkey % 200 = 0 ORDER BY o_orderkey""".stripMargin),
