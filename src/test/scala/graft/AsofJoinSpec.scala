@@ -1,0 +1,87 @@
+package graft
+
+import graft.ts.AsofJoin
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics of the union-and-window as-of join against hand-computed
+  * and brute-force expectations (pandas merge_asof behavior: backward,
+  * allow_exact_matches=True, left-join, tolerance-miss → NULL). */
+class AsofJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+
+  private def probeDf(rows: (Long, Long)*) = // (id, ts_us)
+    rows.toSeq.toDF("id", "us")
+      .select(col("id"), timestamp_micros(col("us")).as("ts"))
+
+  private def buildDf(rows: (Long, Double)*) = // (ts_us, v)
+    rows.toSeq.toDF("us", "v")
+      .select(timestamp_micros(col("us")).as("ts"), col("v"))
+
+  private def run(probe: org.apache.spark.sql.DataFrame,
+                  build: org.apache.spark.sql.DataFrame,
+                  tol: Option[Long] = None): Map[Long, Option[Double]] =
+    AsofJoin.backward(probe, build, on = "ts", by = Nil,
+        payload = Seq("v"), toleranceMicros = tol)
+      .select("id", "v").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+
+  test("backward picks the latest build row at-or-before each probe row") {
+    val m = run(
+      probeDf((1L, 100L), (2L, 250L), (3L, 500L)),
+      buildDf((50L, 1.0), (200L, 2.0), (600L, 3.0)))
+    assert(m == Map(1L -> Some(1.0), 2L -> Some(2.0), 3L -> Some(2.0)))
+  }
+
+  test("exact timestamp match is taken (allow_exact_matches=True)") {
+    val m = run(probeDf((1L, 200L)), buildDf((200L, 9.0)))
+    assert(m == Map(1L -> Some(9.0)))
+  }
+
+  test("probe rows before any build row get NULL (left-join semantics)") {
+    val m = run(probeDf((1L, 10L), (2L, 300L)), buildDf((200L, 2.0)))
+    assert(m == Map(1L -> None, 2L -> Some(2.0)))
+  }
+
+  test("tolerance: stale matches are NULLed, not dropped") {
+    val m = run(
+      probeDf((1L, 1000L), (2L, 5000L)),
+      buildDf((900L, 1.0), (1500L, 2.0)),
+      tol = Some(1000L))
+    assert(m == Map(1L -> Some(1.0), 2L -> None)) // 5000-1500=3500 > 1000
+  }
+
+  test("by-groups never match across keys") {
+    val probe = Seq((1L, 5L, 100L), (2L, 6L, 100L)).toDF("id", "k", "us")
+      .select(col("id"), col("k"), timestamp_micros(col("us")).as("ts"))
+    val build = Seq((5L, 50L, 1.0)).toDF("k", "us", "v")
+      .select(col("k"), timestamp_micros(col("us")).as("ts"), col("v"))
+    val m = AsofJoin.backward(probe, build, on = "ts", by = Seq("k"), payload = Seq("v"))
+      .select("id", "v").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(m == Map(1L -> Some(1.0), 2L -> None))
+  }
+
+  test("randomized: matches a brute-force reference implementation") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 5) {
+      val probe = (1L to 30L).map(i => (i, rnd.nextInt(1000).toLong))
+      val build = (1 to 20).map(_ => (rnd.nextInt(1000).toLong, rnd.nextInt(100).toDouble))
+      // brute force: latest build ts <= probe ts; ties on build ts take
+      // either (values equal only if same row — make ts unique)
+      val uniq = build.groupBy(_._1).map(_._2.maxBy(_._2)).toSeq
+      val expected = probe.map { case (id, pts) =>
+        val cand = uniq.filter(_._1 <= pts)
+        id -> (if (cand.isEmpty) None else Some(cand.maxBy(_._1)._2))
+      }.toMap
+      val got = run(probeDf(probe: _*), buildDf(uniq: _*))
+      assert(got == expected)
+    }
+  }
+}

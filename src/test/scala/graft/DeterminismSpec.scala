@@ -1,0 +1,28 @@
+package graft
+
+import graft.ops.Registry
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Double-run byte-level determinism (SURVEY §2.0): catches unordered
+  * collect_list, nondeterministic survivors, unstable orderings — the
+  * class of bug the driver's hash gate fails on but a single local run
+  * can't see. Exercises the order-sensitive queries. */
+class DeterminismSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val sensitive = Seq(
+    "arr_collect", "agg_min_max_by", "dedup_exact", "dedup_hash",
+    "join_asof_backward", "join_asof_by", "join_asof_tolerance",
+    "win_row_number", "ts_sessionize", "ts_resample_ohlc",
+    "sim_cosine_topk", "sort_topk", "agg_value_counts")
+
+  test("order-sensitive queries return identical results across runs") {
+    val failures = sensitive.flatMap { key =>
+      val build = Registry.queries(key)
+      val a = build(spark, TestSpark.sfSmoke).collect().map(_.toString).toSeq
+      val b = build(spark, TestSpark.sfSmoke).collect().map(_.toString).toSeq
+      if (a == b) None else Some(key)
+    }
+    assert(failures.isEmpty, s"nondeterministic: ${failures.mkString(", ")}")
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import graft.ops.Registry
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Verifies the "free from Catalyst" claims of SURVEY §4.1 actually hold
+  * in the physical plans — the 100 TB story depends on them. */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private def plan(key: String): String =
+    Registry.queries(key)(spark, TestSpark.sfSmoke)
+      .queryExecution.executedPlan.toString
+
+  test("scan_pushdown_range pushes the ts range to the parquet reader") {
+    val p = plan("scan_pushdown_range")
+    assert(p.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,") ||
+      p.contains("PushedFilters: [GreaterThanOrEqual(ts,"), p)
+  }
+
+  test("proj_select_rename prunes to the three referenced columns") {
+    val p = plan("proj_select_rename")
+    assert(p.contains("ReadSchema") &&
+      p.contains("c_custkey") && p.contains("c_mktsegment") &&
+      !p.contains("c_acctbal"), p)
+  }
+
+  test("join_broadcast compiles to BroadcastHashJoin") {
+    assert(plan("join_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("sort_topk compiles to TakeOrderedAndProject (per-partition top-k)") {
+    assert(plan("sort_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("agg_groupby_multi uses two-phase hash aggregation") {
+    val p = plan("agg_groupby_multi")
+    assert(p.contains("HashAggregate") && p.contains("partial"), p)
+  }
+
+  test("join_inner is a shuffled join, not a broadcast of the fact table") {
+    val p = plan("join_inner")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p) // orders may auto-broadcast at tiny sf
+  }
+
+  test("no CartesianProduct outside the deliberate cross/pairs queries") {
+    val allowed = Set("join_cross", "sim_pairs_threshold", "sim_cosine_topk", "text_tfidf")
+    val offenders = Registry.all
+      .filterNot(op => allowed.contains(op.key))
+      .filter { op =>
+        val p = Registry.queries(op.key)(spark, TestSpark.sfSmoke)
+          .queryExecution.executedPlan.toString
+        p.contains("CartesianProduct")
+      }
+      .map(_.key)
+    assert(offenders.isEmpty, s"unexpected cartesian products: $offenders")
+  }
+}
