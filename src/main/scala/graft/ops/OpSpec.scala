@@ -19,7 +19,9 @@ object Registry {
   /** All declared ops, every §2 category. Order is the bench order. */
   lazy val all: Seq[OpSpec] =
     Scans.ops ++ Filters.ops ++ Joins.ops ++ Aggs.ops ++ Windows.ops ++
-      Sorts.ops ++ SetOps.ops ++ TimeSeries.ops ++ Scalars.ops ++ LlmOps.ops
+      Sorts.ops ++ SetOps.ops ++ TimeSeries.ops ++ Scalars.ops ++ LlmOps.ops ++
+      graft.text.TextOps.ops ++ graft.text.NearDup.ops ++
+      graft.vec.VecOps.ops ++ Udfs.ops
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(op => op.key -> op.build).toMap

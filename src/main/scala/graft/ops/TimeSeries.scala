@@ -288,5 +288,32 @@ object TimeSeries {
              |FROM sess GROUP BY user_id, session_id
              |ORDER BY user_id, session_id""".stripMargin),
     ),
+    // Adjusted EWM (pandas ewm(alpha=.5, adjust=True).mean()) in closed
+    // form: yₙ = Σ xᵢ·2ⁱ / Σ 2ⁱ — both cumulative sums run left-to-right
+    // in frame order in both engines, and ·2ⁱ is exact scaling, so the
+    // result is bit-deterministic. Valid for series ≲1000 points before
+    // 2ⁱ overflows double; the general-length path is the streaming/
+    // Aggregator implementation in graft.udaf.Ewm (tested vs this form).
+    OpSpec(
+      "ts_ewm",
+      (s, d) => {
+        val byUser = Window.partitionBy("user_id").orderBy("event_id")
+        val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev(s, d)
+          .filter(col("user_id") < 10)
+          .withColumn("i", row_number().over(byUser).cast("double"))
+          .select(col("event_id"), col("user_id"),
+            P.r4(sum(col("value") * pow(lit(2.0), col("i"))).over(cum) /
+              sum(pow(lit(2.0), col("i"))).over(cum)).as("ewm_value"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             |  round(sum(value * pow(2.0, i)) OVER w / sum(pow(2.0, i)) OVER w, 4) AS ewm_value
+             |FROM (SELECT event_id, user_id, value,
+             |        cast(row_number() OVER (PARTITION BY user_id ORDER BY event_id) as double) AS i
+             |      FROM events WHERE user_id < 10)
+             |WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |ORDER BY event_id""".stripMargin),
+    ),
   )
 }

@@ -1,0 +1,187 @@
+package graft.text
+
+import graft.core.{Tables => T}
+import graft.ops.OpSpec
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection family: exact n-gram Jaccard, MinHash+LSH
+  * banding, and SimHash — the three standard text near-dup sketches for
+  * training-data pipelines.
+  *
+  * Scale shapes (the reason these exist at 100 TB):
+  *  - n-gram Jaccard joins on SHINGLES, so candidate generation cost is
+  *    Σ(docs sharing a shingle)² per shingle — bounded for natural text;
+  *    the exact form is the verifier, not the scale path;
+  *  - MinHash+LSH shuffles an 8-number signature per document, bands
+  *    bucket-join in O(docs·bands), and only bucket collisions are
+  *    verified exactly — this IS the 100 TB dedup plan;
+  *  - SimHash reduces each document to one 16-bit integer; equal values
+  *    are near-dup candidates (hamming-adjacent buckets at scale).
+  *
+  * Everything is deterministic: the hash family is (aⱼ·x + bⱼ) mod p
+  * over sha256-prefix token numbers, with the SAME constants inlined
+  * into the Spark plan and the DuckDB oracle (generated from one list).
+  */
+object NearDup {
+  private val P = 2147483647L // 2^31 − 1
+  /** Fixed odd hash family constants (aⱼ, bⱼ). */
+  val hashFamily: Seq[(Long, Long)] = Seq(
+    (1000003L, 12345L), (1000033L, 54321L), (1000211L, 98765L), (1000231L, 56789L),
+    (1000249L, 13579L), (1000253L, 97531L), (1000273L, 24680L), (1000289L, 86420L))
+
+  /** Distinct (doc_id, shingle-hash) pairs; shingles are 3-token windows. */
+  private def shingleNums(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 2), i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))"))
+        .as("sh"))
+      .distinct()
+      .select(col("doc_id"), expr(TextOps.tokenNumExpr("sh")).as("x"))
+
+  private val shingleSql: String =
+    """sh AS (
+      |  SELECT DISTINCT doc_id, p[1] || ' ' || p[2] || ' ' || p[3] AS shingle
+      |  FROM (SELECT doc_id, unnest(list_zip(w, w[2:], w[3:])) AS p
+      |        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      |        WHERE len(w) >= 3)
+      |  WHERE p[3] IS NOT NULL),
+      |shn AS (SELECT doc_id, ('0x' || substr(sha256(shingle), 1, 8))::BIGINT AS x FROM sh)""".stripMargin
+
+  val ops: Seq[OpSpec] = Seq(
+    // Exact 3-gram Jaccard over distinct shingle sets: J = |A∩B| /
+    // (|A|+|B|−|A∩B|); pairs meeting the threshold (exact duplicates
+    // score 1.0 — sf0.1 ships 8 of them).
+    OpSpec(
+      "dedup_ngram_jaccard",
+      (s, d) => {
+        val sh = shingleNums(s, d)
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+        val inter = sh.select(col("doc_id").as("a"), col("x"))
+          .join(sh.select(col("doc_id").as("b"), col("x")), "x")
+          .filter(col("a") < col("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+        inter
+          .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")), "a")
+          .join(sizes.select(col("doc_id").as("b"), col("sz").as("szb")), "b")
+          .select(col("a"), col("b"),
+            (col("inter").cast("double") /
+              (col("sza") + col("szb") - col("inter"))).as("jaccard"))
+          .filter(col("jaccard") >= 0.5)
+          .orderBy("a", "b")
+      },
+      Some(s"""WITH $shingleSql,
+              |sizes AS (SELECT doc_id, count(*) AS sz FROM shn GROUP BY doc_id),
+              |inter AS (
+              |  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+              |  FROM shn a JOIN shn b ON a.x = b.x AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2)
+              |SELECT a, b, cast(inter as double) / (sa.sz + sb.sz - inter) AS jaccard
+              |FROM inter JOIN sizes sa ON inter.a = sa.doc_id
+              |           JOIN sizes sb ON inter.b = sb.doc_id
+              |WHERE cast(inter as double) / (sa.sz + sb.sz - inter) >= 0.5
+              |ORDER BY a, b""".stripMargin),
+    ),
+    // MinHash signatures (8 hashes), LSH banding (4 bands × 2 rows):
+    // candidate pairs share a full band; candidates verified with exact
+    // Jaccard. The scale path: signature shuffle + bucket join only.
+    OpSpec(
+      "dedup_minhash_lsh",
+      (s, d) => {
+        val sh = shingleNums(s, d)
+        val minhashCols: Seq[Column] = hashFamily.zipWithIndex.map { case ((a, b), j) =>
+          min((col("x") * a + b) % P).as(s"m${j + 1}")
+        }
+        val sig = sh.groupBy("doc_id").agg(minhashCols.head, minhashCols.tail: _*)
+        val bands = (0 until 4).map { bi =>
+          val (c1, c2) = (s"m${2 * bi + 1}", s"m${2 * bi + 2}")
+          sig.select(col("doc_id"), lit(bi).as("band"),
+            concat_ws("_", col(c1), col(c2)).as("bucket"))
+        }.reduce(_.unionByName(_))
+        val cands = bands.select(col("doc_id").as("a"), col("band"), col("bucket"))
+          .join(bands.select(col("doc_id").as("b"), col("band"), col("bucket")),
+            Seq("band", "bucket"))
+          .filter(col("a") < col("b"))
+          .select("a", "b").distinct()
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+        val inter = cands
+          .join(sh.select(col("doc_id").as("a"), col("x")), "a")
+          .join(sh.select(col("doc_id").as("b"), col("x").as("xb")), "b")
+          .filter(col("x") === col("xb"))
+          .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+        inter
+          .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")), "a")
+          .join(sizes.select(col("doc_id").as("b"), col("sz").as("szb")), "b")
+          .select(col("a"), col("b"),
+            (col("inter").cast("double") /
+              (col("sza") + col("szb") - col("inter"))).as("jaccard"))
+          .filter(col("jaccard") >= 0.5)
+          .orderBy("a", "b")
+      },
+      Some {
+        val mh = hashFamily.zipWithIndex.map { case ((a, b), j) =>
+          s"min((x * $a + $b) % $P) AS m${j + 1}"
+        }.mkString(", ")
+        val bandSel = (0 until 4).map { bi =>
+          s"SELECT doc_id, $bi AS band, m${2 * bi + 1} || '_' || m${2 * bi + 2} AS bucket FROM sig"
+        }.mkString(" UNION ALL ")
+        s"""WITH $shingleSql,
+           |sig AS (SELECT doc_id, $mh FROM shn GROUP BY doc_id),
+           |bands AS ($bandSel),
+           |cands AS (
+           |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+           |  FROM bands x JOIN bands y
+           |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+           |sizes AS (SELECT doc_id, count(*) AS sz FROM shn GROUP BY doc_id),
+           |inter AS (
+           |  SELECT c.a, c.b, count(*) AS inter
+           |  FROM cands c JOIN shn sa ON sa.doc_id = c.a
+           |               JOIN shn sb ON sb.doc_id = c.b AND sa.x = sb.x
+           |  GROUP BY 1, 2)
+           |SELECT a, b, cast(inter as double) / (za.sz + zb.sz - inter) AS jaccard
+           |FROM inter JOIN sizes za ON inter.a = za.doc_id
+           |           JOIN sizes zb ON inter.b = zb.doc_id
+           |WHERE cast(inter as double) / (za.sz + zb.sz - inter) >= 0.5
+           |ORDER BY a, b""".stripMargin
+      },
+    ),
+    // 16-bit SimHash over token hashes (with multiplicity): bit b is the
+    // sign of Σ(±1) where +1 iff bit b of the token hash is set. One
+    // integer per document; equal values = near-dup candidates.
+    OpSpec(
+      "dedup_simhash",
+      (s, d) => {
+        val toks = T.documents(s, d)
+          .filter(col("doc_id") < 100)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          .select(col("doc_id"), expr(TextOps.tokenNumExpr("w")).as("x"))
+        val bitSums: Seq[Column] = (0 until 16).map { b =>
+          sum(expr(s"((x div ${1L << b}) % 2) * 2 - 1")).as(s"s$b")
+        }
+        val combined = (0 until 16).map { b =>
+          when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L)
+        }.reduce(_ + _)
+        toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+          .select(col("doc_id"), combined.as("simhash"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val sums = (0 until 16).map { b =>
+          s"sum(((x // ${1L << b}) % 2) * 2 - 1) AS s$b"
+        }.mkString(", ")
+        val comb = (0 until 16).map { b =>
+          s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END"
+        }.mkString(" + ")
+        s"""WITH toks AS (
+           |  SELECT doc_id, ('0x' || substr(sha256(w), 1, 8))::BIGINT AS x
+           |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+           |        FROM documents WHERE doc_id < 100)),
+           |bits AS (SELECT doc_id, $sums FROM toks GROUP BY doc_id)
+           |SELECT doc_id, cast($comb as bigint) AS simhash
+           |FROM bits ORDER BY doc_id""".stripMargin
+      },
+    ),
+  )
+}

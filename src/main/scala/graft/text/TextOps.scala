@@ -1,0 +1,122 @@
+package graft.text
+
+import graft.core.{Tables => T}
+import graft.ops.OpSpec
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: token counting
+  * (whitespace + regex tokenizers), heuristic language ID, quality
+  * scoring, and content fingerprinting (rolling hash).
+  *
+  * All are row-local or single hash-agg shapes — at 100 TB they fuse
+  * into the scan (codegen) or shuffle one row per document. The
+  * cross-engine hash primitive is sha256(token) hex-prefix → bigint,
+  * identical in Spark (conv base16) and DuckDB (0x-cast).
+  */
+object TextOps {
+
+  /** Deterministic 32-bit token hash as a column expression. */
+  def tokenNumExpr(tok: String): String =
+    s"cast(conv(substring(sha2($tok, 256), 1, 8), 16, 10) as bigint)"
+
+  def tokenNumSql(tok: String): String =
+    s"('0x' || substr(sha256($tok), 1, 8))::BIGINT"
+
+  val ops: Seq[OpSpec] = Seq(
+    // Whitespace tokenizer vs a BPE-ish lowercase-run regex tokenizer.
+    OpSpec(
+      "text_token_count",
+      (s, d) =>
+        T.documents(s, d)
+          .filter(col("doc_id") < 50)
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("bigint").as("n_ws_tokens"),
+            regexp_count(col("text"), lit("[a-z]+")).cast("bigint").as("n_re_tokens"),
+            col("n_chars"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, cast(len(string_split(text, ' ')) as bigint) AS n_ws_tokens,
+             |  cast(len(regexp_extract_all(text, '[a-z]+')) as bigint) AS n_re_tokens,
+             |  n_chars
+             |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin),
+    ),
+    // Heuristic language ID: function-word ratio (the classic n-gram/
+    // stopword signal; the corpus vocabulary makes 'the'/'a' the
+    // function words). Ratio is an int/int division — identical IEEE.
+    OpSpec(
+      "text_lang_id",
+      (s, d) =>
+        T.documents(s, d)
+          .filter(col("doc_id") < 100)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("w").isin("the", "a"), 1L).otherwise(0L)).as("n_stop"))
+          .select(col("doc_id"),
+            (col("n_stop").cast("double") / col("n")).as("stop_ratio"),
+            when(col("n_stop").cast("double") / col("n") >= 0.03, "en")
+              .otherwise("und").as("lang_pred"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, cast(n_stop as double) / n AS stop_ratio,
+             |  CASE WHEN cast(n_stop as double) / n >= 0.03 THEN 'en' ELSE 'und' END AS lang_pred
+             |FROM (
+             |  SELECT doc_id, count(*) AS n,
+             |    cast(sum(CASE WHEN w IN ('the', 'a') THEN 1 ELSE 0 END) as bigint) AS n_stop
+             |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+             |        FROM documents WHERE doc_id < 100)
+             |  GROUP BY doc_id)
+             |ORDER BY doc_id""".stripMargin),
+    ),
+    // Quality score: lexical diversity + mean token length, combined
+    // with fixed weights. Pure int-sum arithmetic → identical IEEE.
+    OpSpec(
+      "text_quality_score",
+      (s, d) =>
+        T.documents(s, d)
+          .filter(col("doc_id") < 50)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            countDistinct(col("w")).as("n_distinct"),
+            sum(length(col("w"))).as("sum_len"))
+          .select(col("doc_id"), col("n_tokens"),
+            (col("n_distinct").cast("double") / col("n_tokens")).as("distinct_ratio"),
+            (col("sum_len").cast("double") / col("n_tokens")).as("avg_token_len"),
+            (col("n_distinct").cast("double") / col("n_tokens") * 0.5 +
+              col("sum_len").cast("double") / col("n_tokens") * 0.05).as("quality"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, n_tokens,
+             |  cast(n_distinct as double) / n_tokens AS distinct_ratio,
+             |  cast(sum_len as double) / n_tokens AS avg_token_len,
+             |  cast(n_distinct as double) / n_tokens * 0.5 +
+             |    cast(sum_len as double) / n_tokens * 0.05 AS quality
+             |FROM (
+             |  SELECT doc_id, count(*) AS n_tokens, count(DISTINCT w) AS n_distinct,
+             |    cast(sum(length(w)) as bigint) AS sum_len
+             |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+             |        FROM documents WHERE doc_id < 50)
+             |  GROUP BY doc_id)
+             |ORDER BY doc_id""".stripMargin),
+    ),
+    // Polynomial rolling hash over characters, h = (31·h + ord(c)) mod
+    // 1e9+7 — the classic content fingerprint, folded left in both
+    // engines (Spark aggregate ≡ DuckDB list_reduce with prepended 0).
+    OpSpec(
+      "text_fingerprint",
+      (s, d) =>
+        T.documents(s, d)
+          .filter(col("doc_id") < 100)
+          .select(col("doc_id"),
+            expr("""aggregate(
+                   |  transform(split(text, ''), c -> cast(ascii(c) as bigint)),
+                   |  0L, (acc, x) -> (acc * 31 + x) % 1000000007)""".stripMargin)
+              .as("fingerprint"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  list_reduce(
+             |    list_prepend(cast(0 as bigint),
+             |      list_transform(string_split(text, ''), c -> cast(ascii(c) as bigint))),
+             |    (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+             |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin),
+    ),
+  )
+}
