@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupState
+import org.apache.spark.sql.streaming.GroupStateTimeout
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** §2.K Structured Streaming surface: the TSDB ingest/derive loop
+  * expressed as incremental queries. Every transform here is defined on
+  * a plain DataFrame so the SAME function serves batch and streaming
+  * inputs — StreamingSpec replays the `events` table through
+  * MemoryStream and asserts stream output == the batch result, which is
+  * this tier's oracle (the driver's Verify loop is batch-only).
+  *
+  * Scale: streaming state lives in per-partition state stores keyed by
+  * the groupBy key — the same shuffle key discipline as the batch ops;
+  * watermarks bound state size for out-of-order data.
+  */
+object StreamOps {
+
+  /** File-source ingest of an events directory (TSDB append stream). */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(
+      spark.read.parquet(dir).schema).parquet(dir)
+
+  /** Tumbling-window count/sum — the incremental twin of
+    * ts_resample_agg. */
+  def tumblingAgg(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("h"), col("n"), col("sum_value"))
+
+  /** Sliding 1h window every 15 min. */
+  def slidingAgg(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("n"))
+
+  /** Gap-based session windows (streaming twin of ts_sessionize). */
+  def sessionAgg(events: DataFrame, gap: String = "30 minutes",
+                 watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("user_id"), col("session_window.start").as("t_start"),
+        col("n_events"), col("sum_value"))
+
+  /** Exactly-once-per-key semantics of TSDB append. */
+  def dedupEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-stream interval join: purchases enriched with clicks from
+    * the preceding hour (watermarked on both sides so state is bounded). */
+  def purchaseClickJoin(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("value").as("click_value"))
+      .withWatermark("c_ts", "2 hours")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"))
+  }
+
+  /** Per-key running state (count + EWM) via flatMapGroupsWithState —
+    * the custom-stateful extension point (§2.K "stateful custom"). */
+  case class EventRow(event_id: Long, user_id: Long, value: Double)
+  case class RunState(n: Long, ewm: Double)
+  case class RunOut(user_id: Long, event_id: Long, n: Long, ewm: Double)
+
+  def runningEwm(events: Dataset[EventRow], alpha: Double): Dataset[RunOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[RunState, RunOut](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[EventRow], state: GroupState[RunState]) =>
+          // event-time order within the group: micro-batches preserve
+          // arrival order; tests feed data in event_id order
+          var st = state.getOption.getOrElse(RunState(0L, 0.0))
+          val out = rows.toSeq.sortBy(_.event_id).map { r =>
+            val ewm = if (st.n == 0) r.value else alpha * r.value + (1 - alpha) * st.ewm
+            st = RunState(st.n + 1, ewm)
+            RunOut(user, r.event_id, st.n, st.ewm)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+}

@@ -1,0 +1,121 @@
+package graft
+
+import graft.streaming.StreamOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming tier oracle (SURVEY §2.K): replay the events table through
+  * MemoryStream and assert the incremental result equals the batch
+  * result of the same transform on the same data. */
+case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+              event_type: String, value: Double)
+
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private lazy val eventRows: Seq[Ev] = {
+    import spark.implicits._
+    graft.core.Tables.events(spark, TestSpark.sfSmoke)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev].collect().toSeq.sortBy(_.event_id)
+  }
+
+  /** Run a streaming transform over the replayed events, return the
+    * complete/append result collected from a memory sink. */
+  private def replay(name: String, outputMode: String)
+                    (f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = f(ms.toDF())
+      .writeStream.format("memory").queryName(name).outputMode(outputMode).start()
+    // two micro-batches to exercise incremental state
+    val (first, second) = eventRows.splitAt(eventRows.size / 2)
+    ms.addData(first); q.processAllAvailable()
+    ms.addData(second); q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  test("tumbling window agg == batch resample on the same data") {
+    val streamed = replay("t_tumbling", "complete")(StreamOps.tumblingAgg(_, watermark = "30 days"))
+      .select("h", "n", "sum_value").collect().map(_.toString).sorted
+    import spark.implicits._
+    val batch = eventRows.toDF()
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("h"), col("n"), col("sum_value"))
+      .collect().map(_.toString).sorted
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
+  test("streaming dedup drops the duplicate, keeps the original") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = StreamOps.dedupEvents(ms.toDF(), watermark = "30 days")
+      .writeStream.format("memory").queryName("t_dedup").outputMode("append").start()
+    val rows = eventRows.take(10)
+    ms.addData(rows); q.processAllAvailable()
+    ms.addData(rows.take(3)); q.processAllAvailable() // replayed duplicates
+    q.stop()
+    assert(spark.table("t_dedup").count() == 10)
+  }
+
+  test("session windows equal the batch sessionize session count") {
+    val streamed = replay("t_session", "complete")(
+      df => StreamOps.sessionAgg(df.filter(col("user_id") < 10), gap = "30 minutes", watermark = "30 days"))
+    // batch twin: declared ts_sessionize (oracle-checked) on same sf
+    val batch = ops.Registry.queries("ts_sessionize")(spark, TestSpark.sfSmoke)
+    assert(streamed.count() == batch.count())
+    // and per-user event totals agree
+    val sCounts = streamed.groupBy("user_id").agg(sum("n_events").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bCounts = batch.groupBy("user_id").agg(sum("n_events").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sCounts == bCounts)
+  }
+
+  test("stream-stream interval join matches the batch join") {
+    val streamed = replay("t_ssjoin", "append")(StreamOps.purchaseClickJoin)
+      .select("p_id", "c_ts").collect().map(_.toString).sorted
+    import spark.implicits._
+    val ev = eventRows.toDF()
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("value").as("click_value"))
+    val batch = p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"))
+      .select("p_id", "c_ts").collect().map(_.toString).sorted
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
+  test("flatMapGroupsWithState running EWM carries state across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[StreamOps.EventRow]
+    val rows = eventRows.filter(_.user_id == 7).map(e =>
+      StreamOps.EventRow(e.event_id, e.user_id, e.value))
+    val q = StreamOps.runningEwm(ms.toDS(), alpha = 0.5)
+      .writeStream.format("memory").queryName("t_ewm").outputMode("append").start()
+    val (a, b) = rows.splitAt(rows.size / 2)
+    ms.addData(a); q.processAllAvailable()
+    ms.addData(b); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("t_ewm").collect()
+      .map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    // reference: sequential recursive EWM over the full series
+    var y = Double.NaN
+    val expected = rows.map { r =>
+      y = if (y.isNaN) r.value else 0.5 * r.value + 0.5 * y
+      r.event_id -> y
+    }.toMap
+    assert(streamed.keySet == expected.keySet)
+    expected.foreach { case (k, v) => assert(math.abs(streamed(k) - v) < 1e-9, s"event $k") }
+  }
+}
