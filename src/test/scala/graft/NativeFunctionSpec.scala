@@ -1,0 +1,58 @@
+package graft
+
+import graft.functions.{DotProduct, DotProductRewrite}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The custom-Expression tier (§2.L): the native codegen dot product
+  * must be bit-identical to the HOF fold used by the declared queries,
+  * and the optimizer rule must rewrite the HOF pattern into it. */
+class NativeFunctionSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = TestSpark.spark
+    // the shared test session was built without extensions; register the
+    // same builder GraftExtensions injects
+    s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry.createOrReplaceTempFunction("dot_native",
+        (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          DotProduct(args.head, args(1)), "built-in")
+    s
+  }
+
+  private def vecs = graft.core.Tables.embeddings(spark, TestSpark.sfSmoke)
+    .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("e"))
+
+  private val hofDot = "aggregate(zip_with(e, e, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+
+  test("native DotProduct is bit-identical to the HOF fold") {
+    val df = vecs.selectExpr("vec_id", s"$hofDot AS hof", "dot_native(e, e) AS native")
+    assert(df.filter(col("hof") =!= col("native")).count() == 0)
+    assert(df.filter(col("native") > 0).count() > 0) // non-degenerate
+  }
+
+  test("codegen path evaluates inside whole-stage codegen") {
+    val df = vecs.selectExpr("dot_native(e, e) AS d")
+    // the starred prefix marks operators fused into a WholeStageCodegen
+    // stage; dot_native's Project must carry it (no eval fallback)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("dot_native") && l.contains("*(")), plan)
+    assert(df.agg(sum("d")).head().getDouble(0) > 0.0)
+  }
+
+  test("optimizer rule rewrites the HOF pattern to DotProduct") {
+    val plan = DotProductRewrite(vecs.selectExpr(s"$hofDot AS d").queryExecution.analyzed)
+    assert(plan.toString.contains("dot_native"), plan.toString)
+    // a fold that is NOT a dot product is left alone
+    val other = DotProductRewrite(
+      vecs.selectExpr("aggregate(e, 0D, (acc, x) -> acc + x) AS s").queryExecution.analyzed)
+    assert(!other.toString.contains("dot_native"))
+  }
+
+  test("rewritten plan returns the same values as the HOF plan") {
+    val hof = vecs.selectExpr("vec_id", s"$hofDot AS d").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val native = vecs.selectExpr("vec_id", "dot_native(e, e) AS d").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(hof == native)
+  }
+}
