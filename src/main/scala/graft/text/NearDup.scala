@@ -57,7 +57,9 @@ object NearDup {
     OpSpec(
       "dedup_ngram_jaccard",
       (s, d) => {
-        val sh = shingleNums(s, d)
+        // cached: reused by sizes and both sides of the shingle join —
+        // without it the explode+distinct shuffle runs three times
+        val sh = shingleNums(s, d).cache()
         val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
         val inter = sh.select(col("doc_id").as("a"), col("x"))
           .join(sh.select(col("doc_id").as("b"), col("x")), "x")
@@ -90,16 +92,20 @@ object NearDup {
     OpSpec(
       "dedup_minhash_lsh",
       (s, d) => {
-        val sh = shingleNums(s, d)
+        // cached: feeds the signature agg, the sizes agg and both sides
+        // of the exact-verify join
+        val sh = shingleNums(s, d).cache()
         val minhashCols: Seq[Column] = hashFamily.zipWithIndex.map { case ((a, b), j) =>
           min((col("x") * a + b) % P).as(s"m${j + 1}")
         }
         val sig = sh.groupBy("doc_id").agg(minhashCols.head, minhashCols.tail: _*)
-        val bands = (0 until 4).map { bi =>
-          val (c1, c2) = (s"m${2 * bi + 1}", s"m${2 * bi + 2}")
-          sig.select(col("doc_id"), lit(bi).as("band"),
-            concat_ws("_", col(c1), col(c2)).as("bucket"))
-        }.reduce(_.unionByName(_))
+        // one posexplode instead of a 4-way union — the signature agg
+        // runs once, not once per band
+        val bandArr = array((0 until 4).map { bi =>
+          concat_ws("_", col(s"m${2 * bi + 1}"), col(s"m${2 * bi + 2}"))
+        }: _*)
+        val bands = sig
+          .select(col("doc_id"), posexplode(bandArr).as(Seq("band", "bucket")))
         val cands = bands.select(col("doc_id").as("a"), col("band"), col("bucket"))
           .join(bands.select(col("doc_id").as("b"), col("band"), col("bucket")),
             Seq("band", "bucket"))
