@@ -156,19 +156,62 @@ object Scalars {
              |FROM embeddings WHERE vec_id % 50 = 0 ORDER BY vec_id""".stripMargin),
     ),
     // collect_list is unordered in Spark — always sort_array (rule
-    // 2.0.5); DuckDB list(x ORDER BY x) matches.
+    // 2.0.5). Output is the joined string, not the raw array: the
+    // driver's hasher sees scalar cells (array-valued cells are the one
+    // pandas dtype with undefined hashing) while the op surface —
+    // grouped collection with deterministic order — is identical.
     OpSpec(
       "arr_collect",
       (s, d) =>
         T.customer(s, d)
           .filter(col("c_custkey") % 100 === 0)
           .groupBy("c_nationkey")
-          .agg(sort_array(collect_list(col("c_name"))).as("names"),
+          .agg(
+            concat_ws(",", sort_array(collect_list(col("c_name")))).as("names"),
             count(lit(1)).as("n"))
           .orderBy("c_nationkey"),
-      Some("""SELECT c_nationkey, list(c_name ORDER BY c_name) AS names, count(*) AS n
+      Some("""SELECT c_nationkey, string_agg(c_name, ',' ORDER BY c_name) AS names, count(*) AS n
              |FROM customer WHERE c_custkey % 100 = 0
              |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin),
+    ),
+    // pandas melt(): wide → long (Spark Dataset.unpivot ≡ DuckDB UNPIVOT).
+    OpSpec(
+      "reshape_melt",
+      (s, d) =>
+        T.customer(s, d)
+          .filter(col("c_custkey") % 100 === 0)
+          .select(col("c_custkey"), col("c_acctbal"),
+            col("c_nationkey").cast("double").as("nk"))
+          .unpivot(Array(col("c_custkey")),
+            Array(col("c_acctbal"), col("nk")), "metric", "val")
+          .orderBy("c_custkey", "metric"),
+      Some("""SELECT * FROM (
+             |  SELECT c_custkey, c_acctbal, cast(c_nationkey as double) AS nk
+             |  FROM customer WHERE c_custkey % 100 = 0)
+             |UNPIVOT (val FOR metric IN (c_acctbal, nk))
+             |ORDER BY c_custkey, metric""".stripMargin),
+    ),
+    // pandas get_dummies(): one-hot indicator projection.
+    OpSpec(
+      "reshape_dummies",
+      (s, d) => {
+        val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+        val inds = segs.map(v =>
+          when(col("c_mktsegment") === v, 1L).otherwise(0L)
+            .as(s"seg_${v.toLowerCase}"))
+        T.customer(s, d)
+          .filter(col("c_custkey") % 100 === 0)
+          .select(col("c_custkey") +: inds: _*)
+          .orderBy("c_custkey")
+      },
+      Some {
+        val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+        val inds = segs.map(v =>
+          s"cast(CASE WHEN c_mktsegment = '$v' THEN 1 ELSE 0 END as bigint) AS seg_${v.toLowerCase}")
+          .mkString(", ")
+        s"""SELECT c_custkey, $inds
+           |FROM customer WHERE c_custkey % 100 = 0 ORDER BY c_custkey""".stripMargin
+      },
     ),
   )
 }
