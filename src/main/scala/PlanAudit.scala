@@ -1,0 +1,20 @@
+import org.apache.spark.sql.SparkSession
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = "/root/testdata/sf0.1"
+    for (k <- Seq("filter_compare", "join_inner", "join_asof_by", "text_tfidf", "sim_cosine_topk", "ts_resample_agg")) {
+      println(s"===== $k =====")
+      val df = graft.ops.Registry.queries(k)(spark, d)
+      println(df.queryExecution.executedPlan.toString.linesIterator
+        .filter(l => l.contains("Scan") || l.contains("Join") || l.contains("Exchange") ||
+          l.contains("Aggregate") || l.contains("Window") || l.contains("Sort") ||
+          l.contains("PushedFilters") || l.contains("ReadSchema")).take(25).mkString("\n"))
+    }
+    spark.stop()
+  }
+}

@@ -236,6 +236,28 @@ object Aggs {
              |    cast(sum(cast(cast(l_quantity as decimal(18,2)) * cast(l_extendedprice as decimal(18,2)) as decimal(38,4))) as double) AS sxy
              |  FROM lineitem)""".stripMargin),
     ),
+    // mode(): most frequent value, deterministic tie-break on the value
+    // itself (pandas Series.mode returns the smallest on ties).
+    OpSpec(
+      "agg_mode",
+      (s, d) => {
+        val counted = T.lineitem(s, d)
+          .groupBy("l_returnflag", "l_quantity")
+          .agg(count(lit(1)).as("c"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("l_returnflag").orderBy(desc("c"), col("l_quantity"))
+        counted
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("l_returnflag"), col("l_quantity").as("mode_qty"), col("c").as("n"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, l_quantity AS mode_qty, c AS n FROM (
+             |  SELECT l_returnflag, l_quantity, count(*) AS c,
+             |    row_number() OVER (PARTITION BY l_returnflag ORDER BY count(*) DESC, l_quantity) AS rn
+             |  FROM lineitem GROUP BY l_returnflag, l_quantity)
+             |WHERE rn = 1 ORDER BY l_returnflag""".stripMargin),
+    ),
     // HLL sketch — DuckDB's differs; declared without oracle (driver
     // records rows-only). Unit test asserts within 5% of exact.
     OpSpec(

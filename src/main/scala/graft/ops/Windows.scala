@@ -206,5 +206,48 @@ object Windows {
               |WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
               |ORDER BY event_id""".stripMargin),
     ),
+    // percent_rank / cume_dist (pandas rank(pct=True) family).
+    OpSpec(
+      "win_percent_rank",
+      (s, d) =>
+        ev(s, d)
+          .select(col("event_id"), col("user_id"),
+            percent_rank().over(byUser).as("pct_rank"),
+            cume_dist().over(byUser).as("cume"))
+          .orderBy("event_id"),
+      Some(s"""SELECT event_id, user_id,
+              |  percent_rank() OVER (PARTITION BY user_id ORDER BY event_id) AS pct_rank,
+              |  cume_dist() OVER (PARTITION BY user_id ORDER BY event_id) AS cume
+              |FROM $EV ORDER BY event_id""".stripMargin),
+    ),
+    OpSpec(
+      "win_nth_value",
+      (s, d) =>
+        ev(s, d)
+          .select(col("event_id"), col("user_id"),
+            nth_value(col("value"), 3).over(full).as("third_value"))
+          .orderBy("event_id"),
+      Some(s"""SELECT event_id, user_id,
+              |  nth_value(value, 3) OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS third_value
+              |FROM $EV ORDER BY event_id""".stripMargin),
+    ),
+    // groupby.head(k): top-3 most valuable events per user.
+    OpSpec(
+      "win_topk_per_group",
+      (s, d) => {
+        val byVal = Window.partitionBy("user_id").orderBy(desc("value"), col("event_id"))
+        ev(s, d)
+          .withColumn("rn", row_number().over(byVal))
+          .filter(col("rn") <= 3)
+          .select(col("user_id"), col("rn").cast("bigint").as("rn"),
+            col("event_id"), col("value"))
+          .orderBy("user_id", "rn")
+      },
+      Some(s"""SELECT user_id, rn, event_id, value FROM (
+              |  SELECT user_id, event_id, value,
+              |    cast(row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) as bigint) AS rn
+              |  FROM $EV)
+              |WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin),
+    ),
   )
 }
