@@ -236,6 +236,18 @@ object Aggs {
              |    cast(sum(cast(cast(l_quantity as decimal(18,2)) * cast(l_extendedprice as decimal(18,2)) as decimal(38,4))) as double) AS sxy
              |  FROM lineitem)""".stripMargin),
     ),
+    // histogram: fixed-width value buckets (pandas value_counts(bins=) /
+    // cut). Portable floor arithmetic — DuckDB 1.0 lacks width_bucket.
+    OpSpec(
+      "agg_histogram",
+      (s, d) =>
+        T.events(s, d)
+          .groupBy(floor(col("value") / 20).cast("bigint").as("bucket"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("bucket"),
+      Some("""SELECT cast(floor(value / 20) as bigint) AS bucket, count(*) AS n
+             |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin),
+    ),
     // mode(): most frequent value, deterministic tie-break on the value
     // itself (pandas Series.mode returns the smallest on ties).
     OpSpec(

@@ -174,6 +174,31 @@ object Scalars {
              |FROM customer WHERE c_custkey % 100 = 0
              |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin),
     ),
+    // Fuzzy string matching (edit distance ≤ 3 name pairs) — the
+    // string-similarity half of near-dup; both engines implement plain
+    // Levenshtein. Bounded candidate set via keyed subsets.
+    OpSpec(
+      "str_fuzzy_match",
+      (s, d) => {
+        val names = T.part(s, d).filter(col("p_partkey") % 50 === 0)
+          .select(col("p_partkey"), col("p_name"))
+        val a = names.select(col("p_partkey").as("key_a"), col("p_name").as("name_a"))
+        val b = names.select(col("p_partkey").as("key_b"), col("p_name").as("name_b"))
+        a.join(b, col("key_a") < col("key_b"))
+          .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("bigint"))
+          .filter(col("dist") <= 3)
+          .select("key_a", "key_b", "name_a", "name_b", "dist")
+          .orderBy("key_a", "key_b")
+      },
+      Some("""SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+             |  a.p_name AS name_a, b.p_name AS name_b,
+             |  cast(levenshtein(a.p_name, b.p_name) as bigint) AS dist
+             |FROM (SELECT * FROM part WHERE p_partkey % 50 = 0) a
+             |JOIN (SELECT * FROM part WHERE p_partkey % 50 = 0) b
+             |  ON a.p_partkey < b.p_partkey
+             |WHERE levenshtein(a.p_name, b.p_name) <= 3
+             |ORDER BY key_a, key_b""".stripMargin),
+    ),
     // pandas melt(): wide → long (Spark Dataset.unpivot ≡ DuckDB UNPIVOT).
     OpSpec(
       "reshape_melt",

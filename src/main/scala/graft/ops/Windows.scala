@@ -249,5 +249,33 @@ object Windows {
               |  FROM $EV)
               |WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin),
     ),
+ 
+    // z-score normalization per group — the feature-engineering staple.
+    // mean/std from exact decimal sums, identical IEEE on both engines.
+    OpSpec(
+      "win_zscore",
+      (s, d) =>
+        ev(s, d)
+          .withColumn("n", count(lit(1)).over(full))
+          .withColumn("sx", sum(P.dec2(col("value"))).over(full).cast("double"))
+          .withColumn("sq",
+            sum((P.dec2(col("value")) * P.dec2(col("value"))).cast("decimal(38,4)"))
+              .over(full).cast("double"))
+          .select(col("event_id"), col("user_id"),
+            ((col("value") - col("sx") / col("n")) /
+              sqrt((col("sq") - col("sx") * col("sx") / col("n")) / (col("n") - 1)))
+              .as("zscore"))
+          .orderBy("event_id"),
+      Some(s"""SELECT event_id, user_id,
+              |  (value - sx / n) / sqrt((sq - sx * sx / n) / (n - 1)) AS zscore
+              |FROM (
+              |  SELECT event_id, user_id, value,
+              |    count(*) OVER w AS n,
+              |    cast(sum(cast(value as decimal(18,2))) OVER w as double) AS sx,
+              |    cast(sum(cast(cast(value as decimal(18,2)) * cast(value as decimal(18,2)) as decimal(38,4))) OVER w as double) AS sq
+              |  FROM $EV
+              |  WINDOW w AS (PARTITION BY user_id ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+              |ORDER BY event_id""".stripMargin),
+    ),
   )
 }
