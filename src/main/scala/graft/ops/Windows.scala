@@ -277,5 +277,21 @@ object Windows {
               |  WINDOW w AS (PARTITION BY user_id ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
               |ORDER BY event_id""".stripMargin),
     ),
+ 
+    // cumprod (pandas cumprod): factors kept near 1 so 67-term series
+    // stay in double range; both engines multiply the running frame
+    // left-to-right.
+    OpSpec(
+      "win_cumprod",
+      (s, d) =>
+        ev(s, d)
+          .select(col("event_id"), col("user_id"),
+            P.r4(product(lit(1) + col("value") / 1000).over(cum)).as("cumprod"))
+          .orderBy("event_id"),
+      Some(s"""SELECT event_id, user_id,
+              |  round(product(1 + value / 1000) OVER
+              |    (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS cumprod
+              |FROM $EV ORDER BY event_id""".stripMargin),
+    ),
   )
 }
