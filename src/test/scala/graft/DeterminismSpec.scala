@@ -14,7 +14,9 @@ class DeterminismSpec extends AnyFunSuite {
     "arr_collect", "agg_min_max_by", "dedup_exact", "dedup_hash",
     "join_asof_backward", "join_asof_by", "join_asof_tolerance",
     "win_row_number", "ts_sessionize", "ts_resample_ohlc",
-    "sim_cosine_topk", "sort_topk", "agg_value_counts")
+    "sim_cosine_topk", "sort_topk", "agg_value_counts",
+    "agg_mode", "win_topk_per_group", "dedup_minhash_lsh",
+    "dedup_ngram_jaccard", "sim_cosine_ivf", "str_fuzzy_match")
 
   test("order-sensitive queries return identical results across runs") {
     val failures = sensitive.flatMap { key =>
