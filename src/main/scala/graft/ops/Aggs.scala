@@ -270,6 +270,33 @@ object Aggs {
              |  FROM lineitem GROUP BY l_returnflag, l_quantity)
              |WHERE rn = 1 ORDER BY l_returnflag""".stripMargin),
     ),
+    // covariance from exact sums — same determinism device as corr.
+    OpSpec(
+      "agg_covar",
+      (s, d) =>
+        T.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).cast("double").as("n"),
+            dsum(col("l_quantity")).as("sx"),
+            dsum(col("l_extendedprice")).as("sy"),
+            sum((P.dec2(col("l_quantity")) * P.dec2(col("l_extendedprice"))).cast("decimal(38,4)"))
+              .cast("double").as("sxy"))
+          .select(col("l_returnflag"),
+            P.r4((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1)).as("covar_samp"),
+            P.r4((col("sxy") - col("sx") * col("sy") / col("n")) / col("n")).as("covar_pop"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  round((sxy - sx * sy / n) / (n - 1), 4) AS covar_samp,
+             |  round((sxy - sx * sy / n) / n, 4) AS covar_pop
+             |FROM (
+             |  SELECT l_returnflag, cast(count(*) as double) AS n,
+             |    cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sx,
+             |    cast(sum(cast(l_extendedprice as decimal(18,2))) as double) AS sy,
+             |    cast(sum(cast(cast(l_quantity as decimal(18,2)) * cast(l_extendedprice as decimal(18,2)) as decimal(38,4))) as double) AS sxy
+             |  FROM lineitem GROUP BY l_returnflag)
+             |ORDER BY l_returnflag""".stripMargin),
+    ),
     // HLL sketch — DuckDB's differs; declared without oracle (driver
     // records rows-only). Unit test asserts within 5% of exact.
     OpSpec(

@@ -293,5 +293,32 @@ object Windows {
               |    (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS cumprod
               |FROM $EV ORDER BY event_id""".stripMargin),
     ),
+    // rolling(5).std(): sample stddev from exact decimal sums over the
+    // 5-row frame, NULL until the frame fills (pandas min_periods).
+    OpSpec(
+      "win_rolling_std",
+      (s, d) =>
+        ev(s, d)
+          .withColumn("rn5", count(lit(1)).over(roll5))
+          .withColumn("sx", sum(P.dec2(col("value"))).over(roll5).cast("double"))
+          .withColumn("sq",
+            sum((P.dec2(col("value")) * P.dec2(col("value"))).cast("decimal(38,4)"))
+              .over(roll5).cast("double"))
+          .select(col("event_id"), col("user_id"),
+            when(col("rn5") === 5,
+              P.r4(sqrt((col("sq") - col("sx") * col("sx") / 5) / 4)))
+              .as("roll_std5"))
+          .orderBy("event_id"),
+      Some(s"""SELECT event_id, user_id,
+              |  CASE WHEN rn5 = 5 THEN round(sqrt((sq - sx * sx / 5) / 4), 4) END AS roll_std5
+              |FROM (
+              |  SELECT event_id, user_id,
+              |    count(*) OVER w AS rn5,
+              |    cast(sum(cast(value as decimal(18,2))) OVER w as double) AS sx,
+              |    cast(sum(cast(cast(value as decimal(18,2)) * cast(value as decimal(18,2)) as decimal(38,4))) OVER w as double) AS sq
+              |  FROM $EV
+              |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+              |ORDER BY event_id""".stripMargin),
+    ),
   )
 }
