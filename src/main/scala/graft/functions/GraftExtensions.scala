@@ -12,15 +12,32 @@ import org.apache.spark.sql.types.DoubleType
   * pattern `aggregate(zip_with(a, b, (x,y) -> x*y), 0D, (acc,x) ->
   * acc+x)` and replace it with the codegen'd [[DotProduct]]. Safe
   * because both fold left-to-right over the same doubles (bit-identical
-  * results — asserted in NativeFunctionSpec). */
+  * results — asserted in NativeFunctionSpec).
+  *
+  * The match binds the lambda variables and requires the Multiply/Add
+  * operands to be exactly those bound variables (in either order —
+  * IEEE-754 `*` and `+` are commutative) and the finish lambda to be
+  * the identity; anything else — `(x,y) -> x*x`, `(x,y) -> x*2`, a
+  * non-identity finish — is left untouched. */
 object DotProductRewrite extends Rule[LogicalPlan] {
+
+  /** operands {l, r} are exactly the bound variables {x, y}, either order */
+  private def exactlyTheVars(
+      l: Expression, r: Expression, x: Expression, y: Expression): Boolean =
+    (l.semanticEquals(x) && r.semanticEquals(y)) ||
+      (l.semanticEquals(y) && r.semanticEquals(x))
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case ArrayAggregate(
-            ZipWith(a, b, LambdaFunction(Multiply(_, _, _), _, _)),
+            ZipWith(a, b, LambdaFunction(Multiply(ml, mr, _), Seq(x, y), _)),
             Literal(zero, DoubleType),
-            LambdaFunction(Add(_, _, _), _, _),
-            LambdaFunction(_, _, _)) if zero == 0.0 =>
+            LambdaFunction(Add(al, ar, _), Seq(acc, el), _),
+            LambdaFunction(finBody, Seq(finArg), _))
+          if zero == 0.0 &&
+            exactlyTheVars(ml, mr, x, y) &&
+            exactlyTheVars(al, ar, acc, el) &&
+            finBody.semanticEquals(finArg) =>
         DotProduct(a, b)
     }
 }

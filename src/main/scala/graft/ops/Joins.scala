@@ -160,15 +160,18 @@ object Joins {
     ),
     // Global backward as-of: each purchase picks up the most recent
     // signup at-or-before it. Oracle truncates ts to µs INSIDE the join
-    // so both engines compare at the same precision.
+    // so both engines compare at the same precision. Uses the
+    // range-partitioned backwardGlobal (parallel window + boundary-carry
+    // pass) rather than the serial single-partition window — the 100 TB
+    // shape for an un-keyed as-of.
     OpSpec(
       "join_asof_backward",
       (s, d) => {
         val build = T.events(s, d).filter(col("event_type") === "signup")
           .select(col("ts"), col("value").as("sig_value"))
-        AsofJoin.backward(
+        AsofJoin.backwardGlobal(
           purchases(s, d).drop("user_id"), build,
-          on = "ts", by = Nil, payload = Seq("sig_value"))
+          on = "ts", payload = Seq("sig_value"))
           .select(col("event_id"), P.tsOut(col("ts")).as("ts"),
             P.tsOut(col("matched_ts")).as("matched_ts"), col("sig_value"))
           .orderBy("event_id")
@@ -227,6 +230,63 @@ object Joins {
              |  CASE WHEN p.ts - b.ts <= INTERVAL 1 HOUR THEN b.click_value END AS click_value
              |FROM p ASOF LEFT JOIN b ON p.user_id = b.user_id AND p.ts >= b.ts
              |ORDER BY p.event_id""".stripMargin),
+    ),
+    // Forward as-of (pandas direction='forward'): the NEXT click by the
+    // same user at-or-after each purchase. Same single-shuffle window
+    // idiom, mirrored frame.
+    OpSpec(
+      "join_asof_forward",
+      (s, d) => {
+        val build = T.events(s, d).filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("value").as("click_value"))
+        AsofJoin.forward(
+          purchases(s, d), build,
+          on = "ts", by = Seq("user_id"), payload = Seq("click_value"))
+          .select(col("event_id"), col("user_id"),
+            P.tsOut(col("matched_ts")).as("matched_ts"), col("click_value"))
+          .orderBy("event_id")
+      },
+      Some("""WITH p AS (SELECT event_id, user_id, cast(ts as timestamp) AS ts
+             |          FROM events WHERE event_type = 'purchase'),
+             |     b AS (SELECT user_id, cast(ts as timestamp) AS ts, value AS click_value
+             |          FROM events WHERE event_type = 'click')
+             |SELECT p.event_id, p.user_id, b.ts AS matched_ts, b.click_value
+             |FROM p ASOF LEFT JOIN b ON p.user_id = b.user_id AND p.ts <= b.ts
+             |ORDER BY p.event_id""".stripMargin),
+    ),
+    // Nearest as-of (pandas direction='nearest', ties → backward): the
+    // closest click by the same user on either side of each purchase.
+    // Oracle composes DuckDB's backward and forward ASOF joins with the
+    // same tie-break.
+    OpSpec(
+      "join_asof_nearest",
+      (s, d) => {
+        val build = T.events(s, d).filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("value").as("click_value"))
+        AsofJoin.nearest(
+          purchases(s, d), build,
+          on = "ts", by = Seq("user_id"), payload = Seq("click_value"))
+          .select(col("event_id"), col("user_id"),
+            P.tsOut(col("matched_ts")).as("matched_ts"), col("click_value"))
+          .orderBy("event_id")
+      },
+      Some("""WITH p AS (SELECT event_id, user_id, cast(ts as timestamp) AS ts
+             |          FROM events WHERE event_type = 'purchase'),
+             |     b AS (SELECT user_id, cast(ts as timestamp) AS ts, value AS click_value
+             |          FROM events WHERE event_type = 'click'),
+             |     bk AS (SELECT p.event_id, p.user_id, p.ts, b.ts AS b_ts, b.click_value AS b_val
+             |            FROM p ASOF LEFT JOIN b ON p.user_id = b.user_id AND p.ts >= b.ts),
+             |     fw AS (SELECT p.event_id, b.ts AS f_ts, b.click_value AS f_val
+             |            FROM p ASOF LEFT JOIN b ON p.user_id = b.user_id AND p.ts <= b.ts)
+             |SELECT bk.event_id, bk.user_id,
+             |  CASE WHEN b_ts IS NULL THEN f_ts
+             |       WHEN f_ts IS NULL THEN b_ts
+             |       WHEN (bk.ts - b_ts) <= (f_ts - bk.ts) THEN b_ts ELSE f_ts END AS matched_ts,
+             |  CASE WHEN b_ts IS NULL THEN f_val
+             |       WHEN f_ts IS NULL THEN b_val
+             |       WHEN (bk.ts - b_ts) <= (f_ts - bk.ts) THEN b_val ELSE f_val END AS click_value
+             |FROM bk JOIN fw USING (event_id)
+             |ORDER BY bk.event_id""".stripMargin),
     ),
   )
 }

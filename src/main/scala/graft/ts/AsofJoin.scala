@@ -4,24 +4,88 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
-/** Backward as-of join (pandas `merge_asof` semantics: backward search,
-  * exact matches allowed, left-join behavior — unmatched probe rows kept
-  * with NULL payload; tolerance miss → NULL, not dropped).
+/** As-of joins (pandas `merge_asof` semantics: backward / forward /
+  * nearest search, exact matches allowed, left-join behavior — unmatched
+  * probe rows kept with NULL payload; tolerance miss → NULL, not
+  * dropped).
   *
   * Spark has no ASOF JOIN, so this is the union-and-window idiom
   * (SURVEY §2.C): tag build rows 0 and probe rows 1, union them, and for
-  * each probe row take `last(payload, ignoreNulls)` over an ordered
-  * window `(by) ORDER BY (ts, tag) ROWS UNBOUNDED PRECEDING..CURRENT`.
-  * Build-before-probe at equal ts implements allow_exact_matches=True.
+  * each probe row take the nearest build row's payload over an ordered
+  * window. All matched fields (matched_ts + payload) are carried in ONE
+  * struct through a single `last`/`first(ignoreNulls)` so they always
+  * come from the SAME build row, even when some payload columns are
+  * legitimately NULL (pandas rows are atomic; per-column carries would
+  * tear them apart).
   *
   * Scale: ONE shuffle + sort on (by, ts) — no range explosion, no
   * correlated subquery, skew-bounded by the `by` key cardinality. This
   * is the 100 TB-safe shape: both inputs stream through a single
   * sort-merge pass regardless of how many build rows precede a probe.
-  * With `by = Nil` the window is a single partition — correct but
-  * serial; at scale, prefer a keyed variant or pre-range-partitioning.
+  * With `by = Nil` the plain window is a single partition — correct but
+  * serial; [[backwardGlobal]] is the scale path: range-partition on ts,
+  * window per partition in parallel, then fix partition-boundary rows
+  * with a tiny (numPartitions-row) broadcast carry pass.
   */
 object AsofJoin {
+
+  private val M = "_m" // the struct of (matched_ts, payload...) carried as a unit
+
+  /** build side reduced to (by, on, _m struct). Probe rows get _m = NULL
+    * via unionByName(allowMissingColumns), so ignoreNulls skips them. */
+  private def slimBuild(
+      build: DataFrame, on: String, by: Seq[String], payload: Seq[String]): DataFrame =
+    build.select(
+      (by :+ on).map(col) :+
+        struct(col(on).as("matched_ts") +: payload.map(col): _*).as(M): _*)
+
+  private def tagUnion(
+      probe: DataFrame, build: DataFrame, on: String, by: Seq[String],
+      payload: Seq[String]): DataFrame =
+    probe.withColumn("_tag", lit(1))
+      .unionByName(
+        slimBuild(build, on, by, payload).withColumn("_tag", lit(0)),
+        allowMissingColumns = true)
+
+  /** NULL the carried struct when it violates the tolerance for `dir`. */
+  private def applyTolerance(
+      carried: Column, on: String, toleranceMicros: Option[Long], dir: String): Column =
+    toleranceMicros match {
+      case None => carried
+      case Some(tol) =>
+        val gap = dir match {
+          case "backward" => unix_micros(col(on)) - unix_micros(carried("matched_ts"))
+          case "forward"  => unix_micros(carried("matched_ts")) - unix_micros(col(on))
+          case "nearest"  => abs(unix_micros(carried("matched_ts")) - unix_micros(col(on)))
+        }
+        when(gap <= tol, carried)
+    }
+
+  private def finish(
+      df: DataFrame, probeCols: Seq[String], payload: Seq[String],
+      carried: Column): DataFrame = {
+    val out: Seq[Column] =
+      probeCols.map(col) ++
+        (carried.getField("matched_ts").as("matched_ts") +:
+          payload.map(c => carried.getField(c).as(c)))
+    df.filter(col("_tag") === 1).select(out: _*)
+  }
+
+  // Backward: last build row at-or-before the probe. Ordering (ts, tag
+  // asc) puts the equal-ts build BEFORE the probe → exact matches allowed.
+  private def backwardCarry(on: String, by: Seq[String]): Column =
+    last(col(M), ignoreNulls = true).over(
+      Window.partitionBy(by.map(col): _*)
+        .orderBy(col(on).asc, col("_tag").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+
+  // Forward: first build row at-or-after the probe. Ordering (ts, tag
+  // desc) puts the probe BEFORE the equal-ts build → exact matches allowed.
+  private def forwardCarry(on: String, by: Seq[String]): Column =
+    first(col(M), ignoreNulls = true).over(
+      Window.partitionBy(by.map(col): _*)
+        .orderBy(col(on).asc, col("_tag").desc)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing))
 
   /** @param probe    left side; all its columns survive
     * @param build    right side; must contain `on`, `by`, and `payload`
@@ -40,37 +104,118 @@ object AsofJoin {
       by: Seq[String],
       payload: Seq[String],
       toleranceMicros: Option[Long] = None): DataFrame = {
-    val probeCols = probe.columns.toSeq
-    val buildSlim = build
-      .select((by :+ on).map(col) ++ payload.map(col): _*)
-      .withColumn("_matched_ts", col(on))
+    val tagged = tagUnion(probe, build, on, by, payload)
+      .withColumn("_c", backwardCarry(on, by))
+    finish(tagged, probe.columns.toSeq, payload,
+      applyTolerance(col("_c"), on, toleranceMicros, "backward"))
+  }
 
-    val tagged = probe.withColumn("_tag", lit(1))
-      .unionByName(buildSlim.withColumn("_tag", lit(0)), allowMissingColumns = true)
+  /** Forward as-of: first build row at-or-after each probe row
+    * (pandas merge_asof(direction='forward')). */
+  def forward(
+      probe: DataFrame,
+      build: DataFrame,
+      on: String,
+      by: Seq[String],
+      payload: Seq[String],
+      toleranceMicros: Option[Long] = None): DataFrame = {
+    val tagged = tagUnion(probe, build, on, by, payload)
+      .withColumn("_c", forwardCarry(on, by))
+    finish(tagged, probe.columns.toSeq, payload,
+      applyTolerance(col("_c"), on, toleranceMicros, "forward"))
+  }
 
-    val w = Window
-      .partitionBy(by.map(col): _*)
+  /** Nearest as-of: whichever of the backward/forward candidates is
+    * closer in |probe.on − build.on|; ties go backward (pandas
+    * merge_asof(direction='nearest') tie-break). One shuffle; the two
+    * candidate windows share the partitioning and differ only in sort
+    * direction of the tag. */
+  def nearest(
+      probe: DataFrame,
+      build: DataFrame,
+      on: String,
+      by: Seq[String],
+      payload: Seq[String],
+      toleranceMicros: Option[Long] = None): DataFrame = {
+    val tagged = tagUnion(probe, build, on, by, payload)
+      .withColumn("_cb", backwardCarry(on, by))
+      .withColumn("_cf", forwardCarry(on, by))
+    val bGap = unix_micros(col(on)) - unix_micros(col("_cb")("matched_ts"))
+    val fGap = unix_micros(col("_cf")("matched_ts")) - unix_micros(col(on))
+    val chosen =
+      when(col("_cb").isNull, col("_cf"))
+        .when(col("_cf").isNull, col("_cb"))
+        .when(bGap <= fGap, col("_cb"))
+        .otherwise(col("_cf"))
+    val withChoice = tagged.withColumn("_c", chosen)
+    finish(withChoice, probe.columns.toSeq, payload,
+      applyTolerance(col("_c"), on, toleranceMicros, "nearest"))
+  }
+
+  /** Scale-safe GLOBAL (by = Nil) backward as-of. The plain global form
+    * sorts everything in one task; this one range-partitions the tagged
+    * union on `on`, runs the backward window per partition in parallel,
+    * then repairs partition-boundary probes (those whose match lives in
+    * an earlier partition) with a prefix-carry over a numPartitions-row
+    * frame joined back via broadcast. Two extra tiny stages, no serial
+    * sort — the 100× plan.
+    *
+    * Equal `on` values land in one range partition, so the
+    * build-before-probe tie ordering is preserved exactly as in
+    * [[backward]] (equivalence asserted in AsofJoinSpec).
+    */
+  def backwardGlobal(
+      probe: DataFrame,
+      build: DataFrame,
+      on: String,
+      payload: Seq[String],
+      toleranceMicros: Option[Long] = None,
+      numPartitions: Int = 0): DataFrame = {
+    val spark = probe.sparkSession
+    val n = if (numPartitions > 0) numPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+
+    val tagged = tagUnion(probe, build, on, Nil, payload)
+
+    // Deterministic range buckets: boundaries come from a quantile
+    // sketch (one extra scan, driver holds n-1 longs), and the bucket id
+    // is a pure function of ts — NOT spark_partition_id over a sampled
+    // repartitionByRange, whose ids are lineage-nondeterministic and
+    // would disagree between the two sides of the boundary-fix join.
+    val probs = (1 until n).map(_.toDouble / n).toArray
+    val bounds =
+      if (probs.isEmpty) Array.empty[Double]
+      else tagged.select(unix_micros(col(on)).cast("double").as("_us"))
+        .stat.approxQuantile("_us", probs, 0.001).distinct.sorted
+    val boundsCol = array(bounds.map(b => lit(b.toLong)): _*)
+    val pid: Column =
+      if (bounds.isEmpty) lit(0)
+      else size(filter(boundsCol, b => b <= unix_micros(col(on))))
+    val ranged = tagged.withColumn("_pid", pid)
+
+    // per-partition backward window — parallel across ts buckets (the
+    // window's own hash exchange on _pid does the partitioning)
+    val w = Window.partitionBy("_pid")
       .orderBy(col(on).asc, col("_tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = ranged.withColumn("_c", last(col(M), ignoreNulls = true).over(w))
 
-    val carried = (("_matched_ts" +: payload)).foldLeft(tagged) { (df, c) =>
-      df.withColumn(s"_c_$c", last(col(c), ignoreNulls = true).over(w))
-    }
+    // each partition's final carried struct = its last build row (NULL if
+    // the partition holds no build rows); O(numPartitions) rows
+    val lastPer = carried
+      .groupBy(col("_pid"))
+      .agg(max_by(col("_c"), struct(col(on), col("_tag"))).as("_last"))
+    // prefix-carry: for partition p, the last build row of partitions < p
+    val wp = Window.orderBy(col("_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = lastPer
+      .withColumn("_carry", last(col("_last"), ignoreNulls = true).over(wp))
+      .select(col("_pid"), col("_carry"))
 
-    val matched = carried.filter(col("_tag") === 1)
-    val withTol = toleranceMicros match {
-      case None => matched
-      case Some(tol) =>
-        val ok = unix_micros(col(on)) - unix_micros(col("_c__matched_ts")) <= tol
-        ("_matched_ts" +: payload).foldLeft(matched) { (df, c) =>
-          df.withColumn(s"_c_$c", when(ok, col(s"_c_$c")))
-        }
-    }
-
-    val out: Seq[Column] =
-      probeCols.map(col) ++
-        (col("_c__matched_ts").as("matched_ts") +:
-          payload.map(c => col(s"_c_$c").as(c)))
-    withTol.select(out: _*)
+    val fixed = carried
+      .join(broadcast(carry), Seq("_pid"), "left")
+      .withColumn("_c", coalesce(col("_c"), col("_carry")))
+    finish(fixed, probe.columns.toSeq, payload,
+      applyTolerance(col("_c"), on, toleranceMicros, "backward"))
   }
 }

@@ -37,6 +37,23 @@ object AsofMergeJoin {
       payload: Seq[String],
       numPartitions: Int = 0): DataFrame = {
     require(by.nonEmpty, "merge as-of requires a by-key; use AsofJoin.backward for global")
+    // Hash-partitioning routes rows by (value, dtype): the same logical
+    // key as int on one side and long on the other lands in DIFFERENT
+    // partitions and the join silently misses. Likewise the merge's key
+    // comparator only supports orderable scalars. Fail loudly up front
+    // rather than returning wrong rows.
+    val supportedKeyTypes: Set[org.apache.spark.sql.types.DataType] =
+      Set(org.apache.spark.sql.types.LongType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.StringType)
+    by.foreach { c =>
+      val pt = probe.schema(c).dataType
+      val bt = build.schema(c).dataType
+      require(pt == bt,
+        s"as-of by-column '$c' dtype mismatch: probe=$pt build=$bt — cast both sides to a common type first")
+      require(supportedKeyTypes.contains(pt),
+        s"as-of by-column '$c' has unsupported key type $pt (supported: bigint, int, string)")
+    }
     val spark = probe.sparkSession
     val n = if (numPartitions > 0) numPartitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
@@ -61,14 +78,15 @@ object AsofMergeJoin {
     val bByIdx = by.map(bSchema.fieldIndex)
     val bPayIdx = payload.map(bSchema.fieldIndex)
 
-    // by-keys are simple orderable scalars in this engine (long/int/str)
+    // by-keys are validated above to be matching long/int/string
     def keyOf(r: Row, idx: Seq[Int]): Seq[Any] = idx.map(r.get)
     def cmpKey(a: Seq[Any], b: Seq[Any]): Int =
       a.zip(b).iterator.map {
         case (x: Long, y: Long)     => java.lang.Long.compare(x, y)
         case (x: Int, y: Int)       => Integer.compare(x, y)
         case (x: String, y: String) => x.compareTo(y)
-        case (x, y) => x.toString.compareTo(y.toString)
+        case (x, y) => throw new IllegalArgumentException(
+          s"unsupported/mismatched as-of key values: $x (${x.getClass}) vs $y (${y.getClass})")
       }.find(_ != 0).getOrElse(0)
     def tsOf(r: Row, i: Int): Long = r.get(i) match {
       case t: java.sql.Timestamp => t.getTime * 1000 + (t.getNanos / 1000) % 1000

@@ -68,6 +68,84 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(m == Map(1L -> Some(1.0), 2L -> None))
   }
 
+  test("NULL payload columns do not tear: all matched fields come from ONE build row") {
+    // build row at ts=200 has v legitimately NULL; the old per-column
+    // last(ignoreNulls) carried v from the OLDER ts=100 row while
+    // matched_ts/w came from ts=200 — a torn row. The struct carry must
+    // deliver (matched_ts=200, v=NULL, w="b") atomically.
+    val probe = probeDf((1L, 300L))
+    val build = Seq((100L, Some(1.0), "a"), (200L, None, "b"))
+      .toDF("us", "v", "w")
+      .select(timestamp_micros(col("us")).as("ts"), col("v"), col("w"))
+    val r = AsofJoin.backward(probe, build, on = "ts", by = Nil,
+        payload = Seq("v", "w"))
+      .select(unix_micros(col("matched_ts")).as("mts"), col("v"), col("w"))
+      .head()
+    assert(r.getLong(0) == 200L, "matched_ts must be the newest build row")
+    assert(r.isNullAt(1), "v must be the newest build row's NULL, not an older row's value")
+    assert(r.getString(2) == "b")
+  }
+
+  test("forward picks the earliest build row at-or-after each probe row") {
+    val probe = probeDf((1L, 100L), (2L, 250L), (3L, 700L), (4L, 200L))
+    val build = buildDf((50L, 1.0), (200L, 2.0), (600L, 3.0))
+    val m = AsofJoin.forward(probe, build, on = "ts", by = Nil, payload = Seq("v"))
+      .select("id", "v").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    // 100→200, 250→600, 700→none (past the last build), 200→200 (exact)
+    assert(m == Map(1L -> Some(2.0), 2L -> Some(3.0), 3L -> None, 4L -> Some(2.0)))
+  }
+
+  test("forward tolerance NULLs matches farther than tol ahead") {
+    val m = AsofJoin.forward(
+        probeDf((1L, 100L), (2L, 550L)), buildDf((200L, 2.0), (600L, 3.0)),
+        on = "ts", by = Nil, payload = Seq("v"), toleranceMicros = Some(80L))
+      .select("id", "v").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(m == Map(1L -> None, 2L -> Some(3.0))) // 200-100=100 > 80; 600-550=50 ≤ 80
+  }
+
+  test("nearest picks the closer side; exact ties go backward") {
+    val probe = probeDf((1L, 120L), (2L, 430L), (3L, 200L), (4L, 10L))
+    val build = buildDf((100L, 1.0), (300L, 2.0), (600L, 3.0))
+    val m = AsofJoin.nearest(probe, build, on = "ts", by = Nil, payload = Seq("v"))
+      .select("id", "v").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    // 120: back gap 20 < fwd gap 180 → 1.0; 430: back 130 vs fwd 170 → 2.0
+    // 200: back 100 == fwd 100 → tie → backward → 1.0
+    // 10: no backward candidate → forward → 1.0
+    assert(m == Map(1L -> Some(1.0), 2L -> Some(2.0), 3L -> Some(1.0), 4L -> Some(1.0)))
+  }
+
+  test("backwardGlobal equals backward and runs range-partitioned (>1 partition)") {
+    val rnd = new scala.util.Random(11)
+    val probe = probeDf((1L to 500L).map(i => (i, rnd.nextInt(100000).toLong)): _*)
+    val build = buildDf((1 to 300).map(_ =>
+      (rnd.nextInt(100000).toLong, rnd.nextDouble())).groupBy(_._1)
+      .map(_._2.head).toSeq: _*) // unique build ts
+    val global = AsofJoin.backwardGlobal(probe, build, on = "ts",
+      payload = Seq("v"), numPartitions = 8)
+    // the window must be partitioned by the ts bucket id (parallel), not
+    // a single global partition
+    val plan = global.queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(_pid"), plan)
+    val a = global.select("id", "matched_ts", "v").collect().map(_.toString).sorted.toSeq
+    val b = AsofJoin.backward(probe, build, on = "ts", by = Nil, payload = Seq("v"))
+      .select("id", "matched_ts", "v").collect().map(_.toString).sorted.toSeq
+    assert(a == b && a.size == 500)
+    // with tolerance too
+    val at = AsofJoin.backwardGlobal(probe, build, on = "ts",
+        payload = Seq("v"), toleranceMicros = Some(500L), numPartitions = 8)
+      .select("id", "v").collect().map(_.toString).sorted.toSeq
+    val bt = AsofJoin.backward(probe, build, on = "ts", by = Nil,
+        payload = Seq("v"), toleranceMicros = Some(500L))
+      .select("id", "v").collect().map(_.toString).sorted.toSeq
+    assert(at == bt)
+  }
+
   test("randomized: matches a brute-force reference implementation") {
     val rnd = new scala.util.Random(42)
     for (_ <- 1 to 5) {

@@ -30,6 +30,36 @@ class AsofMergeJoinSpec extends AnyFunSuite {
     assert(a.nonEmpty && a.toSeq == b.toSeq)
   }
 
+  test("mismatched by-key dtypes are rejected, not silently mis-joined") {
+    import spark.implicits._
+    val probe = Seq((1L, 5, 100L)).toDF("id", "k", "us") // k: int
+      .select(col("id"), col("k"), timestamp_micros(col("us")).as("ts"))
+    val build = Seq((5L, 50L, 1.0)).toDF("k", "us", "v") // k: bigint
+      .select(col("k"), timestamp_micros(col("us")).as("ts"), col("v"))
+    val e = intercept[IllegalArgumentException] {
+      AsofMergeJoin.backward(probe, build, "ts", Seq("k"), Seq("v"))
+    }
+    assert(e.getMessage.contains("dtype mismatch"))
+    // cast to a common type → joins correctly
+    val ok = AsofMergeJoin.backward(
+        probe.withColumn("k", col("k").cast("bigint")), build,
+        "ts", Seq("k"), Seq("v"))
+      .select("id", "v").head()
+    assert(ok.getLong(0) == 1L && ok.getDouble(1) == 1.0)
+  }
+
+  test("unsupported by-key types are rejected") {
+    import spark.implicits._
+    val probe = Seq((1L, 2.5, 100L)).toDF("id", "k", "us") // k: double
+      .select(col("id"), col("k"), timestamp_micros(col("us")).as("ts"))
+    val build = Seq((2.5, 50L, 1.0)).toDF("k", "us", "v")
+      .select(col("k"), timestamp_micros(col("us")).as("ts"), col("v"))
+    val e = intercept[IllegalArgumentException] {
+      AsofMergeJoin.backward(probe, build, "ts", Seq("k"), Seq("v"))
+    }
+    assert(e.getMessage.contains("unsupported key type"))
+  }
+
   test("merge as-of on randomized data equals brute force") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

@@ -48,6 +48,30 @@ class NativeFunctionSpec extends AnyFunSuite {
     assert(!other.toString.contains("dot_native"))
   }
 
+  test("rule does NOT rewrite look-alike folds that are not dot products") {
+    // each of these matches the old (unsound) shape but is semantically
+    // different; rewriting any of them would silently corrupt results
+    val lookAlikes = Seq(
+      // multiply ignores one bound var / uses the same var twice
+      "aggregate(zip_with(e, e, (x, y) -> x * x), 0D, (acc, x) -> acc + x)",
+      // multiply against a constant
+      "aggregate(zip_with(e, e, (x, y) -> x * 2D), 0D, (acc, x) -> acc + x)",
+      // add ignores the element (sums nothing)
+      "aggregate(zip_with(e, e, (x, y) -> x * y), 0D, (acc, x) -> acc + acc)",
+      // non-identity finish lambda
+      "aggregate(zip_with(e, e, (x, y) -> x * y), 0D, (acc, x) -> acc + x, acc -> acc * 2D)")
+    for (sqlExpr <- lookAlikes) {
+      val plan = DotProductRewrite(
+        vecs.selectExpr(s"$sqlExpr AS d").queryExecution.analyzed)
+      assert(!plan.toString.contains("dot_native"), s"wrongly rewrote: $sqlExpr")
+    }
+    // commuted operands ARE still a dot product (IEEE * and + commute)
+    val commuted = DotProductRewrite(vecs.selectExpr(
+      "aggregate(zip_with(e, e, (x, y) -> y * x), 0D, (acc, x) -> x + acc) AS d")
+      .queryExecution.analyzed)
+    assert(commuted.toString.contains("dot_native"), commuted.toString)
+  }
+
   test("rewritten plan returns the same values as the HOF plan") {
     val hof = vecs.selectExpr("vec_id", s"$hofDot AS d").collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
