@@ -158,27 +158,35 @@ object LlmOps {
              |FROM v, q WHERE vec_id <> 0
              |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin),
     ),
-    // All-pairs over a label-filtered subset (the exact-verification
-    // half of near-dup detection; LSH prunes candidates at scale).
+    // Pairwise similarity over a label-filtered subset, blocked on the
+    // IVF sign-quantizer cell (the same 16-cell coarse quantizer as
+    // sim_cosine_ivf): candidates are generated by an EQUI-join on the
+    // cell, so pair generation is quadratic only within a cell — at
+    // 100 TB the cell is the shuffle/partition key and no all-pairs
+    // product ever forms. The label filter is a demo bound, not the
+    // safety mechanism.
     OpSpec(
       "sim_pairs_threshold",
       (s, d) => {
         val v = T.embeddings(s, d).filter(col("label") === 3)
-          .select(col("vec_id"), toDouble("embedding").as("e"))
-        val a = v.select(col("vec_id").as("id_a"), col("e").as("ea"))
-        val b = v.select(col("vec_id").as("id_b"), col("e").as("eb"))
-        a.join(b, col("id_a") < col("id_b"))
+          .select(col("vec_id"), expr(graft.vec.VecOps.cellExpr).as("cell"),
+            toDouble("embedding").as("e"))
+        val a = v.select(col("vec_id").as("id_a"), col("cell"), col("e").as("ea"))
+        val b = v.select(col("vec_id").as("id_b"), col("cell"), col("e").as("eb"))
+        a.join(b, Seq("cell"))
+          .filter(col("id_a") < col("id_b"))
           .select(col("id_a"), col("id_b"),
             P.r4(dot("ea", "eb") /
               (sqrt(dot("ea", "ea")) * sqrt(dot("eb", "eb")))).as("cos_sim"))
           .filter(col("cos_sim") >= 0.25)
           .orderBy("id_a", "id_b")
       },
-      Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE label = 3)
+      Some(s"""WITH v AS (SELECT vec_id, ${graft.vec.VecOps.cellSql} AS cell,
+             |            embedding::DOUBLE[] AS e FROM embeddings WHERE label = 3)
              |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              |  round(list_inner_product(a.e, b.e) /
              |        (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))), 4) AS cos_sim
-             |FROM v a JOIN v b ON a.vec_id < b.vec_id
+             |FROM v a JOIN v b ON a.cell = b.cell AND a.vec_id < b.vec_id
              |WHERE round(list_inner_product(a.e, b.e) /
              |        (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))), 4) >= 0.25
              |ORDER BY id_a, id_b""".stripMargin),

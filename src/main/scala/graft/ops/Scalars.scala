@@ -176,15 +176,25 @@ object Scalars {
     ),
     // Fuzzy string matching (edit distance ≤ 3 name pairs) — the
     // string-similarity half of near-dup; both engines implement plain
-    // Levenshtein. Bounded candidate set via keyed subsets.
+    // Levenshtein. Candidates come from a length-band EQUI-join: dist ≤ 3
+    // forces |len(a) − len(b)| ≤ 3, so with band width 4 a matching pair's
+    // bands differ by at most 1 — exploding one side into its band ±1
+    // covers every true pair exactly once (each pair shares exactly one
+    // of the three exploded band values). The oracle stays the all-pairs
+    // SQL, so the hash gate proves the blocking is lossless. No
+    // nested-loop product anywhere (asserted in PlanShapeSpec).
     OpSpec(
       "str_fuzzy_match",
       (s, d) => {
         val names = T.part(s, d).filter(col("p_partkey") % 50 === 0)
-          .select(col("p_partkey"), col("p_name"))
-        val a = names.select(col("p_partkey").as("key_a"), col("p_name").as("name_a"))
-        val b = names.select(col("p_partkey").as("key_b"), col("p_name").as("name_b"))
-        a.join(b, col("key_a") < col("key_b"))
+          .select(col("p_partkey"), col("p_name"),
+            (length(col("p_name")).cast("bigint") / 4).cast("bigint").as("band"))
+        val a = names.select(col("p_partkey").as("key_a"), col("p_name").as("name_a"),
+          explode(array(col("band") - 1, col("band"), col("band") + 1)).as("band"))
+        val b = names.select(col("p_partkey").as("key_b"), col("p_name").as("name_b"),
+          col("band"))
+        a.join(b, Seq("band"))
+          .filter(col("key_a") < col("key_b"))
           .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("bigint"))
           .filter(col("dist") <= 3)
           .select("key_a", "key_b", "name_a", "name_b", "dist")

