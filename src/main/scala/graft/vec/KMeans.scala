@@ -51,10 +51,16 @@ object KMeans {
     for (_ <- 1 to iters) {
       assigned = vecs.withColumn("a", assignExpr(centroids))
         .select(col("vec_id"), col("e"), col("a.c").as("cluster"), col("a.d").as("dist"))
-      // element-wise mean per cluster: explode dims, re-assemble
+      // element-wise mean per cluster: explode dims, re-assemble.
+      // The sum is taken over decimal(38,18) — exact and therefore
+      // ORDER-INDEPENDENT, unlike double accumulation whose result
+      // depends on partitioning; one cast back to double at the end
+      // keeps centroids bit-identical across any repartitioning.
       val newCs = assigned
         .select(col("cluster"), posexplode(col("e")).as(Seq("i", "x")))
-        .groupBy("cluster", "i").agg(avg("x").as("m"))
+        .groupBy("cluster", "i")
+        .agg((sum(col("x").cast("decimal(38,18)")).cast("double") /
+          count(lit(1))).as("m"))
         .groupBy("cluster")
         .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("ms"))
         .select(col("cluster"), expr("transform(ms, s -> s.m)").as("centroid"))

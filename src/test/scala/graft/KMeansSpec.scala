@@ -26,11 +26,13 @@ class KMeansSpec extends AnyFunSuite {
     assert(i3 <= i1 + 1e-9 && i6 <= i3 + 1e-9, s"$i1 -> $i3 -> $i6")
   }
 
-  test("deterministic under repartitioning") {
-    val a = KMeans.fit(emb.repartition(7), k = 4, iters = 3)._1
-      .collect().map(_.toString).sorted
-    val b = KMeans.fit(emb.repartition(2), k = 4, iters = 3)._1
-      .collect().map(_.toString).sorted
-    assert(a.toSeq == b.toSeq)
+  test("deterministic under repartitioning: bit-equal centroids across 1/4/32 partitions") {
+    val runs = Seq(1, 4, 32).map(n => KMeans.fit(emb.repartition(n), k = 4, iters = 3))
+    val Seq(c1, c4, c32) = runs.map(_._2.map(_.toSeq).toSeq)
+    // centroid sums are exact decimals, so doubles must match BIT-wise
+    assert(c1 == c4, s"1 vs 4 partitions:\n$c1\n$c4")
+    assert(c1 == c32, s"1 vs 32 partitions:\n$c1\n$c32")
+    val Seq(a1, a4, a32) = runs.map(_._1.collect().map(_.toString).sorted.toSeq)
+    assert(a1 == a4 && a1 == a32)
   }
 }

@@ -59,6 +59,23 @@ def _norm(v):
     return v
 
 
+def cells_differ(x, y) -> bool:
+    """Scalar-or-array cell comparison that never raises: arrays are
+    normalized to tuples first (raw numpy `x != y` on arrays raises
+    inside a generator, turning a clean FAIL into a crash)."""
+    x, y = _norm(x), _norm(y)
+    if not isinstance(x, tuple) and not isinstance(y, tuple):
+        try:
+            if pd.isna(x) and pd.isna(y):
+                return False
+        except (TypeError, ValueError):
+            pass
+    try:
+        return not bool(x == y)
+    except (TypeError, ValueError):
+        return True
+
+
 def values_equal(a: pd.Series, b: pd.Series) -> bool:
     if len(a) != len(b):
         return False
@@ -147,10 +164,16 @@ def main():
             if not values_equal(sdf[c], odf[c]):
                 i = next(
                     (i for i, (x, y) in enumerate(zip(sdf[c].tolist(), odf[c].tolist()))
-                     if x != y and not (pd.isna(x) and pd.isna(y))), -1)
-                bad.append(
-                    f"values[{c}] first diff row {i}: "
-                    f"spark={sdf[c].iloc[i]!r} oracle={odf[c].iloc[i]!r}")
+                     if cells_differ(x, y)), None)
+                if i is None:
+                    # e.g. length mismatch upstream, or a difference the
+                    # per-cell walk can't localize — report honestly
+                    # instead of pointing at iloc[-1] (the LAST row)
+                    bad.append(f"values[{c}] differ (no scalar first-diff located)")
+                else:
+                    bad.append(
+                        f"values[{c}] first diff row {i}: "
+                        f"spark={sdf[c].iloc[i]!r} oracle={odf[c].iloc[i]!r}")
         if bad:
             failures.append((name, "; ".join(bad)))
             print(f"  VALUES!   {name}: " + "; ".join(bad[:3]))

@@ -38,10 +38,27 @@ pq.write_table(
     pa.table({"s": pa.array([Decimal("6.00")], type=pa.decimal128(18, 2))}),
     out / "decimal_poison" / "part-0.parquet")
 
+# 3. array-valued cells that differ: raw x != y on numpy arrays raises —
+# the first-diff finder must report cleanly, not crash
+(out / "array_diff").mkdir()
+pq.write_table(
+    pa.table({"a": pa.array([[1, 2], [3, 4]], type=pa.list_(pa.int64()))}),
+    out / "array_diff" / "part-0.parquet")
+
+# 4. values differ only in no-scalar-localizable ways (equal scalar cells
+# but values_equal False via length/NaN subtleties is hard to fabricate;
+# instead: arrays equal except one cell) — covered by array_diff's clean
+# row report; additionally a scalar diff sanity row
+(out / "scalar_diff").mkdir()
+pq.write_table(pa.table({"n": pa.array([1, 99, 3], type=pa.int64())}),
+               out / "scalar_diff" / "part-0.parquet")
+
 oracle = {
     "good": "SELECT count(*) AS n FROM region",
     "decimal_poison": "SELECT cast(sum(x) as double) AS s FROM region",
     "crashed_query": "SELECT 1 AS one",  # no dump dir on purpose
+    "array_diff": "SELECT [x, x] AS a FROM region ORDER BY x LIMIT 2",
+    "scalar_diff": "SELECT x AS n FROM region ORDER BY x",
 }
 (out / "oracle_sql.json").write_text(json.dumps(oracle))
 (out / "declared.json").write_text(json.dumps(
@@ -63,6 +80,12 @@ if "decimal_poison" not in report or "decimal" not in report.lower():
     failures.append("decimal dtype split not flagged")
 if "crashed_query" not in report or "MISSING" not in report:
     failures.append("missing dump not flagged")
+if "Traceback" in proc.stderr or "Traceback" in report:
+    failures.append("checker crashed instead of reporting a clean FAIL")
+if "array_diff" not in report or "values[a]" not in report:
+    failures.append("array-cell diff not reported cleanly")
+if "values[n] first diff row 1" not in report:
+    failures.append("scalar first-diff row not localized (expected row 1)")
 
 if failures:
     print(report)
