@@ -315,5 +315,35 @@ object TimeSeries {
              |WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              |ORDER BY event_id""".stripMargin),
     ),
+    // pandas merge_ordered(fill_method='ffill') keyed by user: the
+    // ordered full-outer merge of each user's purchase and click series
+    // with both value columns forward-filled independently. Every stage
+    // (join + window) shards by user_id.
+    OpSpec(
+      "ts_merge_ordered",
+      (s, d) => {
+        val p = ev(s, d).filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("value").as("purchase_value"))
+        val c = ev(s, d).filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("value").as("click_value"))
+        graft.ts.MergeOrdered.merge(p, c, on = "ts", by = Seq("user_id"), ffill = true)
+          .select(col("user_id"), P.tsOut(col("ts")).as("ts"),
+            col("purchase_value"), col("click_value"))
+          .orderBy("user_id", "ts")
+      },
+      Some("""WITH p AS (SELECT user_id, cast(ts as timestamp) AS ts, value AS purchase_value
+             |          FROM events WHERE event_type = 'purchase'),
+             |     c AS (SELECT user_id, cast(ts as timestamp) AS ts, value AS click_value
+             |          FROM events WHERE event_type = 'click'),
+             |     m AS (SELECT coalesce(p.user_id, c.user_id) AS user_id,
+             |                  coalesce(p.ts, c.ts) AS ts, purchase_value, click_value
+             |           FROM p FULL JOIN c ON p.user_id = c.user_id AND p.ts = c.ts)
+             |SELECT user_id, ts,
+             |  last_value(purchase_value IGNORE NULLS) OVER w AS purchase_value,
+             |  last_value(click_value IGNORE NULLS) OVER w AS click_value
+             |FROM m
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |ORDER BY user_id, ts""".stripMargin),
+    ),
   )
 }

@@ -20,6 +20,24 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("golden bytes: the stub codec's output for a pinned payload is frozen") {
+    // payload = bytes 0..63; expected = sha-256 expansion per the
+    // documented stub contract ((b₂ᵢ·256 + b₂ᵢ₊₁)/32768 − 1). Freezing
+    // the exact floats pins the codec boundary: any change to the stub
+    // (or a swapped-in real codec) fails here first, loudly.
+    import spark.implicits._
+    val payload = Array.tabulate[Byte](64)(_.toByte)
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRow(0L, "image", payload, Multimodal.MediaMeta(8, 8, "raw"))))
+    val got = Multimodal.extractFeatures(media).collect().head.features
+    val golden = Array(
+      0.98370361328125f, 0.4505615234375f, 0.901885986328125f, -0.97357177734375f,
+      0.47772216796875f, -0.306243896484375f, 0.57525634765625f, 0.238739013671875f,
+      0.222320556640625f, -0.001495361328125f, 0.188018798828125f, -0.24822998046875f,
+      0.0958251953125f, -0.024871826171875f, 0.695953369140625f, -0.866943359375f)
+    assert(got.toSeq == golden.toSeq)
+  }
+
   test("resize rewrites metadata and preserves payloads") {
     val media = Multimodal.syntheticMedia(spark, 5)
     val out = Multimodal.resize(media, 224, 224).collect().sortBy(_.media_id)
