@@ -191,6 +191,41 @@ object LlmOps {
              |        (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))), 4) >= 0.25
              |ORDER BY id_a, id_b""".stripMargin),
     ),
+    // Embedding-cosine near-dup (the vector-space member of the dedup
+    // family): candidate pairs from the same IVF sign-cell, scored
+    // exactly, survivor = the lower vec_id. Same cell-blocked shape as
+    // sim_pairs_threshold but over ALL vectors — at 100 TB the cell is
+    // the shuffle key and pair generation never leaves a cell.
+    OpSpec(
+      "dedup_embed_cosine",
+      (s, d) => {
+        // norms precomputed per VECTOR, not per pair — bit-identical to
+        // the oracle's per-pair sqrt (same IEEE ops) at 1/3 the flops
+        val v = T.embeddings(s, d)
+          .select(col("vec_id"), expr(graft.vec.VecOps.cellExpr).as("cell"),
+            toDouble("embedding").as("e"))
+          .withColumn("nrm", sqrt(dot("e", "e")))
+        val a = v.select(col("vec_id").as("keep_id"), col("cell"),
+          col("e").as("ea"), col("nrm").as("na"))
+        val b = v.select(col("vec_id").as("dup_id"), col("cell"),
+          col("e").as("eb"), col("nrm").as("nb"))
+        a.join(b, Seq("cell"))
+          .filter(col("keep_id") < col("dup_id"))
+          .select(col("keep_id"), col("dup_id"),
+            P.r4(dot("ea", "eb") / (col("na") * col("nb"))).as("cos_sim"))
+          .filter(col("cos_sim") >= 0.4)
+          .orderBy("keep_id", "dup_id")
+      },
+      Some(s"""WITH v AS (SELECT vec_id, ${graft.vec.VecOps.cellSql} AS cell,
+             |            embedding::DOUBLE[] AS e FROM embeddings)
+             |SELECT a.vec_id AS keep_id, b.vec_id AS dup_id,
+             |  round(list_inner_product(a.e, b.e) /
+             |        (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))), 4) AS cos_sim
+             |FROM v a JOIN v b ON a.cell = b.cell AND a.vec_id < b.vec_id
+             |WHERE round(list_inner_product(a.e, b.e) /
+             |        (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))), 4) >= 0.4
+             |ORDER BY keep_id, dup_id""".stripMargin),
+    ),
     // L2-normalize; emit norm + first 4 normalized components.
     OpSpec(
       "embed_norm",
