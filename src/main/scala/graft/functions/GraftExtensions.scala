@@ -42,8 +42,10 @@ object DotProductRewrite extends Rule[LogicalPlan] {
     }
 }
 
-/** Session extension entry point — enables both the SQL function
-  * `dot_native(a, b)` and the automatic HOF→native rewrite:
+/** Session extension entry point — enables the SQL function
+  * `dot_native(a, b)`, the automatic HOF→native rewrite, and the
+  * planner strategy for the custom as-of operator
+  * ([[graft.plans.AsofJoinNode]] → [[graft.plans.AsofJoinExec]]):
   *
   * {{{
   * SparkSession.builder()
@@ -58,5 +60,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getName, "dot_native"),
       (args: Seq[Expression]) => DotProduct(args(0), args(1))))
     ext.injectOptimizerRule(_ => DotProductRewrite)
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }
