@@ -231,6 +231,34 @@ object Joins {
              |FROM p ASOF LEFT JOIN b ON p.user_id = b.user_id AND p.ts >= b.ts
              |ORDER BY p.event_id""".stripMargin),
     ),
+    // The same keyed backward as-of, but through the CUSTOM CATALYST
+    // OPERATOR tier (AsofJoinNode → AsofJoinStrategy → AsofJoinExec,
+    // plans/AsofJoinPlan.scala): this puts the physical operator inside
+    // the DuckDB hash gate, not just the scalatest equivalence suite.
+    // Strategy registration is idempotent on the session.
+    OpSpec(
+      "join_asof_physical",
+      (s, d) => {
+        val cs = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        if (!cs.experimental.extraStrategies.contains(graft.plans.AsofJoinStrategy))
+          cs.experimental.extraStrategies ++= Seq(graft.plans.AsofJoinStrategy)
+        val build = T.events(s, d).filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("value").as("click_value"))
+        graft.plans.AsofJoinPlan.asof(
+          purchases(s, d), build,
+          on = "ts", by = Seq("user_id"), payload = Seq("click_value"))
+          .select(col("event_id"), col("user_id"),
+            P.tsOut(col("matched_ts")).as("matched_ts"), col("click_value"))
+          .orderBy("event_id")
+      },
+      Some("""WITH p AS (SELECT event_id, user_id, cast(ts as timestamp) AS ts
+             |          FROM events WHERE event_type = 'purchase'),
+             |     b AS (SELECT user_id, cast(ts as timestamp) AS ts, value AS click_value
+             |          FROM events WHERE event_type = 'click')
+             |SELECT p.event_id, p.user_id, b.ts AS matched_ts, b.click_value
+             |FROM p ASOF LEFT JOIN b ON p.user_id = b.user_id AND p.ts >= b.ts
+             |ORDER BY p.event_id""".stripMargin),
+    ),
     // Forward as-of (pandas direction='forward'): the NEXT click by the
     // same user at-or-after each purchase. Same single-shuffle window
     // idiom, mirrored frame.

@@ -162,4 +162,38 @@ class AsofJoinSpec extends AnyFunSuite {
       assert(got == expected)
     }
   }
+
+  test("randomized forward and nearest match brute force") {
+    val rnd = new scala.util.Random(99)
+    for (_ <- 1 to 3) {
+      val probe = (1L to 30L).map(i => (i, rnd.nextInt(1000).toLong))
+      val uniq = (1 to 20).map(_ => (rnd.nextInt(1000).toLong, rnd.nextInt(100).toDouble))
+        .groupBy(_._1).map(_._2.head).toSeq // unique build ts
+      val pDf = probeDf(probe: _*); val bDf = buildDf(uniq: _*)
+
+      val fwdExp = probe.map { case (id, pts) =>
+        val cand = uniq.filter(_._1 >= pts)
+        id -> (if (cand.isEmpty) None else Some(cand.minBy(_._1)._2))
+      }.toMap
+      val fwdGot = AsofJoin.forward(pDf, bDf, on = "ts", by = Nil, payload = Seq("v"))
+        .select("id", "v").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+      assert(fwdGot == fwdExp)
+
+      val nearExp = probe.map { case (id, pts) =>
+        val back = uniq.filter(_._1 <= pts).sortBy(_._1).lastOption
+        val fwd = uniq.filter(_._1 >= pts).sortBy(_._1).headOption
+        val pick = (back, fwd) match {
+          case (Some(b), Some(f)) =>
+            if (pts - b._1 <= f._1 - pts) Some(b._2) else Some(f._2) // tie → backward
+          case (b, f) => b.orElse(f).map(_._2)
+        }
+        id -> pick
+      }.toMap
+      val nearGot = AsofJoin.nearest(pDf, bDf, on = "ts", by = Nil, payload = Seq("v"))
+        .select("id", "v").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+      assert(nearGot == nearExp)
+    }
+  }
 }
