@@ -99,4 +99,36 @@ object StreamOps {
           out.iterator
       }
   }
+
+  /** Streaming backward as-of: the flagship TSDB enrichment running
+    * incrementally. Build rows (tag 0) update per-key state (latest
+    * build ts + payload); probe rows (tag 1) emit themselves enriched
+    * with the CURRENT state — exactly merge_asof backward semantics
+    * when rows arrive in event-time order per key (within a micro-batch
+    * the group is sorted by (ts, tag), so build-before-probe at equal
+    * ts holds; across batches the state store carries the frontier).
+    * State is one row per key — bounded regardless of stream length. */
+  case class AsofIn(user_id: Long, ts_us: Long, tag: Int, event_id: Long, value: Double)
+  case class AsofState(ts_us: Long, value: Double)
+  case class AsofOut(user_id: Long, event_id: Long,
+      matched_ts_us: Option[Long], matched_value: Option[Double])
+
+  def streamingAsof(events: Dataset[AsofIn]): Dataset[AsofOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsofState, AsofOut](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[AsofIn], state: GroupState[AsofState]) =>
+          var st = state.getOption.orNull
+          val out = Seq.newBuilder[AsofOut]
+          rows.toSeq.sortBy(r => (r.ts_us, r.tag)).foreach { r =>
+            if (r.tag == 0) st = AsofState(r.ts_us, r.value)
+            else out += AsofOut(user, r.event_id,
+              Option(st).map(_.ts_us), Option(st).map(_.value))
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
 }

@@ -95,6 +95,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("streaming as-of equals the batch as-of join (state across batches)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def usOf(t: java.sql.Timestamp): Long = t.getTime * 1000 + (t.getNanos / 1000) % 1000
+    val inRows = eventRows
+      .filter(e => e.event_type == "purchase" || e.event_type == "click")
+      .map(e => StreamOps.AsofIn(e.user_id, usOf(e.ts),
+        if (e.event_type == "click") 0 else 1, e.event_id, e.value))
+      .sortBy(r => (r.ts_us, r.tag)) // event-time arrival order
+    val ms = MemoryStream[StreamOps.AsofIn]
+    val q = StreamOps.streamingAsof(ms.toDS())
+      .writeStream.format("memory").queryName("t_asof").outputMode("append").start()
+    val (a, b) = inRows.splitAt(inRows.size / 2)
+    ms.addData(a); q.processAllAvailable()
+    ms.addData(b); q.processAllAvailable() // frontier must survive the batch boundary
+    q.stop()
+    val streamed = spark.table("t_asof").collect()
+      .map(r => r.getLong(1) -> (
+        if (r.isNullAt(2)) None else Some((r.getLong(2), r.getDouble(3)))))
+      .toMap
+
+    val ev = eventRows.toDF()
+    val batch = graft.ts.AsofJoin.backward(
+        ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts", "value"),
+        ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("value").as("click_value")),
+        on = "ts", by = Seq("user_id"), payload = Seq("click_value"))
+      .select(col("event_id"), unix_micros(col("matched_ts")).as("mts"), col("click_value"))
+      .collect()
+      .map(r => r.getLong(0) -> (
+        if (r.isNullAt(1)) None else Some((r.getLong(1), r.getDouble(2)))))
+      .toMap
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("flatMapGroupsWithState running EWM carries state across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
