@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The one-call session entry must wire the full extension stack: SQL
+  * function, optimizer rule, and the as-of planner strategy. Uses a
+  * dedicated session (newSession would share extensions anyway; the
+  * builder path is what library users run). */
+class GraftSessionSpec extends AnyFunSuite {
+
+  test("builder session has dot_native, the rewrite rule, and the as-of strategy") {
+    // force the shared test session to exist first so getOrCreate below
+    // reuses its SparkContext but applies our extensions to a NEW session
+    // (cleared default; restored after — do NOT stop() the shared context)
+    val orig = TestSpark.spark
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    val s = graft.core.GraftSession.builder("graft-session-spec")
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .getOrCreate()
+    try {
+      // SQL function registered
+      val d = s.sql("SELECT dot_native(array(1D, 2D), array(3D, 4D)) AS d")
+        .head().getDouble(0)
+      assert(d == 11.0)
+      // optimizer rule rewrites the HOF pattern (non-literal input so
+      // constant folding can't collapse it first)
+      val plan = s.range(3).selectExpr(
+        "aggregate(zip_with(array(cast(id as double), 2D), array(3D, 4D), (x,y) -> x*y), 0D, (acc,x) -> acc+x) AS d")
+      assert(plan.queryExecution.optimizedPlan.toString.contains("dot_native"),
+        plan.queryExecution.optimizedPlan.toString)
+      assert(plan.collect().map(_.getDouble(0)).sorted.toSeq == Seq(8.0, 11.0, 14.0))
+      // planner strategy resolves the custom as-of node
+      import org.apache.spark.sql.functions._
+      val probe = s.range(3).select(col("id"),
+        timestamp_micros(col("id") * 100).as("ts"), col("id").as("k"))
+      val build = s.range(2).select(col("id").as("k"),
+        timestamp_micros(col("id") * 50).as("ts"), lit(1.5).as("v"))
+      val asof = graft.plans.AsofJoinPlan.asof(probe, build,
+        on = "ts", by = Seq("k"), payload = Seq("v"))
+      assert(asof.queryExecution.executedPlan.toString.contains("AsofJoin ts"))
+      assert(asof.count() == 3)
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(orig)
+      org.apache.spark.sql.SparkSession.setActiveSession(orig)
+    }
+  }
+}
