@@ -178,15 +178,18 @@ object AsofJoin {
     val tagged = tagUnion(probe, build, on, Nil, payload)
 
     // Deterministic range buckets: boundaries come from a quantile
-    // sketch (one extra scan, driver holds n-1 longs), and the bucket id
-    // is a pure function of ts — NOT spark_partition_id over a sampled
-    // repartitionByRange, whose ids are lineage-nondeterministic and
-    // would disagree between the two sides of the boundary-fix join.
+    // sketch of the PROBE side (correctness does not depend on the
+    // bounds — any monotone bucketing yields the same as-of result, the
+    // bounds only balance work — so the cheaper single-side sketch
+    // suffices), and the bucket id is a pure function of ts — NOT
+    // spark_partition_id over a sampled repartitionByRange, whose ids
+    // are lineage-nondeterministic and would disagree between the two
+    // sides of the boundary-fix join.
     val probs = (1 until n).map(_.toDouble / n).toArray
     val bounds =
       if (probs.isEmpty) Array.empty[Double]
-      else tagged.select(unix_micros(col(on)).cast("double").as("_us"))
-        .stat.approxQuantile("_us", probs, 0.001).distinct.sorted
+      else probe.select(unix_micros(col(on)).cast("double").as("_us"))
+        .stat.approxQuantile("_us", probs, 0.01).distinct.sorted
     val boundsCol = array(bounds.map(b => lit(b.toLong)): _*)
     val pid: Column =
       if (bounds.isEmpty) lit(0)
