@@ -40,7 +40,13 @@ object NearDup {
     * both the Spark plan and the DuckDB oracle. */
   val maxShingleDf = 50L
 
-  /** Distinct (doc_id, shingle-hash) pairs; shingles are 3-token windows. */
+  /** Distinct (doc_id, shingle-hash) pairs; shingles are 3-token
+    * windows, hashed to int64 BEFORE the distinct so the dedup shuffle
+    * (the family's biggest) carries 8-byte longs, not 3-gram strings —
+    * at 100 TB that is a several-fold shuffle-volume cut. Distinctness
+    * is therefore over hashes (a within-doc 32-bit-prefix collision
+    * merges two shingles); the oracle hashes before DISTINCT too, so
+    * both engines compute the identical set. */
   private def shingleNums(s: SparkSession, d: String): DataFrame =
     T.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
@@ -48,17 +54,17 @@ object NearDup {
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(w) - 2), i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))"))
         .as("sh"))
-      .distinct()
       .select(col("doc_id"), expr(TextOps.tokenNumExpr("sh")).as("x"))
+      .distinct()
 
   private val shingleSql: String =
     """sh AS (
-      |  SELECT DISTINCT doc_id, p[1] || ' ' || p[2] || ' ' || p[3] AS shingle
+      |  SELECT doc_id, p[1] || ' ' || p[2] || ' ' || p[3] AS shingle
       |  FROM (SELECT doc_id, unnest(list_zip(w, w[2:], w[3:])) AS p
       |        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
       |        WHERE len(w) >= 3)
       |  WHERE p[3] IS NOT NULL),
-      |shn AS (SELECT doc_id, ('0x' || substr(sha256(shingle), 1, 8))::BIGINT AS x FROM sh)""".stripMargin
+      |shn AS (SELECT DISTINCT doc_id, ('0x' || substr(sha256(shingle), 1, 8))::BIGINT AS x FROM sh)""".stripMargin
 
   val ops: Seq[OpSpec] = Seq(
     // 3-gram Jaccard over DF-CAPPED distinct shingle sets: shingles with
