@@ -61,5 +61,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => DotProduct(args(0), args(1))))
     ext.injectOptimizerRule(_ => DotProductRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+    ext.injectResolutionRule(_ => graft.plans.ResolveAsofJoin)
+    // SQL surface for the custom operator:
+    //   SELECT * FROM asof_join('probe_view', 'build_view', 'ts',
+    //                           'by1,by2', 'payload1,payload2'
+    //                           [, tolerance_micros])
+    // The relations start unresolved; ResolveAsofJoin fills the output
+    // attrs once the analyzer resolves them.
+    ext.injectTableFunction((
+      new FunctionIdentifier("asof_join"),
+      new ExpressionInfo(classOf[graft.plans.AsofJoinNode].getName, "asof_join"),
+      (args: Seq[Expression]) => {
+        require(args.length == 5 || args.length == 6,
+          "asof_join(probe, build, on, by_csv, payload_csv[, tolerance_micros])")
+        def str(e: Expression): String = e.eval() match {
+          case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+          case other => String.valueOf(other)
+        }
+        val by = str(args(3)).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val payload = str(args(4)).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        require(by.nonEmpty, "asof_join requires a non-empty by key list")
+        val tol = args.lift(5).map(e => e.eval().asInstanceOf[Number].longValue())
+        graft.plans.AsofJoinNode(
+          org.apache.spark.sql.catalyst.analysis.UnresolvedRelation(Seq(str(args(0)))),
+          org.apache.spark.sql.catalyst.analysis.UnresolvedRelation(Seq(str(args(1)))),
+          str(args(2)), by, payload, tol, Nil)
+      }))
   }
 }

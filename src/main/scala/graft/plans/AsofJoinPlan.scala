@@ -30,6 +30,11 @@ case class AsofJoinNode(
     toleranceMicros: Option[Long],
     matchedAttrs: Seq[AttributeReference])
   extends BinaryNode {
+  // empty matchedAttrs marks a node from the SQL TVF surface whose
+  // output dtypes aren't known until the children resolve;
+  // ResolveAsofJoin fills them exactly once (stable exprIds thereafter)
+  override lazy val resolved: Boolean =
+    childrenResolved && matchedAttrs.nonEmpty && expressions.forall(_.resolved)
   override def output: Seq[Attribute] = left.output ++ matchedAttrs
   // matchedAttrs originate HERE, not from a child — exempt them from
   // the analyzer's missing-input check
@@ -45,6 +50,24 @@ case class AsofJoinNode(
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoinNode =
     copy(left = newLeft, right = newRight)
+}
+
+/** Analyzer rule for the SQL TVF surface: once the (initially
+  * unresolved) relations under an [[AsofJoinNode]] resolve, derive the
+  * matched-output attributes from the build side's schema. Runs exactly
+  * once per node (guarded on matchedAttrs.isEmpty) so exprIds stay
+  * stable through later plan copies. */
+object ResolveAsofJoin extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+    case n: AsofJoinNode if n.childrenResolved && n.matchedAttrs.isEmpty =>
+      def rAttr(name: String) = n.right.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"asof_join: column '$name' not found in build side ${n.right.output.map(_.name)}"))
+      val matched =
+        AttributeReference("matched_ts", rAttr(n.on).dataType, nullable = true)() +:
+          n.payload.map(p => AttributeReference(p, rAttr(p).dataType, nullable = true)())
+      n.copy(matchedAttrs = matched)
+  }
 }
 
 object AsofJoinStrategy extends SparkStrategy {

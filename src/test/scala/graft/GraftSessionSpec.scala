@@ -41,6 +41,17 @@ class GraftSessionSpec extends AnyFunSuite {
         on = "ts", by = Seq("k"), payload = Seq("v"))
       assert(asof.queryExecution.executedPlan.toString.contains("AsofJoin ts"))
       assert(asof.count() == 3)
+      // SQL TVF surface: same operator straight from SQL text
+      probe.createOrReplaceTempView("tvf_probe")
+      build.createOrReplaceTempView("tvf_build")
+      val viaSql = s.sql(
+        "SELECT * FROM asof_join('tvf_probe', 'tvf_build', 'ts', 'k', 'v') ORDER BY id")
+      assert(viaSql.queryExecution.executedPlan.toString.contains("AsofJoin ts"))
+      val sqlRows = viaSql.select("id", "v").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+      val apiRows = asof.select("id", "v").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+      assert(sqlRows == apiRows && sqlRows.nonEmpty)
     } finally {
       org.apache.spark.sql.SparkSession.setDefaultSession(orig)
       org.apache.spark.sql.SparkSession.setActiveSession(orig)
