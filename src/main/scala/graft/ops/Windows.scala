@@ -320,5 +320,50 @@ object Windows {
               |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
               |ORDER BY event_id""".stripMargin),
     ),
+    // rolling(5).corr(lag-1): rolling autocorrelation per user from the
+    // closed-form Pearson over exact decimal co-moment sums — the same
+    // determinism discipline as win_rolling_std (no engine corr builtin,
+    // whose bias/formula choices differ). Pairs need the lag present:
+    // n counts non-null y in the frame; defined when n=5 and var>0.
+    OpSpec(
+      "win_rolling_corr",
+      (s, d) => {
+        val x = when(col("y").isNotNull, P.dec2(col("value")))
+        val y = P.dec2(col("y"))
+        ev(s, d)
+          .withColumn("y", lag("value", 1).over(byUser))
+          .withColumn("n", count(col("y")).over(roll5))
+          .withColumn("sx", sum(x).over(roll5).cast("double"))
+          .withColumn("sy", sum(y).over(roll5).cast("double"))
+          .withColumn("sxx", sum((x * x).cast("decimal(38,4)")).over(roll5).cast("double"))
+          .withColumn("syy", sum((y * y).cast("decimal(38,4)")).over(roll5).cast("double"))
+          .withColumn("sxy", sum((x * y).cast("decimal(38,4)")).over(roll5).cast("double"))
+          .withColumn("dd",
+            (lit(5.0) * col("sxx") - col("sx") * col("sx")) *
+              (lit(5.0) * col("syy") - col("sy") * col("sy")))
+          .select(col("event_id"), col("user_id"),
+            when(col("n") === 5 && col("dd") > 0,
+              P.r4((lit(5.0) * col("sxy") - col("sx") * col("sy")) / sqrt(col("dd"))))
+              .as("roll_corr5"))
+          .orderBy("event_id")
+      },
+      Some(s"""SELECT event_id, user_id,
+              |  CASE WHEN n = 5 AND (5 * sxx - sx * sx) * (5 * syy - sy * sy) > 0
+              |       THEN round((5 * sxy - sx * sy) /
+              |                  sqrt((5 * sxx - sx * sx) * (5 * syy - sy * sy)), 4) END AS roll_corr5
+              |FROM (
+              |  SELECT event_id, user_id,
+              |    count(y) OVER w AS n,
+              |    cast(sum(CASE WHEN y IS NOT NULL THEN cast(value as decimal(18,2)) END) OVER w as double) AS sx,
+              |    cast(sum(cast(y as decimal(18,2))) OVER w as double) AS sy,
+              |    cast(sum(cast(CASE WHEN y IS NOT NULL THEN cast(value as decimal(18,2)) END * cast(CASE WHEN y IS NOT NULL THEN cast(value as decimal(18,2)) END as decimal(18,2)) as decimal(38,4))) OVER w as double) AS sxx,
+              |    cast(sum(cast(cast(y as decimal(18,2)) * cast(y as decimal(18,2)) as decimal(38,4))) OVER w as double) AS syy,
+              |    cast(sum(cast(CASE WHEN y IS NOT NULL THEN cast(value as decimal(18,2)) END * cast(y as decimal(18,2)) as decimal(38,4))) OVER w as double) AS sxy
+              |  FROM (SELECT event_id, user_id, value,
+              |          lag(value, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS y
+              |        FROM $EV)
+              |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+              |ORDER BY event_id""".stripMargin),
+    ),
   )
 }

@@ -30,6 +30,7 @@ case class AsofJoinNode(
     toleranceMicros: Option[Long],
     matchedAttrs: Seq[AttributeReference])
   extends BinaryNode {
+  require(by.nonEmpty, "as-of operator requires a non-empty by key (keyed shape)")
   // empty matchedAttrs marks a node from the SQL TVF surface whose
   // output dtypes aren't known until the children resolve;
   // ResolveAsofJoin fills them exactly once (stable exprIds thereafter)
