@@ -209,6 +209,49 @@ object Aggs {
              |  FROM orders GROUP BY o_orderstatus)
              |ORDER BY o_orderstatus""".stripMargin),
     ),
+    // Population skewness / excess kurtosis from exact integer moment
+    // sums (l_quantity is integral 1..50, so Σx..Σx⁴ are exact bigints
+    // in both engines); the double-arithmetic formula TEXT is shared
+    // verbatim between the Spark expr() and the oracle SQL, so both
+    // evaluate the identical IEEE expression tree — no engine skew/kurt
+    // builtin, whose bias corrections differ. m2^1.5 is spelled
+    // m2*sqrt(m2) (sqrt is correctly-rounded everywhere; pow is not).
+    {
+      val mean = "(s1 / n)"
+      val m2 = s"(s2 / n - $mean * $mean)"
+      val m3 = s"(s3 / n - 3 * $mean * s2 / n + 2 * $mean * $mean * $mean)"
+      val m4 = s"(s4 / n - 4 * $mean * s3 / n + 6 * $mean * $mean * s2 / n - 3 * $mean * $mean * $mean * $mean)"
+      val skew = s"round($m3 / ($m2 * sqrt($m2)), 4)"
+      val kurt = s"round($m4 / ($m2 * $m2) - 3, 4)"
+      OpSpec(
+        "agg_skew_kurt",
+        (s, d) => {
+          val xi = col("l_quantity").cast("bigint")
+          T.lineitem(s, d)
+            .groupBy("l_returnflag")
+            .agg(
+              count(lit(1)).cast("double").as("n"),
+              sum(xi).cast("double").as("s1"),
+              sum(xi * xi).cast("double").as("s2"),
+              sum(xi * xi * xi).cast("double").as("s3"),
+              sum(xi * xi * xi * xi).cast("double").as("s4"))
+            .selectExpr("l_returnflag",
+              s"$skew AS skew_qty", s"$kurt AS kurt_qty")
+            .orderBy("l_returnflag")
+        },
+        Some(s"""SELECT l_returnflag, $skew AS skew_qty, $kurt AS kurt_qty
+                |FROM (
+                |  SELECT l_returnflag,
+                |    cast(count(*) as double) AS n,
+                |    cast(sum(x) as double) AS s1,
+                |    cast(sum(x * x) as double) AS s2,
+                |    cast(sum(x * x * x) as double) AS s3,
+                |    cast(sum(x * x * x * x) as double) AS s4
+                |  FROM (SELECT l_returnflag, cast(l_quantity as bigint) AS x FROM lineitem)
+                |  GROUP BY l_returnflag)
+                |ORDER BY l_returnflag""".stripMargin),
+      )
+    },
     // Pearson r from exact sums — same determinism device.
     OpSpec(
       "agg_corr",
