@@ -71,21 +71,25 @@ object AsofJoin {
     df.filter(col("_tag") === 1).select(out: _*)
   }
 
-  // Backward: last build row at-or-before the probe. Ordering (ts, tag
-  // asc) puts the equal-ts build BEFORE the probe → exact matches allowed.
+  // RANGE frames include PEERS (all rows with equal ts, either tag), so
+  // ordering by ts ALONE implements allow_exact_matches in both
+  // directions — no tag in the sort key, and backward+forward carries
+  // share one ordering, so `nearest` computes both in a single sort /
+  // single WindowExec.
+
+  // Backward: last build row at-or-before the probe (equal-ts peers in).
   private def backwardCarry(on: String, by: Seq[String]): Column =
     last(col(M), ignoreNulls = true).over(
       Window.partitionBy(by.map(col): _*)
-        .orderBy(col(on).asc, col("_tag").asc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .orderBy(col(on).asc)
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow))
 
-  // Forward: first build row at-or-after the probe. Ordering (ts, tag
-  // desc) puts the probe BEFORE the equal-ts build → exact matches allowed.
+  // Forward: first build row at-or-after the probe (equal-ts peers in).
   private def forwardCarry(on: String, by: Seq[String]): Column =
     first(col(M), ignoreNulls = true).over(
       Window.partitionBy(by.map(col): _*)
-        .orderBy(col(on).asc, col("_tag").desc)
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+        .orderBy(col(on).asc)
+        .rangeBetween(Window.currentRow, Window.unboundedFollowing))
 
   /** @param probe    left side; all its columns survive
     * @param build    right side; must contain `on`, `by`, and `payload`
@@ -197,10 +201,11 @@ object AsofJoin {
     val ranged = tagged.withColumn("_pid", pid)
 
     // per-partition backward window — parallel across ts buckets (the
-    // window's own hash exchange on _pid does the partitioning)
+    // window's own hash exchange on _pid does the partitioning); range
+    // frame includes equal-ts peers, same as backwardCarry
     val w = Window.partitionBy("_pid")
-      .orderBy(col(on).asc, col("_tag").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      .orderBy(col(on).asc)
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = ranged.withColumn("_c", last(col(M), ignoreNulls = true).over(w))
 
     // each partition's final carried struct = its last build row (NULL if
