@@ -34,4 +34,16 @@ class AnnSpec extends AnyFunSuite {
     }
     assert(ivfTop.size == math.min(10, inCell - 1), s"ivf returned ${ivfTop.size} of ${inCell - 1} in-cell candidates")
   }
+
+  test("nprobe=5 recall is at least nprobe=1 recall (more cells, superset candidates)") {
+    val brute = ops.Registry.queries("sim_cosine_topk")(spark, TestSpark.sfSmoke)
+      .collect().map(_.getLong(0)).toSet
+    val np1 = ops.Registry.queries("sim_cosine_ivf")(spark, TestSpark.sfSmoke)
+      .collect().map(_.getLong(0)).toSet
+    val np5 = ops.Registry.queries("sim_cosine_ivf_nprobe")(spark, TestSpark.sfSmoke)
+      .collect().map(_.getLong(0)).toSet
+    val r1 = (np1 & brute).size
+    val r5 = (np5 & brute).size
+    assert(np5.nonEmpty && r5 >= r1, s"nprobe=5 recall $r5 < nprobe=1 recall $r1")
+  }
 }
