@@ -209,6 +209,23 @@ object Aggs {
              |  FROM orders GROUP BY o_orderstatus)
              |ORDER BY o_orderstatus""".stripMargin),
     ),
+    // Two-phase SALTED aggregation (core/Skew.saltedAgg) against the
+    // PLAIN group-by oracle: the hash gate itself proves the hot-key
+    // mitigation is semantically invisible — exact decimal partials
+    // make the two-phase sum bit-equal to the one-phase sum no matter
+    // how the salt spreads rows.
+    OpSpec(
+      "agg_groupby_salted",
+      (s, d) =>
+        graft.core.Skew.saltedAgg(
+          T.events(s, d), key = "user_id", valueCol = "value",
+          tieCol = "event_id", salts = 16)
+          .orderBy("user_id"),
+      Some("""SELECT user_id,
+             |  cast(sum(cast(value as decimal(18,2))) as double) AS sum_value,
+             |  count(*) AS n
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+    ),
     // Population skewness / excess kurtosis from exact integer moment
     // sums (l_quantity is integral 1..50, so Σx..Σx⁴ are exact bigints
     // in both engines); the double-arithmetic formula TEXT is shared

@@ -34,6 +34,15 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.count() == region.count())
   }
 
+  test("ORC round-trip preserves values (columnar alternative to parquet)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val src = graft.core.Tables.nation(spark, TestSpark.sfSmoke)
+    src.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.collect().map(_.toString).sorted.toSeq ==
+      src.collect().map(_.toString).sorted.toSeq)
+  }
+
   test("JSON round-trip preserves values") {
     val dir = Files.createTempDirectory("graft_json").toString
     val nation = graft.core.Tables.nation(spark, TestSpark.sfSmoke)
