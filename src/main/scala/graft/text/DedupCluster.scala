@@ -1,0 +1,64 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Duplicate-cluster resolution: near-dup detection yields PAIRS
+  * (a, b); deduplication needs CLUSTERS — the connected components of
+  * the pair graph — so one survivor can represent each group of
+  * mutual near-duplicates (a~b, b~c ⇒ {a,b,c} keep min id).
+  *
+  * Algorithm: iterative label propagation (a.k.a. hash-to-min): every
+  * node starts labeled with itself; each round, every node adopts the
+  * minimum label in its neighborhood (its own + over all incident
+  * edges). Converges in O(diameter) rounds — near-dup components are
+  * tiny (pairwise-similar texts), so `iters` = 4 default covers
+  * diameter ≤ 15 realistically; convergence is checked and iteration
+  * stops early when a round changes nothing.
+  *
+  * Scale shape: each round is one join on the edge list + one
+  * groupBy(min) — both shuffle on the node id, no driver-side graph.
+  * Edge lists from LSH candidates are O(docs·bands), not O(docs²).
+  */
+object DedupCluster {
+
+  /** @param pairs edge list with two id columns (a, b)
+    * @return (id, cluster) — cluster = min node id reachable; only
+    *         ids appearing in `pairs` are returned (singletons keep
+    *         themselves implicitly) */
+  def clusters(pairs: DataFrame, aCol: String = "a", bCol: String = "b",
+               iters: Int = 4): DataFrame = {
+    val spark = pairs.sparkSession
+    // undirected edges, both directions
+    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+      .distinct()
+      .cache()
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+    var changed = true
+    var round = 0
+    while (changed && round < iters) {
+      // each node adopts min(own label, neighbors' labels)
+      val viaEdges = edges
+        .join(labels.withColumnRenamed("id", "v"), Seq("v"))
+        .select(col("u").as("id"), col("lbl"))
+      val next = labels.unionByName(viaEdges)
+        .groupBy("id").agg(min("lbl").as("lbl"))
+      changed = next.join(labels.withColumnRenamed("lbl", "old"), Seq("id"))
+        .filter(col("lbl") =!= col("old")).limit(1).count() > 0
+      labels = next
+      round += 1
+    }
+    labels.select(col("id"), col("lbl").as("cluster"))
+  }
+
+  /** Survivor filter: documents whose id is NOT a non-representative
+    * member of any cluster (keep-min policy). */
+  def survivors(docs: DataFrame, idCol: String, pairs: DataFrame,
+                aCol: String = "a", bCol: String = "b"): DataFrame = {
+    val cl = clusters(pairs, aCol, bCol)
+    val losers = cl.filter(col("id") =!= col("cluster")).select(col("id"))
+    docs.join(losers.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+  }
+}
