@@ -320,6 +320,42 @@ object Windows {
               |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
               |ORDER BY event_id""".stripMargin),
     ),
+    // rolling(5).cov(lag-1): sample covariance with the lag-1 series,
+    // same exact co-moment sums as win_rolling_corr. NOT rounded: both
+    // engines evaluate the identical IEEE expression over identical
+    // doubles, and rounding a near-tie 4dp value is exactly where their
+    // round() tie policies diverge (§2.0 rule 2).
+    OpSpec(
+      "win_rolling_cov",
+      (s, d) => {
+        val x = when(col("y").isNotNull, P.dec2(col("value")))
+        val y = P.dec2(col("y"))
+        ev(s, d)
+          .withColumn("y", lag("value", 1).over(byUser))
+          .withColumn("n", count(col("y")).over(roll5))
+          .withColumn("sx", sum(x).over(roll5).cast("double"))
+          .withColumn("sy", sum(y).over(roll5).cast("double"))
+          .withColumn("sxy", sum((x * y).cast("decimal(38,4)")).over(roll5).cast("double"))
+          .select(col("event_id"), col("user_id"),
+            when(col("n") === 5,
+              (col("sxy") - col("sx") * col("sy") / lit(5.0)) / lit(4.0))
+              .as("roll_cov5"))
+          .orderBy("event_id")
+      },
+      Some(s"""SELECT event_id, user_id,
+              |  CASE WHEN n = 5 THEN (sxy - sx * sy / 5.0) / 4.0 END AS roll_cov5
+              |FROM (
+              |  SELECT event_id, user_id,
+              |    count(y) OVER w AS n,
+              |    cast(sum(CASE WHEN y IS NOT NULL THEN cast(value as decimal(18,2)) END) OVER w as double) AS sx,
+              |    cast(sum(cast(y as decimal(18,2))) OVER w as double) AS sy,
+              |    cast(sum(cast(CASE WHEN y IS NOT NULL THEN cast(value as decimal(18,2)) END * cast(y as decimal(18,2)) as decimal(38,4))) OVER w as double) AS sxy
+              |  FROM (SELECT event_id, user_id, value,
+              |          lag(value, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS y
+              |        FROM $EV)
+              |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+              |ORDER BY event_id""".stripMargin),
+    ),
     // rolling(5).corr(lag-1): rolling autocorrelation per user from the
     // closed-form Pearson over exact decimal co-moment sums — the same
     // determinism discipline as win_rolling_std (no engine corr builtin,

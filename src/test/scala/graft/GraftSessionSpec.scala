@@ -52,6 +52,15 @@ class GraftSessionSpec extends AnyFunSuite {
       val apiRows = asof.select("id", "v").collect()
         .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
       assert(sqlRows == apiRows && sqlRows.nonEmpty)
+      // TVF misuse fails loudly, not silently
+      val wrongArity = intercept[Exception] {
+        s.sql("SELECT * FROM asof_join('tvf_probe', 'tvf_build')").collect()
+      }
+      assert(wrongArity.getMessage.contains("asof_join"), wrongArity.getMessage)
+      val emptyBy = intercept[Exception] {
+        s.sql("SELECT * FROM asof_join('tvf_probe', 'tvf_build', 'ts', '', 'v')").collect()
+      }
+      assert(emptyBy.getMessage.contains("by"), emptyBy.getMessage)
     } finally {
       org.apache.spark.sql.SparkSession.setDefaultSession(orig)
       org.apache.spark.sql.SparkSession.setActiveSession(orig)
