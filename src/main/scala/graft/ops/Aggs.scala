@@ -209,6 +209,27 @@ object Aggs {
              |  FROM orders GROUP BY o_orderstatus)
              |ORDER BY o_orderstatus""".stripMargin),
     ),
+    // Weighted average from exact decimal sums: Σ(w·x)/Σw — the
+    // identical-IEEE-quotient device (no rounding needed).
+    OpSpec(
+      "agg_weighted_avg",
+      (s, d) =>
+        T.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(
+            sum((P.dec2(col("l_quantity")) * P.dec2(col("l_extendedprice")))
+              .cast("decimal(38,4)")).cast("double").as("swx"),
+            dsum(col("l_quantity")).as("sw"))
+          .select(col("l_returnflag"), (col("swx") / col("sw")).as("wavg_price"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, swx / sw AS wavg_price
+             |FROM (
+             |  SELECT l_returnflag,
+             |    cast(sum(cast(cast(l_quantity as decimal(18,2)) * cast(l_extendedprice as decimal(18,2)) as decimal(38,4))) as double) AS swx,
+             |    cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sw
+             |  FROM lineitem GROUP BY l_returnflag)
+             |ORDER BY l_returnflag""".stripMargin),
+    ),
     // Two-phase SALTED aggregation (core/Skew.saltedAgg) against the
     // PLAIN group-by oracle: the hash gate itself proves the hot-key
     // mitigation is semantically invisible — exact decimal partials

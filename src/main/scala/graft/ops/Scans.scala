@@ -44,5 +44,26 @@ object Scans {
              |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
              |  AND ts < TIMESTAMP '2024-01-20 00:00:00'""".stripMargin),
     ),
+    // Deterministic 5% sample: RNG-based sampling can never hash-match
+    // across engines (SURVEY §2.0.6), but hash-mod sampling — keep rows
+    // whose sha-256 key prefix ≡ 0 (mod 20) — is the production pattern
+    // anyway (stable across runs AND across engines, samples the same
+    // logical rows as data moves between systems). Row-local, no
+    // shuffle; composes with any downstream op.
+    OpSpec(
+      "scan_sample_hash",
+      (s, d) =>
+        T.orders(s, d)
+          .filter(expr(graft.text.TextOps.tokenNumExpr("cast(o_orderkey as string)")) % 20 === 0)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(P.dec2(col("o_totalprice"))).cast("double").as("sum_price"))
+          .orderBy("o_orderpriority"),
+      Some(s"""SELECT o_orderpriority, count(*) AS n,
+              |  cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS sum_price
+              |FROM orders
+              |WHERE ${graft.text.TextOps.tokenNumSql("cast(o_orderkey as varchar)")} % 20 = 0
+              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+    ),
   )
 }
