@@ -315,6 +315,40 @@ object TimeSeries {
              |WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              |ORDER BY event_id""".stripMargin),
     ),
+    // Conversion funnel (the product-analytics TSDB staple): per user,
+    // the first ts of each stage; a user converts at stage k if the
+    // first-ts chain is ordered signup ≤ click ≤ purchase up to k.
+    // One hash-agg over (user, conditional-min) — no self-joins, no
+    // window; 100 TB shape is a single shuffle on user_id.
+    OpSpec(
+      "ts_funnel",
+      (s, d) => {
+        val e = ev(s, d)
+        def firstTs(t: String) = min(when(col("event_type") === t, col("ts")))
+        e.groupBy("user_id")
+          .agg(
+            firstTs("signup").as("t_signup"),
+            firstTs("click").as("t_click"),
+            firstTs("purchase").as("t_purchase"))
+          .agg(
+            count(lit(1)).as("n_users"),
+            sum(when(col("t_signup").isNotNull, 1L).otherwise(0L)).as("n_signup"),
+            sum(when(col("t_signup").isNotNull && col("t_click") >= col("t_signup"), 1L)
+              .otherwise(0L)).as("n_signup_click"),
+            sum(when(col("t_signup").isNotNull && col("t_click") >= col("t_signup") &&
+              col("t_purchase") >= col("t_click"), 1L).otherwise(0L)).as("n_full_funnel"))
+      },
+      Some("""SELECT count(*) AS n_users,
+             |  cast(sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) as bigint) AS n_signup,
+             |  cast(sum(CASE WHEN t_signup IS NOT NULL AND t_click >= t_signup THEN 1 ELSE 0 END) as bigint) AS n_signup_click,
+             |  cast(sum(CASE WHEN t_signup IS NOT NULL AND t_click >= t_signup AND t_purchase >= t_click THEN 1 ELSE 0 END) as bigint) AS n_full_funnel
+             |FROM (
+             |  SELECT user_id,
+             |    min(CASE WHEN event_type = 'signup' THEN cast(ts as timestamp) END) AS t_signup,
+             |    min(CASE WHEN event_type = 'click' THEN cast(ts as timestamp) END) AS t_click,
+             |    min(CASE WHEN event_type = 'purchase' THEN cast(ts as timestamp) END) AS t_purchase
+             |  FROM events GROUP BY user_id)""".stripMargin),
+    ),
     // pandas merge_ordered(fill_method='ffill') keyed by user: the
     // ordered full-outer merge of each user's purchase and click series
     // with both value columns forward-filled independently. Every stage
