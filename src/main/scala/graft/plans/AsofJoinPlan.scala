@@ -109,6 +109,13 @@ case class AsofJoinExec(
   override def producedAttributes: AttributeSet =
     AttributeSet(output.drop(left.output.size))
 
+  // output rows are the left child's rows 1:1 (in order, with matched
+  // columns appended), so the left's partitioning and ordering survive —
+  // a downstream groupBy/window on the by-key plans NO extra exchange
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): AsofJoinExec =
     copy(left = newLeft, right = newRight)

@@ -69,6 +69,19 @@ class AsofPhysicalPlanSpec extends AnyFunSuite {
     assert(plan.contains("Sort [user_id"), plan)
   }
 
+  test("downstream per-key agg reuses the as-of's partitioning (no third exchange)") {
+    val df = AsofJoinPlan.asof(purchases, clicks,
+        on = "ts", by = Seq("user_id"), payload = Seq("click_value"))
+      .groupBy("user_id").agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+    val plan = df.queryExecution.executedPlan.toString
+    // exactly the two input exchanges below AsofJoin — the groupBy on
+    // user_id must reuse the operator's declared outputPartitioning
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(plan.contains("AsofJoin ts"), plan)
+    assert(exchanges == 2, s"expected 2 exchanges (inputs only), got $exchanges:\n$plan")
+  }
+
   test("probe rows with no prior build row keep NULLs (left-join semantics)") {
     import spark.implicits._
     val probe = Seq((1L, 5L, 100L), (2L, 5L, 300L)).toDF("id", "k", "us")
