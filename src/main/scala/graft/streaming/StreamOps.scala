@@ -100,6 +100,41 @@ object StreamOps {
       }
   }
 
+  /** Streaming LSH near-dup candidates: the incremental half of the
+    * MinHash+LSH dedup plan ("dedup the incoming crawl against
+    * everything seen so far"). Keyed by (band, bucket); state = the doc
+    * ids already seen in that bucket (capped — a pathological bucket
+    * stops emitting pairs instead of exploding state); each arriving
+    * doc emits a candidate pair against every prior occupant. Exact
+    * verification stays downstream, identical to the batch path.
+    * One state row per non-empty bucket — the same O(docs·bands)
+    * budget as the batch shuffle. */
+  case class SigIn(doc_id: Long, band: Int, bucket: String)
+  case class BucketState(ids: List[Long])
+  case class CandPair(a: Long, b: Long)
+
+  def streamingLshCandidates(sigs: Dataset[SigIn],
+                             maxPerBucket: Int = 64): Dataset[CandPair] = {
+    import sigs.sparkSession.implicits._
+    sigs.groupByKey(r => (r.band, r.bucket))
+      .flatMapGroupsWithState[BucketState, CandPair](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (_: (Int, String), rows: Iterator[SigIn], state: GroupState[BucketState]) =>
+          var seen = state.getOption.map(_.ids).getOrElse(Nil)
+          val out = List.newBuilder[CandPair]
+          rows.toSeq.sortBy(_.doc_id).foreach { r =>
+            if (!seen.contains(r.doc_id)) {
+              if (seen.size < maxPerBucket)
+                seen.foreach(s => out += CandPair(math.min(s, r.doc_id), math.max(s, r.doc_id)))
+              seen = (r.doc_id :: seen).take(maxPerBucket)
+            }
+          }
+          state.update(BucketState(seen))
+          out.result().iterator
+      }
+  }
+
   /** Streaming backward as-of: the flagship TSDB enrichment running
     * incrementally. Build rows (tag 0) update per-key state (latest
     * build ts + payload); probe rows (tag 1) emit themselves enriched

@@ -57,6 +57,27 @@ object NearDup {
       .select(col("doc_id"), expr(TextOps.tokenNumExpr("sh")).as("x"))
       .distinct()
 
+  /** MinHash 8-signature + 4×2 LSH banding over distinct (doc_id, x)
+    * shingle hashes → one (doc_id, band, bucket) row per band. Shared
+    * by the declared batch query and the streaming candidate emitter. */
+  def bandedSignatures(sh: DataFrame): DataFrame = {
+    val minhashCols: Seq[Column] = hashFamily.zipWithIndex.map { case ((a, b), j) =>
+      min((col("x") * a + b) % P).as(s"m${j + 1}")
+    }
+    val sig = sh.groupBy("doc_id").agg(minhashCols.head, minhashCols.tail: _*)
+    // one posexplode instead of a 4-way union — the signature agg runs
+    // once, not once per band
+    val bandArr = array((0 until 4).map { bi =>
+      concat_ws("_", col(s"m${2 * bi + 1}"), col(s"m${2 * bi + 2}"))
+    }: _*)
+    sig.select(col("doc_id"), posexplode(bandArr).as(Seq("band", "bucket")))
+  }
+
+  /** The banded signatures of a documents directory (shingle → minhash
+    * → band), for callers outside the declared query. */
+  def bandedSignatures(s: SparkSession, d: String): DataFrame =
+    bandedSignatures(shingleNums(s, d))
+
   private val shingleSql: String =
     """sh AS (
       |  SELECT doc_id, p[1] || ' ' || p[2] || ' ' || p[3] AS shingle
@@ -124,17 +145,7 @@ object NearDup {
         // cached: feeds the signature agg, the sizes agg and both sides
         // of the exact-verify join
         val sh = shingleNums(s, d).cache()
-        val minhashCols: Seq[Column] = hashFamily.zipWithIndex.map { case ((a, b), j) =>
-          min((col("x") * a + b) % P).as(s"m${j + 1}")
-        }
-        val sig = sh.groupBy("doc_id").agg(minhashCols.head, minhashCols.tail: _*)
-        // one posexplode instead of a 4-way union — the signature agg
-        // runs once, not once per band
-        val bandArr = array((0 until 4).map { bi =>
-          concat_ws("_", col(s"m${2 * bi + 1}"), col(s"m${2 * bi + 2}"))
-        }: _*)
-        val bands = sig
-          .select(col("doc_id"), posexplode(bandArr).as(Seq("band", "bucket")))
+        val bands = bandedSignatures(sh)
         val cands = bands.select(col("doc_id").as("a"), col("band"), col("bucket"))
           .join(bands.select(col("doc_id").as("b"), col("band"), col("bucket")),
             Seq("band", "bucket"))

@@ -131,6 +131,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streaming LSH candidates equal the batch LSH candidate pairs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val banded = graft.text.NearDup.bandedSignatures(spark, TestSpark.sfSmoke)
+      .collect().map(r => StreamOps.SigIn(r.getLong(0), r.getInt(1), r.getString(2)))
+      .sortBy(_.doc_id)
+    val ms = MemoryStream[StreamOps.SigIn]
+    val q = StreamOps.streamingLshCandidates(ms.toDS())
+      .writeStream.format("memory").queryName("t_lsh").outputMode("append").start()
+    val (a, b) = banded.splitAt(banded.length / 2)
+    ms.addData(a); q.processAllAvailable()
+    ms.addData(b); q.processAllAvailable() // bucket state crosses the batch boundary
+    q.stop()
+    val streamed = spark.table("t_lsh").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bandsDf = graft.text.NearDup.bandedSignatures(spark, TestSpark.sfSmoke)
+    val batch = bandsDf.select(col("doc_id").as("a"), col("band"), col("bucket"))
+      .join(bandsDf.select(col("doc_id").as("b"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("flatMapGroupsWithState running EWM carries state across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
