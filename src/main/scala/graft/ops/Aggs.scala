@@ -209,6 +209,43 @@ object Aggs {
              |  FROM orders GROUP BY o_orderstatus)
              |ORDER BY o_orderstatus""".stripMargin),
     ),
+    // pandas describe(): count/mean/std/min/quartiles/max in ONE pass —
+    // the most-used pandas method, composed entirely from the proven
+    // determinism devices (exact decimal sums for mean/std, exact
+    // percentile ≡ quantile_cont, exact min/max).
+    OpSpec(
+      "agg_describe",
+      (s, d) =>
+        T.orders(s, d)
+          .agg(
+            count(lit(1)).as("cnt"),
+            dsum(col("o_totalprice")).as("s"),
+            dsumsq(col("o_totalprice")).as("q"),
+            min(col("o_totalprice")).as("min_v"),
+            P.r4(expr("percentile(o_totalprice, 0.25)")).as("p25"),
+            P.r4(expr("percentile(o_totalprice, 0.5)")).as("p50"),
+            P.r4(expr("percentile(o_totalprice, 0.75)")).as("p75"),
+            max(col("o_totalprice")).as("max_v"))
+          .select(
+            col("cnt"),
+            (col("s") / col("cnt")).as("mean_v"),
+            P.r4(sqrt((col("q") - col("s") * col("s") / col("cnt")) / (col("cnt") - 1)))
+              .as("std_v"),
+            col("min_v"), col("p25"), col("p50"), col("p75"), col("max_v")),
+      Some("""SELECT cnt, s / cnt AS mean_v,
+             |  round(sqrt((q - s * s / cnt) / (cnt - 1)), 4) AS std_v,
+             |  min_v, p25, p50, p75, max_v
+             |FROM (
+             |  SELECT count(*) AS cnt,
+             |    cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS s,
+             |    cast(sum(cast(cast(o_totalprice as decimal(18,2)) * cast(o_totalprice as decimal(18,2)) as decimal(38,4))) as double) AS q,
+             |    min(o_totalprice) AS min_v,
+             |    round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+             |    round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+             |    round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+             |    max(o_totalprice) AS max_v
+             |  FROM orders)""".stripMargin),
+    ),
     // Weighted average from exact decimal sums: Σ(w·x)/Σw — the
     // identical-IEEE-quotient device (no rounding needed).
     OpSpec(
