@@ -8,13 +8,13 @@ import org.apache.spark.sql.functions._
   * the pair graph — so one survivor can represent each group of
   * mutual near-duplicates (a~b, b~c ⇒ {a,b,c} keep min id).
   *
-  * Algorithm: iterative label propagation (a.k.a. hash-to-min): every
-  * node starts labeled with itself; each round, every node adopts the
-  * minimum label in its neighborhood (its own + over all incident
-  * edges). Converges in O(diameter) rounds — near-dup components are
-  * tiny (pairwise-similar texts), so `iters` = 4 default covers
-  * diameter ≤ 15 realistically; convergence is checked and iteration
-  * stops early when a round changes nothing.
+  * Algorithm: label propagation with POINTER DOUBLING: every node
+  * starts labeled with itself; each round every node adopts the min
+  * label over its neighborhood AND then the label of its label
+  * (label-of-label join), which squares the propagation distance per
+  * round → O(log diameter) rounds instead of O(diameter). `iters` = 6
+  * covers diameter 2⁶; convergence is checked and iteration stops
+  * early when a round changes nothing.
   *
   * Scale shape: each round is one join on the edge list + one
   * groupBy(min) — both shuffle on the node id, no driver-side graph.
@@ -27,7 +27,7 @@ object DedupCluster {
     *         ids appearing in `pairs` are returned (singletons keep
     *         themselves implicitly) */
   def clusters(pairs: DataFrame, aCol: String = "a", bCol: String = "b",
-               iters: Int = 4): DataFrame = {
+               iters: Int = 6): DataFrame = {
     val spark = pairs.sparkSession
     // undirected edges, both directions
     val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
@@ -43,8 +43,20 @@ object DedupCluster {
       val viaEdges = edges
         .join(labels.withColumnRenamed("id", "v"), Seq("v"))
         .select(col("u").as("id"), col("lbl"))
-      val next = labels.unionByName(viaEdges)
+      val propagated = labels.unionByName(viaEdges)
         .groupBy("id").agg(min("lbl").as("lbl"))
+      // pointer doubling: also adopt the label OF the label (every
+      // label is itself a node id, so the lookup always resolves) —
+      // squares the propagation distance each round
+      val viaLabel = propagated
+        .join(propagated.select(col("id").as("lbl"), col("lbl").as("lbl2")), Seq("lbl"))
+        .select(col("id"), col("lbl2").as("lbl"))
+      // materialize per round: the doubling join references `propagated`
+      // twice, so an unbroken lineage would DOUBLE the plan tree every
+      // round (exponential analysis cost); localCheckpoint truncates it
+      val next = propagated.unionByName(viaLabel)
+        .groupBy("id").agg(min("lbl").as("lbl"))
+        .localCheckpoint(true)
       changed = next.join(labels.withColumnRenamed("lbl", "old"), Seq("id"))
         .filter(col("lbl") =!= col("old")).limit(1).count() > 0
       labels = next

@@ -41,10 +41,19 @@ class DedupClusterSpec extends AnyFunSuite {
         (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
         .filter(p => p._1 != p._2)
         .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).distinct
-      val got = DedupCluster.clusters(pairs.toDF("a", "b"), iters = 12)
+      val got = DedupCluster.clusters(pairs.toDF("a", "b"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == unionFind(pairs))
     }
+  }
+
+  test("pointer doubling converges a 40-node chain within the default rounds") {
+    // worst case for plain propagation: diameter 39 needs 39 plain
+    // rounds; doubling covers it in ~6 (distance squares per round)
+    val pairs = (1L until 40L).map(i => (40L - i, 41L - i)) // reversed chain 40..1
+    val got = DedupCluster.clusters(pairs.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (1L to 40L).map(_ -> 1L).toMap)
   }
 
   test("survivors keep exactly one doc per duplicate cluster") {
