@@ -7,7 +7,12 @@ object PlanAudit {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.1"
-    for (k <- Seq("filter_compare", "join_inner", "join_asof_by", "text_tfidf", "sim_cosine_topk", "ts_resample_agg")) {
+    for (k <- Seq("filter_compare", "join_inner", "join_asof_by", "text_tfidf",
+        "sim_cosine_topk", "ts_resample_agg",
+        // round-4 additions worth re-auditing each round
+        "join_asof_backward", "join_asof_nearest", "join_asof_physical",
+        "dedup_ngram_jaccard", "sim_pairs_threshold", "str_fuzzy_match",
+        "ts_merge_ordered", "agg_groupby_salted", "ts_funnel")) {
       println(s"===== $k =====")
       val df = graft.ops.Registry.queries(k)(spark, d)
       println(df.queryExecution.executedPlan.toString.linesIterator
