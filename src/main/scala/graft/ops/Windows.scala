@@ -320,6 +320,42 @@ object Windows {
               |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
               |ORDER BY event_id""".stripMargin),
     ),
+    // rolling(5).skew(): population skewness over the 5-row frame from
+    // exact decimal moment sums; the post-sum formula TEXT is shared
+    // verbatim with the oracle (the agg_skew_kurt device), and the
+    // sqrt-denominator quotient is irrational so 4dp rounding is safe.
+    {
+      val mean = "(s1 / 5.0)"
+      val m2 = s"(s2 / 5.0 - $mean * $mean)"
+      val m3 = s"(s3 / 5.0 - 3 * $mean * s2 / 5.0 + 2 * $mean * $mean * $mean)"
+      val skew = s"CASE WHEN n = 5 AND $m2 > 0 THEN round($m3 / ($m2 * sqrt($m2)), 4) END"
+      OpSpec(
+        "win_rolling_skew",
+        (s, d) => {
+          // decimal(12,2), NOT (18,2): the static type of a (18,2) cube
+          // exceeds 38 digits and Spark would silently truncate scale;
+          // (12,2)³ = (38,6) fits exactly (values are ≤ ~10⁴)
+          val x = col("value").cast("decimal(12,2)")
+          ev(s, d)
+            .withColumn("n", count(lit(1)).over(roll5))
+            .withColumn("s1", sum(x).over(roll5).cast("double"))
+            .withColumn("s2", sum((x * x).cast("decimal(38,4)")).over(roll5).cast("double"))
+            .withColumn("s3", sum((x * x * x).cast("decimal(38,6)")).over(roll5).cast("double"))
+            .selectExpr("event_id", "user_id", s"$skew AS roll_skew5")
+            .orderBy("event_id")
+        },
+        Some(s"""SELECT event_id, user_id, $skew AS roll_skew5
+                |FROM (
+                |  SELECT event_id, user_id,
+                |    count(*) OVER w AS n,
+                |    cast(sum(cast(value as decimal(12,2))) OVER w as double) AS s1,
+                |    cast(sum(cast(cast(value as decimal(12,2)) * cast(value as decimal(12,2)) as decimal(38,4))) OVER w as double) AS s2,
+                |    cast(sum(cast(cast(value as decimal(12,2)) * cast(value as decimal(12,2)) * cast(value as decimal(12,2)) as decimal(38,6))) OVER w as double) AS s3
+                |  FROM $EV
+                |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+                |ORDER BY event_id""".stripMargin),
+      )
+    },
     // rolling(5).cov(lag-1): sample covariance with the lag-1 series,
     // same exact co-moment sums as win_rolling_corr. NOT rounded: both
     // engines evaluate the identical IEEE expression over identical
