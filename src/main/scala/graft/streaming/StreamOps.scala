@@ -100,6 +100,43 @@ object StreamOps {
       }
   }
 
+  /** Streaming funnel state: per-user FIRST timestamp of each stage,
+    * updated incrementally (min is idempotent/commutative, so arrival
+    * order never matters — no ordering assumption unlike the asof).
+    * Emits the user's current stage row on every update; the LAST
+    * emission per user equals the batch ts_funnel per-user aggregate.
+    * One state row per user. */
+  case class FunnelIn(user_id: Long, event_type: String, ts_us: Long)
+  case class FunnelState(signup: Option[Long], click: Option[Long], purchase: Option[Long])
+  case class FunnelOut(user_id: Long,
+      t_signup: Option[Long], t_click: Option[Long], t_purchase: Option[Long])
+
+  def streamingFunnel(events: Dataset[FunnelIn]): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    def minOpt(a: Option[Long], b: Option[Long]): Option[Long] = (a, b) match {
+      case (Some(x), Some(y)) => Some(math.min(x, y))
+      case _ => a.orElse(b)
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[FunnelIn], state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(None, None, None))
+          rows.foreach { r =>
+            val t = Some(r.ts_us)
+            r.event_type match {
+              case "signup"   => st = st.copy(signup = minOpt(st.signup, t))
+              case "click"    => st = st.copy(click = minOpt(st.click, t))
+              case "purchase" => st = st.copy(purchase = minOpt(st.purchase, t))
+              case _          => ()
+            }
+          }
+          state.update(st)
+          Iterator.single(FunnelOut(user, st.signup, st.click, st.purchase))
+      }
+  }
+
   /** Streaming LSH near-dup candidates: the incremental half of the
     * MinHash+LSH dedup plan ("dedup the incoming crawl against
     * everything seen so far"). Keyed by (band, bucket); state = the doc

@@ -131,6 +131,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streaming funnel final state equals the batch per-user stage mins") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def usOf(t: java.sql.Timestamp): Long = t.getTime * 1000 + (t.getNanos / 1000) % 1000
+    val inRows = eventRows.map(e => StreamOps.FunnelIn(e.user_id, e.event_type, usOf(e.ts)))
+    val ms = MemoryStream[StreamOps.FunnelIn]
+    val q = StreamOps.streamingFunnel(ms.toDS())
+      .writeStream.format("memory").queryName("t_funnel").outputMode("append").start()
+    // deliberately shuffled arrival order: min-state needs no ordering
+    val shuffled = new scala.util.Random(3).shuffle(inRows)
+    val (a, b) = shuffled.splitAt(shuffled.size / 2)
+    ms.addData(a); q.processAllAvailable()
+    ms.addData(b); q.processAllAvailable()
+    q.stop()
+    // LAST emission per user = final state
+    val streamed = spark.table("t_funnel").collect().zipWithIndex
+      .groupBy(_._1.getLong(0)).map { case (u, rs) =>
+        val r = rs.maxBy(_._2)._1
+        u -> (1 to 3).map(i => if (r.isNullAt(i)) None else Some(r.getLong(i)))
+      }
+    val batch = eventRows.toDF()
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "signup", unix_micros(col("ts")))).as("s"),
+        min(when(col("event_type") === "click", unix_micros(col("ts")))).as("c"),
+        min(when(col("event_type") === "purchase", unix_micros(col("ts")))).as("p"))
+      .collect().map { r =>
+        r.getLong(0) -> (1 to 3).map(i => if (r.isNullAt(i)) None else Some(r.getLong(i)))
+      }.toMap
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming LSH candidates equal the batch LSH candidate pairs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
