@@ -65,15 +65,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SQL surface for the custom operator:
     //   SELECT * FROM asof_join('probe_view', 'build_view', 'ts',
     //                           'by1,by2', 'payload1,payload2'
-    //                           [, tolerance_micros])
-    // The relations start unresolved; ResolveAsofJoin fills the output
-    // attrs once the analyzer resolves them.
+    //                           [, tolerance_micros
+    //                           [, direction            -- backward|forward|nearest
+    //                           [, allow_exact_matches]]])
+    // tolerance_micros < 0 means "no tolerance" (SQL has no named
+    // optional args, so the positional slot needs an explicit skip
+    // value). The relations start unresolved; ResolveAsofJoin fills the
+    // output attrs once the analyzer resolves them.
     ext.injectTableFunction((
       new FunctionIdentifier("asof_join"),
       new ExpressionInfo(classOf[graft.plans.AsofJoinNode].getName, "asof_join"),
       (args: Seq[Expression]) => {
-        require(args.length == 5 || args.length == 6,
-          "asof_join(probe, build, on, by_csv, payload_csv[, tolerance_micros])")
+        require(args.length >= 5 && args.length <= 8,
+          "asof_join(probe, build, on, by_csv, payload_csv" +
+            "[, tolerance_micros[, direction[, allow_exact_matches]]])")
         def str(e: Expression): String = e.eval() match {
           case s: org.apache.spark.unsafe.types.UTF8String => s.toString
           case other => String.valueOf(other)
@@ -82,10 +87,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val payload = str(args(4)).split(",").map(_.trim).filter(_.nonEmpty).toSeq
         require(by.nonEmpty, "asof_join requires a non-empty by key list")
         val tol = args.lift(5).map(e => e.eval().asInstanceOf[Number].longValue())
+          .filter(_ >= 0L)
+        val dir = args.lift(6).map(str).getOrElse("backward")
+        val allowExact = args.lift(7).forall(e => e.eval() match {
+          case b: java.lang.Boolean => b.booleanValue()
+          case other => String.valueOf(other).toBoolean
+        })
         graft.plans.AsofJoinNode(
           org.apache.spark.sql.catalyst.analysis.UnresolvedRelation(Seq(str(args(0)))),
           org.apache.spark.sql.catalyst.analysis.UnresolvedRelation(Seq(str(args(1)))),
-          str(args(2)), by, payload, tol, Nil)
+          str(args(2)), by, payload, tol, Nil, dir, allowExact)
       }))
   }
 }

@@ -259,6 +259,34 @@ object Joins {
              |FROM p ASOF LEFT JOIN b ON p.user_id = b.user_id AND p.ts >= b.ts
              |ORDER BY p.event_id""".stripMargin),
     ),
+    // Forward as-of through the CUSTOM CATALYST OPERATOR (the same
+    // AsofJoinExec two-pointer merge, direction='forward') — puts the
+    // exec's forward path inside the hash gate alongside the backward
+    // one.
+    OpSpec(
+      "join_asof_physical_fwd",
+      (s, d) => {
+        val cs = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        if (!cs.experimental.extraStrategies.contains(graft.plans.AsofJoinStrategy))
+          cs.experimental.extraStrategies ++= Seq(graft.plans.AsofJoinStrategy)
+        val build = T.events(s, d).filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("value").as("click_value"))
+        graft.plans.AsofJoinPlan.asof(
+          purchases(s, d), build,
+          on = "ts", by = Seq("user_id"), payload = Seq("click_value"),
+          direction = "forward")
+          .select(col("event_id"), col("user_id"),
+            P.tsOut(col("matched_ts")).as("matched_ts"), col("click_value"))
+          .orderBy("event_id")
+      },
+      Some("""WITH p AS (SELECT event_id, user_id, cast(ts as timestamp) AS ts
+             |          FROM events WHERE event_type = 'purchase'),
+             |     b AS (SELECT user_id, cast(ts as timestamp) AS ts, value AS click_value
+             |          FROM events WHERE event_type = 'click')
+             |SELECT p.event_id, p.user_id, b.ts AS matched_ts, b.click_value
+             |FROM p ASOF LEFT JOIN b ON p.user_id = b.user_id AND p.ts <= b.ts
+             |ORDER BY p.event_id""".stripMargin),
+    ),
     // Forward as-of (pandas direction='forward'): the NEXT click by the
     // same user at-or-after each purchase. Same single-shuffle window
     // idiom, mirrored frame.
@@ -315,6 +343,33 @@ object Joins {
              |       WHEN (bk.ts - b_ts) <= (f_ts - bk.ts) THEN b_val ELSE f_val END AS click_value
              |FROM bk JOIN fw USING (event_id)
              |ORDER BY bk.event_id""".stripMargin),
+    ),
+    // Strict backward as-of (pandas merge_asof(allow_exact_matches=
+    // False)): build rows at EXACTLY the probe's ts are excluded — the
+    // match is the latest click strictly before each purchase. Same
+    // one-shuffle window idiom with the frame ending 1 µs short
+    // (AsofJoin strict frames); DuckDB's strict ASOF spelling is a bare
+    // `>` in the inequality.
+    OpSpec(
+      "join_asof_strict",
+      (s, d) => {
+        val build = T.events(s, d).filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("value").as("click_value"))
+        AsofJoin.backward(
+          purchases(s, d), build,
+          on = "ts", by = Seq("user_id"), payload = Seq("click_value"),
+          allowExactMatches = false)
+          .select(col("event_id"), col("user_id"),
+            P.tsOut(col("matched_ts")).as("matched_ts"), col("click_value"))
+          .orderBy("event_id")
+      },
+      Some("""WITH p AS (SELECT event_id, user_id, cast(ts as timestamp) AS ts
+             |          FROM events WHERE event_type = 'purchase'),
+             |     b AS (SELECT user_id, cast(ts as timestamp) AS ts, value AS click_value
+             |          FROM events WHERE event_type = 'click')
+             |SELECT p.event_id, p.user_id, b.ts AS matched_ts, b.click_value
+             |FROM p ASOF LEFT JOIN b ON p.user_id = b.user_id AND p.ts > b.ts
+             |ORDER BY p.event_id""".stripMargin),
     ),
   )
 }

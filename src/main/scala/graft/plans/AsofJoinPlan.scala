@@ -16,6 +16,10 @@ import org.apache.spark.sql.DataFrame
   * `zipPartitions` form in [[graft.ts.AsofMergeJoin]], nothing here
   * hand-schedules an exchange, so AQE and reuse apply to the inputs.
   *
+  * Covers all three pandas merge_asof directions (backward / forward /
+  * nearest) and `allow_exact_matches=false` (strict inequality) in one
+  * streaming two-pointer merge per co-partition pair.
+  *
   * The node is planned by [[AsofJoinStrategy]], registered either via
   * `GraftExtensions` (injectPlannerStrategy) or
   * `spark.experimental.extraStrategies`. Equivalence to the declared
@@ -28,9 +32,13 @@ case class AsofJoinNode(
     by: Seq[String],
     payload: Seq[String],
     toleranceMicros: Option[Long],
-    matchedAttrs: Seq[AttributeReference])
+    matchedAttrs: Seq[AttributeReference],
+    direction: String = "backward",
+    allowExactMatches: Boolean = true)
   extends BinaryNode {
   require(by.nonEmpty, "as-of operator requires a non-empty by key (keyed shape)")
+  require(Set("backward", "forward", "nearest")(direction),
+    s"as-of direction must be backward|forward|nearest, got '$direction'")
   // empty matchedAttrs marks a node from the SQL TVF surface whose
   // output dtypes aren't known until the children resolve;
   // ResolveAsofJoin fills them exactly once (stable exprIds thereafter)
@@ -75,16 +83,26 @@ object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case n: AsofJoinNode =>
       AsofJoinExec(planLater(n.left), planLater(n.right),
-        n.on, n.by, n.payload, n.toleranceMicros, n.output) :: Nil
+        n.on, n.by, n.payload, n.toleranceMicros, n.output,
+        n.direction, n.allowExactMatches) :: Nil
     case _ => Nil
   }
 }
 
-/** Physical backward as-of: both children are required to be clustered
-  * on `by` and sorted by (by, on) — EnsureRequirements inserts the
+/** Physical as-of: both children are required to be clustered on `by`
+  * and sorted by (by, on) — EnsureRequirements inserts the
   * exchanges/sorts — then each co-partition pair streams through one
   * two-pointer merge. One shuffle + sort per side, no unioned
-  * intermediate, probe payload never travels through build rows. */
+  * intermediate, probe payload never travels through build rows.
+  *
+  * All three directions share the pass: build rows at-or-before the
+  * probe are consumed into a running backward candidate, the forward
+  * candidate is the (unconsumed) head of the build iterator, and
+  * `nearest` picks the closer of the two (ties backward, the pandas
+  * tie-break). Strict mode shifts every comparison from ≤/≥ to </>;
+  * under strict `nearest`, equal-ts build rows are parked in a one-row
+  * stash — invalid for the current probe ts but the backward match of
+  * any later, strictly-greater probe ts. */
 case class AsofJoinExec(
     left: SparkPlan,
     right: SparkPlan,
@@ -92,7 +110,9 @@ case class AsofJoinExec(
     by: Seq[String],
     payload: Seq[String],
     toleranceMicros: Option[Long],
-    output: Seq[Attribute])
+    output: Seq[Attribute],
+    direction: String = "backward",
+    allowExactMatches: Boolean = true)
   extends BinaryExecNode {
 
   private def attrsOf(side: SparkPlan, names: Seq[String]): Seq[Attribute] =
@@ -140,6 +160,8 @@ case class AsofJoinExec(
     val outTypes = output.map(_.dataType).toArray
     val nLeft = lOut.size
     val tol = toleranceMicros
+    val dir = direction
+    val exact = allowExactMatches
 
     left.execute().zipPartitions(right.execute()) { (probes, builds) =>
       val proj = UnsafeProjection.create(outTypes)
@@ -176,29 +198,75 @@ case class AsofJoinExec(
       }
 
       var prevProbe: InternalRow = null
-      var lastMatch: InternalRow = null
+      var lastMatch: InternalRow = null // latest consumed backward candidate
+      var stash: InternalRow = null     // strict nearest: equal-ts build, pending
+      var stashTs: Long = 0L
       probes.map { p =>
-        if (prevProbe == null || !sameProbeKey(prevProbe, p)) lastMatch = null
+        if (prevProbe == null || !sameProbeKey(prevProbe, p)) {
+          lastMatch = null; stash = null
+        }
+        val pTs = p.getLong(lOnIdx)
+        // a stashed equal-ts build row becomes strictly-before once the
+        // probe ts moves past it
+        if (stash != null && stashTs < pTs) { lastMatch = stash; stash = null }
         var advance = true
         while (advance && bIt.hasNext) {
           val h = bIt.head
           val c = cmpKeys(p, h)
-          if (c > 0) { bIt.next(); lastMatch = null } // build key < probe key: stale
-          else if (c == 0 && h.getLong(rOnIdx) <= p.getLong(lOnIdx)) {
-            lastMatch = bIt.next().copy() // backward: latest build at-or-before
-          } else advance = false
+          if (c > 0) { bIt.next(); lastMatch = null; stash = null } // stale key
+          else if (c < 0) advance = false
+          else {
+            val hTs = h.getLong(rOnIdx)
+            // consume at-or-before rows; equal-ts rows are consumed when
+            // they can never again be a forward candidate (backward /
+            // nearest-exact as the match itself, forward-strict as
+            // discard) and stashed under strict nearest
+            if (hTs < pTs) lastMatch = bIt.next().copy()
+            else if (hTs == pTs) {
+              if (dir == "forward" && exact) advance = false      // the forward match
+              else if (dir == "forward") { bIt.next() }            // strict: stale
+              else if (exact) lastMatch = bIt.next().copy()        // backward/nearest
+              else if (dir == "nearest") { stash = bIt.next().copy(); stashTs = hTs }
+              else advance = false                                 // strict backward: leave
+            } else advance = false
+          }
         }
         prevProbe = p.copy()
+
+        // forward candidate: the unconsumed head, same key, at/after pTs
+        def fwdCand: InternalRow =
+          if (bIt.hasNext && cmpKeys(p, bIt.head) == 0) {
+            val hTs = bIt.head.getLong(rOnIdx)
+            if (if (exact) hTs >= pTs else hTs > pTs) bIt.head else null
+          } else null
+
+        val chosen: InternalRow = dir match {
+          case "backward" => lastMatch
+          case "forward"  => fwdCand
+          case "nearest" =>
+            val f = fwdCand
+            if (lastMatch == null) f
+            else if (f == null) lastMatch
+            else { // tie → backward (pandas)
+              if (pTs - lastMatch.getLong(rOnIdx) <= f.getLong(rOnIdx) - pTs) lastMatch else f
+            }
+        }
         val vals = new Array[Any](nLeft + 1 + payIdx.length)
         var i = 0
         while (i < nLeft) { vals(i) = p.get(i, lTypes(i)); i += 1 }
-        val ok = lastMatch != null &&
-          tol.forall(t => p.getLong(lOnIdx) - lastMatch.getLong(rOnIdx) <= t)
+        val ok = chosen != null && tol.forall { t =>
+          val mTs = chosen.getLong(rOnIdx)
+          dir match {
+            case "backward" => pTs - mTs <= t
+            case "forward"  => mTs - pTs <= t
+            case "nearest"  => math.abs(mTs - pTs) <= t
+          }
+        }
         if (ok) {
-          vals(nLeft) = lastMatch.getLong(rOnIdx)
+          vals(nLeft) = chosen.getLong(rOnIdx)
           var j = 0
           while (j < payIdx.length) {
-            vals(nLeft + 1 + j) = lastMatch.get(payIdx(j), payTypes(j)); j += 1
+            vals(nLeft + 1 + j) = chosen.get(payIdx(j), payTypes(j)); j += 1
           }
         }
         proj(new GenericInternalRow(vals))
@@ -212,7 +280,7 @@ case class AsofJoinExec(
 
 object AsofJoinPlan {
 
-  /** Backward as-of through the custom-operator tier. The session must
+  /** As-of join through the custom-operator tier. The session must
     * have [[AsofJoinStrategy]] registered (GraftExtensions or
     * `spark.experimental.extraStrategies`). `by` must be non-empty —
     * the keyed, 100 TB-scalable shape. */
@@ -222,7 +290,9 @@ object AsofJoinPlan {
       on: String,
       by: Seq[String],
       payload: Seq[String],
-      toleranceMicros: Option[Long] = None): DataFrame = {
+      toleranceMicros: Option[Long] = None,
+      direction: String = "backward",
+      allowExactMatches: Boolean = true): DataFrame = {
     require(by.nonEmpty, "physical as-of requires a by-key; use AsofJoin for global")
     require(!probe.columns.contains("matched_ts"), "probe already has matched_ts")
     val spark = probe.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
@@ -236,6 +306,7 @@ object AsofJoinPlan {
         payload.map(p =>
           AttributeReference(p, slimBuild.schema(p).dataType, nullable = true)())
     org.apache.spark.sql.graftshim.GraftShims.ofRows(spark,
-      AsofJoinNode(lPlan, rPlan, on, by, payload, toleranceMicros, matched))
+      AsofJoinNode(lPlan, rPlan, on, by, payload, toleranceMicros, matched,
+        direction, allowExactMatches))
   }
 }

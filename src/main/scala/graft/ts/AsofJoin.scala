@@ -76,20 +76,39 @@ object AsofJoin {
   // directions — no tag in the sort key, and backward+forward carries
   // share one ordering, so `nearest` computes both in a single sort /
   // single WindowExec.
+  //
+  // STRICT (allow_exact_matches=false, pandas merge_asof's parameter):
+  // the frame must EXCLUDE equal-ts build rows, so order by the numeric
+  // unix_micros(ts) and end the range 1 µs short of the current value
+  // ([-∞, ts−1] backward, [ts+1, +∞] forward) — timestamps are µs-
+  // granular, so "ts−1 µs" is exactly "strictly before". Same single
+  // sort/shuffle shape; only the frame bound changes.
 
-  // Backward: last build row at-or-before the probe (equal-ts peers in).
-  private def backwardCarry(on: String, by: Seq[String]): Column =
-    last(col(M), ignoreNulls = true).over(
-      Window.partitionBy(by.map(col): _*)
-        .orderBy(col(on).asc)
-        .rangeBetween(Window.unboundedPreceding, Window.currentRow))
+  // Backward: last build row at-or-before (strict: strictly-before).
+  private def backwardCarry(on: String, by: Seq[String], allowExact: Boolean): Column = {
+    val w = Window.partitionBy(by.map(col): _*)
+    val framed =
+      if (allowExact)
+        w.orderBy(col(on).asc)
+          .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      else
+        w.orderBy(unix_micros(col(on)))
+          .rangeBetween(Window.unboundedPreceding, -1L)
+    last(col(M), ignoreNulls = true).over(framed)
+  }
 
-  // Forward: first build row at-or-after the probe (equal-ts peers in).
-  private def forwardCarry(on: String, by: Seq[String]): Column =
-    first(col(M), ignoreNulls = true).over(
-      Window.partitionBy(by.map(col): _*)
-        .orderBy(col(on).asc)
-        .rangeBetween(Window.currentRow, Window.unboundedFollowing))
+  // Forward: first build row at-or-after (strict: strictly-after).
+  private def forwardCarry(on: String, by: Seq[String], allowExact: Boolean): Column = {
+    val w = Window.partitionBy(by.map(col): _*)
+    val framed =
+      if (allowExact)
+        w.orderBy(col(on).asc)
+          .rangeBetween(Window.currentRow, Window.unboundedFollowing)
+      else
+        w.orderBy(unix_micros(col(on)))
+          .rangeBetween(1L, Window.unboundedFollowing)
+    first(col(M), ignoreNulls = true).over(framed)
+  }
 
   /** @param probe    left side; all its columns survive
     * @param build    right side; must contain `on`, `by`, and `payload`
@@ -99,6 +118,8 @@ object AsofJoin {
     * @param payload  build columns to carry onto matched probe rows
     * @param toleranceMicros max allowed probe.on − build.on; misses get
     *                 NULL payload (pandas tolerance semantics)
+    * @param allowExactMatches pandas merge_asof's parameter: false
+    *                 excludes build rows with ts equal to the probe's
     * @return probe columns ++ `matched_ts` (build's `on`) ++ payload
     */
   def backward(
@@ -107,9 +128,10 @@ object AsofJoin {
       on: String,
       by: Seq[String],
       payload: Seq[String],
-      toleranceMicros: Option[Long] = None): DataFrame = {
+      toleranceMicros: Option[Long] = None,
+      allowExactMatches: Boolean = true): DataFrame = {
     val tagged = tagUnion(probe, build, on, by, payload)
-      .withColumn("_c", backwardCarry(on, by))
+      .withColumn("_c", backwardCarry(on, by, allowExactMatches))
     finish(tagged, probe.columns.toSeq, payload,
       applyTolerance(col("_c"), on, toleranceMicros, "backward"))
   }
@@ -122,9 +144,10 @@ object AsofJoin {
       on: String,
       by: Seq[String],
       payload: Seq[String],
-      toleranceMicros: Option[Long] = None): DataFrame = {
+      toleranceMicros: Option[Long] = None,
+      allowExactMatches: Boolean = true): DataFrame = {
     val tagged = tagUnion(probe, build, on, by, payload)
-      .withColumn("_c", forwardCarry(on, by))
+      .withColumn("_c", forwardCarry(on, by, allowExactMatches))
     finish(tagged, probe.columns.toSeq, payload,
       applyTolerance(col("_c"), on, toleranceMicros, "forward"))
   }
@@ -140,10 +163,11 @@ object AsofJoin {
       on: String,
       by: Seq[String],
       payload: Seq[String],
-      toleranceMicros: Option[Long] = None): DataFrame = {
+      toleranceMicros: Option[Long] = None,
+      allowExactMatches: Boolean = true): DataFrame = {
     val tagged = tagUnion(probe, build, on, by, payload)
-      .withColumn("_cb", backwardCarry(on, by))
-      .withColumn("_cf", forwardCarry(on, by))
+      .withColumn("_cb", backwardCarry(on, by, allowExactMatches))
+      .withColumn("_cf", forwardCarry(on, by, allowExactMatches))
     val bGap = unix_micros(col(on)) - unix_micros(col("_cb")("matched_ts"))
     val fGap = unix_micros(col("_cf")("matched_ts")) - unix_micros(col(on))
     val chosen =
@@ -174,7 +198,8 @@ object AsofJoin {
       on: String,
       payload: Seq[String],
       toleranceMicros: Option[Long] = None,
-      numPartitions: Int = 0): DataFrame = {
+      numPartitions: Int = 0,
+      allowExactMatches: Boolean = true): DataFrame = {
     val spark = probe.sparkSession
     val n = if (numPartitions > 0) numPartitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
@@ -201,18 +226,30 @@ object AsofJoin {
     val ranged = tagged.withColumn("_pid", pid)
 
     // per-partition backward window — parallel across ts buckets (the
-    // window's own hash exchange on _pid does the partitioning); range
-    // frame includes equal-ts peers, same as backwardCarry
-    val w = Window.partitionBy("_pid")
-      .orderBy(col(on).asc)
-      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    // window's own hash exchange on _pid does the partitioning); frame
+    // matches backwardCarry: equal-ts peers in, or strictly-before when
+    // allowExactMatches=false. Equal-ts rows share a bucket (the bucket
+    // id is a pure function of ts), so the strict exclusion never has to
+    // cross the boundary-carry — the carried struct is always < the
+    // receiving partition's every ts.
+    val w0 = Window.partitionBy("_pid")
+    val w =
+      if (allowExactMatches)
+        w0.orderBy(col(on).asc)
+          .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      else
+        w0.orderBy(unix_micros(col(on)))
+          .rangeBetween(Window.unboundedPreceding, -1L)
     val carried = ranged.withColumn("_c", last(col(M), ignoreNulls = true).over(w))
 
     // each partition's final carried struct = its last build row (NULL if
-    // the partition holds no build rows); O(numPartitions) rows
+    // the partition holds no build rows); O(numPartitions) rows. Taken
+    // from the build rows (tag 0) directly — NOT from _c, whose strict
+    // frame excludes the last build row's own struct — max_by ignores
+    // rows whose ordering key is NULL, so probe rows drop out.
     val lastPer = carried
       .groupBy(col("_pid"))
-      .agg(max_by(col("_c"), struct(col(on), col("_tag"))).as("_last"))
+      .agg(max_by(col(M), when(col("_tag") === 0, col(on))).as("_last"))
     // prefix-carry: for partition p, the last build row of partitions < p
     val wp = Window.orderBy(col("_pid"))
       .rowsBetween(Window.unboundedPreceding, -1)

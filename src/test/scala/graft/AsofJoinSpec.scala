@@ -146,6 +146,78 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(at == bt)
   }
 
+  test("strict backward excludes equal-ts build rows (allow_exact_matches=false)") {
+    // probe at 200 has builds at exactly 200 and at 100: strict takes 100
+    val probe = probeDf((1L, 200L), (2L, 250L), (3L, 50L))
+    val build = buildDf((100L, 1.0), (200L, 2.0))
+    val m = AsofJoin.backward(probe, build, on = "ts", by = Nil,
+        payload = Seq("v"), allowExactMatches = false)
+      .select("id", "v").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    // 200 → strictly-before → 1.0; 250 → 2.0 (200 < 250); 50 → none
+    assert(m == Map(1L -> Some(1.0), 2L -> Some(2.0), 3L -> None))
+  }
+
+  test("strict forward excludes equal-ts build rows") {
+    val probe = probeDf((1L, 200L), (2L, 150L), (3L, 600L))
+    val build = buildDf((200L, 2.0), (600L, 3.0))
+    val m = AsofJoin.forward(probe, build, on = "ts", by = Nil,
+        payload = Seq("v"), allowExactMatches = false)
+      .select("id", "v").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    // 200 → strictly-after → 600→3.0; 150 → 200→2.0; 600 → none
+    assert(m == Map(1L -> Some(3.0), 2L -> Some(2.0), 3L -> None))
+  }
+
+  test("strict nearest excludes the exact hit and picks the closer strict side") {
+    val probe = probeDf((1L, 200L), (2L, 590L))
+    val build = buildDf((100L, 1.0), (200L, 2.0), (600L, 3.0))
+    val m = AsofJoin.nearest(probe, build, on = "ts", by = Nil,
+        payload = Seq("v"), allowExactMatches = false)
+      .select("id", "v").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    // 200: exact 200 excluded → back 100 (gap 100) vs fwd 600 (gap 400) → 1.0
+    // 590: back 200 (gap 390) vs fwd 600 (gap 10) → 3.0
+    assert(m == Map(1L -> Some(1.0), 2L -> Some(3.0)))
+  }
+
+  test("strict property: matched_ts is the max build ts strictly below each probe") {
+    val rnd = new scala.util.Random(7)
+    val probeRows = (1L to 200L).map(i => (i, rnd.nextInt(500).toLong))
+    val uniq = (1 to 120).map(_ => (rnd.nextInt(500).toLong, rnd.nextInt(100).toDouble))
+      .groupBy(_._1).map(_._2.head).toSeq
+    val got = AsofJoin.backward(probeDf(probeRows: _*), buildDf(uniq: _*),
+        on = "ts", by = Nil, payload = Seq("v"), allowExactMatches = false)
+      .select(col("id"), unix_micros(col("matched_ts")).as("mts"))
+      .collect()
+    val probeTs = probeRows.toMap
+    assert(got.length == 200)
+    got.foreach { r =>
+      val pts = probeTs(r.getLong(0))
+      val expected = uniq.map(_._1).filter(_ < pts).sorted.lastOption
+      val mts = if (r.isNullAt(1)) None else Some(r.getLong(1))
+      assert(mts == expected, s"probe ts $pts: got $mts expected $expected")
+    }
+  }
+
+  test("strict backwardGlobal equals strict backward (boundary carry incl. last build row)") {
+    val rnd = new scala.util.Random(23)
+    val probe = probeDf((1L to 400L).map(i => (i, rnd.nextInt(50000).toLong)): _*)
+    val build = buildDf((1 to 250).map(_ =>
+      (rnd.nextInt(50000).toLong, rnd.nextDouble())).groupBy(_._1)
+      .map(_._2.head).toSeq: _*)
+    val a = AsofJoin.backwardGlobal(probe, build, on = "ts", payload = Seq("v"),
+        numPartitions = 8, allowExactMatches = false)
+      .select("id", "matched_ts", "v").collect().map(_.toString).sorted.toSeq
+    val b = AsofJoin.backward(probe, build, on = "ts", by = Nil,
+        payload = Seq("v"), allowExactMatches = false)
+      .select("id", "matched_ts", "v").collect().map(_.toString).sorted.toSeq
+    assert(a == b && a.size == 400)
+  }
+
   test("randomized: matches a brute-force reference implementation") {
     val rnd = new scala.util.Random(42)
     for (_ <- 1 to 5) {

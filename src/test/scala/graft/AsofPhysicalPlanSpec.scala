@@ -58,6 +58,73 @@ class AsofPhysicalPlanSpec extends AnyFunSuite {
     assert(nulls > 0)
   }
 
+  test("physical forward as-of equals the union-and-window forward form") {
+    val a = AsofJoinPlan.asof(purchases, clicks,
+        on = "ts", by = Seq("user_id"), payload = Seq("click_value"),
+        direction = "forward")
+      .select("event_id", "matched_ts", "click_value")
+      .collect().map(_.toString).sorted.toSeq
+    val b = AsofJoin.forward(purchases, clicks,
+        on = "ts", by = Seq("user_id"), payload = Seq("click_value"))
+      .select("event_id", "matched_ts", "click_value")
+      .collect().map(_.toString).sorted.toSeq
+    assert(a.nonEmpty && a == b)
+  }
+
+  test("physical nearest as-of equals the union-and-window nearest form") {
+    val a = AsofJoinPlan.asof(purchases, clicks,
+        on = "ts", by = Seq("user_id"), payload = Seq("click_value"),
+        direction = "nearest")
+      .select("event_id", "matched_ts", "click_value")
+      .collect().map(_.toString).sorted.toSeq
+    val b = AsofJoin.nearest(purchases, clicks,
+        on = "ts", by = Seq("user_id"), payload = Seq("click_value"))
+      .select("event_id", "matched_ts", "click_value")
+      .collect().map(_.toString).sorted.toSeq
+    assert(a.nonEmpty && a == b)
+  }
+
+  test("physical strict as-of: all three directions on hand-built equal-ts data") {
+    import spark.implicits._
+    // key 5: builds at 100, 200, 600; probes hit 200 exactly
+    val probe = Seq((1L, 5L, 200L), (2L, 5L, 590L), (3L, 5L, 50L)).toDF("id", "k", "us")
+      .select(col("id"), col("k"), timestamp_micros(col("us")).as("ts"))
+    val build = Seq((5L, 100L, 1.0), (5L, 200L, 2.0), (5L, 600L, 3.0)).toDF("k", "us", "v")
+      .select(col("k"), timestamp_micros(col("us")).as("ts"), col("v"))
+    def got(dir: String) =
+      AsofJoinPlan.asof(probe, build, on = "ts", by = Seq("k"), payload = Seq("v"),
+          direction = dir, allowExactMatches = false)
+        .select("id", "v").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+        .toMap
+    // strict backward: 200 → 100's 1.0; 590 → 2.0; 50 → none
+    assert(got("backward") == Map(1L -> Some(1.0), 2L -> Some(2.0), 3L -> None))
+    // strict forward: 200 → 600's 3.0; 590 → 3.0; 50 → 1.0
+    assert(got("forward") == Map(1L -> Some(3.0), 2L -> Some(3.0), 3L -> Some(1.0)))
+    // strict nearest: 200 → back 100 (gap 100) vs fwd 600 (400) → 1.0;
+    // 590 → fwd 600 (10) → 3.0; 50 → fwd 100 → 1.0
+    assert(got("nearest") == Map(1L -> Some(1.0), 2L -> Some(3.0), 3L -> Some(1.0)))
+  }
+
+  test("physical strict equals window strict on real events (both directions)") {
+    for (dir <- Seq("backward", "forward")) {
+      val a = AsofJoinPlan.asof(purchases, clicks,
+          on = "ts", by = Seq("user_id"), payload = Seq("click_value"),
+          direction = dir, allowExactMatches = false)
+        .select("event_id", "matched_ts", "click_value")
+        .collect().map(_.toString).sorted.toSeq
+      val b = (if (dir == "backward")
+          AsofJoin.backward(purchases, clicks, on = "ts", by = Seq("user_id"),
+            payload = Seq("click_value"), allowExactMatches = false)
+        else
+          AsofJoin.forward(purchases, clicks, on = "ts", by = Seq("user_id"),
+            payload = Seq("click_value"), allowExactMatches = false))
+        .select("event_id", "matched_ts", "click_value")
+        .collect().map(_.toString).sorted.toSeq
+      assert(a.nonEmpty && a == b, s"direction $dir diverged")
+    }
+  }
+
   test("plan: AsofJoinExec with EnsureRequirements-planned exchanges and sorts") {
     val df = AsofJoinPlan.asof(purchases, clicks,
       on = "ts", by = Seq("user_id"), payload = Seq("click_value"))
