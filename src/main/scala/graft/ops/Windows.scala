@@ -356,6 +356,44 @@ object Windows {
                 |ORDER BY event_id""".stripMargin),
       )
     },
+    // rolling(5).median() [P core/window/rolling.py:2066]: EXACT
+    // percentile over the 5-row frame with the min_periods guard. n=5 is
+    // odd, so the median is the 3rd order statistic of five 2-dp doubles
+    // — no interpolation, no rounding needed, bit-identical in both
+    // engines (Spark exact `percentile`, DuckDB `quantile_cont`).
+    OpSpec(
+      "win_rolling_median",
+      (s, d) =>
+        ev(s, d)
+          .withColumn("rn5", count(lit(1)).over(roll5))
+          .withColumn("med", expr("percentile(value, 0.5D)").over(roll5))
+          .select(col("event_id"), col("user_id"),
+            when(col("rn5") === 5, col("med")).as("roll_med5"))
+          .orderBy("event_id"),
+      Some(s"""SELECT event_id, user_id,
+              |  CASE WHEN count(*) OVER w = 5 THEN quantile_cont(value, 0.5) OVER w
+              |  END AS roll_med5
+              |FROM $EV
+              |WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+              |ORDER BY event_id""".stripMargin),
+    ),
+    // diff(periods=3) [P core/frame.py:10028]: the periods parameter is
+    // just lag's offset — declared at n=3 to pin the generalized form
+    // (win_diff pins n=1). Exact via the decimal device.
+    OpSpec(
+      "win_diff_n",
+      (s, d) =>
+        ev(s, d)
+          .select(col("event_id"), col("user_id"),
+            (P.dec2(col("value")) - P.dec2(lag("value", 3).over(byUser)))
+              .cast("double").as("diff3"))
+          .orderBy("event_id"),
+      Some(s"""SELECT event_id, user_id,
+              |  cast(cast(value as decimal(18,2)) -
+              |       cast(lag(value, 3) OVER (PARTITION BY user_id ORDER BY event_id) as decimal(18,2))
+              |       as double) AS diff3
+              |FROM $EV ORDER BY event_id""".stripMargin),
+    ),
     // rolling(5).cov(lag-1): sample covariance with the lag-1 series,
     // same exact co-moment sums as win_rolling_corr. NOT rounded: both
     // engines evaluate the identical IEEE expression over identical

@@ -99,22 +99,35 @@ object NearDup {
     OpSpec(
       "dedup_ngram_jaccard",
       (s, d) => {
-        // cached: reused by the df agg, the sizes agg and both sides of
-        // the shingle join — without it the explode+distinct runs 4×
-        val sh0 = shingleNums(s, d).cache()
-        // also cached: feeds the sizes agg and BOTH sides of the self-join
-        val sh = sh0.join(
-          sh0.groupBy("x").agg(count(lit(1)).as("df"))
-            .filter(col("df") <= maxShingleDf).select("x"), "x")
+        // ONE aggregation replaces the old df-agg + cap-join + self-join
+        // chain: group the distinct (doc, shingle) set by shingle with a
+        // CAPPED collect (bounded buffer — graft.udaf.CappedCollect), so
+        // hot shingles saturate at 51 ids and are dropped by length,
+        // never materialized. Pairs then come from exploding within each
+        // ≤50-doc group (≤ C(50,2) rows per shingle, the same structural
+        // bound as before), and sizes from one more pass over the same
+        // tiny grouped frame — the only cache, O(rare shingles) rows.
+        val cappedDocs = udaf(
+          new graft.udaf.CappedCollect.CappedCollectAgg(maxShingleDf.toInt),
+          org.apache.spark.sql.Encoders.scalaLong)
+        val grouped = shingleNums(s, d)
+          .groupBy("x").agg(cappedDocs(col("doc_id")).as("cd"))
+          .filter(size(col("cd.items")) <= maxShingleDf)
+          .select(sort_array(col("cd.items")).as("ds"))
           .cache()
-        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-        val inter = sh.select(col("doc_id").as("a"), col("x"))
-          .join(sh.select(col("doc_id").as("b"), col("x")), "x")
-          .filter(col("a") < col("b"))
-          .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+        val sizes = grouped.select(explode(col("ds")).as("doc_id"))
+          .groupBy("doc_id").agg(count(lit(1)).as("sz"))
+        // all a<b pairs within a group, straight off the sorted array
+        val inter = grouped.filter(size(col("ds")) >= 2)
+          .select(expr(
+            """explode(flatten(transform(sequence(1, size(ds) - 1),
+              |  i -> transform(slice(ds, i + 1, size(ds) - i),
+              |       y -> struct(element_at(ds, i) AS a, y AS b)))))""".stripMargin).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(count(lit(1)).as("inter"))
         inter
-          .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")), "a")
-          .join(sizes.select(col("doc_id").as("b"), col("sz").as("szb")), "b")
+          .join(broadcast(sizes.select(col("doc_id").as("a"), col("sz").as("sza"))), "a")
+          .join(broadcast(sizes.select(col("doc_id").as("b"), col("sz").as("szb"))), "b")
           .select(col("a"), col("b"),
             (col("inter").cast("double") /
               (col("sza") + col("szb") - col("inter"))).as("jaccard"))
@@ -198,36 +211,74 @@ object NearDup {
     // integer per document; equal values = near-dup candidates.
     OpSpec(
       "dedup_simhash",
+      (s, d) => simhashDf(s, d).orderBy("doc_id"),
+      Some(s"""WITH $simhashSql
+              |SELECT doc_id, simhash FROM sh ORDER BY doc_id""".stripMargin),
+    ),
+    // SimHash near-dup retrieval at Hamming distance ≤ 1: each document
+    // emits its sketch plus all 16 one-bit flips (17 probe rows), probes
+    // equi-join documents' unflipped sketches, so every pair within one
+    // flipped bit collides in some bucket — closing the "equal values
+    // only" gap (one noisy token = one flipped bit = a missed dup). At
+    // scale this is 17 rows/doc shuffled on an int64 bucket — the same
+    // nprobe XOR device as sim_cosine_ivf_nprobe. The oracle is
+    // ALL-PAIRS bit_count(xor) ≤ 1, so the gate itself proves the
+    // bit-flip blocking finds every qualifying pair.
+    OpSpec(
+      "dedup_simhash_pairs",
       (s, d) => {
-        val toks = T.documents(s, d)
-          .filter(col("doc_id") < 100)
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-          .select(col("doc_id"), expr(TextOps.tokenNumExpr("w")).as("x"))
-        val bitSums: Seq[Column] = (0 until 16).map { b =>
-          sum(expr(s"((x div ${1L << b}) % 2) * 2 - 1")).as(s"s$b")
-        }
-        val combined = (0 until 16).map { b =>
-          when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L)
-        }.reduce(_ + _)
-        toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-          .select(col("doc_id"), combined.as("simhash"))
-          .orderBy("doc_id")
+        val sh = simhashDf(s, d)
+        val flips = array((lit(0L) +: (0 until 16).map(b => lit(1L << b))): _*)
+        val probe = sh.select(col("doc_id").as("a"), col("simhash").as("sa"),
+            explode(flips).as("flip"))
+          .select(col("a"), col("sa"), col("sa").bitwiseXOR(col("flip")).as("bucket"))
+        val key = sh.select(col("doc_id").as("b"), col("simhash").as("bucket2"))
+        probe.join(key, col("bucket") === col("bucket2") && col("a") < col("b"))
+          .select(col("a"), col("b"),
+            expr("bit_count(sa ^ bucket2)").cast("bigint").as("hamming"))
+          .distinct()
+          .orderBy("a", "b")
       },
-      Some {
-        val sums = (0 until 16).map { b =>
-          s"sum(((x // ${1L << b}) % 2) * 2 - 1) AS s$b"
-        }.mkString(", ")
-        val comb = (0 until 16).map { b =>
-          s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END"
-        }.mkString(" + ")
-        s"""WITH toks AS (
-           |  SELECT doc_id, ('0x' || substr(sha256(w), 1, 8))::BIGINT AS x
-           |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
-           |        FROM documents WHERE doc_id < 100)),
-           |bits AS (SELECT doc_id, $sums FROM toks GROUP BY doc_id)
-           |SELECT doc_id, cast($comb as bigint) AS simhash
-           |FROM bits ORDER BY doc_id""".stripMargin
-      },
+      Some(s"""WITH $simhashSql
+              |SELECT x.doc_id AS a, y.doc_id AS b,
+              |  cast(bit_count(xor(x.simhash, y.simhash)) as bigint) AS hamming
+              |FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+              |WHERE bit_count(xor(x.simhash, y.simhash)) <= 1
+              |ORDER BY a, b""".stripMargin),
     ),
   )
+
+  /** (doc_id, simhash) for docs 0–99 — shared by the declared sketch
+    * query and the Hamming-1 pair retrieval. */
+  def simhashDf(s: SparkSession, d: String): DataFrame = {
+    val toks = T.documents(s, d)
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"), expr(TextOps.tokenNumExpr("w")).as("x"))
+    val bitSums: Seq[Column] = (0 until 16).map { b =>
+      sum(expr(s"((x div ${1L << b}) % 2) * 2 - 1")).as(s"s$b")
+    }
+    val combined = (0 until 16).map { b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L)
+    }.reduce(_ + _)
+    toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), combined.as("simhash"))
+  }
+
+  /** DuckDB CTE `sh(doc_id, simhash)` mirroring [[simhashDf]]. Lazy:
+    * it is referenced from `ops` above, which initializes first. */
+  private lazy val simhashSql: String = {
+    val sums = (0 until 16).map { b =>
+      s"sum(((x // ${1L << b}) % 2) * 2 - 1) AS s$b"
+    }.mkString(", ")
+    val comb = (0 until 16).map { b =>
+      s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END"
+    }.mkString(" + ")
+    s"""toks AS (
+       |  SELECT doc_id, ('0x' || substr(sha256(w), 1, 8))::BIGINT AS x
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |        FROM documents WHERE doc_id < 100)),
+       |bits AS (SELECT doc_id, $sums FROM toks GROUP BY doc_id),
+       |sh AS (SELECT doc_id, cast($comb as bigint) AS simhash FROM bits)""".stripMargin
+  }
 }

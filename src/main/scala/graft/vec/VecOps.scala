@@ -35,7 +35,95 @@ object VecOps {
       s"(CASE WHEN embedding[$i]::DOUBLE > 0 THEN ${1 << (i - 1)} ELSE 0 END)")
       .mkString(" + ") + " as bigint)"
 
+  // ---- learned-centroid IVF (k-means quantizer) -------------------
+  // The coarse quantizer is REAL IVF: k=8 centroids trained offline by
+  // deterministic k-means on the fixed sf0.001 corpus (IvfCentroids,
+  // reproduced bit-exactly by KMeansSpec), inlined as literals into
+  // both engines. Cell assignment argmin uses d_i = |c_i|² − 2·e·c_i
+  // (the |e|² term is constant across i and dropped — the standard IVF
+  // inner-product trick, 1 dot per centroid); the argmin CASE and the
+  // nprobe rank predicates are ONE shared formula text, only the dot
+  // spelling is per-engine (the proven bit-identical fold device).
+  private val K = 8
+  private val NPROBE = 3
+  private def csq(i: Int): Double = {
+    val c = IvfCentroids.centroids(i)
+    var s = 0.0; var j = 0
+    while (j < c.length) { s += c(j) * c(j); j += 1 }
+    s
+  }
+  private def dSpark(i: Int): String = {
+    val arr = IvfCentroids.centroids(i).map(x => s"${x}D").mkString(",")
+    s"(${csq(i)}D - 2.0D * aggregate(zip_with(e, array($arr), (x, y) -> x * y), 0D, (acc, x) -> acc + x))"
+  }
+  private def dDuck(i: Int): String = {
+    val arr = IvfCentroids.centroids(i).mkString(",")
+    s"(${csq(i)} - 2.0 * list_inner_product(e, [$arr]::DOUBLE[]))"
+  }
+  /** argmin over d0..dK−1, first match (= lowest cluster id) wins ties. */
+  private val cellCase: String =
+    "cast(CASE " + (0 until K).map { i =>
+      val conds = (0 until K).filter(_ != i).map(j => s"d$i <= d$j").mkString(" AND ")
+      s"WHEN $conds THEN $i"
+    }.mkString(" ") + " ELSE 0 END as bigint)"
+  /** does centroid i rank among the query's NPROBE nearest (ties to
+    * the lower id)? Text over qd0..qdK−1, shared verbatim. */
+  private def qpText(i: Int): String =
+    "(" + (0 until K).filter(_ != i).map { j =>
+      if (j < i) s"(CASE WHEN qd$j <= qd$i THEN 1 ELSE 0 END)"
+      else s"(CASE WHEN qd$j < qd$i THEN 1 ELSE 0 END)"
+    }.mkString(" + ") + s") < $NPROBE"
+  private val probePred: String =
+    (0 until K).map(i => s"(cell = $i AND qp$i)").mkString(" OR ")
+
   val ops: Seq[OpSpec] = Seq(
+    // IVF with LEARNED centroids (the real thing — the sign-quantizer
+    // variants below are the analytic stand-in): assign every vector to
+    // its nearest trained centroid, rank the centroids by distance to
+    // the query, search only the NPROBE nearest cells (here 3/8 of the
+    // corpus). At 100 TB the cell is the partition key and the
+    // centroids ride along as plan literals — no side input at all.
+    OpSpec(
+      "sim_cosine_ivf_kmeans",
+      (s, d) => {
+        val v = T.embeddings(s, d)
+          .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("e"))
+        val withD = v.select(
+          col("vec_id") +: col("e") +: (0 until K).map(i => expr(dSpark(i)).as(s"d$i")): _*)
+        val withCell = withD.withColumn("cell", expr(cellCase))
+        val q = withCell.filter(col("vec_id") === 0)
+          .select(col("e").as("qe") +: (0 until K).map(i => col(s"d$i").as(s"qd$i")): _*)
+        val qp = q.select(col("qe") +: (0 until K).map(i => expr(qpText(i)).as(s"qp$i")): _*)
+        withCell.select("vec_id", "e", "cell").join(broadcast(qp), expr(probePred))
+          .filter(col("vec_id") =!= 0)
+          .select(col("vec_id"), col("cell"),
+            P.r4(dot("e", "qe") /
+              (sqrt(dot("e", "e")) * sqrt(dot("qe", "qe")))).as("cos_sim"))
+          .orderBy(desc("cos_sim"), col("vec_id"))
+          .limit(10)
+      },
+      Some {
+        val dCols = (0 until K).map(i => s"${dDuck(i)} AS d$i").mkString(",\n  ")
+        val dNames = (0 until K).map(i => s"d$i").mkString(", ")
+        val qdCols = (0 until K).map(i => s"d$i AS qd$i").mkString(", ")
+        val qpCols = (0 until K).map(i => s"${qpText(i)} AS qp$i").mkString(",\n  ")
+        s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+           |dd AS (SELECT vec_id, e,
+           |  $dCols
+           |FROM v),
+           |cc AS (SELECT vec_id, e, $cellCase AS cell, $dNames FROM dd),
+           |q AS (SELECT e AS qe, $qdCols FROM cc WHERE vec_id = 0),
+           |qp AS (SELECT qe,
+           |  $qpCols
+           |FROM q)
+           |SELECT vec_id, cell,
+           |  round(list_inner_product(e, qe) /
+           |        (sqrt(list_inner_product(e, e)) * sqrt(list_inner_product(qe, qe))), 4) AS cos_sim
+           |FROM cc, qp
+           |WHERE ($probePred) AND vec_id <> 0
+           |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
+      },
+    ),
     // nprobe=5 IVF: search the query's cell AND its 4 Hamming-1
     // neighbor cells (sign flips of one quantizer bit) — the standard
     // IVF recall/cost knob. Still prunes 11/16 of the corpus; at scale

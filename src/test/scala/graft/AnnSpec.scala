@@ -35,6 +35,19 @@ class AnnSpec extends AnyFunSuite {
     assert(ivfTop.size == math.min(10, inCell - 1), s"ivf returned ${ivfTop.size} of ${inCell - 1} in-cell candidates")
   }
 
+  test("learned-centroid IVF (nprobe=3/8) recall beats the sign-quantizer cell (nprobe=1/16)") {
+    val brute = ops.Registry.queries("sim_cosine_topk")(spark, TestSpark.sfSmoke)
+      .collect().map(_.getLong(0)).toSet
+    val sign = ops.Registry.queries("sim_cosine_ivf")(spark, TestSpark.sfSmoke)
+      .collect().map(_.getLong(0)).toSet
+    val learned = ops.Registry.queries("sim_cosine_ivf_kmeans")(spark, TestSpark.sfSmoke)
+      .collect().map(_.getLong(0)).toSet
+    val rSign = (sign & brute).size
+    val rLearned = (learned & brute).size
+    assert(learned.nonEmpty && rLearned >= rSign,
+      s"learned-IVF recall $rLearned < sign-quantizer recall $rSign")
+  }
+
   test("nprobe=5 recall is at least nprobe=1 recall (more cells, superset candidates)") {
     val brute = ops.Registry.queries("sim_cosine_topk")(spark, TestSpark.sfSmoke)
       .collect().map(_.getLong(0)).toSet

@@ -26,6 +26,15 @@ class KMeansSpec extends AnyFunSuite {
     assert(i3 <= i1 + 1e-9 && i6 <= i3 + 1e-9, s"$i1 -> $i3 -> $i6")
   }
 
+  test("IvfCentroids constants are exactly the k=8/3-iter training output on sf0.001") {
+    // the inlined literals in sim_cosine_ivf_kmeans (and its oracle)
+    // must be reproducible training output, not magic numbers —
+    // re-derive them from the corpus and compare bit-wise
+    val (_, centroids, _) = KMeans.fit(emb, k = 8, iters = 3)
+    assert(centroids.map(_.toSeq).toSeq ==
+      graft.vec.IvfCentroids.centroids.map(_.toSeq).toSeq)
+  }
+
   test("deterministic under repartitioning: bit-equal centroids across 1/4/32 partitions") {
     val runs = Seq(1, 4, 32).map(n => KMeans.fit(emb.repartition(n), k = 4, iters = 3))
     val Seq(c1, c4, c32) = runs.map(_._2.map(_.toSeq).toSeq)
