@@ -1,9 +1,8 @@
 package graft.streaming
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.GroupState
-import org.apache.spark.sql.streaming.GroupStateTimeout
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 
 /** §2.K Structured Streaming surface: the TSDB ingest/derive loop
   * expressed as incremental queries. Every transform here is defined on
@@ -74,30 +73,40 @@ object StreamOps {
         col("c_ts") <= col("p_ts"))
   }
 
-  /** Per-key running state (count + EWM) via flatMapGroupsWithState —
-    * the custom-stateful extension point (§2.K "stateful custom"). */
+  /** Per-key running state (count + EWM) — the custom-stateful
+    * extension point (§2.K "stateful custom") on Spark 4's
+    * `transformWithState` API ([[StatefulProcessor]] + typed
+    * [[ValueState]]; requires the RocksDB state store provider,
+    * `spark.sql.streaming.stateStore.providerClass`). */
   case class EventRow(event_id: Long, user_id: Long, value: Double)
   case class RunState(n: Long, ewm: Double)
   case class RunOut(user_id: Long, event_id: Long, n: Long, ewm: Double)
 
+  private class EwmProcessor(alpha: Double)
+      extends StatefulProcessor[Long, EventRow, RunOut] {
+    @transient private var state: ValueState[RunState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[RunState](
+        "run", Encoders.product[RunState], TTLConfig.NONE)
+    override def handleInputRows(
+        user: Long, rows: Iterator[EventRow], tv: TimerValues): Iterator[RunOut] = {
+      // event-time order within the group: micro-batches preserve
+      // arrival order; tests feed data in event_id order
+      var st = if (state.exists()) state.get() else RunState(0L, 0.0)
+      val out = rows.toSeq.sortBy(_.event_id).map { r =>
+        val ewm = if (st.n == 0) r.value else alpha * r.value + (1 - alpha) * st.ewm
+        st = RunState(st.n + 1, ewm)
+        RunOut(user, r.event_id, st.n, st.ewm)
+      }
+      state.update(st)
+      out.iterator
+    }
+  }
+
   def runningEwm(events: Dataset[EventRow], alpha: Double): Dataset[RunOut] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
-      .flatMapGroupsWithState[RunState, RunOut](
-        org.apache.spark.sql.streaming.OutputMode.Append,
-        GroupStateTimeout.NoTimeout) {
-        (user: Long, rows: Iterator[EventRow], state: GroupState[RunState]) =>
-          // event-time order within the group: micro-batches preserve
-          // arrival order; tests feed data in event_id order
-          var st = state.getOption.getOrElse(RunState(0L, 0.0))
-          val out = rows.toSeq.sortBy(_.event_id).map { r =>
-            val ewm = if (st.n == 0) r.value else alpha * r.value + (1 - alpha) * st.ewm
-            st = RunState(st.n + 1, ewm)
-            RunOut(user, r.event_id, st.n, st.ewm)
-          }
-          state.update(st)
-          out.iterator
-      }
+      .transformWithState(new EwmProcessor(alpha), TimeMode.None(), OutputMode.Append())
   }
 
   /** Streaming funnel state: per-user FIRST timestamp of each stage,
@@ -111,30 +120,37 @@ object StreamOps {
   case class FunnelOut(user_id: Long,
       t_signup: Option[Long], t_click: Option[Long], t_purchase: Option[Long])
 
-  def streamingFunnel(events: Dataset[FunnelIn]): Dataset[FunnelOut] = {
-    import events.sparkSession.implicits._
-    def minOpt(a: Option[Long], b: Option[Long]): Option[Long] = (a, b) match {
+  private class FunnelProcessor
+      extends StatefulProcessor[Long, FunnelIn, FunnelOut] {
+    @transient private var state: ValueState[FunnelState] = _
+    private def minOpt(a: Option[Long], b: Option[Long]): Option[Long] = (a, b) match {
       case (Some(x), Some(y)) => Some(math.min(x, y))
       case _ => a.orElse(b)
     }
-    events.groupByKey(_.user_id)
-      .flatMapGroupsWithState[FunnelState, FunnelOut](
-        org.apache.spark.sql.streaming.OutputMode.Append,
-        GroupStateTimeout.NoTimeout) {
-        (user: Long, rows: Iterator[FunnelIn], state: GroupState[FunnelState]) =>
-          var st = state.getOption.getOrElse(FunnelState(None, None, None))
-          rows.foreach { r =>
-            val t = Some(r.ts_us)
-            r.event_type match {
-              case "signup"   => st = st.copy(signup = minOpt(st.signup, t))
-              case "click"    => st = st.copy(click = minOpt(st.click, t))
-              case "purchase" => st = st.copy(purchase = minOpt(st.purchase, t))
-              case _          => ()
-            }
-          }
-          state.update(st)
-          Iterator.single(FunnelOut(user, st.signup, st.click, st.purchase))
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[FunnelState](
+        "funnel", Encoders.product[FunnelState], TTLConfig.NONE)
+    override def handleInputRows(
+        user: Long, rows: Iterator[FunnelIn], tv: TimerValues): Iterator[FunnelOut] = {
+      var st = if (state.exists()) state.get() else FunnelState(None, None, None)
+      rows.foreach { r =>
+        val t = Some(r.ts_us)
+        r.event_type match {
+          case "signup"   => st = st.copy(signup = minOpt(st.signup, t))
+          case "click"    => st = st.copy(click = minOpt(st.click, t))
+          case "purchase" => st = st.copy(purchase = minOpt(st.purchase, t))
+          case _          => ()
+        }
       }
+      state.update(st)
+      Iterator.single(FunnelOut(user, st.signup, st.click, st.purchase))
+    }
+  }
+
+  def streamingFunnel(events: Dataset[FunnelIn]): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessor, TimeMode.None(), OutputMode.Append())
   }
 
   /** Streaming LSH near-dup candidates: the incremental half of the
@@ -147,29 +163,40 @@ object StreamOps {
     * One state row per non-empty bucket — the same O(docs·bands)
     * budget as the batch shuffle. */
   case class SigIn(doc_id: Long, band: Int, bucket: String)
-  case class BucketState(ids: List[Long])
   case class CandPair(a: Long, b: Long)
+
+  private class LshProcessor(maxPerBucket: Int)
+      extends StatefulProcessor[(Int, String), SigIn, CandPair] {
+    // the bucket's occupants as a typed ListState — element-level state
+    // the old GroupState API had to round-trip through one blob
+    @transient private var seenState: ListState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seenState = getHandle.getListState[Long](
+        "seen", Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(
+        key: (Int, String), rows: Iterator[SigIn], tv: TimerValues): Iterator[CandPair] = {
+      var seen: List[Long] = if (seenState.exists()) seenState.get().toList else Nil
+      val out = List.newBuilder[CandPair]
+      var changed = false
+      rows.toSeq.sortBy(_.doc_id).foreach { r =>
+        if (!seen.contains(r.doc_id)) {
+          if (seen.size < maxPerBucket)
+            seen.foreach(s => out += CandPair(math.min(s, r.doc_id), math.max(s, r.doc_id)))
+          seen = (r.doc_id :: seen).take(maxPerBucket) // full bucket rotates, stops emitting
+          changed = true
+        }
+      }
+      if (changed) seenState.put(seen.toArray)
+      out.result().iterator
+    }
+  }
 
   def streamingLshCandidates(sigs: Dataset[SigIn],
                              maxPerBucket: Int = 64): Dataset[CandPair] = {
     import sigs.sparkSession.implicits._
     sigs.groupByKey(r => (r.band, r.bucket))
-      .flatMapGroupsWithState[BucketState, CandPair](
-        org.apache.spark.sql.streaming.OutputMode.Append,
-        GroupStateTimeout.NoTimeout) {
-        (_: (Int, String), rows: Iterator[SigIn], state: GroupState[BucketState]) =>
-          var seen = state.getOption.map(_.ids).getOrElse(Nil)
-          val out = List.newBuilder[CandPair]
-          rows.toSeq.sortBy(_.doc_id).foreach { r =>
-            if (!seen.contains(r.doc_id)) {
-              if (seen.size < maxPerBucket)
-                seen.foreach(s => out += CandPair(math.min(s, r.doc_id), math.max(s, r.doc_id)))
-              seen = (r.doc_id :: seen).take(maxPerBucket)
-            }
-          }
-          state.update(BucketState(seen))
-          out.result().iterator
-      }
+      .transformWithState(new LshProcessor(maxPerBucket),
+        TimeMode.None(), OutputMode.Append())
   }
 
   /** Streaming backward as-of: the flagship TSDB enrichment running
@@ -185,22 +212,84 @@ object StreamOps {
   case class AsofOut(user_id: Long, event_id: Long,
       matched_ts_us: Option[Long], matched_value: Option[Double])
 
+  private class AsofProcessor
+      extends StatefulProcessor[Long, AsofIn, AsofOut] {
+    @transient private var state: ValueState[AsofState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[AsofState](
+        "frontier", Encoders.product[AsofState], TTLConfig.NONE)
+    override def handleInputRows(
+        user: Long, rows: Iterator[AsofIn], tv: TimerValues): Iterator[AsofOut] = {
+      var st = if (state.exists()) state.get() else null
+      val out = Seq.newBuilder[AsofOut]
+      rows.toSeq.sortBy(r => (r.ts_us, r.tag)).foreach { r =>
+        if (r.tag == 0) st = AsofState(r.ts_us, r.value)
+        else out += AsofOut(user, r.event_id,
+          Option(st).map(_.ts_us), Option(st).map(_.value))
+      }
+      if (st != null) state.update(st)
+      out.result().iterator
+    }
+  }
+
   def streamingAsof(events: Dataset[AsofIn]): Dataset[AsofOut] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
-      .flatMapGroupsWithState[AsofState, AsofOut](
-        org.apache.spark.sql.streaming.OutputMode.Append,
-        GroupStateTimeout.NoTimeout) {
-        (user: Long, rows: Iterator[AsofIn], state: GroupState[AsofState]) =>
-          var st = state.getOption.orNull
-          val out = Seq.newBuilder[AsofOut]
-          rows.toSeq.sortBy(r => (r.ts_us, r.tag)).foreach { r =>
-            if (r.tag == 0) st = AsofState(r.ts_us, r.value)
-            else out += AsofOut(user, r.event_id,
-              Option(st).map(_.ts_us), Option(st).map(_.value))
-          }
-          if (st != null) state.update(st)
-          out.result().iterator
+      .transformWithState(new AsofProcessor, TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Timestamped variant of [[AsofIn]] for the evicting as-of (event
+    * time must be a real column so the query can carry a watermark). */
+  case class AsofInT(user_id: Long, ts: java.sql.Timestamp, tag: Int,
+      event_id: Long, value: Double)
+
+  /** As-of frontier with IDLE-STATE EVICTION — the bounded-state form
+    * for unbounded key spaces (at 100 TB of stream history, keys that
+    * went quiet must leave the store). An event-time timer is re-armed
+    * on every update at watermark + idleTimeout; when it fires,
+    * [[StatefulProcessor.handleExpiredTimer]] clears the key's state,
+    * so a probe arriving after a long gap matches NULL instead of a
+    * stale frontier. Equivalence with the non-evicting processor while
+    * keys stay active — and the NULL-after-eviction divergence — are
+    * both asserted in StreamingSpec. */
+  private class EvictingAsofProcessor(idleTimeoutMs: Long)
+      extends StatefulProcessor[Long, AsofInT, AsofOut] {
+    @transient private var state: ValueState[AsofState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[AsofState](
+        "frontier", Encoders.product[AsofState], TTLConfig.NONE)
+    private def usOf(t: java.sql.Timestamp): Long =
+      t.getTime * 1000 + (t.getNanos / 1000) % 1000
+    override def handleInputRows(
+        user: Long, rows: Iterator[AsofInT], tv: TimerValues): Iterator[AsofOut] = {
+      var st = if (state.exists()) state.get() else null
+      val out = Seq.newBuilder[AsofOut]
+      rows.toSeq.sortBy(r => (usOf(r.ts), r.tag)).foreach { r =>
+        if (r.tag == 0) st = AsofState(usOf(r.ts), r.value)
+        else out += AsofOut(user, r.event_id,
+          Option(st).map(_.ts_us), Option(st).map(_.value))
       }
+      if (st != null) state.update(st)
+      // re-arm the idle timer relative to the stream's event-time
+      // frontier: one live timer per key
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      getHandle.registerTimer(tv.getCurrentWatermarkInMs() + idleTimeoutMs)
+      out.result().iterator
+    }
+    override def handleExpiredTimer(
+        user: Long, tv: TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[AsofOut] = {
+      state.clear()
+      Iterator.empty
+    }
+  }
+
+  def streamingAsofEvicting(events: Dataset[AsofInT], watermarkDelay: String,
+                            idleTimeoutMs: Long): Dataset[AsofOut] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermarkDelay).as[AsofInT]
+      .groupByKey(_.user_id)
+      .transformWithState(new EvictingAsofProcessor(idleTimeoutMs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 }

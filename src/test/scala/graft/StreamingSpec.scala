@@ -12,7 +12,14 @@ case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
               event_type: String, value: Double)
 
 class StreamingSpec extends AnyFunSuite {
-  private lazy val spark = TestSpark.spark
+  private lazy val spark = {
+    val s = TestSpark.spark
+    // transformWithState (EWM / funnel / LSH / as-of processors)
+    // requires the RocksDB state store provider
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s
+  }
 
   private lazy val eventRows: Seq[Ev] = {
     import spark.implicits._
@@ -188,7 +195,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
-  test("flatMapGroupsWithState running EWM carries state across batches") {
+  test("event-time timer evicts idle as-of state; active keys match the non-evicting processor") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    // b1: user 1 click then purchase (matches). b2/b3: user 2 activity
+    // ~115 days later pushes the watermark far past user 1's idle timer
+    // (1 h). b4: user 1 purchase after the gap.
+    val b1 = Seq(StreamOps.AsofInT(1L, ts(1000000L), 0, 0L, 5.0),
+                 StreamOps.AsofInT(1L, ts(1060000L), 1, 100L, 0.0))
+    val b2 = Seq(StreamOps.AsofInT(2L, ts(10000000000L), 0, 0L, 9.0))
+    val b3 = Seq(StreamOps.AsofInT(2L, ts(10000100000L), 0, 0L, 9.5))
+    val b4 = Seq(StreamOps.AsofInT(1L, ts(11000000000L), 1, 200L, 0.0))
+    val ms1 = MemoryStream[StreamOps.AsofInT]
+    val q = StreamOps.streamingAsofEvicting(ms1.toDS(), "0 seconds", 3600000L)
+      .writeStream.format("memory").queryName("t_asof_evict").outputMode("append").start()
+    Seq(b1, b2, b3, b4).foreach { b => ms1.addData(b); q.processAllAvailable() }
+    q.stop()
+    val got = spark.table("t_asof_evict").collect()
+      .map(r => r.getLong(1) -> (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    // while the key is active, frontier semantics are unchanged
+    assert(got(100L) == Some(1000000L * 1000))
+    // after the idle gap the frontier was evicted: NULL, not the stale click
+    assert(got(200L) == None)
+
+    // the SAME rows through the non-evicting processor keep the stale match
+    val ms2 = MemoryStream[StreamOps.AsofIn]
+    val q2 = StreamOps.streamingAsof(ms2.toDS())
+      .writeStream.format("memory").queryName("t_asof_noevict").outputMode("append").start()
+    Seq(b1, b2, b3, b4).foreach { b =>
+      ms2.addData(b.map(r =>
+        StreamOps.AsofIn(r.user_id, r.ts.getTime * 1000, r.tag, r.event_id, r.value)))
+      q2.processAllAvailable()
+    }
+    q2.stop()
+    val got2 = spark.table("t_asof_noevict").collect()
+      .map(r => r.getLong(1) -> (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(got2(100L) == Some(1000000L * 1000))
+    assert(got2(200L) == Some(1000000L * 1000))
+  }
+
+  test("transformWithState running EWM carries state across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[StreamOps.EventRow]
