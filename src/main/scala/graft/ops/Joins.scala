@@ -344,6 +344,31 @@ object Joins {
              |FROM bk JOIN fw USING (event_id)
              |ORDER BY bk.event_id""".stripMargin),
     ),
+    // The keyed backward as-of STRAIGHT FROM SQL TEXT through the
+    // asof_join table-valued function (GraftExtensions) — gates the SQL
+    // surface of the custom operator, not just the DataFrame helper.
+    // Requires a session built with GraftExtensions (Verify/Bench are).
+    OpSpec(
+      "join_asof_tvf",
+      (s, d) => {
+        purchases(s, d).createOrReplaceTempView("tvf_purchases")
+        T.events(s, d).filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("value").as("click_value"))
+          .createOrReplaceTempView("tvf_clicks")
+        s.sql("""SELECT event_id, user_id, matched_ts, click_value
+                |FROM asof_join('tvf_purchases', 'tvf_clicks', 'ts', 'user_id', 'click_value')""".stripMargin)
+          .select(col("event_id"), col("user_id"),
+            P.tsOut(col("matched_ts")).as("matched_ts"), col("click_value"))
+          .orderBy("event_id")
+      },
+      Some("""WITH p AS (SELECT event_id, user_id, cast(ts as timestamp) AS ts
+             |          FROM events WHERE event_type = 'purchase'),
+             |     b AS (SELECT user_id, cast(ts as timestamp) AS ts, value AS click_value
+             |          FROM events WHERE event_type = 'click')
+             |SELECT p.event_id, p.user_id, b.ts AS matched_ts, b.click_value
+             |FROM p ASOF LEFT JOIN b ON p.user_id = b.user_id AND p.ts >= b.ts
+             |ORDER BY p.event_id""".stripMargin),
+    ),
     // Strict backward as-of (pandas merge_asof(allow_exact_matches=
     // False)): build rows at EXACTLY the probe's ts are excluded — the
     // match is the latest click strictly before each purchase. Same

@@ -23,11 +23,16 @@ import org.apache.spark.sql.functions._
 object DedupCluster {
 
   /** @param pairs edge list with two id columns (a, b)
+    * @param checkConvergence false = run exactly `iters` rounds with NO
+    *        per-round convergence `count()` — a caller that knows its
+    *        diameter bound (LSH cluster diameters are tiny; round count
+    *        is log₂ of it) drops 6 driver actions to 1 and lets the
+    *        whole chain stay lazy between checkpoints
     * @return (id, cluster) — cluster = min node id reachable; only
     *         ids appearing in `pairs` are returned (singletons keep
     *         themselves implicitly) */
   def clusters(pairs: DataFrame, aCol: String = "a", bCol: String = "b",
-               iters: Int = 6): DataFrame = {
+               iters: Int = 6, checkConvergence: Boolean = true): DataFrame = {
     val spark = pairs.sparkSession
     // undirected edges, both directions
     val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
@@ -51,14 +56,17 @@ object DedupCluster {
       val viaLabel = propagated
         .join(propagated.select(col("id").as("lbl"), col("lbl").as("lbl2")), Seq("lbl"))
         .select(col("id"), col("lbl2").as("lbl"))
-      // materialize per round: the doubling join references `propagated`
+      // checkpoint per round: the doubling join references `propagated`
       // twice, so an unbroken lineage would DOUBLE the plan tree every
-      // round (exponential analysis cost); localCheckpoint truncates it
+      // round (exponential analysis cost); localCheckpoint truncates it.
+      // Lazy in fixed-rounds mode (no action until the caller's one),
+      // eager when the convergence count() follows anyway.
       val next = propagated.unionByName(viaLabel)
         .groupBy("id").agg(min("lbl").as("lbl"))
-        .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("lbl", "old"), Seq("id"))
-        .filter(col("lbl") =!= col("old")).limit(1).count() > 0
+        .localCheckpoint(eager = checkConvergence)
+      changed = !checkConvergence ||
+        next.join(labels.withColumnRenamed("lbl", "old"), Seq("id"))
+          .filter(col("lbl") =!= col("old")).limit(1).count() > 0
       labels = next
       round += 1
     }

@@ -56,6 +56,20 @@ class DedupClusterSpec extends AnyFunSuite {
     assert(got == (1L to 40L).map(_ -> 1L).toMap)
   }
 
+  test("fixed-rounds mode (no convergence checks) equals the checked mode") {
+    val pairs = (1L until 40L).map(i => (40L - i, 41L - i)) // diameter-39 chain
+    val fixed = DedupCluster.clusters(pairs.toDF("a", "b"), checkConvergence = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fixed == (1L to 40L).map(_ -> 1L).toMap)
+    // and on a random graph
+    val rnd = new scala.util.Random(17)
+    val rp = (1 to 50).map(_ => (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter(p => p._1 != p._2).distinct
+    val a = DedupCluster.clusters(rp.toDF("a", "b"), checkConvergence = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == unionFind(rp.map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))))
+  }
+
   test("survivors keep exactly one doc per duplicate cluster") {
     val docs = (1L to 30L).map(i => (i, s"text$i")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")

@@ -52,6 +52,27 @@ class GraftSessionSpec extends AnyFunSuite {
       val apiRows = asof.select("id", "v").collect()
         .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
       assert(sqlRows == apiRows && sqlRows.nonEmpty)
+      // TVF direction + strict args (tolerance slot skipped with -1)
+      val fwdSql = s.sql(
+        "SELECT * FROM asof_join('tvf_probe', 'tvf_build', 'ts', 'k', 'v', -1, 'forward') ORDER BY id")
+        .select("id", "v").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+      val fwdApi = graft.plans.AsofJoinPlan.asof(probe, build,
+          on = "ts", by = Seq("k"), payload = Seq("v"), direction = "forward")
+        .select("id", "v").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+      assert(fwdSql == fwdApi && fwdSql.nonEmpty)
+      val strictSql = s.sql(
+        "SELECT * FROM asof_join('tvf_probe', 'tvf_build', 'ts', 'k', 'v', -1, 'backward', false) ORDER BY id")
+        .select("id", "matched_ts").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getTimestamp(1).getTime))).toMap
+      val strictApi = graft.plans.AsofJoinPlan.asof(probe, build,
+          on = "ts", by = Seq("k"), payload = Seq("v"), allowExactMatches = false)
+        .select("id", "matched_ts").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getTimestamp(1).getTime))).toMap
+      assert(strictSql == strictApi)
+      // id 0: probe ts 0 == build(k=0) ts 0 — strict must NOT take it
+      assert(strictSql(0L).isEmpty)
       // TVF misuse fails loudly, not silently
       val wrongArity = intercept[Exception] {
         s.sql("SELECT * FROM asof_join('tvf_probe', 'tvf_build')").collect()
