@@ -246,6 +246,46 @@ object NearDup {
               |WHERE bit_count(xor(x.simhash, y.simhash)) <= 1
               |ORDER BY a, b""".stripMargin),
     ),
+    // Duplicate-CLUSTER resolution inside the hash gate: near-dup PAIRS
+    // (here the Hamming≤1 SimHash edges) collapsed to connected
+    // components, cluster = min member id — what a dedup pipeline needs
+    // to keep one survivor per group. Spark side is the O(log diameter)
+    // pointer-doubling label propagation (text/DedupCluster) with the
+    // convergence check on (dup components are near-cliques, so it
+    // stops rounds early — cheaper here than 7 guaranteed-cover fixed
+    // rounds; the fixed-rounds mode stays for diameter-bounded
+    // callers); the oracle computes the same components via a
+    // RECURSIVE-CTE transitive closure + min — tractable for the
+    // oracle's data size, while the Spark plan is the shape that
+    // scales.
+    OpSpec(
+      "dedup_cluster_resolve",
+      (s, d) => {
+        val sh = simhashDf(s, d)
+        val flips = array((lit(0L) +: (0 until 16).map(b => lit(1L << b))): _*)
+        val probe = sh.select(col("doc_id").as("a"), col("simhash").as("sa"),
+            explode(flips).as("flip"))
+          .select(col("a"), col("sa").bitwiseXOR(col("flip")).as("bucket"))
+        val pairs = probe
+          .join(sh.select(col("doc_id").as("b"), col("simhash").as("bucket2")),
+            col("bucket") === col("bucket2") && col("a") < col("b"))
+          .select("a", "b").distinct()
+        DedupCluster.clusters(pairs, iters = 7)
+          .orderBy("id")
+      },
+      Some(s"""WITH RECURSIVE $simhashSql,
+              |prs AS (
+              |  SELECT x.doc_id AS a, y.doc_id AS b
+              |  FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+              |  WHERE bit_count(xor(x.simhash, y.simhash)) <= 1),
+              |edges AS (SELECT a AS u, b AS v FROM prs UNION SELECT b, a FROM prs),
+              |reach AS (
+              |  SELECT u AS id, v AS nb FROM edges
+              |  UNION
+              |  SELECT r.id, e.v FROM reach r JOIN edges e ON e.u = r.nb)
+              |SELECT id, least(id, min(nb)) AS cluster
+              |FROM reach GROUP BY id ORDER BY id""".stripMargin),
+    ),
   )
 
   /** (doc_id, simhash) for docs 0–99 — shared by the declared sketch

@@ -51,6 +51,32 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_simhash_pairs is a bucket equi-join, not an all-pairs product") {
+    val p = plan("dedup_simhash_pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("sim_cosine_ivf_kmeans broadcasts the 1-row query side") {
+    val p = plan("sim_cosine_ivf_kmeans")
+    // the nprobe membership predicate is an OR over cells, so the 1-row
+    // query side must ride a broadcast (BNLJ over one row = a cheap
+    // broadcast filter), never a shuffle of the corpus against it
+    assert(p.contains("Broadcast"), p)
+    assert(p.contains("TakeOrderedAndProject"), p) // top-10 never sorts the corpus
+  }
+
+  test("join_asof_tvf plans through AsofJoinExec") {
+    assert(plan("join_asof_tvf").contains("AsofJoin ts"))
+  }
+
+  test("win_rolling_median shares one WindowExec with its count guard") {
+    // same window spec ⇒ Spark fuses percentile + count into a single
+    // Window operator: exactly one Window node in the plan
+    val p = plan("win_rolling_median")
+    assert("(?m)^\\s*[+:]?-?\\s*Window ".r.findAllIn(p).size <= 2, p)
+  }
+
   test("no CartesianProduct outside the deliberate cross/pairs queries") {
     val allowed = Set("join_cross", "sim_cosine_topk", "text_tfidf")
     val offenders = Registry.all
