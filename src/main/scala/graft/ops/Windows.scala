@@ -356,6 +356,25 @@ object Windows {
                 |ORDER BY event_id""".stripMargin),
       )
     },
+    // rolling(5).min()/.max() [P rolling.py:2000]: exact frame extrema
+    // with the min_periods guard — value comparisons only, no
+    // arithmetic, so no rounding device needed.
+    OpSpec(
+      "win_rolling_minmax",
+      (s, d) =>
+        ev(s, d)
+          .withColumn("rn5", count(lit(1)).over(roll5))
+          .select(col("event_id"), col("user_id"),
+            when(col("rn5") === 5, min("value").over(roll5)).as("roll_min5"),
+            when(col("rn5") === 5, max("value").over(roll5)).as("roll_max5"))
+          .orderBy("event_id"),
+      Some(s"""SELECT event_id, user_id,
+              |  CASE WHEN count(*) OVER w = 5 THEN min(value) OVER w END AS roll_min5,
+              |  CASE WHEN count(*) OVER w = 5 THEN max(value) OVER w END AS roll_max5
+              |FROM $EV
+              |WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+              |ORDER BY event_id""".stripMargin),
+    ),
     // rolling(5).median() [P core/window/rolling.py:2066]: EXACT
     // percentile over the 5-row frame with the min_periods guard. n=5 is
     // odd, so the median is the 3rd order statistic of five 2-dp doubles

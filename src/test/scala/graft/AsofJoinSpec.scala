@@ -203,6 +203,20 @@ class AsofJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("strict + tolerance compose: the strictly-before match is then tolerance-checked") {
+    // probe 200: strict match is 100 (not the exact-ts 200); gap 100 µs.
+    // tol 150 keeps it; tol 50 NULLs it (the exact-ts build must never
+    // sneak back in as a 0-gap match).
+    val probe = probeDf((1L, 200L))
+    val build = buildDf((100L, 1.0), (200L, 2.0))
+    def run(tol: Long) =
+      AsofJoin.backward(probe, build, on = "ts", by = Nil, payload = Seq("v"),
+          toleranceMicros = Some(tol), allowExactMatches = false)
+        .select("v").head()
+    assert(run(150L).getDouble(0) == 1.0)
+    assert(run(50L).isNullAt(0))
+  }
+
   test("strict backwardGlobal equals strict backward (boundary carry incl. last build row)") {
     val rnd = new scala.util.Random(23)
     val probe = probeDf((1L to 400L).map(i => (i, rnd.nextInt(50000).toLong)): _*)
