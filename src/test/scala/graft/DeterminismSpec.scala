@@ -16,7 +16,13 @@ class DeterminismSpec extends AnyFunSuite {
     "win_row_number", "ts_sessionize", "ts_resample_ohlc",
     "sim_cosine_topk", "sort_topk", "agg_value_counts",
     "agg_mode", "win_topk_per_group", "dedup_minhash_lsh",
-    "dedup_ngram_jaccard", "sim_cosine_ivf", "str_fuzzy_match")
+    "dedup_ngram_jaccard", "sim_cosine_ivf", "str_fuzzy_match",
+    // round 5: capped-collect pair explode, Hamming-bucket pairs,
+    // iterative label propagation, learned-IVF nprobe membership,
+    // strict frames, TVF routing
+    "dedup_simhash_pairs", "dedup_cluster_resolve",
+    "sim_cosine_ivf_kmeans", "join_asof_strict", "join_asof_tvf",
+    "win_rolling_median")
 
   test("order-sensitive queries return identical results across runs") {
     val failures = sensitive.flatMap { key =>
