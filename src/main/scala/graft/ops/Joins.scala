@@ -206,6 +206,37 @@ object Joins {
              |FROM p ASOF LEFT JOIN b ON p.user_id = b.user_id AND p.ts >= b.ts
              |ORDER BY p.event_id""".stripMargin),
     ),
+    // Multi-column by-key (pandas merge_asof(by=[k1, k2])): the frontier
+    // resets per (user, calendar day) — clicks only match purchases of
+    // the SAME user on the SAME day. Same one-shuffle window idiom; the
+    // composite key is just more partition columns.
+    OpSpec(
+      "join_asof_by2",
+      (s, d) => {
+        val probe = purchases(s, d).withColumn("day", to_date(col("ts")))
+        val build = T.events(s, d).filter(col("event_type") === "click")
+          .select(col("user_id"), to_date(col("ts")).as("day"),
+            col("ts"), col("value").as("click_value"))
+        AsofJoin.backward(
+          probe, build,
+          on = "ts", by = Seq("user_id", "day"), payload = Seq("click_value"))
+          .select(col("event_id"), col("user_id"),
+            col("day").cast("string").as("day"),
+            P.tsOut(col("matched_ts")).as("matched_ts"), col("click_value"))
+          .orderBy("event_id")
+      },
+      Some("""WITH p AS (SELECT event_id, user_id, cast(cast(ts as timestamp) as date) AS day,
+             |                 cast(ts as timestamp) AS ts
+             |          FROM events WHERE event_type = 'purchase'),
+             |     b AS (SELECT user_id, cast(cast(ts as timestamp) as date) AS day,
+             |                 cast(ts as timestamp) AS ts, value AS click_value
+             |          FROM events WHERE event_type = 'click')
+             |SELECT p.event_id, p.user_id, cast(p.day as varchar) AS day,
+             |  b.ts AS matched_ts, b.click_value
+             |FROM p ASOF LEFT JOIN b
+             |  ON p.user_id = b.user_id AND p.day = b.day AND p.ts >= b.ts
+             |ORDER BY p.event_id""".stripMargin),
+    ),
     // Tolerance: matches farther than 1 hour back are nulled, not
     // dropped (pandas merge_asof(tolerance=...) semantics).
     OpSpec(

@@ -24,6 +24,11 @@ import org.apache.spark.sql.functions._
   * no AQE inside the zip), which is why the declared queries keep the
   * pure-DataFrame form and this exists as the optimized library path
   * (AsofMergeJoinSpec proves both produce identical results).
+  *
+  * Deliberately backward/allow-exact only: the full direction × strict
+  * matrix lives in the first-class Catalyst tier
+  * ([[graft.plans.AsofJoinExec]]), which obsoletes this hand-scheduled
+  * form for anything beyond the flagship shape — extend there, not here.
   */
 object AsofMergeJoin {
 
