@@ -39,8 +39,12 @@ object DedupCluster {
       .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
       .distinct()
       .cache()
-    var labels = edges.select(col("u").as("id")).distinct()
-      .withColumn("lbl", col("id"))
+    // seed = one plain propagation round for free: label(u) = min(u,
+    // min neighbor) off the edge list directly (one agg, no join) —
+    // near-clique components (the dedup norm) converge in the seed and
+    // pay only the single confirming round
+    var labels = edges.groupBy("u").agg(min("v").as("mv"))
+      .select(col("u").as("id"), least(col("u"), col("mv")).as("lbl"))
     var changed = true
     var round = 0
     while (changed && round < iters) {
