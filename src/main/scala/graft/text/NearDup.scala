@@ -47,7 +47,7 @@ object NearDup {
     * is therefore over hashes (a within-doc 32-bit-prefix collision
     * merges two shingles); the oracle hashes before DISTINCT too, so
     * both engines compute the identical set. */
-  private def shingleNums(s: SparkSession, d: String): DataFrame =
+  private def shingleNumsRaw(s: SparkSession, d: String): DataFrame =
     T.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 3)
@@ -55,7 +55,9 @@ object NearDup {
         "transform(sequence(1, size(w) - 2), i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))"))
         .as("sh"))
       .select(col("doc_id"), expr(TextOps.tokenNumExpr("sh")).as("x"))
-      .distinct()
+
+  private def shingleNums(s: SparkSession, d: String): DataFrame =
+    shingleNumsRaw(s, d).distinct()
 
   /** MinHash 8-signature + 4×2 LSH banding over distinct (doc_id, x)
     * shingle hashes → one (doc_id, band, bucket) row per band. Shared
@@ -99,18 +101,21 @@ object NearDup {
     OpSpec(
       "dedup_ngram_jaccard",
       (s, d) => {
-        // ONE aggregation replaces the old df-agg + cap-join + self-join
-        // chain: group the distinct (doc, shingle) set by shingle with a
-        // CAPPED collect (bounded buffer — graft.udaf.CappedCollect), so
-        // hot shingles saturate at 51 ids and are dropped by length,
-        // never materialized. Pairs then come from exploding within each
-        // ≤50-doc group (≤ C(50,2) rows per shingle, the same structural
-        // bound as before), and sizes from one more pass over the same
-        // tiny grouped frame — the only cache, O(rare shingles) rows.
+        // ONE aggregation replaces the old distinct + df-agg + cap-join
+        // + self-join chain: the RAW exploded (doc, shingle-hash) rows
+        // group by shingle through a CAPPED DISTINCT-collect (bounded
+        // buffer — graft.udaf.CappedCollect, dedup inside the O(cap)
+        // buffer), so the former pre-`distinct()` pass — the family's
+        // LARGEST shuffle — disappears, and hot shingles saturate at 51
+        // ids and drop by length, never materialized. Pairs then come
+        // from exploding within each ≤50-doc group (≤ C(50,2) rows per
+        // shingle, the same structural bound as before), and sizes from
+        // one more pass over the same tiny grouped frame — the only
+        // cache, O(rare shingles) rows.
         val cappedDocs = udaf(
           new graft.udaf.CappedCollect.CappedCollectAgg(maxShingleDf.toInt),
           org.apache.spark.sql.Encoders.scalaLong)
-        val grouped = shingleNums(s, d)
+        val grouped = shingleNumsRaw(s, d)
           .groupBy("x").agg(cappedDocs(col("doc_id")).as("cd"))
           .filter(size(col("cd.items")) <= maxShingleDf)
           .select(sort_array(col("cd.items")).as("ds"))
