@@ -65,5 +65,27 @@ object Scans {
               |WHERE ${graft.text.TextOps.tokenNumSql("cast(o_orderkey as varchar)")} % 20 = 0
               |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
     ),
+    // STRATIFIED deterministic sampling — the data-curation staple
+    // ("keep 1/2 of web, 1/5 of forums, all of books"): per-stratum
+    // keep-rates via the same sha-mod device, rate chosen by a CASE on
+    // the stratum column. Row-local, no shuffle, stable across engines
+    // and reruns; at 100 TB this is a pure scan-side filter.
+    OpSpec(
+      "scan_sample_stratified",
+      (s, d) => {
+        val keyNum = graft.text.TextOps.tokenNumExpr("cast(doc_id as string)")
+        val rate = "CASE source WHEN 'src0' THEN 1 WHEN 'src1' THEN 2 ELSE 5 END"
+        T.documents(s, d)
+          .filter(expr(s"$keyNum % ($rate) = 0"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+          .orderBy("source")
+      },
+      Some(s"""SELECT source, count(*) AS n, cast(sum(n_chars) as bigint) AS sum_chars
+              |FROM documents
+              |WHERE ${graft.text.TextOps.tokenNumSql("cast(doc_id as varchar)")} %
+              |      (CASE source WHEN 'src0' THEN 1 WHEN 'src1' THEN 2 ELSE 5 END) = 0
+              |GROUP BY source ORDER BY source""".stripMargin),
+    ),
   )
 }

@@ -291,6 +291,48 @@ object NearDup {
               |SELECT id, least(id, min(nb)) AS cluster
               |FROM reach GROUP BY id ORDER BY id""".stripMargin),
     ),
+    // The dedup pipeline's LAST step, end-to-end in the gate: keep ONE
+    // survivor per duplicate cluster (the min doc_id) and every
+    // untouched singleton — pairs → components → keep-min, composed
+    // from the pieces above (DedupCluster.survivors). Output is the
+    // surviving corpus per source, the number a curation run reports.
+    OpSpec(
+      "dedup_survivors",
+      (s, d) => {
+        val docs = T.documents(s, d).filter(col("doc_id") < 100)
+        val sh = simhashDf(s, d)
+        val flips = array((lit(0L) +: (0 until 16).map(b => lit(1L << b))): _*)
+        val probe = sh.select(col("doc_id").as("a"), col("simhash").as("sa"),
+            explode(flips).as("flip"))
+          .select(col("a"), col("sa").bitwiseXOR(col("flip")).as("bucket"))
+        val pairs = probe
+          .join(sh.select(col("doc_id").as("b"), col("simhash").as("bucket2")),
+            col("bucket") === col("bucket2") && col("a") < col("b"))
+          .select("a", "b").distinct()
+        DedupCluster.survivors(docs, "doc_id", pairs)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_survivors"), sum(col("n_chars")).as("sum_chars"))
+          .orderBy("source")
+      },
+      Some(s"""WITH RECURSIVE $simhashSql,
+              |prs AS (
+              |  SELECT x.doc_id AS a, y.doc_id AS b
+              |  FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+              |  WHERE bit_count(xor(x.simhash, y.simhash)) <= 1),
+              |edges AS (SELECT a AS u, b AS v FROM prs UNION SELECT b, a FROM prs),
+              |reach AS (
+              |  SELECT u AS id, v AS nb FROM edges
+              |  UNION
+              |  SELECT r.id, e.v FROM reach r JOIN edges e ON e.u = r.nb),
+              |losers AS (
+              |  SELECT id FROM (SELECT id, least(id, min(nb)) AS cluster
+              |                  FROM reach GROUP BY id)
+              |  WHERE id <> cluster)
+              |SELECT source, count(*) AS n_survivors, cast(sum(n_chars) as bigint) AS sum_chars
+              |FROM documents
+              |WHERE doc_id < 100 AND doc_id NOT IN (SELECT id FROM losers)
+              |GROUP BY source ORDER BY source""".stripMargin),
+    ),
   )
 
   /** (doc_id, simhash) for docs 0–99 — shared by the declared sketch

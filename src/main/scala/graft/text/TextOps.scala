@@ -118,5 +118,39 @@ object TextOps {
              |    (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
              |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin),
     ),
+    // Shannon entropy of the language mix per source — the corpus-
+    // diversity metric every curation dashboard shows. The per-lang
+    // terms (n/N)·ln(n/N) are transcendental, so exact-decimal sums
+    // can't apply; instead both engines fold the terms in the SAME
+    // lang order (Spark: aggregate over a lang-sorted collect_list;
+    // DuckDB: list_sum over `list(t ORDER BY lang)` — the proven
+    // left-fold-identical pair), making the double sum bit-identical
+    // before the final 4-dp round of the ln-derived value.
+    OpSpec(
+      "text_lang_entropy",
+      (s, d) => {
+        val counts = T.documents(s, d)
+          .groupBy("source", "lang").agg(count(lit(1)).as("n"))
+          .withColumn("N", sum(col("n")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("source")))
+          .withColumn("t", expr("(n / N) * ln(n / N)"))
+        counts.groupBy("source")
+          .agg(expr(
+            """round(-aggregate(
+              |  transform(array_sort(collect_list(struct(lang, t))), s -> s.t),
+              |  0D, (acc, x) -> acc + x), 4)""".stripMargin).as("entropy"),
+            countDistinct(col("lang")).as("n_langs"))
+          .orderBy("source")
+      },
+      Some("""WITH c AS (
+             |  SELECT source, lang, count(*) AS n,
+             |    sum(count(*)) OVER (PARTITION BY source) AS N
+             |  FROM documents GROUP BY source, lang),
+             |t AS (SELECT source, lang, (n / N) * ln(n / N) AS t FROM c)
+             |SELECT source,
+             |  round(-list_sum(list(t ORDER BY lang)), 4) AS entropy,
+             |  cast(count(lang) as bigint) AS n_langs
+             |FROM t GROUP BY source ORDER BY source""".stripMargin),
+    ),
   )
 }
