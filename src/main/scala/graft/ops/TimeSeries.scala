@@ -349,6 +349,33 @@ object TimeSeries {
              |    min(CASE WHEN event_type = 'purchase' THEN cast(ts as timestamp) END) AS t_purchase
              |  FROM events GROUP BY user_id)""".stripMargin),
     ),
+    // The SAME incremental stateful operator that serves the streaming
+    // tier (StreamOps.streamingFunnel — a transformWithState
+    // StatefulProcessor with per-user ValueState), executed as a BATCH
+    // query inside the hash gate: Spark 4 runs StatefulProcessors over
+    // batch inputs, so the custom-state tier gets a DuckDB oracle the
+    // same way the custom Catalyst operator did (join_asof_physical).
+    // Stage mins are exact int64 µs — order-independent, hash-safe.
+    OpSpec(
+      "ts_funnel_stateful",
+      (s, d) => {
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        s.streams.active // force the StateStoreCoordinator endpoint up
+        import s.implicits._
+        val in = T.events(s, d)
+          .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+          .as[graft.streaming.StreamOps.FunnelIn]
+        graft.streaming.StreamOps.streamingFunnel(in)
+          .toDF()
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id,
+             |  min(CASE WHEN event_type = 'signup' THEN epoch_us(cast(ts as timestamp)) END) AS t_signup,
+             |  min(CASE WHEN event_type = 'click' THEN epoch_us(cast(ts as timestamp)) END) AS t_click,
+             |  min(CASE WHEN event_type = 'purchase' THEN epoch_us(cast(ts as timestamp)) END) AS t_purchase
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+    ),
     // pandas merge_ordered(fill_method='ffill') keyed by user: the
     // ordered full-outer merge of each user's purchase and click series
     // with both value columns forward-filled independently. Every stage

@@ -195,6 +195,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("the funnel StatefulProcessor runs as a BATCH query and equals the batch agg") {
+    import spark.implicits._
+    spark.streams.active // StateStoreCoordinator endpoint (batch tWS needs it)
+    val in = graft.core.Tables.events(spark, TestSpark.sfSmoke)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+      .as[StreamOps.FunnelIn]
+    val got = StreamOps.streamingFunnel(in).toDF().collect()
+      .map(r => r.getLong(0) ->
+        (1 to 3).map(i => if (r.isNullAt(i)) None else Some(r.getLong(i))))
+      .toMap
+    val expected = graft.core.Tables.events(spark, TestSpark.sfSmoke)
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "signup", unix_micros(col("ts")))).as("s"),
+        min(when(col("event_type") === "click", unix_micros(col("ts")))).as("c"),
+        min(when(col("event_type") === "purchase", unix_micros(col("ts")))).as("p"))
+      .collect().map(r => r.getLong(0) ->
+        (1 to 3).map(i => if (r.isNullAt(i)) None else Some(r.getLong(i))))
+      .toMap
+    assert(got.nonEmpty && got == expected)
+  }
+
   test("event-time timer evicts idle as-of state; active keys match the non-evicting processor") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
