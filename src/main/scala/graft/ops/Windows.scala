@@ -250,6 +250,29 @@ object Windows {
               |WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin),
     ),
  
+    // The SAME per-key top-k through the bounded-heap AGGREGATOR
+    // (udaf/TopK) instead of the window: Spark's two-phase aggregation
+    // discards losers map-side, so the shuffle carries ≤ k rows per
+    // (partition, key) instead of every row — the 100 TB difference for
+    // per-entity leaderboards. Same oracle as win_topk_per_group: the
+    // gate proves the map-side-combining form identical to the window.
+    OpSpec(
+      "win_topk_udaf",
+      (s, d) => {
+        val in = ev(s, d).select(col("user_id").as("key"),
+          col("value").as("v"), col("event_id").as("id"))
+        graft.udaf.TopK.topKPerKey(in, 3)
+          .select(col("key").as("user_id"), col("rank").as("rn"),
+            col("id").as("event_id"), col("v").as("value"))
+          .orderBy("user_id", "rn")
+      },
+      Some(s"""SELECT user_id, rn, event_id, value FROM (
+              |  SELECT user_id, event_id, value,
+              |    cast(row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) as bigint) AS rn
+              |  FROM $EV)
+              |WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin),
+    ),
+
     // z-score normalization per group — the feature-engineering staple.
     // mean/std from exact decimal sums, identical IEEE on both engines.
     OpSpec(
