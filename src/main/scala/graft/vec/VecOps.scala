@@ -159,6 +159,46 @@ object VecOps {
               |  AND vec_id <> 0
               |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin),
     ),
+    // Pair generation blocked by the LEARNED cells — the other half of
+    // the learned-IVF story: the k-means quantizer as the candidate-
+    // blocking key (dedup/pair mining), not just the search index.
+    // Same shape as sim_pairs_threshold (LlmOps) with the analytic
+    // sign-cell swapped for the trained centroid cell.
+    OpSpec(
+      "sim_pairs_threshold_kmeans",
+      (s, d) => {
+        val v = T.embeddings(s, d).filter(col("label") === 3)
+          .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("e"))
+        val withCell = v
+          .select(col("vec_id") +: col("e") +:
+            (0 until K).map(i => expr(dSpark(i)).as(s"d$i")): _*)
+          .withColumn("cell", expr(cellCase))
+        val a = withCell.select(col("vec_id").as("id_a"), col("cell"), col("e").as("ea"))
+        val b = withCell.select(col("vec_id").as("id_b"), col("cell"), col("e").as("eb"))
+        a.join(b, Seq("cell"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            P.r4(dot("ea", "eb") /
+              (sqrt(dot("ea", "ea")) * sqrt(dot("eb", "eb")))).as("cos_sim"))
+          .filter(col("cos_sim") >= 0.25)
+          .orderBy("id_a", "id_b")
+      },
+      Some {
+        val dCols = (0 until K).map(i => s"${dDuck(i)} AS d$i").mkString(",\n  ")
+        s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE label = 3),
+           |dd AS (SELECT vec_id, e,
+           |  $dCols
+           |FROM v),
+           |cc AS (SELECT vec_id, e, $cellCase AS cell FROM dd)
+           |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           |  round(list_inner_product(a.e, b.e) /
+           |        (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))), 4) AS cos_sim
+           |FROM cc a JOIN cc b ON a.cell = b.cell AND a.vec_id < b.vec_id
+           |WHERE round(list_inner_product(a.e, b.e) /
+           |        (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))), 4) >= 0.25
+           |ORDER BY id_a, id_b""".stripMargin
+      },
+    ),
     OpSpec(
       "sim_cosine_ivf",
       (s, d) => {
