@@ -1,7 +1,9 @@
 import org.apache.spark.sql.SparkSession
 object PlanAudit {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.functions.GraftExtensions)
+      .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -12,7 +14,13 @@ object PlanAudit {
         // round-4 additions worth re-auditing each round
         "join_asof_backward", "join_asof_nearest", "join_asof_physical",
         "dedup_ngram_jaccard", "sim_pairs_threshold", "str_fuzzy_match",
-        "ts_merge_ordered", "agg_groupby_salted", "ts_funnel")) {
+        "ts_merge_ordered", "agg_groupby_salted", "ts_funnel",
+        // round-5 additions
+        "join_asof_strict", "join_asof_by2", "join_asof_tvf", "join_asof_physical_fwd",
+        "dedup_simhash_pairs", "dedup_cluster_resolve", "dedup_survivors",
+        "sim_cosine_ivf_kmeans", "sim_pairs_threshold_kmeans",
+        "win_rolling_median", "win_topk_udaf", "ts_funnel_stateful",
+        "scan_sample_stratified", "text_lang_entropy")) {
       println(s"===== $k =====")
       val df = graft.ops.Registry.queries(k)(spark, d)
       println(df.queryExecution.executedPlan.toString.linesIterator

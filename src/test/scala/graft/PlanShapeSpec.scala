@@ -77,6 +77,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("(?m)^\\s*[+:]?-?\\s*Window ".r.findAllIn(p).size <= 2, p)
   }
 
+  test("the DotProductRewrite is live in declared query plans (extension session)") {
+    // the session carries GraftExtensions (as Verify/Bench do), so the
+    // HOF dot-product folds in the vector queries compile to the native
+    // codegen Expression — and still hash-match the oracle (the rewrite
+    // is bit-identical, NativeFunctionSpec)
+    val p = plan("sim_pairs_threshold_kmeans")
+    assert(p.contains("dot_native"), p)
+  }
+
   test("no CartesianProduct outside the deliberate cross/pairs queries") {
     val allowed = Set("join_cross", "sim_cosine_topk", "text_tfidf")
     val offenders = Registry.all
