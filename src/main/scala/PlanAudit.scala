@@ -20,7 +20,10 @@ object PlanAudit {
         "dedup_simhash_pairs", "dedup_cluster_resolve", "dedup_survivors",
         "sim_cosine_ivf_kmeans", "sim_pairs_threshold_kmeans",
         "win_rolling_median", "win_topk_udaf", "ts_funnel_stateful",
-        "scan_sample_stratified", "text_lang_entropy")) {
+        "scan_sample_stratified", "text_lang_entropy",
+        // round-6 additions
+        "dedup_minhash_lsh", "win_rank_average", "ts_ewm_std",
+        "win_rolling_time_sum", "win_expanding_corr")) {
       println(s"===== $k =====")
       val df = graft.ops.Registry.queries(k)(spark, d)
       println(df.queryExecution.executedPlan.toString.linesIterator

@@ -52,20 +52,21 @@ object DedupCluster {
       val viaEdges = edges
         .join(labels.withColumnRenamed("id", "v"), Seq("v"))
         .select(col("u").as("id"), col("lbl"))
-      val propagated = labels.unionByName(viaEdges)
-        .groupBy("id").agg(min("lbl").as("lbl"))
       // pointer doubling: also adopt the label OF the label (every
-      // label is itself a node id, so the lookup always resolves) —
-      // squares the propagation distance each round
-      val viaLabel = propagated
-        .join(propagated.select(col("id").as("lbl"), col("lbl").as("lbl2")), Seq("lbl"))
+      // label is itself a node id, so the lookup always resolves).
+      // Doubling runs off the CURRENT labels — independent of the
+      // edge-hop join, so both shuffles run concurrently and the round
+      // needs ONE groupBy, not two (3 shuffle stages/round vs 4).
+      // Reach still ≥ doubles per round: R' = max(R+1, 2R).
+      val viaLabel = labels
+        .join(labels.select(col("id").as("lbl"), col("lbl").as("lbl2")), Seq("lbl"))
         .select(col("id"), col("lbl2").as("lbl"))
-      // checkpoint per round: the doubling join references `propagated`
+      // checkpoint per round: the doubling join references `labels`
       // twice, so an unbroken lineage would DOUBLE the plan tree every
       // round (exponential analysis cost); localCheckpoint truncates it.
       // Lazy in fixed-rounds mode (no action until the caller's one),
       // eager when the convergence count() follows anyway.
-      val next = propagated.unionByName(viaLabel)
+      val next = labels.unionByName(viaEdges).unionByName(viaLabel)
         .groupBy("id").agg(min("lbl").as("lbl"))
         .localCheckpoint(eager = checkConvergence)
       changed = !checkConvergence ||
@@ -80,8 +81,9 @@ object DedupCluster {
   /** Survivor filter: documents whose id is NOT a non-representative
     * member of any cluster (keep-min policy). */
   def survivors(docs: DataFrame, idCol: String, pairs: DataFrame,
-                aCol: String = "a", bCol: String = "b"): DataFrame = {
-    val cl = clusters(pairs, aCol, bCol)
+                aCol: String = "a", bCol: String = "b",
+                iters: Int = 6, checkConvergence: Boolean = true): DataFrame = {
+    val cl = clusters(pairs, aCol, bCol, iters, checkConvergence)
     val losers = cl.filter(col("id") =!= col("cluster")).select(col("id"))
     docs.join(losers.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
   }

@@ -170,10 +170,11 @@ object NearDup {
           .filter(col("a") < col("b"))
           .select("a", "b").distinct()
         val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+        // `x` is IN the join keys (not a post-join filter): the SMJ is
+        // keyed on (b, x) by construction, not by an optimizer rescue
         val inter = cands
           .join(sh.select(col("doc_id").as("a"), col("x")), "a")
-          .join(sh.select(col("doc_id").as("b"), col("x").as("xb")), "b")
-          .filter(col("x") === col("xb"))
+          .join(sh.select(col("doc_id").as("b"), col("x")), Seq("b", "x"))
           .groupBy("a", "b").agg(count(lit(1)).as("inter"))
         inter
           .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")), "a")
@@ -255,11 +256,14 @@ object NearDup {
     // (here the Hamming≤1 SimHash edges) collapsed to connected
     // components, cluster = min member id — what a dedup pipeline needs
     // to keep one survivor per group. Spark side is the O(log diameter)
-    // pointer-doubling label propagation (text/DedupCluster) with the
-    // convergence check on (dup components are near-cliques, so it
-    // stops rounds early — cheaper here than 7 guaranteed-cover fixed
-    // rounds; the fixed-rounds mode stays for diameter-bounded
-    // callers); the oracle computes the same components via a
+    // pointer-doubling label propagation (text/DedupCluster) in LAZY
+    // fixed-rounds mode: Hamming≤1 components are near-cliques
+    // (diameter ≤ ~4), the seed round covers diameter 2 and each
+    // doubling round squares reach, so seed + 3 rounds covers 2·2³ —
+    // and dropping the per-round convergence count() removes every
+    // driver round-trip from the declared query (the convergence mode
+    // stays for unknown-diameter callers); the oracle computes the
+    // same components via a
     // RECURSIVE-CTE transitive closure + min — tractable for the
     // oracle's data size, while the Spark plan is the shape that
     // scales.
@@ -275,7 +279,7 @@ object NearDup {
           .join(sh.select(col("doc_id").as("b"), col("simhash").as("bucket2")),
             col("bucket") === col("bucket2") && col("a") < col("b"))
           .select("a", "b").distinct()
-        DedupCluster.clusters(pairs, iters = 7)
+        DedupCluster.clusters(pairs, iters = 3, checkConvergence = false)
           .orderBy("id")
       },
       Some(s"""WITH RECURSIVE $simhashSql,
@@ -309,7 +313,8 @@ object NearDup {
           .join(sh.select(col("doc_id").as("b"), col("simhash").as("bucket2")),
             col("bucket") === col("bucket2") && col("a") < col("b"))
           .select("a", "b").distinct()
-        DedupCluster.survivors(docs, "doc_id", pairs)
+        DedupCluster.survivors(docs, "doc_id", pairs,
+            iters = 3, checkConvergence = false)
           .groupBy("source")
           .agg(count(lit(1)).as("n_survivors"), sum(col("n_chars")).as("sum_chars"))
           .orderBy("source")

@@ -131,24 +131,30 @@ object TextOps {
       (s, d) => {
         val counts = T.documents(s, d)
           .groupBy("source", "lang").agg(count(lit(1)).as("n"))
-          .withColumn("N", sum(col("n")).over(
+          .withColumn("tot", sum(col("n")).over(
             org.apache.spark.sql.expressions.Window.partitionBy("source")))
-          .withColumn("t", expr("(n / N) * ln(n / N)"))
+          .withColumn("t", expr("(n / tot) * ln(n / tot)"))
+        // `+ 0D` guard: a single-language source folds to -0.0; IEEE
+        // negative zero hashes differently from 0.0 cross-engine.
         counts.groupBy("source")
           .agg(expr(
             """round(-aggregate(
               |  transform(array_sort(collect_list(struct(lang, t))), s -> s.t),
-              |  0D, (acc, x) -> acc + x), 4)""".stripMargin).as("entropy"),
+              |  0D, (acc, x) -> acc + x) + 0D, 4)""".stripMargin).as("entropy"),
             countDistinct(col("lang")).as("n_langs"))
           .orderBy("source")
       },
+      // Root cause of the r5 red row: DuckDB identifiers are
+      // case-insensitive, so alias `N` collided with column `n` and
+      // `n / N` resolved both sides to `n` (ratio 1, entropy 0).
+      // Fix: non-colliding alias `tot`, computed in its own CTE level.
       Some("""WITH c AS (
-             |  SELECT source, lang, count(*) AS n,
-             |    sum(count(*)) OVER (PARTITION BY source) AS N
+             |  SELECT source, lang, count(*) AS n
              |  FROM documents GROUP BY source, lang),
-             |t AS (SELECT source, lang, (n / N) * ln(n / N) AS t FROM c)
+             |cn AS (SELECT *, sum(n) OVER (PARTITION BY source) AS tot FROM c),
+             |t AS (SELECT source, lang, (n / tot) * ln(n / tot) AS t FROM cn)
              |SELECT source,
-             |  round(-list_sum(list(t ORDER BY lang)), 4) AS entropy,
+             |  round(-list_sum(list(t ORDER BY lang)) + 0.0, 4) AS entropy,
              |  cast(count(lang) as bigint) AS n_langs
              |FROM t GROUP BY source ORDER BY source""".stripMargin),
     ),

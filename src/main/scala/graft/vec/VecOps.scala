@@ -91,8 +91,11 @@ object VecOps {
         val withD = v.select(
           col("vec_id") +: col("e") +: (0 until K).map(i => expr(dSpark(i)).as(s"d$i")): _*)
         val withCell = withD.withColumn("cell", expr(cellCase))
-        val q = withCell.filter(col("vec_id") === 0)
-          .select(col("e").as("qe") +: (0 until K).map(i => col(s"d$i").as(s"qd$i")): _*)
+        // query branch filtered BEFORE the distance projection (its own
+        // one-row scan with vec_id=0 pushed to parquet) — the 56-compare
+        // argmin CASE is codegen-compiled only for the corpus branch
+        val q = v.filter(col("vec_id") === 0)
+          .select(col("e").as("qe") +: (0 until K).map(i => expr(dSpark(i)).as(s"qd$i")): _*)
         val qp = q.select(col("qe") +: (0 until K).map(i => expr(qpText(i)).as(s"qp$i")): _*)
         withCell.select("vec_id", "e", "cell").join(broadcast(qp), expr(probePred))
           .filter(col("vec_id") =!= 0)
