@@ -315,6 +315,57 @@ object TimeSeries {
              |WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              |ORDER BY event_id""".stripMargin),
     ),
+    // ewm(alpha=.5, adjust=True).std(bias=False) — the ts_ewm closed
+    // form extended with second moments: weights wᵢ = 2ⁱ give Σw, Σw²
+    // (= Σ4ⁱ), Σw·x, Σw·x² as cumulative window sums (left-to-right in
+    // frame order, exact ·2ⁱ scaling → bit-deterministic); variance is
+    // the pandas bias=False form  (Σw)²/((Σw)²−Σw²) · (Σwx²/Σw −
+    // (Σwx/Σw)²), NULL at n=1, clamped at 0 before sqrt so a constant
+    // series can't emit NaN from a −1 ulp residue. Valid for series
+    // ≲500 points before 4ⁱ overflows double (general-length path:
+    // graft.udaf.Ewm).
+    OpSpec(
+      "ts_ewm_std",
+      (s, d) => {
+        val byUser = Window.partitionBy("user_id").orderBy("event_id")
+        val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev(s, d)
+          .filter(col("user_id") < 10)
+          .withColumn("i", row_number().over(byUser).cast("double"))
+          .withColumn("sw", sum(pow(lit(2.0), col("i"))).over(cum))
+          .withColumn("sww", sum(pow(lit(4.0), col("i"))).over(cum))
+          .withColumn("swx", sum(col("value") * pow(lit(2.0), col("i"))).over(cum))
+          .withColumn("swxx",
+            sum(col("value") * col("value") * pow(lit(2.0), col("i"))).over(cum))
+          .withColumn("nn", count(lit(1)).over(cum))
+          .select(col("event_id"), col("user_id"),
+            when(col("nn") > 1,
+              P.r4(sqrt(greatest(
+                (col("sw") * col("sw") / (col("sw") * col("sw") - col("sww"))) *
+                  (col("swxx") / col("sw") -
+                    (col("swx") / col("sw")) * (col("swx") / col("sw"))),
+                lit(0.0))))).as("ewm_std"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             |  CASE WHEN nn > 1 THEN
+             |    round(sqrt(greatest(
+             |      (sw * sw / (sw * sw - sww)) * (swxx / sw - (swx / sw) * (swx / sw)),
+             |      0.0)), 4)
+             |  END AS ewm_std
+             |FROM (
+             |  SELECT event_id, user_id,
+             |    sum(pow(2.0, i)) OVER w AS sw,
+             |    sum(pow(4.0, i)) OVER w AS sww,
+             |    sum(value * pow(2.0, i)) OVER w AS swx,
+             |    sum(value * value * pow(2.0, i)) OVER w AS swxx,
+             |    count(*) OVER w AS nn
+             |  FROM (SELECT event_id, user_id, value,
+             |          cast(row_number() OVER (PARTITION BY user_id ORDER BY event_id) as double) AS i
+             |        FROM events WHERE user_id < 10)
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             |ORDER BY event_id""".stripMargin),
+    ),
     // Conversion funnel (the product-analytics TSDB staple): per user,
     // the first ts of each stage; a user converts at stage k if the
     // first-ts chain is ordered signup ≤ click ≤ purchase up to k.

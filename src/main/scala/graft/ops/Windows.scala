@@ -517,5 +517,127 @@ object Windows {
               |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
               |ORDER BY event_id""".stripMargin),
     ),
+    // rank(method='average') — pandas' DEFAULT rank: ties get the MEAN
+    // of the ranks they span, = min_rank + (tie_count − 1)/2. Exact
+    // int arithmetic before one division by 2.0 → values end in .0/.5,
+    // bit-identical cross-engine. min_rank is SQL rank(); tie_count is
+    // count(*) over the (user, key) tie partition — no second sort.
+    OpSpec(
+      "win_rank_average",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("event_type")
+        val tie = Window.partitionBy("user_id", "event_type")
+        ev(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            (rank().over(w) + (count(lit(1)).over(tie) - 1) / lit(2.0)).as("avg_rank"))
+          .orderBy("event_id")
+      },
+      Some(s"""SELECT event_id, user_id, event_type,
+              |  rank() OVER (PARTITION BY user_id ORDER BY event_type)
+              |    + (count(*) OVER (PARTITION BY user_id, event_type) - 1) / 2.0 AS avg_rank
+              |FROM $EV ORDER BY event_id""".stripMargin),
+    ),
+    // rolling('1h').sum()/min()/max() — the time-based frame of
+    // win_rolling_time with the rest of the pandas agg family: exact
+    // decimal sum, and min/max (order-independent by construction).
+    OpSpec(
+      "win_rolling_time_sum",
+      (s, d) => {
+        val wt = Window.partitionBy("user_id").orderBy(unix_micros(col("ts")))
+          .rangeBetween(-3600000000L, 0)
+        ev(s, d)
+          .select(col("event_id"), col("user_id"),
+            sum(P.dec2(col("value"))).over(wt).cast("double").as("sum_1h"),
+            min(col("value")).over(wt).as("min_1h"),
+            max(col("value")).over(wt).as("max_1h"))
+          .orderBy("event_id")
+      },
+      Some(s"""SELECT event_id, user_id,
+              |  cast(sum(cast(value as decimal(18,2))) OVER w as double) AS sum_1h,
+              |  min(value) OVER w AS min_1h,
+              |  max(value) OVER w AS max_1h
+              |FROM (SELECT event_id, user_id, cast(ts as timestamp) AS ts, value
+              |      FROM events WHERE user_id < 10)
+              |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+              |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+              |ORDER BY event_id""".stripMargin),
+    ),
+    // expanding().cov(lag-1) — the unbounded-frame variant of
+    // win_rolling_cov: same exact decimal co-moment sums, with the
+    // frame count n variable (defined from the 2nd pair on). NOT
+    // rounded, same §2.0 rationale as the rolling variant.
+    OpSpec(
+      "win_expanding_cov",
+      (s, d) => {
+        val x = when(col("y").isNotNull, P.dec2(col("value")))
+        val y = P.dec2(col("y"))
+        ev(s, d)
+          .withColumn("y", lag("value", 1).over(byUser))
+          .withColumn("n", count(col("y")).over(cum).cast("double"))
+          .withColumn("sx", sum(x).over(cum).cast("double"))
+          .withColumn("sy", sum(y).over(cum).cast("double"))
+          .withColumn("sxy", sum((x * y).cast("decimal(38,4)")).over(cum).cast("double"))
+          .select(col("event_id"), col("user_id"),
+            when(col("n") >= 2,
+              (col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1))
+              .as("exp_cov"))
+          .orderBy("event_id")
+      },
+      Some(s"""SELECT event_id, user_id,
+              |  CASE WHEN n >= 2 THEN (sxy - sx * sy / n) / (n - 1) END AS exp_cov
+              |FROM (
+              |  SELECT event_id, user_id,
+              |    cast(count(y) OVER w as double) AS n,
+              |    cast(sum(CASE WHEN y IS NOT NULL THEN cast(value as decimal(18,2)) END) OVER w as double) AS sx,
+              |    cast(sum(cast(y as decimal(18,2))) OVER w as double) AS sy,
+              |    cast(sum(cast(CASE WHEN y IS NOT NULL THEN cast(value as decimal(18,2)) END * cast(y as decimal(18,2)) as decimal(38,4))) OVER w as double) AS sxy
+              |  FROM (SELECT event_id, user_id, value,
+              |          lag(value, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS y
+              |        FROM $EV)
+              |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+              |ORDER BY event_id""".stripMargin),
+    ),
+    // expanding().corr(lag-1) — unbounded-frame Pearson from the same
+    // closed form as win_rolling_corr, n variable.
+    OpSpec(
+      "win_expanding_corr",
+      (s, d) => {
+        val x = when(col("y").isNotNull, P.dec2(col("value")))
+        val y = P.dec2(col("y"))
+        ev(s, d)
+          .withColumn("y", lag("value", 1).over(byUser))
+          .withColumn("n", count(col("y")).over(cum).cast("double"))
+          .withColumn("sx", sum(x).over(cum).cast("double"))
+          .withColumn("sy", sum(y).over(cum).cast("double"))
+          .withColumn("sxx", sum((x * x).cast("decimal(38,4)")).over(cum).cast("double"))
+          .withColumn("syy", sum((y * y).cast("decimal(38,4)")).over(cum).cast("double"))
+          .withColumn("sxy", sum((x * y).cast("decimal(38,4)")).over(cum).cast("double"))
+          .withColumn("dd",
+            (col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy")))
+          .select(col("event_id"), col("user_id"),
+            when(col("n") >= 2 && col("dd") > 0,
+              P.r4((col("n") * col("sxy") - col("sx") * col("sy")) / sqrt(col("dd"))))
+              .as("exp_corr"))
+          .orderBy("event_id")
+      },
+      Some(s"""SELECT event_id, user_id,
+              |  CASE WHEN n >= 2 AND (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+              |       THEN round((n * sxy - sx * sy) /
+              |                  sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) END AS exp_corr
+              |FROM (
+              |  SELECT event_id, user_id,
+              |    cast(count(y) OVER w as double) AS n,
+              |    cast(sum(CASE WHEN y IS NOT NULL THEN cast(value as decimal(18,2)) END) OVER w as double) AS sx,
+              |    cast(sum(cast(y as decimal(18,2))) OVER w as double) AS sy,
+              |    cast(sum(cast(CASE WHEN y IS NOT NULL THEN cast(value as decimal(18,2)) END * cast(CASE WHEN y IS NOT NULL THEN cast(value as decimal(18,2)) END as decimal(18,2)) as decimal(38,4))) OVER w as double) AS sxx,
+              |    cast(sum(cast(cast(y as decimal(18,2)) * cast(y as decimal(18,2)) as decimal(38,4))) OVER w as double) AS syy,
+              |    cast(sum(cast(CASE WHEN y IS NOT NULL THEN cast(value as decimal(18,2)) END * cast(y as decimal(18,2)) as decimal(38,4))) OVER w as double) AS sxy
+              |  FROM (SELECT event_id, user_id, value,
+              |          lag(value, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS y
+              |        FROM $EV)
+              |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+              |ORDER BY event_id""".stripMargin),
+    ),
   )
 }
