@@ -70,6 +70,18 @@ class DedupClusterSpec extends AnyFunSuite {
     assert(a == unionFind(rp.map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))))
   }
 
+  test("declared setting (iters=3, lazy) covers diameter 8 — the near-clique bound with margin") {
+    // reach recurrence of the fused round: R' = max(R+1, 2R); seed = 1
+    // → 2 → 4 → 8 after 3 rounds. Hamming≤1 SimHash components have
+    // diameter ≤ ~4, so a FULL diameter-8 chain proves the declared
+    // queries' setting with 2× margin.
+    val pairs = (1L until 9L).map(i => (i, i + 1)) // chain 1-…-9, diameter 8
+    val got = DedupCluster.clusters(pairs.toDF("a", "b"),
+        iters = 3, checkConvergence = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (1L to 9L).map(_ -> 1L).toMap)
+  }
+
   test("survivors keep exactly one doc per duplicate cluster") {
     val docs = (1L to 30L).map(i => (i, s"text$i")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")

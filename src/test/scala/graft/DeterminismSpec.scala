@@ -22,7 +22,12 @@ class DeterminismSpec extends AnyFunSuite {
     // strict frames, TVF routing
     "dedup_simhash_pairs", "dedup_cluster_resolve",
     "sim_cosine_ivf_kmeans", "join_asof_strict", "join_asof_tvf",
-    "win_rolling_median")
+    "win_rolling_median",
+    // round 6: cluster family under LAZY fixed-rounds (iters=3, no
+    // convergence action — guards label-propagation order effects),
+    // plus the new rank/ewm/expanding windows
+    "dedup_survivors", "win_rank_average", "ts_ewm_std",
+    "win_expanding_corr")
 
   test("order-sensitive queries return identical results across runs") {
     val failures = sensitive.flatMap { key =>
