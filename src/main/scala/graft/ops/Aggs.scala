@@ -423,5 +423,84 @@ object Aggs {
         T.lineitem(s, d).agg(approx_count_distinct(col("l_partkey")).as("approx_parts")),
       None,
     ),
+    // pandas .all()/.any() per group — boolean aggregates. Partial-agg
+    // friendly (AND/OR are associative+commutative): shuffle one bool
+    // per (partition, group).
+    OpSpec(
+      "agg_any_all",
+      (s, d) =>
+        T.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(
+            expr("bool_and(l_quantity > 5)").as("all_gt5"),
+            expr("bool_or(l_discount > 0.09)").as("any_disc9"),
+            expr("bool_and(l_tax <= 0.08)").as("all_tax_le8"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  bool_and(l_quantity > 5) AS all_gt5,
+             |  bool_or(l_discount > 0.09) AS any_disc9,
+             |  bool_and(l_tax <= 0.08) AS all_tax_le8
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+    ),
+    // Bitwise AND/OR/XOR aggregates (np.bitwise_*.reduce analogues) —
+    // associative, so map-side partials apply; one int64 per group.
+    OpSpec(
+      "agg_bitwise",
+      (s, d) =>
+        T.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(
+            expr("bit_and(l_partkey)").as("band"),
+            expr("bit_or(l_partkey)").as("bor"),
+            expr("bit_xor(l_partkey)").as("bxor"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  bit_and(l_partkey) AS band, bit_or(l_partkey) AS bor,
+             |  bit_xor(l_partkey) AS bxor
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+    ),
+    // groupby().prod() [P core/groupby] — neither engine has an exact
+    // float product agg with deterministic order, so use the ordered-
+    // fold device (§2.0, same as text_lang_entropy): exp of an ordered
+    // sum of logs. Spark's sorted collect_list fold is bit-identical to
+    // DuckDB's list_sum(list(... ORDER BY ...)); one final 4-dp round
+    // absorbs the transcendental exp/ln. Factors 1−l_discount ∈
+    // [0.9, 1] keep magnitudes tame. The collect is per (group, order
+    // key)-bounded — fine here; a 100 TB exact product would carry
+    // (sign, Σlog) as a two-field associative partial instead.
+    OpSpec(
+      "agg_product",
+      (s, d) =>
+        T.lineitem(s, d)
+          .filter(col("l_orderkey") < 100)
+          .groupBy("l_orderkey")
+          .agg(expr(
+            """round(exp(aggregate(
+              |  transform(array_sort(collect_list(named_struct('k', l_linenumber, 'v', ln(1.0 - l_discount)))),
+              |            p -> p.v),
+              |  0D, (acc, x) -> acc + x)), 4)""".stripMargin).as("disc_prod"))
+          .orderBy("l_orderkey"),
+      Some("""SELECT l_orderkey,
+             |  round(exp(list_sum(list(ln(1.0 - l_discount) ORDER BY l_linenumber))), 4) AS disc_prod
+             |FROM lineitem WHERE l_orderkey < 100
+             |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin),
+    ),
+    // pd.crosstab(returnflag, linestatus) — contingency counts as wide
+    // conditional sums (shared formula text, no engine PIVOT dialect):
+    // one hash agg, one row per left key.
+    OpSpec(
+      "agg_crosstab",
+      (s, d) =>
+        T.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(
+            sum(when(col("l_linestatus") === "F", 1L).otherwise(0L)).as("n_f"),
+            sum(when(col("l_linestatus") === "O", 1L).otherwise(0L)).as("n_o"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  cast(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) as bigint) AS n_f,
+             |  cast(sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) as bigint) AS n_o
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+    ),
   )
 }

@@ -427,5 +427,35 @@ object Joins {
              |FROM p ASOF LEFT JOIN b ON p.user_id = b.user_id AND p.ts > b.ts
              |ORDER BY p.event_id""".stripMargin),
     ),
+    // pandas merge(indicator=True) [P core/reshape/merge.py]: full outer
+    // join + both/left_only/right_only provenance column. The two sides
+    // are filtered asymmetrically so all three labels actually occur.
+    // Full-outer on the shuffled key is SMJ — the 100 TB default; the
+    // indicator is a row-local CASE after the join.
+    OpSpec(
+      "join_indicator",
+      (s, d) => {
+        val a = T.customer(s, d).filter(col("c_nationkey") < 13)
+          .select(col("c_custkey").as("k"), lit(1).as("in_a"))
+        val b = T.orders(s, d).filter(col("o_totalprice") > 150000)
+          .select(col("o_custkey").as("k")).distinct()
+          .withColumn("in_b", lit(1))
+        a.join(b, Seq("k"), "full_outer")
+          .select(col("k"),
+            when(col("in_a").isNotNull && col("in_b").isNotNull, "both")
+              .when(col("in_a").isNotNull, "left_only")
+              .otherwise("right_only").as("merge_ind"))
+          .orderBy("k")
+      },
+      Some("""SELECT coalesce(a.k, b.k2) AS k,
+             |  CASE WHEN in_a IS NOT NULL AND in_b IS NOT NULL THEN 'both'
+             |       WHEN in_a IS NOT NULL THEN 'left_only'
+             |       ELSE 'right_only' END AS merge_ind
+             |FROM (SELECT c_custkey AS k, 1 AS in_a FROM customer WHERE c_nationkey < 13) a
+             |FULL OUTER JOIN (SELECT DISTINCT o_custkey AS k2, 1 AS in_b
+             |                 FROM orders WHERE o_totalprice > 150000) b
+             |  ON a.k = b.k2
+             |ORDER BY k""".stripMargin),
+    ),
   )
 }

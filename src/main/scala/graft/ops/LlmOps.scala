@@ -263,5 +263,57 @@ object LlmOps {
              |FROM documents JOIN embeddings ON doc_id = vec_id
              |GROUP BY label, lang ORDER BY label, lang""".stripMargin),
     ),
+    // Training-pipeline text normalization: lower → strip non-[a-z0-9 ]
+    // → collapse runs of spaces → trim. Row-local, codegen'd; emitted as
+    // (hash, length) so the verify dump stays slim even on long docs.
+    // DuckDB regexp_replace is first-match-only by default — the 'g'
+    // flag makes it global like Spark's. Pattern is Java∩RE2-safe.
+    OpSpec(
+      "text_normalize",
+      (s, d) => {
+        val norm = trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), "  +", " "))
+        T.documents(s, d)
+          .filter(col("doc_id") < 200)
+          .select(col("doc_id"),
+            sha2(norm, 256).as("norm_hash"),
+            length(norm).cast("bigint").as("norm_len"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  sha256(trim(regexp_replace(
+             |    regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '  +', ' ', 'g'))) AS norm_hash,
+             |  cast(len(trim(regexp_replace(
+             |    regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '  +', ' ', 'g'))) as bigint) AS norm_len
+             |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin),
+    ),
+    // Prefix dedup — the cheap first pass of a crawl pipeline: docs
+    // sharing their first 40 chars collapse to the min-doc_id survivor.
+    // Shuffles a 40-char key per doc, not the document.
+    OpSpec(
+      "dedup_prefix",
+      (s, d) =>
+        T.documents(s, d)
+          .groupBy(substring(col("text"), 1, 40).as("prefix40"))
+          .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_dups"))
+          .select("doc_id", "n_dups")
+          .orderBy("doc_id"),
+      Some("""SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+             |FROM documents GROUP BY substr(text, 1, 40) ORDER BY doc_id""".stripMargin),
+    ),
+    // drop_duplicates(keep='last') — the max-key survivor variant of
+    // dedup_exact (pandas' keep parameter; SURVEY §2.0.5 pins keep to a
+    // deterministic key, never arbitrary-row dropDuplicates).
+    OpSpec(
+      "dedup_keep_last",
+      (s, d) =>
+        T.documents(s, d)
+          .groupBy("text")
+          .agg(max("doc_id").as("doc_id"), count(lit(1)).as("n_dups"))
+          .select("doc_id", "n_dups")
+          .orderBy("doc_id"),
+      Some("""SELECT max(doc_id) AS doc_id, count(*) AS n_dups
+             |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin),
+    ),
   )
 }

@@ -248,5 +248,58 @@ object Scalars {
            |FROM customer WHERE c_custkey % 100 = 0 ORDER BY c_custkey""".stripMargin
       },
     ),
+    // pandas clip(lower, upper) / numpy clip — least∘greatest, row-local,
+    // no value arithmetic so no float policy needed.
+    OpSpec(
+      "math_clip",
+      (s, d) =>
+        T.customer(s, d)
+          .filter(col("c_custkey") % 100 === 0)
+          .select(col("c_custkey"), col("c_acctbal"),
+            least(greatest(col("c_acctbal"), lit(0.0)), lit(5000.0)).as("bal_clip"))
+          .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_acctbal,
+             |  least(greatest(c_acctbal, 0.0), 5000.0) AS bal_clip
+             |FROM customer WHERE c_custkey % 100 = 0 ORDER BY c_custkey""".stripMargin),
+    ),
+    // pandas str.pad/zfill + str.extract: lpad and a capture-group
+    // regexp_extract (Java∩RE2-safe pattern — digits only).
+    OpSpec(
+      "str_pad_extract",
+      (s, d) =>
+        T.customer(s, d)
+          .filter(col("c_custkey") % 100 === 0)
+          .select(col("c_custkey"),
+            lpad(col("c_custkey").cast("string"), 10, "0").as("key_z10"),
+            regexp_extract(col("c_name"), "([0-9]+)", 1).as("name_digits"),
+            rpad(col("c_mktsegment"), 12, ".").as("seg_pad"))
+          .orderBy("c_custkey"),
+      Some("""SELECT c_custkey,
+             |  lpad(cast(c_custkey as varchar), 10, '0') AS key_z10,
+             |  regexp_extract(c_name, '([0-9]+)', 1) AS name_digits,
+             |  rpad(c_mktsegment, 12, '.') AS seg_pad
+             |FROM customer WHERE c_custkey % 100 = 0 ORDER BY c_custkey""".stripMargin),
+    ),
+    // pd.qcut(x, 4) — quartile bucketing. ntile() splits the ordered
+    // partition into equal-count buckets exactly like qcut on distinct
+    // values; the (c_acctbal, c_custkey) order is total, so bucket
+    // assignment is deterministic in both engines. At 100 TB the same
+    // result comes from approx quantile boundaries + a broadcast range
+    // lookup; the rank-based form here is the exact-semantics contract.
+    OpSpec(
+      "reshape_qcut",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("c_acctbal"), col("c_custkey"))
+        T.customer(s, d)
+          .filter(col("c_custkey") % 10 === 0)
+          .select(col("c_custkey"), col("c_acctbal"),
+            ntile(4).over(w).cast("bigint").as("bal_quartile"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_acctbal,
+             |  ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS bal_quartile
+             |FROM customer WHERE c_custkey % 10 = 0 ORDER BY c_custkey""".stripMargin),
+    ),
   )
 }

@@ -54,5 +54,42 @@ object SetOps {
              |SELECT c_custkey, c_nationkey FROM customer WHERE c_nationkey BETWEEN 5 AND 15
              |ORDER BY c_custkey, c_nationkey""".stripMargin),
     ),
+    // Multiset variants (SQL ALL semantics): duplicates survive with
+    // min-count / count-difference multiplicity. Same single shuffle on
+    // the full row as the distinct forms. The union-all side doubles one
+    // input so multiplicity > 1 is actually exercised.
+    OpSpec(
+      "set_intersect_all",
+      (s, d) => {
+        val a = side(s, d, 0, 9)
+        val b = side(s, d, 5, 15)
+        // both sides doubled → min-count = 2: the output proves ALL
+        // (each overlap row twice), not just DISTINCT with extra steps
+        a.unionByName(a).intersectAll(b.unionByName(b))
+          .orderBy("c_custkey", "c_nationkey")
+      },
+      Some("""(SELECT c_custkey, c_nationkey FROM customer WHERE c_nationkey BETWEEN 0 AND 9
+             | UNION ALL
+             | SELECT c_custkey, c_nationkey FROM customer WHERE c_nationkey BETWEEN 0 AND 9)
+             |INTERSECT ALL
+             |(SELECT c_custkey, c_nationkey FROM customer WHERE c_nationkey BETWEEN 5 AND 15
+             | UNION ALL
+             | SELECT c_custkey, c_nationkey FROM customer WHERE c_nationkey BETWEEN 5 AND 15)
+             |ORDER BY c_custkey, c_nationkey""".stripMargin),
+    ),
+    OpSpec(
+      "set_except_all",
+      (s, d) => {
+        val a = side(s, d, 0, 9)
+        a.unionByName(a).exceptAll(side(s, d, 5, 15))
+          .orderBy("c_custkey", "c_nationkey")
+      },
+      Some("""(SELECT c_custkey, c_nationkey FROM customer WHERE c_nationkey BETWEEN 0 AND 9
+             | UNION ALL
+             | SELECT c_custkey, c_nationkey FROM customer WHERE c_nationkey BETWEEN 0 AND 9)
+             |EXCEPT ALL
+             |SELECT c_custkey, c_nationkey FROM customer WHERE c_nationkey BETWEEN 5 AND 15
+             |ORDER BY c_custkey, c_nationkey""".stripMargin),
+    ),
   )
 }

@@ -457,5 +457,26 @@ object TimeSeries {
              |WINDOW w AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              |ORDER BY user_id, ts""".stripMargin),
     ),
+    // datetime .diff() — inter-arrival time per user in whole µs
+    // (exact int64; no float timedelta to diverge). Same one-window
+    // plan as every lag.
+    OpSpec(
+      "ts_delta",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("event_id")
+        ev(s, d)
+          .filter(col("user_id") < 10)
+          .select(col("event_id"), col("user_id"),
+            (unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(w)))
+              .as("delta_us"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             |  epoch_us(cast(ts as timestamp))
+             |    - epoch_us(lag(cast(ts as timestamp), 1)
+             |               OVER (PARTITION BY user_id ORDER BY event_id)) AS delta_us
+             |FROM events WHERE user_id < 10 ORDER BY event_id""".stripMargin),
+    ),
   )
 }

@@ -639,5 +639,41 @@ object Windows {
               |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
               |ORDER BY event_id""".stripMargin),
     ),
+    // groupby().cumcount() [P core/groupby/groupby.py] — the 0-based
+    // position within the group: row_number() − 1. Same single
+    // shuffle+sort as every other byUser window.
+    OpSpec(
+      "win_cumcount",
+      (s, d) =>
+        ev(s, d)
+          .select(col("event_id"), col("user_id"),
+            (row_number().over(byUser) - 1).cast("bigint").as("cumcount"))
+          .orderBy("event_id"),
+      Some(s"""SELECT event_id, user_id,
+              |  row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS cumcount
+              |FROM $EV ORDER BY event_id""".stripMargin),
+    ),
+    // rolling(5).quantile(0.25) [P core/window/rolling.py] — the general
+    // q of the win_rolling_median device: both engines linearly
+    // interpolate between the two order statistics (Spark `percentile`
+    // exact / DuckDB quantile_cont), and over a 5-row frame q=0.25
+    // lands exactly on sorted[1], so no interpolation arithmetic can
+    // diverge. NULL until the frame fills (pandas min_periods default).
+    OpSpec(
+      "win_rolling_quantile",
+      (s, d) =>
+        ev(s, d)
+          .withColumn("rn5", count(lit(1)).over(roll5))
+          .withColumn("q25", expr("percentile(value, 0.25D)").over(roll5))
+          .select(col("event_id"), col("user_id"),
+            when(col("rn5") === 5, col("q25")).as("roll_q25"))
+          .orderBy("event_id"),
+      Some(s"""SELECT event_id, user_id,
+              |  CASE WHEN count(*) OVER w = 5 THEN quantile_cont(value, 0.25) OVER w
+              |  END AS roll_q25
+              |FROM $EV
+              |WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+              |ORDER BY event_id""".stripMargin),
+    ),
   )
 }

@@ -27,7 +27,10 @@ class DeterminismSpec extends AnyFunSuite {
     // convergence action — guards label-propagation order effects),
     // plus the new rank/ewm/expanding windows
     "dedup_survivors", "win_rank_average", "ts_ewm_std",
-    "win_expanding_corr")
+    "win_expanding_corr",
+    // round 6 batch 2: ordered-fold product, global-ntile qcut,
+    // frame percentile
+    "agg_product", "reshape_qcut", "win_rolling_quantile")
 
   test("order-sensitive queries return identical results across runs") {
     val failures = sensitive.flatMap { key =>
