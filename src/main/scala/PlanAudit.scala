@@ -23,7 +23,10 @@ object PlanAudit {
         "scan_sample_stratified", "text_lang_entropy",
         // round-6 additions
         "dedup_minhash_lsh", "win_rank_average", "ts_ewm_std",
-        "win_rolling_time_sum", "win_expanding_corr")) {
+        "win_rolling_time_sum", "win_expanding_corr",
+        // round-6 batch 2
+        "join_indicator", "set_intersect_all", "agg_product",
+        "text_normalize", "dedup_prefix")) {
       println(s"===== $k =====")
       val df = graft.ops.Registry.queries(k)(spark, d)
       println(df.queryExecution.executedPlan.toString.linesIterator

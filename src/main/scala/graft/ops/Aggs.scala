@@ -485,6 +485,75 @@ object Aggs {
              |FROM lineitem WHERE l_orderkey < 100
              |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin),
     ),
+    // pivot_table(margins=True) [P core/reshape/pivot.py] — the All
+    // row: ROLLUP on the group key over the same conditional-sum wide
+    // form as agg_crosstab. One hash agg computes every grouping set
+    // (partials fan out map-side); label coalesced to 'All'.
+    OpSpec(
+      "agg_pivot_margins",
+      (s, d) =>
+        T.lineitem(s, d)
+          .rollup("l_returnflag")
+          .agg(
+            sum(when(col("l_linestatus") === "F", 1L).otherwise(0L)).as("n_f"),
+            sum(when(col("l_linestatus") === "O", 1L).otherwise(0L)).as("n_o"),
+            count(lit(1)).as("n_all"))
+          .select(coalesce(col("l_returnflag"), lit("All")).as("l_returnflag"),
+            col("n_f"), col("n_o"), col("n_all"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT coalesce(l_returnflag, 'All') AS l_returnflag,
+             |  cast(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) as bigint) AS n_f,
+             |  cast(sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) as bigint) AS n_o,
+             |  count(*) AS n_all
+             |FROM lineitem GROUP BY ROLLUP (l_returnflag)
+             |ORDER BY l_returnflag""".stripMargin),
+    ),
+    // df.corr() — the pairwise correlation MATRIX (not just one pair):
+    // all three off-diagonal Pearson cells from one pass of exact
+    // decimal sums, shared closed-form text. One hash agg, one row.
+    OpSpec(
+      "agg_corr_matrix",
+      (s, d) => {
+        val q = P.dec2(col("l_quantity"))
+        val e = P.dec2(col("l_extendedprice"))
+        val x = P.dec2(col("l_discount"))
+        def cross(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+          sum((a * b).cast("decimal(38,4)")).cast("double")
+        T.lineitem(s, d)
+          .agg(
+            count(lit(1)).cast("double").as("n"),
+            sum(q).cast("double").as("sq"), sum(e).cast("double").as("se"),
+            sum(x).cast("double").as("sx"),
+            cross(q, q).as("sqq"), cross(e, e).as("see"), cross(x, x).as("sxx"),
+            cross(q, e).as("sqe"), cross(q, x).as("sqx"), cross(e, x).as("sex"))
+          .select(
+            P.r4((col("n") * col("sqe") - col("sq") * col("se")) /
+              (sqrt(col("n") * col("sqq") - col("sq") * col("sq")) *
+                sqrt(col("n") * col("see") - col("se") * col("se")))).as("corr_qty_price"),
+            P.r4((col("n") * col("sqx") - col("sq") * col("sx")) /
+              (sqrt(col("n") * col("sqq") - col("sq") * col("sq")) *
+                sqrt(col("n") * col("sxx") - col("sx") * col("sx")))).as("corr_qty_disc"),
+            P.r4((col("n") * col("sex") - col("se") * col("sx")) /
+              (sqrt(col("n") * col("see") - col("se") * col("se")) *
+                sqrt(col("n") * col("sxx") - col("sx") * col("sx")))).as("corr_price_disc"))
+      },
+      Some("""SELECT
+             |  round((n * sqe - sq * se) / (sqrt(n * sqq - sq * sq) * sqrt(n * see - se * se)), 4) AS corr_qty_price,
+             |  round((n * sqx - sq * sx) / (sqrt(n * sqq - sq * sq) * sqrt(n * sxx - sx * sx)), 4) AS corr_qty_disc,
+             |  round((n * sex - se * sx) / (sqrt(n * see - se * se) * sqrt(n * sxx - sx * sx)), 4) AS corr_price_disc
+             |FROM (
+             |  SELECT cast(count(*) as double) AS n,
+             |    cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sq,
+             |    cast(sum(cast(l_extendedprice as decimal(18,2))) as double) AS se,
+             |    cast(sum(cast(l_discount as decimal(18,2))) as double) AS sx,
+             |    cast(sum(cast(cast(l_quantity as decimal(18,2)) * cast(l_quantity as decimal(18,2)) as decimal(38,4))) as double) AS sqq,
+             |    cast(sum(cast(cast(l_extendedprice as decimal(18,2)) * cast(l_extendedprice as decimal(18,2)) as decimal(38,4))) as double) AS see,
+             |    cast(sum(cast(cast(l_discount as decimal(18,2)) * cast(l_discount as decimal(18,2)) as decimal(38,4))) as double) AS sxx,
+             |    cast(sum(cast(cast(l_quantity as decimal(18,2)) * cast(l_extendedprice as decimal(18,2)) as decimal(38,4))) as double) AS sqe,
+             |    cast(sum(cast(cast(l_quantity as decimal(18,2)) * cast(l_discount as decimal(18,2)) as decimal(38,4))) as double) AS sqx,
+             |    cast(sum(cast(cast(l_extendedprice as decimal(18,2)) * cast(l_discount as decimal(18,2)) as decimal(38,4))) as double) AS sex
+             |  FROM lineitem)""".stripMargin),
+    ),
     // pd.crosstab(returnflag, linestatus) — contingency counts as wide
     // conditional sums (shared formula text, no engine PIVOT dialect):
     // one hash agg, one row per left key.

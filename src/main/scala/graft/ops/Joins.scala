@@ -457,5 +457,57 @@ object Joins {
              |  ON a.k = b.k2
              |ORDER BY k""".stripMargin),
     ),
+    // merge(on=[k1, k2]) — composite-key equi-join: daily purchase vs
+    // click activity per user. The shuffle key is the full (user, day)
+    // tuple — one exchange per side, SMJ on both columns.
+    OpSpec(
+      "join_multi_key",
+      (s, d) => {
+        def daily(t: String, n: String) =
+          T.events(s, d).filter(col("event_type") === t)
+            .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+            .agg(count(lit(1)).as(n))
+        daily("purchase", "n_purch")
+          .join(daily("click", "n_click"), Seq("user_id", "day"))
+          .select(col("user_id"), P.tsOut(col("day")).as("day"),
+            col("n_purch"), col("n_click"))
+          .orderBy("user_id", "day")
+      },
+      Some("""WITH p AS (SELECT user_id, date_trunc('day', cast(ts as timestamp)) AS day, count(*) AS n_purch
+             |          FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+             |     c AS (SELECT user_id, date_trunc('day', cast(ts as timestamp)) AS day, count(*) AS n_click
+             |          FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+             |SELECT p.user_id, p.day, n_purch, n_click
+             |FROM p JOIN c ON p.user_id = c.user_id AND p.day = c.day
+             |ORDER BY p.user_id, p.day""".stripMargin),
+    ),
+    // combine_first [P core/frame.py] — value-level coalesce of two
+    // aligned frames: full outer on the (user, day) index, purchase
+    // sums patched by click sums where missing.
+    OpSpec(
+      "join_combine_first",
+      (s, d) => {
+        def daily(t: String, n: String) =
+          T.events(s, d).filter(col("event_type") === t)
+            .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+            .agg(sum(P.dec2(col("value"))).cast("double").as(n))
+        daily("purchase", "pv")
+          .join(daily("click", "cv"), Seq("user_id", "day"), "full_outer")
+          .select(col("user_id"), P.tsOut(col("day")).as("day"),
+            coalesce(col("pv"), col("cv")).as("val"))
+          .orderBy("user_id", "day")
+      },
+      Some("""WITH p AS (SELECT user_id, date_trunc('day', cast(ts as timestamp)) AS day,
+             |            cast(sum(cast(value as decimal(18,2))) as double) AS pv
+             |          FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+             |     c AS (SELECT user_id, date_trunc('day', cast(ts as timestamp)) AS day,
+             |            cast(sum(cast(value as decimal(18,2))) as double) AS cv
+             |          FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+             |SELECT coalesce(p.user_id, c.user_id) AS user_id,
+             |       coalesce(p.day, c.day) AS day,
+             |       coalesce(pv, cv) AS val
+             |FROM p FULL OUTER JOIN c ON p.user_id = c.user_id AND p.day = c.day
+             |ORDER BY user_id, day""".stripMargin),
+    ),
   )
 }

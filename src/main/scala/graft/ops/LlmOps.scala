@@ -301,6 +301,24 @@ object LlmOps {
       Some("""SELECT min(doc_id) AS doc_id, count(*) AS n_dups
              |FROM documents GROUP BY substr(text, 1, 40) ORDER BY doc_id""".stripMargin),
     ),
+    // df.duplicated() [P core/frame.py] — per-ROW duplicate flag
+    // (keep='first' semantics: later copies flagged), the marking form
+    // of dedup_exact: window count per text, first occurrence by
+    // doc_id unflagged. Shuffles on the text key once.
+    OpSpec(
+      "dedup_flag_duplicated",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("text").orderBy("doc_id")
+        T.documents(s, d)
+          .select(col("doc_id"),
+            (row_number().over(w) > 1).as("is_dup"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  row_number() OVER (PARTITION BY text ORDER BY doc_id) > 1 AS is_dup
+             |FROM documents ORDER BY doc_id""".stripMargin),
+    ),
     // drop_duplicates(keep='last') — the max-key survivor variant of
     // dedup_exact (pandas' keep parameter; SURVEY §2.0.5 pins keep to a
     // deterministic key, never arbitrary-row dropDuplicates).

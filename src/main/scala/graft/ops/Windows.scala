@@ -653,6 +653,77 @@ object Windows {
               |  row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS cumcount
               |FROM $EV ORDER BY event_id""".stripMargin),
     ),
+    // rolling(5, center=True).mean() [P rolling.py] — the center
+    // parameter: a symmetric (-2, +2) frame instead of trailing. Exact
+    // decimal sum / 5, full-frame guard (pandas emits NaN where the
+    // symmetric window is truncated at either partition edge).
+    OpSpec(
+      "win_rolling_center",
+      (s, d) => {
+        val c5 = byUser.rowsBetween(-2, 2)
+        ev(s, d)
+          .withColumn("nc", count(lit(1)).over(c5))
+          .select(col("event_id"), col("user_id"),
+            when(col("nc") === 5,
+              sum(P.dec2(col("value"))).over(c5).cast("double") / 5).as("roll_c5"))
+          .orderBy("event_id")
+      },
+      Some(s"""SELECT event_id, user_id,
+              |  CASE WHEN count(*) OVER w = 5
+              |       THEN cast(sum(cast(value as decimal(18,2))) OVER w as double) / 5
+              |  END AS roll_c5
+              |FROM $EV
+              |WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+              |ORDER BY event_id""".stripMargin),
+    ),
+    // ffill(limit=2) [P core/generic.py] — bounded forward fill: carry
+    // the last non-null at most 2 rows, then revert to NULL. The
+    // unbounded ts_ffill device with a 2-row trailing frame IS the
+    // limit parameter.
+    OpSpec(
+      "win_ffill_limit",
+      (s, d) => {
+        val f2 = byUser.rowsBetween(-2, 0)
+        ev(s, d)
+          .withColumn("pv",
+            when(col("event_type") === "purchase", col("value")))
+          .select(col("event_id"), col("user_id"),
+            last("pv", ignoreNulls = true).over(f2).as("pv_fill2"))
+          .orderBy("event_id")
+      },
+      Some(s"""SELECT event_id, user_id,
+              |  last_value(pv IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY event_id
+              |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS pv_fill2
+              |FROM (SELECT event_id, user_id,
+              |        CASE WHEN event_type = 'purchase' THEN value END AS pv
+              |      FROM $EV)
+              |ORDER BY event_id""".stripMargin),
+    ),
+    // rolling(5).rank(method='min') [P rolling.py, pandas ≥ 1.4] —
+    // rank of the CURRENT value inside its frame: 1 + |{y ∈ frame :
+    // y < value}|. Both engines materialize the 5-element frame list
+    // (collect_list / windowed list()) and count with a lambda —
+    // comparisons only, no float arithmetic to diverge. O(w) per row
+    // with w=5; the frame list never leaves the window operator.
+    OpSpec(
+      "win_rolling_rank",
+      (s, d) =>
+        ev(s, d)
+          .withColumn("rn5", count(lit(1)).over(roll5))
+          .withColumn("fr", collect_list("value").over(roll5))
+          .select(col("event_id"), col("user_id"),
+            when(col("rn5") === 5,
+              (expr("size(filter(fr, y -> y < value))") + 1).cast("bigint"))
+              .as("roll_rank"))
+          .orderBy("event_id"),
+      Some(s"""SELECT event_id, user_id,
+              |  CASE WHEN count(*) OVER w = 5
+              |       THEN 1 + len(list_filter(list(value) OVER w, y -> y < value))
+              |  END AS roll_rank
+              |FROM $EV
+              |WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+              |ORDER BY event_id""".stripMargin),
+    ),
     // rolling(5).quantile(0.25) [P core/window/rolling.py] — the general
     // q of the win_rolling_median device: both engines linearly
     // interpolate between the two order statistics (Spark `percentile`

@@ -89,6 +89,46 @@ object NearDup {
       |  WHERE p[3] IS NOT NULL),
       |shn AS (SELECT DISTINCT doc_id, ('0x' || substr(sha256(shingle), 1, 8))::BIGINT AS x FROM sh)""".stripMargin
 
+  /** Shared candidate-pair statistics for the exact n-gram family:
+    * (a, b, inter, sza, szb) over DF-capped distinct shingle sets —
+    * one CappedCollect agg, in-group pair explode, broadcast size
+    * joins. Both the Jaccard and the containment scorers are one
+    * formula over this frame. */
+  private def cappedPairStats(s: SparkSession, d: String): DataFrame = {
+    val cappedDocs = udaf(
+      new graft.udaf.CappedCollect.CappedCollectAgg(maxShingleDf.toInt),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val grouped = shingleNumsRaw(s, d)
+      .groupBy("x").agg(cappedDocs(col("doc_id")).as("cd"))
+      .filter(size(col("cd.items")) <= maxShingleDf)
+      .select(sort_array(col("cd.items")).as("ds"))
+      .cache()
+    val sizes = grouped.select(explode(col("ds")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = grouped.filter(size(col("ds")) >= 2)
+      .select(expr(
+        """explode(flatten(transform(sequence(1, size(ds) - 1),
+          |  i -> transform(slice(ds, i + 1, size(ds) - i),
+          |       y -> struct(element_at(ds, i) AS a, y AS b)))))""".stripMargin).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.select(col("doc_id").as("a"), col("sz").as("sza"))), "a")
+      .join(broadcast(sizes.select(col("doc_id").as("b"), col("sz").as("szb"))), "b")
+  }
+
+  /** The oracle-side twin of [[cappedPairStats]]. */
+  private val pairStatsSql: String =
+    s"""$shingleSql,
+       |shc AS (
+       |  SELECT doc_id, x FROM shn
+       |  WHERE x IN (SELECT x FROM shn GROUP BY x HAVING count(*) <= $maxShingleDf)),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+       |  FROM shc a JOIN shc b ON a.x = b.x AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)""".stripMargin
+
   val ops: Seq[OpSpec] = Seq(
     // 3-gram Jaccard over DF-CAPPED distinct shingle sets: shingles with
     // document frequency > maxShingleDf are dropped before the self-join
@@ -100,7 +140,7 @@ object NearDup {
     // sets; exact duplicates still score 1.0.
     OpSpec(
       "dedup_ngram_jaccard",
-      (s, d) => {
+      (s, d) =>
         // ONE aggregation replaces the old distinct + df-agg + cap-join
         // + self-join chain: the RAW exploded (doc, shingle-hash) rows
         // group by shingle through a CAPPED DISTINCT-collect (bounded
@@ -111,47 +151,39 @@ object NearDup {
         // from exploding within each ≤50-doc group (≤ C(50,2) rows per
         // shingle, the same structural bound as before), and sizes from
         // one more pass over the same tiny grouped frame — the only
-        // cache, O(rare shingles) rows.
-        val cappedDocs = udaf(
-          new graft.udaf.CappedCollect.CappedCollectAgg(maxShingleDf.toInt),
-          org.apache.spark.sql.Encoders.scalaLong)
-        val grouped = shingleNumsRaw(s, d)
-          .groupBy("x").agg(cappedDocs(col("doc_id")).as("cd"))
-          .filter(size(col("cd.items")) <= maxShingleDf)
-          .select(sort_array(col("cd.items")).as("ds"))
-          .cache()
-        val sizes = grouped.select(explode(col("ds")).as("doc_id"))
-          .groupBy("doc_id").agg(count(lit(1)).as("sz"))
-        // all a<b pairs within a group, straight off the sorted array
-        val inter = grouped.filter(size(col("ds")) >= 2)
-          .select(expr(
-            """explode(flatten(transform(sequence(1, size(ds) - 1),
-              |  i -> transform(slice(ds, i + 1, size(ds) - i),
-              |       y -> struct(element_at(ds, i) AS a, y AS b)))))""".stripMargin).as("p"))
-          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-          .agg(count(lit(1)).as("inter"))
-        inter
-          .join(broadcast(sizes.select(col("doc_id").as("a"), col("sz").as("sza"))), "a")
-          .join(broadcast(sizes.select(col("doc_id").as("b"), col("sz").as("szb"))), "b")
+        // cache, O(rare shingles) rows. (Plan now shared with the
+        // containment scorer: cappedPairStats.)
+        cappedPairStats(s, d)
           .select(col("a"), col("b"),
             (col("inter").cast("double") /
               (col("sza") + col("szb") - col("inter"))).as("jaccard"))
           .filter(col("jaccard") >= 0.5)
-          .orderBy("a", "b")
-      },
-      Some(s"""WITH $shingleSql,
-              |shc AS (
-              |  SELECT doc_id, x FROM shn
-              |  WHERE x IN (SELECT x FROM shn GROUP BY x HAVING count(*) <= $maxShingleDf)),
-              |sizes AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY doc_id),
-              |inter AS (
-              |  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
-              |  FROM shc a JOIN shc b ON a.x = b.x AND a.doc_id < b.doc_id
-              |  GROUP BY 1, 2)
+          .orderBy("a", "b"),
+      Some(s"""WITH $pairStatsSql
               |SELECT a, b, cast(inter as double) / (sa.sz + sb.sz - inter) AS jaccard
               |FROM inter JOIN sizes sa ON inter.a = sa.doc_id
               |           JOIN sizes sb ON inter.b = sb.doc_id
               |WHERE cast(inter as double) / (sa.sz + sb.sz - inter) >= 0.5
+              |ORDER BY a, b""".stripMargin),
+    ),
+    // n-gram CONTAINMENT — |A∩B| / min(|A|,|B|): the near-dup metric
+    // for SUBSET duplication (a doc embedded inside a larger one),
+    // where Jaccard is diluted by the size gap. Same capped pair-stats
+    // plan, one different formula.
+    OpSpec(
+      "dedup_ngram_containment",
+      (s, d) =>
+        cappedPairStats(s, d)
+          .select(col("a"), col("b"),
+            (col("inter").cast("double") /
+              least(col("sza"), col("szb"))).as("containment"))
+          .filter(col("containment") >= 0.7)
+          .orderBy("a", "b"),
+      Some(s"""WITH $pairStatsSql
+              |SELECT a, b, cast(inter as double) / least(sa.sz, sb.sz) AS containment
+              |FROM inter JOIN sizes sa ON inter.a = sa.doc_id
+              |           JOIN sizes sb ON inter.b = sb.doc_id
+              |WHERE cast(inter as double) / least(sa.sz, sb.sz) >= 0.7
               |ORDER BY a, b""".stripMargin),
     ),
     // MinHash signatures (8 hashes), LSH banding (4 bands × 2 rows):

@@ -226,5 +226,47 @@ object VecOps {
               |FROM v, q WHERE cell = qcell AND vec_id <> 0
               |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin),
     ),
+    // k-NN JOIN — the batched form of sim_cosine_topk: top-3 neighbors
+    // for EACH of a query set, not one vector. The query side (5 rows)
+    // broadcasts; per-(query, candidate) scores reduce through a
+    // row_number window partitioned by query — per-partition top-k, no
+    // global sort of the product. At 100 TB the corpus side stays
+    // partitioned in place and each partition streams the broadcast
+    // queries; the window shuffles only (query, cand, score) triples.
+    OpSpec(
+      "sim_knn_join",
+      (s, d) => {
+        val v = T.embeddings(s, d)
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> cast(x as double))").as("e"))
+        val q = v.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("e").as("qe"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(desc("cos_sim"), col("vec_id"))
+        v.filter(col("vec_id") % 10 === 0)
+          .crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"),
+            P.r4(dot("e", "qe") /
+              (sqrt(dot("e", "e")) * sqrt(dot("qe", "qe")))).as("cos_sim"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("qid"), col("rk").cast("bigint").as("rk"),
+            col("vec_id"), col("cos_sim"))
+          .orderBy("qid", "rk")
+      },
+      Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+             |q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 5),
+             |scored AS (
+             |  SELECT qid, vec_id,
+             |    round(list_inner_product(e, qe) /
+             |          (sqrt(list_inner_product(e, e)) * sqrt(list_inner_product(qe, qe))), 4) AS cos_sim
+             |  FROM v, q WHERE vec_id % 10 = 0 AND vec_id <> qid)
+             |SELECT qid, rk, vec_id, cos_sim FROM (
+             |  SELECT qid, vec_id, cos_sim,
+             |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rk
+             |  FROM scored)
+             |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin),
+    ),
   )
 }

@@ -30,7 +30,8 @@ class DeterminismSpec extends AnyFunSuite {
     "win_expanding_corr",
     // round 6 batch 2: ordered-fold product, global-ntile qcut,
     // frame percentile
-    "agg_product", "reshape_qcut", "win_rolling_quantile")
+    "agg_product", "reshape_qcut", "win_rolling_quantile",
+    "dedup_ngram_containment", "sim_knn_join", "dedup_flag_duplicated")
 
   test("order-sensitive queries return identical results across runs") {
     val failures = sensitive.flatMap { key =>
