@@ -248,6 +248,25 @@ object Scalars {
            |FROM customer WHERE c_custkey % 100 = 0 ORDER BY c_custkey""".stripMargin
       },
     ),
+    // explode with position (pandas explode + reset_index / enumerate):
+    // Spark posexplode (0-based) ≡ DuckDB parallel unnest +
+    // generate_subscripts (1-based, −1). Row-local fan-out, no shuffle.
+    OpSpec(
+      "arr_posexplode",
+      (s, d) =>
+        T.documents(s, d)
+          .filter(col("doc_id") < 20)
+          .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+          .filter(col("pos") < 5)
+          .select(col("doc_id"), col("pos").cast("bigint").as("pos"), col("tok"))
+          .orderBy("doc_id", "pos"),
+      Some("""SELECT doc_id, pos, tok FROM (
+             |  SELECT doc_id,
+             |    generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+             |    unnest(string_split(text, ' ')) AS tok
+             |  FROM documents WHERE doc_id < 20)
+             |WHERE pos < 5 ORDER BY doc_id, pos""".stripMargin),
+    ),
     // pandas clip(lower, upper) / numpy clip — least∘greatest, row-local,
     // no value arithmetic so no float policy needed.
     OpSpec(

@@ -457,6 +457,53 @@ object TimeSeries {
              |WINDOW w AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              |ORDER BY user_id, ts""".stripMargin),
     ),
+    // interpolate(method='time') [P core/generic.py] — gap-weighted
+    // interpolation: weights come from the TIMESTAMP distance to the
+    // bracketing non-nulls, not the row offset (ts_interpolate_linear's
+    // device with unix_micros(ts) as the abscissa). Exact int64 µs
+    // deltas; one double quotient at the end, identical IEEE tree.
+    OpSpec(
+      "ts_interpolate_time",
+      (s, d) => {
+        val ordered = org.apache.spark.sql.expressions.Window.orderBy("event_id")
+        val back = ordered.rowsBetween(Long.MinValue, 0)
+        val fwd = ordered.rowsBetween(0, Long.MaxValue)
+        ev(s, d)
+          .filter(col("user_id") === 7)
+          .withColumn("v", when(col("event_type") === "view", lit(null)).otherwise(col("value")))
+          .withColumn("t", unix_micros(col("ts")))
+          .withColumn("prev_v", last("v", ignoreNulls = true).over(back))
+          .withColumn("pt", last(when(col("v").isNotNull, col("t")), ignoreNulls = true).over(back))
+          .withColumn("next_v", first("v", ignoreNulls = true).over(fwd))
+          .withColumn("nt", first(when(col("v").isNotNull, col("t")), ignoreNulls = true).over(fwd))
+          .select(col("event_id"), col("v"),
+            when(col("v").isNotNull, col("v"))
+              .when(col("prev_v").isNotNull && col("next_v").isNotNull,
+                col("prev_v") + (col("next_v") - col("prev_v")) *
+                  (col("t") - col("pt")).cast("double") /
+                  (col("nt") - col("pt")).cast("double"))
+              .as("v_interp"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, v,
+             |  CASE WHEN v IS NOT NULL THEN v
+             |       WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+             |       THEN prev_v + (next_v - prev_v) * cast(t - pt as double) / cast(nt - pt as double)
+             |  END AS v_interp
+             |FROM (
+             |  SELECT event_id, v, t,
+             |    last_value(v IGNORE NULLS) OVER wb AS prev_v,
+             |    last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER wb AS pt,
+             |    first_value(v IGNORE NULLS) OVER wf AS next_v,
+             |    first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER wf AS nt
+             |  FROM (SELECT event_id,
+             |          CASE WHEN event_type = 'view' THEN NULL ELSE value END AS v,
+             |          epoch_us(cast(ts as timestamp)) AS t
+             |        FROM events WHERE user_id = 7)
+             |  WINDOW wb AS (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             |         wf AS (ORDER BY event_id ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+             |ORDER BY event_id""".stripMargin),
+    ),
     // datetime .diff() — inter-arrival time per user in whole µs
     // (exact int64; no float timedelta to diverge). Same one-window
     // plan as every lag.
