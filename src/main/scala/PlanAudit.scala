@@ -26,7 +26,8 @@ object PlanAudit {
         "win_rolling_time_sum", "win_expanding_corr",
         // round-6 batch 2
         "join_indicator", "set_intersect_all", "agg_product",
-        "text_normalize", "dedup_prefix")) {
+        "text_normalize", "dedup_prefix", "join_range_binned",
+        "sim_knn_join", "dedup_ngram_containment")) {
       println(s"===== $k =====")
       val df = graft.ops.Registry.queries(k)(spark, d)
       println(df.queryExecution.executedPlan.toString.linesIterator

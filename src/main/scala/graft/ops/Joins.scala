@@ -457,6 +457,43 @@ object Joins {
              |  ON a.k = b.k2
              |ORDER BY k""".stripMargin),
     ),
+    // PURE interval join — NO equi-key: which lineitems shipped inside
+    // each order-week window [d0, d0+7), across the whole table. Spark's
+    // native plan for a keyless range predicate is BroadcastNestedLoop /
+    // cartesian — O(|iv|·|points|) compares. The scale device is BIN
+    // BLOCKING: each interval explodes to the week-buckets it overlaps
+    // (≤ 2 for a 7-day window), points bucket to their own week, the
+    // join is an EQUI-join on the bucket, and the original range
+    // predicate remains as the residual filter. Pair generation is
+    // O(points + intervals·buckets) shuffled on the bucket — the plan a
+    // 100 TB range join needs. The oracle is the DIRECT range join:
+    // the gate proves the blocking lossless.
+    OpSpec(
+      "join_range_binned",
+      (s, d) => {
+        val iv = T.orders(s, d).filter(col("o_orderkey") < 500)
+          .select(col("o_orderkey").as("iv_id"), col("o_orderdate").as("d0"),
+            date_add(col("o_orderdate"), 7).as("d1"))
+        val ivBins = iv.withColumn("wk",
+          explode(expr(
+            "sequence(date_trunc('week', d0), date_trunc('week', d1), interval 7 days)")))
+        val pts = T.lineitem(s, d)
+          .select(col("l_shipdate").as("day"), col("l_quantity"))
+          .withColumn("wk", date_trunc("week", col("day")))
+        ivBins.join(pts, Seq("wk"))
+          .filter(col("day") >= col("d0") && col("day") < col("d1"))
+          .groupBy("iv_id")
+          .agg(count(lit(1)).as("n"),
+            sum(P.dec2(col("l_quantity"))).cast("double").as("sum_qty"))
+          .orderBy("iv_id")
+      },
+      Some("""SELECT o_orderkey AS iv_id, count(*) AS n,
+             |  cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sum_qty
+             |FROM (SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderkey < 500) o
+             |JOIN lineitem
+             |  ON l_shipdate >= o_orderdate AND l_shipdate < o_orderdate + INTERVAL 7 DAY
+             |GROUP BY 1 ORDER BY iv_id""".stripMargin),
+    ),
     // merge(on=[k1, k2]) — composite-key equi-join: daily purchase vs
     // click activity per user. The shuffle key is the full (user, day)
     // tuple — one exchange per side, SMJ on both columns.

@@ -51,6 +51,12 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("join_range_binned is a bucket equi-join, not the BNLJ a keyless range predicate defaults to") {
+    val p = plan("join_range_binned")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
   test("dedup_simhash_pairs is a bucket equi-join, not an all-pairs product") {
     val p = plan("dedup_simhash_pairs")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
