@@ -284,6 +284,47 @@ object NearDup {
               |WHERE bit_count(xor(x.simhash, y.simhash)) <= 1
               |ORDER BY a, b""".stripMargin),
     ),
+    // SimHash retrieval at Hamming ≤ 2 — the PIGEONHOLE generalization
+    // of the bit-flip device (17 probes/doc only works for distance 1;
+    // distance 2 would need C(16,2)+17 = 137). Split the 16-bit sketch
+    // into 3 parts (6/5/5 bits): two sketches within Hamming 2 differ
+    // in ≤ 2 parts, so AT LEAST ONE part matches exactly — block on
+    // (part_id, part_value), 3 rows per doc, equi-join, verify
+    // bit_count ≤ 2 on candidates only. The same pigeonhole that makes
+    // MinHash banding work, applied to SimHash; at 100 TB the blocking
+    // cost is 3 rows/doc vs 137. Oracle = all-pairs distance ≤ 2: the
+    // gate proves the 3-split lossless.
+    OpSpec(
+      "dedup_simhash_pairs2",
+      (s, d) => {
+        val sh = simhashDf(s, d)
+        // parts: bits [0,6) [6,11) [11,16)
+        def part(c: org.apache.spark.sql.Column, lo: Int, hi: Int) =
+          shiftright(c, lo).bitwiseAND(lit((1L << (hi - lo)) - 1))
+        def parted(idCol: String, shCol: String) =
+          sh.select(col("doc_id").as(idCol), col("simhash").as(shCol),
+              explode(array(
+                struct(lit(0).as("pid"), part(col("simhash"), 0, 6).as("pv")),
+                struct(lit(1).as("pid"), part(col("simhash"), 6, 11).as("pv")),
+                struct(lit(2).as("pid"), part(col("simhash"), 11, 16).as("pv"))))
+                .as("p"))
+            .select(col(idCol), col(shCol), col("p.pid").as("pid"), col("p.pv").as("pv"))
+        parted("a", "sa")
+          .join(parted("b", "sb"), Seq("pid", "pv"))
+          .filter(col("a") < col("b"))
+          .select(col("a"), col("b"),
+            expr("bit_count(sa ^ sb)").cast("bigint").as("hamming"))
+          .filter(col("hamming") <= 2)
+          .distinct()
+          .orderBy("a", "b")
+      },
+      Some(s"""WITH $simhashSql
+              |SELECT x.doc_id AS a, y.doc_id AS b,
+              |  cast(bit_count(xor(x.simhash, y.simhash)) as bigint) AS hamming
+              |FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+              |WHERE bit_count(xor(x.simhash, y.simhash)) <= 2
+              |ORDER BY a, b""".stripMargin),
+    ),
     // Duplicate-CLUSTER resolution inside the hash gate: near-dup PAIRS
     // (here the Hamming≤1 SimHash edges) collapsed to connected
     // components, cluster = min member id — what a dedup pipeline needs

@@ -31,7 +31,8 @@ class DeterminismSpec extends AnyFunSuite {
     // round 6 batch 2: ordered-fold product, global-ntile qcut,
     // frame percentile
     "agg_product", "reshape_qcut", "win_rolling_quantile",
-    "dedup_ngram_containment", "sim_knn_join", "dedup_flag_duplicated")
+    "dedup_ngram_containment", "sim_knn_join", "dedup_flag_duplicated",
+    "dedup_simhash_pairs2", "join_range_binned")
 
   test("order-sensitive queries return identical results across runs") {
     val failures = sensitive.flatMap { key =>

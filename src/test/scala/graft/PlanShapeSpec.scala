@@ -63,6 +63,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
   }
 
+  test("dedup_simhash_pairs2 blocks on the pigeonhole split, not an all-pairs product") {
+    val p = plan("dedup_simhash_pairs2")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
   test("sim_cosine_ivf_kmeans broadcasts the 1-row query side") {
     val p = plan("sim_cosine_ivf_kmeans")
     // the nprobe membership predicate is an OR over cells, so the 1-row
