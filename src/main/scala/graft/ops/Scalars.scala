@@ -195,8 +195,12 @@ object Scalars {
           col("band"))
         a.join(b, Seq("band"))
           .filter(col("key_a") < col("key_b"))
-          .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("bigint"))
-          .filter(col("dist") <= 3)
+          // bounded form: levenshtein(l, r, k) runs the k-banded DP and
+          // early-exits with -1 past the threshold — O(k·n) per pair vs
+          // the full O(n·m) table; for kept pairs (≥ 0) it IS the true
+          // distance, so the hash vs the oracle's unbounded form holds
+          .withColumn("dist", levenshtein(col("name_a"), col("name_b"), 3).cast("bigint"))
+          .filter(col("dist") >= 0)
           .select("key_a", "key_b", "name_a", "name_b", "dist")
           .orderBy("key_a", "key_b")
       },

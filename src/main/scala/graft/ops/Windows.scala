@@ -699,6 +699,28 @@ object Windows {
               |      FROM $EV)
               |ORDER BY event_id""".stripMargin),
     ),
+    // rolling(5) distinct count (rolling .apply(nunique) — the windowed
+    // form of nunique): frame list → array_distinct → size. Same
+    // materialized-frame device as win_rolling_rank; distinctness over
+    // a 5-element list is O(w²) compares inside the window operator.
+    OpSpec(
+      "win_rolling_nunique",
+      (s, d) =>
+        ev(s, d)
+          .withColumn("rn5", count(lit(1)).over(roll5))
+          .withColumn("fr", collect_list("event_type").over(roll5))
+          .select(col("event_id"), col("user_id"),
+            when(col("rn5") === 5,
+              expr("size(array_distinct(fr))").cast("bigint")).as("roll_nuniq"))
+          .orderBy("event_id"),
+      Some(s"""SELECT event_id, user_id,
+              |  CASE WHEN count(*) OVER w = 5
+              |       THEN len(list_distinct(list(event_type) OVER w))
+              |  END AS roll_nuniq
+              |FROM $EV
+              |WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+              |ORDER BY event_id""".stripMargin),
+    ),
     // rolling(5).rank(method='min') [P rolling.py, pandas ≥ 1.4] —
     // rank of the CURRENT value inside its frame: 1 + |{y ∈ frame :
     // y < value}|. Both engines materialize the 5-element frame list
