@@ -27,7 +27,8 @@ object PlanAudit {
         // round-6 batch 2
         "join_indicator", "set_intersect_all", "agg_product",
         "text_normalize", "dedup_prefix", "join_range_binned",
-        "sim_knn_join", "dedup_ngram_containment")) {
+        "sim_knn_join", "dedup_ngram_containment", "pipeline_dedup_clean",
+        "dedup_simhash_pairs2")) {
       println(s"===== $k =====")
       val df = graft.ops.Registry.queries(k)(spark, d)
       println(df.queryExecution.executedPlan.toString.linesIterator

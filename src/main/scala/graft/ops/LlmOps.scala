@@ -301,6 +301,46 @@ object LlmOps {
       Some("""SELECT min(doc_id) AS doc_id, count(*) AS n_dups
              |FROM documents GROUP BY substr(text, 1, 40) ORDER BY doc_id""".stripMargin),
     ),
+    // END-TO-END pipeline pass — what a crawl→training-corpus job runs
+    // as its first stage, composed from the proven devices in ONE
+    // declared plan: normalize (row-local regex) → quality filter
+    // (≥ 5 words, row-local) → exact dedup on the sha256 of the
+    // NORMALIZED text (shuffles 32-byte digests, min-doc_id survivor)
+    // → per-(lang, source) surviving counts + exact avg length. Three
+    // shuffles total: digest dedup, survivor join-back, final stats agg.
+    OpSpec(
+      "pipeline_dedup_clean",
+      (s, d) => {
+        val norm = trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), "  +", " "))
+        val normed = T.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("source"), norm.as("ntext"))
+          .filter(size(split(col("ntext"), " ")) >= 5)
+          .select(col("doc_id"), col("lang"), col("source"),
+            sha2(col("ntext"), 256).as("h"),
+            length(col("ntext")).cast("bigint").as("nlen"))
+        val surv = normed.groupBy("h").agg(min("doc_id").as("doc_id"))
+        normed.join(surv.select("doc_id"), Seq("doc_id"))
+          .groupBy("lang", "source")
+          .agg(count(lit(1)).as("n_docs"),
+            (sum(col("nlen")).cast("double") / count(lit(1))).as("avg_len"))
+          .orderBy("lang", "source")
+      },
+      Some("""WITH normed AS (
+             |  SELECT doc_id, lang, source,
+             |    sha256(trim(regexp_replace(
+             |      regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '  +', ' ', 'g'))) AS h,
+             |    cast(len(trim(regexp_replace(
+             |      regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '  +', ' ', 'g'))) as bigint) AS nlen
+             |  FROM documents
+             |  WHERE len(string_split(trim(regexp_replace(
+             |      regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '  +', ' ', 'g')), ' ')) >= 5),
+             |surv AS (SELECT min(doc_id) AS doc_id FROM normed GROUP BY h)
+             |SELECT lang, source, count(*) AS n_docs,
+             |  cast(sum(nlen) as double) / count(*) AS avg_len
+             |FROM normed JOIN surv USING (doc_id)
+             |GROUP BY lang, source ORDER BY lang, source""".stripMargin),
+    ),
     // df.duplicated() [P core/frame.py] — per-ROW duplicate flag
     // (keep='first' semantics: later copies flagged), the marking form
     // of dedup_exact: window count per text, first occurrence by
