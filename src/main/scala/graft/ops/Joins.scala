@@ -341,6 +341,33 @@ object Joins {
              |FROM p ASOF LEFT JOIN b ON p.user_id = b.user_id AND p.ts <= b.ts
              |ORDER BY p.event_id""".stripMargin),
     ),
+    // merge_asof(direction='forward', tolerance=Δ) — the parameter
+    // COMBINATION (tolerance is direction-agnostic in pandas; declared
+    // backward-only until now). Same single-pass mirrored window,
+    // misses nulled by the gap test.
+    OpSpec(
+      "join_asof_tolerance_fwd",
+      (s, d) => {
+        val build = T.events(s, d).filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("value").as("click_value"))
+        AsofJoin.forward(
+          purchases(s, d), build,
+          on = "ts", by = Seq("user_id"), payload = Seq("click_value"),
+          toleranceMicros = Some(3600L * 1000000L))
+          .select(col("event_id"), col("user_id"),
+            P.tsOut(col("matched_ts")).as("matched_ts"), col("click_value"))
+          .orderBy("event_id")
+      },
+      Some("""WITH p AS (SELECT event_id, user_id, cast(ts as timestamp) AS ts
+             |          FROM events WHERE event_type = 'purchase'),
+             |     b AS (SELECT user_id, cast(ts as timestamp) AS ts, value AS click_value
+             |          FROM events WHERE event_type = 'click')
+             |SELECT p.event_id, p.user_id,
+             |  CASE WHEN b.ts - p.ts <= INTERVAL 1 HOUR THEN b.ts END AS matched_ts,
+             |  CASE WHEN b.ts - p.ts <= INTERVAL 1 HOUR THEN b.click_value END AS click_value
+             |FROM p ASOF LEFT JOIN b ON p.user_id = b.user_id AND p.ts <= b.ts
+             |ORDER BY p.event_id""".stripMargin),
+    ),
     // Nearest as-of (pandas direction='nearest', ties → backward): the
     // closest click by the same user on either side of each purchase.
     // Oracle composes DuckDB's backward and forward ASOF joins with the

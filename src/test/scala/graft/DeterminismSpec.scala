@@ -32,7 +32,8 @@ class DeterminismSpec extends AnyFunSuite {
     // frame percentile
     "agg_product", "reshape_qcut", "win_rolling_quantile",
     "dedup_ngram_containment", "sim_knn_join", "dedup_flag_duplicated",
-    "dedup_simhash_pairs2", "join_range_binned")
+    "dedup_simhash_pairs2", "join_range_binned",
+    "pipeline_dedup_clean", "join_asof_tolerance_fwd")
 
   test("order-sensitive queries return identical results across runs") {
     val failures = sensitive.flatMap { key =>
