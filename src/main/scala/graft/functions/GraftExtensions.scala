@@ -60,6 +60,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getName, "dot_native"),
       (args: Seq[Expression]) => DotProduct(args(0), args(1))))
     ext.injectOptimizerRule(_ => DotProductRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.AsofRangePushdown)
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
     ext.injectResolutionRule(_ => graft.plans.ResolveAsofJoin)
     // SQL surface for the custom operator:
