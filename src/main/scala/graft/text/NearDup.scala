@@ -265,7 +265,7 @@ object NearDup {
     OpSpec(
       "dedup_simhash_pairs",
       (s, d) => {
-        val sh = simhashDf(s, d)
+        val sh = simhashDf(s, d).cache() // one int64/doc; feeds both join sides
         val flips = array((lit(0L) +: (0 until 16).map(b => lit(1L << b))): _*)
         val probe = sh.select(col("doc_id").as("a"), col("simhash").as("sa"),
             explode(flips).as("flip"))
@@ -297,7 +297,7 @@ object NearDup {
     OpSpec(
       "dedup_simhash_pairs2",
       (s, d) => {
-        val sh = simhashDf(s, d)
+        val sh = simhashDf(s, d).cache() // one int64/doc; feeds both join sides
         // parts: bits [0,6) [6,11) [11,16)
         def part(c: org.apache.spark.sql.Column, lo: Int, hi: Int) =
           shiftright(c, lo).bitwiseAND(lit((1L << (hi - lo)) - 1))
@@ -343,7 +343,7 @@ object NearDup {
     OpSpec(
       "dedup_cluster_resolve",
       (s, d) => {
-        val sh = simhashDf(s, d)
+        val sh = simhashDf(s, d).cache() // one int64/doc; feeds both join sides
         val flips = array((lit(0L) +: (0 until 16).map(b => lit(1L << b))): _*)
         val probe = sh.select(col("doc_id").as("a"), col("simhash").as("sa"),
             explode(flips).as("flip"))
@@ -377,7 +377,7 @@ object NearDup {
       "dedup_survivors",
       (s, d) => {
         val docs = T.documents(s, d).filter(col("doc_id") < 100)
-        val sh = simhashDf(s, d)
+        val sh = simhashDf(s, d).cache() // one int64/doc; feeds both join sides
         val flips = array((lit(0L) +: (0 until 16).map(b => lit(1L << b))): _*)
         val probe = sh.select(col("doc_id").as("a"), col("simhash").as("sa"),
             explode(flips).as("flip"))
