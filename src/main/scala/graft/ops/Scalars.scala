@@ -252,6 +252,45 @@ object Scalars {
            |FROM customer WHERE c_custkey % 100 = 0 ORDER BY c_custkey""".stripMargin
       },
     ),
+    // Series.map / replace(dict) — dictionary value mapping with a
+    // default: a CASE chain (shared text, codegen'd; a broadcast map
+    // join at dictionary scale).
+    OpSpec(
+      "str_map_replace",
+      (s, d) =>
+        T.customer(s, d)
+          .filter(col("c_custkey") % 100 === 0)
+          .select(col("c_custkey"), col("c_mktsegment"),
+            when(col("c_mktsegment") === "AUTOMOBILE", "AUTO")
+              .when(col("c_mktsegment") === "BUILDING", "BLDG")
+              .when(col("c_mktsegment") === "MACHINERY", "MACH")
+              .otherwise("OTHER").as("seg_code"))
+          .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_mktsegment,
+             |  CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 'AUTO'
+             |       WHEN c_mktsegment = 'BUILDING' THEN 'BLDG'
+             |       WHEN c_mktsegment = 'MACHINERY' THEN 'MACH'
+             |       ELSE 'OTHER' END AS seg_code
+             |FROM customer WHERE c_custkey % 100 = 0 ORDER BY c_custkey""".stripMargin),
+    ),
+    // groupby string concatenation (pandas ' '.join per group) — the
+    // §2.0.5 ordered form: sort the collected list, then join. One
+    // ObjectHashAggregate; group sizes bounded by the filter here, by
+    // the key's cardinality contract at scale.
+    OpSpec(
+      "agg_string_agg",
+      (s, d) =>
+        T.customer(s, d)
+          .filter(col("c_custkey") < 60)
+          .groupBy("c_mktsegment")
+          .agg(concat_ws(",",
+            array_sort(collect_list(col("c_custkey").cast("string")))).as("keys_csv"))
+          .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment,
+             |  string_agg(cast(c_custkey as varchar), ',' ORDER BY cast(c_custkey as varchar)) AS keys_csv
+             |FROM customer WHERE c_custkey < 60
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+    ),
     // explode with position (pandas explode + reset_index / enumerate):
     // Spark posexplode (0-based) ≡ DuckDB parallel unnest +
     // generate_subscripts (1-based, −1). Row-local fan-out, no shuffle.
