@@ -32,6 +32,17 @@ object LlmOps {
 
   private def toDouble(c: String) = expr(s"transform($c, x -> cast(x as double))")
 
+  /** ONE normalization definition for the whole pipeline family
+    * (text_normalize + pipeline_dedup_clean use the same transform by
+    * construction): lower -> strip non-[a-z0-9 ] -> collapse space
+    * runs -> trim. DuckDB regexp_replace is first-match-only by
+    * default; the 'g' flag makes it global like Spark's. */
+  private val normCol =
+    trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), "  +", " "))
+  private val normSql =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '  +', ' ', 'g'))"
+
   val ops: Seq[OpSpec] = Seq(
     OpSpec(
       "dedup_exact",
@@ -270,22 +281,17 @@ object LlmOps {
     // flag makes it global like Spark's. Pattern is Java∩RE2-safe.
     OpSpec(
       "text_normalize",
-      (s, d) => {
-        val norm = trim(regexp_replace(
-          regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), "  +", " "))
+      (s, d) =>
         T.documents(s, d)
           .filter(col("doc_id") < 200)
           .select(col("doc_id"),
-            sha2(norm, 256).as("norm_hash"),
-            length(norm).cast("bigint").as("norm_len"))
-          .orderBy("doc_id")
-      },
-      Some("""SELECT doc_id,
-             |  sha256(trim(regexp_replace(
-             |    regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '  +', ' ', 'g'))) AS norm_hash,
-             |  cast(len(trim(regexp_replace(
-             |    regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '  +', ' ', 'g'))) as bigint) AS norm_len
-             |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin),
+            sha2(normCol, 256).as("norm_hash"),
+            length(normCol).cast("bigint").as("norm_len"))
+          .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+              |  sha256($normSql) AS norm_hash,
+              |  cast(len($normSql) as bigint) AS norm_len
+              |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin),
     ),
     // Prefix dedup — the cheap first pass of a crawl pipeline: docs
     // sharing their first 40 chars collapse to the min-doc_id survivor.
@@ -311,10 +317,8 @@ object LlmOps {
     OpSpec(
       "pipeline_dedup_clean",
       (s, d) => {
-        val norm = trim(regexp_replace(
-          regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), "  +", " "))
         val normed = T.documents(s, d)
-          .select(col("doc_id"), col("lang"), col("source"), norm.as("ntext"))
+          .select(col("doc_id"), col("lang"), col("source"), normCol.as("ntext"))
           .filter(size(split(col("ntext"), " ")) >= 5)
           .select(col("doc_id"), col("lang"), col("source"),
             sha2(col("ntext"), 256).as("h"),
@@ -326,15 +330,12 @@ object LlmOps {
             (sum(col("nlen")).cast("double") / count(lit(1))).as("avg_len"))
           .orderBy("lang", "source")
       },
-      Some("""WITH normed AS (
-             |  SELECT doc_id, lang, source,
-             |    sha256(trim(regexp_replace(
-             |      regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '  +', ' ', 'g'))) AS h,
-             |    cast(len(trim(regexp_replace(
-             |      regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '  +', ' ', 'g'))) as bigint) AS nlen
-             |  FROM documents
-             |  WHERE len(string_split(trim(regexp_replace(
-             |      regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '  +', ' ', 'g')), ' ')) >= 5),
+      Some(s"""WITH normed AS (
+              |  SELECT doc_id, lang, source,
+              |    sha256($normSql) AS h,
+              |    cast(len($normSql) as bigint) AS nlen
+              |  FROM documents
+              |  WHERE len(string_split($normSql, ' ')) >= 5),
              |surv AS (SELECT min(doc_id) AS doc_id FROM normed GROUP BY h)
              |SELECT lang, source, count(*) AS n_docs,
              |  cast(sum(nlen) as double) / count(*) AS avg_len

@@ -478,17 +478,27 @@ object TimeSeries {
           .withColumn("nt", first(when(col("v").isNotNull, col("t")), ignoreNulls = true).over(fwd))
           .select(col("event_id"), col("v"),
             when(col("v").isNotNull, col("v"))
-              .when(col("prev_v").isNotNull && col("next_v").isNotNull,
+              // nt > pt guard: ns-sourced timestamps µs-truncate, so
+              // bracketing stamps CAN collapse to equality — 0/0 is
+              // NULL in Spark's Divide but NaN in DuckDB's IEEE float
+              // division; pin the degenerate gap to prev_v on both
+              // sides instead
+              .when(col("prev_v").isNotNull && col("next_v").isNotNull &&
+                  col("nt") > col("pt"),
                 col("prev_v") + (col("next_v") - col("prev_v")) *
                   (col("t") - col("pt")).cast("double") /
                   (col("nt") - col("pt")).cast("double"))
+              .when(col("prev_v").isNotNull && col("next_v").isNotNull,
+                col("prev_v"))
               .as("v_interp"))
           .orderBy("event_id")
       },
       Some("""SELECT event_id, v,
              |  CASE WHEN v IS NOT NULL THEN v
-             |       WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+             |       WHEN prev_v IS NOT NULL AND next_v IS NOT NULL AND nt > pt
              |       THEN prev_v + (next_v - prev_v) * cast(t - pt as double) / cast(nt - pt as double)
+             |       WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+             |       THEN prev_v
              |  END AS v_interp
              |FROM (
              |  SELECT event_id, v, t,

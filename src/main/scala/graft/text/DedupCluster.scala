@@ -8,13 +8,20 @@ import org.apache.spark.sql.functions._
   * the pair graph — so one survivor can represent each group of
   * mutual near-duplicates (a~b, b~c ⇒ {a,b,c} keep min id).
   *
-  * Algorithm: label propagation with POINTER DOUBLING: every node
-  * starts labeled with itself; each round every node adopts the min
-  * label over its neighborhood AND then the label of its label
-  * (label-of-label join), which squares the propagation distance per
-  * round → O(log diameter) rounds instead of O(diameter). `iters` = 6
-  * covers diameter 2⁶; convergence is checked and iteration stops
-  * early when a round changes nothing.
+  * Algorithm: label propagation, accelerated by a label-of-label jump:
+  * every node starts labeled with itself; each round every node adopts
+  * the min label over its neighborhood AND the label of its current
+  * label. The jump usually collapses chains geometrically, but its
+  * GUARANTEED progress is only one hop per round — a node's label can
+  * be a low-id pendant whose own ball is small, so L(L(u)) adds
+  * nothing in the worst case. Correctness therefore comes from the
+  * convergence loop, not a round-count heuristic: rounds continue
+  * until a round changes no label. `minRounds` suppresses the
+  * convergence `count()` for the first k rounds (they stay fully lazy
+  * — no driver action, lineage truncated by lazy localCheckpoints), so
+  * a caller whose components are near-cliques (the dedup norm) pays
+  * exactly ONE confirming action instead of one per round, while
+  * adversarial topologies still iterate to the true fixpoint.
   *
   * Scale shape: each round is one join on the edge list + one
   * groupBy(min) — both shuffle on the node id, no driver-side graph.
@@ -23,17 +30,23 @@ import org.apache.spark.sql.functions._
 object DedupCluster {
 
   /** @param pairs edge list with two id columns (a, b)
-    * @param checkConvergence false = run exactly `iters` rounds with NO
-    *        per-round convergence `count()` — a caller that knows its
-    *        diameter bound (LSH cluster diameters are tiny; round count
-    *        is log₂ of it) drops 6 driver actions to 1 and lets the
-    *        whole chain stay lazy between checkpoints
+    * @param iters hard round cap (safety net; convergence normally
+    *        exits long before — hop-min alone covers any diameter ≤
+    *        iters, so the cap only binds on pathological graphs)
+    * @param checkConvergence false = run exactly `iters` rounds with
+    *        NO convergence action at all — only for callers that can
+    *        PROVE their diameter bound; the declared queries use the
+    *        minRounds hybrid instead
+    * @param minRounds first k rounds run lazily without the
+    *        convergence count() (k = the expected-diameter budget;
+    *        the first check then usually confirms stability at one
+    *        driver action total)
     * @return (id, cluster) — cluster = min node id reachable; only
     *         ids appearing in `pairs` are returned (singletons keep
     *         themselves implicitly) */
   def clusters(pairs: DataFrame, aCol: String = "a", bCol: String = "b",
-               iters: Int = 6, checkConvergence: Boolean = true): DataFrame = {
-    val spark = pairs.sparkSession
+               iters: Int = 6, checkConvergence: Boolean = true,
+               minRounds: Int = 0): DataFrame = {
     // undirected edges, both directions
     val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
@@ -48,28 +61,29 @@ object DedupCluster {
     var changed = true
     var round = 0
     while (changed && round < iters) {
-      // each node adopts min(own label, neighbors' labels)
+      val checking = checkConvergence && round >= minRounds
+      // each node adopts min(own label, neighbors' labels) — the
+      // guaranteed +1-hop step
       val viaEdges = edges
         .join(labels.withColumnRenamed("id", "v"), Seq("v"))
         .select(col("u").as("id"), col("lbl"))
-      // pointer doubling: also adopt the label OF the label (every
-      // label is itself a node id, so the lookup always resolves).
-      // Doubling runs off the CURRENT labels — independent of the
-      // edge-hop join, so both shuffles run concurrently and the round
-      // needs ONE groupBy, not two (3 shuffle stages/round vs 4).
-      // Reach still ≥ doubles per round: R' = max(R+1, 2R).
+      // label-of-label jump (every label is itself a node id, so the
+      // lookup always resolves): runs off the CURRENT labels —
+      // independent of the edge-hop join, so both shuffles run
+      // concurrently and the round needs ONE groupBy, not two. The
+      // jump is an ACCELERATOR (usually geometric), not the
+      // correctness argument — see the scaladoc.
       val viaLabel = labels
         .join(labels.select(col("id").as("lbl"), col("lbl").as("lbl2")), Seq("lbl"))
         .select(col("id"), col("lbl2").as("lbl"))
       // checkpoint per round: the doubling join references `labels`
       // twice, so an unbroken lineage would DOUBLE the plan tree every
       // round (exponential analysis cost); localCheckpoint truncates it.
-      // Lazy in fixed-rounds mode (no action until the caller's one),
-      // eager when the convergence count() follows anyway.
+      // Lazy while no convergence count() follows, eager when one does.
       val next = labels.unionByName(viaEdges).unionByName(viaLabel)
         .groupBy("id").agg(min("lbl").as("lbl"))
-        .localCheckpoint(eager = checkConvergence)
-      changed = !checkConvergence ||
+        .localCheckpoint(eager = checking)
+      changed = !checking ||
         next.join(labels.withColumnRenamed("lbl", "old"), Seq("id"))
           .filter(col("lbl") =!= col("old")).limit(1).count() > 0
       labels = next
@@ -82,8 +96,9 @@ object DedupCluster {
     * member of any cluster (keep-min policy). */
   def survivors(docs: DataFrame, idCol: String, pairs: DataFrame,
                 aCol: String = "a", bCol: String = "b",
-                iters: Int = 6, checkConvergence: Boolean = true): DataFrame = {
-    val cl = clusters(pairs, aCol, bCol, iters, checkConvergence)
+                iters: Int = 6, checkConvergence: Boolean = true,
+                minRounds: Int = 0): DataFrame = {
+    val cl = clusters(pairs, aCol, bCol, iters, checkConvergence, minRounds)
     val losers = cl.filter(col("id") =!= col("cluster")).select(col("id"))
     docs.join(losers.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
   }

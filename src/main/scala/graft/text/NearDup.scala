@@ -328,18 +328,18 @@ object NearDup {
     // Duplicate-CLUSTER resolution inside the hash gate: near-dup PAIRS
     // (here the Hamming≤1 SimHash edges) collapsed to connected
     // components, cluster = min member id — what a dedup pipeline needs
-    // to keep one survivor per group. Spark side is the O(log diameter)
-    // pointer-doubling label propagation (text/DedupCluster) in LAZY
-    // fixed-rounds mode: Hamming≤1 components are near-cliques
-    // (diameter ≤ ~4), the seed round covers diameter 2 and each
-    // doubling round squares reach, so seed + 3 rounds covers 2·2³ —
-    // and dropping the per-round convergence count() removes every
-    // driver round-trip from the declared query (the convergence mode
-    // stays for unknown-diameter callers); the oracle computes the
-    // same components via a
-    // RECURSIVE-CTE transitive closure + min — tractable for the
-    // oracle's data size, while the Spark plan is the shape that
-    // scales.
+    // to keep one survivor per group. Spark side is label propagation
+    // with the label-of-label jump (text/DedupCluster) in HYBRID mode:
+    // minRounds=3 lazy rounds (Hamming≤1 components are near-cliques,
+    // diameter ≤ ~4, typically converged in the seed) with NO driver
+    // action, then convergence-CHECKED rounds — normally exactly ONE
+    // confirming count(), but adversarial pendant topologies (where
+    // the jump's guaranteed progress is only +1 hop — see the
+    // DedupCluster scaladoc) still iterate to the true fixpoint
+    // instead of silently emitting wrong labels. The oracle computes
+    // the same components via a RECURSIVE-CTE transitive closure +
+    // min — tractable for the oracle's data size, while the Spark
+    // plan is the shape that scales.
     OpSpec(
       "dedup_cluster_resolve",
       (s, d) => {
@@ -352,7 +352,7 @@ object NearDup {
           .join(sh.select(col("doc_id").as("b"), col("simhash").as("bucket2")),
             col("bucket") === col("bucket2") && col("a") < col("b"))
           .select("a", "b").distinct()
-        DedupCluster.clusters(pairs, iters = 3, checkConvergence = false)
+        DedupCluster.clusters(pairs, iters = 20, minRounds = 3)
           .orderBy("id")
       },
       Some(s"""WITH RECURSIVE $simhashSql,
@@ -387,7 +387,7 @@ object NearDup {
             col("bucket") === col("bucket2") && col("a") < col("b"))
           .select("a", "b").distinct()
         DedupCluster.survivors(docs, "doc_id", pairs,
-            iters = 3, checkConvergence = false)
+            iters = 20, minRounds = 3)
           .groupBy("source")
           .agg(count(lit(1)).as("n_survivors"), sum(col("n_chars")).as("sum_chars"))
           .orderBy("source")

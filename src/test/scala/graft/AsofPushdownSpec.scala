@@ -66,11 +66,7 @@ class AsofPushdownSpec extends AnyFunSuite {
         on = "ts", by = Seq("user_id"), payload = Seq("click_value"),
         direction = "forward")
       .filter(col("ts") <= lit(hi).cast("timestamp"))
-    assert(!dfUpper.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
-        .queryExecution.optimizedPlan
-        .collectFirst { case n: AsofJoinNode => n }.get
-        .right.collect { case f: Filter => f }
-        .exists(_.condition.toString.contains("<=")),
+    assert(!buildSideFilters(dfUpper).exists(_.condition.toString.contains("<=")),
       "a forward as-of must NOT transfer a probe UPPER bound (build matches are at-or-after)")
   }
 

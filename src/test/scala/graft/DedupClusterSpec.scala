@@ -70,16 +70,33 @@ class DedupClusterSpec extends AnyFunSuite {
     assert(a == unionFind(rp.map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))))
   }
 
-  test("declared setting (iters=3, lazy) covers diameter 8 — the near-clique bound with margin") {
-    // reach recurrence of the fused round: R' = max(R+1, 2R); seed = 1
-    // → 2 → 4 → 8 after 3 rounds. Hamming≤1 SimHash components have
-    // diameter ≤ ~4, so a FULL diameter-8 chain proves the declared
-    // queries' setting with 2× margin.
+  test("on a plain chain the label-of-label jump accelerates: 3 lazy rounds cover diameter 8") {
+    // typical-case behavior of the accelerator (chains have no pendant
+    // dead-ends). NOT a worst-case guarantee — see the next test.
     val pairs = (1L until 9L).map(i => (i, i + 1)) // chain 1-…-9, diameter 8
     val got = DedupCluster.clusters(pairs.toDF("a", "b"),
         iters = 3, checkConvergence = false)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == (1L to 9L).map(_ -> 1L).toMap)
+  }
+
+  test("declared HYBRID setting (minRounds=3 lazy, then checked) is exact on the pendant worst case") {
+    // adversarial topology for the jump: a long chain whose interior
+    // nodes each carry a LOW-id pendant — every node's label becomes
+    // its pendant (whose own ball is tiny), so L(L(u)) dead-ends and
+    // guaranteed progress is only +1 hop/round. A pure lazy iters=3
+    // run can emit stale labels here; the declared hybrid setting
+    // keeps iterating until a round changes nothing, so it must agree
+    // with union-find exactly.
+    val chain = (0 until 8).map(i =>
+      (if (i == 0) 0L else 99L + i, 100L + i)) // 0-100-101-…-107
+    val pendants = (1 to 7).map(i => (i + 1L, 100L + i)) // 2-101, 3-102, …
+    val pairs = (chain ++ pendants).toDF("a", "b")
+    val got = DedupCluster.clusters(pairs, iters = 20, minRounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = (chain ++ pendants).map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
+    assert(got == unionFind(edges))
+    assert(got.values.toSet == Set(0L), "one component, min id 0")
   }
 
   test("survivors keep exactly one doc per duplicate cluster") {
