@@ -466,8 +466,8 @@ object Aggs {
     // DuckDB's list_sum(list(... ORDER BY ...)); one final 4-dp round
     // absorbs the transcendental exp/ln. Factors 1−l_discount ∈
     // [0.9, 1] keep magnitudes tame. The collect is per (group, order
-    // key)-bounded — fine here; a 100 TB exact product would carry
-    // (sign, Σlog) as a two-field associative partial instead.
+    // key)-bounded — fine here; the 100 TB path is the (sign, Σlog)
+    // associative-partial variant declared below as agg_product_assoc.
     OpSpec(
       "agg_product",
       (s, d) =>
@@ -482,6 +482,43 @@ object Aggs {
           .orderBy("l_orderkey"),
       Some("""SELECT l_orderkey,
              |  round(exp(list_sum(list(ln(1.0 - l_discount) ORDER BY l_linenumber))), 4) AS disc_prod
+             |FROM lineitem WHERE l_orderkey < 100
+             |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin),
+    ),
+    // The ASSOCIATIVE form of groupby().prod() — the recommended
+    // 100 TB path the agg_product scaladoc points at: carry (zero
+    // count, negative count, Σ ln|x|) as plain associative partials
+    // (map-side combine applies, no per-group collect buffer), finish
+    // with sign·exp(Σ). Declared against the SAME oracle formula as
+    // agg_product up to the final 4-dp round (Σ of ≤7 ln-terms per
+    // group: the unordered-sum residue is ~1 ulp, absorbed by r4 —
+    // DeterminismSpec double-runs it). Factors 1−l_discount ∈ [0.9, 1]
+    // are strictly positive here, but the zero/negative guards make the
+    // device total.
+    OpSpec(
+      "agg_product_assoc",
+      (s, d) =>
+        T.lineitem(s, d)
+          .filter(col("l_orderkey") < 100)
+          .groupBy("l_orderkey")
+          .agg(
+            sum(when(col("l_discount") === 1.0, 1L).otherwise(0L)).as("zeros"),
+            sum(when(col("l_discount") > 1.0, 1L).otherwise(0L)).as("negs"),
+            sum(log(abs(lit(1.0) - col("l_discount")))).as("slog"))
+          .select(col("l_orderkey"),
+            when(col("zeros") > 0, lit(0.0))
+              .otherwise(round(
+                when(col("negs") % 2 === 1, lit(-1.0)).otherwise(lit(1.0)) *
+                  exp(col("slog")), 4))
+              .as("disc_prod"))
+          .orderBy("l_orderkey"),
+      Some("""SELECT l_orderkey,
+             |  CASE WHEN sum(CASE WHEN l_discount = 1.0 THEN 1 ELSE 0 END) > 0 THEN 0.0
+             |       ELSE round(
+             |         (CASE WHEN sum(CASE WHEN l_discount > 1.0 THEN 1 ELSE 0 END) % 2 = 1
+             |               THEN -1.0 ELSE 1.0 END) *
+             |         exp(sum(ln(abs(1.0 - l_discount)))), 4)
+             |  END AS disc_prod
              |FROM lineitem WHERE l_orderkey < 100
              |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin),
     ),

@@ -402,6 +402,50 @@ object Joins {
              |FROM bk JOIN fw USING (event_id)
              |ORDER BY bk.event_id""".stripMargin),
     ),
+    // merge_asof(direction='nearest', tolerance=Δ) — the last uncovered
+    // cell of the direction × tolerance matrix (nearest and tolerance
+    // were declared separately until now). Choose-nearest-then-null-out
+    // ≡ filter-then-choose: the nearest candidate has the MINIMUM gap,
+    // so if it violates Δ both sides do. Δ=30 min (tighter than the
+    // 1-hour backward/forward tolerances, so misses actually occur).
+    // Oracle = the two-ASOF nearest composition bounded by a gap CASE.
+    OpSpec(
+      "join_asof_nearest_tol",
+      (s, d) => {
+        val build = T.events(s, d).filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("value").as("click_value"))
+        AsofJoin.nearest(
+          purchases(s, d), build,
+          on = "ts", by = Seq("user_id"), payload = Seq("click_value"),
+          toleranceMicros = Some(1800L * 1000000L))
+          .select(col("event_id"), col("user_id"),
+            P.tsOut(col("matched_ts")).as("matched_ts"), col("click_value"))
+          .orderBy("event_id")
+      },
+      Some("""WITH p AS (SELECT event_id, user_id, cast(ts as timestamp) AS ts
+             |          FROM events WHERE event_type = 'purchase'),
+             |     b AS (SELECT user_id, cast(ts as timestamp) AS ts, value AS click_value
+             |          FROM events WHERE event_type = 'click'),
+             |     bk AS (SELECT p.event_id, p.user_id, p.ts, b.ts AS b_ts, b.click_value AS b_val
+             |            FROM p ASOF LEFT JOIN b ON p.user_id = b.user_id AND p.ts >= b.ts),
+             |     fw AS (SELECT p.event_id, b.ts AS f_ts, b.click_value AS f_val
+             |            FROM p ASOF LEFT JOIN b ON p.user_id = b.user_id AND p.ts <= b.ts),
+             |     near AS (
+             |       SELECT bk.event_id, bk.user_id, bk.ts,
+             |         CASE WHEN b_ts IS NULL THEN f_ts
+             |              WHEN f_ts IS NULL THEN b_ts
+             |              WHEN (bk.ts - b_ts) <= (f_ts - bk.ts) THEN b_ts ELSE f_ts END AS m_ts,
+             |         CASE WHEN b_ts IS NULL THEN f_val
+             |              WHEN f_ts IS NULL THEN b_val
+             |              WHEN (bk.ts - b_ts) <= (f_ts - bk.ts) THEN b_val ELSE f_val END AS m_val
+             |       FROM bk JOIN fw USING (event_id))
+             |SELECT event_id, user_id,
+             |  CASE WHEN m_ts >= ts - INTERVAL 30 MINUTES
+             |        AND m_ts <= ts + INTERVAL 30 MINUTES THEN m_ts END AS matched_ts,
+             |  CASE WHEN m_ts >= ts - INTERVAL 30 MINUTES
+             |        AND m_ts <= ts + INTERVAL 30 MINUTES THEN m_val END AS click_value
+             |FROM near ORDER BY event_id""".stripMargin),
+    ),
     // The keyed backward as-of STRAIGHT FROM SQL TEXT through the
     // asof_join table-valued function (GraftExtensions) — gates the SQL
     // surface of the custom operator, not just the DataFrame helper.

@@ -311,36 +311,48 @@ object LlmOps {
     // as its first stage, composed from the proven devices in ONE
     // declared plan: normalize (row-local regex) → quality filter
     // (≥ 5 words, row-local) → exact dedup on the sha256 of the
-    // NORMALIZED text (shuffles 32-byte digests, min-doc_id survivor)
-    // → per-(lang, source) surviving counts + exact avg length. Three
-    // shuffles total: digest dedup, survivor join-back, final stats agg.
+    // NORMALIZED text → per-(lang, source) surviving counts + exact avg
+    // length. SINGLE-PASS survivor selection: the dedup groupBy carries
+    // the whole survivor row as min(struct(doc_id, …)) — doc_id leads
+    // the struct, so the struct-min IS the min-doc_id survivor — which
+    // means documents is scanned and regex-normalized EXACTLY ONCE and
+    // there is no join-back shuffle (the old plan self-joined the
+    // normalized subtree: 2 scans + 2 normalize passes + an extra
+    // doc_id shuffle — a genuine 100 TB scale-killer). Two shuffles
+    // total: digest dedup, final stats agg. PlanShapeSpec pins the
+    // single-scan / single-sha2 shape.
     OpSpec(
       "pipeline_dedup_clean",
-      (s, d) => {
-        val normed = T.documents(s, d)
+      (s, d) =>
+        T.documents(s, d)
           .select(col("doc_id"), col("lang"), col("source"), normCol.as("ntext"))
           .filter(size(split(col("ntext"), " ")) >= 5)
           .select(col("doc_id"), col("lang"), col("source"),
             sha2(col("ntext"), 256).as("h"),
             length(col("ntext")).cast("bigint").as("nlen"))
-        val surv = normed.groupBy("h").agg(min("doc_id").as("doc_id"))
-        normed.join(surv.select("doc_id"), Seq("doc_id"))
-          .groupBy("lang", "source")
+          .groupBy("h")
+          .agg(min(struct(col("doc_id"), col("lang"), col("source"), col("nlen")))
+            .as("s"))
+          .groupBy(col("s.lang").as("lang"), col("s.source").as("source"))
           .agg(count(lit(1)).as("n_docs"),
-            (sum(col("nlen")).cast("double") / count(lit(1))).as("avg_len"))
-          .orderBy("lang", "source")
-      },
-      Some(s"""WITH normed AS (
-              |  SELECT doc_id, lang, source,
-              |    sha256($normSql) AS h,
-              |    cast(len($normSql) as bigint) AS nlen
-              |  FROM documents
-              |  WHERE len(string_split($normSql, ' ')) >= 5),
-             |surv AS (SELECT min(doc_id) AS doc_id FROM normed GROUP BY h)
+            (sum(col("s.nlen")).cast("double") / count(lit(1))).as("avg_len"))
+          .orderBy("lang", "source"),
+      // the oracle mirrors the one-pass shape: $normSql appears ONCE
+      // (n0 CTE), survivors via min_by on the unique doc_id key
+      Some(s"""WITH n0 AS (
+              |  SELECT doc_id, lang, source, $normSql AS ntext FROM documents),
+             |normed AS (
+             |  SELECT doc_id, lang, source, sha256(ntext) AS h,
+             |    cast(len(ntext) as bigint) AS nlen
+             |  FROM n0 WHERE len(string_split(ntext, ' ')) >= 5),
+             |surv AS (
+             |  SELECT min_by(lang, doc_id) AS lang,
+             |    min_by(source, doc_id) AS source,
+             |    min_by(nlen, doc_id) AS nlen
+             |  FROM normed GROUP BY h)
              |SELECT lang, source, count(*) AS n_docs,
              |  cast(sum(nlen) as double) / count(*) AS avg_len
-             |FROM normed JOIN surv USING (doc_id)
-             |GROUP BY lang, source ORDER BY lang, source""".stripMargin),
+             |FROM surv GROUP BY lang, source ORDER BY lang, source""".stripMargin),
     ),
     // df.duplicated() [P core/frame.py] — per-ROW duplicate flag
     // (keep='first' semantics: later copies flagged), the marking form

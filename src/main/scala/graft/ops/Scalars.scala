@@ -363,5 +363,35 @@ object Scalars {
              |  ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS bal_quartile
              |FROM customer WHERE c_custkey % 10 = 0 ORDER BY c_custkey""".stripMargin),
     ),
+    // pd.cut(x, bins=[...], labels=[...]) [P core/reshape/tile.py] —
+    // EXPLICIT-edge binning (qcut's fixed-boundary sibling): pandas
+    // right-closed intervals (lo, hi], values outside the edges → NULL.
+    // ONE CASE-ladder text shared verbatim by both engines — row-local,
+    // codegen'd, zero shuffles; at 100 TB this is a free map-side
+    // projection (vs qcut's global rank).
+    OpSpec(
+      "reshape_cut",
+      (s, d) =>
+        T.customer(s, d)
+          .filter(col("c_custkey") % 10 === 0)
+          .select(col("c_custkey"), col("c_acctbal"),
+            expr(cutCase).as("bal_bin"))
+          .orderBy("c_custkey"),
+      Some(s"""SELECT c_custkey, c_acctbal,
+              |  $cutCase AS bal_bin
+              |FROM customer WHERE c_custkey % 10 = 0 ORDER BY c_custkey""".stripMargin),
+    ),
   )
+
+  /** pd.cut edges [-1000, 0, 3000, 7000, 10000] as a right-closed CASE
+    * ladder — one text, both engines (c_acctbal spans [-999.99,
+    * 9999.99], so every row lands in a bin; the ladder still NULLs
+    * out-of-range values per pandas). Lazy: referenced from `ops`
+    * above, which initializes first. */
+  private lazy val cutCase: String =
+    """CASE WHEN c_acctbal > -1000 AND c_acctbal <= 0 THEN 'neg'
+      |     WHEN c_acctbal > 0 AND c_acctbal <= 3000 THEN 'low'
+      |     WHEN c_acctbal > 3000 AND c_acctbal <= 7000 THEN 'mid'
+      |     WHEN c_acctbal > 7000 AND c_acctbal <= 10000 THEN 'high'
+      |END""".stripMargin
 }

@@ -210,6 +210,58 @@ object TimeSeries {
              |         f AS (ORDER BY event_id ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
              |ORDER BY event_id""".stripMargin),
     ),
+    // interpolate(limit=2) [P core/generic.py:8156] — the production
+    // form of interpolation: fill at most `limit` consecutive nulls
+    // (forward from the last valid value), leave the rest null. The
+    // ts_interpolate_linear device with ONE extra predicate: fill only
+    // when i − pi ≤ limit (position distance from the previous valid
+    // row) — a gap of 4 nulls gets its first 2 interpolated, the tail
+    // stays null, exactly pandas limit_direction='forward'. Same single
+    // ordered-window pass; the cap adds no shuffle.
+    OpSpec(
+      "ts_interpolate_limit",
+      (s, d) => {
+        val ordered = Window.orderBy("event_id")
+        val back = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val fwd = ordered.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        ev(s, d)
+          .filter(col("user_id") === 7)
+          .withColumn("v", when(col("event_type") === "view", lit(null)).otherwise(col("value")))
+          .withColumn("i", row_number().over(ordered).cast("bigint"))
+          .withColumn("prev_v", last("v", ignoreNulls = true).over(back))
+          .withColumn("pi", last(when(col("v").isNotNull, col("i")), ignoreNulls = true).over(back))
+          .withColumn("next_v", first("v", ignoreNulls = true).over(fwd))
+          .withColumn("ni", first(when(col("v").isNotNull, col("i")), ignoreNulls = true).over(fwd))
+          .select(col("event_id"), col("v"),
+            when(col("v").isNotNull, col("v"))
+              .when(col("prev_v").isNotNull && col("next_v").isNotNull &&
+                col("i") - col("pi") <= 2,
+                col("prev_v") + (col("next_v") - col("prev_v")) *
+                  (col("i") - col("pi")).cast("double") /
+                  (col("ni") - col("pi")).cast("double"))
+              .as("v_interp"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, v,
+             |  CASE WHEN v IS NOT NULL THEN v
+             |       WHEN prev_v IS NOT NULL AND next_v IS NOT NULL AND i - pi <= 2 THEN
+             |         prev_v + (next_v - prev_v) * cast(i - pi as double) / cast(ni - pi as double)
+             |  END AS v_interp
+             |FROM (
+             |  SELECT event_id, v, i,
+             |    last_value(v IGNORE NULLS) OVER b AS prev_v,
+             |    last_value(CASE WHEN v IS NOT NULL THEN i END IGNORE NULLS) OVER b AS pi,
+             |    first_value(v IGNORE NULLS) OVER f AS next_v,
+             |    first_value(CASE WHEN v IS NOT NULL THEN i END IGNORE NULLS) OVER f AS ni
+             |  FROM (
+             |    SELECT event_id,
+             |      CASE WHEN event_type = 'view' THEN NULL ELSE value END AS v,
+             |      cast(row_number() OVER (ORDER BY event_id) as bigint) AS i
+             |    FROM events WHERE user_id = 7)
+             |  WINDOW b AS (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             |         f AS (ORDER BY event_id ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+             |ORDER BY event_id""".stripMargin),
+    ),
     // .dt accessor family; weekday pinned Mon=0 on both engines
     // (Spark weekday ≡ DuckDB isodow−1 — the only portable encoding).
     OpSpec(
@@ -361,6 +413,121 @@ object TimeSeries {
              |    sum(value * value * pow(2.0, i)) OVER w AS swxx,
              |    count(*) OVER w AS nn
              |  FROM (SELECT event_id, user_id, value,
+             |          cast(row_number() OVER (PARTITION BY user_id ORDER BY event_id) as double) AS i
+             |        FROM events WHERE user_id < 10)
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             |ORDER BY event_id""".stripMargin),
+    ),
+    // ewm(alpha=.5, adjust=True).cov(other, bias=False) [P core/window/
+    // ewm.py] — the pairwise half of the EWM family: x = value, y =
+    // lag(value, 1) (the win_rolling_corr pairing). Same exact 2ⁱ
+    // window-sum device as ts_ewm_std extended to co-moments: Σw, Σw²,
+    // Σwx, Σwy, Σwxy over the VALID-pair subsequence (rows with y
+    // non-null — pandas pairwise semantics drop NaN pairs), all masked
+    // by the same predicate so both engines share one formula text.
+    // cov = (Σw)²/((Σw)²−Σw²) · (Σwxy/Σw − (Σwx/Σw)(Σwy/Σw)); NULL at
+    // n ≤ 1. Valid for series ≲500 points before 4ⁱ overflows double
+    // (general-length path: graft.udaf.Ewm's recursive device).
+    OpSpec(
+      "ts_ewm_cov",
+      (s, d) => {
+        val byUser = Window.partitionBy("user_id").orderBy("event_id")
+        val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val valid = col("y").isNotNull
+        ev(s, d)
+          .filter(col("user_id") < 10)
+          .withColumn("y", lag("value", 1).over(byUser))
+          .withColumn("i", row_number().over(byUser).cast("double"))
+          .withColumn("sw", sum(when(valid, pow(lit(2.0), col("i")))).over(cum))
+          .withColumn("sww", sum(when(valid, pow(lit(4.0), col("i")))).over(cum))
+          .withColumn("swx", sum(when(valid, col("value") * pow(lit(2.0), col("i")))).over(cum))
+          .withColumn("swy", sum(when(valid, col("y") * pow(lit(2.0), col("i")))).over(cum))
+          .withColumn("swxy",
+            sum(when(valid, col("value") * col("y") * pow(lit(2.0), col("i")))).over(cum))
+          .withColumn("nn", count(col("y")).over(cum))
+          .select(col("event_id"), col("user_id"),
+            when(col("nn") > 1,
+              P.r4((col("sw") * col("sw") / (col("sw") * col("sw") - col("sww"))) *
+                (col("swxy") / col("sw") -
+                  (col("swx") / col("sw")) * (col("swy") / col("sw")))))
+              .as("ewm_cov"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             |  CASE WHEN nn > 1 THEN
+             |    round((sw * sw / (sw * sw - sww)) * (swxy / sw - (swx / sw) * (swy / sw)), 4)
+             |  END AS ewm_cov
+             |FROM (
+             |  SELECT event_id, user_id,
+             |    sum(CASE WHEN y IS NOT NULL THEN pow(2.0, i) END) OVER w AS sw,
+             |    sum(CASE WHEN y IS NOT NULL THEN pow(4.0, i) END) OVER w AS sww,
+             |    sum(CASE WHEN y IS NOT NULL THEN value * pow(2.0, i) END) OVER w AS swx,
+             |    sum(CASE WHEN y IS NOT NULL THEN y * pow(2.0, i) END) OVER w AS swy,
+             |    sum(CASE WHEN y IS NOT NULL THEN value * y * pow(2.0, i) END) OVER w AS swxy,
+             |    count(y) OVER w AS nn
+             |  FROM (SELECT event_id, user_id, value,
+             |          lag(value, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS y,
+             |          cast(row_number() OVER (PARTITION BY user_id ORDER BY event_id) as double) AS i
+             |        FROM events WHERE user_id < 10)
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             |ORDER BY event_id""".stripMargin),
+    ),
+    // ewm(alpha=.5, adjust=True).corr(other) [P core/window/ewm.py] —
+    // EWM correlation over the same valid-pair subsequence. The
+    // bias=False debiasing factor cancels in the ratio (pandas uses the
+    // biased co-moments for corr), so corr = (Σwxy/Σw − mx·my) /
+    // sqrt((Σwx²/Σw − mx²)(Σwy²/Σw − my²)); NULL at n ≤ 1 or zero
+    // variance (denominator clamped by a dd > 0 guard, the
+    // win_rolling_corr discipline).
+    OpSpec(
+      "ts_ewm_corr",
+      (s, d) => {
+        val byUser = Window.partitionBy("user_id").orderBy("event_id")
+        val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val valid = col("y").isNotNull
+        val mx = col("swx") / col("sw")
+        val my = col("swy") / col("sw")
+        val dd = (col("swxx") / col("sw") - mx * mx) *
+          (col("swyy") / col("sw") - my * my)
+        ev(s, d)
+          .filter(col("user_id") < 10)
+          .withColumn("y", lag("value", 1).over(byUser))
+          .withColumn("i", row_number().over(byUser).cast("double"))
+          .withColumn("sw", sum(when(valid, pow(lit(2.0), col("i")))).over(cum))
+          .withColumn("swx", sum(when(valid, col("value") * pow(lit(2.0), col("i")))).over(cum))
+          .withColumn("swy", sum(when(valid, col("y") * pow(lit(2.0), col("i")))).over(cum))
+          .withColumn("swxx",
+            sum(when(valid, col("value") * col("value") * pow(lit(2.0), col("i")))).over(cum))
+          .withColumn("swyy",
+            sum(when(valid, col("y") * col("y") * pow(lit(2.0), col("i")))).over(cum))
+          .withColumn("swxy",
+            sum(when(valid, col("value") * col("y") * pow(lit(2.0), col("i")))).over(cum))
+          .withColumn("nn", count(col("y")).over(cum))
+          .select(col("event_id"), col("user_id"),
+            when(col("nn") > 1 && dd > 0,
+              P.r4((col("swxy") / col("sw") - mx * my) / sqrt(dd)))
+              .as("ewm_corr"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             |  CASE WHEN nn > 1 AND
+             |            (swxx / sw - (swx / sw) * (swx / sw)) *
+             |            (swyy / sw - (swy / sw) * (swy / sw)) > 0 THEN
+             |    round((swxy / sw - (swx / sw) * (swy / sw)) /
+             |          sqrt((swxx / sw - (swx / sw) * (swx / sw)) *
+             |               (swyy / sw - (swy / sw) * (swy / sw))), 4)
+             |  END AS ewm_corr
+             |FROM (
+             |  SELECT event_id, user_id,
+             |    sum(CASE WHEN y IS NOT NULL THEN pow(2.0, i) END) OVER w AS sw,
+             |    sum(CASE WHEN y IS NOT NULL THEN value * pow(2.0, i) END) OVER w AS swx,
+             |    sum(CASE WHEN y IS NOT NULL THEN y * pow(2.0, i) END) OVER w AS swy,
+             |    sum(CASE WHEN y IS NOT NULL THEN value * value * pow(2.0, i) END) OVER w AS swxx,
+             |    sum(CASE WHEN y IS NOT NULL THEN y * y * pow(2.0, i) END) OVER w AS swyy,
+             |    sum(CASE WHEN y IS NOT NULL THEN value * y * pow(2.0, i) END) OVER w AS swxy,
+             |    count(y) OVER w AS nn
+             |  FROM (SELECT event_id, user_id, value,
+             |          lag(value, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS y,
              |          cast(row_number() OVER (PARTITION BY user_id ORDER BY event_id) as double) AS i
              |        FROM events WHERE user_id < 10)
              |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))

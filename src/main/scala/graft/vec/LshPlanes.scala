@@ -1,0 +1,71 @@
+package graft.vec
+
+/** Fixed random-hyperplane family for vector LSH (dedup_embed_lsh).
+  *
+  * Hyperplane LSH (SimHash for real vectors, Charikar 2002): bit j of a
+  * vector's signature is the SIGN of its dot product with hyperplane j;
+  * two vectors agree on a bit with probability 1 − θ/π (θ = their
+  * angle), so banding b bits per band × n bands gives the standard
+  * OR-of-ANDs collision curve — the same construction as the MinHash
+  * banding in text/NearDup.scala, applied to embeddings.
+  *
+  * The planes are pseudo-random but FIXED: component (j, k) is a
+  * splitmix64-style integer hash of j·dim + k mapped to [−0.5, 0.5) —
+  * a pure function, reproducible from this source, no RNG state. The
+  * SAME doubles are inlined as literals into the Spark plan and the
+  * DuckDB oracle (the IvfCentroids / NearDup.hashFamily device), and
+  * the dot products use the proven bit-equal ordered-fold spelling on
+  * both sides, so every signature bit is bit-identical cross-engine.
+  *
+  * Scale knob (the reason this exists next to the fixed-16-cell sign
+  * quantizer): bucket cardinality is 2^bitsPerBand PER BAND and grows
+  * with the plane count — 16 planes / 4-bit bands here (oracle
+  * tractability at test size); a 100 TB corpus would use e.g. 64
+  * planes / 16-bit bands (65k buckets per band) so within-bucket pair
+  * mining stays bounded. The sign-cell blocking of dedup_embed_cosine
+  * has no such knob — its cell is forever 1/16 of the corpus.
+  */
+object LshPlanes {
+  val nPlanes = 16
+  val nBands = 4
+  val bitsPerBand: Int = nPlanes / nBands
+  val dim = 64
+
+  /** splitmix64 finalizer of i, mapped to uniform [−0.5, 0.5). */
+  private def u(i: Long): Double = {
+    var z = i * 0x9E3779B97F4A7C15L + 0xD1B54A32D192ED03L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    (z >>> 11).toDouble / (1L << 53).toDouble - 0.5
+  }
+
+  val planes: Array[Array[Double]] =
+    Array.tabulate(nPlanes)(j => Array.tabulate(dim)(k => u(j.toLong * dim + k)))
+
+  /** Sign bit of e·plane(j), Spark spelling (ordered fold over the
+    * double array column `e` — the bit-equal dot device). */
+  private def bitSpark(j: Int): String = {
+    val arr = planes(j).map(x => s"${x}D").mkString(",")
+    s"(CASE WHEN aggregate(zip_with(e, array($arr), (x, y) -> x * y), 0D, (acc, x) -> acc + x) > 0 THEN 1 ELSE 0 END)"
+  }
+
+  /** Sign bit of e·plane(j), DuckDB spelling. */
+  private def bitDuck(j: Int): String = {
+    val arr = planes(j).mkString(",")
+    s"(CASE WHEN list_inner_product(e, [$arr]::DOUBLE[]) > 0 THEN 1 ELSE 0 END)"
+  }
+
+  /** Band b's bucket value (bitsPerBand bits packed little-endian),
+    * Spark text over array column `e`. */
+  def bandSpark(b: Int): String =
+    "cast(" + (0 until bitsPerBand).map { k =>
+      s"(${bitSpark(b * bitsPerBand + k)} * ${1 << k})"
+    }.mkString(" + ") + " as bigint)"
+
+  /** DuckDB twin of [[bandSpark]]. */
+  def bandDuck(b: Int): String =
+    "cast(" + (0 until bitsPerBand).map { k =>
+      s"(${bitDuck(b * bitsPerBand + k)} * ${1 << k})"
+    }.mkString(" + ") + " as bigint)"
+}

@@ -226,6 +226,60 @@ object VecOps {
               |FROM v, q WHERE cell = qcell AND vec_id <> 0
               |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin),
     ),
+    // Hyperplane-LSH near-dup for vectors — the SCALE-CORRECT
+    // replacement for dedup_embed_cosine's fixed-16-cell blocking:
+    // 16 fixed random-hyperplane sign bits (LshPlanes — literals in
+    // both plans, bit-identical dots) → 4 bands × 4 bits → banded
+    // bucket EQUI-join (the text/NearDup.scala MinHash banding applied
+    // to embeddings) → exact cosine verify ≥ 0.4 on candidates only.
+    // The declared semantic is the banded-LSH candidate rule (any band
+    // collides ∧ cos ≥ τ) and the oracle computes THE SAME rule
+    // all-pairs, so the gate is exact by construction; recall vs the
+    // unblocked all-pairs truth is the honest LSH trade-off, measured
+    // in AnnSpec. At 100 TB: one signature pass, bands-per-doc rows
+    // shuffled on a bucket key whose cardinality GROWS with the plane
+    // count (the LshPlanes scaladoc knob) — no all-pairs product ever
+    // forms, and no fixed 1/16-of-corpus cell.
+    OpSpec(
+      "dedup_embed_lsh",
+      (s, d) => {
+        val v = T.embeddings(s, d)
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> cast(x as double))").as("e"))
+          .withColumn("nrm", sqrt(dot("e", "e")))
+        val banded = v.select(col("vec_id"), col("e"), col("nrm"),
+          posexplode(array((0 until LshPlanes.nBands)
+            .map(b => expr(LshPlanes.bandSpark(b))): _*)).as(Seq("band", "bucket")))
+        val a = banded.select(col("vec_id").as("keep_id"), col("band"),
+          col("bucket"), col("e").as("ea"), col("nrm").as("na"))
+        val b = banded.select(col("vec_id").as("dup_id"), col("band"),
+          col("bucket"), col("e").as("eb"), col("nrm").as("nb"))
+        a.join(b, Seq("band", "bucket"))
+          .filter(col("keep_id") < col("dup_id"))
+          .select(col("keep_id"), col("dup_id"),
+            P.r4(dot("ea", "eb") / (col("na") * col("nb"))).as("cos_sim"))
+          .filter(col("cos_sim") >= 0.4)
+          .distinct() // a pair can collide in several bands
+          .orderBy("keep_id", "dup_id")
+      },
+      Some {
+        val bands = (0 until LshPlanes.nBands)
+          .map(b => s"${LshPlanes.bandDuck(b)} AS b$b").mkString(",\n  ")
+        val anyBand = (0 until LshPlanes.nBands)
+          .map(b => s"a.b$b = b.b$b").mkString(" OR ")
+        s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+           |sg AS (SELECT vec_id, e,
+           |  $bands
+           |FROM v)
+           |SELECT a.vec_id AS keep_id, b.vec_id AS dup_id,
+           |  round(list_inner_product(a.e, b.e) /
+           |        (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))), 4) AS cos_sim
+           |FROM sg a JOIN sg b ON a.vec_id < b.vec_id AND ($anyBand)
+           |WHERE round(list_inner_product(a.e, b.e) /
+           |        (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))), 4) >= 0.4
+           |ORDER BY keep_id, dup_id""".stripMargin
+      },
+    ),
     // k-NN JOIN — the batched form of sim_cosine_topk: top-3 neighbors
     // for EACH of a query set, not one vector. The query side (5 rows)
     // broadcasts; per-(query, candidate) scores reduce through a

@@ -48,6 +48,36 @@ class AnnSpec extends AnyFunSuite {
       s"learned-IVF recall $rLearned < sign-quantizer recall $rSign")
   }
 
+  test("dedup_embed_lsh pairs are a subset of all-pairs truth with exact scores, at usable recall") {
+    import org.apache.spark.sql.functions._
+    // unblocked all-pairs truth at the same τ — tractable at test size
+    val emb = graft.core.Tables.embeddings(spark, TestSpark.sfSmoke)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("e"))
+    def dot(a: String, b: String) =
+      expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+    val a = emb.select(col("vec_id").as("ka"), col("e").as("ea"))
+    val b = emb.select(col("vec_id").as("kb"), col("e").as("eb"))
+    val truth = a.crossJoin(b).filter(col("ka") < col("kb"))
+      .select(col("ka"), col("kb"),
+        round(dot("ea", "eb") / (sqrt(dot("ea", "ea")) * sqrt(dot("eb", "eb"))), 4).as("cos"))
+      .filter(col("cos") >= 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = ops.Registry.queries("dedup_embed_lsh")(spark, TestSpark.sfSmoke)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // every LSH pair must exist in the truth with the identical score
+    lsh.foreach { case (k, cos) =>
+      assert(truth.contains(k), s"pair $k not in all-pairs truth")
+      assert(truth(k) == cos, s"pair $k: ${truth(k)} vs $cos")
+    }
+    // 4 bands × 4 bits at τ=0.4 (θ ≈ 66°): expected pair recall
+    // 1 − (1 − (1 − θ/π)⁴)⁴ ≈ 0.5 — assert a conservative floor so a
+    // banding regression (e.g. a broken bucket key catching nothing)
+    // fails loudly without pinning data noise
+    if (truth.nonEmpty)
+      assert(lsh.size.toDouble / truth.size >= 0.2,
+        s"recall ${lsh.size}/${truth.size} below floor")
+  }
+
   test("nprobe=5 recall is at least nprobe=1 recall (more cells, superset candidates)") {
     val brute = ops.Registry.queries("sim_cosine_topk")(spark, TestSpark.sfSmoke)
       .collect().map(_.getLong(0)).toSet

@@ -33,7 +33,13 @@ class DeterminismSpec extends AnyFunSuite {
     "agg_product", "reshape_qcut", "win_rolling_quantile",
     "dedup_ngram_containment", "sim_knn_join", "dedup_flag_duplicated",
     "dedup_simhash_pairs2", "join_range_binned",
-    "pipeline_dedup_clean", "join_asof_tolerance_fwd")
+    "pipeline_dedup_clean", "join_asof_tolerance_fwd",
+    // round 7/8 queries: map-backed replace + ordered string agg
+    // (commit 21cef21), the min(struct) survivor re-plan, the banded
+    // vector LSH (pair distinct), nearest+tolerance as-of, and the
+    // unordered-sum associative product
+    "str_map_replace", "agg_string_agg",
+    "dedup_embed_lsh", "join_asof_nearest_tol", "agg_product_assoc")
 
   test("order-sensitive queries return identical results across runs") {
     val failures = sensitive.flatMap { key =>

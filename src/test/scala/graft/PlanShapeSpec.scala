@@ -89,6 +89,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("(?m)^\\s*[+:]?-?\\s*Window ".r.findAllIn(p).size <= 2, p)
   }
 
+  test("pipeline_dedup_clean scans + normalizes documents exactly once (no survivor join-back)") {
+    val p = plan("pipeline_dedup_clean")
+    // the round-6/7 plan self-joined the normalized subtree: two parquet
+    // scans, two regex-normalize passes, an extra doc_id shuffle. The
+    // re-planned single-pass min(struct) survivor must show ONE scan and
+    // ONE sha2 computation.
+    assert("Scan parquet".r.findAllIn(p).size == 1, s"expected a single documents scan:\n$p")
+    assert("sha2".r.findAllIn(p).size <= 1, s"normalize subtree appears more than once:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("HashJoin"), s"join-back still present:\n$p")
+  }
+
+  test("dedup_embed_lsh is a banded bucket equi-join, not an all-pairs product") {
+    val p = plan("dedup_embed_lsh")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
   test("the DotProductRewrite is live in declared query plans (extension session)") {
     // the session carries GraftExtensions (as Verify/Bench do), so the
     // HOF dot-product folds in the vector queries compile to the native
