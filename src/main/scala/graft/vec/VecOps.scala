@@ -39,7 +39,18 @@ object VecOps {
   // The coarse quantizer is REAL IVF: k=8 centroids trained offline by
   // deterministic k-means on the fixed sf0.001 corpus (IvfCentroids,
   // reproduced bit-exactly by KMeansSpec), inlined as literals into
-  // both engines. Cell assignment argmin uses d_i = |c_i|² − 2·e·c_i
+  // both engines.
+  //
+  // SCALE POLICY (nlist): K below is the single knob — every distance
+  // column, argmin CASE and nprobe predicate is generated from it, so
+  // retargeting a bigger corpus is (1) `runMain graft.vec.TrainIvf
+  // <dir> <k>` with k ≈ √N (the standard IVF nlist guidance: √N cells
+  // ⇒ ~√N vectors/cell, balancing probe cost against cell scan cost —
+  // at 10⁹ vectors, k ≈ 32k), (2) paste the printed constants into
+  // IvfCentroids, (3) bump K. KMeansSpec's k=16 row proves the trainer
+  // holds beyond the shipped tier; at large k the argmin CASE should
+  // move from codegen text to a broadcast centroid table + min_by join
+  // (same plan shape, k rows broadcast). Cell assignment argmin uses d_i = |c_i|² − 2·e·c_i
   // (the |e|² term is constant across i and dropped — the standard IVF
   // inner-product trick, 1 dot per centroid); the argmin CASE and the
   // nprobe rank predicates are ONE shared formula text, only the dot

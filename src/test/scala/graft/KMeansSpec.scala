@@ -35,6 +35,19 @@ class KMeansSpec extends AnyFunSuite {
       graft.vec.IvfCentroids.centroids.map(_.toSeq).toSeq)
   }
 
+  test("nlist scales: k=16 trains clean (the k=sqrt(N) re-train path of the IVF scale policy)") {
+    // the declared queries inline k=8 centroids for the fixed test
+    // corpus; at a larger corpus the documented policy is re-train at
+    // k≈√N via TrainIvf — prove the trainer holds at the next tier
+    val (assigned, centroids, i16) = KMeans.fit(emb, k = 16, iters = 3)
+    assert(centroids.length == 16 && centroids.forall(_.length == 64))
+    val clusters = assigned.collect().map(_.getInt(1)).distinct
+    assert(clusters.forall(c => c >= 0 && c < 16))
+    assert(clusters.length >= 12, s"degenerate quantizer: ${clusters.length} of 16 cells used")
+    val (_, _, i8) = KMeans.fit(emb, k = 8, iters = 3)
+    assert(i16 <= i8 + 1e-9, s"more cells must not raise inertia: $i8 -> $i16")
+  }
+
   test("deterministic under repartitioning: bit-equal centroids across 1/4/32 partitions") {
     val runs = Seq(1, 4, 32).map(n => KMeans.fit(emb.repartition(n), k = 4, iters = 3))
     val Seq(c1, c4, c32) = runs.map(_._2.map(_.toSeq).toSeq)
