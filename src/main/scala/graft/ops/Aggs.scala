@@ -83,6 +83,25 @@ object Aggs {
       Some("""SELECT event_type, count(*) AS n FROM events
              |GROUP BY event_type ORDER BY n DESC, event_type""".stripMargin),
     ),
+    // value_counts(normalize=True) [P core/base.py] — proportions, not
+    // counts: n / Σn via a whole-frame window over the ALREADY
+    // AGGREGATED (tiny) output, so the single-partition window touches
+    // O(groups) rows, never the corpus. Quotient of exact int64s in
+    // double — bit-identical, no rounding.
+    OpSpec(
+      "agg_value_counts_norm",
+      (s, d) => {
+        val all = org.apache.spark.sql.expressions.Window.partitionBy()
+        T.events(s, d)
+          .groupBy("event_type").agg(count(lit(1)).as("n"))
+          .select(col("event_type"), col("n"),
+            (col("n").cast("double") / sum("n").over(all)).as("proportion"))
+          .orderBy(desc("n"), col("event_type"))
+      },
+      Some("""SELECT event_type, n, cast(n as double) / sum(n) OVER () AS proportion
+             |FROM (SELECT event_type, count(*) AS n FROM events GROUP BY event_type)
+             |ORDER BY n DESC, event_type""".stripMargin),
+    ),
     // Deterministic because the ordering value is unique per group at the
     // extremes (verified via oracle_check; continuous 2-dp doubles).
     OpSpec(
@@ -353,6 +372,41 @@ object Aggs {
              |    cast(sum(cast(cast(l_extendedprice as decimal(18,2)) * cast(l_extendedprice as decimal(18,2)) as decimal(38,4))) as double) AS syy,
              |    cast(sum(cast(cast(l_quantity as decimal(18,2)) * cast(l_extendedprice as decimal(18,2)) as decimal(38,4))) as double) AS sxy
              |  FROM lineitem)""".stripMargin),
+    ),
+    // groupby().corr() [P core/groupby] — Pearson r PER GROUP from the
+    // same exact-decimal closed form as agg_corr: one hash agg (six
+    // partial sums per group, map-side combine), one projection. The
+    // per-group form is what a cohort analysis actually runs; at 100 TB
+    // it is one shuffle of six numbers per group.
+    OpSpec(
+      "agg_corr_grouped",
+      (s, d) =>
+        T.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).cast("double").as("n"),
+            dsum(col("l_quantity")).as("sx"),
+            dsum(col("l_extendedprice")).as("sy"),
+            dsumsq(col("l_quantity")).as("sxx"),
+            dsumsq(col("l_extendedprice")).as("syy"),
+            sum((P.dec2(col("l_quantity")) * P.dec2(col("l_extendedprice"))).cast("decimal(38,4)"))
+              .cast("double").as("sxy"))
+          .select(col("l_returnflag"),
+            P.r4((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+                sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("corr_qty_price"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 4) AS corr_qty_price
+             |FROM (
+             |  SELECT l_returnflag, cast(count(*) as double) AS n,
+             |    cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sx,
+             |    cast(sum(cast(l_extendedprice as decimal(18,2))) as double) AS sy,
+             |    cast(sum(cast(cast(l_quantity as decimal(18,2)) * cast(l_quantity as decimal(18,2)) as decimal(38,4))) as double) AS sxx,
+             |    cast(sum(cast(cast(l_extendedprice as decimal(18,2)) * cast(l_extendedprice as decimal(18,2)) as decimal(38,4))) as double) AS syy,
+             |    cast(sum(cast(cast(l_quantity as decimal(18,2)) * cast(l_extendedprice as decimal(18,2)) as decimal(38,4))) as double) AS sxy
+             |  FROM lineitem GROUP BY l_returnflag)
+             |ORDER BY l_returnflag""".stripMargin),
     ),
     // histogram: fixed-width value buckets (pandas value_counts(bins=) /
     // cut). Portable floor arithmetic — DuckDB 1.0 lacks width_bucket.

@@ -341,6 +341,36 @@ object Joins {
              |FROM p ASOF LEFT JOIN b ON p.user_id = b.user_id AND p.ts <= b.ts
              |ORDER BY p.event_id""".stripMargin),
     ),
+    // GLOBAL (no by-key) as-of through the SCALE path — merge_asof
+    // without `by`, where the naive window is one serial partition.
+    // AsofJoin.backwardGlobal range-partitions the tagged union on ts
+    // (deterministic quantile-sketch bounds; any monotone bucketing
+    // yields the same result), windows each bucket in parallel, then
+    // repairs bucket-boundary probes with an O(numPartitions)-row
+    // broadcast prefix-carry — the 100× plan, previously capability-
+    // tested only (AsofJoinSpec); this puts it inside the hash gate.
+    // Deterministic: click ts are globally unique in the corpus, so
+    // the latest-at-or-before match is unique.
+    OpSpec(
+      "join_asof_global",
+      (s, d) => {
+        val build = T.events(s, d).filter(col("event_type") === "click")
+          .select(col("ts"), col("value").as("click_value"))
+        AsofJoin.backwardGlobal(
+          purchases(s, d), build,
+          on = "ts", payload = Seq("click_value"))
+          .select(col("event_id"), col("user_id"),
+            P.tsOut(col("matched_ts")).as("matched_ts"), col("click_value"))
+          .orderBy("event_id")
+      },
+      Some("""WITH p AS (SELECT event_id, user_id, cast(ts as timestamp) AS ts
+             |          FROM events WHERE event_type = 'purchase'),
+             |     b AS (SELECT cast(ts as timestamp) AS ts, value AS click_value
+             |          FROM events WHERE event_type = 'click')
+             |SELECT p.event_id, p.user_id, b.ts AS matched_ts, b.click_value
+             |FROM p ASOF LEFT JOIN b ON p.ts >= b.ts
+             |ORDER BY p.event_id""".stripMargin),
+    ),
     // merge_asof(direction='forward', tolerance=Δ) — the parameter
     // COMBINATION (tolerance is direction-agnostic in pandas; declared
     // backward-only until now). Same single-pass mirrored window,

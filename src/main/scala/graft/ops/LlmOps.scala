@@ -372,6 +372,24 @@ object LlmOps {
              |  row_number() OVER (PARTITION BY text ORDER BY doc_id) > 1 AS is_dup
              |FROM documents ORDER BY doc_id""".stripMargin),
     ),
+    // df.duplicated(keep=False) [P core/frame.py] — flag EVERY member
+    // of a duplicate group (keep='first' above leaves the first copy
+    // unflagged; keep=False marks them all — the form a curation audit
+    // uses to count total duplicated mass). Plain per-text window
+    // count, no ordering needed.
+    OpSpec(
+      "dedup_flag_dup_all",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("text")
+        T.documents(s, d)
+          .select(col("doc_id"),
+            (count(lit(1)).over(w) > 1).as("is_dup"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  count(*) OVER (PARTITION BY text) > 1 AS is_dup
+             |FROM documents ORDER BY doc_id""".stripMargin),
+    ),
     // drop_duplicates(keep='last') — the max-key survivor variant of
     // dedup_exact (pandas' keep parameter; SURVEY §2.0.5 pins keep to a
     // deterministic key, never arbitrary-row dropDuplicates).

@@ -168,6 +168,25 @@ object Windows {
               |WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
               |ORDER BY event_id""".stripMargin),
     ),
+    // rolling(5, min_periods=1).mean() [P core/window/rolling.py] — the
+    // production min_periods override: partial frames emit the mean of
+    // whatever rows exist instead of NULL (pandas default min_periods=
+    // window is win_rolling_rows above). Same exact-decimal sum over
+    // the actual frame count — no NULL guard needed, count ≥ 1 always.
+    OpSpec(
+      "win_rolling_minp",
+      (s, d) =>
+        ev(s, d)
+          .select(col("event_id"), col("user_id"),
+            (sum(P.dec2(col("value"))).over(roll5).cast("double") /
+              count(lit(1)).over(roll5)).as("roll_avg_minp"))
+          .orderBy("event_id"),
+      Some(s"""SELECT event_id, user_id,
+              |  cast(sum(cast(value as decimal(18,2))) OVER w as double) / count(*) OVER w AS roll_avg_minp
+              |FROM $EV
+              |WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+              |ORDER BY event_id""".stripMargin),
+    ),
     // rolling('1h') time-based: Spark rangeBetween needs a numeric order
     // column → unix_micros; DuckDB ranges over the µs-truncated ts. Both
     // frames are [t−1h, t] at µs precision.

@@ -22,6 +22,32 @@ object VecOps {
   private def dot(a: String, b: String) =
     expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
 
+  /** (vec_id, e double[], nrm, band, bucket) — one row per (vector,
+    * band) from the LshPlanes hyperplane signature; shared by the
+    * banded dedup (dedup_embed_lsh) and the banded k-NN search
+    * (sim_knn_lsh). */
+  private def bandedVecs(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val v = T.embeddings(s, d)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("e"))
+      .withColumn("nrm", sqrt(dot("e", "e")))
+    v.select(col("vec_id"), col("e"), col("nrm"),
+      posexplode(array((0 until LshPlanes.nBands)
+        .map(b => expr(LshPlanes.bandSpark(b))): _*)).as(Seq("band", "bucket")))
+  }
+
+  /** DuckDB `sg(vec_id, e, b0..b3)` CTE computing the same banded
+    * signature. Lazy: referenced from `ops`, which initializes first. */
+  private lazy val bandedSql: String = {
+    val bands = (0 until LshPlanes.nBands)
+      .map(b => s"${LshPlanes.bandDuck(b)} AS b$b").mkString(",\n  ")
+    s"""v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |sg AS (SELECT vec_id, e,
+       |  $bands
+       |FROM v)""".stripMargin
+  }
+
   /** 4-bit sign-quantizer cell id (shared with LlmOps.sim_pairs_threshold
     * as its candidate-blocking key). */
   val cellExpr =
@@ -254,13 +280,7 @@ object VecOps {
     OpSpec(
       "dedup_embed_lsh",
       (s, d) => {
-        val v = T.embeddings(s, d)
-          .select(col("vec_id"),
-            expr("transform(embedding, x -> cast(x as double))").as("e"))
-          .withColumn("nrm", sqrt(dot("e", "e")))
-        val banded = v.select(col("vec_id"), col("e"), col("nrm"),
-          posexplode(array((0 until LshPlanes.nBands)
-            .map(b => expr(LshPlanes.bandSpark(b))): _*)).as(Seq("band", "bucket")))
+        val banded = bandedVecs(s, d)
         val a = banded.select(col("vec_id").as("keep_id"), col("band"),
           col("bucket"), col("e").as("ea"), col("nrm").as("na"))
         val b = banded.select(col("vec_id").as("dup_id"), col("band"),
@@ -274,14 +294,9 @@ object VecOps {
           .orderBy("keep_id", "dup_id")
       },
       Some {
-        val bands = (0 until LshPlanes.nBands)
-          .map(b => s"${LshPlanes.bandDuck(b)} AS b$b").mkString(",\n  ")
         val anyBand = (0 until LshPlanes.nBands)
           .map(b => s"a.b$b = b.b$b").mkString(" OR ")
-        s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-           |sg AS (SELECT vec_id, e,
-           |  $bands
-           |FROM v)
+        s"""WITH $bandedSql
            |SELECT a.vec_id AS keep_id, b.vec_id AS dup_id,
            |  round(list_inner_product(a.e, b.e) /
            |        (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))), 4) AS cos_sim
@@ -332,6 +347,56 @@ object VecOps {
              |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rk
              |  FROM scored)
              |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin),
+    ),
+    // LSH-BLOCKED k-NN join — the scale path for the batched search
+    // (sim_knn_join above is the broadcast-and-score-everything
+    // verifier): candidates are only corpus vectors sharing ≥ 1
+    // hyperplane band with the query, so at 100 TB the corpus stays
+    // partitioned by bucket and each query probes its nBands buckets —
+    // no broadcast-against-everything scoring pass. Declared semantic =
+    // top-3 among band-colliding candidates (the honest ANN result);
+    // oracle computes the identical rule all-pairs. Same
+    // distinct-then-rank discipline as the pair queries (a candidate
+    // colliding in 2 bands must rank once).
+    OpSpec(
+      "sim_knn_lsh",
+      (s, d) => {
+        val banded = bandedVecs(s, d)
+        val q = banded.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("band"), col("bucket"),
+            col("e").as("qe"), col("nrm").as("qn"))
+        val c = banded.filter(col("vec_id") % 10 === 0)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(desc("cos_sim"), col("vec_id"))
+        q.join(c, Seq("band", "bucket"))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"),
+            P.r4(dot("e", "qe") / (col("nrm") * col("qn"))).as("cos_sim"))
+          .distinct()
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("qid"), col("rk").cast("bigint").as("rk"),
+            col("vec_id"), col("cos_sim"))
+          .orderBy("qid", "rk")
+      },
+      Some {
+        val anyBand = (0 until LshPlanes.nBands)
+          .map(b => s"c.b$b = q.b$b").mkString(" OR ")
+        s"""WITH $bandedSql,
+           |q AS (SELECT vec_id AS qid, e AS qe, ${(0 until LshPlanes.nBands).map(b => s"b$b").mkString(", ")}
+           |      FROM sg WHERE vec_id < 5),
+           |scored AS (
+           |  SELECT DISTINCT qid, c.vec_id AS vec_id,
+           |    round(list_inner_product(c.e, q.qe) /
+           |          (sqrt(list_inner_product(c.e, c.e)) * sqrt(list_inner_product(q.qe, q.qe))), 4) AS cos_sim
+           |  FROM sg c JOIN q ON ($anyBand)
+           |  WHERE c.vec_id % 10 = 0 AND c.vec_id <> q.qid)
+           |SELECT qid, rk, vec_id, cos_sim FROM (
+           |  SELECT qid, vec_id, cos_sim,
+           |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rk
+           |  FROM scored)
+           |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin
+      },
     ),
   )
 }

@@ -39,7 +39,11 @@ class DeterminismSpec extends AnyFunSuite {
     // vector LSH (pair distinct), nearest+tolerance as-of, and the
     // unordered-sum associative product
     "str_map_replace", "agg_string_agg",
-    "dedup_embed_lsh", "join_asof_nearest_tol", "agg_product_assoc")
+    "dedup_embed_lsh", "join_asof_nearest_tol", "agg_product_assoc",
+    // batch 3: quantile-sketch range partitioning (bounds environmental
+    // but result invariant), banded candidate dedup + rank, whole-frame
+    // proportion window
+    "join_asof_global", "sim_knn_lsh", "agg_value_counts_norm")
 
   test("order-sensitive queries return identical results across runs") {
     val failures = sensitive.flatMap { key =>

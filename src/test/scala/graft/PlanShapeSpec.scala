@@ -100,10 +100,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("HashJoin"), s"join-back still present:\n$p")
   }
 
-  test("dedup_embed_lsh is a banded bucket equi-join, not an all-pairs product") {
-    val p = plan("dedup_embed_lsh")
-    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
-    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  test("dedup_embed_lsh and sim_knn_lsh are banded bucket equi-joins, not all-pairs products") {
+    for (k <- Seq("dedup_embed_lsh", "sim_knn_lsh")) {
+      val p = plan(k)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$k compiles to a nested-loop product:\n$p")
+      assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), s"$k:\n$p")
+    }
   }
 
   test("the DotProductRewrite is live in declared query plans (extension session)") {
