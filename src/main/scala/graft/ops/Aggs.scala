@@ -662,5 +662,66 @@ object Aggs {
              |  cast(sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) as bigint) AS n_o
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
     ),
+    // pandas groupby().mad() — mean absolute deviation about the group
+    // mean. Inherently two-pass (each row needs its group's mean), but
+    // pass 1 is a 3-row aggregate, so the plan is tiny-agg → BROADCAST
+    // join-back → one final hash agg — NOT a fat window over the fact
+    // table (at 100 TB a partitionBy(flag) window sorts the whole
+    // table into 3 reducers; the broadcast shape keeps the second pass
+    // map-side). Exactness device: l_quantity is integral, so
+    // |x·n − S| is exact bigint arithmetic; MAD = Σ|x·n − S| / n² has
+    // ONE double division at the end — identical IEEE in both engines.
+    OpSpec(
+      "agg_mad",
+      (s, d) => {
+        val li = T.lineitem(s, d)
+          .select(col("l_returnflag"), col("l_quantity").cast("bigint").as("x"))
+        val stats = li.groupBy("l_returnflag")
+          .agg(sum(col("x")).as("s1"), count(lit(1)).as("n"))
+        li.join(broadcast(stats), Seq("l_returnflag"))
+          .groupBy("l_returnflag")
+          .agg(
+            (sum(abs(col("x") * col("n") - col("s1"))).cast("double") /
+              max(col("n") * col("n")).cast("double")).as("mad_qty"),
+            max(col("n")).as("n"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |  cast(sum(abs(x * n - s1)) as double) / cast(n * n as double) AS mad_qty,
+             |  n
+             |FROM (
+             |  SELECT l_returnflag, x,
+             |    sum(x) OVER (PARTITION BY l_returnflag) AS s1,
+             |    count(*) OVER (PARTITION BY l_returnflag) AS n
+             |  FROM (SELECT l_returnflag, cast(l_quantity as bigint) AS x FROM lineitem))
+             |GROUP BY l_returnflag, n ORDER BY l_returnflag""".stripMargin),
+    ),
+    // pandas groupby().sem() — standard error of the mean =
+    // stddev_samp / √n, from the same exact-moment sums as
+    // agg_stddev_var; formula TEXT shared verbatim across engines
+    // (sqrt is correctly rounded everywhere), 4-dp output per §2.0.
+    OpSpec(
+      "agg_sem",
+      (s, d) =>
+        T.orders(s, d)
+          .groupBy("o_orderstatus")
+          .agg(
+            count(lit(1)).as("n"),
+            dsum(col("o_totalprice")).as("s"),
+            dsumsq(col("o_totalprice")).as("q"))
+          .select(
+            col("o_orderstatus"), col("n"),
+            P.r4(sqrt((col("q") - col("s") * col("s") / col("n")) / (col("n") - 1)) /
+              sqrt(col("n"))).as("sem_price"))
+          .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus, n,
+             |  round(sqrt((q - s * s / n) / (n - 1)) / sqrt(n), 4) AS sem_price
+             |FROM (
+             |  SELECT o_orderstatus, count(*) AS n,
+             |    cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS s,
+             |    cast(sum(cast(cast(o_totalprice as decimal(18,2)) * cast(o_totalprice as decimal(18,2)) as decimal(38,4))) as double) AS q
+             |  FROM orders GROUP BY o_orderstatus)
+             |ORDER BY o_orderstatus""".stripMargin),
+    ),
   )
 }

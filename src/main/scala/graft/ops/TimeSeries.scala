@@ -702,5 +702,42 @@ object TimeSeries {
              |               OVER (PARTITION BY user_id ORDER BY event_id)) AS delta_us
              |FROM events WHERE user_id < 10 ORDER BY event_id""".stripMargin),
     ),
+    // resample('1h') with EMPTY buckets kept — pandas resample emits
+    // the full calendar spine; SQL GROUP BY drops empty groups, so the
+    // spine is GENERATED (min/max agg → sequence() explode), then the
+    // already-aggregated bucket counts LEFT-join onto it with zero
+    // fill. Scale shape: the fact table is read once (for the tiny
+    // min/max agg and the hash agg); the spine is hours-of-history
+    // rows (thousands), so the join is spine × small-agg — broadcast,
+    // never a second pass over raw events.
+    OpSpec(
+      "ts_resample_spine",
+      (s, d) => {
+        val e7 = ev(s, d).filter(col("user_id") === 7)
+        val buckets = e7
+          .groupBy(date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        val spine = e7
+          .agg(date_trunc("hour", min(col("ts"))).as("lo"),
+            date_trunc("hour", max(col("ts"))).as("hi"))
+          .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("h"))
+        spine.join(broadcast(buckets), Seq("h"), "left")
+          .select(P.tsOut(col("h")).as("h"),
+            coalesce(col("n"), lit(0L)).as("n"),
+            coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+          .orderBy("h")
+      },
+      Some("""WITH e AS (SELECT cast(ts as timestamp) AS ts, value
+             |           FROM events WHERE user_id = 7),
+             |b AS (SELECT date_trunc('hour', ts) AS h, count(*) AS n,
+             |        cast(sum(cast(value as decimal(18,2))) as double) AS sum_value
+             |      FROM e GROUP BY 1),
+             |r AS (SELECT date_trunc('hour', min(ts)) AS lo,
+             |             date_trunc('hour', max(ts)) AS hi FROM e),
+             |s AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM r)
+             |SELECT s.h AS h, coalesce(b.n, 0) AS n,
+             |  coalesce(b.sum_value, 0.0) AS sum_value
+             |FROM s LEFT JOIN b USING (h) ORDER BY h""".stripMargin),
+    ),
   )
 }

@@ -158,5 +158,99 @@ object TextOps {
              |  cast(count(lang) as bigint) AS n_langs
              |FROM t GROUP BY source ORDER BY source""".stripMargin),
     ),
+    // Gopher-style quality-filter flags (Rae et al. 2021 §A1.1, public
+    // rule set): word-count bounds, mean-word-length bounds, stopword
+    // presence, and the combined keep flag. Every term is a row-local
+    // HOF fold over the token list (exact int sums; the one division
+    // is int→double, identical IEEE), so at 100 TB the whole filter
+    // fuses into the parquet scan — no explode, no shuffle.
+    OpSpec(
+      "text_gopher_rules",
+      (s, d) =>
+        T.documents(s, d)
+          .filter(col("doc_id") < 100)
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .select(
+            col("doc_id"),
+            size(col("w")).cast("bigint").as("n_words"),
+            expr("""cast(aggregate(transform(w, x -> length(x)), 0L, (a, b) -> a + b)
+                   | as double) / size(w)""".stripMargin).as("mean_word_len"),
+            expr("exists(w, x -> x in ('the', 'a', 'of', 'to'))").as("has_stop"))
+          .withColumn("keep",
+            col("n_words").between(5L, 200L) &&
+              col("mean_word_len").between(2.0, 10.0) && col("has_stop"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, n_words, mean_word_len, has_stop,
+             |  (n_words BETWEEN 5 AND 200 AND mean_word_len BETWEEN 2.0 AND 10.0
+             |   AND has_stop) AS keep
+             |FROM (
+             |  SELECT doc_id, cast(len(w) as bigint) AS n_words,
+             |    cast(list_reduce(list_prepend(cast(0 as bigint),
+             |      list_transform(w, x -> cast(length(x) as bigint))),
+             |      (a, b) -> a + b) as double) / len(w) AS mean_word_len,
+             |    len(list_filter(w, x -> x in ('the', 'a', 'of', 'to'))) > 0 AS has_stop
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+             |        FROM documents WHERE doc_id < 100))
+             |ORDER BY doc_id""".stripMargin),
+    ),
+    // PII-style scrubbing: mask every digit run and count the masks —
+    // the replace-ALL device (Spark regexp_replace is global by
+    // default; DuckDB needs the explicit 'g' flag — a real dialect
+    // split this row pins). Row-local → scan-fused at 100 TB.
+    OpSpec(
+      "text_redact",
+      (s, d) =>
+        T.documents(s, d)
+          .filter(col("doc_id") < 100)
+          .select(col("doc_id"),
+            regexp_count(col("text"), lit("[0-9]+")).cast("bigint").as("n_digit_runs"),
+            substring(regexp_replace(col("text"), "[0-9]+", "<num>"), 1, 80)
+              .as("redacted_prefix"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  cast(len(regexp_extract_all(text, '[0-9]+')) as bigint) AS n_digit_runs,
+             |  substr(regexp_replace(text, '[0-9]+', '<num>', 'g'), 1, 80) AS redacted_prefix
+             |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin),
+    ),
+    // Gopher's duplicate-n-gram rule: the fraction of a document's
+    // bigrams taken by its single most frequent bigram. Shape: explode
+    // → ONE per-(doc, bigram) hash agg → per-doc agg with max(struct)
+    // — the argmax carries (count, bigram) so ties break on bigram
+    // text deterministically, and there is NO window sort (at 100 TB
+    // the per-doc agg is a map-side combine on the doc_id key).
+    OpSpec(
+      "text_top_ngram_frac",
+      (s, d) =>
+        T.documents(s, d)
+          .filter(col("doc_id") < 50)
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .filter(size(col("w")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(w) - 1), i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+            .as("bg"))
+          .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(sum(col("c")).as("n_bigrams"),
+            max(struct(col("c"), col("bg"))).as("m"))
+          .select(col("doc_id"), col("n_bigrams"),
+            col("m.bg").as("top_bigram"),
+            (col("m.c").cast("double") / col("n_bigrams")).as("top_frac"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, cast(n_bigrams as bigint) AS n_bigrams, bg AS top_bigram,
+             |  cast(c as double) / cast(n_bigrams as bigint) AS top_frac
+             |FROM (
+             |  SELECT doc_id, bg, c,
+             |    sum(c) OVER (PARTITION BY doc_id) AS n_bigrams,
+             |    row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, bg DESC) AS rn
+             |  FROM (
+             |    SELECT doc_id, p[1] || ' ' || p[2] AS bg, count(*) AS c
+             |    FROM (SELECT doc_id, unnest(list_zip(w, w[2:])) AS p
+             |          FROM (SELECT doc_id, string_split(text, ' ') AS w
+             |                FROM documents WHERE doc_id < 50)
+             |          WHERE len(w) >= 2)
+             |    WHERE p[2] IS NOT NULL
+             |    GROUP BY 1, 2))
+             |WHERE rn = 1 ORDER BY doc_id""".stripMargin),
+    ),
   )
 }

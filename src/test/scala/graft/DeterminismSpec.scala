@@ -43,7 +43,10 @@ class DeterminismSpec extends AnyFunSuite {
     // batch 3: quantile-sketch range partitioning (bounds environmental
     // but result invariant), banded candidate dedup + rank, whole-frame
     // proportion window
-    "join_asof_global", "sim_knn_lsh", "agg_value_counts_norm")
+    "join_asof_global", "sim_knn_lsh", "agg_value_counts_norm",
+    // batch 4: argmax-struct tie-break (top bigram), broadcast
+    // join-back MAD (partial-sum order must not leak)
+    "text_top_ngram_frac", "agg_mad")
 
   test("order-sensitive queries return identical results across runs") {
     val failures = sensitive.flatMap { key =>
