@@ -723,5 +723,27 @@ object Aggs {
              |  FROM orders GROUP BY o_orderstatus)
              |ORDER BY o_orderstatus""".stripMargin),
     ),
+    // pivot_table(values=[qty, price]) — MULTI-VALUE pivot: Spark's
+    // pivot().agg(a, b) names columns {pivotVal}_{aggAlias}; the
+    // oracle spells the same wide conditional sums with matching
+    // aliases. Still one hash agg (partial+final), one row per left
+    // key — the pivot adds columns, not shuffles.
+    OpSpec(
+      "agg_pivot_values2",
+      (s, d) =>
+        T.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .pivot("l_linestatus", Seq("F", "O"))
+          .agg(
+            sum(P.dec2(col("l_quantity"))).cast("double").as("qty"),
+            sum(P.dec2(col("l_extendedprice"))).cast("double").as("price"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  cast(sum(CASE WHEN l_linestatus = 'F' THEN cast(l_quantity as decimal(18,2)) END) as double) AS F_qty,
+             |  cast(sum(CASE WHEN l_linestatus = 'F' THEN cast(l_extendedprice as decimal(18,2)) END) as double) AS F_price,
+             |  cast(sum(CASE WHEN l_linestatus = 'O' THEN cast(l_quantity as decimal(18,2)) END) as double) AS O_qty,
+             |  cast(sum(CASE WHEN l_linestatus = 'O' THEN cast(l_extendedprice as decimal(18,2)) END) as double) AS O_price
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+    ),
   )
 }

@@ -647,5 +647,50 @@ object Joins {
              |FROM p FULL OUTER JOIN c ON p.user_id = c.user_id AND p.day = c.day
              |ORDER BY user_id, day""".stripMargin),
     ),
+    // pandas merge(validate='1:m') as a QUERY: instead of raising, emit
+    // the key-cardinality audit a data engineer runs before a big join
+    // — per-key left/right multiplicities classified 1:1 / 1:m / m:1 /
+    // m:m (+ left_only/right_only orphans), aggregated to one row per
+    // relation class. Two tiny per-key aggs FULL-joined: the shuffle
+    // carries one row per key, never the fact rows, so the audit of a
+    // 100 TB join costs one pass over each side.
+    OpSpec(
+      "join_cardinality_audit",
+      (s, d) => {
+        val lc = T.customer(s, d)
+          .groupBy(col("c_custkey").as("k")).agg(count(lit(1)).as("n_l"))
+        val ro = T.orders(s, d)
+          .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("n_r"))
+        lc.join(ro, Seq("k"), "full_outer")
+          .select(col("k"),
+            when(col("n_l").isNull, "right_only")
+              .when(col("n_r").isNull, "left_only")
+              .when(col("n_l") === 1 && col("n_r") === 1, "1:1")
+              .when(col("n_l") === 1, "1:m")
+              .when(col("n_r") === 1, "m:1")
+              .otherwise("m:m").as("relation"),
+            coalesce(col("n_l"), lit(0L)).as("n_l"),
+            coalesce(col("n_r"), lit(0L)).as("n_r"))
+          .groupBy("relation")
+          .agg(count(lit(1)).as("n_keys"),
+            sum(col("n_l")).as("left_rows"), sum(col("n_r")).as("right_rows"))
+          .orderBy("relation")
+      },
+      Some("""SELECT relation, count(*) AS n_keys,
+             |  cast(sum(n_l) as bigint) AS left_rows,
+             |  cast(sum(n_r) as bigint) AS right_rows
+             |FROM (
+             |  SELECT CASE WHEN l.n_l IS NULL THEN 'right_only'
+             |              WHEN r.n_r IS NULL THEN 'left_only'
+             |              WHEN l.n_l = 1 AND r.n_r = 1 THEN '1:1'
+             |              WHEN l.n_l = 1 THEN '1:m'
+             |              WHEN r.n_r = 1 THEN 'm:1'
+             |              ELSE 'm:m' END AS relation,
+             |    coalesce(l.n_l, 0) AS n_l, coalesce(r.n_r, 0) AS n_r
+             |  FROM (SELECT c_custkey AS k, count(*) AS n_l FROM customer GROUP BY 1) l
+             |  FULL OUTER JOIN (SELECT o_custkey AS k, count(*) AS n_r FROM orders GROUP BY 1) r
+             |  USING (k))
+             |GROUP BY relation ORDER BY relation""".stripMargin),
+    ),
   )
 }

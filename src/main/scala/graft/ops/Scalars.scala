@@ -381,6 +381,34 @@ object Scalars {
               |  $cutCase AS bal_bin
               |FROM customer WHERE c_custkey % 10 = 0 ORDER BY c_custkey""".stripMargin),
     ),
+    // pd.factorize — dense integer codes in FIRST-APPEARANCE order
+    // (not sorted: the code of a category is the order its first row
+    // appears, pinned here by min(event_id)). Shape: tiny distinct
+    // agg → row_number over the handful of categories → BROADCAST
+    // join-back, the same two-pass discipline as agg_mad — the
+    // single-partition window touches only the category table, never
+    // the fact rows.
+    OpSpec(
+      "reshape_factorize",
+      (s, d) => {
+        val e = T.events(s, d).filter(col("user_id") < 5)
+          .select("event_id", "event_type")
+        val codes = e.groupBy("event_type")
+          .agg(min(col("event_id")).as("first_id"))
+          .select(col("event_type"),
+            (row_number().over(org.apache.spark.sql.expressions.Window
+              .orderBy("first_id")) - 1).cast("bigint").as("code"))
+        e.join(broadcast(codes), Seq("event_type"))
+          .select(col("event_id"), col("event_type"), col("code"))
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (SELECT event_id, event_type FROM events WHERE user_id < 5),
+             |c AS (SELECT event_type,
+             |        row_number() OVER (ORDER BY min(event_id)) - 1 AS code
+             |      FROM e GROUP BY event_type)
+             |SELECT e.event_id, e.event_type, cast(c.code as bigint) AS code
+             |FROM e JOIN c USING (event_type) ORDER BY event_id""".stripMargin),
+    ),
   )
 
   /** pd.cut edges [-1000, 0, 3000, 7000, 10000] as a right-closed CASE

@@ -739,5 +739,80 @@ object TimeSeries {
              |  coalesce(b.sum_value, 0.0) AS sum_value
              |FROM s LEFT JOIN b USING (h) ORDER BY h""".stripMargin),
     ),
+    // resample('1h').last().ffill() — the downsample-then-carry
+    // workflow (state-of-the-world series from an event stream): last
+    // value per bucket picked by event_id via max_by (deterministic),
+    // empty buckets from the generated spine, then the ffill window
+    // carries the last observation forward. The window is over the
+    // SPINE (hours of history), not the event table — at 100 TB it
+    // sorts thousands of rows, not billions.
+    OpSpec(
+      "ts_resample_last_ffill",
+      (s, d) => {
+        val e7 = ev(s, d).filter(col("user_id") === 7)
+        val buckets = e7
+          .groupBy(date_trunc("hour", col("ts")).as("h"))
+          .agg(max_by(col("value"), col("event_id")).as("last_v"))
+        val spine = e7
+          .agg(date_trunc("hour", min(col("ts"))).as("lo"),
+            date_trunc("hour", max(col("ts"))).as("hi"))
+          .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("h"))
+        val wf = org.apache.spark.sql.expressions.Window.orderBy("h")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        spine.join(broadcast(buckets), Seq("h"), "left")
+          .select(P.tsOut(col("h")).as("h"),
+            last(col("last_v"), ignoreNulls = true).over(wf).as("v"))
+          .orderBy("h")
+      },
+      Some("""WITH e AS (SELECT cast(ts as timestamp) AS ts, value, event_id
+             |           FROM events WHERE user_id = 7),
+             |b AS (SELECT date_trunc('hour', ts) AS h,
+             |        arg_max(value, event_id) AS last_v
+             |      FROM e GROUP BY 1),
+             |r AS (SELECT date_trunc('hour', min(ts)) AS lo,
+             |             date_trunc('hour', max(ts)) AS hi FROM e),
+             |s AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM r)
+             |SELECT s.h AS h,
+             |  last_value(b.last_v IGNORE NULLS)
+             |    OVER (ORDER BY s.h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+             |FROM s LEFT JOIN b USING (h) ORDER BY h""".stripMargin),
+    ),
+    // ewm(alpha=.5, adjust=False).mean() — the RECURSIVE pandas form
+    // yₜ = (1−α)·yₜ₋₁ + α·xₜ (the default in incremental/streaming
+    // usage; ts_ewm is adjust=True). Determinism: the 2ⁱ closed form
+    // was tried first and FAILED the gate twice — its quotients have
+    // pure power-of-two denominators, so exact 4-dp ties occur (round
+    // split at row 56), and unrounded the engines' window-SUM
+    // association differs in the last ulp (split at row 229). The fix
+    // is the ordered-fold device on the LITERAL recurrence: each row
+    // folds its running-frame prefix list left-to-right in both
+    // engines (Spark `aggregate` seeded with x₁ ≡ DuckDB
+    // `list_reduce`), making every intermediate bit-identical — no
+    // round needed. Deliberately single-series (user_id = 7, the
+    // single-partition-window policy): the prefix lists are O(n²)
+    // memory, the documented cost of exactness here; the linear-time
+    // general path is graft.udaf.Ewm / streaming transformWithState.
+    OpSpec(
+      "ts_ewm_adjust_false",
+      (s, d) => {
+        val cum = Window.partitionBy("user_id").orderBy("event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev(s, d)
+          .filter(col("user_id") === 7)
+          .withColumn("l", collect_list(col("value")).over(cum))
+          .select(col("event_id"),
+            expr("""aggregate(slice(l, 2, size(l) - 1), element_at(l, 1),
+                   |  (acc, x) -> 0.5D * acc + 0.5D * x)""".stripMargin)
+              .as("ewm_value"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id,
+             |  list_reduce(l, (acc, x) -> 0.5 * acc + 0.5 * x) AS ewm_value
+             |FROM (SELECT event_id,
+             |        list(value) OVER (ORDER BY event_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS l
+             |      FROM events WHERE user_id = 7)
+             |ORDER BY event_id""".stripMargin),
+    ),
   )
 }

@@ -787,5 +787,48 @@ object Windows {
               |WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
               |ORDER BY event_id""".stripMargin),
     ),
+    // groupby().nth(4) — the 5th row of each group in a stated order
+    // (pandas nth is 0-based positional). row_number + filter: the
+    // rank predicate pushes into the window's sort, so at 100 TB each
+    // group is sorted once and only one row per group survives the
+    // filter — no per-group collect.
+    OpSpec(
+      "win_group_nth",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("event_id")
+        ev(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 5)
+          .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+          .orderBy("user_id")
+      },
+      Some(s"""SELECT user_id, event_id, event_type, value
+              |FROM (SELECT user_id, event_id, event_type, value,
+              |        row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+              |      FROM $EV)
+              |WHERE rn = 5 ORDER BY user_id""".stripMargin),
+    ),
+    // rank(pct=True) — pandas percentile rank: AVERAGE rank / group
+    // size (NOT SQL percent_rank, whose denominator is n−1 and whose
+    // numerator is min-rank). Exact int arithmetic over the
+    // win_rank_average device, ONE double division — bit-identical.
+    OpSpec(
+      "win_rank_pct",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("event_type")
+        val tie = Window.partitionBy("user_id", "event_type")
+        val all = Window.partitionBy("user_id")
+        ev(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            ((rank().over(w) * lit(2L) + count(lit(1)).over(tie) - 1).cast("double") /
+              (count(lit(1)).over(all) * lit(2L))).as("pct_rank"))
+          .orderBy("event_id")
+      },
+      Some(s"""SELECT event_id, user_id, event_type,
+              |  cast(rank() OVER (PARTITION BY user_id ORDER BY event_type) * 2
+              |       + count(*) OVER (PARTITION BY user_id, event_type) - 1 as double)
+              |    / (count(*) OVER (PARTITION BY user_id) * 2) AS pct_rank
+              |FROM $EV ORDER BY event_id""".stripMargin),
+    ),
   )
 }

@@ -398,5 +398,58 @@ object VecOps {
            |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin
       },
     ),
+    // The EMBEDDING-side dedup pipeline end-to-end, the vector analog
+    // of text/NearDup's dedup_survivors: hyperplane-LSH banded
+    // candidate pairs (the dedup_embed_lsh plan) → connected
+    // components (DedupCluster label propagation, shuffle-side only)
+    // → keep-min survivors → surviving-corpus counts per label. At
+    // 100 TB every stage is the already-graded scale shape: banded
+    // bucket equi-join (no all-pairs), per-round edge join + groupBy
+    // min, left_anti join-back. Oracle replays the SAME candidate rule
+    // + a RECURSIVE-CTE closure — tractable at test size, and proving
+    // the distributed component resolution exact.
+    OpSpec(
+      "dedup_embed_survivors",
+      (s, d) => {
+        val banded = bandedVecs(s, d)
+        val a = banded.select(col("vec_id").as("a"), col("band"),
+          col("bucket"), col("e").as("ea"), col("nrm").as("na"))
+        val b = banded.select(col("vec_id").as("b"), col("band"),
+          col("bucket"), col("e").as("eb"), col("nrm").as("nb"))
+        val pairs = a.join(b, Seq("band", "bucket"))
+          .filter(col("a") < col("b"))
+          .filter(P.r4(dot("ea", "eb") / (col("na") * col("nb"))) >= 0.4)
+          .select("a", "b").distinct()
+        val emb = T.embeddings(s, d).select(col("vec_id"), col("label"))
+        graft.text.DedupCluster.survivors(emb, "vec_id", pairs,
+            iters = 20, minRounds = 3)
+          .groupBy("label")
+          .agg(count(lit(1)).as("n_survivors"))
+          .orderBy("label")
+      },
+      Some {
+        val anyBand = (0 until LshPlanes.nBands)
+          .map(b => s"a.b$b = b.b$b").mkString(" OR ")
+        s"""WITH RECURSIVE $bandedSql,
+           |prs AS (
+           |  SELECT a.vec_id AS a, b.vec_id AS b
+           |  FROM sg a JOIN sg b ON a.vec_id < b.vec_id AND ($anyBand)
+           |  WHERE round(list_inner_product(a.e, b.e) /
+           |        (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))), 4) >= 0.4),
+           |edges AS (SELECT a AS u, b AS v FROM prs UNION SELECT b, a FROM prs),
+           |reach AS (
+           |  SELECT u AS id, v AS nb FROM edges
+           |  UNION
+           |  SELECT r.id, e.v FROM reach r JOIN edges e ON e.u = r.nb),
+           |losers AS (
+           |  SELECT id FROM (SELECT id, least(id, min(nb)) AS cluster
+           |                  FROM reach GROUP BY id)
+           |  WHERE id <> cluster)
+           |SELECT label, count(*) AS n_survivors
+           |FROM embeddings
+           |WHERE vec_id NOT IN (SELECT id FROM losers)
+           |GROUP BY label ORDER BY label""".stripMargin
+      },
+    ),
   )
 }

@@ -46,7 +46,13 @@ class DeterminismSpec extends AnyFunSuite {
     "join_asof_global", "sim_knn_lsh", "agg_value_counts_norm",
     // batch 4: argmax-struct tie-break (top bigram), broadcast
     // join-back MAD (partial-sum order must not leak)
-    "text_top_ngram_frac", "agg_mad")
+    "text_top_ngram_frac", "agg_mad",
+    // batch 5: the embedding-side cluster pipeline (label propagation
+    // + banded candidates), bucket-last pick + ffill carry
+    "dedup_embed_survivors", "ts_resample_last_ffill",
+    // batch 6: prefix-list recurrence fold (frame-order collect),
+    // first-appearance coding (min-id window over the category table)
+    "ts_ewm_adjust_false", "reshape_factorize")
 
   test("order-sensitive queries return identical results across runs") {
     val failures = sensitive.flatMap { key =>
