@@ -745,5 +745,52 @@ object Aggs {
              |  cast(sum(CASE WHEN l_linestatus = 'O' THEN cast(l_extendedprice as decimal(18,2)) END) as double) AS O_price
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
     ),
+    // df.nunique() — exact distinct count PER COLUMN in one statement.
+    // Spark plans multiple count(DISTINCT) via Expand (3 rows emitted
+    // per input row, one per distinct-aggregate), so the map-side cost
+    // is columns×rows: fine for a profiling query, and the honest
+    // 100 TB guidance is approx_count_distinct per column (declared as
+    // agg_approx_distinct) or one pass per column when exactness is
+    // required.
+    OpSpec(
+      "agg_nunique_all",
+      (s, d) =>
+        T.customer(s, d)
+          .agg(
+            countDistinct(col("c_custkey")).as("nu_custkey"),
+            countDistinct(col("c_nationkey")).as("nu_nationkey"),
+            countDistinct(col("c_mktsegment")).as("nu_mktsegment")),
+      Some("""SELECT count(DISTINCT c_custkey) AS nu_custkey,
+             |  count(DISTINCT c_nationkey) AS nu_nationkey,
+             |  count(DISTINCT c_mktsegment) AS nu_mktsegment
+             |FROM customer""".stripMargin),
+    ),
+    // Join-key skew profile — the pre-join diagnostic that DECIDES the
+    // salt count in graft.core.Skew.saltedAgg/saltedJoin (and whether
+    // AQE skew handling will trigger): per-key frequencies reduced to
+    // key count, row count, hottest-key frequency, and the max/avg
+    // skew ratio. Two hash aggs, one row out; exact ints with two
+    // final double divisions (identical IEEE).
+    OpSpec(
+      "agg_key_skew",
+      (s, d) =>
+        T.orders(s, d)
+          .groupBy(col("o_custkey")).agg(count(lit(1)).as("c"))
+          .agg(
+            count(lit(1)).as("n_keys"),
+            sum(col("c")).as("n_rows"),
+            max(col("c")).as("max_freq"))
+          .select(col("n_keys"), col("n_rows"), col("max_freq"),
+            (col("n_rows").cast("double") / col("n_keys")).as("avg_freq"),
+            (col("max_freq") * col("n_keys")).cast("double")
+              .divide(col("n_rows")).as("skew_ratio")),
+      Some("""SELECT n_keys, n_rows, max_freq,
+             |  cast(n_rows as double) / n_keys AS avg_freq,
+             |  cast(max_freq * n_keys as double) / n_rows AS skew_ratio
+             |FROM (
+             |  SELECT count(*) AS n_keys, cast(sum(c) as bigint) AS n_rows,
+             |    max(c) AS max_freq
+             |  FROM (SELECT o_custkey, count(*) AS c FROM orders GROUP BY 1))""".stripMargin),
+    ),
   )
 }

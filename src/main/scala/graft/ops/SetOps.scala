@@ -91,5 +91,33 @@ object SetOps {
              |SELECT c_custkey, c_nationkey FROM customer WHERE c_nationkey BETWEEN 5 AND 15
              |ORDER BY c_custkey, c_nationkey""".stripMargin),
     ),
+    // pandas Index.symmetric_difference — (A∖B) ∪ (B∖A) with a side
+    // tag. Two left-antis (each a broadcast/shuffled hash join on the
+    // key, never materializing the union of both sides), tagged then
+    // unioned — the set-reconciliation query (what changed between two
+    // snapshots) at any scale.
+    OpSpec(
+      "set_symmetric_diff",
+      (s, d) => {
+        val a = side(s, d, 0, 9)
+        val b = side(s, d, 5, 15)
+        a.join(b, Seq("c_custkey", "c_nationkey"), "left_anti")
+          .withColumn("side", lit("left_only"))
+          .unionByName(
+            b.join(a, Seq("c_custkey", "c_nationkey"), "left_anti")
+              .withColumn("side", lit("right_only")))
+          .orderBy("c_custkey", "c_nationkey")
+      },
+      Some("""SELECT *, 'left_only' AS side
+             |FROM (SELECT c_custkey, c_nationkey FROM customer WHERE c_nationkey BETWEEN 0 AND 9
+             |      EXCEPT
+             |      SELECT c_custkey, c_nationkey FROM customer WHERE c_nationkey BETWEEN 5 AND 15)
+             |UNION ALL
+             |SELECT *, 'right_only' AS side
+             |FROM (SELECT c_custkey, c_nationkey FROM customer WHERE c_nationkey BETWEEN 5 AND 15
+             |      EXCEPT
+             |      SELECT c_custkey, c_nationkey FROM customer WHERE c_nationkey BETWEEN 0 AND 9)
+             |ORDER BY c_custkey, c_nationkey""".stripMargin),
+    ),
   )
 }

@@ -814,5 +814,60 @@ object TimeSeries {
              |      FROM events WHERE user_id = 7)
              |ORDER BY event_id""".stripMargin),
     ),
+    // Gap report — the data-quality complement of ts_sessionize: every
+    // inter-arrival gap over the threshold, with its endpoints and
+    // width in exact µs (int64 arithmetic end to end; the same lag
+    // window every series op uses, one shuffle+sort per key).
+    OpSpec(
+      "ts_gap_report",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("event_id")
+        ev(s, d)
+          .filter(col("user_id") < 10)
+          .select(col("user_id"), col("event_id"),
+            lag(col("ts"), 1).over(w).as("gap_start"), col("ts").as("gap_end"))
+          .withColumn("gap_us",
+            unix_micros(col("gap_end")) - unix_micros(col("gap_start")))
+          .filter(col("gap_us") > 3600000000L)
+          .select(col("user_id"), col("event_id"),
+            P.tsOut(col("gap_start")).as("gap_start"),
+            P.tsOut(col("gap_end")).as("gap_end"), col("gap_us"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id,
+             |  cast(gap_start as timestamp) AS gap_start,
+             |  cast(gap_end as timestamp) AS gap_end, gap_us
+             |FROM (
+             |  SELECT user_id, event_id,
+             |    lag(cast(ts as timestamp), 1)
+             |      OVER (PARTITION BY user_id ORDER BY event_id) AS gap_start,
+             |    cast(ts as timestamp) AS gap_end,
+             |    epoch_us(cast(ts as timestamp))
+             |      - epoch_us(lag(cast(ts as timestamp), 1)
+             |                 OVER (PARTITION BY user_id ORDER BY event_id)) AS gap_us
+             |  FROM events WHERE user_id < 10)
+             |WHERE gap_us > 3600000000 ORDER BY user_id, event_id""".stripMargin),
+    ),
+    // Seasonal profile — groupby(ts.dt.hour) (the hour-of-day load
+    // curve every TSDB dashboard shows). A MODULAR bucket, not a
+    // timeline bucket like ts_resample_agg: 24 output rows at any
+    // scale, one partial+final hash agg, exact decimal sums.
+    OpSpec(
+      "ts_hourly_profile",
+      (s, d) =>
+        ev(s, d)
+          .groupBy(hour(col("ts")).cast("bigint").as("hod"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .select(col("hod"), col("n"), col("sum_value"),
+            (col("sum_value") / col("n")).as("avg_value"))
+          .orderBy("hod"),
+      Some("""SELECT hod, n, sum_value, sum_value / n AS avg_value
+             |FROM (
+             |  SELECT extract(hour FROM cast(ts as timestamp)) AS hod,
+             |    count(*) AS n,
+             |    cast(sum(cast(value as decimal(18,2))) as double) AS sum_value
+             |  FROM events GROUP BY 1)
+             |ORDER BY hod""".stripMargin),
+    ),
   )
 }

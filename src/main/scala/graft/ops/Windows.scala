@@ -830,5 +830,24 @@ object Windows {
               |    / (count(*) OVER (PARTITION BY user_id) * 2) AS pct_rank
               |FROM $EV ORDER BY event_id""".stripMargin),
     ),
+    // expanding().median() — exact running median. Even frames
+    // interpolate the two middle order statistics; both engines
+    // compute ≈(a+b)/2 within an ulp of each other, and because the
+    // inputs are 2-decimal values the true midpoints have ≤3 decimals
+    // — never within 5e-5 of a 4-dp rounding boundary — so r4 is
+    // split-proof here (unlike the power-of-two EWM quotients).
+    OpSpec(
+      "win_expanding_median",
+      (s, d) =>
+        ev(s, d)
+          .select(col("event_id"), col("user_id"),
+            P.r4(expr("percentile(value, 0.5D)").over(cum)).as("exp_median"))
+          .orderBy("event_id"),
+      Some(s"""SELECT event_id, user_id,
+              |  round(quantile_cont(value, 0.5) OVER w, 4) AS exp_median
+              |FROM $EV
+              |WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |ORDER BY event_id""".stripMargin),
+    ),
   )
 }

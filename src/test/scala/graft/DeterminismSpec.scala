@@ -52,7 +52,9 @@ class DeterminismSpec extends AnyFunSuite {
     "dedup_embed_survivors", "ts_resample_last_ffill",
     // batch 6: prefix-list recurrence fold (frame-order collect),
     // first-appearance coding (min-id window over the category table)
-    "ts_ewm_adjust_false", "reshape_factorize")
+    "ts_ewm_adjust_false", "reshape_factorize",
+    // batch 7: growing-frame percentile
+    "win_expanding_median")
 
   test("order-sensitive queries return identical results across runs") {
     val failures = sensitive.flatMap { key =>

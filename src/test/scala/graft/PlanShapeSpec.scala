@@ -118,6 +118,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("dot_native"), p)
   }
 
+  test("agg_mad join-back broadcasts the tiny stats side (no fact-table window)") {
+    val p = plan("agg_mad")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Window"), s"MAD must not sort the fact table into a window:\n$p")
+  }
+
+  test("resample spine queries broadcast the bucket aggregates onto the generated spine") {
+    for (k <- Seq("ts_resample_spine", "ts_resample_last_ffill")) {
+      val p = plan(k)
+      assert(p.contains("BroadcastHashJoin"), s"$k:\n$p")
+    }
+  }
+
+  test("reshape_factorize broadcasts the category code table back onto the fact rows") {
+    val p = plan("reshape_factorize")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("no CartesianProduct outside the deliberate cross/pairs queries") {
     val allowed = Set("join_cross", "sim_cosine_topk", "text_tfidf")
     val offenders = Registry.all
