@@ -404,5 +404,58 @@ object LlmOps {
       Some("""SELECT max(doc_id) AS doc_id, count(*) AS n_dups
              |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin),
     ),
+    // Cross-source contamination MATRIX — which source pairs share
+    // duplicate content (the question behind every train/test
+    // decontamination pass). The key is the 40-char prefix fingerprint
+    // (the dedup_prefix device — exact sha256 digests NEVER cross a
+    // source boundary in this corpus, so the exact-key matrix would be
+    // vacuously empty; the prefix key is what binds, 24 shared keys at
+    // sf0.01). Distinct (key, source) rows self-join on the KEY: the
+    // shuffle carries 40-char keys, never documents, one row per
+    // source after the distinct.
+    OpSpec(
+      "dedup_contamination_matrix",
+      (s, d) => {
+        val hs = T.documents(s, d)
+          .select(substring(col("text"), 1, 40).as("h"), col("source")).distinct()
+        hs.as("a").join(hs.as("b"),
+            col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+          .agg(count(lit(1)).as("n_shared"))
+          .orderBy("source_a", "source_b")
+      },
+      Some("""WITH hs AS (SELECT DISTINCT substr(text, 1, 40) AS h, source FROM documents)
+             |SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+             |FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    ),
+    // Train/test DECONTAMINATION — drop from the training corpus every
+    // document whose prefix fingerprint appears in the held-out source
+    // (src0 plays the benchmark), report surviving per-source counts.
+    // The benchmark key set is tiny relative to the corpus, so it
+    // BROADCASTS into a left_anti hash join: the 100 TB training side
+    // is filtered in place, never shuffled.
+    OpSpec(
+      "text_decontaminate",
+      (s, d) => {
+        val docs = T.documents(s, d)
+        val bench = docs.filter(col("source") === "src0")
+          .select(substring(col("text"), 1, 40).as("h")).distinct()
+        docs.filter(col("source") =!= "src0")
+          .withColumn("h", substring(col("text"), 1, 40))
+          .join(broadcast(bench), Seq("h"), "left_anti")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_clean"), sum(col("n_chars")).as("sum_chars"))
+          .orderBy("source")
+      },
+      Some("""WITH bench AS (SELECT DISTINCT substr(text, 1, 40) AS h
+             |               FROM documents WHERE source = 'src0')
+             |SELECT source, count(*) AS n_clean,
+             |  cast(sum(n_chars) as bigint) AS sum_chars
+             |FROM documents
+             |WHERE source <> 'src0'
+             |  AND substr(text, 1, 40) NOT IN (SELECT h FROM bench)
+             |GROUP BY source ORDER BY source""".stripMargin),
+    ),
   )
 }

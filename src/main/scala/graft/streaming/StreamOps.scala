@@ -292,4 +292,42 @@ object StreamOps {
       .transformWithState(new EvictingAsofProcessor(idleTimeoutMs),
         TimeMode.EventTime(), OutputMode.Append())
   }
+
+  case class GapIn(user_id: Long, event_id: Long, ts_us: Long)
+  case class GapOut(user_id: Long, event_id: Long,
+      gap_start_us: Long, gap_end_us: Long, gap_us: Long)
+
+  /** Streaming twin of the declared `ts_gap_report`: the per-key state
+    * is ONE int64 (the last-seen event time); each arriving event
+    * whose distance from that frontier exceeds the threshold emits a
+    * gap row — live data-quality monitoring of an ingest stream.
+    * In-order per key (TimeMode.None, the streamingAsof discipline);
+    * the EvictingAsofProcessor's event-time-timer device applies
+    * unchanged when idle keys must leave the store. */
+  private class GapProcessor(thresholdUs: Long)
+      extends StatefulProcessor[Long, GapIn, GapOut] {
+    @transient private var last: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      last = getHandle.getValueState[Long](
+        "last_ts", Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(
+        user: Long, rows: Iterator[GapIn], tv: TimerValues): Iterator[GapOut] = {
+      var prev = if (last.exists()) last.get() else Long.MinValue
+      val out = Seq.newBuilder[GapOut]
+      rows.toSeq.sortBy(r => (r.ts_us, r.event_id)).foreach { r =>
+        if (prev != Long.MinValue && r.ts_us - prev > thresholdUs)
+          out += GapOut(user, r.event_id, prev, r.ts_us, r.ts_us - prev)
+        prev = r.ts_us
+      }
+      if (prev != Long.MinValue) last.update(prev)
+      out.result().iterator
+    }
+  }
+
+  def streamingGapReport(events: Dataset[GapIn], thresholdUs: Long): Dataset[GapOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new GapProcessor(thresholdUs),
+        TimeMode.None(), OutputMode.Append())
+  }
 }

@@ -280,4 +280,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.keySet == expected.keySet)
     expected.foreach { case (k, v) => assert(math.abs(streamed(k) - v) < 1e-9, s"event $k") }
   }
+
+  test("streaming gap report equals the declared batch ts_gap_report") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def usOf(t: java.sql.Timestamp): Long = t.getTime * 1000 + (t.getNanos / 1000) % 1000
+    val inRows = eventRows.filter(_.user_id < 10)
+      .map(e => StreamOps.GapIn(e.user_id, e.event_id, usOf(e.ts)))
+      .sortBy(r => (r.ts_us, r.event_id)) // event-time arrival order
+    val ms = MemoryStream[StreamOps.GapIn]
+    val q = StreamOps.streamingGapReport(ms.toDS(), thresholdUs = 3600000000L)
+      .writeStream.format("memory").queryName("t_gaps").outputMode("append").start()
+    val (a, b) = inRows.splitAt(inRows.size / 2)
+    ms.addData(a); q.processAllAvailable()
+    ms.addData(b); q.processAllAvailable() // frontier must survive the batch boundary
+    q.stop()
+    val streamed = spark.table("t_gaps")
+      .select("event_id", "gap_start_us", "gap_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val batch = graft.ops.Registry.queries("ts_gap_report")(spark, TestSpark.sfSmoke)
+      .select(col("event_id"), unix_micros(col("gap_start").cast("timestamp")).as("gs"),
+        col("gap_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
 }
