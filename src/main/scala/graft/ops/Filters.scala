@@ -154,5 +154,26 @@ object Filters {
              |  cast(l_orderkey as varchar) AS key_str
              |FROM lineitem WHERE l_orderkey % 100 = 0 ORDER BY l_orderkey, ln_big""".stripMargin),
     ),
+    // pandas axis=1 reductions — df[['a','b','c']].min/max/mean(axis=1):
+    // row-wise, so they fuse into the scan (greatest/least are codegen
+    // comparisons; the mean is a 3-term sum in a FIXED left-to-right
+    // textual order + one /3.0 — written identically in both engines).
+    OpSpec(
+      "proj_rowwise_stats",
+      (s, d) =>
+        li(s, d)
+          .filter(col("l_orderkey") % 100 === 0)
+          .select(col("l_orderkey"), col("l_linenumber").cast("bigint").as("ln"),
+            least(col("l_quantity"), col("l_discount"), col("l_tax")).as("row_min"),
+            greatest(col("l_quantity"), col("l_discount"), col("l_tax")).as("row_max"),
+            ((col("l_quantity") + col("l_discount") + col("l_tax")) / 3.0).as("row_mean"))
+          .orderBy("l_orderkey", "ln"),
+      Some("""SELECT l_orderkey, cast(l_linenumber as bigint) AS ln,
+             |  least(l_quantity, l_discount, l_tax) AS row_min,
+             |  greatest(l_quantity, l_discount, l_tax) AS row_max,
+             |  (l_quantity + l_discount + l_tax) / 3.0 AS row_mean
+             |FROM lineitem WHERE l_orderkey % 100 = 0
+             |ORDER BY l_orderkey, ln""".stripMargin),
+    ),
   )
 }

@@ -457,5 +457,34 @@ object LlmOps {
              |  AND substr(text, 1, 40) NOT IN (SELECT h FROM bench)
              |GROUP BY source ORDER BY source""".stripMargin),
     ),
+    // The curation DASHBOARD row — per-source corpus health in ONE
+    // pass: doc count, exact-duplicate count (docs − distinct digests),
+    // quality-rule failures, mean length. Every metric is a conditional
+    // aggregate over the same scan, so the whole report is one
+    // partial+final hash agg on source — at 100 TB, one shuffle of
+    // per-source partials, the cheapest possible corpus report.
+    OpSpec(
+      "pipeline_curation_report",
+      (s, d) =>
+        T.documents(s, d)
+          .select(col("source"), col("n_chars"),
+            sha2(col("text"), 256).as("h"),
+            size(split(col("text"), " ")).as("nw"))
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            (count(lit(1)) - countDistinct(col("h"))).as("n_exact_dups"),
+            sum(when(col("nw") < 5 || col("nw") > 200, 1L).otherwise(0L))
+              .as("n_len_fail"),
+            (sum(col("n_chars")).cast("double") / count(lit(1))).as("mean_chars"))
+          .orderBy("source"),
+      Some("""SELECT source, count(*) AS n_docs,
+             |  count(*) - count(DISTINCT sha256(text)) AS n_exact_dups,
+             |  cast(sum(CASE WHEN len(string_split(text, ' ')) < 5
+             |                  OR len(string_split(text, ' ')) > 200
+             |                THEN 1 ELSE 0 END) as bigint) AS n_len_fail,
+             |  cast(sum(n_chars) as double) / count(*) AS mean_chars
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin),
+    ),
   )
 }

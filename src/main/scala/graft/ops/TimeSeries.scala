@@ -869,5 +869,26 @@ object TimeSeries {
              |  FROM events GROUP BY 1)
              |ORDER BY hod""".stripMargin),
     ),
+    // pd.to_datetime(format=) — format-string round trip: render the
+    // event time to text and parse it back (Spark date_format /
+    // to_timestamp ≡ DuckDB strftime / strptime; the second-resolution
+    // format truncates µs, which the round trip makes visible).
+    // Row-local, scan-fused.
+    OpSpec(
+      "ts_parse_format",
+      (s, d) =>
+        ev(s, d)
+          .filter(col("user_id") === 7)
+          .select(col("event_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_str"),
+            to_timestamp(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"),
+              "yyyy-MM-dd HH:mm:ss").cast("timestamp_ntz").as("ts_parsed"))
+          .orderBy("event_id"),
+      Some("""SELECT event_id,
+             |  strftime(cast(ts as timestamp), '%Y-%m-%d %H:%M:%S') AS ts_str,
+             |  strptime(strftime(cast(ts as timestamp), '%Y-%m-%d %H:%M:%S'),
+             |           '%Y-%m-%d %H:%M:%S') AS ts_parsed
+             |FROM events WHERE user_id = 7 ORDER BY event_id""".stripMargin),
+    ),
   )
 }
