@@ -59,7 +59,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("dot_native"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_native"),
       (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_native"),
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_native"),
+      (args: Seq[Expression]) => CosineSim(args(0), args(1))))
     ext.injectOptimizerRule(_ => DotProductRewrite)
+    ext.injectOptimizerRule(_ => CosineRewrite)
     ext.injectOptimizerRule(_ => graft.plans.AsofRangePushdown)
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
     ext.injectResolutionRule(_ => graft.plans.ResolveAsofJoin)

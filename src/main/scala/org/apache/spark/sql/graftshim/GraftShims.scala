@@ -11,4 +11,10 @@ import org.apache.spark.sql.classic.{DataFrame, Dataset, SparkSession}
 object GraftShims {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     Dataset.ofRows(spark, plan)
+
+  /** ANSI divide-by-zero error, for CosineSim's failOnError path —
+    * `QueryExecutionErrors` is private[sql] to Scala sources (codegen'd
+    * Java sees the public bytecode and calls it directly). */
+  def divideByZeroError(ctx: org.apache.spark.QueryContext): ArithmeticException =
+    org.apache.spark.sql.errors.QueryExecutionErrors.divideByZeroError(ctx)
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, DotProductRewrite}
+import graft.functions.{CosineRewrite, CosineSim, DotProduct, DotProductRewrite}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -16,6 +16,10 @@ class NativeFunctionSpec extends AnyFunSuite {
       .sessionState.functionRegistry.createOrReplaceTempFunction("dot_native",
         (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
           DotProduct(args.head, args(1)), "built-in")
+    s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry.createOrReplaceTempFunction("cosine_native",
+        (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          CosineSim(args.head, args(1)), "built-in")
     s
   }
 
@@ -78,5 +82,67 @@ class NativeFunctionSpec extends AnyFunSuite {
     val native = vecs.selectExpr("vec_id", "dot_native(e, e) AS d").collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(hof == native)
+  }
+
+  // pairs (e, q) with q = the element-wise reversed vector — a cheap
+  // second operand that still exercises every accumulator
+  private def pairs = vecs.selectExpr("vec_id", "e", "reverse(e) AS q")
+
+  test("fused CosineSim is bit-identical to the composed dot/sqrt form") {
+    val df = pairs.selectExpr("vec_id",
+      "dot_native(e, q) / (sqrt(dot_native(e, e)) * sqrt(dot_native(q, q))) AS composed",
+      "cosine_native(e, q) AS fused")
+    assert(df.filter(col("composed") =!= col("fused")).count() == 0)
+    assert(df.filter(col("fused").isNotNull).count() > 0)
+  }
+
+  test("CosineSim zero-norm semantics track the Divide eval mode") {
+    val z = spark.sql(
+      """SELECT cast(array(0D, 0D) as array<double>) AS e,
+        |       cast(array(1D, 2D) as array<double>) AS q""".stripMargin)
+    // the session runs Spark 4's ANSI default: the composed Divide
+    // THROWS on the zero-norm row…
+    intercept[Exception] {
+      z.selectExpr(
+        "dot_native(e, q) / (sqrt(dot_native(e, e)) * sqrt(dot_native(q, q))) AS c")
+        .head()
+    }
+    // …and so must the fused form the rewrite produces (failOnError
+    // captured from the matched Divide's ANSI mode)
+    intercept[Exception] {
+      org.apache.spark.sql.graftshim.GraftShims.ofRows(
+        spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+        graft.functions.CosineRewrite(DotProductRewrite(
+          z.selectExpr(
+            "dot_native(e, q) / (sqrt(dot_native(e, e)) * sqrt(dot_native(q, q))) AS c")
+            .queryExecution.analyzed))).head()
+    }
+    // the SQL-registered function defaults to NULL-on-zero (try_divide
+    // discipline) for direct users
+    assert(z.selectExpr("cosine_native(e, q) AS c").head().isNullAt(0))
+  }
+
+  test("CosineRewrite fuses the composed pattern after DotProductRewrite") {
+    val composed = pairs.selectExpr(
+      s"""aggregate(zip_with(e, q, (x, y) -> x * y), 0D, (acc, x) -> acc + x)
+         | / (sqrt(aggregate(zip_with(e, e, (x, y) -> x * y), 0D, (acc, x) -> acc + x))
+         |    * sqrt(aggregate(zip_with(q, q, (x, y) -> x * y), 0D, (acc, x) -> acc + x))) AS c""".stripMargin)
+    val afterDot = DotProductRewrite(composed.queryExecution.analyzed)
+    val fused = CosineRewrite(afterDot)
+    assert(fused.toString.contains("cosine_native"), fused.toString)
+    // a cross-term denominator is NOT a cosine — left untouched
+    val notCos = CosineRewrite(DotProductRewrite(pairs.selectExpr(
+      s"""aggregate(zip_with(e, q, (x, y) -> x * y), 0D, (acc, x) -> acc + x)
+         | / (sqrt(aggregate(zip_with(e, q, (x, y) -> x * y), 0D, (acc, x) -> acc + x))
+         |    * sqrt(aggregate(zip_with(q, q, (x, y) -> x * y), 0D, (acc, x) -> acc + x))) AS c""".stripMargin)
+      .queryExecution.analyzed))
+    assert(!notCos.toString.contains("cosine_native"), notCos.toString)
+  }
+
+  test("fused cosine evaluates inside whole-stage codegen") {
+    val df = pairs.selectExpr("cosine_native(e, q) AS c")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("cosine_native") && l.contains("*(")), plan)
+    assert(df.filter(col("c").isNotNull).count() > 0)
   }
 }

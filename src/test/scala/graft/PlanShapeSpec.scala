@@ -118,6 +118,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("dot_native"), p)
   }
 
+  test("the CosineRewrite fuses declared cosine compositions into cosine_native") {
+    // the full dot/sqrt cosine composition collapses to ONE fused
+    // codegen expression — each array child evaluated once, not five
+    // times (CosineSim scaladoc)
+    for (k <- Seq("sim_cosine_ivf", "sim_cosine_topk")) {
+      val p = plan(k)
+      assert(p.contains("cosine_native"), s"$k:\n$p")
+    }
+  }
+
   test("agg_mad join-back broadcasts the tiny stats side (no fact-table window)") {
     val p = plan("agg_mad")
     assert(p.contains("BroadcastHashJoin"), p)
