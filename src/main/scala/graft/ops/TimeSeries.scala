@@ -890,5 +890,122 @@ object TimeSeries {
              |           '%Y-%m-%d %H:%M:%S') AS ts_parsed
              |FROM events WHERE user_id = 7 ORDER BY event_id""".stripMargin),
     ),
+    // First derivative of an irregular series — Δvalue/Δseconds per
+    // key (the monitoring "rate()" primitive). One lag window; the
+    // numerator subtraction and the µs→s scaling are the same IEEE
+    // ops on identical operands in both engines; a zero Δt is
+    // null-guarded (P.div ≡ nullif) so ANSI division can't throw.
+    OpSpec(
+      "ts_derivative",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("event_id")
+        ev(s, d)
+          .filter(col("user_id") < 10)
+          .select(col("event_id"), col("user_id"),
+            P.div(col("value") - lag("value", 1).over(w),
+              (unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(w))) / lit(1000000.0))
+              .as("rate_per_s"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             |  (value - lag(value, 1) OVER w)
+             |    / nullif((epoch_us(cast(ts as timestamp))
+             |              - epoch_us(lag(cast(ts as timestamp), 1) OVER w)) / 1000000.0, 0)
+             |    AS rate_per_s
+             |FROM events WHERE user_id < 10
+             |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+             |ORDER BY event_id""".stripMargin),
+    ),
+    // TWAP — the time-weighted average every market/telemetry TSDB
+    // quotes for irregular samples: each value weighted by how long it
+    // was live (Δt to the next sample). The weight is an exact µs
+    // int64, the product value·Δt an exact decimal, so the whole
+    // aggregation is order-independent with ONE double division at
+    // the end — determinism for free at any partitioning. One lag-
+    // window pass + one hash agg.
+    OpSpec(
+      "ts_twap",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("event_id")
+        ev(s, d)
+          .filter(col("user_id") < 10)
+          .withColumn("dt_us",
+            unix_micros(lead("ts", 1).over(w)) - unix_micros(col("ts")))
+          .filter(col("dt_us").isNotNull)
+          .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+          .agg(
+            (sum((P.dec2(col("value")) * col("dt_us")).cast("decimal(38,2)"))
+              .cast("double") / sum(col("dt_us")).cast("double")).as("twap"),
+            count(lit(1)).as("n"))
+          .select(col("user_id"), P.tsOut(col("day")).as("day"),
+            col("twap"), col("n"))
+          .orderBy("user_id", "day")
+      },
+      Some("""SELECT user_id, date_trunc('day', ts2) AS day,
+             |  cast(sum(cast(cast(value as decimal(18,2)) * dt_us as decimal(38,2))) as double)
+             |    / cast(sum(dt_us) as double) AS twap,
+             |  count(*) AS n
+             |FROM (
+             |  SELECT user_id, cast(ts as timestamp) AS ts2, value,
+             |    epoch_us(lead(cast(ts as timestamp), 1)
+             |             OVER (PARTITION BY user_id ORDER BY event_id))
+             |      - epoch_us(cast(ts as timestamp)) AS dt_us
+             |  FROM events WHERE user_id < 10)
+             |WHERE dt_us IS NOT NULL
+             |GROUP BY 1, 2 ORDER BY user_id, day""".stripMargin),
+    ),
+    // ewm(halflife=1h, times=ts) — TIME-decay EWM for irregular
+    // series, the form a TSDB actually needs (row-index decay assumes
+    // regular spacing; ts_ewm/ts_ewm_adjust_false are that family).
+    // Each step decays the running (num, den) by 0.5^(Δt/halflife)
+    // before adding the new sample — the pandas adjust=True
+    // times-aware weights. Determinism: pow(0.5, Δt/hl) is
+    // transcendental (last-ulp engine skew possible), so per §2.0 the
+    // terms fold in the SAME order via the prefix-list device of
+    // ts_ewm_adjust_false (uniform {num,den,t} structs so DuckDB's
+    // init-less list_reduce types; Spark seeds with element 1) and
+    // the output rounds to 4 dp. Single-series by policy.
+    OpSpec(
+      "ts_ewm_halflife_time",
+      (s, d) => {
+        val cum = Window.partitionBy("user_id").orderBy("event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev(s, d)
+          .filter(col("user_id") === 7)
+          .withColumn("l",
+            collect_list(struct(unix_micros(col("ts")).as("t"), col("value").as("v")))
+              .over(cum))
+          .select(col("event_id"),
+            expr("""round(aggregate(
+                   |  slice(transform(l, s -> named_struct('num', s.v, 'den', 1.0D, 't', s.t)), 2,
+                   |        size(l) - 1),
+                   |  named_struct('num', element_at(l, 1).v, 'den', 1.0D, 't', element_at(l, 1).t),
+                   |  (acc, e) -> named_struct(
+                   |    'num', acc.num * pow(0.5D, (e.t - acc.t) / 3600000000.0D) + e.num,
+                   |    'den', acc.den * pow(0.5D, (e.t - acc.t) / 3600000000.0D) + e.den,
+                   |    't', e.t),
+                   |  acc -> acc.num / acc.den), 4)""".stripMargin).as("ewm_t"))
+          .orderBy("event_id")
+      },
+      // DuckDB trap pinned here: list_reduce casts each lambda result
+      // back to the list's ELEMENT type, and a bare `1.0` literal is
+      // DECIMAL(2,1) — which silently truncated the den accumulator to
+      // one decimal until every field was forced to DOUBLE.
+      Some("""SELECT event_id,
+             |  round(r.num / r.den, 4) AS ewm_t
+             |FROM (
+             |  SELECT event_id,
+             |    list_reduce(
+             |      list_transform(l, s -> {'num': s.v, 'den': 1.0::DOUBLE, 't': s.t}),
+             |      (acc, e) -> {'num': acc.num * pow(0.5::DOUBLE, (e.t - acc.t)::DOUBLE / 3600000000.0::DOUBLE) + e.num,
+             |                   'den': acc.den * pow(0.5::DOUBLE, (e.t - acc.t)::DOUBLE / 3600000000.0::DOUBLE) + e.den,
+             |                   't': e.t}) AS r
+             |  FROM (
+             |    SELECT event_id,
+             |      list({'t': epoch_us(cast(ts as timestamp)), 'v': value}) OVER (
+             |        ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS l
+             |    FROM events WHERE user_id = 7))
+             |ORDER BY event_id""".stripMargin),
+    ),
   )
 }

@@ -54,7 +54,9 @@ class DeterminismSpec extends AnyFunSuite {
     // first-appearance coding (min-id window over the category table)
     "ts_ewm_adjust_false", "reshape_factorize",
     // batch 7: growing-frame percentile
-    "win_expanding_median")
+    "win_expanding_median",
+    // batch 12: transcendental time-decay prefix fold
+    "ts_ewm_halflife_time")
 
   test("order-sensitive queries return identical results across runs") {
     val failures = sensitive.flatMap { key =>
