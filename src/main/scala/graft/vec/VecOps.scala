@@ -280,7 +280,9 @@ object VecOps {
     OpSpec(
       "dedup_embed_lsh",
       (s, d) => {
-        val banded = bandedVecs(s, d)
+        // cache: both self-join sides read the signature (16 plane dots
+        // per vector) — same device as the cached simhash sketch
+        val banded = bandedVecs(s, d).cache()
         val a = banded.select(col("vec_id").as("keep_id"), col("band"),
           col("bucket"), col("e").as("ea"), col("nrm").as("na"))
         val b = banded.select(col("vec_id").as("dup_id"), col("band"),
@@ -361,7 +363,7 @@ object VecOps {
     OpSpec(
       "sim_knn_lsh",
       (s, d) => {
-        val banded = bandedVecs(s, d)
+        val banded = bandedVecs(s, d).cache() // query + corpus sides share it
         val q = banded.filter(col("vec_id") < 5)
           .select(col("vec_id").as("qid"), col("band"), col("bucket"),
             col("e").as("qe"), col("nrm").as("qn"))
@@ -411,7 +413,7 @@ object VecOps {
     OpSpec(
       "dedup_embed_survivors",
       (s, d) => {
-        val banded = bandedVecs(s, d)
+        val banded = bandedVecs(s, d).cache() // both pair sides read it
         val a = banded.select(col("vec_id").as("a"), col("band"),
           col("bucket"), col("e").as("ea"), col("nrm").as("na"))
         val b = banded.select(col("vec_id").as("b"), col("band"),
