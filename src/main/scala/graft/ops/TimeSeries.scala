@@ -954,6 +954,56 @@ object TimeSeries {
              |WHERE dt_us IS NOT NULL
              |GROUP BY 1, 2 ORDER BY user_id, day""".stripMargin),
     ),
+    // interpolate(method='nearest') — fill each null with the value of
+    // the TIME-nearer valid neighbor (ties → previous, pinned in the
+    // shared CASE text so both engines agree by construction; edge
+    // nulls take the only available side). Completes the interpolation
+    // family: linear / time / limit / nearest. Same two-window
+    // prev/next scaffold as ts_interpolate_linear — no arithmetic on
+    // values at all, so determinism is free.
+    OpSpec(
+      "ts_interpolate_nearest",
+      (s, d) => {
+        val ordered = Window.orderBy("event_id")
+        val back = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val fwd = ordered.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        ev(s, d)
+          .filter(col("user_id") === 7)
+          .withColumn("v", when(col("event_type") === "view", lit(null)).otherwise(col("value")))
+          .withColumn("t", unix_micros(col("ts")))
+          .withColumn("prev_v", last("v", ignoreNulls = true).over(back))
+          .withColumn("pt", last(when(col("v").isNotNull, col("t")), ignoreNulls = true).over(back))
+          .withColumn("next_v", first("v", ignoreNulls = true).over(fwd))
+          .withColumn("nt", first(when(col("v").isNotNull, col("t")), ignoreNulls = true).over(fwd))
+          .select(col("event_id"), col("v"),
+            when(col("v").isNotNull, col("v"))
+              .when(col("prev_v").isNull, col("next_v"))
+              .when(col("next_v").isNull, col("prev_v"))
+              .when(col("t") - col("pt") <= col("nt") - col("t"), col("prev_v"))
+              .otherwise(col("next_v")).as("v_near"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, v,
+             |  CASE WHEN v IS NOT NULL THEN v
+             |       WHEN prev_v IS NULL THEN next_v
+             |       WHEN next_v IS NULL THEN prev_v
+             |       WHEN t - pt <= nt - t THEN prev_v
+             |       ELSE next_v END AS v_near
+             |FROM (
+             |  SELECT event_id, v, t,
+             |    last_value(v IGNORE NULLS) OVER b AS prev_v,
+             |    last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER b AS pt,
+             |    first_value(v IGNORE NULLS) OVER f AS next_v,
+             |    first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER f AS nt
+             |  FROM (
+             |    SELECT event_id,
+             |      CASE WHEN event_type = 'view' THEN NULL ELSE value END AS v,
+             |      epoch_us(cast(ts as timestamp)) AS t
+             |    FROM events WHERE user_id = 7)
+             |  WINDOW b AS (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             |         f AS (ORDER BY event_id ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+             |ORDER BY event_id""".stripMargin),
+    ),
     // ewm(halflife=1h, times=ts) — TIME-decay EWM for irregular
     // series, the form a TSDB actually needs (row-index decay assumes
     // regular spacing; ts_ewm/ts_ewm_adjust_false are that family).
