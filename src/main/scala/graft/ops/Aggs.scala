@@ -668,9 +668,13 @@ object Aggs {
     // join-back → one final hash agg — NOT a fat window over the fact
     // table (at 100 TB a partitionBy(flag) window sorts the whole
     // table into 3 reducers; the broadcast shape keeps the second pass
-    // map-side). Exactness device: l_quantity is integral, so
-    // |x·n − S| is exact bigint arithmetic; MAD = Σ|x·n − S| / n² has
-    // ONE double division at the end — identical IEEE in both engines.
+    // map-side). Exactness device: l_quantity is integral, so the
+    // per-row term |x·n − S| is exact bigint arithmetic (safe to
+    // n ≈ 2·10¹⁷ rows per group at x ≤ 50); the SUM of those terms
+    // grows as n²·x̄ and would overflow int64 past ~4·10⁸ rows per
+    // group, so it accumulates as decimal(38,0) — exact to 10³⁸ —
+    // in BOTH engines. MAD = Σ|x·n − S| / n² has ONE double division
+    // at the end — identical IEEE in both engines.
     OpSpec(
       "agg_mad",
       (s, d) => {
@@ -681,13 +685,13 @@ object Aggs {
         li.join(broadcast(stats), Seq("l_returnflag"))
           .groupBy("l_returnflag")
           .agg(
-            (sum(abs(col("x") * col("n") - col("s1"))).cast("double") /
+            (sum(abs(col("x") * col("n") - col("s1")).cast("decimal(38,0)")).cast("double") /
               max(col("n") * col("n")).cast("double")).as("mad_qty"),
             max(col("n")).as("n"))
           .orderBy("l_returnflag")
       },
       Some("""SELECT l_returnflag,
-             |  cast(sum(abs(x * n - s1)) as double) / cast(n * n as double) AS mad_qty,
+             |  cast(sum(cast(abs(x * n - s1) as decimal(38,0))) as double) / cast(n * n as double) AS mad_qty,
              |  n
              |FROM (
              |  SELECT l_returnflag, x,

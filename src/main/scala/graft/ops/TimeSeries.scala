@@ -957,7 +957,11 @@ object TimeSeries {
     // interpolate(method='nearest') — fill each null with the value of
     // the TIME-nearer valid neighbor (ties → previous, pinned in the
     // shared CASE text so both engines agree by construction; edge
-    // nulls take the only available side). Completes the interpolation
+    // nulls take the only available side — NOTE this deliberately
+    // diverges from pandas, which leaves LEADING NaNs unfilled for
+    // method='nearest'; both engines here spell the same edge-fill
+    // CASE, so the cross-engine gate is unaffected by the deviation).
+    // Completes the interpolation
     // family: linear / time / limit / nearest. Same two-window
     // prev/next scaffold as ts_interpolate_linear — no arithmetic on
     // values at all, so determinism is free.

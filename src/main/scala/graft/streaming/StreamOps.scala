@@ -303,7 +303,10 @@ object StreamOps {
     * gap row — live data-quality monitoring of an ingest stream.
     * In-order per key (TimeMode.None, the streamingAsof discipline);
     * the EvictingAsofProcessor's event-time-timer device applies
-    * unchanged when idle keys must leave the store. */
+    * unchanged when idle keys must leave the store. Intra-batch rows
+    * sort by event_id — the SAME order the declared batch twin's
+    * lag() window uses — so stream==batch holds by construction even
+    * if event-time order ever diverges from event_id order. */
   private class GapProcessor(thresholdUs: Long)
       extends StatefulProcessor[Long, GapIn, GapOut] {
     @transient private var last: ValueState[Long] = _
@@ -314,7 +317,7 @@ object StreamOps {
         user: Long, rows: Iterator[GapIn], tv: TimerValues): Iterator[GapOut] = {
       var prev = if (last.exists()) last.get() else Long.MinValue
       val out = Seq.newBuilder[GapOut]
-      rows.toSeq.sortBy(r => (r.ts_us, r.event_id)).foreach { r =>
+      rows.toSeq.sortBy(_.event_id).foreach { r =>
         if (prev != Long.MinValue && r.ts_us - prev > thresholdUs)
           out += GapOut(user, r.event_id, prev, r.ts_us, r.ts_us - prev)
         prev = r.ts_us

@@ -22,20 +22,31 @@ object VecOps {
   private def dot(a: String, b: String) =
     expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
 
-  /** (vec_id, e double[], nrm, band, bucket) — one row per (vector,
-    * band) from the LshPlanes hyperplane signature; shared by the
-    * banded dedup (dedup_embed_lsh) and the banded k-NN search
-    * (sim_knn_lsh). */
-  private def bandedVecs(
-      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
-    val v = T.embeddings(s, d)
+  /** (vec_id, band, bucket) — SLIM banded hyperplane-LSH signature,
+    * one row per (vector, band); cached at the three self-join sites.
+    * Deliberately carries NO embedding: only three int64s per
+    * (vector, band) are pinned in executor storage, so the cached
+    * payload is O(1) per row regardless of embedding width — the
+    * verify side re-reads `e` from parquet via [[vecsWithNorm]]
+    * (column-pruned scan) instead of shipping it through the banded
+    * shuffle ×nBands. */
+  private def bandedSig(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    T.embeddings(s, d)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("e"))
+      .select(col("vec_id"),
+        posexplode(array((0 until LshPlanes.nBands)
+          .map(b => expr(LshPlanes.bandSpark(b))): _*)).as(Seq("band", "bucket")))
+
+  /** (vec_id, e double[], nrm) — the verify-side embedding read:
+    * recomputed from parquet per use, never cached (see [[bandedSig]]). */
+  private def vecsWithNorm(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    T.embeddings(s, d)
       .select(col("vec_id"),
         expr("transform(embedding, x -> cast(x as double))").as("e"))
       .withColumn("nrm", sqrt(dot("e", "e")))
-    v.select(col("vec_id"), col("e"), col("nrm"),
-      posexplode(array((0 until LshPlanes.nBands)
-        .map(b => expr(LshPlanes.bandSpark(b))): _*)).as(Seq("band", "bucket")))
-  }
 
   /** DuckDB `sg(vec_id, e, b0..b3)` CTE computing the same banded
     * signature. Lazy: referenced from `ops`, which initializes first. */
@@ -67,20 +78,24 @@ object VecOps {
   // reproduced bit-exactly by KMeansSpec), inlined as literals into
   // both engines.
   //
-  // SCALE POLICY (nlist): K below is the single knob — every distance
-  // column, argmin CASE and nprobe predicate is generated from it, so
-  // retargeting a bigger corpus is (1) `runMain graft.vec.TrainIvf
-  // <dir> <k>` with k ≈ √N (the standard IVF nlist guidance: √N cells
-  // ⇒ ~√N vectors/cell, balancing probe cost against cell scan cost —
-  // at 10⁹ vectors, k ≈ 32k), (2) paste the printed constants into
-  // IvfCentroids, (3) bump K. KMeansSpec's k=16 row proves the trainer
-  // holds beyond the shipped tier; at large k the argmin CASE should
-  // move from codegen text to a broadcast centroid table + min_by join
-  // (same plan shape, k rows broadcast). Cell assignment argmin uses d_i = |c_i|² − 2·e·c_i
-  // (the |e|² term is constant across i and dropped — the standard IVF
-  // inner-product trick, 1 dot per centroid); the argmin CASE and the
-  // nprobe rank predicates are ONE shared formula text, only the dot
-  // spelling is per-engine (the proven bit-identical fold device).
+  // SCALE POLICY (nlist): the centroids are a BROADCAST TABLE — data,
+  // not generated code — so retargeting a bigger corpus is (1)
+  // `runMain graft.vec.TrainIvf <dir> <k>` with k ≈ √N (the standard
+  // IVF nlist guidance: √N cells ⇒ ~√N vectors/cell, balancing probe
+  // cost against cell scan cost — at 10⁹ vectors, k ≈ 32k), (2) point
+  // [[centroidsDf]] at the trained output (here the inlined
+  // IvfCentroids constants; at 32k cells, a parquet read). Cell
+  // assignment is corpus ⨯ broadcast(k centroids) → per-vector
+  // min(struct(d, cid)) — a map-side partial aggregate, so the
+  // shuffle carries ONE row per vector no matter what k is, and the
+  // codegen'd expression stays k-independent (no K-way argmin CASE
+  // forest to JIT). d_i = |c_i|² − 2·e·c_i (the |e|² term is constant
+  // across i and dropped — the standard IVF inner-product trick, one
+  // dot per centroid); the dot is the proven bit-identical ordered
+  // fold, and min(struct(d, cid)) ties to the LOWER cid exactly like
+  // the oracle's argmin CASE. The DuckDB oracle keeps the generated
+  // CASE spelling (cellCase / qpText below) — same semantics, the
+  // per-engine spelling difference the gate proves equivalent.
   private val K = 8
   private val NPROBE = 3
   private def csq(i: Int): Double = {
@@ -89,14 +104,37 @@ object VecOps {
     while (j < c.length) { s += c(j) * c(j); j += 1 }
     s
   }
-  private def dSpark(i: Int): String = {
-    val arr = IvfCentroids.centroids(i).map(x => s"${x}D").mkString(",")
-    s"(${csq(i)}D - 2.0D * aggregate(zip_with(e, array($arr), (x, y) -> x * y), 0D, (acc, x) -> acc + x))"
-  }
   private def dDuck(i: Int): String = {
     val arr = IvfCentroids.centroids(i).mkString(",")
     s"(${csq(i)} - 2.0 * list_inner_product(e, [$arr]::DOUBLE[]))"
   }
+
+  /** The centroid table: K rows (cid, csq = |c|², c double[]). Ride-along
+    * side of a broadcast nested-loop join (K rows ⨯ corpus). */
+  private def centroidsDf(s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    IvfCentroids.centroids.toSeq.zipWithIndex
+      .map { case (c, i) => (i.toLong, csq(i), c.toSeq) }
+      .toDF("cid", "csq", "c")
+  }
+
+  /** d = |c|² − 2·e·c over (e, csq, c) columns — the SAME ordered-fold
+    * dot text as every other bit-identical dot in the tree. */
+  private val centDist =
+    expr("csq - 2.0D * aggregate(zip_with(e, c, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+
+  /** corpus(vec_id, e) → (vec_id, e, cell): nearest-centroid cell via
+    * broadcast centroid table + per-vector min(struct(d, cid)) (ties →
+    * lower cid). Partial-aggregates map-side: one shuffled row per
+    * vector at ANY k. */
+  private def assignCells(
+      v: org.apache.spark.sql.DataFrame,
+      cents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    v.crossJoin(broadcast(cents))
+      .withColumn("d", centDist)
+      .groupBy("vec_id")
+      .agg(min(col("e")).as("e"), // all rows of a group share e; min = e, deterministic
+        min(struct(col("d"), col("cid"))).getField("cid").as("cell"))
   /** argmin over d0..dK−1, first match (= lowest cluster id) wins ties. */
   private val cellCase: String =
     "cast(CASE " + (0 until K).map { i =>
@@ -123,18 +161,23 @@ object VecOps {
     OpSpec(
       "sim_cosine_ivf_kmeans",
       (s, d) => {
+        val cents = centroidsDf(s)
         val v = T.embeddings(s, d)
           .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("e"))
-        val withD = v.select(
-          col("vec_id") +: col("e") +: (0 until K).map(i => expr(dSpark(i)).as(s"d$i")): _*)
-        val withCell = withD.withColumn("cell", expr(cellCase))
-        // query branch filtered BEFORE the distance projection (its own
-        // one-row scan with vec_id=0 pushed to parquet) — the 56-compare
-        // argmin CASE is codegen-compiled only for the corpus branch
+        val withCell = assignCells(v, cents)
+        // query branch: its own one-row scan (vec_id=0 pushed to
+        // parquet) ⨯ broadcast centroids → the NPROBE nearest cells by
+        // (d, cid) — array_sort on the struct ties to the lower cid,
+        // the same rank rule the oracle's qpText CASE spells
         val q = v.filter(col("vec_id") === 0)
-          .select(col("e").as("qe") +: (0 until K).map(i => expr(dSpark(i)).as(s"qd$i")): _*)
-        val qp = q.select(col("qe") +: (0 until K).map(i => expr(qpText(i)).as(s"qp$i")): _*)
-        withCell.select("vec_id", "e", "cell").join(broadcast(qp), expr(probePred))
+          .crossJoin(broadcast(cents))
+          .withColumn("d", centDist)
+          .groupBy("vec_id")
+          .agg(min(col("e")).as("qe"),
+            expr(s"transform(slice(array_sort(collect_list(struct(d, cid))), 1, $NPROBE), x -> x.cid)")
+              .as("probe_cells"))
+          .drop("vec_id")
+        withCell.join(broadcast(q), array_contains(col("probe_cells"), col("cell")))
           .filter(col("vec_id") =!= 0)
           .select(col("vec_id"), col("cell"),
             P.r4(dot("e", "qe") /
@@ -209,10 +252,7 @@ object VecOps {
       (s, d) => {
         val v = T.embeddings(s, d).filter(col("label") === 3)
           .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("e"))
-        val withCell = v
-          .select(col("vec_id") +: col("e") +:
-            (0 until K).map(i => expr(dSpark(i)).as(s"d$i")): _*)
-          .withColumn("cell", expr(cellCase))
+        val withCell = assignCells(v, centroidsDf(s))
         val a = withCell.select(col("vec_id").as("id_a"), col("cell"), col("e").as("ea"))
         val b = withCell.select(col("vec_id").as("id_b"), col("cell"), col("e").as("eb"))
         a.join(b, Seq("cell"))
@@ -281,18 +321,25 @@ object VecOps {
       "dedup_embed_lsh",
       (s, d) => {
         // cache: both self-join sides read the signature (16 plane dots
-        // per vector) — same device as the cached simhash sketch
-        val banded = bandedVecs(s, d).cache()
-        val a = banded.select(col("vec_id").as("keep_id"), col("band"),
-          col("bucket"), col("e").as("ea"), col("nrm").as("na"))
-        val b = banded.select(col("vec_id").as("dup_id"), col("band"),
-          col("bucket"), col("e").as("eb"), col("nrm").as("nb"))
-        a.join(b, Seq("band", "bucket"))
+        // per vector) — same device as the cached simhash sketch, but
+        // SLIM: only (vec_id, band, bucket) is pinned; candidate id
+        // pairs dedup FIRST (a pair can collide in several bands), then
+        // the embeddings join in fresh from parquet for the exact
+        // verify — the banded shuffle never carries a vector
+        val sig = bandedSig(s, d).cache()
+        val cand = sig.select(col("vec_id").as("keep_id"), col("band"), col("bucket"))
+          .join(sig.select(col("vec_id").as("dup_id"), col("band"), col("bucket")),
+            Seq("band", "bucket"))
           .filter(col("keep_id") < col("dup_id"))
+          .select("keep_id", "dup_id").distinct()
+        val va = vecsWithNorm(s, d)
+          .select(col("vec_id").as("keep_id"), col("e").as("ea"), col("nrm").as("na"))
+        val vb = vecsWithNorm(s, d)
+          .select(col("vec_id").as("dup_id"), col("e").as("eb"), col("nrm").as("nb"))
+        cand.join(va, Seq("keep_id")).join(vb, Seq("dup_id"))
           .select(col("keep_id"), col("dup_id"),
             P.r4(dot("ea", "eb") / (col("na") * col("nb"))).as("cos_sim"))
           .filter(col("cos_sim") >= 0.4)
-          .distinct() // a pair can collide in several bands
           .orderBy("keep_id", "dup_id")
       },
       Some {
@@ -363,18 +410,23 @@ object VecOps {
     OpSpec(
       "sim_knn_lsh",
       (s, d) => {
-        val banded = bandedVecs(s, d).cache() // query + corpus sides share it
-        val q = banded.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("qid"), col("band"), col("bucket"),
-            col("e").as("qe"), col("nrm").as("qn"))
-        val c = banded.filter(col("vec_id") % 10 === 0)
+        val sig = bandedSig(s, d).cache() // query + corpus sides share it (slim)
+        val q = sig.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("band"), col("bucket"))
+        val c = sig.filter(col("vec_id") % 10 === 0)
+        // candidate (qid, vec_id) id pairs dedup BEFORE the embedding
+        // fetch (a candidate colliding in 2 bands must score once)
+        val cand = q.join(c, Seq("band", "bucket"))
+          .filter(col("vec_id") =!= col("qid"))
+          .select("qid", "vec_id").distinct()
+        val vq = vecsWithNorm(s, d).filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("qid").orderBy(desc("cos_sim"), col("vec_id"))
-        q.join(c, Seq("band", "bucket"))
-          .filter(col("vec_id") =!= col("qid"))
+        cand.join(broadcast(vq), Seq("qid"))
+          .join(vecsWithNorm(s, d), Seq("vec_id"))
           .select(col("qid"), col("vec_id"),
             P.r4(dot("e", "qe") / (col("nrm") * col("qn"))).as("cos_sim"))
-          .distinct()
           .withColumn("rk", row_number().over(w))
           .filter(col("rk") <= 3)
           .select(col("qid"), col("rk").cast("bigint").as("rk"),
@@ -413,15 +465,19 @@ object VecOps {
     OpSpec(
       "dedup_embed_survivors",
       (s, d) => {
-        val banded = bandedVecs(s, d).cache() // both pair sides read it
-        val a = banded.select(col("vec_id").as("a"), col("band"),
-          col("bucket"), col("e").as("ea"), col("nrm").as("na"))
-        val b = banded.select(col("vec_id").as("b"), col("band"),
-          col("bucket"), col("e").as("eb"), col("nrm").as("nb"))
-        val pairs = a.join(b, Seq("band", "bucket"))
+        val sig = bandedSig(s, d).cache() // both pair sides read it (slim)
+        val cand = sig.select(col("vec_id").as("a"), col("band"), col("bucket"))
+          .join(sig.select(col("vec_id").as("b"), col("band"), col("bucket")),
+            Seq("band", "bucket"))
           .filter(col("a") < col("b"))
-          .filter(P.r4(dot("ea", "eb") / (col("na") * col("nb"))) >= 0.4)
           .select("a", "b").distinct()
+        val va = vecsWithNorm(s, d)
+          .select(col("vec_id").as("a"), col("e").as("ea"), col("nrm").as("na"))
+        val vb = vecsWithNorm(s, d)
+          .select(col("vec_id").as("b"), col("e").as("eb"), col("nrm").as("nb"))
+        val pairs = cand.join(va, Seq("a")).join(vb, Seq("b"))
+          .filter(P.r4(dot("ea", "eb") / (col("na") * col("nb"))) >= 0.4)
+          .select("a", "b")
         val emb = T.embeddings(s, d).select(col("vec_id"), col("label"))
         graft.text.DedupCluster.survivors(emb, "vec_id", pairs,
             iters = 20, minRounds = 3)

@@ -69,12 +69,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
   }
 
-  test("sim_cosine_ivf_kmeans broadcasts the 1-row query side") {
+  test("sim_cosine_ivf_kmeans broadcasts the centroid table and the 1-row query side") {
     val p = plan("sim_cosine_ivf_kmeans")
-    // the nprobe membership predicate is an OR over cells, so the 1-row
-    // query side must ride a broadcast (BNLJ over one row = a cheap
-    // broadcast filter), never a shuffle of the corpus against it
-    assert(p.contains("Broadcast"), p)
+    // cell assignment = corpus ⨯ BROADCAST centroid table (data, not a
+    // generated K-way argmin CASE) reduced by a PARTIAL min(struct)
+    // aggregate — one shuffled row per vector at any nlist; the 1-row
+    // query side also rides a broadcast, never a shuffle of the corpus
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(p.contains("partial_min") || (p.contains("HashAggregate") && p.contains("partial")), p)
+    assert(!p.contains("d1 <= d2"), p) // the old codegen argmin forest is gone
     assert(p.contains("TakeOrderedAndProject"), p) // top-10 never sorts the corpus
   }
 
