@@ -692,5 +692,50 @@ object Joins {
              |  USING (k))
              |GROUP BY relation ORDER BY relation""".stripMargin),
     ),
+    // NULL-key join semantics pinned cross-engine (§2.C's own warning:
+    // "beware NULL keys" — no other fixture exercises them). Keys are
+    // nullif-seeded on BOTH sides (customers of nation 3 and nation 5's
+    // own key go NULL), then pushed through inner / left / anti and
+    // summarized to one row per mode. The semantics under test: SQL
+    // equality never matches NULL (inner drops null-key rows, left
+    // keeps them unmatched), and anti is NOT EXISTS — null-key left
+    // rows are KEPT, which is exactly where the NOT IN anti-join trap
+    // diverges (NOT IN against a list containing NULL returns zero
+    // rows). Spark's left_anti implements NOT EXISTS; the oracle
+    // spells NOT EXISTS so both engines pin the same rule.
+    OpSpec(
+      "join_null_keys",
+      (s, d) => {
+        val c = T.customer(s, d)
+          .filter(col("c_custkey") % 50 === 0)
+          .select(col("c_custkey"), expr("cast(nullif(c_nationkey, 3) as bigint)").as("k"))
+        val n = T.nation(s, d)
+          .select(expr("cast(nullif(n_nationkey, 5) as bigint)").as("k"), col("n_name"))
+        def stat(df: org.apache.spark.sql.DataFrame, mode: String) =
+          df.agg(
+              count(lit(1)).as("n_rows"),
+              sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_null_key"))
+            .select(lit(mode).as("mode"), col("n_rows"), col("n_null_key"))
+        stat(c.join(n, Seq("k")), "inner")
+          .unionAll(stat(c.join(n, Seq("k"), "left"), "left"))
+          .unionAll(stat(c.join(n, Seq("k"), "left_anti"), "anti"))
+          .orderBy("mode")
+      },
+      Some("""WITH c AS (SELECT c_custkey, cast(nullif(c_nationkey, 3) as bigint) AS k
+             |          FROM customer WHERE c_custkey % 50 = 0),
+             |n AS (SELECT cast(nullif(n_nationkey, 5) as bigint) AS k, n_name FROM nation)
+             |SELECT 'inner' AS mode, count(*) AS n_rows,
+             |  cast(sum(CASE WHEN c.k IS NULL THEN 1 ELSE 0 END) as bigint) AS n_null_key
+             |FROM c JOIN n ON c.k = n.k
+             |UNION ALL
+             |SELECT 'left', count(*),
+             |  cast(sum(CASE WHEN c.k IS NULL THEN 1 ELSE 0 END) as bigint)
+             |FROM c LEFT JOIN n ON c.k = n.k
+             |UNION ALL
+             |SELECT 'anti', count(*),
+             |  cast(sum(CASE WHEN c.k IS NULL THEN 1 ELSE 0 END) as bigint)
+             |FROM c WHERE NOT EXISTS (SELECT 1 FROM n WHERE n.k = c.k)
+             |ORDER BY mode""".stripMargin),
+    ),
   )
 }

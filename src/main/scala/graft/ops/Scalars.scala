@@ -363,6 +363,43 @@ object Scalars {
              |  ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS bal_quartile
              |FROM customer WHERE c_custkey % 10 = 0 ORDER BY c_custkey""".stripMargin),
     ),
+    // The SCALE form of qcut: quantile BOUNDARIES from a tiny
+    // aggregate, broadcast back, bucket = a 3-compare range lookup —
+    // map-side except the one boundary agg, vs reshape_qcut's global
+    // ntile sort (one partition at the limit). At 100 TB swap
+    // percentile for approx_percentile: identical plan shape, bounded
+    // memory; exact percentile is used HERE so the DuckDB oracle
+    // (quantile_cont — the same p·(n−1) linear interpolation) agrees.
+    // Tie safety: a boundary is either exactly a data value (both
+    // engines pick the element bit-identically, no arithmetic) or
+    // strictly between two data values ≥ 0.01 apart, so a last-ulp
+    // interpolation skew can never flip an x > b comparison. Buckets
+    // are right-closed (x = boundary stays in the lower bucket), the
+    // pandas qcut convention.
+    OpSpec(
+      "reshape_qcut_approx",
+      (s, d) => {
+        val c = T.customer(s, d).filter(col("c_custkey") % 10 === 0)
+        val b = c.agg(
+          expr("percentile(c_acctbal, 0.25)").as("b1"),
+          expr("percentile(c_acctbal, 0.5)").as("b2"),
+          expr("percentile(c_acctbal, 0.75)").as("b3"))
+        c.crossJoin(broadcast(b))
+          .select(col("c_custkey"), col("c_acctbal"),
+            (lit(1L) + (col("c_acctbal") > col("b1")).cast("bigint")
+              + (col("c_acctbal") > col("b2")).cast("bigint")
+              + (col("c_acctbal") > col("b3")).cast("bigint")).as("bal_quartile"))
+          .orderBy("c_custkey")
+      },
+      Some("""WITH c AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 10 = 0),
+             |b AS (SELECT quantile_cont(c_acctbal, 0.25) AS b1,
+             |             quantile_cont(c_acctbal, 0.5)  AS b2,
+             |             quantile_cont(c_acctbal, 0.75) AS b3 FROM c)
+             |SELECT c_custkey, c_acctbal,
+             |  1 + cast(c_acctbal > b1 as bigint) + cast(c_acctbal > b2 as bigint)
+             |    + cast(c_acctbal > b3 as bigint) AS bal_quartile
+             |FROM c, b ORDER BY c_custkey""".stripMargin),
+    ),
     // pd.cut(x, bins=[...], labels=[...]) [P core/reshape/tile.py] —
     // EXPLICIT-edge binning (qcut's fixed-boundary sibling): pandas
     // right-closed intervals (lo, hi], values outside the edges → NULL.

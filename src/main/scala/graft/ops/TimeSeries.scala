@@ -814,6 +814,34 @@ object TimeSeries {
              |      FROM events WHERE user_id = 7)
              |ORDER BY event_id""".stripMargin),
     ),
+    // The LINEAR-TIME gated twin of ts_ewm_adjust_false: the same
+    // recursive yₜ = α·xₜ + (1−α)·yₜ₋₁, computed by the
+    // graft.udaf.Ewm flatMapGroups Aggregator — one shuffle on the
+    // key, one ordered O(n) pass per series, partition-parallel
+    // across keys (HERE 10 series, not the single-series prefix-fold
+    // policy above). This is the form a million-point series should
+    // use; the prefix-list fold stays as the windowed-SQL exactness
+    // device. Determinism: Scala computes 0.5·x + 0.5·y, DuckDB's
+    // fold 0.5·acc + 0.5·x — same two exact-by-0.5 products, and IEEE
+    // addition is commutative, so every intermediate is bit-identical
+    // and no rounding is needed.
+    OpSpec(
+      "ts_ewm_linear",
+      (s, d) =>
+        graft.udaf.Ewm.ewmDf(
+            ev(s, d).filter(col("user_id") < 10)
+              .select("user_id", "event_id", "value"),
+            alpha = 0.5, adjusted = false)
+          .select(col("user_id"), col("event_id"), col("ewm").as("ewm_value"))
+          .orderBy("user_id", "event_id"),
+      Some("""SELECT user_id, event_id,
+             |  list_reduce(l, (acc, x) -> 0.5 * acc + 0.5 * x) AS ewm_value
+             |FROM (SELECT user_id, event_id,
+             |        list(value) OVER (PARTITION BY user_id ORDER BY event_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS l
+             |      FROM events WHERE user_id < 10)
+             |ORDER BY user_id, event_id""".stripMargin),
+    ),
     // Gap report — the data-quality complement of ts_sessionize: every
     // inter-arrival gap over the threshold, with its endpoints and
     // width in exact µs (int64 arithmetic end to end; the same lag
