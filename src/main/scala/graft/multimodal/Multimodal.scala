@@ -10,11 +10,16 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   * resize / frame-sample stages.
   *
   * The Spark-side plumbing — schema, encoders, partitioning, batch
-  * shape, determinism — is real and tested (MultimodalSpec). The codec
-  * kernels are STUBS: this container has no image/audio libraries, so
-  * `decode` derives a deterministic fake feature vector from the bytes
-  * (sha-256 expansion). A production deployment swaps `stubDecode` for
-  * a real codec; nothing else changes, which is the point of the
+  * shape, determinism — is real and tested (MultimodalSpec). The IMAGE
+  * codec is REAL: `javax.imageio.ImageIO` ships with the JDK
+  * (PNG/BMP/GIF/JPEG readers, zero added dependencies), so image
+  * payloads decode to exact width/height + per-channel mean/stddev
+  * features. Audio/video kernels remain STUBS (no codec libraries in
+  * this container): `stubDecode` derives a deterministic fake feature
+  * vector from the bytes (sha-256 expansion), and any image payload
+  * ImageIO cannot parse falls back to the same stub rather than
+  * failing the pipeline. A production deployment swaps the stub for a
+  * real demuxer; nothing else changes, which is the point of the
   * boundary.
   *
   * Scale: payloads stay columnar-binary end to end (no driver collect);
@@ -41,13 +46,67 @@ object Multimodal {
     }.toArray
   }
 
+  /** REAL image decode via the JDK's ImageIO: [width, height,
+    * nChannels, meanR, meanG, meanB, stdR, stdG, stdB, 0…] padded to
+    * [[FeatureDim]] so every modality shares one feature schema.
+    * Channel stats accumulate in exact int64 sums (pixel values are
+    * 8-bit ints), so the means/stds are bit-deterministic regardless
+    * of partitioning. Returns None for bytes no installed reader
+    * recognizes (caller falls back to the stub). */
+  private def decodeImage(payload: Array[Byte]): Option[Array[Float]] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val sum = new Array[Long](3)
+        val sq = new Array[Long](3)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            var c = 0
+            while (c < 3) {
+              val v = (rgb >> (16 - 8 * c)) & 0xff
+              sum(c) += v
+              sq(c) += v.toLong * v
+              c += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toDouble * h
+        val out = new Array[Float](FeatureDim)
+        out(0) = w.toFloat; out(1) = h.toFloat; out(2) = 3f
+        var c = 0
+        while (c < 3) {
+          val mean = sum(c) / n
+          out(3 + c) = mean.toFloat
+          out(6 + c) = math.sqrt(sq(c) / n - mean * mean).toFloat
+          c += 1
+        }
+        Some(out)
+      }
+    } catch { case _: Exception => None }
+
   /** decode + feature-extract, batched per partition (codec init once
-    * per task, not per row). */
+    * per task, not per row): images through the real ImageIO codec,
+    * everything else (and unparseable images) through the stub. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // real impl: initialize the codec/model HERE, once per partition
-      rows.map(r => MediaFeatures(r.media_id, r.kind, FeatureDim, stubDecode(r.payload)))
+      // per-task codec init: disk-cache off so executors never write
+      // ImageIO temp files under the working dir
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val feats =
+          if (r.kind == "image") decodeImage(r.payload).getOrElse(stubDecode(r.payload))
+          else stubDecode(r.payload)
+        MediaFeatures(r.media_id, r.kind, FeatureDim, feats)
+      }
     }
   }
 
@@ -74,13 +133,36 @@ object Multimodal {
   def joinWithEmbeddings(features: Dataset[MediaFeatures], embeddings: DataFrame): DataFrame =
     features.toDF().join(embeddings, col("media_id") === col("vec_id"))
 
-  /** Synthetic in-memory media table for tests/demos (deterministic). */
+  /** Deterministic 8×8 RGB PNG payload (JDK encoder): the synthetic
+    * table's image rows carry REAL decodable bytes so the ImageIO
+    * path, not just the stub, is exercised end to end. */
+  def syntheticPng(seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        img.setRGB(x, y, (((seed * 131 + y * 8 + x) * 2654435761L) >>> 8).toInt & 0xffffff)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Synthetic in-memory media table for tests/demos (deterministic);
+    * image rows are real PNGs, audio/video opaque byte runs. */
   def syntheticMedia(spark: SparkSession, n: Int): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(n.toLong).map { i =>
-      val payload = Array.tabulate[Byte](256)(j => ((i * 131 + j * 17) % 251).toByte)
       val kind = if (i % 3 == 0) "video" else if (i % 3 == 1) "image" else "audio"
-      MediaRow(i, kind, payload, MediaMeta(640, 480, "raw"))
+      val payload =
+        if (kind == "image") syntheticPng(i)
+        else Array.tabulate[Byte](256)(j => ((i * 131 + j * 17) % 251).toByte)
+      MediaRow(i, kind, payload, MediaMeta(640, 480, if (kind == "image") "png" else "raw"))
     }
   }
 }

@@ -20,11 +20,33 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
-  test("golden bytes: the stub codec's output for a pinned payload is frozen") {
-    // payload = bytes 0..63; expected = sha-256 expansion per the
-    // documented stub contract ((b₂ᵢ·256 + b₂ᵢ₊₁)/32768 − 1). Freezing
-    // the exact floats pins the codec boundary: any change to the stub
-    // (or a swapped-in real codec) fails here first, loudly.
+  test("real image codec: exact dimensions and channel stats from a pinned PNG") {
+    import spark.implicits._
+    val img = new java.awt.image.BufferedImage(
+      2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff0000); img.setRGB(1, 0, 0x00ff00)
+    img.setRGB(0, 1, 0x0000ff); img.setRGB(1, 1, 0x808080)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRow(0L, "image", bos.toByteArray, Multimodal.MediaMeta(2, 2, "png"))))
+    val f = Multimodal.extractFeatures(media).collect().head.features
+    assert(f.take(3).toSeq == Seq(2f, 2f, 3f))
+    // every channel's pixel multiset is {255, 0, 0, 128} (in different
+    // positions): mean = 383/4 = 95.75 exactly (int sums / n); std via
+    // the same exact-int-sum formula the codec computes
+    assert(f.slice(3, 6).toSeq == Seq(95.75f, 95.75f, 95.75f))
+    val expectedStd = math.sqrt(81409.0 / 4 - 95.75 * 95.75).toFloat
+    assert(f.slice(6, 9).toSeq == Seq(expectedStd, expectedStd, expectedStd))
+    assert(f.drop(9).forall(_ == 0f)) // padding to the uniform FeatureDim
+  }
+
+  test("golden bytes: undecodable image payloads fall back to the frozen stub") {
+    // payload = bytes 0..63 — declared kind "image" but NOT a parseable
+    // PNG, so ImageIO returns null and the sha-256 stub takes over;
+    // expected = ((b₂ᵢ·256 + b₂ᵢ₊₁)/32768 − 1) per the documented stub
+    // contract. Freezing the exact floats pins the codec boundary AND
+    // the fallback rule: a decode failure degrades, never throws.
     import spark.implicits._
     val payload = Array.tabulate[Byte](64)(_.toByte)
     val media = spark.createDataset(Seq(
