@@ -1,0 +1,115 @@
+package graft
+
+import graft.streaming.StreamOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Fault-tolerance evidence for the stateful streaming tier (SURVEY
+  * §2.K): a transformWithState query is STOPPED mid-stream and a new
+  * query is started from the same checkpoint. Exactly-once resumption
+  * means (a) no pre-stop output is re-emitted, and (b) the recovered
+  * RocksDB state continues the recursion — the first post-restart EWM
+  * value depends on every pre-restart row, so losing state is
+  * detectable in the values, not just the counts.
+  *
+  * The sink is foreachBatch (checkpoint-recoverable, unlike the memory
+  * sink StreamingSpec uses for its semantics-only tests); each run
+  * collects into its own buffer, so run-1 and run-2 emissions are
+  * separable by construction.
+  */
+class StreamingRecoverySpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = TestSpark.spark
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s
+  }
+
+  test("transformWithState EWM restarted from checkpoint == one-shot run") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+
+    // 3 users x 30 rows, deterministic values; interleaved arrival
+    val rows = (0 until 90).map { i =>
+      StreamOps.EventRow(event_id = i, user_id = i % 3, value = (i * 7 % 23) + 0.5)
+    }
+    val (before, after) = rows.splitAt(45)
+
+    val ms = MemoryStream[StreamOps.EventRow]
+    def start(sink: scala.collection.mutable.ArrayBuffer[StreamOps.RunOut]) =
+      StreamOps.runningEwm(ms.toDS(), alpha = 0.3)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[StreamOps.RunOut], _: Long) =>
+          sink.synchronized { sink ++= batch.collect() }; ()
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+
+    val run1 = scala.collection.mutable.ArrayBuffer[StreamOps.RunOut]()
+    val q1 = start(run1)
+    ms.addData(before); q1.processAllAvailable()
+    q1.stop() // simulated failure point
+
+    val run2 = scala.collection.mutable.ArrayBuffer[StreamOps.RunOut]()
+    val q2 = start(run2) // new query instance, same checkpoint
+    ms.addData(after); q2.processAllAvailable()
+    q2.stop()
+
+    // (a) exactly-once: restart emitted only the post-stop rows
+    assert(run1.map(_.event_id).toSet == before.map(_.event_id).toSet)
+    assert(run2.map(_.event_id).toSet == after.map(_.event_id).toSet)
+
+    // (b) state recovered: combined output equals the sequential
+    // recursion over the FULL series (per user)
+    val got = (run1 ++ run2).map(o => o.event_id -> (o.n, o.ewm)).toMap
+    for (u <- 0 until 3) {
+      var y = Double.NaN; var n = 0L
+      rows.filter(_.user_id == u).foreach { r =>
+        y = if (n == 0) r.value else 0.3 * r.value + 0.7 * y
+        n += 1
+        val (gn, gy) = got(r.event_id)
+        assert(gn == n, s"user $u event ${r.event_id}: n")
+        assert(math.abs(gy - y) < 1e-9, s"user $u event ${r.event_id}: ewm")
+      }
+      // the recovered run's first row for this user must continue the
+      // count (n > 1), i.e. the state genuinely crossed the restart
+      val firstAfter = after.filter(_.user_id == u).map(_.event_id).min
+      assert(got(firstAfter)._1 > 1, s"user $u: state lost across restart")
+    }
+  }
+
+  test("streaming dedup restarted from checkpoint still drops pre-restart keys") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_d").toString
+
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ev(id: Long) = Ev(id, base, id % 5, "click", id.toDouble)
+    val ms = MemoryStream[Ev]
+    def start(sink: scala.collection.mutable.ArrayBuffer[Long]) =
+      StreamOps.dedupEvents(ms.toDF(), watermark = "30 days")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val ids = batch.select("event_id").collect().map(_.getLong(0))
+          sink.synchronized { sink ++= ids }; ()
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+
+    val run1 = scala.collection.mutable.ArrayBuffer[Long]()
+    val q1 = start(run1)
+    ms.addData((0L until 10L).map(ev)); q1.processAllAvailable()
+    q1.stop()
+
+    val run2 = scala.collection.mutable.ArrayBuffer[Long]()
+    val q2 = start(run2)
+    // replay 0..4 (must be dropped via RECOVERED dedup state) + 5 new
+    ms.addData(((0L until 5L) ++ (10L until 15L)).map(ev)); q2.processAllAvailable()
+    q2.stop()
+
+    assert(run1.toSet == (0L until 10L).toSet)
+    assert(run2.toSet == (10L until 15L).toSet,
+      s"recovered dedup state failed: emitted ${run2.toSet}")
+  }
+}

@@ -1,0 +1,101 @@
+#!/usr/bin/env python3
+"""Deterministic sf1 (10x sf0.1) fixture generator for scale-stress runs.
+
+Mirrors the driver generator's measured sf0.1 statistics (profiled with
+DuckDB/pyarrow, recorded in FIXTURES.md):
+
+documents.parquet  (sf0.1: 5,000 rows -> sf1: 50,000 rows)
+  - 20 sources (src0..src19, exactly N/20 each via id % 20)
+  - lang mix ~ en 41% / de 14% / es 15% / fr 15% / zh 15%
+  - text = 10..100 words uniform from the same 31-word vocabulary
+  - dup structure: ~4.9% of docs are mutated copies of an earlier doc
+    KEEPING the first 8 words (prefix-40 collision, like the 244/5000
+    measured), of which a small slice (~0.16%) are byte-exact copies
+    (8/5000 measured)
+embeddings.parquet (sf0.1: 2,000 rows -> sf1: 20,000 rows)
+  - 64-dim unit-norm gaussian directions (component std 1/8 = 0.125,
+    norm 1.0, measured); label ~ uniform multinomial over 0..9
+    (sf0.1 labels carry no geometric signal: per-label mean norms equal
+    the 1/sqrt(n) random-sampling prediction)
+
+Pure-python RNG seeded at 4242: same output on every run, no numpy
+dependency needed for docs (numpy used for embeddings only).
+
+Usage: python3 tools/gen_sf1.py [outdir=/tmp/graft_sf1] [scale=10]
+Driver-side tooling only (pyarrow): not part of the Spark library.
+"""
+import random
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+VOCAB = [
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup", "fast",
+    "filter", "group", "hash", "join", "key", "line", "merge", "order",
+    "part", "query", "row", "scan", "slow", "small", "sort", "spark",
+    "stream", "table", "the", "value", "vector", "window",
+]
+LANGS = ["en", "de", "es", "fr", "zh"]
+LANG_W = [0.41, 0.14, 0.15, 0.15, 0.15]
+
+
+def gen_documents(n, rng):
+    texts, langs, sources = [], [], []
+    for i in range(n):
+        r = rng.random()
+        if i > 100 and r < 0.0016:           # byte-exact copy
+            texts.append(texts[rng.randrange(i)])
+        elif i > 100 and r < 0.049:          # near-dup: keep 8-word prefix
+            base = texts[rng.randrange(i)].split()
+            words = [
+                w if j < 8 or rng.random() > 0.10 else rng.choice(VOCAB)
+                for j, w in enumerate(base)
+            ]
+            # force >=1 difference so a near-dup never collapses to exact
+            # (a 10-word copy keeps all words with prob 0.9^2 otherwise)
+            last = len(words) - 1
+            words[last] = rng.choice([w for w in VOCAB if w != base[last]])
+            texts.append(" ".join(words))
+        else:
+            k = rng.randint(10, 100)
+            texts.append(" ".join(rng.choice(VOCAB) for _ in range(k)))
+        langs.append(rng.choices(LANGS, LANG_W)[0])
+        sources.append(f"src{i % 20}")
+    return pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+        "source": pa.array(sources, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+
+
+def gen_embeddings(n, seed):
+    npr = np.random.default_rng(seed)
+    g = npr.standard_normal((n, 64))
+    g /= np.linalg.norm(g, axis=1, keepdims=True)
+    return pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([row for row in g.astype(np.float32)],
+                              pa.list_(pa.float32())),
+        "label": pa.array(npr.integers(0, 10, n).astype(np.int32), pa.int32()),
+    })
+
+
+def main():
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_sf1"
+    scale = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    import os
+    os.makedirs(out, exist_ok=True)
+    rng = random.Random(4242)
+    docs = gen_documents(5000 * scale, rng)
+    pq.write_table(docs, f"{out}/documents.parquet")
+    emb = gen_embeddings(2000 * scale, seed=4242)
+    pq.write_table(emb, f"{out}/embeddings.parquet")
+    print(f"wrote {docs.num_rows} docs, {emb.num_rows} embeddings -> {out}")
+
+
+if __name__ == "__main__":
+    main()
