@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.core.{Tables => T}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** §2.B projection / filter / predicates.
@@ -174,6 +175,32 @@ object Filters {
              |  (l_quantity + l_discount + l_tax) / 3.0 AS row_mean
              |FROM lineitem WHERE l_orderkey % 100 = 0
              |ORDER BY l_orderkey, ln""".stripMargin),
+    ),
+    // "rows above their group's 90th percentile" — the pandas
+    // groupby-filter idiom df[df.x > df.groupby(g).x.transform(
+    // 'quantile', .9)], expressed RANK-based (percent_rank > 0.9) so
+    // it is exact under ties in both engines: percent_rank =
+    // (rank−1)/(n−1) is a ratio of exact integers, one identical IEEE
+    // division, no quantile-interpolation policy to reconcile. One
+    // window over the o_orderstatus shuffle, filter, no second scan
+    // (vs the transform-then-compare spelling, which re-joins).
+    OpSpec(
+      "filter_top_percent",
+      (s, d) =>
+        T.orders(s, d)
+          .withColumn("pr",
+            percent_rank().over(
+              Window.partitionBy("o_orderstatus").orderBy("o_totalprice")))
+          .filter(col("pr") > 0.9)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice", "pr")
+          .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice, pr
+             |FROM (
+             |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+             |    percent_rank() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice) AS pr
+             |  FROM orders)
+             |WHERE pr > 0.9
+             |ORDER BY o_orderkey""".stripMargin),
     ),
   )
 }

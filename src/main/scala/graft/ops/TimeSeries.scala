@@ -1089,5 +1089,53 @@ object TimeSeries {
              |    FROM events WHERE user_id = 7))
              |ORDER BY event_id""".stripMargin),
     ),
+    // pandas Series.autocorr(lag=1) PER SERIES — lag-1 Pearson over
+    // (x_t, x_{t-1}) pairs, grouped by user. Same exact-decimal
+    // closed form as agg_corr_grouped (six sums per group, one hash
+    // agg after the lag window); the window and the agg share the
+    // user_id shuffle, so the whole thing is ONE exchange + sort at
+    // any scale. Defined when the group has ≥2 pairs and nonzero
+    // variance on both margins (P.div null-guards).
+    OpSpec(
+      "ts_autocorr",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("event_id")
+        val x = P.dec2(col("value"))
+        val y = P.dec2(col("y"))
+        ev(s, d).filter(col("user_id") < 10)
+          .withColumn("y", lag("value", 1).over(w))
+          .filter(col("y").isNotNull)
+          .groupBy("user_id")
+          .agg(
+            count(lit(1)).cast("double").as("n"),
+            sum(x).cast("double").as("sx"),
+            sum(y).cast("double").as("sy"),
+            sum((x * x).cast("decimal(38,4)")).cast("double").as("sxx"),
+            sum((y * y).cast("decimal(38,4)")).cast("double").as("syy"),
+            sum((x * y).cast("decimal(38,4)")).cast("double").as("sxy"))
+          .select(col("user_id"), col("n").cast("bigint").as("n_pairs"),
+            P.r4(P.div(col("n") * col("sxy") - col("sx") * col("sy"),
+              sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+                sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("acf1"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, cast(n as bigint) AS n_pairs,
+             |  round((n * sxy - sx * sy) /
+             |        nullif(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy), 0), 4) AS acf1
+             |FROM (
+             |  SELECT user_id, cast(count(*) as double) AS n,
+             |    cast(sum(cast(value as decimal(18,2))) as double) AS sx,
+             |    cast(sum(cast(y as decimal(18,2))) as double) AS sy,
+             |    cast(sum(cast(cast(value as decimal(18,2)) * cast(value as decimal(18,2)) as decimal(38,4))) as double) AS sxx,
+             |    cast(sum(cast(cast(y as decimal(18,2)) * cast(y as decimal(18,2)) as decimal(38,4))) as double) AS syy,
+             |    cast(sum(cast(cast(value as decimal(18,2)) * cast(y as decimal(18,2)) as decimal(38,4))) as double) AS sxy
+             |  FROM (
+             |    SELECT user_id, value,
+             |      lag(value, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS y
+             |    FROM events WHERE user_id < 10)
+             |  WHERE y IS NOT NULL
+             |  GROUP BY user_id)
+             |ORDER BY user_id""".stripMargin),
+    ),
   )
 }

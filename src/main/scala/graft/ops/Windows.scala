@@ -849,5 +849,82 @@ object Windows {
               |WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
               |ORDER BY event_id""".stripMargin),
     ),
+    // rolling(5) OLS slope of value against row position — pandas
+    // rolling.apply(lambda w: polyfit(arange(5), w, 1)[0]), the TS
+    // trend staple. Position x = row_number (exact bigint), y = 2-dp
+    // value (exact decimal): every moment sum is exact, the closed
+    // form slope = (nΣxy − ΣxΣy)/(nΣxx − (Σx)²) has ONE double
+    // division — identical IEEE both engines, r4 per §2.0. Same
+    // single-shuffle WindowExec as the rest of the rolling family.
+    OpSpec(
+      "win_rolling_slope",
+      (s, d) =>
+        ev(s, d)
+          .withColumn("x", row_number().over(byUser).cast("bigint"))
+          .withColumn("n", count(lit(1)).over(roll5))
+          .withColumn("sx", sum(col("x")).over(roll5))
+          .withColumn("sxx", sum(col("x") * col("x")).over(roll5))
+          .withColumn("sy", sum(P.dec2(col("value"))).over(roll5).cast("double"))
+          .withColumn("sxy",
+            sum((col("x") * P.dec2(col("value"))).cast("decimal(38,2)")).over(roll5)
+              .cast("double"))
+          .select(col("event_id"), col("user_id"),
+            when(col("n") === 5,
+              P.r4((lit(5.0) * col("sxy") - col("sx").cast("double") * col("sy")) /
+                (lit(5.0) * col("sxx").cast("double") -
+                  col("sx").cast("double") * col("sx").cast("double"))))
+              .as("slope5"))
+          .orderBy("event_id"),
+      Some(s"""SELECT event_id, user_id,
+              |  CASE WHEN n = 5 THEN
+              |    round((5.0 * sxy - cast(sx as double) * sy) /
+              |          (5.0 * cast(sxx as double) - cast(sx as double) * cast(sx as double)), 4)
+              |  END AS slope5
+              |FROM (
+              |  SELECT event_id, user_id,
+              |    count(*) OVER w AS n,
+              |    sum(x) OVER w AS sx,
+              |    sum(x * x) OVER w AS sxx,
+              |    cast(sum(cast(value as decimal(18,2))) OVER w as double) AS sy,
+              |    cast(sum(cast(x * cast(value as decimal(18,2)) as decimal(38,2))) OVER w as double) AS sxy
+              |  FROM (SELECT event_id, user_id, value,
+              |          cast(row_number() OVER (PARTITION BY user_id ORDER BY event_id) as bigint) AS x
+              |        FROM $EV)
+              |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+              |ORDER BY event_id""".stripMargin),
+    ),
+    // Length of the current run of consecutive value INCREASES ending
+    // at each row (pandas idiom: s.groupby((diff<=0).cumsum()).
+    // cumcount()) — the gaps-and-islands device: a cumulative sum of
+    // break flags labels each run, a second window counts within the
+    // run. Pure integer arithmetic end-to-end (comparisons on 2-dp
+    // doubles are exact) — no rounding policy needed. Two window
+    // passes over ONE user_id shuffle+sort (same frame spec).
+    OpSpec(
+      "win_streak",
+      (s, d) =>
+        ev(s, d)
+          .withColumn("brk",
+            when(col("value") > lag("value", 1).over(byUser), 0L).otherwise(1L))
+          .withColumn("grp", sum("brk").over(cum))
+          .withColumn("streak_up",
+            count(lit(1))
+              .over(Window.partitionBy("user_id", "grp").orderBy("event_id")) - 1)
+          .select("event_id", "user_id", "streak_up")
+          .orderBy("event_id"),
+      Some(s"""SELECT event_id, user_id,
+              |  count(*) OVER (PARTITION BY user_id, grp ORDER BY event_id
+              |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS streak_up
+              |FROM (
+              |  SELECT event_id, user_id,
+              |    sum(brk) OVER (PARTITION BY user_id ORDER BY event_id
+              |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+              |  FROM (
+              |    SELECT event_id, user_id, value,
+              |      CASE WHEN value > lag(value, 1) OVER (PARTITION BY user_id ORDER BY event_id)
+              |           THEN 0 ELSE 1 END AS brk
+              |    FROM $EV))
+              |ORDER BY event_id""".stripMargin),
+    ),
   )
 }

@@ -31,6 +31,20 @@ object LshPlanes {
   val bitsPerBand: Int = nPlanes / nBands
   val dim = 64
 
+  /** The SCALE family (dedup_embed_lsh_scale): same band count, twice
+    * the bits per band → 256 buckets/band instead of 16. E[bucket
+    * size] drops 16×, so within-bucket pair mining — the Θ(n²/buckets)
+    * term the sf1 stress run exposed (BASELINE.md "sf1 scale-stress":
+    * 46× at 10× data) — drops ~16× at the same corpus. The general
+    * policy is bits/band ≈ log₂(n/c) for a constant target bucket
+    * size c: each added bit doubles the bucket count, so the knob
+    * tracks corpus growth with LOG cost in signature width. */
+  object Scale {
+    val nBands = 4
+    val bitsPerBand = 8
+    val nPlanes: Int = nBands * bitsPerBand
+  }
+
   /** splitmix64 finalizer of i, mapped to uniform [−0.5, 0.5). */
   private def u(i: Long): Double = {
     var z = i * 0x9E3779B97F4A7C15L + 0xD1B54A32D192ED03L
@@ -40,8 +54,12 @@ object LshPlanes {
     (z >>> 11).toDouble / (1L << 53).toDouble - 0.5
   }
 
+  /** Plane j is a pure function of j — the base family's 16 planes are
+    * the first 16 of the scale family's 32, so widening bands never
+    * perturbs the existing gate. */
   val planes: Array[Array[Double]] =
-    Array.tabulate(nPlanes)(j => Array.tabulate(dim)(k => u(j.toLong * dim + k)))
+    Array.tabulate(Scale.nPlanes max nPlanes)(j =>
+      Array.tabulate(dim)(k => u(j.toLong * dim + k)))
 
   /** Sign bit of e·plane(j), Spark spelling (ordered fold over the
     * double array column `e` — the bit-equal dot device). */
@@ -56,16 +74,20 @@ object LshPlanes {
     s"(CASE WHEN list_inner_product(e, [$arr]::DOUBLE[]) > 0 THEN 1 ELSE 0 END)"
   }
 
-  /** Band b's bucket value (bitsPerBand bits packed little-endian),
-    * Spark text over array column `e`. */
-  def bandSpark(b: Int): String =
-    "cast(" + (0 until bitsPerBand).map { k =>
-      s"(${bitSpark(b * bitsPerBand + k)} * ${1 << k})"
+  /** Band b's bucket value (`bits` bits packed little-endian), Spark
+    * text over array column `e`. */
+  def bandSparkG(b: Int, bits: Int): String =
+    "cast(" + (0 until bits).map { k =>
+      s"(${bitSpark(b * bits + k)} * ${1 << k})"
     }.mkString(" + ") + " as bigint)"
 
-  /** DuckDB twin of [[bandSpark]]. */
-  def bandDuck(b: Int): String =
-    "cast(" + (0 until bitsPerBand).map { k =>
-      s"(${bitDuck(b * bitsPerBand + k)} * ${1 << k})"
+  /** DuckDB twin of [[bandSparkG]]. */
+  def bandDuckG(b: Int, bits: Int): String =
+    "cast(" + (0 until bits).map { k =>
+      s"(${bitDuck(b * bits + k)} * ${1 << k})"
     }.mkString(" + ") + " as bigint)"
+
+  /** Base-family band texts (the round-8 gate queries). */
+  def bandSpark(b: Int): String = bandSparkG(b, bitsPerBand)
+  def bandDuck(b: Int): String = bandDuckG(b, bitsPerBand)
 }

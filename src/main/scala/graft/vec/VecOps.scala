@@ -39,6 +39,18 @@ object VecOps {
         posexplode(array((0 until LshPlanes.nBands)
           .map(b => expr(LshPlanes.bandSpark(b))): _*)).as(Seq("band", "bucket")))
 
+  /** [[bandedSig]] with the SCALE band family (LshPlanes.Scale: 4
+    * bands × 8 bits = 256 buckets/band) — same slim shape. */
+  private def bandedSigScale(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    T.embeddings(s, d)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("e"))
+      .select(col("vec_id"),
+        posexplode(array((0 until LshPlanes.Scale.nBands)
+          .map(b => expr(LshPlanes.bandSparkG(b, LshPlanes.Scale.bitsPerBand))): _*))
+          .as(Seq("band", "bucket")))
+
   /** (vec_id, e double[], nrm) — the verify-side embedding read:
     * recomputed from parquet per use, never cached (see [[bandedSig]]). */
   private def vecsWithNorm(
@@ -55,6 +67,17 @@ object VecOps {
       .map(b => s"${LshPlanes.bandDuck(b)} AS b$b").mkString(",\n  ")
     s"""v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
        |sg AS (SELECT vec_id, e,
+       |  $bands
+       |FROM v)""".stripMargin
+  }
+
+  /** DuckDB twin of the SCALE band family: `sgs(vec_id, e, b0..b3)`. */
+  private lazy val bandedSqlScale: String = {
+    val bands = (0 until LshPlanes.Scale.nBands)
+      .map(b => s"${LshPlanes.bandDuckG(b, LshPlanes.Scale.bitsPerBand)} AS b$b")
+      .mkString(",\n  ")
+    s"""v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |sgs AS (SELECT vec_id, e,
        |  $bands
        |FROM v)""".stripMargin
   }
@@ -352,6 +375,51 @@ object VecOps {
            |FROM sg a JOIN sg b ON a.vec_id < b.vec_id AND ($anyBand)
            |WHERE round(list_inner_product(a.e, b.e) /
            |        (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))), 4) >= 0.4
+           |ORDER BY keep_id, dup_id""".stripMargin
+      },
+    ),
+    // The SCALE form of dedup_embed_lsh, forced by measurement: the sf1
+    // stress run (BASELINE.md "sf1 scale-stress") showed the 16-bucket
+    // band family going 46× slower at 10× data — E[bucket] = n/16, so
+    // within-bucket pair mining is Θ(n²/16). This twin runs the SAME
+    // pipeline over LshPlanes.Scale (4 bands × 8 bits = 256
+    // buckets/band, the first 32 planes of the same splitmix64 family):
+    // E[bucket] drops 16×, candidate pairs drop ~16× at equal corpus,
+    // and the knob doubles per added bit — bits/band ≈ log₂(n/c) keeps
+    // bucket size (hence per-bucket work) CONSTANT as n grows. τ = 0.25
+    // (vs 0.4) keeps the gate output non-trivial at sf0.01: wider bands
+    // collide only truly-close pairs, so the moderate-similarity tail
+    // the 4-bit family retrieves is gone — the honest recall trade
+    // (AnnSpec pins the subset relation to all-pairs truth).
+    OpSpec(
+      "dedup_embed_lsh_scale",
+      (s, d) => {
+        val sig = bandedSigScale(s, d).cache() // slim: 3 int64s/row
+        val cand = sig.select(col("vec_id").as("keep_id"), col("band"), col("bucket"))
+          .join(sig.select(col("vec_id").as("dup_id"), col("band"), col("bucket")),
+            Seq("band", "bucket"))
+          .filter(col("keep_id") < col("dup_id"))
+          .select("keep_id", "dup_id").distinct()
+        val va = vecsWithNorm(s, d)
+          .select(col("vec_id").as("keep_id"), col("e").as("ea"), col("nrm").as("na"))
+        val vb = vecsWithNorm(s, d)
+          .select(col("vec_id").as("dup_id"), col("e").as("eb"), col("nrm").as("nb"))
+        cand.join(va, Seq("keep_id")).join(vb, Seq("dup_id"))
+          .select(col("keep_id"), col("dup_id"),
+            P.r4(dot("ea", "eb") / (col("na") * col("nb"))).as("cos_sim"))
+          .filter(col("cos_sim") >= 0.25)
+          .orderBy("keep_id", "dup_id")
+      },
+      Some {
+        val anyBand = (0 until LshPlanes.Scale.nBands)
+          .map(b => s"a.b$b = b.b$b").mkString(" OR ")
+        s"""WITH $bandedSqlScale
+           |SELECT a.vec_id AS keep_id, b.vec_id AS dup_id,
+           |  round(list_inner_product(a.e, b.e) /
+           |        (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))), 4) AS cos_sim
+           |FROM sgs a JOIN sgs b ON a.vec_id < b.vec_id AND ($anyBand)
+           |WHERE round(list_inner_product(a.e, b.e) /
+           |        (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))), 4) >= 0.25
            |ORDER BY keep_id, dup_id""".stripMargin
       },
     ),
