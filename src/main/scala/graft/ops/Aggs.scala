@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.core.{Policy => P, Tables => T}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** §2.D aggregations.
@@ -795,6 +796,46 @@ object Aggs {
              |  SELECT count(*) AS n_keys, cast(sum(c) as bigint) AS n_rows,
              |    max(c) AS max_freq
              |  FROM (SELECT o_custkey, count(*) AS c FROM orders GROUP BY 1))""".stripMargin),
+    ),
+    // Gini coefficient of order value per status — the inequality
+    // measure (econ/monitoring staple): G = (2·Σi·xᵢ − (n+1)·Σx) /
+    // (n·Σx) over ascending-sorted x with 1-based rank i. Ties in x
+    // make Σi·xᵢ invariant under within-tie permutation (equal x times
+    // a fixed rank-index sum), so row_number needs no tiebreak column
+    // to be deterministic. Rank is exact bigint, x is exact 2-dp
+    // decimal, i·x accumulates as decimal(38,2) — every sum exact,
+    // ONE double division at the end, r4 per §2.0. Plan: one window
+    // (rank) + one hash agg over the same o_orderstatus shuffle.
+    OpSpec(
+      "agg_gini",
+      (s, d) =>
+        T.orders(s, d)
+          .withColumn("i",
+            row_number().over(Window.partitionBy("o_orderstatus")
+              .orderBy("o_totalprice")).cast("bigint"))
+          .groupBy("o_orderstatus")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(P.dec2(col("o_totalprice"))).cast("double").as("sx"),
+            sum((col("i") * P.dec2(col("o_totalprice"))).cast("decimal(38,2)"))
+              .cast("double").as("six"))
+          .select(col("o_orderstatus"), col("n"),
+            P.r4((lit(2.0) * col("six") - (col("n") + 1).cast("double") * col("sx")) /
+              (col("n").cast("double") * col("sx"))).as("gini"))
+          .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus, n,
+             |  round((2.0 * six - cast(n + 1 as double) * sx) /
+             |        (cast(n as double) * sx), 4) AS gini
+             |FROM (
+             |  SELECT o_orderstatus, count(*) AS n,
+             |    cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS sx,
+             |    cast(sum(cast(i * cast(o_totalprice as decimal(18,2)) as decimal(38,2))) as double) AS six
+             |  FROM (
+             |    SELECT o_orderstatus, o_totalprice,
+             |      cast(row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice) as bigint) AS i
+             |    FROM orders)
+             |  GROUP BY o_orderstatus)
+             |ORDER BY o_orderstatus""".stripMargin),
     ),
   )
 }

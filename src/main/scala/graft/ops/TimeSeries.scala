@@ -1137,5 +1137,49 @@ object TimeSeries {
              |  GROUP BY user_id)
              |ORDER BY user_id""".stripMargin),
     ),
+    // Rolling z-score anomaly flag — the monitoring staple: flag rows
+    // whose value sits more than 3 sample-stddevs from the trailing
+    // 20-row mean. Moments via the exact-decimal sum device
+    // (win_rolling_std), so mean/std are IDENTICAL doubles in both
+    // engines; the flag is a comparison of identical doubles —
+    // deterministic even at an exact tie, no rounding policy needed
+    // (§2.0 rule 2 applies to emitted continuous values; the emitted
+    // z is r4'd, the flag is computed pre-rounding). One WindowExec
+    // on the user_id shuffle at any scale.
+    OpSpec(
+      "ts_anomaly_flag",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("event_id")
+          .rowsBetween(-19, 0)
+        val x = P.dec2(col("value"))
+        ev(s, d).filter(col("user_id") < 10)
+          .withColumn("n", count(lit(1)).over(w))
+          .withColumn("sx", sum(x).over(w).cast("double"))
+          .withColumn("sxx", sum((x * x).cast("decimal(38,4)")).over(w).cast("double"))
+          .withColumn("m", col("sx") / col("n").cast("double"))
+          .withColumn("sd",
+            sqrt((col("sxx") - col("sx") * col("sx") / col("n").cast("double")) /
+              (col("n") - 1).cast("double")))
+          .filter(col("n") === 20)
+          .select(col("event_id"), col("user_id"),
+            P.r4((col("value") - col("m")) / col("sd")).as("z"),
+            (abs(col("value") - col("m")) > lit(3.0) * col("sd")).as("is_anomaly"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             |  round((value - m) / sd, 4) AS z,
+             |  abs(value - m) > 3.0 * sd AS is_anomaly
+             |FROM (
+             |  SELECT event_id, user_id, value,
+             |    count(*) OVER w AS n,
+             |    cast(sum(cast(value as decimal(18,2))) OVER w as double) / cast(count(*) OVER w as double) AS m,
+             |    sqrt((cast(sum(cast(cast(value as decimal(18,2)) * cast(value as decimal(18,2)) as decimal(38,4))) OVER w as double)
+             |          - cast(sum(cast(value as decimal(18,2))) OVER w as double) * cast(sum(cast(value as decimal(18,2))) OVER w as double) / cast(count(*) OVER w as double))
+             |         / cast(count(*) OVER w - 1 as double)) AS sd
+             |  FROM events WHERE user_id < 10
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+             |WHERE n = 20
+             |ORDER BY event_id""".stripMargin),
+    ),
   )
 }

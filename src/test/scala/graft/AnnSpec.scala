@@ -89,4 +89,41 @@ class AnnSpec extends AnyFunSuite {
     val r5 = (np5 & brute).size
     assert(np5.nonEmpty && r5 >= r1, s"nprobe=5 recall $r5 < nprobe=1 recall $r1")
   }
+
+  test("scale-band LSH bounds buckets 16x tighter than the base family (the sf1 fix)") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.core.Tables.embeddings(spark, TestSpark.sfSmoke)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("e"))
+    // the quantity that blew up at sf1 is the within-bucket candidate
+    // pair count Σ C(bucket, 2) — measure exactly that for both bands
+    def candPairs(bands: Int, bits: Int): Long = emb
+      .select(posexplode(array((0 until bands)
+        .map(b => expr(graft.vec.LshPlanes.bandSparkG(b, bits))): _*)).as(Seq("band", "bucket")))
+      .groupBy("band", "bucket").count()
+      .agg(sum(expr("count * (count - 1)"))).collect()(0).getLong(0) / 2
+    val base = candPairs(graft.vec.LshPlanes.nBands, graft.vec.LshPlanes.bitsPerBand)
+    val scale = candPairs(graft.vec.LshPlanes.Scale.nBands, graft.vec.LshPlanes.Scale.bitsPerBand)
+    // 16 vs 256 buckets/band: ~16x fewer candidate pairs in theory;
+    // assert a conservative 5x so data noise can't flap the test while
+    // a broken band key (everything in one bucket) still fails loudly
+    assert(scale * 5 <= base, s"scale candidate pairs $scale vs base $base")
+
+    // and the scale query's pairs are still a subset of all-pairs truth
+    val lsh = ops.Registry.queries("dedup_embed_lsh_scale")(spark, TestSpark.sfSmoke)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    def dot(a: String, b: String) =
+      expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+    val a = emb.select(col("vec_id").as("ka"), col("e").as("ea"))
+    val b = emb.select(col("vec_id").as("kb"), col("e").as("eb"))
+    val truth = a.crossJoin(b).filter(col("ka") < col("kb"))
+      .select(col("ka"), col("kb"),
+        round(dot("ea", "eb") / (sqrt(dot("ea", "ea")) * sqrt(dot("eb", "eb"))), 4).as("cos"))
+      .filter(col("cos") >= 0.25)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(lsh.nonEmpty, "scale LSH returned no pairs at smoke size")
+    lsh.foreach { case (k, cos) =>
+      assert(truth.contains(k), s"pair $k not in all-pairs truth")
+      assert(truth(k) == cos, s"pair $k: ${truth(k)} vs $cos")
+    }
+  }
 }

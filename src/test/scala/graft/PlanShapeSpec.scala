@@ -104,7 +104,7 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("dedup_embed_lsh and sim_knn_lsh are banded bucket equi-joins, not all-pairs products") {
-    for (k <- Seq("dedup_embed_lsh", "sim_knn_lsh")) {
+    for (k <- Seq("dedup_embed_lsh", "dedup_embed_lsh_scale", "sim_knn_lsh")) {
       val p = plan(k)
       assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
         s"$k compiles to a nested-loop product:\n$p")
