@@ -837,5 +837,56 @@ object Aggs {
              |  GROUP BY o_orderstatus)
              |ORDER BY o_orderstatus""".stripMargin),
     ),
+    // Winsorized mean per group — robust mean with tails clamped to
+    // the [p10, p90] ORDER STATISTICS. Deliberately rank-based, not
+    // interpolated: the boundary is the value at sorted position
+    // ceil(p·n) — an actual 2-dp data value — so the clamped column
+    // stays exactly 2-dp and the mean reduces through the exact
+    // decimal sum (an interpolated quantile boundary would inject
+    // arbitrary-precision doubles into the sum and reopen the §2.0
+    // rounding-tie trap). The value at rank k is well-defined under
+    // ties (sorted multiset position), so row_number needs no
+    // tiebreak. Plan: rank window → 3-row boundary agg → broadcast
+    // join-back → one exact hash agg (the agg_mad shape).
+    OpSpec(
+      "agg_winsorized_mean",
+      (s, d) => {
+        val ranked = T.orders(s, d)
+          .select(col("o_orderstatus"), col("o_totalprice"))
+          .withColumn("i",
+            row_number().over(Window.partitionBy("o_orderstatus")
+              .orderBy("o_totalprice")).cast("bigint"))
+          .withColumn("n",
+            count(lit(1)).over(Window.partitionBy("o_orderstatus")))
+        val bounds = ranked.groupBy("o_orderstatus")
+          .agg(
+            min(when(col("i") === ceil(col("n") * 0.1), col("o_totalprice"))).as("lo"),
+            min(when(col("i") === ceil(col("n") * 0.9), col("o_totalprice"))).as("hi"))
+        T.orders(s, d).join(broadcast(bounds), Seq("o_orderstatus"))
+          .groupBy("o_orderstatus")
+          .agg(
+            count(lit(1)).as("n"),
+            (sum(P.dec2(least(greatest(col("o_totalprice"), col("lo")), col("hi"))))
+              .cast("double") / count(lit(1)).cast("double")).as("wmean"),
+            max(col("lo")).as("lo"), max(col("hi")).as("hi"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o.o_orderstatus, count(*) AS n,
+             |  cast(sum(cast(least(greatest(o.o_totalprice, b.lo), b.hi) as decimal(18,2))) as double)
+             |    / cast(count(*) as double) AS wmean,
+             |  max(b.lo) AS lo, max(b.hi) AS hi
+             |FROM orders o JOIN (
+             |  SELECT o_orderstatus,
+             |    min(CASE WHEN i = ceil(n * 0.1) THEN o_totalprice END) AS lo,
+             |    min(CASE WHEN i = ceil(n * 0.9) THEN o_totalprice END) AS hi
+             |  FROM (
+             |    SELECT o_orderstatus, o_totalprice,
+             |      cast(row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice) as bigint) AS i,
+             |      count(*) OVER (PARTITION BY o_orderstatus) AS n
+             |    FROM orders)
+             |  GROUP BY o_orderstatus) b USING (o_orderstatus)
+             |GROUP BY o.o_orderstatus
+             |ORDER BY o.o_orderstatus""".stripMargin),
+    ),
   )
 }

@@ -1181,5 +1181,130 @@ object TimeSeries {
              |WHERE n = 20
              |ORDER BY event_id""".stripMargin),
     ),
+    // LTTB-style plotting downsampler (Steinarsson 2013, the Grafana
+    // staple), parallel variant: fixed 20-row buckets; each bucket
+    // keeps the point with the largest triangle area against the
+    // PREVIOUS and NEXT buckets' centroids (the original anchors on
+    // the previously-SELECTED point, which is sequential; anchoring on
+    // the neighbor centroid is the standard parallel relaxation and
+    // keeps every bucket independent). First/last bucket pin the
+    // series endpoints, as LTTB does. Determinism: centroids are
+    // exact-int/decimal sums with one division, the area cross-product
+    // is identical IEEE text in both engines, and the per-bucket
+    // argmax breaks area ties by event_id. Plan: two tiny bucket aggs
+    // broadcast back onto the rows, one window for the argmax — the
+    // 100 TB shape is one shuffle on (series, bucket).
+    OpSpec(
+      "ts_downsample_lttb",
+      (s, d) => {
+        val rows = ev(s, d).filter(col("user_id") === 7)
+          .select(col("event_id"), unix_micros(col("ts")).as("x"),
+            col("value").as("y"))
+          .withColumn("rn", row_number().over(Window.orderBy("event_id")))
+          .withColumn("b", expr("cast((rn - 1) div 20 as bigint)"))
+        val cent = rows.groupBy("b").agg(
+          (sum(col("x")).cast("double") / count(lit(1)).cast("double")).as("cx"),
+          (sum(P.dec2(col("y"))).cast("double") / count(lit(1)).cast("double")).as("cy"),
+          min("rn").as("rn_min"), max("rn").as("rn_max"))
+        val w = Window.orderBy("b")
+        val anchored = cent
+          .withColumn("ax", lag("cx", 1).over(w)).withColumn("ay", lag("cy", 1).over(w))
+          .withColumn("nx", lead("cx", 1).over(w)).withColumn("ny", lead("cy", 1).over(w))
+          // bucket count rides the (tiny) bucket table as a window
+          // count — no driver-side action in a query builder
+          .withColumn("n_b", count(lit(1)).over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+          .select("b", "ax", "ay", "nx", "ny", "rn_min", "rn_max", "n_b")
+        rows.join(broadcast(anchored), Seq("b"))
+          .withColumn("area",
+            abs((col("ax") - col("nx")) * (col("y") - col("ay")) -
+              (col("ax") - col("x")) * (col("ny") - col("ay"))))
+          .withColumn("pick",
+            when(col("b") === 0, col("rn") === col("rn_min"))
+              .when(col("b") === col("n_b") - 1, col("rn") === col("rn_max"))
+              .otherwise(row_number().over(
+                Window.partitionBy("b").orderBy(desc("area"), col("event_id"))) === 1))
+          .filter(col("pick"))
+          .select(col("b"), col("event_id"), col("x"), col("y"))
+          .orderBy("b")
+      },
+      Some("""WITH r AS (
+             |  SELECT event_id, epoch_us(cast(ts as timestamp)) AS x, value AS y,
+             |    row_number() OVER (ORDER BY event_id) AS rn
+             |  FROM events WHERE user_id = 7),
+             |rb AS (SELECT *, cast((rn - 1) // 20 as bigint) AS b FROM r),
+             |c AS (
+             |  SELECT b,
+             |    cast(sum(x) as double) / cast(count(*) as double) AS cx,
+             |    cast(sum(cast(y as decimal(18,2))) as double) / cast(count(*) as double) AS cy,
+             |    min(rn) AS rn_min, max(rn) AS rn_max
+             |  FROM rb GROUP BY b),
+             |a AS (
+             |  SELECT b,
+             |    lag(cx, 1) OVER (ORDER BY b) AS ax, lag(cy, 1) OVER (ORDER BY b) AS ay,
+             |    lead(cx, 1) OVER (ORDER BY b) AS nx, lead(cy, 1) OVER (ORDER BY b) AS ny,
+             |    rn_min, rn_max, count(*) OVER () AS n_b
+             |  FROM c),
+             |s AS (
+             |  SELECT rb.b, rb.event_id, rb.x, rb.y, rb.rn, a.rn_min, a.rn_max, a.n_b,
+             |    abs((a.ax - a.nx) * (rb.y - a.ay) - (a.ax - rb.x) * (a.ny - a.ay)) AS area
+             |  FROM rb JOIN a USING (b))
+             |SELECT b, event_id, x, y
+             |FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY b ORDER BY area DESC, event_id) AS pick_rn
+             |  FROM s)
+             |WHERE CASE WHEN b = 0 THEN rn = rn_min
+             |           WHEN b = n_b - 1 THEN rn = rn_max
+             |           ELSE pick_rn = 1 END
+             |ORDER BY b""".stripMargin),
+    ),
+    // Cross-SERIES correlation: Pearson r between two users' HOURLY
+    // TOTALS on the hours both were active. Totals, not means — the
+    // bucket series stays an exact 2-dp decimal, so the co-moment
+    // sums reduce exactly (a mean-based series would sum arbitrary
+    // doubles in engine-specific order). Plan: one hash agg per user
+    // slice off the same scan, inner join on hour (both sides already
+    // shuffled by hour), closed-form r from six exact sums — at
+    // 100 TB this is two map-side-combined aggs + one equi-join of
+    // bucket rows.
+    OpSpec(
+      "ts_cross_corr",
+      (s, d) => {
+        def hourly(uid: Int, vc: String) =
+          ev(s, d).filter(col("user_id") === uid)
+            .groupBy(date_trunc("hour", col("ts")).as("h"))
+            .agg(sum(P.dec2(col("value"))).as(vc))
+        val j = hourly(7, "va").join(hourly(8, "vb"), Seq("h"))
+        val x = col("va"); val y = col("vb")
+        j.agg(
+            count(lit(1)).cast("double").as("n"),
+            sum(x).cast("double").as("sx"),
+            sum(y).cast("double").as("sy"),
+            sum((x * x).cast("decimal(38,4)")).cast("double").as("sxx"),
+            sum((y * y).cast("decimal(38,4)")).cast("double").as("syy"),
+            sum((x * y).cast("decimal(38,4)")).cast("double").as("sxy"))
+          .select(col("n").cast("bigint").as("n_hours"),
+            P.r4(P.div(col("n") * col("sxy") - col("sx") * col("sy"),
+              sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+                sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("xcorr"))
+      },
+      Some("""SELECT cast(n as bigint) AS n_hours,
+             |  round((n * sxy - sx * sy) /
+             |        nullif(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy), 0), 4) AS xcorr
+             |FROM (
+             |  SELECT cast(count(*) as double) AS n,
+             |    cast(sum(va) as double) AS sx, cast(sum(vb) as double) AS sy,
+             |    cast(sum(cast(va * va as decimal(38,4))) as double) AS sxx,
+             |    cast(sum(cast(vb * vb as decimal(38,4))) as double) AS syy,
+             |    cast(sum(cast(va * vb as decimal(38,4))) as double) AS sxy
+             |  FROM (
+             |    SELECT date_trunc('hour', cast(ts as timestamp)) AS h,
+             |      sum(cast(value as decimal(18,2))) AS va
+             |    FROM events WHERE user_id = 7 GROUP BY 1) a
+             |  JOIN (
+             |    SELECT date_trunc('hour', cast(ts as timestamp)) AS h,
+             |      sum(cast(value as decimal(18,2))) AS vb
+             |    FROM events WHERE user_id = 8 GROUP BY 1) b USING (h))""".stripMargin),
+    ),
   )
 }

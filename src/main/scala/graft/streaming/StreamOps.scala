@@ -333,4 +333,56 @@ object StreamOps {
       .transformWithState(new GapProcessor(thresholdUs),
         TimeMode.None(), OutputMode.Append())
   }
+
+  /** Rolling-window custom state: the incremental twin of the declared
+    * ts_anomaly_flag (rolling-20 z-score anomaly). State per key is a
+    * bounded ring buffer — the last 19 values as a [[ListState]] — so
+    * state size is O(window), not O(stream). The arithmetic replicates
+    * the batch op's §2.0 determinism device bit-for-bit: per-window
+    * sums as exact scale-2/scale-4 BigDecimals (== the batch
+    * decimal(18,2)/decimal(38,4) window sums), then the identical
+    * IEEE mean/std/z expressions, HALF_UP 4-dp on z (== Spark round).
+    * StreamingSpec asserts stream output == batch output EXACTLY. */
+  case class AnomIn(user_id: Long, event_id: Long, value: Double)
+  case class AnomOut(user_id: Long, event_id: Long, z: Double, is_anomaly: Boolean)
+
+  private class AnomalyProcessor
+      extends StatefulProcessor[Long, AnomIn, AnomOut] {
+    @transient private var buf: ListState[Double] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      buf = getHandle.getListState[Double](
+        "win", Encoders.scalaDouble, TTLConfig.NONE)
+    private def d2(v: Double) =
+      new java.math.BigDecimal(java.lang.Double.toString(v))
+        .setScale(2, java.math.RoundingMode.HALF_UP)
+    override def handleInputRows(
+        user: Long, rows: Iterator[AnomIn], tv: TimerValues): Iterator[AnomOut] = {
+      var window: Vector[Double] = buf.get().toVector // ≤19 prior values
+      val out = rows.toSeq.sortBy(_.event_id).flatMap { r =>
+        val full = window :+ r.value
+        window = full.takeRight(19)
+        if (full.size < 20) None
+        else {
+          val sx = full.map(d2).reduce(_ add _).doubleValue
+          val sxx = full.map { x => val d = d2(x); d.multiply(d) }
+            .reduce(_ add _).doubleValue
+          val m = sx / 20.0
+          val sd = math.sqrt((sxx - sx * sx / 20.0) / 19.0)
+          val z = (r.value - m) / sd
+          val zr = new java.math.BigDecimal(java.lang.Double.toString(z))
+            .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue
+          Some(AnomOut(user, r.event_id, zr, math.abs(r.value - m) > 3.0 * sd))
+        }
+      }
+      buf.clear()
+      if (window.nonEmpty) buf.put(window.toArray)
+      out.iterator
+    }
+  }
+
+  def streamingAnomaly(events: Dataset[AnomIn]): Dataset[AnomOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new AnomalyProcessor, TimeMode.None(), OutputMode.Append())
+  }
 }

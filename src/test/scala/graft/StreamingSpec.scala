@@ -305,4 +305,26 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(streamed.nonEmpty && streamed == batch)
   }
+
+  test("streaming rolling-20 anomaly equals the declared batch ts_anomaly_flag EXACTLY") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val inRows = eventRows.filter(_.user_id < 10)
+      .map(e => StreamOps.AnomIn(e.user_id, e.event_id, e.value))
+      .sortBy(_.event_id)
+    val ms = MemoryStream[StreamOps.AnomIn]
+    val q = StreamOps.streamingAnomaly(ms.toDS())
+      .writeStream.format("memory").queryName("t_anom").outputMode("append").start()
+    val (a, b) = inRows.splitAt(inRows.size / 2)
+    ms.addData(a); q.processAllAvailable()
+    ms.addData(b); q.processAllAvailable() // ring buffer crosses the batch boundary
+    q.stop()
+    val streamed = spark.table("t_anom")
+      .select("event_id", "z", "is_anomaly").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSet
+    val batch = ops.Registry.queries("ts_anomaly_flag")(spark, TestSpark.sfSmoke)
+      .select("event_id", "z", "is_anomaly").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSet
+    assert(streamed.nonEmpty && streamed == batch) // bit-exact, incl. the r4'd z
+  }
 }
