@@ -84,6 +84,27 @@ def gen_embeddings(n, seed):
     })
 
 
+def gen_events(n, n_users, seed):
+    """Mirror sf0.1 events: 30 days, uniform event times (ns precision),
+    ~67 events/user, event_type ~ uniform over 5, value 2-dp with mean
+    ~50 (exponential-ish tail to 560), props = {"k": <0..99>}."""
+    npr = np.random.default_rng(seed)
+    t0 = np.datetime64("2024-01-01T00:00:00", "ns").astype(np.int64)
+    span = np.int64(30 * 24 * 3600) * np.int64(1_000_000_000)
+    ts = np.sort(t0 + (npr.random(n) * span).astype(np.int64))
+    value = np.round(np.minimum(npr.exponential(50.0, n), 560.0), 2)
+    types = np.array(["click", "error", "purchase", "signup", "view"])
+    k = npr.integers(0, 100, n)
+    return pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("ns")),
+        "user_id": pa.array(npr.integers(0, n_users, n), pa.int64()),
+        "event_type": pa.array(types[npr.integers(0, 5, n)], pa.string()),
+        "value": pa.array(value, pa.float64()),
+        "props": pa.array([f'{{"k": {v}}}' for v in k], pa.string()),
+    })
+
+
 def main():
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_sf1"
     scale = int(sys.argv[2]) if len(sys.argv) > 2 else 10
@@ -94,7 +115,10 @@ def main():
     pq.write_table(docs, f"{out}/documents.parquet")
     emb = gen_embeddings(2000 * scale, seed=4242)
     pq.write_table(emb, f"{out}/embeddings.parquet")
-    print(f"wrote {docs.num_rows} docs, {emb.num_rows} embeddings -> {out}")
+    ev = gen_events(100000 * scale, 1500 * scale, seed=4242)
+    pq.write_table(ev, f"{out}/events.parquet")
+    print(f"wrote {docs.num_rows} docs, {emb.num_rows} embeddings, "
+          f"{ev.num_rows} events -> {out}")
 
 
 if __name__ == "__main__":
