@@ -1306,5 +1306,80 @@ object TimeSeries {
              |      sum(cast(value as decimal(18,2))) AS vb
              |    FROM events WHERE user_id = 8 GROUP BY 1) b USING (h))""".stripMargin),
     ),
+    // Weekly cohort retention — the product-analytics staple: of the
+    // users active in week w, what fraction is also active in week
+    // w+1. Everything reduces to the DISTINCT (user, week) pair set
+    // (one shuffle, tiny vs the fact table), then a self-join on
+    // (user, week+7d) and two counts — at 100 TB the fact table is
+    // touched once, map-side, and only user-week pairs ever shuffle.
+    // date_trunc('week') starts Monday in BOTH engines; the ratio is
+    // one double division of exact counts, r4.
+    OpSpec(
+      "ts_retention",
+      (s, d) => {
+        val au = ev(s, d)
+          .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+          .distinct()
+        val nxt = au.select(col("user_id"),
+          (col("week") - expr("INTERVAL 7 DAYS")).as("week"))
+        val active = au.groupBy("week").agg(count(lit(1)).as("active"))
+        val retained = au.join(nxt, Seq("user_id", "week"))
+          .groupBy("week").agg(count(lit(1)).as("retained"))
+        active.join(retained, Seq("week"), "left")
+          .select(P.tsOut(col("week")).as("week"), col("active"),
+            coalesce(col("retained"), lit(0L)).as("retained"),
+            P.r4(coalesce(col("retained"), lit(0L)).cast("double") /
+              col("active").cast("double")).as("retention"))
+          .orderBy("week")
+      },
+      Some("""WITH au AS (
+             |  SELECT DISTINCT user_id, date_trunc('week', cast(ts as timestamp)) AS week
+             |  FROM events),
+             |nxt AS (SELECT user_id, week - INTERVAL 7 DAY AS week FROM au),
+             |active AS (SELECT week, count(*) AS active FROM au GROUP BY week),
+             |retained AS (
+             |  SELECT week, count(*) AS retained
+             |  FROM au JOIN nxt USING (user_id, week) GROUP BY week)
+             |SELECT a.week, a.active,
+             |  coalesce(r.retained, 0) AS retained,
+             |  round(cast(coalesce(r.retained, 0) as double) / cast(a.active as double), 4) AS retention
+             |FROM active a LEFT JOIN retained r ON a.week = r.week
+             |ORDER BY a.week""".stripMargin),
+    ),
+    // Time-to-convert: first signup → first purchase per user, summary
+    // over converting users. Per-user agg (min-ts per stage) is one
+    // shuffle of two timestamps per user; deltas are exact µs bigints,
+    // so the mean is Σ/n with identical IEEE divisions and the median
+    // interpolates two exact ints — both r4. The ts_funnel device
+    // applied to the duration question a growth team actually asks.
+    OpSpec(
+      "ts_time_to_convert",
+      (s, d) => {
+        val per = ev(s, d)
+          .groupBy("user_id")
+          .agg(
+            min(when(col("event_type") === "signup", unix_micros(col("ts")))).as("s_us"),
+            min(when(col("event_type") === "purchase", unix_micros(col("ts")))).as("p_us"))
+          .filter(col("s_us").isNotNull && col("p_us").isNotNull &&
+            col("p_us") > col("s_us"))
+          .select((col("p_us") - col("s_us")).as("delta_us"))
+        per.agg(
+            count(lit(1)).as("n_users"),
+            P.r4(sum(col("delta_us")).cast("double") / count(lit(1)).cast("double") /
+              lit(3600000000.0)).as("avg_hours"),
+            P.r4(expr("percentile(delta_us, 0.5D)") / lit(3600000000.0)).as("p50_hours"))
+      },
+      Some("""SELECT count(*) AS n_users,
+             |  round(cast(sum(delta_us) as double) / cast(count(*) as double) / 3600000000.0, 4) AS avg_hours,
+             |  round(quantile_cont(delta_us, 0.5) / 3600000000.0, 4) AS p50_hours
+             |FROM (
+             |  SELECT p_us - s_us AS delta_us
+             |  FROM (
+             |    SELECT user_id,
+             |      min(CASE WHEN event_type = 'signup' THEN epoch_us(cast(ts as timestamp)) END) AS s_us,
+             |      min(CASE WHEN event_type = 'purchase' THEN epoch_us(cast(ts as timestamp)) END) AS p_us
+             |    FROM events GROUP BY user_id)
+             |  WHERE s_us IS NOT NULL AND p_us IS NOT NULL AND p_us > s_us)""".stripMargin),
+    ),
   )
 }
