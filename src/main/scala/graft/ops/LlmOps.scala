@@ -486,5 +486,53 @@ object LlmOps {
              |  cast(sum(n_chars) as double) / count(*) AS mean_chars
              |FROM documents GROUP BY source ORDER BY source""".stripMargin),
     ),
+    // Unigram log-prob quality score — the cheapest perplexity proxy a
+    // curation pipeline runs: avg over a doc's tokens of ln(corpus
+    // unigram probability). Plan: one explode → corpus freq table
+    // (tiny — the vocabulary) broadcast back onto (doc, word, tf) →
+    // per-doc sum of tf·ln(p). The per-doc sum is over DOUBLES, so it
+    // uses the text_lang_entropy ordered-fold device: collect the
+    // ≤|vocab| (word, term) structs, array_sort, fold in word order —
+    // bit-identical accumulation in both engines, then ONE division
+    // and r4. At 100 TB: two hash aggs + a broadcast join; only
+    // (doc, word, tf) triples shuffle.
+    OpSpec(
+      "text_unigram_logprob",
+      (s, d) => {
+        val tokens = T.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        val tf = tokens.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+        val freq = tokens.groupBy("word").agg(count(lit(1)).as("wc"))
+          .crossJoin(broadcast(
+            T.documents(s, d).select(explode(split(col("text"), " ")).as("w"))
+              .agg(count(lit(1)).as("total"))))
+        tf.join(broadcast(freq), Seq("word"))
+          .filter(col("doc_id") < 20)
+          .withColumn("term",
+            col("tf").cast("double") *
+              log(col("wc").cast("double") / col("total").cast("double")))
+          .groupBy("doc_id")
+          .agg(
+            sum(col("tf")).as("n_tokens"),
+            P.r4(expr(
+              """aggregate(
+                |  transform(array_sort(collect_list(struct(word, term))), s -> s.term),
+                |  0D, (acc, x) -> acc + x)""".stripMargin) /
+              sum(col("tf")).cast("double")).as("avg_logprob"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tokens AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+             |tf AS (SELECT doc_id, word, count(*) AS tf FROM tokens GROUP BY 1, 2),
+             |freq AS (SELECT word, count(*) AS wc FROM tokens GROUP BY 1),
+             |tot AS (SELECT count(*) AS total FROM tokens),
+             |terms AS (
+             |  SELECT doc_id, tf.word AS word, tf,
+             |    cast(tf as double) * ln(cast(wc as double) / cast(total as double)) AS term
+             |  FROM tf JOIN freq ON tf.word = freq.word CROSS JOIN tot
+             |  WHERE doc_id < 20)
+             |SELECT doc_id, cast(sum(tf) as bigint) AS n_tokens,
+             |  round(list_sum(list(term ORDER BY word)) / cast(sum(tf) as double), 4) AS avg_logprob
+             |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    ),
   )
 }

@@ -1381,5 +1381,56 @@ object TimeSeries {
              |    FROM events GROUP BY user_id)
              |  WHERE s_us IS NOT NULL AND p_us IS NOT NULL AND p_us > s_us)""".stripMargin),
     ),
+    // Session-duration summary over the ts_sessionize sessions (the
+    // question the sessionization actually feeds): session count,
+    // mean events/session, mean and median duration. Durations are
+    // exact µs bigints (min/max per session), so every aggregate is
+    // exact-int until the final r4'd divisions/interpolation — and the
+    // whole thing rides the SAME user_id shuffle as sessionize plus
+    // one single-row reduction.
+    OpSpec(
+      "ts_session_stats",
+      (s, d) => {
+        val byUser = Window.partitionBy("user_id").orderBy("event_id")
+        val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val sess = ev(s, d)
+          .filter(col("user_id") < 10)
+          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+          .withColumn("new_sess",
+            when(col("prev_us").isNull ||
+              unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1L).otherwise(0L))
+          .withColumn("session_id", sum("new_sess").over(cum))
+          .groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"),
+            (max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))).as("dur_us"))
+        sess.agg(
+          count(lit(1)).as("n_sessions"),
+          P.r4(sum(col("n_events")).cast("double") / count(lit(1)).cast("double"))
+            .as("avg_events"),
+          P.r4(sum(col("dur_us")).cast("double") / count(lit(1)).cast("double") /
+            lit(60000000.0)).as("avg_minutes"),
+          P.r4(expr("percentile(dur_us, 0.5D)") / lit(60000000.0)).as("p50_minutes"))
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, epoch_us(cast(ts as timestamp)) AS us
+             |          FROM events WHERE user_id < 10),
+             |flagged AS (
+             |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+             |                 THEN 1 ELSE 0 END AS new_sess
+             |  FROM (SELECT *, lag(us, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_us FROM e)),
+             |sess AS (
+             |  SELECT user_id,
+             |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id, us
+             |  FROM flagged),
+             |per AS (
+             |  SELECT user_id, session_id, count(*) AS n_events,
+             |    max(us) - min(us) AS dur_us
+             |  FROM sess GROUP BY user_id, session_id)
+             |SELECT count(*) AS n_sessions,
+             |  round(cast(sum(n_events) as double) / cast(count(*) as double), 4) AS avg_events,
+             |  round(cast(sum(dur_us) as double) / cast(count(*) as double) / 60000000.0, 4) AS avg_minutes,
+             |  round(quantile_cont(dur_us, 0.5) / 60000000.0, 4) AS p50_minutes
+             |FROM per""".stripMargin),
+    ),
   )
 }

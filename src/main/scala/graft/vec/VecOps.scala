@@ -423,6 +423,43 @@ object VecOps {
            |ORDER BY keep_id, dup_id""".stripMargin
       },
     ),
+    // Threshold-tuning profile: the candidate-pair cosine HISTOGRAM a
+    // team reads before choosing a dedup τ — counts per 0.1-wide
+    // bucket over ALL scale-band LSH candidates (no τ filter). Bucket
+    // = floor(10·cos_r4) on identical r4'd doubles, deterministic in
+    // both engines. Same candidate plan as dedup_embed_lsh_scale, one
+    // extra tiny hash agg — the report is free once the candidates
+    // exist.
+    OpSpec(
+      "dedup_threshold_profile",
+      (s, d) => {
+        val sig = bandedSigScale(s, d).cache()
+        val cand = sig.select(col("vec_id").as("keep_id"), col("band"), col("bucket"))
+          .join(sig.select(col("vec_id").as("dup_id"), col("band"), col("bucket")),
+            Seq("band", "bucket"))
+          .filter(col("keep_id") < col("dup_id"))
+          .select("keep_id", "dup_id").distinct()
+        val va = vecsWithNorm(s, d)
+          .select(col("vec_id").as("keep_id"), col("e").as("ea"), col("nrm").as("na"))
+        val vb = vecsWithNorm(s, d)
+          .select(col("vec_id").as("dup_id"), col("e").as("eb"), col("nrm").as("nb"))
+        cand.join(va, Seq("keep_id")).join(vb, Seq("dup_id"))
+          .select(P.r4(dot("ea", "eb") / (col("na") * col("nb"))).as("cos_sim"))
+          .select(floor(col("cos_sim") * 10).cast("bigint").as("bucket"))
+          .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
+          .orderBy("bucket")
+      },
+      Some {
+        val anyBand = (0 until LshPlanes.Scale.nBands)
+          .map(b => s"a.b$b = b.b$b").mkString(" OR ")
+        s"""WITH $bandedSqlScale
+           |SELECT cast(floor(10 * round(list_inner_product(a.e, b.e) /
+           |        (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))), 4)) as bigint) AS bucket,
+           |  count(*) AS n_pairs
+           |FROM sgs a JOIN sgs b ON a.vec_id < b.vec_id AND ($anyBand)
+           |GROUP BY 1 ORDER BY bucket""".stripMargin
+      },
+    ),
     // k-NN JOIN — the batched form of sim_cosine_topk: top-3 neighbors
     // for EACH of a query set, not one vector. The query side (5 rows)
     // broadcasts; per-(query, candidate) scores reduce through a
