@@ -888,5 +888,29 @@ object Aggs {
              |GROUP BY o.o_orderstatus
              |ORDER BY o.o_orderstatus""".stripMargin),
     ),
+    // pandas .quantile([.25,.5,.75,.95]) — the multi-quantile summary
+    // in ONE hash aggregate: Spark's percentile takes an ARRAY of
+    // fractions and sorts each group once for all four order
+    // statistics (vs 4 separate aggs = 4 sorts). Exact-interpolation
+    // semantics match DuckDB quantile_cont (same p·(n−1) rule over
+    // the same 2-dp doubles), r4 per §2.0.
+    OpSpec(
+      "agg_quantile_multi",
+      (s, d) =>
+        T.orders(s, d)
+          .groupBy("o_orderstatus")
+          .agg(expr(
+            "percentile(o_totalprice, array(0.25D, 0.5D, 0.75D, 0.95D))").as("q"))
+          .select(col("o_orderstatus"),
+            P.r4(col("q")(0)).as("p25"), P.r4(col("q")(1)).as("p50"),
+            P.r4(col("q")(2)).as("p75"), P.r4(col("q")(3)).as("p95"))
+          .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus,
+             |  round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+             |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+             |  round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+             |  round(quantile_cont(o_totalprice, 0.95), 4) AS p95
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+    ),
   )
 }

@@ -1432,5 +1432,65 @@ object TimeSeries {
              |  round(quantile_cont(dur_us, 0.5) / 60000000.0, 4) AS p50_minutes
              |FROM per""".stripMargin),
     ),
+    // ACF profile: lag-1..5 autocorrelation per series in ONE pass —
+    // five lag columns off a single window sort, stack-unpivoted to
+    // (user, k, x, y) rows, then the grouped exact-decimal Pearson
+    // closed form per (user, k). The unpivot multiplies rows 5× AFTER
+    // the window (row-local, no extra shuffle); at 100 TB this is
+    // still one exchange + sort + one hash agg. The profile is what
+    // seasonality/AR-order diagnostics actually read (pandas
+    // plot_acf's data).
+    OpSpec(
+      "ts_acf_profile",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("event_id")
+        val base = ev(s, d).filter(col("user_id") < 4)
+        val lagged = (1 to 5).foldLeft(base) { (df, k) =>
+          df.withColumn(s"y$k", lag("value", k).over(w))
+        }
+        val stacked = lagged.select(col("user_id"), col("value"),
+          expr("stack(5, 1L, y1, 2L, y2, 3L, y3, 4L, y4, 5L, y5) as (k, y)"))
+          .filter(col("y").isNotNull)
+        val x = P.dec2(col("value"))
+        val y = P.dec2(col("y"))
+        stacked.groupBy("user_id", "k")
+          .agg(
+            count(lit(1)).cast("double").as("n"),
+            sum(x).cast("double").as("sx"),
+            sum(y).cast("double").as("sy"),
+            sum((x * x).cast("decimal(38,4)")).cast("double").as("sxx"),
+            sum((y * y).cast("decimal(38,4)")).cast("double").as("syy"),
+            sum((x * y).cast("decimal(38,4)")).cast("double").as("sxy"))
+          .select(col("user_id"), col("k"), col("n").cast("bigint").as("n_pairs"),
+            P.r4(P.div(col("n") * col("sxy") - col("sx") * col("sy"),
+              sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+                sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("acf"))
+          .orderBy("user_id", "k")
+      },
+      Some {
+        val lagCols = (1 to 5).map(k =>
+          s"lag(value, $k) OVER (PARTITION BY user_id ORDER BY event_id) AS y$k").mkString(",\n  ")
+        val arms = (1 to 5).map(k =>
+          s"SELECT user_id, value, cast($k as bigint) AS k, y$k AS y FROM lagged").mkString("\n  UNION ALL ")
+        s"""WITH lagged AS (
+           |  SELECT user_id, value,
+           |  $lagCols
+           |  FROM events WHERE user_id < 4),
+           |stacked AS (
+           |  $arms),
+           |sums AS (
+           |  SELECT user_id, k, cast(count(*) as double) AS n,
+           |    cast(sum(cast(value as decimal(18,2))) as double) AS sx,
+           |    cast(sum(cast(y as decimal(18,2))) as double) AS sy,
+           |    cast(sum(cast(cast(value as decimal(18,2)) * cast(value as decimal(18,2)) as decimal(38,4))) as double) AS sxx,
+           |    cast(sum(cast(cast(y as decimal(18,2)) * cast(y as decimal(18,2)) as decimal(38,4))) as double) AS syy,
+           |    cast(sum(cast(cast(value as decimal(18,2)) * cast(y as decimal(18,2)) as decimal(38,4))) as double) AS sxy
+           |  FROM stacked WHERE y IS NOT NULL GROUP BY user_id, k)
+           |SELECT user_id, k, cast(n as bigint) AS n_pairs,
+           |  round((n * sxy - sx * sy) /
+           |        nullif(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy), 0), 4) AS acf
+           |FROM sums ORDER BY user_id, k""".stripMargin
+      },
+    ),
   )
 }

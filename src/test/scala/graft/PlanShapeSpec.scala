@@ -149,6 +149,11 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("agg_winsorized_mean broadcasts the tiny boundary table (no fact-table re-shuffle)") {
+    val p = plan("agg_winsorized_mean")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("no CartesianProduct outside the deliberate cross/pairs queries") {
     val allowed = Set("join_cross", "sim_cosine_topk", "text_tfidf")
     val offenders = Registry.all
