@@ -56,7 +56,14 @@ class DeterminismSpec extends AnyFunSuite {
     // batch 7: growing-frame percentile
     "win_expanding_median",
     // batch 12: transcendental time-decay prefix fold
-    "ts_ewm_halflife_time")
+    "ts_ewm_halflife_time",
+    // round 9: wide-band LSH candidates + threshold histogram, rank-
+    // boundary winsorize + rank-sum gini (window-position devices),
+    // LTTB bucket argmax tie-break, ordered-fold log-prob, ACF stack
+    "dedup_embed_lsh_scale", "dedup_threshold_profile",
+    "agg_winsorized_mean", "agg_gini", "ts_downsample_lttb",
+    "text_unigram_logprob", "ts_acf_profile", "win_streak",
+    "ts_retention", "win_rolling_slope")
 
   test("order-sensitive queries return identical results across runs") {
     val failures = sensitive.flatMap { key =>
