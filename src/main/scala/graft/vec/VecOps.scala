@@ -570,7 +570,13 @@ object VecOps {
     OpSpec(
       "dedup_embed_survivors",
       (s, d) => {
-        val sig = bandedSig(s, d).cache() // both pair sides read it (slim)
+        // round 9: candidate stage moved to the SCALE band family
+        // (LshPlanes.Scale) after the sf1 stress run measured the
+        // 16-bucket base bands at ~90 s cold / 46x growth on 10x
+        // vectors (BASELINE.md "sf1 scale-stress") — same construction,
+        // 256 buckets/band, E[bucket] 16x smaller, sub-quadratic in
+        // the measured range. tau unchanged.
+        val sig = bandedSigScale(s, d).cache() // both pair sides read it (slim)
         val cand = sig.select(col("vec_id").as("a"), col("band"), col("bucket"))
           .join(sig.select(col("vec_id").as("b"), col("band"), col("bucket")),
             Seq("band", "bucket"))
@@ -591,12 +597,12 @@ object VecOps {
           .orderBy("label")
       },
       Some {
-        val anyBand = (0 until LshPlanes.nBands)
+        val anyBand = (0 until LshPlanes.Scale.nBands)
           .map(b => s"a.b$b = b.b$b").mkString(" OR ")
-        s"""WITH RECURSIVE $bandedSql,
+        s"""WITH RECURSIVE $bandedSqlScale,
            |prs AS (
            |  SELECT a.vec_id AS a, b.vec_id AS b
-           |  FROM sg a JOIN sg b ON a.vec_id < b.vec_id AND ($anyBand)
+           |  FROM sgs a JOIN sgs b ON a.vec_id < b.vec_id AND ($anyBand)
            |  WHERE round(list_inner_product(a.e, b.e) /
            |        (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))), 4) >= 0.4),
            |edges AS (SELECT a AS u, b AS v FROM prs UNION SELECT b, a FROM prs),
