@@ -912,5 +912,33 @@ object Aggs {
              |  round(quantile_cont(o_totalprice, 0.95), 4) AS p95
              |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
     ),
+    // Herfindahl–Hirschman concentration index of order volume across
+    // customers, per status — gini's cousin for "is this keyspace
+    // dominated by a few customers": HHI = Σcᵢ² / (Σcᵢ)² over per-
+    // customer order counts. All-integer sums (counts and squares of
+    // counts), ONE double division, r4. Two stacked hash aggs — the
+    // agg_key_skew shape with an exact concentration number instead
+    // of max/avg.
+    OpSpec(
+      "agg_herfindahl",
+      (s, d) =>
+        T.orders(s, d)
+          .groupBy("o_orderstatus", "o_custkey")
+          .agg(count(lit(1)).as("c"))
+          .groupBy("o_orderstatus")
+          .agg(
+            count(lit(1)).as("n_cust"),
+            sum(col("c")).as("n_orders"),
+            P.r4(sum(col("c") * col("c")).cast("double") /
+              (sum(col("c")) * sum(col("c"))).cast("double")).as("hhi"))
+          .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus, count(*) AS n_cust,
+             |  cast(sum(c) as bigint) AS n_orders,
+             |  round(cast(sum(c * c) as double) / cast(sum(c) * sum(c) as double), 4) AS hhi
+             |FROM (
+             |  SELECT o_orderstatus, o_custkey, count(*) AS c
+             |  FROM orders GROUP BY 1, 2)
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+    ),
   )
 }

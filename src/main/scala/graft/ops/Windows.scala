@@ -926,5 +926,59 @@ object Windows {
               |    FROM $EV))
               |ORDER BY event_id""".stripMargin),
     ),
+    // Max drawdown per series — the finance/monitoring staple: the
+    // worst peak-to-trough ratio of the running cumulative sum (a
+    // value series would work too; the cumsum makes a monotone-ish
+    // "equity curve" out of the event stream). Per row: dd =
+    // cum/cummax − 1 (identical IEEE division of exact decimal-sum
+    // doubles); per user: min(dd) r4'd once at the end. One window
+    // pass + one hash agg on the same user_id shuffle.
+    OpSpec(
+      "win_drawdown",
+      (s, d) =>
+        ev(s, d)
+          .withColumn("cdec", sum(P.dec2(col("value"))).over(cum))
+          .withColumn("c", col("cdec").cast("double"))
+          .withColumn("m", max(col("cdec")).over(cum).cast("double"))
+          .groupBy("user_id")
+          .agg(
+            count(lit(1)).as("n"),
+            P.r4(min(col("c") / col("m") - 1.0)).as("max_drawdown"))
+          .orderBy("user_id"),
+      // two explicit window levels: engines reject nested window calls
+      Some(s"""SELECT user_id, count(*) AS n,
+              |  round(min(cast(c as double) / cast(m as double) - 1.0), 4) AS max_drawdown
+              |FROM (
+              |  SELECT user_id, cdec AS c,
+              |    max(cdec) OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+              |  FROM (
+              |    SELECT user_id, event_id,
+              |      sum(cast(value as decimal(18,2))) OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cdec
+              |    FROM $EV))
+              |GROUP BY user_id ORDER BY user_id""".stripMargin),
+    ),
+    // rolling(10) ARGMAX — which event was the window's peak: the
+    // struct-max device (max of (value, event_id) pairs compares
+    // value first, then event_id — the tie policy is IN the struct
+    // ordering, identical in both engines; DuckDB spells the same
+    // pair-max over a row() value). No second scan, same WindowExec.
+    OpSpec(
+      "win_rolling_argmax",
+      (s, d) =>
+        ev(s, d)
+          .withColumn("peak",
+            max(struct(col("value").as("v"), col("event_id").as("i")))
+              .over(byUser.rowsBetween(-9, 0)))
+          .select(col("event_id"), col("user_id"),
+            col("peak.i").as("argmax_id"),
+            col("peak.v").as("peak_value"))
+          .orderBy("event_id"),
+      Some(s"""SELECT event_id, user_id,
+              |  (max({'v': value, 'i': event_id}) OVER w).i AS argmax_id,
+              |  (max({'v': value, 'i': event_id}) OVER w).v AS peak_value
+              |FROM $EV
+              |WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+              |ORDER BY event_id""".stripMargin),
+    ),
   )
 }

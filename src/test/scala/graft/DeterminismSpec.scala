@@ -63,7 +63,9 @@ class DeterminismSpec extends AnyFunSuite {
     "dedup_embed_lsh_scale", "dedup_threshold_profile",
     "agg_winsorized_mean", "agg_gini", "ts_downsample_lttb",
     "text_unigram_logprob", "ts_acf_profile", "win_streak",
-    "ts_retention", "win_rolling_slope")
+    "ts_retention", "win_rolling_slope",
+    // round 9 last: struct-max argmax tie, stacked cum/max windows
+    "win_rolling_argmax", "win_drawdown")
 
   test("order-sensitive queries return identical results across runs") {
     val failures = sensitive.flatMap { key =>
