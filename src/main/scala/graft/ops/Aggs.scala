@@ -940,5 +940,39 @@ object Aggs {
              |  FROM orders GROUP BY 1, 2)
              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
     ),
+    // Top-5-customer revenue share per status — the concentration
+    // question HHI summarizes, answered concretely: rank per-customer
+    // exact-decimal totals (ties broken by custkey, pinned), sum the
+    // top 5, divide by the group total. Per-customer agg is the only
+    // fact-table shuffle; the rank window runs over customer TOTALS
+    // (one row per customer), never raw orders.
+    OpSpec(
+      "agg_topn_share",
+      (s, d) => {
+        val per = T.orders(s, d)
+          .groupBy("o_orderstatus", "o_custkey")
+          .agg(sum(P.dec2(col("o_totalprice"))).as("rev"))
+          .withColumn("rk",
+            row_number().over(Window.partitionBy("o_orderstatus")
+              .orderBy(desc("rev"), col("o_custkey"))))
+        per.groupBy("o_orderstatus")
+          .agg(
+            count(lit(1)).as("n_cust"),
+            P.r4(sum(when(col("rk") <= 5, col("rev")).otherwise(lit(0).cast("decimal(18,2)")))
+              .cast("double") / sum(col("rev")).cast("double")).as("top5_share"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n_cust,
+             |  round(cast(sum(CASE WHEN rk <= 5 THEN rev ELSE 0.00 END) as double)
+             |        / cast(sum(rev) as double), 4) AS top5_share
+             |FROM (
+             |  SELECT o_orderstatus, o_custkey, rev,
+             |    row_number() OVER (PARTITION BY o_orderstatus ORDER BY rev DESC, o_custkey) AS rk
+             |  FROM (
+             |    SELECT o_orderstatus, o_custkey,
+             |      sum(cast(o_totalprice as decimal(18,2))) AS rev
+             |    FROM orders GROUP BY 1, 2))
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+    ),
   )
 }

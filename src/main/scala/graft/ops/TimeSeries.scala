@@ -1492,5 +1492,36 @@ object TimeSeries {
            |FROM sums ORDER BY user_id, k""".stripMargin
       },
     ),
+    // Week-over-week growth of weekly totals — the BI dashboard
+    // staple. The fact table reduces to one exact-decimal total per
+    // week FIRST (map-side combined hash agg), then a lag window over
+    // the handful of weekly rows; growth = cur/prev − 1 is one
+    // identical-IEEE division of exact sums, r4, NULL on the first
+    // week (P.div guard unneeded: prev is NULL, not zero).
+    OpSpec(
+      "ts_wow_growth",
+      (s, d) => {
+        val weekly = ev(s, d)
+          .groupBy(date_trunc("week", col("ts")).as("week"))
+          .agg(sum(P.dec2(col("value"))).as("total"))
+        val w = Window.orderBy("week") // tiny: one row per week
+        weekly
+          .withColumn("prev", lag("total", 1).over(w))
+          .select(P.tsOut(col("week")).as("week"),
+            col("total").cast("double").as("total"),
+            P.r4(col("total").cast("double") / col("prev").cast("double") - 1.0)
+              .as("wow_growth"))
+          .orderBy("week")
+      },
+      Some("""SELECT week, cast(total as double) AS total,
+             |  round(cast(total as double) / cast(prev as double) - 1.0, 4) AS wow_growth
+             |FROM (
+             |  SELECT week, total, lag(total, 1) OVER (ORDER BY week) AS prev
+             |  FROM (
+             |    SELECT date_trunc('week', cast(ts as timestamp)) AS week,
+             |      sum(cast(value as decimal(18,2))) AS total
+             |    FROM events GROUP BY 1))
+             |ORDER BY week""".stripMargin),
+    ),
   )
 }

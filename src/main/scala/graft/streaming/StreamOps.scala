@@ -385,4 +385,57 @@ object StreamOps {
     events.groupByKey(_.user_id)
       .transformWithState(new AnomalyProcessor, TimeMode.None(), OutputMode.Append())
   }
+
+  /** Streaming heavy hitters — the SPACE-SAVING sketch (Metwally,
+    * Agrawal, El Abbadi 2005): per shard at most `k` counters live in
+    * a [[org.apache.spark.sql.streaming.MapState]] (the third state
+    * primitive this tier exercises, after ValueState and ListState).
+    * On a tracked item the counter increments; on a new item with a
+    * full table the MIN counter is evicted and the newcomer inherits
+    * min+1 (the classic overestimate bound: any item with true count
+    * > n/k is guaranteed tracked). With k ≥ distinct items the sketch
+    * degenerates to EXACT counting — which is what StreamingSpec pins
+    * against the batch groupBy count; the eviction path is asserted
+    * separately with a small k. State is O(k) per shard forever —
+    * the always-bounded version of a streaming top-k. Each batch
+    * emits the current table; counts only grow, so max-per-item over
+    * all emissions equals the final table. */
+  case class HhIn(shard: Long, item: String)
+  case class HhOut(shard: Long, item: String, cnt: Long)
+
+  private class HeavyHittersProcessor(k: Int)
+      extends StatefulProcessor[Long, HhIn, HhOut] {
+    @transient private var counts: org.apache.spark.sql.streaming.MapState[String, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long](
+        "counts", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(
+        shard: Long, rows: Iterator[HhIn], tv: TimerValues): Iterator[HhOut] = {
+      // deterministic order: sort the batch's items (arrival order
+      // inside a batch is shuffle-dependent; eviction must not be)
+      rows.toSeq.sortBy(_.item).foreach { r =>
+        if (counts.containsKey(r.item)) {
+          counts.updateValue(r.item, counts.getValue(r.item) + 1L)
+        } else {
+          val entries = counts.iterator().toSeq
+          if (entries.size < k) counts.updateValue(r.item, 1L)
+          else {
+            // evict the min counter (ties: smallest item, pinned)
+            val (mItem, mCnt) = entries.minBy(e => (e._2, e._1))
+            counts.removeKey(mItem)
+            counts.updateValue(r.item, mCnt + 1L)
+          }
+        }
+      }
+      counts.iterator().toSeq.sortBy(_._1)
+        .map { case (item, c) => HhOut(shard, item, c) }.iterator
+    }
+  }
+
+  def streamingHeavyHitters(events: Dataset[HhIn], k: Int): Dataset[HhOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.shard)
+      .transformWithState(new HeavyHittersProcessor(k),
+        TimeMode.None(), OutputMode.Append())
+  }
 }

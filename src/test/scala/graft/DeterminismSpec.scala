@@ -64,8 +64,9 @@ class DeterminismSpec extends AnyFunSuite {
     "agg_winsorized_mean", "agg_gini", "ts_downsample_lttb",
     "text_unigram_logprob", "ts_acf_profile", "win_streak",
     "ts_retention", "win_rolling_slope",
-    // round 9 last: struct-max argmax tie, stacked cum/max windows
-    "win_rolling_argmax", "win_drawdown")
+    // round 9 last: struct-max argmax tie, stacked cum/max windows,
+    // rank-over-customer-totals top-N share (rev-tie broken by custkey)
+    "win_rolling_argmax", "win_drawdown", "agg_topn_share")
 
   test("order-sensitive queries return identical results across runs") {
     val failures = sensitive.flatMap { key =>

@@ -327,4 +327,46 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSet
     assert(streamed.nonEmpty && streamed == batch) // bit-exact, incl. the r4'd z
   }
+
+  test("streaming heavy hitters (MapState space-saving, k >= distinct) == batch counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val inRows = eventRows
+      .map(e => StreamOps.HhIn(e.user_id % 4, e.event_type))
+    val ms = MemoryStream[StreamOps.HhIn]
+    val q = StreamOps.streamingHeavyHitters(ms.toDS(), k = 8)
+      .writeStream.format("memory").queryName("t_hh").outputMode("append").start()
+    val (a, b) = inRows.splitAt(inRows.size / 2)
+    ms.addData(a); q.processAllAvailable()
+    ms.addData(b); q.processAllAvailable() // counters persist across batches
+    q.stop()
+    // counts only grow: max per (shard, item) over all emissions = final
+    val streamed = spark.table("t_hh").groupBy("shard", "item")
+      .agg(max("cnt").as("cnt")).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = inRows.groupBy(r => (r.shard, r.item))
+      .map { case (key, rs) => key -> rs.size.toLong }
+    assert(streamed == batch) // 5 distinct items < k=8 -> sketch is exact
+  }
+
+  test("space-saving eviction keeps the true top item with k < distinct") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // one shard, skewed: 'hot' = 60% of the stream, 4 cold items
+    val items = (0 until 200).map { i =>
+      StreamOps.HhIn(0L, if (i % 5 < 3) "hot" else s"cold${i % 4}")
+    }
+    val ms = MemoryStream[StreamOps.HhIn]
+    val q = StreamOps.streamingHeavyHitters(ms.toDS(), k = 3)
+      .writeStream.format("memory").queryName("t_hh_evict").outputMode("append").start()
+    ms.addData(items); q.processAllAvailable()
+    q.stop()
+    val finalTable = spark.table("t_hh_evict").groupBy("item")
+      .agg(max("cnt").as("cnt")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the space-saving guarantee: an item with true count > n/k stays
+    assert(finalTable.contains("hot"), s"hot item evicted: $finalTable")
+    // overestimate bound: tracked count >= true count
+    assert(finalTable("hot") >= 120L, s"hot undercounted: ${finalTable("hot")}")
+  }
 }
