@@ -974,5 +974,61 @@ object Aggs {
              |    FROM orders GROUP BY 1, 2))
              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
     ),
+    // Tukey-fence outlier count per group — the boxplot/robust-stats
+    // staple. Quartiles are rank-based ORDER STATISTICS (actual 2-dp
+    // values — the agg_winsorized_mean device), so the fences
+    // q1 ∓ 1.5·IQR stay in EXACT decimal arithmetic end-to-end (1.5 is
+    // a decimal(2,1) literal in both engines, never a double): the
+    // outlier comparison can't straddle an engine-rounding boundary by
+    // construction. Tiny bounds agg → broadcast join-back → one exact
+    // hash agg; the fact table shuffles once, at 100 TB as here.
+    OpSpec(
+      "agg_iqr_outliers",
+      (s, d) => {
+        val ranked = T.orders(s, d)
+          .select(col("o_orderstatus"), col("o_totalprice"))
+          .withColumn("i",
+            row_number().over(Window.partitionBy("o_orderstatus")
+              .orderBy("o_totalprice")).cast("bigint"))
+          .withColumn("n",
+            count(lit(1)).over(Window.partitionBy("o_orderstatus")))
+        val k15 = lit(new java.math.BigDecimal("1.5"))
+        val bounds = ranked.groupBy("o_orderstatus")
+          .agg(
+            min(when(col("i") === ceil(col("n") * 0.25), P.dec2(col("o_totalprice")))).as("q1"),
+            min(when(col("i") === ceil(col("n") * 0.75), P.dec2(col("o_totalprice")))).as("q3"))
+          .withColumn("lo", col("q1") - (col("q3") - col("q1")) * k15)
+          .withColumn("hi", col("q3") + (col("q3") - col("q1")) * k15)
+        T.orders(s, d).join(broadcast(bounds), Seq("o_orderstatus"))
+          .groupBy("o_orderstatus")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(when(col("o_totalprice") < col("lo") ||
+              col("o_totalprice") > col("hi"), 1L).otherwise(0L)).as("n_outliers"),
+            max(col("q1")).cast("double").as("q1"),
+            max(col("q3")).cast("double").as("q3"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o.o_orderstatus, count(*) AS n,
+             |  cast(sum(CASE WHEN o.o_totalprice < b.lo OR o.o_totalprice > b.hi
+             |           THEN 1 ELSE 0 END) as bigint) AS n_outliers,
+             |  cast(max(b.q1) as double) AS q1,
+             |  cast(max(b.q3) as double) AS q3
+             |FROM orders o JOIN (
+             |  SELECT o_orderstatus, q1, q3,
+             |    q1 - (q3 - q1) * 1.5 AS lo,
+             |    q3 + (q3 - q1) * 1.5 AS hi
+             |  FROM (
+             |    SELECT o_orderstatus,
+             |      min(CASE WHEN i = ceil(n * 0.25) THEN cast(o_totalprice as decimal(18,2)) END) AS q1,
+             |      min(CASE WHEN i = ceil(n * 0.75) THEN cast(o_totalprice as decimal(18,2)) END) AS q3
+             |    FROM (
+             |      SELECT o_orderstatus, o_totalprice,
+             |        cast(row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice) as bigint) AS i,
+             |        count(*) OVER (PARTITION BY o_orderstatus) AS n
+             |      FROM orders)
+             |    GROUP BY o_orderstatus)) b USING (o_orderstatus)
+             |GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus""".stripMargin),
+    ),
   )
 }

@@ -1523,5 +1523,150 @@ object TimeSeries {
              |    FROM events GROUP BY 1))
              |ORDER BY week""".stripMargin),
     ),
+    // VWAP — volume-weighted average price per (event_type, day), the
+    // market-data staple, with the weight extracted from the JSON props
+    // column (the json_get device feeding an agg). price·weight stays
+    // EXACT: decimal(18,2) × decimal(10,0) accumulated as decimal(38,2)
+    // (order-independent under any partitioning); one r4'd division at
+    // the end, nullif-guarded (weights can be 0). Row-local JSON
+    // extract + one map-combined hash agg — the 100 TB shape.
+    OpSpec(
+      "ts_vwap",
+      (s, d) => {
+        val w = get_json_object(col("props"), "$.k").cast("bigint")
+        ev(s, d)
+          .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+          .agg(
+            sum(w).as("volume"),
+            sum((P.dec2(col("value")) * w.cast("decimal(10,0)"))
+              .cast("decimal(38,2)")).as("pv"))
+          .select(col("event_type"), P.tsOut(col("day")).as("day"),
+            col("volume"),
+            P.r4(P.div(col("pv").cast("double"), col("volume").cast("double")))
+              .as("vwap"))
+          .orderBy("event_type", "day")
+      },
+      Some("""SELECT event_type, day, cast(volume as bigint) AS volume,
+             |  round(cast(pv as double) / nullif(cast(volume as double), 0), 4) AS vwap
+             |FROM (
+             |  SELECT event_type, date_trunc('day', cast(ts as timestamp)) AS day,
+             |    sum(k) AS volume,
+             |    sum(cast(cast(value as decimal(18,2)) * cast(k as decimal(10,0)) as decimal(38,2))) AS pv
+             |  FROM (
+             |    SELECT event_type, ts, value,
+             |      cast(json_extract_string(props, '$.k') as bigint) AS k
+             |    FROM events)
+             |  GROUP BY 1, 2)
+             |ORDER BY event_type, day""".stripMargin),
+    ),
+    // RSI(14), Cutler's SMA form — the technical-analysis staple on
+    // the exact-arithmetic plan: diff of 2-dp decimals is exact, gains
+    // and losses stay decimal through the 14-row rolling sums (one
+    // WindowExec per user shard, no re-shuffle), and the only IEEE
+    // step is the final 100·g/(g+l) division, r4'd and nullif-guarded
+    // (a flat window has g+l = 0). Cutler over Wilder: the SMA form
+    // is order-k windowed (scales as any rolling sum); Wilder's
+    // recursive smoothing is the ts_ewm_adjust_false device.
+    OpSpec(
+      "ts_rsi",
+      (s, d) => {
+        val byU = Window.partitionBy("user_id").orderBy("event_id")
+        val r14 = byU.rowsBetween(-13, 0)
+        ev(s, d)
+          .withColumn("diff",
+            P.dec2(col("value")) - P.dec2(lag("value", 1).over(byU)))
+          .withColumn("gain", greatest(col("diff"), lit(0).cast("decimal(18,2)")))
+          .withColumn("loss", greatest(-col("diff"), lit(0).cast("decimal(18,2)")))
+          .withColumn("nd", count(col("diff")).over(r14))
+          .withColumn("g", sum(col("gain")).over(r14).cast("double"))
+          .withColumn("l", sum(col("loss")).over(r14).cast("double"))
+          .select(col("event_id"), col("user_id"),
+            when(col("nd") === 14,
+              P.r4(P.div(col("g") * 100, col("g") + col("l")))).as("rsi14"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             |  CASE WHEN nd = 14 THEN round(g * 100 / nullif(g + l, 0), 4) END AS rsi14
+             |FROM (
+             |  SELECT event_id, user_id,
+             |    count(diff) OVER w AS nd,
+             |    cast(sum(greatest(diff, 0.00)) OVER w as double) AS g,
+             |    cast(sum(greatest(-diff, 0.00)) OVER w as double) AS l
+             |  FROM (
+             |    SELECT event_id, user_id,
+             |      cast(value as decimal(18,2)) -
+             |        cast(lag(value, 1) OVER (PARTITION BY user_id ORDER BY event_id) as decimal(18,2)) AS diff
+             |    FROM events)
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+             |ORDER BY event_id""".stripMargin),
+    ),
+    // resample('1h').mean().interpolate(method='time') — the full
+    // pandas upsample-and-fill chain: hourly buckets (exact decimal
+    // sums), the generated spine supplies EMPTY buckets, then linear
+    // time-interpolation fills them from the bracketing observed
+    // means (the ts_interpolate_time prev/next device, here over the
+    // SPINE — thousands of hours at any corpus size, never the fact
+    // table, so the unpartitioned window is bounded by the time range
+    // exactly like ts_resample_spine). Spine edges are observed by
+    // construction (lo/hi = min/max event hours), so no edge nulls.
+    OpSpec(
+      "ts_resample_interpolate",
+      (s, d) => {
+        val e7 = ev(s, d).filter(col("user_id") === 7)
+        val buckets = e7
+          .groupBy(date_trunc("hour", col("ts")).as("h"))
+          .agg((sum(P.dec2(col("value"))).cast("double") /
+            count(lit(1)).cast("double")).as("m"))
+        val spine = e7
+          .agg(date_trunc("hour", min(col("ts"))).as("lo"),
+            date_trunc("hour", max(col("ts"))).as("hi"))
+          .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("h"))
+        val ordered = Window.orderBy("h") // spine-sized: hours, not rows
+        val back = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val fwd = ordered.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        spine.join(broadcast(buckets), Seq("h"), "left")
+          .withColumn("t", unix_micros(col("h")))
+          .withColumn("pm", last("m", ignoreNulls = true).over(back))
+          .withColumn("pt", last(when(col("m").isNotNull, col("t")), ignoreNulls = true).over(back))
+          .withColumn("nm", first("m", ignoreNulls = true).over(fwd))
+          .withColumn("nt", first(when(col("m").isNotNull, col("t")), ignoreNulls = true).over(fwd))
+          .select(P.tsOut(col("h")).as("h"),
+            // UNROUNDED double out — the ts_interpolate_time-proven
+            // device: the interp arithmetic is bit-identical across
+            // engines, while round(,4) near a .00005 boundary is not
+            when(col("m").isNotNull, col("m"))
+              .otherwise(col("pm") + (col("nm") - col("pm")) *
+                (col("t") - col("pt")).cast("double") /
+                (col("nt") - col("pt")).cast("double")).as("v_interp"),
+            col("m").isNotNull.as("observed"))
+          .orderBy("h")
+      },
+      Some("""WITH e AS (SELECT cast(ts as timestamp) AS ts, value
+             |           FROM events WHERE user_id = 7),
+             |b AS (SELECT date_trunc('hour', ts) AS h,
+             |        cast(sum(cast(value as decimal(18,2))) as double)
+             |          / cast(count(*) as double) AS m
+             |      FROM e GROUP BY 1),
+             |r AS (SELECT date_trunc('hour', min(ts)) AS lo,
+             |             date_trunc('hour', max(ts)) AS hi FROM e),
+             |sp AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM r),
+             |j AS (SELECT sp.h AS h, b.m AS m, epoch_us(sp.h) AS t
+             |      FROM sp LEFT JOIN b USING (h))
+             |SELECT h,
+             |  CASE WHEN m IS NOT NULL THEN m
+             |       ELSE pm + (nm - pm) * cast(t - pt as double) / cast(nt - pt as double)
+             |  END AS v_interp,
+             |  m IS NOT NULL AS observed
+             |FROM (
+             |  SELECT h, m, t,
+             |    last_value(m IGNORE NULLS) OVER wb AS pm,
+             |    last_value(CASE WHEN m IS NOT NULL THEN t END IGNORE NULLS) OVER wb AS pt,
+             |    first_value(m IGNORE NULLS) OVER wf AS nm,
+             |    first_value(CASE WHEN m IS NOT NULL THEN t END IGNORE NULLS) OVER wf AS nt
+             |  FROM j
+             |  WINDOW wb AS (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             |         wf AS (ORDER BY h ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+             |ORDER BY h""".stripMargin),
+    ),
   )
 }

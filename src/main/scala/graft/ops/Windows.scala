@@ -980,5 +980,51 @@ object Windows {
               |WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
               |ORDER BY event_id""".stripMargin),
     ),
+    // Bollinger bands — rolling(20) mean ± 2σ and the breach flag, the
+    // charting staple. Mean and σ come from the win_rolling_std exact
+    // moment sums (decimal s1/s2, one WindowExec, no re-shuffle); the
+    // band arithmetic and the breach comparison share one formula TEXT
+    // with the oracle, so the inequality can never split engines. The
+    // parquet double `value` is compared un-cast on both sides (same
+    // bits read from the same file). Bands only where the frame is
+    // full (rn = 20), matching pandas rolling(20, min_periods=20).
+    OpSpec(
+      "win_bollinger",
+      (s, d) => {
+        val roll20 = byUser.rowsBetween(-19, 0)
+        ev(s, d)
+          .withColumn("rn", count(lit(1)).over(roll20))
+          .withColumn("sx", sum(P.dec2(col("value"))).over(roll20).cast("double"))
+          .withColumn("sq",
+            sum((P.dec2(col("value")) * P.dec2(col("value"))).cast("decimal(38,4)"))
+              .over(roll20).cast("double"))
+          .withColumn("m", col("sx") / 20)
+          .withColumn("sd", sqrt((col("sq") - col("sx") * col("sx") / 20) / 19))
+          .select(col("event_id"), col("user_id"),
+            when(col("rn") === 20, P.r4(col("m"))).as("mid"),
+            when(col("rn") === 20, P.r4(col("m") + col("sd") * 2)).as("upper"),
+            when(col("rn") === 20, P.r4(col("m") - col("sd") * 2)).as("lower"),
+            // non-null boolean (no band -> no breach): a nullable bool
+            // dtype-splits the comparator (None vs NaN in pandas)
+            coalesce(when(col("rn") === 20,
+              col("value") > col("m") + col("sd") * 2 ||
+                col("value") < col("m") - col("sd") * 2), lit(false)).as("breach"))
+          .orderBy("event_id")
+      },
+      Some(s"""SELECT event_id, user_id,
+              |  CASE WHEN rn = 20 THEN round(sx / 20, 4) END AS mid,
+              |  CASE WHEN rn = 20 THEN round(sx / 20 + 2 * sqrt((sq - sx * sx / 20) / 19), 4) END AS upper,
+              |  CASE WHEN rn = 20 THEN round(sx / 20 - 2 * sqrt((sq - sx * sx / 20) / 19), 4) END AS lower,
+              |  coalesce(CASE WHEN rn = 20 THEN value > sx / 20 + 2 * sqrt((sq - sx * sx / 20) / 19)
+              |                       OR value < sx / 20 - 2 * sqrt((sq - sx * sx / 20) / 19) END, false) AS breach
+              |FROM (
+              |  SELECT event_id, user_id, value,
+              |    count(*) OVER w AS rn,
+              |    cast(sum(cast(value as decimal(18,2))) OVER w as double) AS sx,
+              |    cast(sum(cast(cast(value as decimal(18,2)) * cast(value as decimal(18,2)) as decimal(38,4))) OVER w as double) AS sq
+              |  FROM $EV
+              |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+              |ORDER BY event_id""".stripMargin),
+    ),
   )
 }

@@ -66,7 +66,10 @@ class DeterminismSpec extends AnyFunSuite {
     "ts_retention", "win_rolling_slope",
     // round 9 last: struct-max argmax tie, stacked cum/max windows,
     // rank-over-customer-totals top-N share (rev-tie broken by custkey)
-    "win_rolling_argmax", "win_drawdown", "agg_topn_share")
+    "win_rolling_argmax", "win_drawdown", "agg_topn_share",
+    // round 9 final: rank-based Tukey fences (value-at-rank invariant
+    // under tie order), spine prev/next interpolation windows
+    "agg_iqr_outliers", "ts_resample_interpolate")
 
   test("order-sensitive queries return identical results across runs") {
     val failures = sensitive.flatMap { key =>
