@@ -1030,5 +1030,82 @@ object Aggs {
              |    GROUP BY o_orderstatus)) b USING (o_orderstatus)
              |GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus""".stripMargin),
     ),
+    // Trimmed (10%) mean per group — winsorize's sibling: DROP the
+    // tails instead of clamping them. Same rank-based order-statistic
+    // boundaries, but no join-back at all: one ranked window + one
+    // exact hash agg (sum only the mid-rank 2-dp decimals, divide by
+    // their count). Rank ties order arbitrarily but the SET of kept
+    // ranks is tie-order-invariant, so the sum is deterministic.
+    OpSpec(
+      "agg_trimmed_mean",
+      (s, d) =>
+        T.orders(s, d)
+          .select(col("o_orderstatus"), col("o_totalprice"))
+          .withColumn("i",
+            row_number().over(Window.partitionBy("o_orderstatus")
+              .orderBy("o_totalprice")).cast("bigint"))
+          .withColumn("n",
+            count(lit(1)).over(Window.partitionBy("o_orderstatus")))
+          .withColumn("keep",
+            col("i") > ceil(col("n") * 0.1) && col("i") <= ceil(col("n") * 0.9))
+          .groupBy("o_orderstatus")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+            (sum(when(col("keep"), P.dec2(col("o_totalprice")))).cast("double") /
+              sum(when(col("keep"), 1L).otherwise(0L)).cast("double")).as("tmean"))
+          .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             |  cast(sum(CASE WHEN keep THEN 1 ELSE 0 END) as bigint) AS n_kept,
+             |  cast(sum(CASE WHEN keep THEN cast(o_totalprice as decimal(18,2)) END) as double)
+             |    / cast(sum(CASE WHEN keep THEN 1 ELSE 0 END) as double) AS tmean
+             |FROM (
+             |  SELECT o_orderstatus, o_totalprice,
+             |    i > ceil(n * 0.1) AND i <= ceil(n * 0.9) AS keep
+             |  FROM (
+             |    SELECT o_orderstatus, o_totalprice,
+             |      cast(row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice) as bigint) AS i,
+             |      count(*) OVER (PARTITION BY o_orderstatus) AS n
+             |    FROM orders))
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+    ),
+    // Benford first-digit profile — the data-QA / fraud-screening
+    // staple: observed leading-digit frequency vs the Benford
+    // expectation log10(1+1/d). The digit comes from the DECIMAL
+    // STRING (first char in [1-9] of the canonical 2-dp rendering —
+    // identical text both engines), never floor(log10(x)) whose libm
+    // boundary could split engines. Row-local extract + one tiny hash
+    // agg; the frequency and expectation are r4'd.
+    OpSpec(
+      "agg_benford",
+      (s, d) => {
+        val digits = T.orders(s, d)
+          .filter(col("o_totalprice") > 0)
+          .select(substring(regexp_replace(
+            P.dec2(col("o_totalprice")).cast("string"), "[^1-9]", ""), 1, 1)
+            .cast("int").as("digit"))
+        // whole-frame proportion window over the ≤9-row AGGREGATE (the
+        // agg_value_counts_norm device) — no driver action, no wide
+        // single-partition window
+        digits.groupBy("digit")
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("total", sum(col("cnt")).over(Window.partitionBy()))
+          .select(col("digit"), col("cnt"),
+            P.r4(col("cnt").cast("double") / col("total").cast("double")).as("freq"),
+            P.r4(log10(lit(1.0) + lit(1.0) / col("digit").cast("double"))).as("benford"))
+          .orderBy("digit")
+      },
+      Some("""SELECT digit, cnt,
+             |  round(cast(cnt as double) / cast(sum(cnt) OVER () as double), 4) AS freq,
+             |  round(log10(1.0 + 1.0 / cast(digit as double)), 4) AS benford
+             |FROM (
+             |  SELECT digit, count(*) AS cnt
+             |  FROM (
+             |    SELECT cast(substring(regexp_replace(
+             |      cast(cast(o_totalprice as decimal(18,2)) as varchar), '[^1-9]', '', 'g'), 1, 1) as int) AS digit
+             |    FROM orders WHERE o_totalprice > 0)
+             |  GROUP BY digit)
+             |ORDER BY digit""".stripMargin),
+    ),
   )
 }

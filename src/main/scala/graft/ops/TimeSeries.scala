@@ -1668,5 +1668,99 @@ object TimeSeries {
              |         wf AS (ORDER BY h ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
              |ORDER BY h""".stripMargin),
     ),
+    // Month-to-date running total — the BI dashboard counterpart of
+    // ts_wow_growth: daily exact-decimal totals FIRST (the only fact
+    // shuffle, map-combined), then a cumsum window PARTITIONED BY
+    // month — the reset-on-period-boundary semantics pandas spells
+    // groupby(month).cumsum(). The window runs over daily rows (≤31
+    // per partition at any corpus size). Decimal sums end-to-end; the
+    // doubles are exact casts.
+    OpSpec(
+      "ts_mtd_cumulative",
+      (s, d) => {
+        val daily = ev(s, d)
+          .groupBy(date_trunc("day", col("ts")).as("day"))
+          .agg(sum(P.dec2(col("value"))).as("daily_total"))
+          .withColumn("month", date_trunc("month", col("day")))
+        val mtd = Window.partitionBy("month").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        daily
+          .select(P.tsOut(col("day")).as("day"),
+            col("daily_total").cast("double").as("daily_total"),
+            sum(col("daily_total")).over(mtd).cast("double").as("mtd_total"))
+          .orderBy("day")
+      },
+      Some("""SELECT day, cast(daily_total as double) AS daily_total,
+             |  cast(sum(daily_total) OVER (PARTITION BY date_trunc('month', day)
+             |    ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as double) AS mtd_total
+             |FROM (
+             |  SELECT date_trunc('day', cast(ts as timestamp)) AS day,
+             |    sum(cast(value as decimal(18,2))) AS daily_total
+             |  FROM events GROUP BY 1)
+             |ORDER BY day""".stripMargin),
+    ),
+    // Classical additive seasonal decomposition (statsmodels
+    // seasonal_decompose, period=24) of the global hourly series:
+    // observed = trend + seasonal + residual. Trend is the centered
+    // 25-hour rolling mean (one division of an exact-decimal window
+    // sum); the hour-of-day seasonal means and their grand-mean
+    // centering sum DOUBLES, so both use the ordered-fold device
+    // (Spark sorted-struct aggregate fold == DuckDB list_sum(list(x
+    // ORDER BY k)) — the text_unigram_logprob equivalence) — bit-
+    // deterministic, hence emitted UNROUNDED. Every window/fold runs
+    // over the HOURLY frame (hours of history, never fact rows); the
+    // seasonal table is 24 rows, broadcast back. One fact shuffle
+    // total — the 100 TB shape.
+    OpSpec(
+      "ts_seasonal_decompose",
+      (s, d) => {
+        val hourly = ev(s, d)
+          .groupBy(date_trunc("hour", col("ts")).as("h"))
+          .agg(sum(P.dec2(col("value"))).as("st"))
+        val w25 = Window.orderBy("h").rowsBetween(-12, 12) // hourly frame: bounded
+        val t2 = hourly
+          .withColumn("obs", col("st").cast("double"))
+          .withColumn("trend", when(count(lit(1)).over(w25) === 25,
+            sum(col("st")).over(w25).cast("double") / 25))
+          .withColumn("det", col("obs") - col("trend"))
+          .withColumn("hod", hour(col("h")))
+        val sm = t2.filter(col("det").isNotNull)
+          .groupBy("hod")
+          .agg((expr("""aggregate(
+                       |  transform(array_sort(collect_list(struct(h, det))), x -> x.det),
+                       |  0D, (acc, x) -> acc + x)""".stripMargin) /
+            count(lit(1)).cast("double")).as("smean"))
+        val g = sm.agg((expr("""aggregate(
+                               |  transform(array_sort(collect_list(struct(hod, smean))), x -> x.smean),
+                               |  0D, (acc, x) -> acc + x)""".stripMargin) /
+          count(lit(1)).cast("double")).as("gmean"))
+        t2.join(broadcast(sm), Seq("hod"))
+          .crossJoin(broadcast(g))
+          .select(P.tsOut(col("h")).as("h"), col("obs"), col("trend"),
+            (col("smean") - col("gmean")).as("seasonal"),
+            (col("det") - (col("smean") - col("gmean"))).as("resid"))
+          .orderBy("h")
+      },
+      Some("""WITH hourly AS (
+             |  SELECT date_trunc('hour', cast(ts as timestamp)) AS h,
+             |    sum(cast(value as decimal(18,2))) AS st
+             |  FROM events GROUP BY 1),
+             |t AS (
+             |  SELECT h, cast(st as double) AS obs,
+             |    CASE WHEN count(*) OVER w = 25
+             |         THEN cast(sum(st) OVER w as double) / 25 END AS trend
+             |  FROM hourly
+             |  WINDOW w AS (ORDER BY h ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+             |t2 AS (SELECT h, obs, trend, obs - trend AS det,
+             |         extract(hour FROM h) AS hod FROM t),
+             |sm AS (SELECT hod, list_sum(list(det ORDER BY h)) / cast(count(*) as double) AS smean
+             |       FROM t2 WHERE det IS NOT NULL GROUP BY hod),
+             |g AS (SELECT list_sum(list(smean ORDER BY hod)) / cast(count(*) as double) AS gmean FROM sm)
+             |SELECT t2.h AS h, t2.obs AS obs, t2.trend AS trend,
+             |  sm.smean - g.gmean AS seasonal,
+             |  t2.det - (sm.smean - g.gmean) AS resid
+             |FROM t2 JOIN sm USING (hod) CROSS JOIN g
+             |ORDER BY h""".stripMargin),
+    ),
   )
 }

@@ -411,6 +411,88 @@ object NearDup {
               |WHERE doc_id < 100 AND doc_id NOT IN (SELECT id FROM losers)
               |GROUP BY source ORDER BY source""".stripMargin),
     ),
+    // QUALITY-AWARE survivor selection — what production pipelines
+    // actually do: within each near-dup cluster keep the HIGHEST-
+    // quality member (the text_quality_score formula), not the
+    // smallest id. Composition: simhash Hamming≤1 pairs → components
+    // (DedupCluster) → left-join labels onto the corpus (singletons
+    // keep themselves) → per-cluster argmax via the struct-MIN device:
+    // min of (−quality, doc_id, quality) orders quality DESC with the
+    // id tie-break INSIDE the struct ordering — identical in both
+    // engines, no arg_max whose tie policy is engine-private. Quality
+    // doubles come from one shared formula text, so the comparison
+    // can't split engines. Per-doc quality is one explode+agg (the
+    // token shuffle); everything after moves (id, cluster, quality)
+    // triples only — the 100 TB shape.
+    OpSpec(
+      "dedup_survivors_quality",
+      (s, d) => {
+        val docs = T.documents(s, d).filter(col("doc_id") < 100)
+        val quality = docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            countDistinct(col("w")).as("n_distinct"),
+            sum(length(col("w"))).as("sum_len"))
+          .select(col("doc_id"),
+            (col("n_distinct").cast("double") / col("n_tokens") * 0.5 +
+              col("sum_len").cast("double") / col("n_tokens") * 0.05).as("quality"))
+        val sh = simhashDf(s, d).cache() // one int64/doc; feeds both join sides
+        val flips = array((lit(0L) +: (0 until 16).map(b => lit(1L << b))): _*)
+        val probe = sh.select(col("doc_id").as("a"), col("simhash").as("sa"),
+            explode(flips).as("flip"))
+          .select(col("a"), col("sa").bitwiseXOR(col("flip")).as("bucket"))
+        val pairs = probe
+          .join(sh.select(col("doc_id").as("b"), col("simhash").as("bucket2")),
+            col("bucket") === col("bucket2") && col("a") < col("b"))
+          .select("a", "b").distinct()
+        val labels = DedupCluster.clusters(pairs, iters = 20, minRounds = 3)
+        docs.select(col("doc_id"))
+          .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+          .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+          .join(quality, Seq("doc_id"))
+          .groupBy("cluster")
+          .agg(count(lit(1)).as("n_members"),
+            min(struct((col("quality") * -1).as("nq"),
+              col("doc_id").as("i"), col("quality").as("q"))).as("best"))
+          .select(col("cluster"), col("n_members"),
+            col("best.i").as("survivor_id"),
+            round(col("best.q"), 4).as("survivor_quality"))
+          .orderBy("cluster")
+      },
+      Some(s"""WITH RECURSIVE $simhashSql,
+              |prs AS (
+              |  SELECT x.doc_id AS a, y.doc_id AS b
+              |  FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+              |  WHERE bit_count(xor(x.simhash, y.simhash)) <= 1),
+              |edges AS (SELECT a AS u, b AS v FROM prs UNION SELECT b, a FROM prs),
+              |reach AS (
+              |  SELECT u AS id, v AS nb FROM edges
+              |  UNION
+              |  SELECT r.id, e.v FROM reach r JOIN edges e ON e.u = r.nb),
+              |lbl AS (SELECT id, least(id, min(nb)) AS cluster
+              |        FROM reach GROUP BY id),
+              |q AS (
+              |  SELECT doc_id,
+              |    cast(n_distinct as double) / n_tokens * 0.5 +
+              |      cast(sum_len as double) / n_tokens * 0.05 AS quality
+              |  FROM (
+              |    SELECT doc_id, count(*) AS n_tokens, count(DISTINCT w) AS n_distinct,
+              |      cast(sum(length(w)) as bigint) AS sum_len
+              |    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              |          FROM documents WHERE doc_id < 100)
+              |    GROUP BY doc_id))
+              |SELECT cluster, count(*) AS n_members,
+              |  (min({'nq': -quality, 'i': doc_id, 'q': quality})).i AS survivor_id,
+              |  round((min({'nq': -quality, 'i': doc_id, 'q': quality})).q, 4) AS survivor_quality
+              |FROM (
+              |  SELECT d.doc_id, coalesce(l.cluster, d.doc_id) AS cluster, q.quality
+              |  FROM documents d
+              |  LEFT JOIN lbl l ON l.id = d.doc_id
+              |  JOIN q ON q.doc_id = d.doc_id
+              |  WHERE d.doc_id < 100)
+              |GROUP BY cluster ORDER BY cluster""".stripMargin),
+    ),
   )
 
   /** (doc_id, simhash) for docs 0–99 — shared by the declared sketch

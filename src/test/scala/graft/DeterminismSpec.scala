@@ -69,7 +69,10 @@ class DeterminismSpec extends AnyFunSuite {
     "win_rolling_argmax", "win_drawdown", "agg_topn_share",
     // round 9 final: rank-based Tukey fences (value-at-rank invariant
     // under tie order), spine prev/next interpolation windows
-    "agg_iqr_outliers", "ts_resample_interpolate")
+    "agg_iqr_outliers", "ts_resample_interpolate",
+    // round 9 staples 2: kept-rank-set trimmed mean, cluster + struct-
+    // min quality survivor, ordered-fold seasonal decomposition
+    "agg_trimmed_mean", "dedup_survivors_quality", "ts_seasonal_decompose")
 
   test("order-sensitive queries return identical results across runs") {
     val failures = sensitive.flatMap { key =>
