@@ -177,10 +177,13 @@ object TimeSeries {
           .filter(col("user_id") === 7)
           .withColumn("v", when(col("event_type") === "view", lit(null)).otherwise(col("value")))
           .withColumn("i", row_number().over(ordered).cast("bigint"))
-          .withColumn("prev_v", last("v", ignoreNulls = true).over(back))
-          .withColumn("pi", last(when(col("v").isNotNull, col("i")), ignoreNulls = true).over(back))
-          .withColumn("next_v", first("v", ignoreNulls = true).over(fwd))
-          .withColumn("ni", first(when(col("v").isNotNull, col("i")), ignoreNulls = true).over(fwd))
+          // the four prev/next functions (dependent on i) in one
+          // projection level -> ONE WindowExec above the row_number's
+          .select(col("*"),
+            last("v", ignoreNulls = true).over(back).as("prev_v"),
+            last(when(col("v").isNotNull, col("i")), ignoreNulls = true).over(back).as("pi"),
+            first("v", ignoreNulls = true).over(fwd).as("next_v"),
+            first(when(col("v").isNotNull, col("i")), ignoreNulls = true).over(fwd).as("ni"))
           .select(col("event_id"), col("v"),
             when(col("v").isNotNull, col("v"))
               .when(col("prev_v").isNotNull && col("next_v").isNotNull,
@@ -228,10 +231,13 @@ object TimeSeries {
           .filter(col("user_id") === 7)
           .withColumn("v", when(col("event_type") === "view", lit(null)).otherwise(col("value")))
           .withColumn("i", row_number().over(ordered).cast("bigint"))
-          .withColumn("prev_v", last("v", ignoreNulls = true).over(back))
-          .withColumn("pi", last(when(col("v").isNotNull, col("i")), ignoreNulls = true).over(back))
-          .withColumn("next_v", first("v", ignoreNulls = true).over(fwd))
-          .withColumn("ni", first(when(col("v").isNotNull, col("i")), ignoreNulls = true).over(fwd))
+          // the four prev/next functions (dependent on i) in one
+          // projection level -> ONE WindowExec above the row_number's
+          .select(col("*"),
+            last("v", ignoreNulls = true).over(back).as("prev_v"),
+            last(when(col("v").isNotNull, col("i")), ignoreNulls = true).over(back).as("pi"),
+            first("v", ignoreNulls = true).over(fwd).as("next_v"),
+            first(when(col("v").isNotNull, col("i")), ignoreNulls = true).over(fwd).as("ni"))
           .select(col("event_id"), col("v"),
             when(col("v").isNotNull, col("v"))
               .when(col("prev_v").isNotNull && col("next_v").isNotNull &&
@@ -384,12 +390,14 @@ object TimeSeries {
         ev(s, d)
           .filter(col("user_id") < 10)
           .withColumn("i", row_number().over(byUser).cast("double"))
-          .withColumn("sw", sum(pow(lit(2.0), col("i"))).over(cum))
-          .withColumn("sww", sum(pow(lit(4.0), col("i"))).over(cum))
-          .withColumn("swx", sum(col("value") * pow(lit(2.0), col("i"))).over(cum))
-          .withColumn("swxx",
-            sum(col("value") * col("value") * pow(lit(2.0), col("i"))).over(cum))
-          .withColumn("nn", count(lit(1)).over(cum))
+          // five cum functions, one projection level -> ONE fused
+          // WindowExec above the row_number's (2 nodes total, was 5)
+          .select(col("*"),
+            sum(pow(lit(2.0), col("i"))).over(cum).as("sw"),
+            sum(pow(lit(4.0), col("i"))).over(cum).as("sww"),
+            sum(col("value") * pow(lit(2.0), col("i"))).over(cum).as("swx"),
+            sum(col("value") * col("value") * pow(lit(2.0), col("i"))).over(cum).as("swxx"),
+            count(lit(1)).over(cum).as("nn"))
           .select(col("event_id"), col("user_id"),
             when(col("nn") > 1,
               P.r4(sqrt(greatest(
@@ -436,15 +444,18 @@ object TimeSeries {
         val valid = col("y").isNotNull
         ev(s, d)
           .filter(col("user_id") < 10)
-          .withColumn("y", lag("value", 1).over(byUser))
-          .withColumn("i", row_number().over(byUser).cast("double"))
-          .withColumn("sw", sum(when(valid, pow(lit(2.0), col("i")))).over(cum))
-          .withColumn("sww", sum(when(valid, pow(lit(4.0), col("i")))).over(cum))
-          .withColumn("swx", sum(when(valid, col("value") * pow(lit(2.0), col("i")))).over(cum))
-          .withColumn("swy", sum(when(valid, col("y") * pow(lit(2.0), col("i")))).over(cum))
-          .withColumn("swxy",
-            sum(when(valid, col("value") * col("y") * pow(lit(2.0), col("i")))).over(cum))
-          .withColumn("nn", count(col("y")).over(cum))
+          // lag + row_number share one spec -> fuse into ONE node; the
+          // six cum sums (dependent on y, i) fuse into a SECOND
+          .select(col("*"),
+            lag("value", 1).over(byUser).as("y"),
+            row_number().over(byUser).cast("double").as("i"))
+          .select(col("*"),
+            sum(when(valid, pow(lit(2.0), col("i")))).over(cum).as("sw"),
+            sum(when(valid, pow(lit(4.0), col("i")))).over(cum).as("sww"),
+            sum(when(valid, col("value") * pow(lit(2.0), col("i")))).over(cum).as("swx"),
+            sum(when(valid, col("y") * pow(lit(2.0), col("i")))).over(cum).as("swy"),
+            sum(when(valid, col("value") * col("y") * pow(lit(2.0), col("i")))).over(cum).as("swxy"),
+            count(col("y")).over(cum).as("nn"))
           .select(col("event_id"), col("user_id"),
             when(col("nn") > 1,
               P.r4((col("sw") * col("sw") / (col("sw") * col("sw") - col("sww"))) *
@@ -491,18 +502,19 @@ object TimeSeries {
           (col("swyy") / col("sw") - my * my)
         ev(s, d)
           .filter(col("user_id") < 10)
-          .withColumn("y", lag("value", 1).over(byUser))
-          .withColumn("i", row_number().over(byUser).cast("double"))
-          .withColumn("sw", sum(when(valid, pow(lit(2.0), col("i")))).over(cum))
-          .withColumn("swx", sum(when(valid, col("value") * pow(lit(2.0), col("i")))).over(cum))
-          .withColumn("swy", sum(when(valid, col("y") * pow(lit(2.0), col("i")))).over(cum))
-          .withColumn("swxx",
-            sum(when(valid, col("value") * col("value") * pow(lit(2.0), col("i")))).over(cum))
-          .withColumn("swyy",
-            sum(when(valid, col("y") * col("y") * pow(lit(2.0), col("i")))).over(cum))
-          .withColumn("swxy",
-            sum(when(valid, col("value") * col("y") * pow(lit(2.0), col("i")))).over(cum))
-          .withColumn("nn", count(col("y")).over(cum))
+          // lag + row_number fuse into ONE node (same spec); the seven
+          // cum sums (dependent on y, i) fuse into a SECOND (was 7)
+          .select(col("*"),
+            lag("value", 1).over(byUser).as("y"),
+            row_number().over(byUser).cast("double").as("i"))
+          .select(col("*"),
+            sum(when(valid, pow(lit(2.0), col("i")))).over(cum).as("sw"),
+            sum(when(valid, col("value") * pow(lit(2.0), col("i")))).over(cum).as("swx"),
+            sum(when(valid, col("y") * pow(lit(2.0), col("i")))).over(cum).as("swy"),
+            sum(when(valid, col("value") * col("value") * pow(lit(2.0), col("i")))).over(cum).as("swxx"),
+            sum(when(valid, col("y") * col("y") * pow(lit(2.0), col("i")))).over(cum).as("swyy"),
+            sum(when(valid, col("value") * col("y") * pow(lit(2.0), col("i")))).over(cum).as("swxy"),
+            count(col("y")).over(cum).as("nn"))
           .select(col("event_id"), col("user_id"),
             when(col("nn") > 1 && dd > 0,
               P.r4((col("swxy") / col("sw") - mx * my) / sqrt(dd)))
@@ -639,10 +651,13 @@ object TimeSeries {
           .filter(col("user_id") === 7)
           .withColumn("v", when(col("event_type") === "view", lit(null)).otherwise(col("value")))
           .withColumn("t", unix_micros(col("ts")))
-          .withColumn("prev_v", last("v", ignoreNulls = true).over(back))
-          .withColumn("pt", last(when(col("v").isNotNull, col("t")), ignoreNulls = true).over(back))
-          .withColumn("next_v", first("v", ignoreNulls = true).over(fwd))
-          .withColumn("nt", first(when(col("v").isNotNull, col("t")), ignoreNulls = true).over(fwd))
+          // all four functions in one projection level: same
+          // partition/order, per-function frames -> ONE WindowExec
+          .select(col("*"),
+            last("v", ignoreNulls = true).over(back).as("prev_v"),
+            last(when(col("v").isNotNull, col("t")), ignoreNulls = true).over(back).as("pt"),
+            first("v", ignoreNulls = true).over(fwd).as("next_v"),
+            first(when(col("v").isNotNull, col("t")), ignoreNulls = true).over(fwd).as("nt"))
           .select(col("event_id"), col("v"),
             when(col("v").isNotNull, col("v"))
               // nt > pt guard: ns-sourced timestamps µs-truncate, so
@@ -1003,10 +1018,13 @@ object TimeSeries {
           .filter(col("user_id") === 7)
           .withColumn("v", when(col("event_type") === "view", lit(null)).otherwise(col("value")))
           .withColumn("t", unix_micros(col("ts")))
-          .withColumn("prev_v", last("v", ignoreNulls = true).over(back))
-          .withColumn("pt", last(when(col("v").isNotNull, col("t")), ignoreNulls = true).over(back))
-          .withColumn("next_v", first("v", ignoreNulls = true).over(fwd))
-          .withColumn("nt", first(when(col("v").isNotNull, col("t")), ignoreNulls = true).over(fwd))
+          // all four functions in one projection level: same
+          // partition/order, per-function frames -> ONE WindowExec
+          .select(col("*"),
+            last("v", ignoreNulls = true).over(back).as("prev_v"),
+            last(when(col("v").isNotNull, col("t")), ignoreNulls = true).over(back).as("pt"),
+            first("v", ignoreNulls = true).over(fwd).as("next_v"),
+            first(when(col("v").isNotNull, col("t")), ignoreNulls = true).over(fwd).as("nt"))
           .select(col("event_id"), col("v"),
             when(col("v").isNotNull, col("v"))
               .when(col("prev_v").isNull, col("next_v"))
@@ -1153,9 +1171,11 @@ object TimeSeries {
           .rowsBetween(-19, 0)
         val x = P.dec2(col("value"))
         ev(s, d).filter(col("user_id") < 10)
-          .withColumn("n", count(lit(1)).over(w))
-          .withColumn("sx", sum(x).over(w).cast("double"))
-          .withColumn("sxx", sum((x * x).cast("decimal(38,4)")).over(w).cast("double"))
+          // one projection level -> ONE fused WindowExec (was 3)
+          .select(col("*"),
+            count(lit(1)).over(w).as("n"),
+            sum(x).over(w).cast("double").as("sx"),
+            sum((x * x).cast("decimal(38,4)")).over(w).cast("double").as("sxx"))
           .withColumn("m", col("sx") / col("n").cast("double"))
           .withColumn("sd",
             sqrt((col("sxx") - col("sx") * col("sx") / col("n").cast("double")) /
@@ -1626,10 +1646,12 @@ object TimeSeries {
         val fwd = ordered.rowsBetween(Window.currentRow, Window.unboundedFollowing)
         spine.join(broadcast(buckets), Seq("h"), "left")
           .withColumn("t", unix_micros(col("h")))
-          .withColumn("pm", last("m", ignoreNulls = true).over(back))
-          .withColumn("pt", last(when(col("m").isNotNull, col("t")), ignoreNulls = true).over(back))
-          .withColumn("nm", first("m", ignoreNulls = true).over(fwd))
-          .withColumn("nt", first(when(col("m").isNotNull, col("t")), ignoreNulls = true).over(fwd))
+          // one projection level -> ONE WindowExec (per-function frames)
+          .select(col("*"),
+            last("m", ignoreNulls = true).over(back).as("pm"),
+            last(when(col("m").isNotNull, col("t")), ignoreNulls = true).over(back).as("pt"),
+            first("m", ignoreNulls = true).over(fwd).as("nm"),
+            first(when(col("m").isNotNull, col("t")), ignoreNulls = true).over(fwd).as("nt"))
           .select(P.tsOut(col("h")).as("h"),
             // UNROUNDED double out — the ts_interpolate_time-proven
             // device: the interp arithmetic is bit-identical across

@@ -13,10 +13,14 @@ import org.apache.spark.sql.functions._
   * the window semantics are unchanged.
   *
   * Scale: one shuffle on user_id + one per-partition sort serves every
-  * frame here; at 100 TB the same plan holds (windows never re-shuffle
-  * per function, Spark fuses same-spec window functions into one
-  * WindowExec). Running sums use the exact-decimal device (Policy.dec2)
-  * so results are partition-order-independent.
+  * frame here; at 100 TB the same plan holds. Same-partition/order
+  * window functions fuse into one WindowExec ONLY when declared in a
+  * single projection level — sequential withColumn inserts a Project
+  * between window layers that CollapseWindow cannot see through, so
+  * each function would pay its own pass over the sorted partition
+  * (round-9 audit; PlanShapeSpec pins the fusion on win_bollinger).
+  * Running sums use the exact-decimal device (Policy.dec2) so results
+  * are partition-order-independent.
   */
 object Windows {
   private def ev(s: org.apache.spark.sql.SparkSession, d: String) =
@@ -298,11 +302,13 @@ object Windows {
       "win_zscore",
       (s, d) =>
         ev(s, d)
-          .withColumn("n", count(lit(1)).over(full))
-          .withColumn("sx", sum(P.dec2(col("value"))).over(full).cast("double"))
-          .withColumn("sq",
+          // one projection level: the three same-spec window functions
+          // fuse into ONE WindowExec (chained withColumn stacks three)
+          .select(col("*"),
+            count(lit(1)).over(full).as("n"),
+            sum(P.dec2(col("value"))).over(full).cast("double").as("sx"),
             sum((P.dec2(col("value")) * P.dec2(col("value"))).cast("decimal(38,4)"))
-              .over(full).cast("double"))
+              .over(full).cast("double").as("sq"))
           .select(col("event_id"), col("user_id"),
             ((col("value") - col("sx") / col("n")) /
               sqrt((col("sq") - col("sx") * col("sx") / col("n")) / (col("n") - 1)))
@@ -341,11 +347,11 @@ object Windows {
       "win_rolling_std",
       (s, d) =>
         ev(s, d)
-          .withColumn("rn5", count(lit(1)).over(roll5))
-          .withColumn("sx", sum(P.dec2(col("value"))).over(roll5).cast("double"))
-          .withColumn("sq",
+          .select(col("*"), // one projection level -> ONE fused WindowExec
+            count(lit(1)).over(roll5).as("rn5"),
+            sum(P.dec2(col("value"))).over(roll5).cast("double").as("sx"),
             sum((P.dec2(col("value")) * P.dec2(col("value"))).cast("decimal(38,4)"))
-              .over(roll5).cast("double"))
+              .over(roll5).cast("double").as("sq"))
           .select(col("event_id"), col("user_id"),
             when(col("rn5") === 5,
               P.r4(sqrt((col("sq") - col("sx") * col("sx") / 5) / 4)))
@@ -379,10 +385,11 @@ object Windows {
           // (12,2)³ = (38,6) fits exactly (values are ≤ ~10⁴)
           val x = col("value").cast("decimal(12,2)")
           ev(s, d)
-            .withColumn("n", count(lit(1)).over(roll5))
-            .withColumn("s1", sum(x).over(roll5).cast("double"))
-            .withColumn("s2", sum((x * x).cast("decimal(38,4)")).over(roll5).cast("double"))
-            .withColumn("s3", sum((x * x * x).cast("decimal(38,6)")).over(roll5).cast("double"))
+            .select(col("*"), // one projection level -> ONE fused WindowExec
+              count(lit(1)).over(roll5).as("n"),
+              sum(x).over(roll5).cast("double").as("s1"),
+              sum((x * x).cast("decimal(38,4)")).over(roll5).cast("double").as("s2"),
+              sum((x * x * x).cast("decimal(38,6)")).over(roll5).cast("double").as("s3"))
             .selectExpr("event_id", "user_id", s"$skew AS roll_skew5")
             .orderBy("event_id")
         },
@@ -467,10 +474,13 @@ object Windows {
         val y = P.dec2(col("y"))
         ev(s, d)
           .withColumn("y", lag("value", 1).over(byUser))
-          .withColumn("n", count(col("y")).over(roll5))
-          .withColumn("sx", sum(x).over(roll5).cast("double"))
-          .withColumn("sy", sum(y).over(roll5).cast("double"))
-          .withColumn("sxy", sum((x * y).cast("decimal(38,4)")).over(roll5).cast("double"))
+          // the four roll5 functions in one projection level -> they
+          // fuse into ONE WindowExec above the lag's (2 nodes total)
+          .select(col("*"),
+            count(col("y")).over(roll5).as("n"),
+            sum(x).over(roll5).cast("double").as("sx"),
+            sum(y).over(roll5).cast("double").as("sy"),
+            sum((x * y).cast("decimal(38,4)")).over(roll5).cast("double").as("sxy"))
           .select(col("event_id"), col("user_id"),
             when(col("n") === 5,
               (col("sxy") - col("sx") * col("sy") / lit(5.0)) / lit(4.0))
@@ -503,12 +513,15 @@ object Windows {
         val y = P.dec2(col("y"))
         ev(s, d)
           .withColumn("y", lag("value", 1).over(byUser))
-          .withColumn("n", count(col("y")).over(roll5))
-          .withColumn("sx", sum(x).over(roll5).cast("double"))
-          .withColumn("sy", sum(y).over(roll5).cast("double"))
-          .withColumn("sxx", sum((x * x).cast("decimal(38,4)")).over(roll5).cast("double"))
-          .withColumn("syy", sum((y * y).cast("decimal(38,4)")).over(roll5).cast("double"))
-          .withColumn("sxy", sum((x * y).cast("decimal(38,4)")).over(roll5).cast("double"))
+          // six roll5 functions, one projection level -> ONE fused
+          // WindowExec above the lag's (2 nodes total, was 7)
+          .select(col("*"),
+            count(col("y")).over(roll5).as("n"),
+            sum(x).over(roll5).cast("double").as("sx"),
+            sum(y).over(roll5).cast("double").as("sy"),
+            sum((x * x).cast("decimal(38,4)")).over(roll5).cast("double").as("sxx"),
+            sum((y * y).cast("decimal(38,4)")).over(roll5).cast("double").as("syy"),
+            sum((x * y).cast("decimal(38,4)")).over(roll5).cast("double").as("sxy"))
           .withColumn("dd",
             (lit(5.0) * col("sxx") - col("sx") * col("sx")) *
               (lit(5.0) * col("syy") - col("sy") * col("sy")))
@@ -592,10 +605,13 @@ object Windows {
         val y = P.dec2(col("y"))
         ev(s, d)
           .withColumn("y", lag("value", 1).over(byUser))
-          .withColumn("n", count(col("y")).over(cum).cast("double"))
-          .withColumn("sx", sum(x).over(cum).cast("double"))
-          .withColumn("sy", sum(y).over(cum).cast("double"))
-          .withColumn("sxy", sum((x * y).cast("decimal(38,4)")).over(cum).cast("double"))
+          // one projection level -> ONE fused cum WindowExec above the
+          // lag's (2 nodes total)
+          .select(col("*"),
+            count(col("y")).over(cum).cast("double").as("n"),
+            sum(x).over(cum).cast("double").as("sx"),
+            sum(y).over(cum).cast("double").as("sy"),
+            sum((x * y).cast("decimal(38,4)")).over(cum).cast("double").as("sxy"))
           .select(col("event_id"), col("user_id"),
             when(col("n") >= 2,
               (col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1))
@@ -625,12 +641,15 @@ object Windows {
         val y = P.dec2(col("y"))
         ev(s, d)
           .withColumn("y", lag("value", 1).over(byUser))
-          .withColumn("n", count(col("y")).over(cum).cast("double"))
-          .withColumn("sx", sum(x).over(cum).cast("double"))
-          .withColumn("sy", sum(y).over(cum).cast("double"))
-          .withColumn("sxx", sum((x * x).cast("decimal(38,4)")).over(cum).cast("double"))
-          .withColumn("syy", sum((y * y).cast("decimal(38,4)")).over(cum).cast("double"))
-          .withColumn("sxy", sum((x * y).cast("decimal(38,4)")).over(cum).cast("double"))
+          // six cum functions, one projection level -> ONE fused
+          // WindowExec above the lag's (2 nodes total, was 7)
+          .select(col("*"),
+            count(col("y")).over(cum).cast("double").as("n"),
+            sum(x).over(cum).cast("double").as("sx"),
+            sum(y).over(cum).cast("double").as("sy"),
+            sum((x * x).cast("decimal(38,4)")).over(cum).cast("double").as("sxx"),
+            sum((y * y).cast("decimal(38,4)")).over(cum).cast("double").as("syy"),
+            sum((x * y).cast("decimal(38,4)")).over(cum).cast("double").as("sxy"))
           .withColumn("dd",
             (col("n") * col("sxx") - col("sx") * col("sx")) *
               (col("n") * col("syy") - col("sy") * col("sy")))
@@ -681,10 +700,12 @@ object Windows {
       (s, d) => {
         val c5 = byUser.rowsBetween(-2, 2)
         ev(s, d)
-          .withColumn("nc", count(lit(1)).over(c5))
+          // both c5 functions in one projection -> ONE fused WindowExec
           .select(col("event_id"), col("user_id"),
-            when(col("nc") === 5,
-              sum(P.dec2(col("value"))).over(c5).cast("double") / 5).as("roll_c5"))
+            count(lit(1)).over(c5).as("nc"),
+            sum(P.dec2(col("value"))).over(c5).cast("double").as("sc"))
+          .select(col("event_id"), col("user_id"),
+            when(col("nc") === 5, col("sc") / 5).as("roll_c5"))
           .orderBy("event_id")
       },
       Some(s"""SELECT event_id, user_id,
@@ -861,13 +882,15 @@ object Windows {
       (s, d) =>
         ev(s, d)
           .withColumn("x", row_number().over(byUser).cast("bigint"))
-          .withColumn("n", count(lit(1)).over(roll5))
-          .withColumn("sx", sum(col("x")).over(roll5))
-          .withColumn("sxx", sum(col("x") * col("x")).over(roll5))
-          .withColumn("sy", sum(P.dec2(col("value"))).over(roll5).cast("double"))
-          .withColumn("sxy",
+          // five roll5 functions, one projection level -> ONE fused
+          // WindowExec above the row_number's (2 nodes total)
+          .select(col("*"),
+            count(lit(1)).over(roll5).as("n"),
+            sum(col("x")).over(roll5).as("sx"),
+            sum(col("x") * col("x")).over(roll5).as("sxx"),
+            sum(P.dec2(col("value"))).over(roll5).cast("double").as("sy"),
             sum((col("x") * P.dec2(col("value"))).cast("decimal(38,2)")).over(roll5)
-              .cast("double"))
+              .cast("double").as("sxy"))
           .select(col("event_id"), col("user_id"),
             when(col("n") === 5,
               P.r4((lit(5.0) * col("sxy") - col("sx").cast("double") * col("sy")) /
@@ -993,11 +1016,14 @@ object Windows {
       (s, d) => {
         val roll20 = byUser.rowsBetween(-19, 0)
         ev(s, d)
-          .withColumn("rn", count(lit(1)).over(roll20))
-          .withColumn("sx", sum(P.dec2(col("value"))).over(roll20).cast("double"))
-          .withColumn("sq",
+          // one projection level -> the three same-spec window
+          // functions land in ONE WindowExec (sequential withColumn
+          // stacks three; PlanShapeSpec pins the fusion)
+          .select(col("event_id"), col("user_id"), col("value"),
+            count(lit(1)).over(roll20).as("rn"),
+            sum(P.dec2(col("value"))).over(roll20).cast("double").as("sx"),
             sum((P.dec2(col("value")) * P.dec2(col("value"))).cast("decimal(38,4)"))
-              .over(roll20).cast("double"))
+              .over(roll20).cast("double").as("sq"))
           .withColumn("m", col("sx") / 20)
           .withColumn("sd", sqrt((col("sq") - col("sx") * col("sx") / 20) / 19))
           .select(col("event_id"), col("user_id"),

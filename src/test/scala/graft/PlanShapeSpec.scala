@@ -154,6 +154,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("agg_iqr_outliers broadcasts the quartile-fence table back onto the fact rows") {
+    val p = plan("agg_iqr_outliers")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("win_bollinger fuses mean/std/breach into ONE WindowExec (same frame spec)") {
+    val p = plan("win_bollinger")
+    val windows = "Window \\[".r.findAllIn(p).length
+    assert(windows == 1, s"expected one fused WindowExec, got $windows:\n$p")
+  }
+
+  test("ts_seasonal_decompose broadcasts the 24-row seasonal table (fact table shuffles once)") {
+    val p = plan("ts_seasonal_decompose")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the 25h trend window must run over the HOURLY aggregate, after
+    // the hash agg — i.e. exactly one Exchange feeds it from raw rows
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("no CartesianProduct outside the deliberate cross/pairs queries") {
     val allowed = Set("join_cross", "sim_cosine_topk", "text_tfidf")
     val offenders = Registry.all
