@@ -112,4 +112,50 @@ class StreamingRecoverySpec extends AnyFunSuite {
     assert(run2.toSet == (10L until 15L).toSet,
       s"recovered dedup state failed: emitted ${run2.toSet}")
   }
+
+  test("MapState heavy hitters restarted from checkpoint == one-shot counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_hh").toString
+
+    // 2 shards x 4 items, counts must ACCUMULATE across the restart:
+    // losing the MapState would reset every counter to 1
+    val rows = (0 until 120).map { i =>
+      StreamOps.HhIn(shard = i % 2, item = s"it${i % 4}")
+    }
+    val (before, after) = rows.splitAt(60)
+
+    val ms = MemoryStream[StreamOps.HhIn]
+    def start(sink: scala.collection.mutable.ArrayBuffer[StreamOps.HhOut]) =
+      StreamOps.streamingHeavyHitters(ms.toDS(), k = 8)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[StreamOps.HhOut], _: Long) =>
+          sink.synchronized { sink ++= batch.collect() }; ()
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+
+    val run1 = scala.collection.mutable.ArrayBuffer[StreamOps.HhOut]()
+    val q1 = start(run1)
+    ms.addData(before); q1.processAllAvailable()
+    q1.stop() // simulated failure point
+
+    val run2 = scala.collection.mutable.ArrayBuffer[StreamOps.HhOut]()
+    val q2 = start(run2)
+    ms.addData(after); q2.processAllAvailable()
+    q2.stop()
+
+    // counts only grow: the post-restart table continues from the
+    // recovered counters, so its final counts equal the one-shot run
+    val finalCounts = run2.groupBy(o => (o.shard, o.item))
+      .map { case (key, os) => key -> os.map(_.cnt).max }
+    val expected = rows.groupBy(r => (r.shard, r.item))
+      .map { case (key, rs) => key -> rs.size.toLong }
+    assert(finalCounts == expected,
+      s"MapState lost across restart: $finalCounts vs $expected")
+    // and the first post-restart emission already sits above the
+    // pre-restart totals (state crossed the boundary, not recomputed)
+    val preMax = run1.map(_.cnt).max
+    assert(run2.map(_.cnt).max > preMax)
+  }
 }
