@@ -1721,6 +1721,95 @@ object TimeSeries {
              |  FROM events GROUP BY 1)
              |ORDER BY day""".stripMargin),
     ),
+    // CUSUM change-point flag (Page 1954) per user — the drift
+    // detector. The running sum of deviations Σ(xⱼ−μ) is computed as
+    // cusum_dec − i·μ: the cumsum stays an EXACT DECIMAL (order-
+    // independent, no float running-sum whose segment-tree association
+    // could split engines) and only ONE IEEE multiply-subtract per row
+    // turns it into the deviation form — algebraically identical,
+    // bit-deterministic. μ and σ come from the per-user exact moment
+    // sums broadcast back (the agg_mad join-back shape); flag =
+    // |cusum_dev| > 3σ·√i (the Brownian-scaling envelope).
+    OpSpec(
+      "ts_cusum_flag",
+      (s, d) => {
+        val byU = Window.partitionBy("user_id").orderBy("event_id")
+        val cum = byU.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val stats = ev(s, d).groupBy("user_id")
+          .agg(count(lit(1)).as("n"),
+            sum(P.dec2(col("value"))).cast("double").as("s"),
+            sum((P.dec2(col("value")) * P.dec2(col("value"))).cast("decimal(38,4)"))
+              .cast("double").as("q"))
+          .select(col("user_id"), (col("s") / col("n")).as("mu"),
+            sqrt((col("q") - col("s") * col("s") / col("n")) / (col("n") - 1)).as("sd"))
+        ev(s, d)
+          .select(col("event_id"), col("user_id"),
+            row_number().over(byU).cast("double").as("i"),
+            sum(P.dec2(col("value"))).over(cum).cast("double").as("cusum"))
+          .join(broadcast(stats), Seq("user_id"))
+          .select(col("event_id"), col("user_id"),
+            P.r4(col("cusum") - col("i") * col("mu")).as("cusum_dev"),
+            (abs(col("cusum") - col("i") * col("mu")) >
+              lit(3.0) * col("sd") * sqrt(col("i"))).as("drift"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             |  round(cusum - i * mu, 4) AS cusum_dev,
+             |  abs(cusum - i * mu) > 3.0 * sd * sqrt(i) AS drift
+             |FROM (
+             |  SELECT event_id, user_id,
+             |    cast(row_number() OVER w as double) AS i,
+             |    cast(sum(cast(value as decimal(18,2))) OVER
+             |      (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as double) AS cusum
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)) c
+             |JOIN (
+             |  SELECT user_id, s / n AS mu,
+             |    sqrt((q - s * s / n) / (n - 1)) AS sd
+             |  FROM (
+             |    SELECT user_id, count(*) AS n,
+             |      cast(sum(cast(value as decimal(18,2))) as double) AS s,
+             |      cast(sum(cast(cast(value as decimal(18,2)) * cast(value as decimal(18,2)) as decimal(38,4))) as double) AS q
+             |    FROM events GROUP BY 1)) st USING (user_id)
+             |ORDER BY event_id""".stripMargin),
+    ),
+    // Local-maxima peak detection (the find_peaks staple): a point is
+    // a peak when strictly above both neighbors AND at least
+    // `prominence` above the lower one — every comparison is between
+    // EXACT 2-dp decimals (lag/lead of the same parquet doubles), so
+    // the flag can't straddle an engine boundary. One fused WindowExec
+    // (lag+lead, same spec), row-local flag after.
+    OpSpec(
+      "ts_peak_detect",
+      (s, d) => {
+        val byU = Window.partitionBy("user_id").orderBy("event_id")
+        val v = P.dec2(col("value"))
+        ev(s, d)
+          .select(col("event_id"), col("user_id"), col("value"),
+            lag("value", 1).over(byU).as("pv"),
+            lead("value", 1).over(byU).as("nv"))
+          .select(col("event_id"), col("user_id"),
+            (col("pv").isNotNull && col("nv").isNotNull &&
+              v > P.dec2(col("pv")) && v > P.dec2(col("nv")) &&
+              v - greatest(P.dec2(col("pv")), P.dec2(col("nv"))) >=
+                lit(new java.math.BigDecimal("5.00"))).as("is_peak"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             |  pv IS NOT NULL AND nv IS NOT NULL
+             |    AND cast(value as decimal(18,2)) > cast(pv as decimal(18,2))
+             |    AND cast(value as decimal(18,2)) > cast(nv as decimal(18,2))
+             |    AND cast(value as decimal(18,2)) -
+             |        greatest(cast(pv as decimal(18,2)), cast(nv as decimal(18,2))) >= 5.00
+             |    AS is_peak
+             |FROM (
+             |  SELECT event_id, user_id, value,
+             |    lag(value, 1) OVER w AS pv,
+             |    lead(value, 1) OVER w AS nv
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
+             |ORDER BY event_id""".stripMargin),
+    ),
     // Classical additive seasonal decomposition (statsmodels
     // seasonal_decompose, period=24) of the global hourly series:
     // observed = trend + seasonal + residual. Trend is the centered

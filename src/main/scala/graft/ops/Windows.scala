@@ -1003,6 +1003,23 @@ object Windows {
               |WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
               |ORDER BY event_id""".stripMargin),
     ),
+    // cume_dist — the CDF-position window function (pandas
+    // rank(pct=True, method='max') analogue): identical built-in
+    // semantics in both engines (ties share the value), one division
+    // of exact integers per row — deterministic without rounding.
+    OpSpec(
+      "win_cume_dist",
+      (s, d) => {
+        val byValue = Window.partitionBy("user_id").orderBy("value")
+        ev(s, d)
+          .select(col("event_id"), col("user_id"),
+            cume_dist().over(byValue).as("cdist"))
+          .orderBy("event_id")
+      },
+      Some(s"""SELECT event_id, user_id,
+              |  cume_dist() OVER (PARTITION BY user_id ORDER BY value) AS cdist
+              |FROM $EV ORDER BY event_id""".stripMargin),
+    ),
     // Bollinger bands — rolling(20) mean ± 2σ and the breach flag, the
     // charting staple. Mean and σ come from the win_rolling_std exact
     // moment sums (decimal s1/s2, one WindowExec, no re-shuffle); the

@@ -620,5 +620,67 @@ object VecOps {
            |GROUP BY label ORDER BY label""".stripMargin
       },
     ),
+    // ANN QUALITY measured IN the engine: recall@10 of the nprobe=1
+    // sign-IVF search vs the brute-force ground truth, per query, as a
+    // declared query — the evaluation harness a production vector
+    // pipeline runs next to its index. One scored frame feeds BOTH
+    // rankings (exact = all rows, approx = the query's cell only), so
+    // the ANN side can never disagree with the truth side on a score;
+    // ranking uses the ROUNDED score + vec_id tie-break (the
+    // sim_cosine_topk cutoff device). 5 query vectors broadcast; at
+    // 100 TB the exact side is the expensive one BY DESIGN — that is
+    // what recall evaluation costs, and it runs on a sample of
+    // queries, not the corpus.
+    OpSpec(
+      "sim_recall_report",
+      (s, d) => {
+        val v = T.embeddings(s, d)
+          .select(col("vec_id"), expr(cellExpr).as("cell"),
+            expr("transform(embedding, x -> cast(x as double))").as("e"))
+        val q = v.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("cell").as("qcell"), col("e").as("qe"))
+        val scored = v.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("qcell"), col("cell"), col("vec_id"),
+            P.r4(dot("e", "qe") /
+              (sqrt(dot("e", "e")) * sqrt(dot("qe", "qe")))).as("cos_sim"))
+        val byQ = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(desc("cos_sim"), col("vec_id"))
+        val exact = scored
+          .withColumn("rk", row_number().over(byQ)).filter(col("rk") <= 10)
+          .select(col("qid"), col("vec_id"))
+        val approx = scored.filter(col("cell") === col("qcell"))
+          .withColumn("rk", row_number().over(byQ)).filter(col("rk") <= 10)
+          .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
+        exact.join(approx, Seq("qid", "vec_id"), "left")
+          .groupBy("qid")
+          .agg(count(lit(1)).as("k"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_hit"),
+            P.r4(sum(coalesce(col("hit"), lit(0L))).cast("double") /
+              count(lit(1)).cast("double")).as("recall"))
+          .orderBy("qid")
+      },
+      Some(s"""WITH v AS (SELECT vec_id, $cellSql AS cell, embedding::DOUBLE[] AS e FROM embeddings),
+              |q AS (SELECT vec_id AS qid, cell AS qcell, e AS qe FROM v WHERE vec_id < 5),
+              |scored AS (
+              |  SELECT q.qid, q.qcell, v.cell, v.vec_id,
+              |    round(list_inner_product(e, qe) /
+              |          (sqrt(list_inner_product(e, e)) * sqrt(list_inner_product(qe, qe))), 4) AS cos_sim
+              |  FROM v, q WHERE v.vec_id <> q.qid),
+              |exact AS (SELECT qid, vec_id FROM (
+              |    SELECT qid, vec_id,
+              |      row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rk
+              |    FROM scored) WHERE rk <= 10),
+              |approx AS (SELECT qid, vec_id FROM (
+              |    SELECT qid, vec_id,
+              |      row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rk
+              |    FROM scored WHERE cell = qcell) WHERE rk <= 10)
+              |SELECT e.qid AS qid, count(*) AS k,
+              |  cast(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) as bigint) AS n_hit,
+              |  round(cast(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) as double)
+              |        / cast(count(*) as double), 4) AS recall
+              |FROM exact e LEFT JOIN approx a ON a.qid = e.qid AND a.vec_id = e.vec_id
+              |GROUP BY e.qid ORDER BY qid""".stripMargin),
+    ),
   )
 }

@@ -72,7 +72,9 @@ class DeterminismSpec extends AnyFunSuite {
     "agg_iqr_outliers", "ts_resample_interpolate",
     // round 9 staples 2: kept-rank-set trimmed mean, cluster + struct-
     // min quality survivor, ordered-fold seasonal decomposition
-    "agg_trimmed_mean", "dedup_survivors_quality", "ts_seasonal_decompose")
+    "agg_trimmed_mean", "dedup_survivors_quality", "ts_seasonal_decompose",
+    // round 9 staples 3: decimal-cumsum CUSUM, dual-ranking recall
+    "ts_cusum_flag", "sim_recall_report")
 
   test("order-sensitive queries return identical results across runs") {
     val failures = sensitive.flatMap { key =>
