@@ -1107,5 +1107,51 @@ object Aggs {
              |  GROUP BY digit)
              |ORDER BY digit""".stripMargin),
     ),
+    // Pareto 80/20 — how many top customers cover 80% of revenue per
+    // group. ENTIRELY in exact decimal: per-customer totals (the only
+    // fact shuffle) → rank window over customer totals (rev DESC,
+    // custkey tiebreak) → decimal cumsum → the 80% cutoff is the
+    // integer-free comparison cum·5 < total·4 (≡ cum/total < 0.8, no
+    // division, no float) → n80 = first rank past the cutoff. Only
+    // the final n80/n share is IEEE, r4'd.
+    OpSpec(
+      "agg_pareto_8020",
+      (s, d) => {
+        val byRev = Window.partitionBy("o_orderstatus")
+          .orderBy(desc("rev"), col("o_custkey"))
+        val cum = byRev.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = Window.partitionBy("o_orderstatus")
+        T.orders(s, d)
+          .groupBy("o_orderstatus", "o_custkey")
+          .agg(sum(P.dec2(col("o_totalprice"))).as("rev"))
+          .select(col("o_orderstatus"),
+            sum(col("rev")).over(cum).as("cum"),
+            sum(col("rev")).over(tot).as("total"))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_cust"),
+            (sum(when(col("cum") * 5 < col("total") * 4, 1L).otherwise(0L)) + 1L)
+              .as("n80"))
+          .select(col("o_orderstatus"), col("n_cust"), col("n80"),
+            P.r4(col("n80").cast("double") / col("n_cust").cast("double"))
+              .as("top_share"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, n_cust, n80,
+             |  round(cast(n80 as double) / cast(n_cust as double), 4) AS top_share
+             |FROM (
+             |  SELECT o_orderstatus, count(*) AS n_cust,
+             |    cast(sum(CASE WHEN cum * 5 < total * 4 THEN 1 ELSE 0 END) + 1 as bigint) AS n80
+             |  FROM (
+             |    SELECT o_orderstatus,
+             |      sum(rev) OVER (PARTITION BY o_orderstatus ORDER BY rev DESC, o_custkey
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             |      sum(rev) OVER (PARTITION BY o_orderstatus) AS total
+             |    FROM (
+             |      SELECT o_orderstatus, o_custkey,
+             |        sum(cast(o_totalprice as decimal(18,2))) AS rev
+             |      FROM orders GROUP BY 1, 2))
+             |  GROUP BY o_orderstatus)
+             |ORDER BY o_orderstatus""".stripMargin),
+    ),
   )
 }

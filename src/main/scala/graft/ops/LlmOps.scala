@@ -98,6 +98,51 @@ object LlmOps {
              |WHERE p[2] IS NOT NULL
              |GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20""".stripMargin),
     ),
+    // N-gram NOVELTY — per document, the fraction of its distinct
+    // trigrams whose global FIRST occurrence (min doc_id over the
+    // corpus) is this document: the "how much new text does each doc
+    // add" curation metric (the dedup family's complement — high
+    // containment ⇒ low novelty). Distinct (doc, trigram) pairs are
+    // the only corpus-sized shuffle (on the trigram key, exactly
+    // text_tfidf's shape); the min-doc table joins back on the same
+    // key, so at 100 TB both sides co-partition. All counts — exact;
+    // one r4 division out.
+    OpSpec(
+      "text_ngram_novelty",
+      (s, d) => {
+        val tg = T.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .filter(size(col("w")) >= 3)
+          .select(col("doc_id"), explode(expr(
+            """transform(sequence(1, size(w) - 2),
+              |  i -> concat(element_at(w, i), ' ', element_at(w, i + 1), ' ', element_at(w, i + 2)))""".stripMargin))
+            .as("t"))
+          .distinct()
+        val first = tg.groupBy("t").agg(min(col("doc_id")).as("first_doc"))
+        tg.join(first, Seq("t"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tg"),
+            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+          .filter(col("doc_id") < 50)
+          .select(col("doc_id"), col("n_tg"), col("n_novel"),
+            P.r4(col("n_novel").cast("double") / col("n_tg").cast("double")).as("novelty"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tg AS (
+             |  SELECT DISTINCT doc_id,
+             |    unnest(list_transform(range(1, len(w) - 1),
+             |      i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS t
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+             |  WHERE len(w) >= 3),
+             |fst AS (SELECT t, min(doc_id) AS first_doc FROM tg GROUP BY t)
+             |SELECT doc_id, count(*) AS n_tg,
+             |  cast(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) as bigint) AS n_novel,
+             |  round(cast(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) as double)
+             |        / cast(count(*) as double), 4) AS novelty
+             |FROM tg JOIN fst USING (t)
+             |WHERE doc_id < 50
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    ),
     // tf·idf: two hash aggs + broadcast df join; idf = ln(N/df).
     OpSpec(
       "text_tfidf",

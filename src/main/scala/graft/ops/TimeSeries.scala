@@ -912,6 +912,26 @@ object TimeSeries {
              |  FROM events GROUP BY 1)
              |ORDER BY hod""".stripMargin),
     ),
+    // Weekly activity heatmap — (weekday × hour) totals, the classic
+    // calendar grid every ops dashboard draws. Weekday is pinned
+    // Monday=0 on both engines (Spark weekday() ≡ DuckDB isodow−1 —
+    // Spark dayofweek() is Sunday=1 and DuckDB dow is Sunday=0, a
+    // cross-engine off-by-one this spelling avoids). One map-combined
+    // hash agg over ≤168 cells.
+    OpSpec(
+      "ts_calendar_profile",
+      (s, d) =>
+        ev(s, d)
+          .groupBy(expr("weekday(ts)").cast("bigint").as("dow"),
+            hour(col("ts")).cast("bigint").as("hod"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .orderBy("dow", "hod"),
+      Some("""SELECT isodow(cast(ts as timestamp)) - 1 AS dow,
+             |  extract(hour FROM cast(ts as timestamp)) AS hod,
+             |  count(*) AS n,
+             |  cast(sum(cast(value as decimal(18,2))) as double) AS sum_value
+             |FROM events GROUP BY 1, 2 ORDER BY dow, hod""".stripMargin),
+    ),
     // pd.to_datetime(format=) — format-string round trip: render the
     // event time to text and parse it back (Spark date_format /
     // to_timestamp ≡ DuckDB strftime / strptime; the second-resolution
