@@ -1107,6 +1107,50 @@ object Aggs {
              |  GROUP BY digit)
              |ORDER BY digit""".stripMargin),
     ),
+    // Per-column data-quality profile — df.info()/isna().sum() as one
+    // declared query: for each events column, row count, nulls,
+    // distinct values. ONE pass: every (count, count(col),
+    // approx-free countDistinct) pair rides a single hash agg; the
+    // per-column rows come from a row-local stack/UNION-ALL unpivot of
+    // that 1-row aggregate — no second scan. The `v` column is made
+    // nullable by the same event_type device the interpolation family
+    // uses, so the null counter is exercised, not vacuous.
+    OpSpec(
+      "agg_null_profile",
+      (s, d) => {
+        val e = T.events(s, d)
+          .withColumn("v",
+            when(col("event_type") === "view", lit(null)).otherwise(col("value")))
+        val prof = e.agg(
+          count(lit(1)).as("n"),
+          count(col("v")).as("nn_v"),
+          countDistinct(col("v")).as("nd_v"),
+          count(col("event_type")).as("nn_et"),
+          countDistinct(col("event_type")).as("nd_et"),
+          count(col("user_id")).as("nn_u"),
+          countDistinct(col("user_id")).as("nd_u"))
+        prof.selectExpr(
+          """stack(3,
+            |  'event_type', n, n - nn_et, nd_et,
+            |  'user_id',    n, n - nn_u,  nd_u,
+            |  'v',          n, n - nn_v,  nd_v)
+            |  AS (column_name, n_rows, n_null, n_distinct)""".stripMargin)
+          .orderBy("column_name")
+      },
+      Some("""WITH p AS (
+             |  SELECT count(*) AS n,
+             |    count(v) AS nn_v, count(DISTINCT v) AS nd_v,
+             |    count(event_type) AS nn_et, count(DISTINCT event_type) AS nd_et,
+             |    count(user_id) AS nn_u, count(DISTINCT user_id) AS nd_u
+             |  FROM (SELECT *, CASE WHEN event_type = 'view' THEN NULL ELSE value END AS v
+             |        FROM events))
+             |SELECT 'event_type' AS column_name, n AS n_rows, n - nn_et AS n_null, nd_et AS n_distinct FROM p
+             |UNION ALL
+             |SELECT 'user_id', n, n - nn_u, nd_u FROM p
+             |UNION ALL
+             |SELECT 'v', n, n - nn_v, nd_v FROM p
+             |ORDER BY column_name""".stripMargin),
+    ),
     // Pareto 80/20 — how many top customers cover 80% of revenue per
     // group. ENTIRELY in exact decimal: per-customer totals (the only
     // fact shuffle) → rank window over customer totals (rev DESC,

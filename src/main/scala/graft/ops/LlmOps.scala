@@ -170,6 +170,50 @@ object LlmOps {
              |FROM tf JOIN df ON tf.word = df.word CROSS JOIN n
              |WHERE doc_id < 20 ORDER BY doc_id, word""".stripMargin),
     ),
+    // Keyword extraction — top-3 TF-IDF terms per document, the
+    // summarization/tagging staple built on the text_tfidf frame: rank
+    // over the ROUNDED score (r4 absorbs the engines' ln() last-ulp
+    // split) with the word as tie-break — the cutoff is pinned, the
+    // sim_cosine_topk device applied to text. Same tf/df shuffles as
+    // tfidf; the rank window partitions by doc (bounded frames).
+    OpSpec(
+      "text_keyword_extract",
+      (s, d) => {
+        val tokens = T.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        val tf = tokens.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+        val df = tokens.groupBy("word")
+          .agg(countDistinct(col("doc_id")).as("df"))
+        val n = T.documents(s, d).agg(count(lit(1)).as("n_docs"))
+        val byDoc = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(desc("tfidf"), col("word"))
+        tf.join(broadcast(df), Seq("word"))
+          .crossJoin(broadcast(n))
+          .filter(col("doc_id") < 50)
+          .select(col("doc_id"), col("word"),
+            P.r4(col("tf") * log(col("n_docs").cast("double") / col("df")))
+              .as("tfidf"))
+          .withColumn("rk", row_number().over(byDoc).cast("bigint"))
+          .filter(col("rk") <= 3)
+          .select(col("doc_id"), col("rk"), col("word"), col("tfidf"))
+          .orderBy("doc_id", "rk")
+      },
+      Some("""WITH tokens AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+             |tf AS (SELECT doc_id, word, count(*) AS tf FROM tokens GROUP BY 1, 2),
+             |df AS (SELECT word, count(DISTINCT doc_id) AS df FROM tokens GROUP BY 1),
+             |n AS (SELECT count(*) AS n_docs FROM documents),
+             |scored AS (
+             |  SELECT doc_id, tf.word AS word,
+             |    round(tf * ln(cast(n_docs as double) / df), 4) AS tfidf
+             |  FROM tf JOIN df ON tf.word = df.word CROSS JOIN n
+             |  WHERE doc_id < 50)
+             |SELECT doc_id, rk, word, tfidf
+             |FROM (
+             |  SELECT doc_id, word, tfidf,
+             |    cast(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) as bigint) AS rk
+             |  FROM scored)
+             |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin),
+    ),
     // Language-ID'd corpus stats (lang is the metadata column the
     // driver ships; heuristic n-gram language ID lives in graft.text).
     OpSpec(

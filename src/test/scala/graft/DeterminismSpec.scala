@@ -75,8 +75,9 @@ class DeterminismSpec extends AnyFunSuite {
     "agg_trimmed_mean", "dedup_survivors_quality", "ts_seasonal_decompose",
     // round 9 staples 3: decimal-cumsum CUSUM, dual-ranking recall
     "ts_cusum_flag", "sim_recall_report",
-    // round 9 staples 4: rank+cumsum-over-totals Pareto cutoff
-    "agg_pareto_8020")
+    // round 9 staples 4: rank+cumsum-over-totals Pareto cutoff,
+    // r4-tfidf rank keywords
+    "agg_pareto_8020", "text_keyword_extract")
 
   test("order-sensitive queries return identical results across runs") {
     val failures = sensitive.flatMap { key =>

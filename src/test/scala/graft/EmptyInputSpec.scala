@@ -1,0 +1,45 @@
+package graft
+
+import graft.ops.Registry
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Robustness sweep: every declared query must EXECUTE (not throw) on
+  * a zero-row corpus with the production schemas. At 100 TB empty
+  * inputs are routine — a new partition, a filtered-out day, a source
+  * with no documents yet — and a pipeline that NPEs on max()-of-
+  * nothing or head-of-empty-list is not operable. Catches the classes
+  * of bug sf-scaled fixtures never exercise: fold seeds, first/last on
+  * empty frames, divisions fed by empty aggregates, label propagation
+  * over an empty edge set.
+  *
+  * The fixture is built once per suite: each sf-smoke table re-written
+  * with limit(0) (schema preserved, including the raw int64-ns events
+  * column the loader rebuilds).
+  */
+class EmptyInputSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private lazy val emptyDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty").toString
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "documents", "embeddings")
+    tables.foreach { t =>
+      spark.read.parquet(s"${TestSpark.sfSmoke}/$t.parquet")
+        .limit(0).coalesce(1).write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    // events ships ts as int64 ns — copy the RAW schema the loader expects
+    graft.core.Tables.eventsRawNanos(spark, TestSpark.sfSmoke)
+      .limit(0).coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("every declared query executes on a zero-row corpus") {
+    val failures = Registry.all.flatMap { op =>
+      try { Registry.queries(op.key)(spark, emptyDir).count(); None }
+      catch { case e: Throwable =>
+        Some(s"${op.key}: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+      }
+    }
+    assert(failures.isEmpty, s"${failures.size} queries throw on empty input:\n${failures.mkString("\n")}")
+  }
+}
