@@ -682,5 +682,78 @@ object VecOps {
               |FROM exact e LEFT JOIN approx a ON a.qid = e.qid AND a.vec_id = e.vec_id
               |GROUP BY e.qid ORDER BY qid""".stripMargin),
     ),
+    // The recall/cost KNOB measured: recall@10 at nprobe=1 vs
+    // nprobe=5 (query cell + its 4 Hamming-1 neighbors) side by side
+    // per query — the number an operator reads before turning the
+    // dial. Same one-scored-frame construction as sim_recall_report;
+    // by construction recall5 ≥ recall1 (the probed set is a
+    // superset), which AnnSpec asserts as the knob's monotonicity.
+    OpSpec(
+      "sim_recall_nprobe",
+      (s, d) => {
+        val v = T.embeddings(s, d)
+          .select(col("vec_id"), expr(cellExpr).as("cell"),
+            expr("transform(embedding, x -> cast(x as double))").as("e"))
+        val q = v.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("cell").as("qcell"), col("e").as("qe"))
+        val scored = v.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("qcell"), col("cell"), col("vec_id"),
+            P.r4(dot("e", "qe") /
+              (sqrt(dot("e", "e")) * sqrt(dot("qe", "qe")))).as("cos_sim"))
+        val byQ = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(desc("cos_sim"), col("vec_id"))
+        def topk(df: org.apache.spark.sql.DataFrame, hitCol: String) = df
+          .withColumn("rk", row_number().over(byQ)).filter(col("rk") <= 10)
+          .select(col("qid"), col("vec_id"), lit(1L).as(hitCol))
+        val exact = scored
+          .withColumn("rk", row_number().over(byQ)).filter(col("rk") <= 10)
+          .select(col("qid"), col("vec_id"))
+        val probed5 = col("cell") === col("qcell") ||
+          (0 until 4).map(b => col("cell") === (col("qcell").bitwiseXOR(1L << b)))
+            .reduce(_ || _)
+        val a1 = topk(scored.filter(col("cell") === col("qcell")), "h1")
+        val a5 = topk(scored.filter(probed5), "h5")
+        exact
+          .join(a1, Seq("qid", "vec_id"), "left")
+          .join(a5, Seq("qid", "vec_id"), "left")
+          .groupBy("qid")
+          .agg(
+            P.r4(sum(coalesce(col("h1"), lit(0L))).cast("double") /
+              count(lit(1)).cast("double")).as("recall_np1"),
+            P.r4(sum(coalesce(col("h5"), lit(0L))).cast("double") /
+              count(lit(1)).cast("double")).as("recall_np5"))
+          .orderBy("qid")
+      },
+      Some(s"""WITH v AS (SELECT vec_id, $cellSql AS cell, embedding::DOUBLE[] AS e FROM embeddings),
+              |q AS (SELECT vec_id AS qid, cell AS qcell, e AS qe FROM v WHERE vec_id < 5),
+              |scored AS (
+              |  SELECT q.qid, q.qcell, v.cell, v.vec_id,
+              |    round(list_inner_product(e, qe) /
+              |          (sqrt(list_inner_product(e, e)) * sqrt(list_inner_product(qe, qe))), 4) AS cos_sim
+              |  FROM v, q WHERE v.vec_id <> q.qid),
+              |exact AS (SELECT qid, vec_id FROM (
+              |    SELECT qid, vec_id,
+              |      row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rk
+              |    FROM scored) WHERE rk <= 10),
+              |a1 AS (SELECT qid, vec_id FROM (
+              |    SELECT qid, vec_id,
+              |      row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rk
+              |    FROM scored WHERE cell = qcell) WHERE rk <= 10),
+              |a5 AS (SELECT qid, vec_id FROM (
+              |    SELECT qid, vec_id,
+              |      row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rk
+              |    FROM scored WHERE cell = qcell OR cell = xor(qcell, 1) OR cell = xor(qcell, 2)
+              |          OR cell = xor(qcell, 4) OR cell = xor(qcell, 8)) WHERE rk <= 10)
+              |SELECT e.qid AS qid,
+              |  round(cast(sum(CASE WHEN a1.vec_id IS NOT NULL THEN 1 ELSE 0 END) as double)
+              |        / cast(count(*) as double), 4) AS recall_np1,
+              |  round(cast(sum(CASE WHEN a5.vec_id IS NOT NULL THEN 1 ELSE 0 END) as double)
+              |        / cast(count(*) as double), 4) AS recall_np5
+              |FROM exact e
+              |LEFT JOIN a1 ON a1.qid = e.qid AND a1.vec_id = e.vec_id
+              |LEFT JOIN a5 ON a5.qid = e.qid AND a5.vec_id = e.vec_id
+              |GROUP BY e.qid ORDER BY qid""".stripMargin),
+    ),
   )
 }

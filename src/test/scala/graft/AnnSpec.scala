@@ -126,4 +126,14 @@ class AnnSpec extends AnyFunSuite {
       assert(truth(k) == cos, s"pair $k: ${truth(k)} vs $cos")
     }
   }
+
+  test("nprobe recall knob is monotone: recall@10(np=5) >= recall@10(np=1) per query") {
+    val rows = ops.Registry.queries("sim_recall_nprobe")(spark, TestSpark.sfSmoke)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (np1, np5) = (r.getDouble(1), r.getDouble(2))
+      assert(np5 >= np1, s"qid ${r.getLong(0)}: recall_np5 $np5 < recall_np1 $np1")
+    }
+  }
 }

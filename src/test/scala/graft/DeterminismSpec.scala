@@ -77,7 +77,7 @@ class DeterminismSpec extends AnyFunSuite {
     "ts_cusum_flag", "sim_recall_report",
     // round 9 staples 4: rank+cumsum-over-totals Pareto cutoff,
     // r4-tfidf rank keywords
-    "agg_pareto_8020", "text_keyword_extract")
+    "agg_pareto_8020", "text_keyword_extract", "sim_recall_nprobe")
 
   test("order-sensitive queries return identical results across runs") {
     val failures = sensitive.flatMap { key =>

@@ -154,6 +154,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("the recall-report queries run on the fused native cosine") {
+    for (k <- Seq("sim_recall_report", "sim_recall_nprobe")) {
+      assert(plan(k).contains("cosine_native"), k)
+    }
+  }
+
   test("agg_iqr_outliers broadcasts the quartile-fence table back onto the fact rows") {
     val p = plan("agg_iqr_outliers")
     assert(p.contains("BroadcastHashJoin"), p)
