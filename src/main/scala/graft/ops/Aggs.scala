@@ -1151,6 +1151,110 @@ object Aggs {
              |SELECT 'v', n, n - nn_v, nd_v FROM p
              |ORDER BY column_name""".stripMargin),
     ),
+    // Two-sample Kolmogorov–Smirnov statistic (scipy.stats.ks_2samp's
+    // D) between the 'view' and 'click' value distributions — the
+    // drift/shift test every feature pipeline runs. EXACT-INTEGER
+    // device: at each distinct value the CDF gap |F1−F2| is compared
+    // as the cross-multiplied integer |cum1·n2 − cum2·n1| over the
+    // common denominator n1·n2 — the MAX is taken over exact int64s,
+    // never floats, and only the final D = max/(n1·n2) divides, r4.
+    // The window runs over the DISTINCT-VALUE grid (2-dp values are
+    // range-bounded, ≤ ~20k rows at any corpus size — documented
+    // single-partition bound), not over events.
+    OpSpec(
+      "agg_ks_test",
+      (s, d) => {
+        val two = T.events(s, d)
+          .filter(col("event_type").isin("view", "click"))
+          .groupBy("value")
+          .agg(
+            sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("c1"),
+            sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c2"))
+        val totals = two.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+        val byV = Window.orderBy("value") // distinct-value grid: bounded
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        two.crossJoin(broadcast(totals))
+          .select(col("n1"), col("n2"),
+            sum(col("c1")).over(byV).as("cum1"),
+            sum(col("c2")).over(byV).as("cum2"))
+          .groupBy("n1", "n2")
+          .agg(max(abs(col("cum1") * col("n2") - col("cum2") * col("n1"))).as("dnum"))
+          .select(col("n1"), col("n2"),
+            P.r4(col("dnum").cast("double") /
+              (col("n1") * col("n2")).cast("double")).as("ks_d"))
+      },
+      Some("""SELECT n1, n2,
+             |  round(cast(max(abs(cum1 * n2 - cum2 * n1)) as double)
+             |        / cast(n1 * n2 as double), 4) AS ks_d
+             |FROM (
+             |  SELECT n1, n2,
+             |    sum(c1) OVER w AS cum1,
+             |    sum(c2) OVER w AS cum2
+             |  FROM (
+             |    SELECT value,
+             |      sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c1,
+             |      sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c2
+             |    FROM events WHERE event_type IN ('view', 'click')
+             |    GROUP BY value) t
+             |  CROSS JOIN (
+             |    SELECT cast(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) as bigint) AS n1,
+             |           cast(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) as bigint) AS n2
+             |    FROM events WHERE event_type IN ('view', 'click'))
+             |  WINDOW w AS (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             |GROUP BY n1, n2""".stripMargin),
+    ),
+    // Chi-square test of independence (event_type × weekday) — the
+    // categorical-drift companion of the KS test. Observed counts are
+    // exact; expected = rowtot·coltot/n and the (o−e)²/e terms are
+    // doubles, so the 35-term sum uses the ORDERED-FOLD device keyed
+    // by (event_type, dow) — bit-pinned, over the tiny contingency
+    // aggregate, never the fact table. Emits the statistic + dof
+    // (neither engine ships a chi² CDF; the p-value lookup is the
+    // caller's table).
+    OpSpec(
+      "agg_chi2_independence",
+      (s, d) => {
+        val obs = T.events(s, d)
+          .groupBy(col("event_type"), expr("weekday(ts)").cast("bigint").as("dow"))
+          .agg(count(lit(1)).as("o"))
+        val wr = Window.partitionBy("event_type")
+        val wc = Window.partitionBy("dow")
+        val wn = Window.partitionBy()
+        obs
+          .select(col("event_type"), col("dow"), col("o"),
+            sum(col("o")).over(wr).as("rt"),
+            sum(col("o")).over(wc).as("ct"),
+            sum(col("o")).over(wn).as("n"))
+          .withColumn("term", {
+            val e = (col("rt") * col("ct")).cast("double") / col("n").cast("double")
+            (col("o").cast("double") - e) * (col("o").cast("double") - e) / e
+          })
+          .agg(
+            P.r4(expr("""aggregate(
+                        |  transform(array_sort(collect_list(struct(event_type, dow, term))), x -> x.term),
+                        |  0D, (acc, x) -> acc + x)""".stripMargin)).as("chi2"),
+            ((countDistinct(col("event_type")) - 1) *
+              (countDistinct(col("dow")) - 1)).as("dof"))
+      },
+      Some("""SELECT
+             |  round(list_sum(list(term ORDER BY event_type, dow)), 4) AS chi2,
+             |  cast((count(DISTINCT event_type) - 1) * (count(DISTINCT dow) - 1) as bigint) AS dof
+             |FROM (
+             |  SELECT event_type, dow, term FROM (
+             |    SELECT event_type, dow,
+             |      (cast(o as double) - cast(rt * ct as double) / cast(n as double))
+             |        * (cast(o as double) - cast(rt * ct as double) / cast(n as double))
+             |        / (cast(rt * ct as double) / cast(n as double)) AS term
+             |    FROM (
+             |      SELECT event_type, dow, o,
+             |        sum(o) OVER (PARTITION BY event_type) AS rt,
+             |        sum(o) OVER (PARTITION BY dow) AS ct,
+             |        sum(o) OVER () AS n
+             |      FROM (
+             |        SELECT event_type, isodow(cast(ts as timestamp)) - 1 AS dow,
+             |          count(*) AS o
+             |        FROM events GROUP BY 1, 2))))""".stripMargin),
+    ),
     // Pareto 80/20 — how many top customers cover 80% of revenue per
     // group. ENTIRELY in exact decimal: per-customer totals (the only
     // fact shuffle) → rank window over customer totals (rev DESC,

@@ -77,7 +77,9 @@ class DeterminismSpec extends AnyFunSuite {
     "ts_cusum_flag", "sim_recall_report",
     // round 9 staples 4: rank+cumsum-over-totals Pareto cutoff,
     // r4-tfidf rank keywords
-    "agg_pareto_8020", "text_keyword_extract", "sim_recall_nprobe")
+    "agg_pareto_8020", "text_keyword_extract", "sim_recall_nprobe",
+    // round 9 batch 7: integer-max KS, ordered-fold chi-square
+    "agg_ks_test", "agg_chi2_independence")
 
   test("order-sensitive queries return identical results across runs") {
     val failures = sensitive.flatMap { key =>
