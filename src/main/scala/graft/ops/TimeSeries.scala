@@ -1741,6 +1741,48 @@ object TimeSeries {
              |  FROM events GROUP BY 1)
              |ORDER BY day""".stripMargin),
     ),
+    // SMA crossover signal (the golden/death-cross TA staple): where
+    // the fast rolling mean crosses the slow one. DIVISIONLESS exact
+    // comparison — SMA5 > SMA20 ⟺ s5·4 > s20 with both sums exact
+    // decimals, so the regime bit can never straddle an engine
+    // boundary; the crossover is a lag-compare of that bit. Both sums
+    // + counts in ONE fused WindowExec, the lag in a second.
+    OpSpec(
+      "ts_sma_crossover",
+      (s, d) => {
+        val byU = Window.partitionBy("user_id").orderBy("event_id")
+        val r5 = byU.rowsBetween(-4, 0)
+        val r20 = byU.rowsBetween(-19, 0)
+        ev(s, d)
+          .select(col("event_id"), col("user_id"),
+            count(lit(1)).over(r20).as("n20"),
+            sum(P.dec2(col("value"))).over(r5).as("s5"),
+            sum(P.dec2(col("value"))).over(r20).as("s20"))
+          // both flags coalesced non-null (the win_bollinger lesson:
+          // nullable bools dtype-split the pandas comparator)
+          .select(col("event_id"), col("user_id"),
+            coalesce(when(col("n20") === 20, col("s5") * 4 > col("s20")), lit(false))
+              .as("fast_above"))
+          .select(col("event_id"), col("user_id"), col("fast_above"),
+            coalesce(col("fast_above") =!= lag("fast_above", 1).over(byU), lit(false))
+              .as("crossover"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, fast_above,
+             |  coalesce(fast_above <> lag(fast_above, 1) OVER (PARTITION BY user_id ORDER BY event_id), false) AS crossover
+             |FROM (
+             |  SELECT event_id, user_id,
+             |    coalesce(CASE WHEN n20 = 20 THEN s5 * 4 > s20 END, false) AS fast_above
+             |  FROM (
+             |    SELECT event_id, user_id,
+             |      count(*) OVER w20 AS n20,
+             |      sum(cast(value as decimal(18,2))) OVER w5 AS s5,
+             |      sum(cast(value as decimal(18,2))) OVER w20 AS s20
+             |    FROM events
+             |    WINDOW w5 AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+             |           w20 AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)))
+             |ORDER BY event_id""".stripMargin),
+    ),
     // CUSUM change-point flag (Page 1954) per user — the drift
     // detector. The running sum of deviations Σ(xⱼ−μ) is computed as
     // cusum_dec − i·μ: the cumsum stays an EXACT DECIMAL (order-
