@@ -1151,6 +1151,40 @@ object Aggs {
              |SELECT 'v', n, n - nn_v, nd_v FROM p
              |ORDER BY column_name""".stripMargin),
     ),
+    // Lorenz curve decile points — the chart behind agg_gini: for each
+    // revenue decile (ascending), the cumulative share of total. ntile
+    // assigns ties arbitrarily but tied rows carry EQUAL values, so
+    // every decile's SUM is tie-order-invariant; cumsum and total stay
+    // exact decimal, one r4 division per emitted point (30 rows).
+    OpSpec(
+      "agg_lorenz_curve",
+      (s, d) => {
+        val byV = Window.partitionBy("o_orderstatus").orderBy("o_totalprice")
+        val byDec = Window.partitionBy("o_orderstatus").orderBy("dec")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = Window.partitionBy("o_orderstatus")
+        T.orders(s, d)
+          .withColumn("dec", ntile(10).over(byV).cast("bigint"))
+          .groupBy("o_orderstatus", "dec")
+          .agg(sum(P.dec2(col("o_totalprice"))).as("s"))
+          .select(col("o_orderstatus"), col("dec"),
+            P.r4(sum(col("s")).over(byDec).cast("double") /
+              sum(col("s")).over(tot).cast("double")).as("cum_share"))
+          .orderBy("o_orderstatus", "dec")
+      },
+      Some("""SELECT o_orderstatus, dec,
+             |  round(cast(sum(s) OVER (PARTITION BY o_orderstatus ORDER BY dec
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as double)
+             |        / cast(sum(s) OVER (PARTITION BY o_orderstatus) as double), 4) AS cum_share
+             |FROM (
+             |  SELECT o_orderstatus, dec, sum(cast(o_totalprice as decimal(18,2))) AS s
+             |  FROM (
+             |    SELECT o_orderstatus, o_totalprice,
+             |      cast(ntile(10) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice) as bigint) AS dec
+             |    FROM orders)
+             |  GROUP BY 1, 2)
+             |ORDER BY o_orderstatus, dec""".stripMargin),
+    ),
     // Two-sample Kolmogorov–Smirnov statistic (scipy.stats.ks_2samp's
     // D) between the 'view' and 'click' value distributions — the
     // drift/shift test every feature pipeline runs. EXACT-INTEGER

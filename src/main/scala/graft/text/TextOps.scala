@@ -66,6 +66,48 @@ object TextOps {
              |  GROUP BY doc_id)
              |ORDER BY doc_id""".stripMargin),
     ),
+    // Label-quality audit: agreement rate between the SHIPPED lang
+    // metadata column and the heuristic predictor — per metadata
+    // label, how often the classifier concurs. The audit every corpus
+    // with vendor labels needs before trusting either side. Reuses the
+    // text_lang_id stop-ratio rule verbatim (same formula text, same
+    // 0.03 cutoff — the comparison is between an exact rational and a
+    // decimal literal, engine-safe); one token agg + one tiny lang agg.
+    OpSpec(
+      "text_language_consistency",
+      (s, d) => {
+        val pred = T.documents(s, d)
+          .filter(col("doc_id") < 100)
+          .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
+          .groupBy("doc_id", "lang")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("w").isin("the", "a"), 1L).otherwise(0L)).as("n_stop"))
+          .select(col("lang"),
+            when(col("n_stop").cast("double") / col("n") >= 0.03, "en")
+              .otherwise("und").as("lang_pred"))
+        pred.groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("lang") === col("lang_pred"), 1L).otherwise(0L)).as("n_agree"))
+          .select(col("lang"), col("n_docs"), col("n_agree"),
+            round(col("n_agree").cast("double") / col("n_docs").cast("double"), 4)
+              .as("agreement"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, count(*) AS n_docs,
+             |  cast(sum(CASE WHEN lang = lang_pred THEN 1 ELSE 0 END) as bigint) AS n_agree,
+             |  round(cast(sum(CASE WHEN lang = lang_pred THEN 1 ELSE 0 END) as double)
+             |        / cast(count(*) as double), 4) AS agreement
+             |FROM (
+             |  SELECT lang,
+             |    CASE WHEN cast(n_stop as double) / n >= 0.03 THEN 'en' ELSE 'und' END AS lang_pred
+             |  FROM (
+             |    SELECT doc_id, lang, count(*) AS n,
+             |      cast(sum(CASE WHEN w IN ('the', 'a') THEN 1 ELSE 0 END) as bigint) AS n_stop
+             |    FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+             |          FROM documents WHERE doc_id < 100)
+             |    GROUP BY doc_id, lang))
+             |GROUP BY lang ORDER BY lang""".stripMargin),
+    ),
     // Quality score: lexical diversity + mean token length, combined
     // with fixed weights. Pure int-sum arithmetic → identical IEEE.
     OpSpec(

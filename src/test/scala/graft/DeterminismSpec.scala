@@ -79,7 +79,9 @@ class DeterminismSpec extends AnyFunSuite {
     // r4-tfidf rank keywords
     "agg_pareto_8020", "text_keyword_extract", "sim_recall_nprobe",
     // round 9 batch 7: integer-max KS, ordered-fold chi-square
-    "agg_ks_test", "agg_chi2_independence")
+    "agg_ks_test", "agg_chi2_independence",
+    // round 9 batch 9: ntile-decile Lorenz (tie-sum invariance)
+    "agg_lorenz_curve")
 
   test("order-sensitive queries return identical results across runs") {
     val failures = sensitive.flatMap { key =>
