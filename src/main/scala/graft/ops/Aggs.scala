@@ -1185,6 +1185,117 @@ object Aggs {
              |  GROUP BY 1, 2)
              |ORDER BY o_orderstatus, dec""".stripMargin),
     ),
+    // Mann–Whitney U (scipy.stats.mannwhitneyu, view vs click) — the
+    // rank-sum drift test, tie-corrected, in EXACT INTEGERS: with
+    // average ranks a = rank_min + (ties−1)/2, the DOUBLED rank 2a =
+    // 2·rank_min + ties − 1 is an integer, so Σ2a accumulates as
+    // bigint off the distinct-value grid (c1 · that, per value) and
+    // 2U = 2R1 − n1(n1+1) stays exact until one final /2 (a power of
+    // two — the division is lossless in binary). Same bounded
+    // value-grid window as agg_ks_test.
+    OpSpec(
+      "agg_mannwhitney_u",
+      (s, d) => {
+        val grid = T.events(s, d)
+          .filter(col("event_type").isin("view", "click"))
+          .groupBy("value")
+          .agg(
+            sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("c1"),
+            sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c2"))
+        val byV = Window.orderBy("value") // distinct-value grid: bounded
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid
+          .select(col("c1"), col("c2"),
+            (sum(col("c1") + col("c2")).over(byV) - (col("c1") + col("c2")) + 1L)
+              .as("rank_min"))
+          .agg(
+            sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+            sum(col("c1") * (col("rank_min") * 2 + (col("c1") + col("c2")) - 1))
+              .as("r1x2"))
+          .select(col("n1"), col("n2"),
+            ((col("r1x2") - col("n1") * (col("n1") + 1)).cast("double") / 2)
+              .as("u1"))
+      },
+      Some("""SELECT n1, n2,
+             |  cast(r1x2 - n1 * (n1 + 1) as double) / 2 AS u1
+             |FROM (
+             |  SELECT cast(sum(c1) as bigint) AS n1, cast(sum(c2) as bigint) AS n2,
+             |    cast(sum(c1 * (rank_min * 2 + (c1 + c2) - 1)) as bigint) AS r1x2
+             |  FROM (
+             |    SELECT c1, c2,
+             |      sum(c1 + c2) OVER w - (c1 + c2) + 1 AS rank_min
+             |    FROM (
+             |      SELECT value,
+             |        sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c1,
+             |        sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c2
+             |      FROM events WHERE event_type IN ('view', 'click')
+             |      GROUP BY value)
+             |    WINDOW w AS (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)))""".stripMargin),
+    ),
+    // Spearman rank correlation per group (pandas corr(method=
+    // 'spearman')) — Pearson over tie-averaged ranks, with the SAME
+    // doubled-rank integer device as Mann–Whitney: 2a per row is an
+    // exact int64, the co-moment sums accumulate as decimal(38,0)
+    // (operands cast BEFORE the multiply — a bigint product of two
+    // 2n-scale ranks overflows int64 past ~1e9-row groups, the
+    // agg_mad lesson), and the factors of 2 cancel in the closed
+    // form. Rank windows shard by the GROUP key (no global sort —
+    // the reshape_qcut scale trap avoided by construction).
+    OpSpec(
+      "agg_spearman",
+      (s, d) => {
+        val byQ = Window.partitionBy("l_returnflag").orderBy("q")
+        val byP = Window.partitionBy("l_returnflag").orderBy("p")
+        val cq = Window.partitionBy("l_returnflag", "q")
+        val cp = Window.partitionBy("l_returnflag", "p")
+        val d19 = (c: org.apache.spark.sql.Column) => c.cast("decimal(19,0)")
+        T.lineitem(s, d)
+          .select(col("l_returnflag"),
+            col("l_quantity").cast("bigint").as("q"), P.dec2(col("l_extendedprice")).as("p"))
+          .select(col("l_returnflag"),
+            (rank().over(byQ).cast("bigint") * 2 + count(lit(1)).over(cq) - 1).as("ax"),
+            (rank().over(byP).cast("bigint") * 2 + count(lit(1)).over(cp) - 1).as("bx"))
+          .groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("ax")).as("sa"), sum(col("bx")).as("sb"),
+            sum(d19(col("ax")) * d19(col("ax"))).as("saa"),
+            sum(d19(col("bx")) * d19(col("bx"))).as("sbb"),
+            sum(d19(col("ax")) * d19(col("bx"))).as("sab"))
+          .select(col("l_returnflag"), col("n"),
+            P.r4((col("n").cast("double") * col("sab").cast("double") -
+              col("sa").cast("double") * col("sb").cast("double")) /
+              sqrt((col("n").cast("double") * col("saa").cast("double") -
+                col("sa").cast("double") * col("sa").cast("double")) *
+                (col("n").cast("double") * col("sbb").cast("double") -
+                  col("sb").cast("double") * col("sb").cast("double"))))
+              .as("spearman_rho"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, n,
+             |  round((cast(n as double) * cast(sab as double) - cast(sa as double) * cast(sb as double))
+             |        / sqrt((cast(n as double) * cast(saa as double) - cast(sa as double) * cast(sa as double))
+             |               * (cast(n as double) * cast(sbb as double) - cast(sb as double) * cast(sb as double))), 4)
+             |    AS spearman_rho
+             |FROM (
+             |  SELECT l_returnflag, count(*) AS n,
+             |    cast(sum(ax) as bigint) AS sa, cast(sum(bx) as bigint) AS sb,
+             |    sum(cast(ax as decimal(19,0)) * cast(ax as decimal(19,0))) AS saa,
+             |    sum(cast(bx as decimal(19,0)) * cast(bx as decimal(19,0))) AS sbb,
+             |    sum(cast(ax as decimal(19,0)) * cast(bx as decimal(19,0))) AS sab
+             |  FROM (
+             |    SELECT l_returnflag,
+             |      cast(rank() OVER (PARTITION BY l_returnflag ORDER BY q) as bigint) * 2
+             |        + count(*) OVER (PARTITION BY l_returnflag, q) - 1 AS ax,
+             |      cast(rank() OVER (PARTITION BY l_returnflag ORDER BY p) as bigint) * 2
+             |        + count(*) OVER (PARTITION BY l_returnflag, p) - 1 AS bx
+             |    FROM (
+             |      SELECT l_returnflag, cast(l_quantity as bigint) AS q,
+             |        cast(l_extendedprice as decimal(18,2)) AS p
+             |      FROM lineitem))
+             |  GROUP BY l_returnflag)
+             |ORDER BY l_returnflag""".stripMargin),
+    ),
     // Two-sample Kolmogorov–Smirnov statistic (scipy.stats.ks_2samp's
     // D) between the 'view' and 'click' value distributions — the
     // drift/shift test every feature pipeline runs. EXACT-INTEGER

@@ -81,7 +81,9 @@ class DeterminismSpec extends AnyFunSuite {
     // round 9 batch 7: integer-max KS, ordered-fold chi-square
     "agg_ks_test", "agg_chi2_independence",
     // round 9 batch 9: ntile-decile Lorenz (tie-sum invariance)
-    "agg_lorenz_curve")
+    "agg_lorenz_curve",
+    // round 9 batch 10: doubled-rank nonparametrics
+    "agg_mannwhitney_u", "agg_spearman")
 
   test("order-sensitive queries return identical results across runs") {
     val failures = sensitive.flatMap { key =>
