@@ -912,6 +912,29 @@ object TimeSeries {
              |  FROM events GROUP BY 1)
              |ORDER BY hod""".stripMargin),
     ),
+    // Hourly load-profile percentiles — p50/p95 of value by hour of
+    // day, the capacity-planning readout on every SRE dashboard. ONE
+    // hash agg; percentile takes the fraction ARRAY so each hour
+    // sorts once for both order statistics (the agg_quantile_multi
+    // device, same exact-interpolation semantics as quantile_cont).
+    OpSpec(
+      "ts_load_percentiles",
+      (s, d) =>
+        ev(s, d)
+          .groupBy(hour(col("ts")).cast("bigint").as("hod"))
+          .agg(count(lit(1)).as("n"),
+            expr("percentile(value, array(0.5D, 0.95D))").as("pq"))
+          .select(col("hod"), col("n"),
+            P.r4(col("pq")(0)).as("p50"), P.r4(col("pq")(1)).as("p95"))
+          .orderBy("hod"),
+      Some("""SELECT hod, count(*) AS n,
+             |  round(quantile_cont(value, 0.5), 4) AS p50,
+             |  round(quantile_cont(value, 0.95), 4) AS p95
+             |FROM (SELECT extract(hour FROM cast(ts as timestamp)) AS hod, value
+             |      FROM events) t
+             |GROUP BY hod
+             |ORDER BY hod""".stripMargin),
+    ),
     // Weekly activity heatmap — (weekday × hour) totals, the classic
     // calendar grid every ops dashboard draws. Weekday is pinned
     // Monday=0 on both engines (Spark weekday() ≡ DuckDB isodow−1 —

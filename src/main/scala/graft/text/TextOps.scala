@@ -108,6 +108,46 @@ object TextOps {
              |    GROUP BY doc_id, lang))
              |GROUP BY lang ORDER BY lang""".stripMargin),
     ),
+    // Cross-SOURCE vocabulary Jaccard matrix — which corpus slices
+    // speak the same language (the source-mix diagnostic next to
+    // text_lang_topk). Distinct (source, word) pairs shuffle once on
+    // the word key; the pair join is word-blocked (5×5 sources max
+    // per word — never an all-pairs product); set sizes broadcast
+    // back (≤5 rows). All counts, one r4 division.
+    OpSpec(
+      "text_jaccard_matrix",
+      (s, d) => {
+        val vocab = T.documents(s, d)
+          .select(col("source"), explode(split(col("text"), " ")).as("w"))
+          .distinct()
+        val sizes = vocab.groupBy("source").agg(count(lit(1)).as("nv"))
+        val inter = vocab.select(col("source").as("sa"), col("w"))
+          .join(vocab.select(col("source").as("sb"), col("w")), Seq("w"))
+          .filter(col("sa") < col("sb"))
+          .groupBy("sa", "sb").agg(count(lit(1)).as("ni"))
+        inter
+          .join(broadcast(sizes.select(col("source").as("sa"), col("nv").as("na"))), Seq("sa"))
+          .join(broadcast(sizes.select(col("source").as("sb"), col("nv").as("nb"))), Seq("sb"))
+          .select(col("sa"), col("sb"), col("ni"),
+            round(col("ni").cast("double") /
+              (col("na") + col("nb") - col("ni")).cast("double"), 4).as("jaccard"))
+          .orderBy("sa", "sb")
+      },
+      Some("""WITH vocab AS (
+             |  SELECT DISTINCT source, unnest(string_split(text, ' ')) AS w
+             |  FROM documents),
+             |sizes AS (SELECT source, count(*) AS nv FROM vocab GROUP BY source),
+             |inter AS (
+             |  SELECT a.source AS sa, b.source AS sb, count(*) AS ni
+             |  FROM vocab a JOIN vocab b ON a.w = b.w AND a.source < b.source
+             |  GROUP BY 1, 2)
+             |SELECT sa, sb, ni,
+             |  round(cast(ni as double) / cast(x.nv + y.nv - ni as double), 4) AS jaccard
+             |FROM inter
+             |JOIN sizes x ON x.source = sa
+             |JOIN sizes y ON y.source = sb
+             |ORDER BY sa, sb""".stripMargin),
+    ),
     // Quality score: lexical diversity + mean token length, combined
     // with fixed weights. Pure int-sum arithmetic → identical IEEE.
     OpSpec(
