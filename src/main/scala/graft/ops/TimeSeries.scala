@@ -912,6 +912,31 @@ object TimeSeries {
              |  FROM events GROUP BY 1)
              |ORDER BY hod""".stripMargin),
     ),
+    // Systematic every-Nth downsampling per series — the "thin the
+    // stream, keep the phase" sampler (pandas .iloc[::n] per group):
+    // keeps rows where (row_number − 1) mod 25 = 0, so each series
+    // retains its first event and every 25th after — deterministic,
+    // order-defined, unlike hash sampling which is content-defined.
+    // One row_number window, then a row-local filter.
+    OpSpec(
+      "ts_every_nth",
+      (s, d) => {
+        val byU = Window.partitionBy("user_id").orderBy("event_id")
+        ev(s, d)
+          .select(col("event_id"), col("user_id"), col("value"),
+            row_number().over(byU).cast("bigint").as("i"))
+          .filter((col("i") - 1) % 25 === 0)
+          .select(col("event_id"), col("user_id"), col("value"), col("i"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, value, i
+             |FROM (
+             |  SELECT event_id, user_id, value,
+             |    cast(row_number() OVER (PARTITION BY user_id ORDER BY event_id) as bigint) AS i
+             |  FROM events)
+             |WHERE (i - 1) % 25 = 0
+             |ORDER BY event_id""".stripMargin),
+    ),
     // Hourly load-profile percentiles — p50/p95 of value by hour of
     // day, the capacity-planning readout on every SRE dashboard. ONE
     // hash agg; percentile takes the fraction ARRAY so each hour

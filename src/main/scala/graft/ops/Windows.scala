@@ -1003,6 +1003,34 @@ object Windows {
               |WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
               |ORDER BY event_id""".stripMargin),
     ),
+    // Min-max scaling to [0,1] per series — the ML feature-prep
+    // staple (sklearn MinMaxScaler per group). min/max are exact
+    // decimals off one full-frame WindowExec; the scale arithmetic
+    // shares its formula text, and the degenerate max=min series
+    // nullifies on both sides (P.div).
+    OpSpec(
+      "win_min_max_scale",
+      (s, d) =>
+        ev(s, d)
+          .select(col("event_id"), col("user_id"), col("value"),
+            min(P.dec2(col("value"))).over(full).as("mn"),
+            max(P.dec2(col("value"))).over(full).as("mx"))
+          .select(col("event_id"), col("user_id"),
+            P.r4(P.div(
+              (P.dec2(col("value")) - col("mn")).cast("double"),
+              (col("mx") - col("mn")).cast("double"))).as("scaled"))
+          .orderBy("event_id"),
+      Some(s"""SELECT event_id, user_id,
+              |  round(cast(cast(value as decimal(18,2)) - mn as double)
+              |        / nullif(cast(mx - mn as double), 0), 4) AS scaled
+              |FROM (
+              |  SELECT event_id, user_id, value,
+              |    min(cast(value as decimal(18,2))) OVER w AS mn,
+              |    max(cast(value as decimal(18,2))) OVER w AS mx
+              |  FROM $EV
+              |  WINDOW w AS (PARTITION BY user_id ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+              |ORDER BY event_id""".stripMargin),
+    ),
     // cume_dist — the CDF-position window function (pandas
     // rank(pct=True, method='max') analogue): identical built-in
     // semantics in both engines (ties share the value), one division

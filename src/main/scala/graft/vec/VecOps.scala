@@ -620,6 +620,52 @@ object VecOps {
            |GROUP BY label ORDER BY label""".stripMargin
       },
     ),
+    // int8 scalar quantization + reconstruction error — the vector-
+    // compression step every large ANN index applies before storage
+    // (4× smaller than float32). q = round(x·127/amax) per component
+    // (amax = per-vector max |x|, one HOF fold); the report is the
+    // mean absolute reconstruction error per label bucket. ROW-LOCAL
+    // transform — fuses into the scan; only the tiny error agg
+    // shuffles. The per-doc error sum is an ordered HOF fold
+    // (component order is the array order — already deterministic),
+    // and the cross-row mean uses exact-decimal rounding of per-row
+    // r4 errors to dodge double-sum association.
+    OpSpec(
+      "vec_quantize_int8",
+      (s, d) =>
+        T.embeddings(s, d)
+          .select(col("vec_id"), col("label"),
+            expr("transform(embedding, x -> cast(x as double))").as("e"))
+          .withColumn("amax",
+            expr("aggregate(e, 0D, (acc, x) -> greatest(acc, abs(x)))"))
+          .withColumn("err", P.r4(
+            expr("""aggregate(
+                   |  zip_with(e, transform(e, x -> round(x * 127.0 / amax) * amax / 127.0),
+                   |           (x, y) -> abs(x - y)),
+                   |  0D, (acc, x) -> acc + x)""".stripMargin) /
+            size(col("e")).cast("double")))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n_vecs"),
+            (sum(col("err").cast("decimal(18,4)")).cast("double") /
+              count(lit(1)).cast("double")).as("mean_abs_err"))
+          .orderBy("label"),
+      Some("""SELECT label, count(*) AS n_vecs,
+             |  cast(sum(cast(err as decimal(18,4))) as double)
+             |    / cast(count(*) as double) AS mean_abs_err
+             |FROM (
+             |  SELECT label,
+             |    round(list_reduce(list_prepend(0.0,
+             |      list_transform(list_zip(e,
+             |        list_transform(e, x -> round(x * 127.0 / amax) * amax / 127.0)),
+             |        p -> abs(p[1] - p[2]))),
+             |      (acc, x) -> acc + x) / len(e), 4) AS err
+             |  FROM (
+             |    SELECT label, e,
+             |      list_reduce(list_prepend(0.0, list_transform(e, x -> abs(x))),
+             |        (acc, x) -> greatest(acc, x)) AS amax
+             |    FROM (SELECT label, embedding::DOUBLE[] AS e FROM embeddings)))
+             |GROUP BY label ORDER BY label""".stripMargin),
+    ),
     // ANN QUALITY measured IN the engine: recall@10 of the nprobe=1
     // sign-IVF search vs the brute-force ground truth, per query, as a
     // declared query — the evaluation harness a production vector
