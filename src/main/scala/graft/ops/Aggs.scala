@@ -1185,6 +1185,52 @@ object Aggs {
              |  GROUP BY 1, 2)
              |ORDER BY o_orderstatus, dec""".stripMargin),
     ),
+    // Welch's two-sample t (scipy.stats.ttest_ind(equal_var=False),
+    // view vs click) — the parametric member of the drift-test family
+    // (KS / Mann–Whitney / chi² are the others). Means and variances
+    // come from exact decimal moment sums (ONE map-combined agg over
+    // both samples via conditional sums); t and the Welch–
+    // Satterthwaite dof are shared-text double arithmetic, r4.
+    OpSpec(
+      "agg_welch_t",
+      (s, d) => {
+        val isV = col("event_type") === "view"
+        val agg = T.events(s, d)
+          .filter(col("event_type").isin("view", "click"))
+          .agg(
+            sum(when(isV, 1L).otherwise(0L)).cast("double").as("n1"),
+            sum(when(!isV, 1L).otherwise(0L)).cast("double").as("n2"),
+            sum(when(isV, P.dec2(col("value")))).cast("double").as("s1"),
+            sum(when(!isV, P.dec2(col("value")))).cast("double").as("s2"),
+            sum(when(isV, (P.dec2(col("value")) * P.dec2(col("value"))).cast("decimal(38,4)")))
+              .cast("double").as("q1"),
+            sum(when(!isV, (P.dec2(col("value")) * P.dec2(col("value"))).cast("decimal(38,4)")))
+              .cast("double").as("q2"))
+        val v1 = (col("q1") - col("s1") * col("s1") / col("n1")) / (col("n1") - 1) / col("n1")
+        val v2 = (col("q2") - col("s2") * col("s2") / col("n2")) / (col("n2") - 1) / col("n2")
+        agg.select(
+          col("n1").cast("bigint").as("n1"), col("n2").cast("bigint").as("n2"),
+          P.r4((col("s1") / col("n1") - col("s2") / col("n2")) / sqrt(v1 + v2)).as("t_stat"),
+          P.r4((v1 + v2) * (v1 + v2) /
+            (v1 * v1 / (col("n1") - 1) + v2 * v2 / (col("n2") - 1))).as("dof"))
+      },
+      Some("""SELECT cast(n1 as bigint) AS n1, cast(n2 as bigint) AS n2,
+             |  round((s1 / n1 - s2 / n2) /
+             |        sqrt((q1 - s1 * s1 / n1) / (n1 - 1) / n1 + (q2 - s2 * s2 / n2) / (n2 - 1) / n2), 4) AS t_stat,
+             |  round(((q1 - s1 * s1 / n1) / (n1 - 1) / n1 + (q2 - s2 * s2 / n2) / (n2 - 1) / n2)
+             |        * ((q1 - s1 * s1 / n1) / (n1 - 1) / n1 + (q2 - s2 * s2 / n2) / (n2 - 1) / n2)
+             |        / ((q1 - s1 * s1 / n1) / (n1 - 1) / n1 * ((q1 - s1 * s1 / n1) / (n1 - 1) / n1) / (n1 - 1)
+             |           + (q2 - s2 * s2 / n2) / (n2 - 1) / n2 * ((q2 - s2 * s2 / n2) / (n2 - 1) / n2) / (n2 - 1)), 4) AS dof
+             |FROM (
+             |  SELECT
+             |    cast(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) as double) AS n1,
+             |    cast(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) as double) AS n2,
+             |    cast(sum(CASE WHEN event_type = 'view' THEN cast(value as decimal(18,2)) END) as double) AS s1,
+             |    cast(sum(CASE WHEN event_type = 'click' THEN cast(value as decimal(18,2)) END) as double) AS s2,
+             |    cast(sum(CASE WHEN event_type = 'view' THEN cast(cast(value as decimal(18,2)) * cast(value as decimal(18,2)) as decimal(38,4)) END) as double) AS q1,
+             |    cast(sum(CASE WHEN event_type = 'click' THEN cast(cast(value as decimal(18,2)) * cast(value as decimal(18,2)) as decimal(38,4)) END) as double) AS q2
+             |  FROM events WHERE event_type IN ('view', 'click'))""".stripMargin),
+    ),
     // Mann–Whitney U (scipy.stats.mannwhitneyu, view vs click) — the
     // rank-sum drift test, tie-corrected, in EXACT INTEGERS: with
     // average ranks a = rank_min + (ties−1)/2, the DOUBLED rank 2a =

@@ -912,6 +912,49 @@ object TimeSeries {
              |  FROM events GROUP BY 1)
              |ORDER BY hod""".stripMargin),
     ),
+    // Seasonal anomaly — z-score of each event against ITS HOUR-OF-
+    // DAY baseline (how real monitoring alerts: 3am traffic compared
+    // to 3am history, not the global mean). The 24-row baseline of
+    // exact moment sums broadcasts back onto the stream; z and the
+    // flag share formula text. Row-local after one tiny join — scales
+    // as a scan.
+    OpSpec(
+      "ts_seasonal_anomaly",
+      (s, d) => {
+        val withHod = ev(s, d).withColumn("hod", hour(col("ts")).cast("bigint"))
+        val base = withHod.groupBy("hod")
+          .agg(count(lit(1)).as("n"),
+            sum(P.dec2(col("value"))).cast("double").as("sx"),
+            sum((P.dec2(col("value")) * P.dec2(col("value"))).cast("decimal(38,4)"))
+              .cast("double").as("sq"))
+          .select(col("hod"), (col("sx") / col("n")).as("mu"),
+            sqrt((col("sq") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("sd"))
+        withHod.join(broadcast(base), Seq("hod"))
+          .filter(col("user_id") < 10) // bound verify output; baseline uses ALL rows
+          .select(col("event_id"), col("user_id"),
+            P.r4((col("value") - col("mu")) / col("sd")).as("z_seasonal"),
+            (abs(col("value") - col("mu")) > lit(3.0) * col("sd")).as("is_anomaly"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             |  round((value - mu) / sd, 4) AS z_seasonal,
+             |  abs(value - mu) > 3.0 * sd AS is_anomaly
+             |FROM (
+             |  SELECT event_id, user_id, value,
+             |    extract(hour FROM cast(ts as timestamp)) AS hod
+             |  FROM events) e
+             |JOIN (
+             |  SELECT hod, sx / n AS mu,
+             |    sqrt((sq - sx * sx / n) / (n - 1)) AS sd
+             |  FROM (
+             |    SELECT extract(hour FROM cast(ts as timestamp)) AS hod,
+             |      count(*) AS n,
+             |      cast(sum(cast(value as decimal(18,2))) as double) AS sx,
+             |      cast(sum(cast(cast(value as decimal(18,2)) * cast(value as decimal(18,2)) as decimal(38,4))) as double) AS sq
+             |    FROM events GROUP BY 1)) b USING (hod)
+             |WHERE user_id < 10
+             |ORDER BY event_id""".stripMargin),
+    ),
     // Systematic every-Nth downsampling per series — the "thin the
     // stream, keep the phase" sampler (pandas .iloc[::n] per group):
     // keeps rows where (row_number − 1) mod 25 = 0, so each series

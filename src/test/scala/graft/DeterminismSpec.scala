@@ -83,7 +83,10 @@ class DeterminismSpec extends AnyFunSuite {
     // round 9 batch 9: ntile-decile Lorenz (tie-sum invariance)
     "agg_lorenz_curve",
     // round 9 batch 10: doubled-rank nonparametrics
-    "agg_mannwhitney_u", "agg_spearman")
+    "agg_mannwhitney_u", "agg_spearman",
+    // round 9 batch 13: broadcast-baseline join-back (partial-sum
+    // order must not leak, the agg_mad concern)
+    "ts_seasonal_anomaly")
 
   test("order-sensitive queries return identical results across runs") {
     val failures = sensitive.flatMap { key =>
