@@ -912,6 +912,51 @@ object TimeSeries {
              |  FROM events GROUP BY 1)
              |ORDER BY hod""".stripMargin),
     ),
+    // Holt's linear-trend exponential smoothing (α=.3, β=.1, b₁=0) —
+    // the forecasting staple one step past the EWM family: a COUPLED
+    // two-state recursion (level, trend), carried per row by the
+    // prefix-fold device with a STRUCT accumulator (Spark aggregate
+    // allows acc type ≠ element type). The oracle runs the SAME
+    // recursion as a linear recursive CTE — different spelling, the
+    // identical IEEE op sequence, so the chain is bit-exact and
+    // emitted UNROUNDED. Single-series by the documented O(n²)
+    // prefix-fold policy (ts_ewm_adjust_false's); the linear path for
+    // many keys is a flatMapGroups Aggregator (udaf/Ewm precedent).
+    OpSpec(
+      "ts_holt_linear",
+      (s, d) => {
+        val cum = Window.partitionBy("user_id").orderBy("event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev(s, d)
+          .filter(col("user_id") === 7)
+          .withColumn("pl", collect_list(col("value")).over(cum))
+          .select(col("event_id"),
+            expr("""aggregate(slice(pl, 2, size(pl) - 1),
+                   |  named_struct('l', element_at(pl, 1), 'b', CAST(0.0 AS DOUBLE)),
+                   |  (acc, x) -> named_struct(
+                   |    'l', 0.3D * x + 0.7D * (acc.l + acc.b),
+                   |    'b', 0.1D * (0.3D * x + 0.7D * (acc.l + acc.b) - acc.l) + 0.9D * acc.b))""".stripMargin)
+              .as("st"))
+          .select(col("event_id"), col("st.l").as("level"), col("st.b").as("trend"),
+            (col("st.l") + col("st.b")).as("forecast_next"))
+          .orderBy("event_id")
+      },
+      Some("""WITH RECURSIVE s AS (
+             |  SELECT cast(row_number() OVER (ORDER BY event_id) as bigint) AS i,
+             |    event_id, value AS x
+             |  FROM events WHERE user_id = 7),
+             |rec AS (
+             |  -- CAST: a bare 0.0 would type b DECIMAL(2,1) for the
+             |  -- whole recursion and truncate every trend to 1 dp
+             |  SELECT i, event_id, x, x AS l, CAST(0.0 AS DOUBLE) AS b FROM s WHERE i = 1
+             |  UNION ALL
+             |  SELECT s.i, s.event_id, s.x,
+             |    0.3 * s.x + 0.7 * (rec.l + rec.b) AS l,
+             |    0.1 * (0.3 * s.x + 0.7 * (rec.l + rec.b) - rec.l) + 0.9 * rec.b AS b
+             |  FROM rec JOIN s ON s.i = rec.i + 1)
+             |SELECT event_id, l AS level, b AS trend, l + b AS forecast_next
+             |FROM rec ORDER BY event_id""".stripMargin),
+    ),
     // Seasonal anomaly — z-score of each event against ITS HOUR-OF-
     // DAY baseline (how real monitoring alerts: 3am traffic compared
     // to 3am history, not the global mean). The 24-row baseline of

@@ -85,8 +85,8 @@ class DeterminismSpec extends AnyFunSuite {
     // round 9 batch 10: doubled-rank nonparametrics
     "agg_mannwhitney_u", "agg_spearman",
     // round 9 batch 13: broadcast-baseline join-back (partial-sum
-    // order must not leak, the agg_mad concern)
-    "ts_seasonal_anomaly")
+    // order must not leak, the agg_mad concern), coupled struct-fold
+    "ts_seasonal_anomaly", "ts_holt_linear")
 
   test("order-sensitive queries return identical results across runs") {
     val failures = sensitive.flatMap { key =>
