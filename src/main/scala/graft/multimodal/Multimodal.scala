@@ -92,9 +92,68 @@ object Multimodal {
       }
     } catch { case _: Exception => None }
 
+  /** REAL audio decode: RIFF/WAVE PCM-16 parsed directly from the
+    * bytes (a WAV container is a length-prefixed chunk list — no
+    * codec library needed, and a hand parser is deterministic by
+    * construction). Features: [sampleRate, channels, nSamples,
+    * durationSec, rms_ch0, rms_ch1, peak_ch0, peak_ch1, 0…] padded to
+    * [[FeatureDim]]. RMS accumulates exact int64 sums of squares
+    * (16-bit samples: n·2³⁰ fits int64 up to ~2³³ samples — 26 hours
+    * of 44.1 kHz stereo; longer payloads should be chunked upstream
+    * anyway). Returns None for anything that is not PCM-16 WAV
+    * (caller falls back to the stub). */
+  private def decodeWav(p: Array[Byte]): Option[Array[Float]] = {
+    def u16(i: Int) = (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8)
+    def u32(i: Int) = (p(i) & 0xffL) | ((p(i + 1) & 0xffL) << 8) |
+      ((p(i + 2) & 0xffL) << 16) | ((p(i + 3) & 0xffL) << 24)
+    def tag(i: Int) = new String(p, i, 4, "US-ASCII")
+    try {
+      if (p.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+      var off = 12
+      var channels = 0; var rate = 0L; var bits = 0; var fmt = 0
+      var dataOff = -1; var dataLen = 0L
+      while (off + 8 <= p.length) {
+        val id = tag(off); val len = u32(off + 4)
+        if (id == "fmt ") {
+          fmt = u16(off + 8); channels = u16(off + 10)
+          rate = u32(off + 12); bits = u16(off + 22)
+        } else if (id == "data") { dataOff = off + 8; dataLen = len }
+        off += 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
+      }
+      if (fmt != 1 || bits != 16 || channels < 1 || channels > 2 ||
+        dataOff < 0 || dataOff + dataLen > p.length) return None
+      val nFrames = dataLen / (2 * channels)
+      val sq = new Array[Long](2)
+      val peak = new Array[Long](2)
+      var i = 0L
+      while (i < nFrames) {
+        var c = 0
+        while (c < channels) {
+          val base = dataOff + (i * channels + c) * 2
+          val s = (u16(base.toInt) << 16) >> 16 // sign-extend
+          sq(c) += s.toLong * s
+          if (math.abs(s.toLong) > peak(c)) peak(c) = math.abs(s.toLong)
+          c += 1
+        }
+        i += 1
+      }
+      val out = new Array[Float](FeatureDim)
+      out(0) = rate.toFloat; out(1) = channels.toFloat; out(2) = nFrames.toFloat
+      out(3) = (nFrames.toDouble / rate).toFloat
+      var c = 0
+      while (c < channels) {
+        out(4 + c) = math.sqrt(sq(c).toDouble / nFrames).toFloat
+        out(6 + c) = peak(c).toFloat
+        c += 1
+      }
+      Some(out)
+    } catch { case _: Exception => None }
+  }
+
   /** decode + feature-extract, batched per partition (codec init once
     * per task, not per row): images through the real ImageIO codec,
-    * everything else (and unparseable images) through the stub. */
+    * audio through the real WAV parser, everything else (video, and
+    * any payload the real decoders reject) through the stub. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
@@ -102,9 +161,11 @@ object Multimodal {
       // ImageIO temp files under the working dir
       javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
-        val feats =
-          if (r.kind == "image") decodeImage(r.payload).getOrElse(stubDecode(r.payload))
-          else stubDecode(r.payload)
+        val feats = r.kind match {
+          case "image" => decodeImage(r.payload).getOrElse(stubDecode(r.payload))
+          case "audio" => decodeWav(r.payload).getOrElse(stubDecode(r.payload))
+          case _       => stubDecode(r.payload)
+        }
         MediaFeatures(r.media_id, r.kind, FeatureDim, feats)
       }
     }
@@ -153,16 +214,38 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Deterministic PCM-16 mono WAV payload (hand-built RIFF header +
+    * a seed-keyed sawtooth) so the WAV parser, not just the stub, is
+    * exercised end to end. */
+  def syntheticWav(seed: Long, nFrames: Int = 64, rate: Int = 8000): Array[Byte] = {
+    val dataLen = nFrames * 2
+    val bos = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    def w32(v: Long): Unit = { var i = 0; while (i < 4) { bos.write(((v >> (8 * i)) & 0xff).toInt); i += 1 } }
+    bos.write("RIFF".getBytes("US-ASCII")); w32(36L + dataLen)
+    bos.write("WAVE".getBytes("US-ASCII"))
+    bos.write("fmt ".getBytes("US-ASCII")); w32(16L)
+    w16(1); w16(1); w32(rate.toLong); w32(rate.toLong * 2); w16(2); w16(16)
+    bos.write("data".getBytes("US-ASCII")); w32(dataLen.toLong)
+    var i = 0
+    while (i < nFrames) { w16((((seed * 7919 + i * 1031) % 20000) - 10000).toInt); i += 1 }
+    bos.toByteArray
+  }
+
   /** Synthetic in-memory media table for tests/demos (deterministic);
-    * image rows are real PNGs, audio/video opaque byte runs. */
+    * image rows are real PNGs, audio rows real PCM-16 WAVs, video
+    * opaque byte runs (the remaining stub boundary). */
   def syntheticMedia(spark: SparkSession, n: Int): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(n.toLong).map { i =>
       val kind = if (i % 3 == 0) "video" else if (i % 3 == 1) "image" else "audio"
-      val payload =
-        if (kind == "image") syntheticPng(i)
-        else Array.tabulate[Byte](256)(j => ((i * 131 + j * 17) % 251).toByte)
-      MediaRow(i, kind, payload, MediaMeta(640, 480, if (kind == "image") "png" else "raw"))
+      val payload = kind match {
+        case "image" => syntheticPng(i)
+        case "audio" => syntheticWav(i)
+        case _ => Array.tabulate[Byte](256)(j => ((i * 131 + j * 17) % 251).toByte)
+      }
+      MediaRow(i, kind, payload,
+        MediaMeta(640, 480, kind match { case "image" => "png"; case "audio" => "wav"; case _ => "raw" }))
     }
   }
 }

@@ -957,6 +957,40 @@ object TimeSeries {
              |SELECT event_id, l AS level, b AS trend, l + b AS forecast_next
              |FROM rec ORDER BY event_id""".stripMargin),
     ),
+    // The LINEAR keyed twin of ts_holt_linear (the ts_ewm_linear
+    // pattern): udaf/Holt's flatMapGroups carries the coupled
+    // recursion in one ordered O(n) pass per series, partition-
+    // parallel across the 10 keys — the form a million-point corpus
+    // uses. Gated against the SAME recursive CTE, partitioned by key
+    // (base i=1 per user, step joins on user_id AND i+1) — bit-exact,
+    // since both sides execute the identical IEEE sequence (the
+    // complements ride as literals, never computed as 1−α).
+    OpSpec(
+      "ts_holt_linear_keyed",
+      (s, d) =>
+        graft.udaf.Holt.holtDf(
+            ev(s, d).filter(col("user_id") < 10)
+              .select("user_id", "event_id", "value"),
+            alpha = 0.3, omAlpha = 0.7, beta = 0.1, omBeta = 0.9)
+          .select(col("user_id"), col("event_id"), col("level"), col("trend"),
+            (col("level") + col("trend")).as("forecast_next"))
+          .orderBy("user_id", "event_id"),
+      Some("""WITH RECURSIVE s AS (
+             |  SELECT user_id,
+             |    cast(row_number() OVER (PARTITION BY user_id ORDER BY event_id) as bigint) AS i,
+             |    event_id, value AS x
+             |  FROM events WHERE user_id < 10),
+             |rec AS (
+             |  SELECT user_id, i, event_id, x, x AS l, CAST(0.0 AS DOUBLE) AS b
+             |  FROM s WHERE i = 1
+             |  UNION ALL
+             |  SELECT s.user_id, s.i, s.event_id, s.x,
+             |    0.3 * s.x + 0.7 * (rec.l + rec.b) AS l,
+             |    0.1 * (0.3 * s.x + 0.7 * (rec.l + rec.b) - rec.l) + 0.9 * rec.b AS b
+             |  FROM rec JOIN s ON s.user_id = rec.user_id AND s.i = rec.i + 1)
+             |SELECT user_id, event_id, l AS level, b AS trend, l + b AS forecast_next
+             |FROM rec ORDER BY user_id, event_id""".stripMargin),
+    ),
     // Seasonal anomaly — z-score of each event against ITS HOUR-OF-
     // DAY baseline (how real monitoring alerts: 3am traffic compared
     // to 3am history, not the global mean). The 24-row baseline of

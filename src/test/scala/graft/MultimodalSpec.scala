@@ -60,6 +60,44 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got.toSeq == golden.toSeq)
   }
 
+  test("real WAV codec: exact rate/frames/RMS/peak from a constant-amplitude tone") {
+    import spark.implicits._
+    // hand-built PCM-16 mono WAV, every sample = +1000: RMS and peak
+    // are EXACTLY 1000, duration exactly nFrames/rate
+    val n = 32; val rate = 8000
+    val bos = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    def w32(v: Int): Unit = (0 until 4).foreach(i => bos.write((v >> (8 * i)) & 0xff))
+    bos.write("RIFF".getBytes("US-ASCII")); w32(36 + n * 2)
+    bos.write("WAVE".getBytes("US-ASCII"))
+    bos.write("fmt ".getBytes("US-ASCII")); w32(16)
+    w16(1); w16(1); w32(rate); w32(rate * 2); w16(2); w16(16)
+    bos.write("data".getBytes("US-ASCII")); w32(n * 2)
+    (0 until n).foreach(_ => w16(1000))
+    val media = Seq(Multimodal.MediaRow(0L, "audio", bos.toByteArray,
+      Multimodal.MediaMeta(0, 0, "wav"))).toDS()
+    val f = Multimodal.extractFeatures(media).collect().head.features
+    assert(f(0) == rate.toFloat, "sample rate")
+    assert(f(1) == 1f, "channels")
+    assert(f(2) == n.toFloat, "frames")
+    assert(f(3) == (n.toDouble / rate).toFloat, "duration")
+    assert(f(4) == 1000f, s"rms ${f(4)}")
+    assert(f(6) == 1000f, s"peak ${f(6)}")
+  }
+
+  test("synthetic WAV rows decode through the parser, not the stub") {
+    // id 2 is an audio row; recompute RMS from the same generator
+    val media = Multimodal.syntheticMedia(spark, 3)
+    val f = Multimodal.extractFeatures(media).collect()
+      .find(_.media_id == 2L).get.features
+    val samples = (0 until 64).map(i => (2L * 7919 + i * 1031) % 20000 - 10000)
+    val rms = math.sqrt(samples.map(s => s * s).sum.toDouble / 64).toFloat
+    val peak = samples.map(math.abs).max.toFloat
+    assert(f(0) == 8000f && f(2) == 64f)
+    assert(f(4) == rms, s"rms ${f(4)} vs $rms")
+    assert(f(6) == peak, s"peak ${f(6)} vs $peak")
+  }
+
   test("resize rewrites metadata and preserves payloads") {
     val media = Multimodal.syntheticMedia(spark, 5)
     val out = Multimodal.resize(media, 224, 224).collect().sortBy(_.media_id)
