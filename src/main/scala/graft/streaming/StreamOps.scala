@@ -386,6 +386,54 @@ object StreamOps {
       .transformWithState(new AnomalyProcessor, TimeMode.None(), OutputMode.Append())
   }
 
+  /** Streaming CUSUM drift detector — the live twin of the declared
+    * ts_cusum_flag: per key ONE (count, cumsum) pair of int64s as
+    * ValueState (the cumsum in exact 2-dp CENTS, so state is 16 bytes
+    * per key forever and the sum is order/batch-boundary-independent
+    * — the streaming spelling of the batch op's exact-decimal cumsum
+    * device). μ/σ are the batch-computed baseline passed in (a real
+    * deployment broadcasts yesterday's stats); the deviation/envelope
+    * arithmetic replicates the batch formula text, HALF_UP 4-dp ==
+    * Spark round. StreamingSpec asserts stream == batch EXACTLY. */
+  case class CusumIn(user_id: Long, event_id: Long, value: Double)
+  case class CusumOut(user_id: Long, event_id: Long, cusum_dev: Double, drift: Boolean)
+  case class CusumState(n: Long, cents: Long)
+
+  private class CusumProcessor(baseline: Map[Long, (Double, Double)])
+      extends StatefulProcessor[Long, CusumIn, CusumOut] {
+    @transient private var st: ValueState[CusumState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[CusumState](
+        "cusum", Encoders.product[CusumState], TTLConfig.NONE)
+    override def handleInputRows(
+        user: Long, rows: Iterator[CusumIn], tv: TimerValues): Iterator[CusumOut] = {
+      val (mu, sd) = baseline(user)
+      var s = Option(st.get()).getOrElse(CusumState(0L, 0L))
+      val out = rows.toSeq.sortBy(_.event_id).map { r =>
+        val cents = new java.math.BigDecimal(java.lang.Double.toString(r.value))
+          .setScale(2, java.math.RoundingMode.HALF_UP)
+          .unscaledValue().longValueExact()
+        s = CusumState(s.n + 1, s.cents + cents)
+        val cusum = java.math.BigDecimal.valueOf(s.cents, 2).doubleValue
+        val i = s.n.toDouble
+        val dev = cusum - i * mu
+        val devR = new java.math.BigDecimal(java.lang.Double.toString(dev))
+          .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue
+        CusumOut(user, r.event_id, devR, math.abs(dev) > 3.0 * sd * math.sqrt(i))
+      }
+      st.update(s)
+      out.iterator
+    }
+  }
+
+  def streamingCusum(events: Dataset[CusumIn],
+                     baseline: Map[Long, (Double, Double)]): Dataset[CusumOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new CusumProcessor(baseline),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** Streaming heavy hitters — the SPACE-SAVING sketch (Metwally,
     * Agrawal, El Abbadi 2005): per shard at most `k` counters live in
     * a [[org.apache.spark.sql.streaming.MapState]] (the third state

@@ -328,6 +328,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch) // bit-exact, incl. the r4'd z
   }
 
+  test("streaming CUSUM drift detector equals the declared batch ts_cusum_flag EXACTLY") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the batch-computed baseline the processor would get broadcast
+    val baseline = graft.ops.Registry.queries("ts_cusum_flag") // warm the same path
+    val stats = graft.core.Tables.events(spark, TestSpark.sfSmoke)
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.col("value").cast("decimal(18,2)"))
+          .cast("double").as("s"),
+        org.apache.spark.sql.functions.sum(
+          (org.apache.spark.sql.functions.col("value").cast("decimal(18,2)") *
+            org.apache.spark.sql.functions.col("value").cast("decimal(18,2)"))
+            .cast("decimal(38,4)")).cast("double").as("q"))
+      .collect().map { r =>
+        val (n, s, q) = (r.getLong(1), r.getDouble(2), r.getDouble(3))
+        r.getLong(0) -> (s / n, math.sqrt((q - s * s / n) / (n - 1)))
+      }.toMap
+    val inRows = eventRows.map(e => StreamOps.CusumIn(e.user_id, e.event_id, e.value))
+    val ms = MemoryStream[StreamOps.CusumIn]
+    val q = StreamOps.streamingCusum(ms.toDS(), stats)
+      .writeStream.format("memory").queryName("t_cusum").outputMode("append").start()
+    val (a, b) = inRows.splitAt(inRows.size / 2)
+    ms.addData(a); q.processAllAvailable()
+    ms.addData(b); q.processAllAvailable() // state crosses the batch boundary
+    q.stop()
+    val streamed = spark.table("t_cusum").collect()
+      .map(r => r.getLong(1) -> (r.getDouble(2), r.getBoolean(3))).toMap
+    val batch = baseline(spark, TestSpark.sfSmoke).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getBoolean(3))).toMap
+    assert(streamed.nonEmpty && streamed == batch) // bit-exact incl. the r4'd dev
+  }
+
   test("streaming heavy hitters (MapState space-saving, k >= distinct) == batch counts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
