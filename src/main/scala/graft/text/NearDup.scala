@@ -244,6 +244,94 @@ object NearDup {
            |ORDER BY a, b""".stripMargin
       },
     ),
+    // MinHash SKETCH QUALITY measured in-gate (the text-family twin of
+    // sim_recall_report): for every LSH candidate pair, the signature
+    // ESTIMATE of Jaccard (matching components / 8) next to the EXACT
+    // shingle Jaccard and the absolute error — the number that says
+    // whether 8 hashes suffice before anyone trusts the sketch. Both
+    // scores are exact rationals (component matches are integer
+    // equality; inter/sizes exact counts); est/exact/err r4'd. Same
+    // signature + bucket-join shapes as dedup_minhash_lsh — nothing
+    // new shuffles.
+    OpSpec(
+      "dedup_minhash_quality",
+      (s, d) => {
+        val sh = shingleNums(s, d).cache()
+        val minhashCols: Seq[Column] = hashFamily.zipWithIndex.map { case ((a, b), j) =>
+          min((col("x") * a + b) % P).as(s"m${j + 1}")
+        }
+        val sig = sh.groupBy("doc_id").agg(minhashCols.head, minhashCols.tail: _*).cache()
+        val bandArr = array((0 until 4).map { bi =>
+          concat_ws("_", col(s"m${2 * bi + 1}"), col(s"m${2 * bi + 2}"))
+        }: _*)
+        val bands = sig.select(col("doc_id"), posexplode(bandArr).as(Seq("band", "bucket")))
+        val cands = bands.select(col("doc_id").as("a"), col("band"), col("bucket"))
+          .join(bands.select(col("doc_id").as("b"), col("band"), col("bucket")),
+            Seq("band", "bucket"))
+          .filter(col("a") < col("b"))
+          .select("a", "b").distinct()
+        val siga = sig.toDF("a" +: (1 to 8).map(j => s"ma$j"): _*)
+        val sigb = sig.toDF("b" +: (1 to 8).map(j => s"mb$j"): _*)
+        val matches = (1 to 8).map(j =>
+          when(col(s"ma$j") === col(s"mb$j"), 1).otherwise(0)).reduce(_ + _)
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+        val inter = cands
+          .join(sh.select(col("doc_id").as("a"), col("x")), "a")
+          .join(sh.select(col("doc_id").as("b"), col("x")), Seq("b", "x"))
+          .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+        cands
+          .join(siga, "a").join(sigb, "b")
+          .withColumn("est", matches.cast("double") / 8.0)
+          .join(inter, Seq("a", "b"), "left")
+          .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")), "a")
+          .join(sizes.select(col("doc_id").as("b"), col("sz").as("szb")), "b")
+          .withColumn("exact",
+            coalesce(col("inter"), lit(0L)).cast("double") /
+              (col("sza") + col("szb") - coalesce(col("inter"), lit(0L))))
+          .select(col("a"), col("b"),
+            round(col("est"), 4).as("est_jaccard"),
+            round(col("exact"), 4).as("exact_jaccard"),
+            round(abs(col("est") - col("exact")), 4).as("abs_err"))
+          .orderBy("a", "b")
+      },
+      Some {
+        val mh = hashFamily.zipWithIndex.map { case ((a, b), j) =>
+          s"min((x * $a + $b) % $P) AS m${j + 1}"
+        }.mkString(", ")
+        val bandSel = (0 until 4).map { bi =>
+          s"SELECT doc_id, $bi AS band, m${2 * bi + 1} || '_' || m${2 * bi + 2} AS bucket FROM sig"
+        }.mkString(" UNION ALL ")
+        val caseSum = (1 to 8).map(j =>
+          s"CASE WHEN x.m$j = y.m$j THEN 1 ELSE 0 END").mkString(" + ")
+        s"""WITH $shingleSql,
+           |sig AS (SELECT doc_id, $mh FROM shn GROUP BY doc_id),
+           |bands AS ($bandSel),
+           |cands AS (
+           |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+           |  FROM bands x JOIN bands y
+           |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+           |sizes AS (SELECT doc_id, count(*) AS sz FROM shn GROUP BY doc_id),
+           |inter AS (
+           |  SELECT c.a, c.b, count(*) AS inter
+           |  FROM cands c JOIN shn sa ON sa.doc_id = c.a
+           |               JOIN shn sb ON sb.doc_id = c.b AND sa.x = sb.x
+           |  GROUP BY 1, 2),
+           |est AS (
+           |  SELECT c.a, c.b, cast($caseSum as double) / 8.0 AS est
+           |  FROM cands c JOIN sig x ON x.doc_id = c.a JOIN sig y ON y.doc_id = c.b)
+           |SELECT e.a AS a, e.b AS b,
+           |  round(e.est, 4) AS est_jaccard,
+           |  round(cast(coalesce(i.inter, 0) as double)
+           |        / (za.sz + zb.sz - coalesce(i.inter, 0)), 4) AS exact_jaccard,
+           |  round(abs(e.est - cast(coalesce(i.inter, 0) as double)
+           |        / (za.sz + zb.sz - coalesce(i.inter, 0))), 4) AS abs_err
+           |FROM est e
+           |LEFT JOIN inter i ON i.a = e.a AND i.b = e.b
+           |JOIN sizes za ON za.doc_id = e.a
+           |JOIN sizes zb ON zb.doc_id = e.b
+           |ORDER BY a, b""".stripMargin
+      },
+    ),
     // 16-bit SimHash over token hashes (with multiplicity): bit b is the
     // sign of Σ(±1) where +1 iff bit b of the token hash is set. One
     // integer per document; equal values = near-dup candidates.

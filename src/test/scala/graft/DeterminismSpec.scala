@@ -86,7 +86,9 @@ class DeterminismSpec extends AnyFunSuite {
     "agg_mannwhitney_u", "agg_spearman",
     // round 9 batch 13: broadcast-baseline join-back (partial-sum
     // order must not leak, the agg_mad concern), coupled struct-fold
-    "ts_seasonal_anomaly", "ts_holt_linear", "ts_holt_linear_keyed")
+    "ts_seasonal_anomaly", "ts_holt_linear", "ts_holt_linear_keyed",
+    // round 9 last: banded candidates + dual-score sketch report
+    "dedup_minhash_quality")
 
   test("order-sensitive queries return identical results across runs") {
     val failures = sensitive.flatMap { key =>
