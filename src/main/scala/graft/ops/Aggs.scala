@@ -1446,6 +1446,66 @@ object Aggs {
              |          count(*) AS o
              |        FROM events GROUP BY 1, 2))))""".stripMargin),
     ),
+    // Cramér's V — the EFFECT SIZE on top of the chi² machinery
+    // (χ² says "dependent", V says "how much", normalized to [0,1]):
+    // V = sqrt(χ² / (n · min(r−1, c−1))). Same contingency aggregate,
+    // marginal windows, and ordered-fold term sum as
+    // agg_chi2_independence; one extra sqrt-normalization, r4.
+    OpSpec(
+      "agg_cramers_v",
+      (s, d) => {
+        val obs = T.events(s, d)
+          .groupBy(col("event_type"), expr("weekday(ts)").cast("bigint").as("dow"))
+          .agg(count(lit(1)).as("o"))
+        val wr = Window.partitionBy("event_type")
+        val wc = Window.partitionBy("dow")
+        val wn = Window.partitionBy()
+        obs
+          .select(col("event_type"), col("dow"), col("o"),
+            sum(col("o")).over(wr).as("rt"),
+            sum(col("o")).over(wc).as("ct"),
+            sum(col("o")).over(wn).as("n"))
+          .withColumn("term", {
+            val e = (col("rt") * col("ct")).cast("double") / col("n").cast("double")
+            (col("o").cast("double") - e) * (col("o").cast("double") - e) / e
+          })
+          .agg(
+            expr("""aggregate(
+                   |  transform(array_sort(collect_list(struct(event_type, dow, term))), x -> x.term),
+                   |  0D, (acc, x) -> acc + x)""".stripMargin).as("chi2"),
+            max(col("n")).as("n"),
+            least(countDistinct(col("event_type")) - 1,
+              countDistinct(col("dow")) - 1).as("mindim"))
+          .select(
+            P.r4(sqrt(col("chi2") /
+              (col("n") * col("mindim")).cast("double"))).as("cramers_v"),
+            col("n").cast("bigint").as("n"))
+      },
+      Some("""SELECT
+             |  round(sqrt(list_sum(list(term ORDER BY event_type, dow))
+             |        / cast(n * mindim as double)), 4) AS cramers_v,
+             |  cast(n as bigint) AS n
+             |FROM (
+             |  SELECT event_type, dow, term, n,
+             |    least(count(DISTINCT event_type) OVER () - 1,
+             |          count(DISTINCT dow) OVER () - 1) AS mindim
+             |  FROM (
+             |    SELECT event_type, dow,
+             |      (cast(o as double) - cast(rt * ct as double) / cast(n as double))
+             |        * (cast(o as double) - cast(rt * ct as double) / cast(n as double))
+             |        / (cast(rt * ct as double) / cast(n as double)) AS term,
+             |      n
+             |    FROM (
+             |      SELECT event_type, dow, o,
+             |        sum(o) OVER (PARTITION BY event_type) AS rt,
+             |        sum(o) OVER (PARTITION BY dow) AS ct,
+             |        sum(o) OVER () AS n
+             |      FROM (
+             |        SELECT event_type, isodow(cast(ts as timestamp)) - 1 AS dow,
+             |          count(*) AS o
+             |        FROM events GROUP BY 1, 2))))
+             |GROUP BY n, mindim""".stripMargin),
+    ),
     // Pareto 80/20 — how many top customers cover 80% of revenue per
     // group. ENTIRELY in exact decimal: per-customer totals (the only
     // fact shuffle) → rank window over customer totals (rev DESC,

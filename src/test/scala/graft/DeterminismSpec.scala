@@ -87,8 +87,9 @@ class DeterminismSpec extends AnyFunSuite {
     // round 9 batch 13: broadcast-baseline join-back (partial-sum
     // order must not leak, the agg_mad concern), coupled struct-fold
     "ts_seasonal_anomaly", "ts_holt_linear", "ts_holt_linear_keyed",
-    // round 9 last: banded candidates + dual-score sketch report
-    "dedup_minhash_quality")
+    // round 9 last: banded candidates + dual-score sketch report,
+    // ordered-fold effect size
+    "dedup_minhash_quality", "agg_cramers_v")
 
   test("order-sensitive queries return identical results across runs") {
     val failures = sensitive.flatMap { key =>

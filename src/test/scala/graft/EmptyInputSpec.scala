@@ -42,4 +42,31 @@ class EmptyInputSpec extends AnyFunSuite {
     }
     assert(failures.isEmpty, s"${failures.size} queries throw on empty input:\n${failures.mkString("\n")}")
   }
+
+  /** n=1 exercises a different failure class than n=0: (n−1)
+    * divisions, lag/lead frames of one row, single-member clusters,
+    * interpolation with no bracketing neighbor. NaN/NULL outputs are
+    * fine — crashes are not. */
+  private lazy val oneRowDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_one").toString
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "documents", "embeddings")
+    tables.foreach { t =>
+      spark.read.parquet(s"${TestSpark.sfSmoke}/$t.parquet")
+        .limit(1).coalesce(1).write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    graft.core.Tables.eventsRawNanos(spark, TestSpark.sfSmoke)
+      .limit(1).coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("every declared query executes on a single-row corpus") {
+    val failures = Registry.all.flatMap { op =>
+      try { Registry.queries(op.key)(spark, oneRowDir).count(); None }
+      catch { case e: Throwable =>
+        Some(s"${op.key}: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+      }
+    }
+    assert(failures.isEmpty, s"${failures.size} queries throw on 1-row input:\n${failures.mkString("\n")}")
+  }
 }
