@@ -10,17 +10,24 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   * resize / frame-sample stages.
   *
   * The Spark-side plumbing — schema, encoders, partitioning, batch
-  * shape, determinism — is real and tested (MultimodalSpec). The IMAGE
-  * codec is REAL: `javax.imageio.ImageIO` ships with the JDK
-  * (PNG/BMP/GIF/JPEG readers, zero added dependencies), so image
-  * payloads decode to exact width/height + per-channel mean/stddev
-  * features. Audio/video kernels remain STUBS (no codec libraries in
-  * this container): `stubDecode` derives a deterministic fake feature
-  * vector from the bytes (sha-256 expansion), and any image payload
-  * ImageIO cannot parse falls back to the same stub rather than
-  * failing the pipeline. A production deployment swaps the stub for a
-  * real demuxer; nothing else changes, which is the point of the
-  * boundary.
+  * shape, determinism — is real and tested (MultimodalSpec). ALL THREE
+  * modality kernels are now REAL:
+  *   - images: `javax.imageio.ImageIO` (JDK built-in PNG/BMP/GIF/JPEG
+  *     readers) → exact width/height + per-channel mean/stddev;
+  *   - audio: hand-parsed RIFF/WAVE PCM-16 → rate/frames/RMS/peak off
+  *     exact int64 sums;
+  *   - video: hand-parsed YUV4MPEG2 (.y4m — the mplayer/ffmpeg raw
+  *     interchange container: one ASCII header line, then
+  *     `FRAME\n` + raw planar YUV per frame; no codec library needed,
+  *     a hand demuxer is deterministic by construction) → geometry,
+  *     fps, frame count, exact luma mean/std, and an inter-frame
+  *     |ΔY| motion statistic. `sampleFrames` demuxes REAL frames out
+  *     of the container.
+  * `stubDecode` (deterministic sha-256 feature expansion) remains only
+  * as the fallback for payloads no parser recognizes — a decode
+  * failure degrades, never throws. A production deployment adds
+  * compressed-codec demuxers at the same boundary; nothing else
+  * changes, which is the point of the boundary.
   *
   * Scale: payloads stay columnar-binary end to end (no driver collect);
   * decode runs as mapPartitions so one task amortizes codec init over a
@@ -150,6 +157,106 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
+  /** Parsed Y4M container: geometry + frame-data offsets (each frame's
+    * planar YUV run inside the original byte array, zero-copy). */
+  private case class Y4m(w: Int, h: Int, fpsNum: Long, fpsDen: Long,
+                         frameBytes: Int, frameOffsets: Array[Int])
+
+  /** REAL video demux: YUV4MPEG2. Header = `YUV4MPEG2 W<w> H<h>
+    * F<num>:<den> [Ip A.. C<space>]\n`; each frame = `FRAME[params]\n`
+    * followed by the raw planar YUV bytes (C420 ⇒ w·h·3/2, C422 ⇒
+    * w·h·2, C444 ⇒ w·h·3, Cmono ⇒ w·h; luma plane first in all of
+    * them). Returns None unless the container parses EXACTLY — every
+    * declared frame fully present. */
+  private def parseY4m(p: Array[Byte]): Option[Y4m] =
+    try {
+      val magic = "YUV4MPEG2"
+      if (p.length < magic.length + 1 ||
+        new String(p, 0, magic.length, "US-ASCII") != magic) return None
+      val nl = p.indexOf('\n'.toByte)
+      if (nl < 0) return None
+      val params = new String(p, 0, nl, "US-ASCII").split(' ').drop(1)
+      var w = 0; var h = 0; var num = 0L; var den = 1L; var cs = "420"
+      params.foreach { t =>
+        if (t.nonEmpty) t.charAt(0) match {
+          case 'W' => w = t.drop(1).toInt
+          case 'H' => h = t.drop(1).toInt
+          case 'F' =>
+            val parts = t.drop(1).split(':')
+            num = parts(0).toLong; den = parts(1).toLong
+          case 'C' => cs = t.drop(1)
+          case _   => () // Ip/A../X.. metadata — irrelevant to demux
+        }
+      }
+      if (w <= 0 || h <= 0 || num <= 0 || den <= 0) return None
+      val luma = w * h
+      val frameBytes =
+        if (cs.startsWith("420")) luma * 3 / 2
+        else if (cs.startsWith("422")) luma * 2
+        else if (cs.startsWith("444")) luma * 3
+        else if (cs == "mono") luma
+        else return None
+      val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var off = nl + 1
+      while (off < p.length) {
+        // frame header: "FRAME" + optional params, newline-terminated
+        if (off + 5 > p.length ||
+          new String(p, off, 5, "US-ASCII") != "FRAME") return None
+        var e = off + 5
+        while (e < p.length && p(e) != '\n'.toByte) e += 1
+        if (e >= p.length || e + 1 + frameBytes > p.length) return None
+        offsets += e + 1
+        off = e + 1 + frameBytes
+      }
+      if (offsets.isEmpty) None
+      else Some(Y4m(w, h, num, den, frameBytes, offsets.toArray))
+    } catch { case _: Exception => None }
+
+  /** REAL video decode: features off the demuxed Y4M luma planes —
+    * [width, height, fps, nFrames, durationSec, meanY, stdY,
+    * meanY_first, meanY_last, motion (mean |ΔY| between consecutive
+    * frames), 0…] padded to [[FeatureDim]]. All sums are exact int64
+    * over 8-bit samples (w·h·frames·255 and the squared sum fit int64
+    * up to ~10⁸ pixels·frames per payload), so the stats are
+    * bit-deterministic regardless of partitioning. */
+  private def decodeY4m(p: Array[Byte]): Option[Array[Float]] =
+    parseY4m(p).map { v =>
+      val luma = v.w * v.h
+      val n = v.frameOffsets.length
+      var sum = 0L; var sq = 0L; var motion = 0L
+      var f = 0
+      while (f < n) {
+        val base = v.frameOffsets(f)
+        val prev = if (f > 0) v.frameOffsets(f - 1) else -1
+        var i = 0
+        while (i < luma) {
+          val y = p(base + i) & 0xff
+          sum += y; sq += y.toLong * y
+          if (prev >= 0) motion += math.abs(y - (p(prev + i) & 0xff)).toLong
+          i += 1
+        }
+        f += 1
+      }
+      def meanOf(frame: Int): Float = {
+        val base = v.frameOffsets(frame)
+        var s = 0L; var i = 0
+        while (i < luma) { s += p(base + i) & 0xff; i += 1 }
+        (s.toDouble / luma).toFloat
+      }
+      val total = luma.toDouble * n
+      val mean = sum / total
+      val out = new Array[Float](FeatureDim)
+      out(0) = v.w.toFloat; out(1) = v.h.toFloat
+      out(2) = (v.fpsNum.toDouble / v.fpsDen).toFloat
+      out(3) = n.toFloat
+      out(4) = (n.toDouble * v.fpsDen / v.fpsNum).toFloat
+      out(5) = mean.toFloat
+      out(6) = math.sqrt(sq / total - mean * mean).toFloat
+      out(7) = meanOf(0); out(8) = meanOf(n - 1)
+      out(9) = if (n > 1) (motion.toDouble / (luma.toDouble * (n - 1))).toFloat else 0f
+      out
+    }
+
   /** decode + feature-extract, batched per partition (codec init once
     * per task, not per row): images through the real ImageIO codec,
     * audio through the real WAV parser, everything else (video, and
@@ -164,6 +271,7 @@ object Multimodal {
         val feats = r.kind match {
           case "image" => decodeImage(r.payload).getOrElse(stubDecode(r.payload))
           case "audio" => decodeWav(r.payload).getOrElse(stubDecode(r.payload))
+          case "video" => decodeY4m(r.payload).getOrElse(stubDecode(r.payload))
           case _       => stubDecode(r.payload)
         }
         MediaFeatures(r.media_id, r.kind, FeatureDim, feats)
@@ -178,14 +286,26 @@ object Multimodal {
     media.map(r => r.copy(meta = MediaMeta(w, h, r.meta.format)))
   }
 
-  /** Frame sampling for video payloads: every k-th fixed-size slice as
-    * a frame (STUB boundary — a real impl demuxes the container). */
+  /** Frame sampling for video payloads: REAL demux for Y4M containers
+    * (every k-th frame's full planar YUV run, sliced out of the
+    * container at its parsed offset); non-Y4M payloads fall back to
+    * fixed-size byte slices so opaque/compressed containers still flow
+    * through the same pipeline shape. */
   def sampleFrames(media: Dataset[MediaRow], every: Int, frameBytes: Int = 64): Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "video").flatMap { r =>
-      r.payload.grouped(frameBytes).zipWithIndex
-        .filter(_._2 % every == 0)
-        .map { case (bytes, i) => Frame(r.media_id, i, bytes) }
+      parseY4m(r.payload) match {
+        case Some(v) =>
+          v.frameOffsets.iterator.zipWithIndex
+            .filter(_._2 % every == 0)
+            .map { case (off, i) =>
+              Frame(r.media_id, i, java.util.Arrays.copyOfRange(r.payload, off, off + v.frameBytes))
+            }
+        case None =>
+          r.payload.grouped(frameBytes).zipWithIndex
+            .filter(_._2 % every == 0)
+            .map { case (bytes, i) => Frame(r.media_id, i, bytes) }
+      }
     }
   }
 
@@ -232,9 +352,30 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Deterministic C420 Y4M payload (hand-built header + seed-keyed
+    * planar frames) so the video demuxer, not just the stub, is
+    * exercised end to end. Luma ramps per frame (real inter-frame
+    * motion); chroma planes are a flat seed-keyed value. */
+  def syntheticY4m(seed: Long, w: Int = 8, h: Int = 8, frames: Int = 4, fps: Int = 25): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(s"YUV4MPEG2 W$w H$h F$fps:1 Ip A1:1 C420jpeg\n".getBytes("US-ASCII"))
+    val luma = w * h
+    var f = 0
+    while (f < frames) {
+      bos.write("FRAME\n".getBytes("US-ASCII"))
+      var i = 0
+      while (i < luma) { bos.write((((seed * 37 + f * 11 + i) % 251) & 0xff).toInt); i += 1 }
+      var c = 0
+      while (c < luma / 2) { bos.write(((seed * 53 + 128) % 256).toInt & 0xff); c += 1 }
+      f += 1
+    }
+    bos.toByteArray
+  }
+
   /** Synthetic in-memory media table for tests/demos (deterministic);
-    * image rows are real PNGs, audio rows real PCM-16 WAVs, video
-    * opaque byte runs (the remaining stub boundary). */
+    * image rows are real PNGs, audio rows real PCM-16 WAVs, video rows
+    * real Y4M containers — all three modality parsers are exercised
+    * end to end. */
   def syntheticMedia(spark: SparkSession, n: Int): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(n.toLong).map { i =>
@@ -242,10 +383,10 @@ object Multimodal {
       val payload = kind match {
         case "image" => syntheticPng(i)
         case "audio" => syntheticWav(i)
-        case _ => Array.tabulate[Byte](256)(j => ((i * 131 + j * 17) % 251).toByte)
+        case _       => syntheticY4m(i)
       }
       MediaRow(i, kind, payload,
-        MediaMeta(640, 480, kind match { case "image" => "png"; case "audio" => "wav"; case _ => "raw" }))
+        MediaMeta(640, 480, kind match { case "image" => "png"; case "audio" => "wav"; case _ => "y4m" }))
     }
   }
 }

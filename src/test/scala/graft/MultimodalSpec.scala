@@ -106,13 +106,62 @@ class MultimodalSpec extends AnyFunSuite {
     out.zip(orig).foreach { case (a, b) => assert(a.payload.sameElements(b.payload)) }
   }
 
-  test("frame sampling yields every k-th fixed-size slice of video payloads") {
+  test("real video codec: exact geometry/luma/motion from a pinned Y4M") {
+    import spark.implicits._
+    // hand-built C420 container: 4x2, 30fps, frame0 all Y=100,
+    // frame1 all Y=150 -> mean 125, std 25, motion 50, all EXACT
+    val w = 4; val h = 2
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(s"YUV4MPEG2 W$w H$h F30:1 Ip A1:1 C420\n".getBytes("US-ASCII"))
+    Seq(100, 150).foreach { y =>
+      bos.write("FRAME\n".getBytes("US-ASCII"))
+      (0 until w * h).foreach(_ => bos.write(y))
+      (0 until w * h / 2).foreach(_ => bos.write(128)) // U+V planes
+    }
+    val media = Seq(Multimodal.MediaRow(0L, "video", bos.toByteArray,
+      Multimodal.MediaMeta(w, h, "y4m"))).toDS()
+    val f = Multimodal.extractFeatures(media).collect().head.features
+    assert(f(0) == 4f && f(1) == 2f, "geometry")
+    assert(f(2) == 30f, "fps")
+    assert(f(3) == 2f, "frames")
+    assert(f(4) == (2.0 / 30).toFloat, "duration")
+    assert(f(5) == 125f, s"meanY ${f(5)}")
+    assert(f(6) == 25f, s"stdY ${f(6)}")
+    assert(f(7) == 100f && f(8) == 150f, "first/last frame luma")
+    assert(f(9) == 50f, s"motion ${f(9)}")
+  }
+
+  test("synthetic video rows decode through the Y4M parser, not the stub") {
+    // id 0 is a video row: 8x8 C420, 4 frames, 25 fps per the generator
+    val media = Multimodal.syntheticMedia(spark, 3)
+    val f = Multimodal.extractFeatures(media).collect()
+      .find(_.media_id == 0L).get.features
+    assert(f(0) == 8f && f(1) == 8f && f(2) == 25f && f(3) == 4f)
+    // recompute exact luma mean from the generator's ramp formula
+    val lumas = for (fr <- 0 until 4; i <- 0 until 64) yield (0L * 37 + fr * 11 + i) % 251
+    assert(f(5) == (lumas.sum.toDouble / lumas.length).toFloat, s"meanY ${f(5)}")
+  }
+
+  test("frame sampling demuxes every k-th REAL frame out of Y4M containers") {
     val media = Multimodal.syntheticMedia(spark, 9) // 3 videos (ids 0,3,6)
-    val frames = Multimodal.sampleFrames(media, every = 2, frameBytes = 64).collect()
-    // 256-byte payload / 64 = 4 slices; every 2nd -> 2 frames per video
+    val frames = Multimodal.sampleFrames(media, every = 2).collect()
+    // 4 frames per container; every 2nd -> frames 0 and 2 per video,
+    // each the full C420 planar run: 8*8*3/2 = 96 bytes
     assert(frames.length == 3 * 2)
-    assert(frames.forall(_.payload.length == 64))
+    assert(frames.forall(_.payload.length == 96))
     assert(frames.map(_.frame_no).toSet == Set(0, 2))
+    // frame payloads are the generator's exact bytes: Y plane of video
+    // id 3, frame 2 starts with ((3*37 + 2*11 + 0) % 251) = 133
+    val f32 = frames.find(f => f.media_id == 3L && f.frame_no == 2).get
+    assert((f32.payload(0) & 0xff) == 133)
+  }
+
+  test("non-Y4M video payloads fall back to fixed-size slice sampling") {
+    import spark.implicits._
+    val media = Seq(Multimodal.MediaRow(7L, "video",
+      Array.tabulate[Byte](256)(_.toByte), Multimodal.MediaMeta(0, 0, "raw"))).toDS()
+    val frames = Multimodal.sampleFrames(media, every = 2, frameBytes = 64).collect()
+    assert(frames.length == 2 && frames.forall(_.payload.length == 64))
   }
 
   test("features join against the embeddings table on id") {
