@@ -17,7 +17,13 @@ object Bench {
     // Map iteration order made agg_pivot "cost" 5.96 s of warmup).
     try { spark.read.parquet(s"$sfDir/lineitem.parquet").count() }
     catch { case _: Throwable => () }
-    val results: Seq[(String, Double)] = ops.Registry.all.map { op =>
+    // optional comma-separated key filter for local perf loops (the
+    // driver never sets it — full registry runs by default)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val results: Seq[(String, Double)] = ops.Registry.all
+      .filter(op => only.forall(_.contains(op.key)))
+      .map { op =>
       val t0 = System.nanoTime()
       try { op.build(spark, sfDir).count() } catch { case _: Throwable => -1L }
       op.key -> (System.nanoTime() - t0) / 1e9

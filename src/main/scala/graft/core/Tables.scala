@@ -17,25 +17,50 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.ts` is parquet timestamp[ns], which Spark 4 refuses outright
-    * (PARQUET_TYPE_ILLEGAL). Read it as raw nanos and rebuild the column
-    * at Spark's native µs precision. Integer `div` (not /1000 double
-    * division) — a double mantissa can't hold ns-since-epoch exactly and
-    * rounding could flip a µs. The oracle side must `cast(ts as
-    * timestamp)` to truncate DuckDB's ns the same way (SURVEY §2.0.4).
-    */
-  /** events with `ts` still a raw LongType of ns-since-epoch. Predicates
-    * against ns literals on this column DO push down to parquet row-group
-    * stats (plain int64 compare) — the TSDB range-scan fast path. */
-  def eventsRawNanos(spark: SparkSession, sfDir: String): DataFrame = {
+  /** events with `ts` exactly as the parquet footer declares it — no
+    * rebuild. The legacy nanosAsLong flag is set so a timestamp[ns]
+    * footer (which Spark 4 otherwise refuses with PARQUET_TYPE_ILLEGAL)
+    * loads as raw int64 ns; on µs/ms footers the flag is a no-op and
+    * `ts` loads as a native timestamp. Use this when the caller needs
+    * the physical column (pushdown queries, fixture re-writes). */
+  def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/events.parquet")
   }
 
-  private def loadEvents(spark: SparkSession, sfDir: String): DataFrame =
-    eventsRawNanos(spark, sfDir)
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+  /** Back-compat alias: meaningful only against ns-era testdata. */
+  def eventsRawNanos(spark: SparkSession, sfDir: String): DataFrame =
+    eventsRaw(spark, sfDir)
+
+  /** Schema-ADAPTIVE events loader — the testdata generator has shipped
+    * `ts` as both int64 ns-since-epoch and parquet timestamp[us] across
+    * regens, so the loader inspects the loaded dtype once (a footer
+    * read, no data scan) and normalizes to Spark's native TimestampType
+    * at µs precision either way:
+    *
+    *  - LongType (ns era, via the nanosAsLong legacy flag): rebuild with
+    *    integer `ts div 1000` — NOT /1000 double division; a double
+    *    mantissa can't hold ns-since-epoch exactly and rounding could
+    *    flip a µs — then `timestamp_micros`.
+    *  - TimestampType / TimestampNTZType (µs era): `cast("timestamp")`.
+    *    The session is pinned UTC (GraftSession), so NTZ↔LTZ is
+    *    instant-identical and the cast keeps every `unix_micros`/window
+    *    call site type-stable.
+    *
+    * Either branch yields the same column type and the same instants,
+    * so all 128 downstream events queries are regen-proof.
+    */
+  private def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = eventsRaw(spark, sfDir)
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType | TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported parquet type $other — expected int64 ns or timestamp")
+    }
+  }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")

@@ -259,8 +259,9 @@ object Multimodal {
 
   /** decode + feature-extract, batched per partition (codec init once
     * per task, not per row): images through the real ImageIO codec,
-    * audio through the real WAV parser, everything else (video, and
-    * any payload the real decoders reject) through the stub. */
+    * audio through the real WAV parser, video through the real Y4M
+    * demuxer; any payload its modality's decoder rejects degrades to
+    * the stub (never throws). */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>

@@ -20,20 +20,30 @@ object Scans {
       (s, d) => T.lineitem(s, d).agg(count(lit(1)).as("n")),
       Some("SELECT count(*) AS n FROM lineitem"),
     ),
-    // Time-range scan: events.ts is stored as int64 nanos, so the range
-    // predicate is applied to the RAW nanos column against ns literals —
-    // a plain int64 compare that reaches the parquet reader as a pushed
-    // filter (row-group pruning; asserted in PlanShapeSpec). Filtering
-    // the rebuilt µs timestamp instead would defeat pushdown (Catalyst
-    // can't invert timestamp_micros). Whole-second bounds are exact in
-    // both ns and µs, so Spark-on-ns and DuckDB-on-ns agree.
+    // Time-range scan: the range predicate is applied to the RAW `ts`
+    // column exactly as the parquet footer types it, so the comparison
+    // reaches the reader as a pushed filter (row-group pruning; asserted
+    // in PlanShapeSpec). Dtype-adaptive like the loader: against ns-era
+    // data the column is int64 and the bounds are ns literals (plain
+    // int64 compare); against µs-era data the column is a native
+    // timestamp and the bounds are timestamp literals (cast to the
+    // column's exact NTZ/LTZ flavor so no column-side cast blocks
+    // pushdown — parquet min/max stats prune either way). Filtering a
+    // rebuilt/cast column instead would defeat pushdown. Whole-second
+    // bounds are exact at every precision, so Spark and DuckDB agree.
     OpSpec(
       "scan_pushdown_range",
       (s, d) => {
-        val nsLo = 1704844800L * 1000000000L // 2024-01-10 00:00:00 UTC
-        val nsHi = 1705708800L * 1000000000L // 2024-01-20 00:00:00 UTC
-        T.eventsRawNanos(s, d)
-          .filter(col("ts") >= nsLo && col("ts") < nsHi)
+        val raw = T.eventsRaw(s, d)
+        val (lo, hi) = raw.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            (lit(1704844800L * 1000000000L), // 2024-01-10 00:00:00 UTC in ns
+             lit(1705708800L * 1000000000L)) // 2024-01-20 00:00:00 UTC in ns
+          case dt =>
+            (lit("2024-01-10 00:00:00").cast(dt), lit("2024-01-20 00:00:00").cast(dt))
+        }
+        raw
+          .filter(col("ts") >= lo && col("ts") < hi)
           .agg(
             count(lit(1)).as("n"),
             sum(P.dec2(col("value"))).cast("double").as("sum_value"))

@@ -29,5 +29,67 @@ object Udfs {
              |  lower(trim(regexp_replace('  ' || text || '  ', ' +', ' ', 'g'))) AS norm_text
              |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin),
     ),
+    // The generic `groupby.apply` ESCAPE HATCH [P core/groupby/
+    // groupby.py .apply] — pandas' most-used generic surface: "run MY
+    // function once per group". The Spark recipe, reusable verbatim
+    // for any per-group logic:
+    //   1. groupByKey on the group key (ONE shuffle — same cost as
+    //      any agg on that key);
+    //   2. inside flatMapGroups, SORT the group's rows by an explicit
+    //      total-order column FIRST — partition arrival order is not
+    //      reproducible, so any order-sensitive apply-body without
+    //      this sort is nondeterministic (the determinism policy);
+    //   3. run arbitrary Scala over the ordered Seq, emit 0..n typed
+    //      rows (here: 1 summary row per group).
+    // Memory bound: ONE group must fit on an executor (same contract
+    // as pandas apply, which holds one group in a frame) — fine for
+    // per-user/per-entity groups; for giant groups use an Aggregator
+    // (udaf/Ewm, udaf/TopK) or window instead. The demo body — the
+    // longest strictly-increasing run of `value` in event order, a
+    // classic not-expressible-as-one-agg statistic — is re-derived by
+    // the oracle via gaps-and-islands SQL, so the recipe's output is
+    // hash-gated like every builtin op.
+    OpSpec(
+      "udf_groupby_apply",
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        T.events(s, d).filter(col("user_id") < 10)
+          .select(col("user_id"), col("event_id"), col("value"))
+          .as[(Long, Long, Double)]
+          .groupByKey(_._1)
+          .flatMapGroups { (user: Long, rows: Iterator[(Long, Long, Double)]) =>
+            val ordered = rows.toSeq.sortBy(_._2) // explicit total order
+            var best, cur = 0L
+            var prev = Double.NaN
+            ordered.foreach { case (_, _, v) =>
+              cur = if (!prev.isNaN && v > prev) cur + 1 else 1
+              if (cur > best) best = cur
+              prev = v
+            }
+            Iterator((user, ordered.size.toLong, best))
+          }
+          .toDF("user_id", "n_events", "longest_up_run")
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, count(*) AS n_events,
+             |  max(run_len) AS longest_up_run
+             |FROM (
+             |  SELECT user_id,
+             |    count(*) OVER (PARTITION BY user_id, grp
+             |                   ORDER BY event_id ROWS UNBOUNDED PRECEDING) AS run_len
+             |  FROM (
+             |    SELECT user_id, event_id,
+             |      count(CASE WHEN up = 0 THEN 1 END)
+             |        OVER (PARTITION BY user_id ORDER BY event_id
+             |              ROWS UNBOUNDED PRECEDING) AS grp
+             |    FROM (
+             |      SELECT user_id, event_id, value,
+             |        CASE WHEN value > lag(value) OVER
+             |          (PARTITION BY user_id ORDER BY event_id)
+             |        THEN 1 ELSE 0 END AS up
+             |      FROM events WHERE user_id < 10)))
+             |GROUP BY user_id ORDER BY user_id""".stripMargin),
+    ),
   )
 }

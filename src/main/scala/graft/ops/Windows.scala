@@ -569,6 +569,27 @@ object Windows {
               |    + (count(*) OVER (PARTITION BY user_id, event_type) - 1) / 2.0 AS avg_rank
               |FROM $EV ORDER BY event_id""".stripMargin),
     ),
+    // rank(method='first') [P core/generic.py:9950] — ties broken by
+    // INSERTION ORDER, i.e. ranks are a permutation with no gaps and
+    // no fractions. In a distributed engine "insertion order" must be
+    // an explicit total order (partition order is not reproducible):
+    // here event_id, the generator's arrival order. That makes it
+    // exactly row_number() over (key, event_id) — the same one
+    // shuffle + one sort as every other rank; deterministic by
+    // construction in both engines.
+    OpSpec(
+      "win_rank_first",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("event_type", "event_id")
+        ev(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            row_number().over(w).cast("bigint").as("first_rank"))
+          .orderBy("event_id")
+      },
+      Some(s"""SELECT event_id, user_id, event_type,
+              |  row_number() OVER (PARTITION BY user_id ORDER BY event_type, event_id) AS first_rank
+              |FROM $EV ORDER BY event_id""".stripMargin),
+    ),
     // rolling('1h').sum()/min()/max() — the time-based frame of
     // win_rolling_time with the rest of the pandas agg family: exact
     // decimal sum, and min/max (order-independent by construction).

@@ -13,8 +13,9 @@ import org.scalatest.funsuite.AnyFunSuite
   * over an empty edge set.
   *
   * The fixture is built once per suite: each sf-smoke table re-written
-  * with limit(0) (schema preserved, including the raw int64-ns events
-  * column the loader rebuilds).
+  * with limit(0) (schema preserved, including the raw physical events
+  * `ts` column — ns-int64 or µs-timestamp — the adaptive loader
+  * normalizes).
   */
 class EmptyInputSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -27,8 +28,10 @@ class EmptyInputSpec extends AnyFunSuite {
       spark.read.parquet(s"${TestSpark.sfSmoke}/$t.parquet")
         .limit(0).coalesce(1).write.mode("overwrite").parquet(s"$dir/$t.parquet")
     }
-    // events ships ts as int64 ns — copy the RAW schema the loader expects
-    graft.core.Tables.eventsRawNanos(spark, TestSpark.sfSmoke)
+    // events: copy the RAW physical schema (ns-int64 or µs-timestamp,
+    // whatever the current testdata ships) so the adaptive loader sees
+    // the same dtype as production
+    graft.core.Tables.eventsRaw(spark, TestSpark.sfSmoke)
       .limit(0).coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
     dir
   }
@@ -55,7 +58,7 @@ class EmptyInputSpec extends AnyFunSuite {
       spark.read.parquet(s"${TestSpark.sfSmoke}/$t.parquet")
         .limit(1).coalesce(1).write.mode("overwrite").parquet(s"$dir/$t.parquet")
     }
-    graft.core.Tables.eventsRawNanos(spark, TestSpark.sfSmoke)
+    graft.core.Tables.eventsRaw(spark, TestSpark.sfSmoke)
       .limit(1).coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
     dir
   }
