@@ -122,6 +122,48 @@ object Scalars {
              |  cast(date_diff('day', o_orderdate, TIMESTAMP '2000-01-01') as bigint) AS days_to_y2k
              |FROM orders WHERE o_orderkey % 200 = 0 ORDER BY o_orderkey""".stripMargin),
     ),
+    // pandas BDay business-day offset [P tseries/offsets] — the most
+    // common pandas-tsdb resample ask previously scoped out. Semantics
+    // MEASURED against pandas 2.2.2 (probe in-session): a weekend
+    // start rolls BACK to Friday, then n business days are added
+    // (Sat+BDay(1) = Sun+BDay(1) = Fri+BDay(1) = Monday). Closed-form
+    // integer arithmetic, no calendar table and no iteration:
+    //   e = start rolled back to the previous business day,
+    //   w = weekday(e)  (Mon=0; Spark weekday ≡ DuckDB isodow−1, the
+    //       pinned cross-engine encoding from ts_dt_extract),
+    //   shift = ((w+n) div 5)·7 + ((w+n) mod 5) − w   days.
+    // Row-local, scan-fused, zero shuffle — the 100 TB-safe form of a
+    // "next business day" column (holidays would come from a
+    // broadcast calendar join at the same spot).
+    OpSpec(
+      "date_math_bday",
+      (s, d) =>
+        T.orders(s, d)
+          .filter(col("o_orderkey") % 200 === 0)
+          .withColumn("e", expr(
+            """o_orderdate - (CASE WHEN weekday(o_orderdate) = 5 THEN 1
+              |  WHEN weekday(o_orderdate) = 6 THEN 2 ELSE 0 END) * INTERVAL 1 DAY""".stripMargin))
+          .select(col("o_orderkey"),
+            P.tsOut(col("o_orderdate")).as("od"),
+            P.tsOut(expr(
+              """e + (((weekday(e) + 3) div 5) * 7 + ((weekday(e) + 3) % 5)
+                |  - weekday(e)) * INTERVAL 1 DAY""".stripMargin)).as("od_bday3"),
+            P.tsOut(expr(
+              """e + (((weekday(e) + 1) div 5) * 7 + ((weekday(e) + 1) % 5)
+                |  - weekday(e)) * INTERVAL 1 DAY""".stripMargin)).as("od_bday1"))
+          .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_orderdate AS od,
+             |  e + (((w + 3) // 5) * 7 + ((w + 3) % 5) - w) * INTERVAL 1 DAY AS od_bday3,
+             |  e + (((w + 1) // 5) * 7 + ((w + 1) % 5) - w) * INTERVAL 1 DAY AS od_bday1
+             |FROM (
+             |  SELECT o_orderkey, o_orderdate, e, isodow(e) - 1 AS w
+             |  FROM (
+             |    SELECT o_orderkey, o_orderdate,
+             |      o_orderdate - (CASE WHEN isodow(o_orderdate) = 6 THEN 1
+             |        WHEN isodow(o_orderdate) = 7 THEN 2 ELSE 0 END) * INTERVAL 1 DAY AS e
+             |    FROM orders WHERE o_orderkey % 200 = 0))
+             |ORDER BY o_orderkey""".stripMargin),
+    ),
     // props is JSON text '{"k": <int>}' — extract + cast (pandas
     // json_normalize analogue).
     OpSpec(
@@ -229,6 +271,79 @@ object Scalars {
              |  FROM customer WHERE c_custkey % 100 = 0)
              |UNPIVOT (val FOR metric IN (c_acctbal, nk))
              |ORDER BY c_custkey, metric""".stripMargin),
+    ),
+    // pandas stack() [P core/reshape/reshape.py] — wide → long with
+    // the column labels becoming an index level. Differs from melt in
+    // ONE semantic: stack DROPS NA cells by default (dropna=True),
+    // melt keeps them. Demonstrated on a manufactured NULL (negative
+    // acctbals blanked): those cells vanish from the long output in
+    // both engines (explicit IS NOT NULL on the Spark side; DuckDB
+    // UNPIVOT excludes NULLs by default — spelled anyway for parity).
+    // Row-local projection + explode shape — scan-fused, no shuffle.
+    OpSpec(
+      "reshape_stack",
+      (s, d) =>
+        T.customer(s, d)
+          .filter(col("c_custkey") % 100 === 0)
+          .select(col("c_custkey"),
+            when(col("c_acctbal") >= 0, col("c_acctbal")).as("acctbal_pos"),
+            col("c_nationkey").cast("double").as("nk"))
+          .unpivot(Array(col("c_custkey")),
+            Array(col("acctbal_pos"), col("nk")), "level", "value")
+          .filter(col("value").isNotNull) // stack's dropna=True default
+          .orderBy("c_custkey", "level"),
+      Some("""SELECT * FROM (
+             |  SELECT * FROM (
+             |    SELECT c_custkey,
+             |      CASE WHEN c_acctbal >= 0 THEN c_acctbal END AS acctbal_pos,
+             |      cast(c_nationkey as double) AS nk
+             |    FROM customer WHERE c_custkey % 100 = 0)
+             |  UNPIVOT (value FOR level IN (acctbal_pos, nk)))
+             |WHERE value IS NOT NULL
+             |ORDER BY c_custkey, level""".stripMargin),
+    ),
+    // pandas unstack(fill_value=0) [P core/reshape/reshape.py] — the
+    // inverse: an index level pivots OUT into columns. fill_value=0
+    // is pinned (rather than the NULL default) so the output dtype is
+    // plain int64 at EVERY corpus size — a NULL cell would float-ify
+    // the pandas read on one engine side and dtype-split the gate
+    // (the same trap as decimal sums). Level values are enumerated
+    // literals (the o_orderpriority domain), so the output schema is
+    // static — the same contract as pandas, where unstack columns
+    // come from the observed level values. One hash agg on the group
+    // key; at 100 TB this is a map-side partial + one shuffle of
+    // 5-column partials.
+    OpSpec(
+      "reshape_unstack",
+      (s, d) => {
+        val long = T.orders(s, d)
+          .groupBy("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("n"))
+        val prios = Seq("1-URGENT" -> "p1_urgent", "2-HIGH" -> "p2_high",
+          "3-MEDIUM" -> "p3_medium", "4-NOT SPECIFIED" -> "p4_not_specified",
+          "5-LOW" -> "p5_low")
+        long.groupBy("o_orderstatus")
+          .agg(
+            coalesce(sum(when(col("o_orderpriority") === prios.head._1, col("n"))), lit(0L))
+              .as(prios.head._2),
+            prios.tail.map { case (v, a) =>
+              coalesce(sum(when(col("o_orderpriority") === v, col("n"))), lit(0L)).as(a)
+            }: _*)
+          .orderBy("o_orderstatus")
+      },
+      Some {
+        val prios = Seq("1-URGENT" -> "p1_urgent", "2-HIGH" -> "p2_high",
+          "3-MEDIUM" -> "p3_medium", "4-NOT SPECIFIED" -> "p4_not_specified",
+          "5-LOW" -> "p5_low")
+        val cols = prios.map { case (v, a) =>
+          s"cast(coalesce(sum(CASE WHEN o_orderpriority = '$v' THEN n END), 0) as bigint) AS $a"
+        }.mkString(",\n  ")
+        s"""SELECT o_orderstatus,
+           |  $cols
+           |FROM (SELECT o_orderstatus, o_orderpriority, count(*) AS n
+           |      FROM orders GROUP BY 1, 2)
+           |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+      },
     ),
     // pandas get_dummies(): one-hot indicator projection.
     OpSpec(

@@ -219,7 +219,12 @@ object TimeSeries {
     // ts_interpolate_linear device with ONE extra predicate: fill only
     // when i − pi ≤ limit (position distance from the previous valid
     // row) — a gap of 4 nulls gets its first 2 interpolated, the tail
-    // stays null, exactly pandas limit_direction='forward'. Same single
+    // stays null, pandas limit_direction='forward' for INTERIOR gaps.
+    // (One measured deviation, like ts_interpolate_nearest's: pandas
+    // 'forward' also clamp-fills TRAILING NaNs with the last valid
+    // value; this op leaves them null — both engines spell the same
+    // CASE, so the gate is unaffected. ts_interpolate_both below
+    // carries the full measured edge semantics.) Same single
     // ordered-window pass; the cap adds no shuffle.
     OpSpec(
       "ts_interpolate_limit",
@@ -267,6 +272,152 @@ object TimeSeries {
              |  WINDOW b AS (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
              |         f AS (ORDER BY event_id ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
              |ORDER BY event_id""".stripMargin),
+    ),
+    // interpolate(limit=2, limit_direction='backward') [P core/
+    // generic.py:8156] — semantics MEASURED against pandas 2.2.2
+    // (probe in-session, 12-point vector): interior nulls fill with
+    // the true linear value iff within `limit` of the NEXT valid row
+    // (ni − i ≤ limit — the mirror of forward's i − pi); LEADING
+    // nulls clamp to the first valid value within the same distance;
+    // trailing nulls always stay null. Same one-pass two-window
+    // scaffold as the rest of the family.
+    OpSpec(
+      "ts_interpolate_backward",
+      (s, d) => {
+        val ordered = Window.orderBy("event_id")
+        val back = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val fwd = ordered.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        ev(s, d)
+          .filter(col("user_id") === 7)
+          .withColumn("v", when(col("event_type") === "view", lit(null)).otherwise(col("value")))
+          .withColumn("i", row_number().over(ordered).cast("bigint"))
+          .select(col("*"),
+            last("v", ignoreNulls = true).over(back).as("prev_v"),
+            last(when(col("v").isNotNull, col("i")), ignoreNulls = true).over(back).as("pi"),
+            first("v", ignoreNulls = true).over(fwd).as("next_v"),
+            first(when(col("v").isNotNull, col("i")), ignoreNulls = true).over(fwd).as("ni"))
+          .select(col("event_id"), col("v"),
+            when(col("v").isNotNull, col("v"))
+              .when(col("prev_v").isNotNull && col("next_v").isNotNull &&
+                col("ni") - col("i") <= 2,
+                col("prev_v") + (col("next_v") - col("prev_v")) *
+                  (col("i") - col("pi")).cast("double") /
+                  (col("ni") - col("pi")).cast("double"))
+              .when(col("prev_v").isNull && col("next_v").isNotNull &&
+                col("ni") - col("i") <= 2, col("next_v"))
+              .as("v_interp"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, v,
+             |  CASE WHEN v IS NOT NULL THEN v
+             |       WHEN prev_v IS NOT NULL AND next_v IS NOT NULL AND ni - i <= 2 THEN
+             |         prev_v + (next_v - prev_v) * cast(i - pi as double) / cast(ni - pi as double)
+             |       WHEN prev_v IS NULL AND next_v IS NOT NULL AND ni - i <= 2 THEN next_v
+             |  END AS v_interp
+             |FROM (
+             |  SELECT event_id, v, i,
+             |    last_value(v IGNORE NULLS) OVER b AS prev_v,
+             |    last_value(CASE WHEN v IS NOT NULL THEN i END IGNORE NULLS) OVER b AS pi,
+             |    first_value(v IGNORE NULLS) OVER f AS next_v,
+             |    first_value(CASE WHEN v IS NOT NULL THEN i END IGNORE NULLS) OVER f AS ni
+             |  FROM (
+             |    SELECT event_id,
+             |      CASE WHEN event_type = 'view' THEN NULL ELSE value END AS v,
+             |      cast(row_number() OVER (ORDER BY event_id) as bigint) AS i
+             |    FROM events WHERE user_id = 7)
+             |  WINDOW b AS (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             |         f AS (ORDER BY event_id ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+             |ORDER BY event_id""".stripMargin),
+    ),
+    // interpolate(limit=2, limit_direction='both') — the union of the
+    // directions, MEASURED against pandas 2.2.2: interior nulls fill
+    // iff within `limit` of EITHER neighbor (min(i−pi, ni−i) ≤ limit,
+    // value still the one true linear interpolation); leading nulls
+    // clamp to the first valid, trailing nulls to the last valid,
+    // each within the limit. Closes the limit_direction family
+    // (forward/backward/both).
+    OpSpec(
+      "ts_interpolate_both",
+      (s, d) => {
+        val ordered = Window.orderBy("event_id")
+        val back = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val fwd = ordered.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        ev(s, d)
+          .filter(col("user_id") === 7)
+          .withColumn("v", when(col("event_type") === "view", lit(null)).otherwise(col("value")))
+          .withColumn("i", row_number().over(ordered).cast("bigint"))
+          .select(col("*"),
+            last("v", ignoreNulls = true).over(back).as("prev_v"),
+            last(when(col("v").isNotNull, col("i")), ignoreNulls = true).over(back).as("pi"),
+            first("v", ignoreNulls = true).over(fwd).as("next_v"),
+            first(when(col("v").isNotNull, col("i")), ignoreNulls = true).over(fwd).as("ni"))
+          .select(col("event_id"), col("v"),
+            when(col("v").isNotNull, col("v"))
+              .when(col("prev_v").isNotNull && col("next_v").isNotNull &&
+                least(col("i") - col("pi"), col("ni") - col("i")) <= 2,
+                col("prev_v") + (col("next_v") - col("prev_v")) *
+                  (col("i") - col("pi")).cast("double") /
+                  (col("ni") - col("pi")).cast("double"))
+              .when(col("prev_v").isNull && col("next_v").isNotNull &&
+                col("ni") - col("i") <= 2, col("next_v"))
+              .when(col("next_v").isNull && col("prev_v").isNotNull &&
+                col("i") - col("pi") <= 2, col("prev_v"))
+              .as("v_interp"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, v,
+             |  CASE WHEN v IS NOT NULL THEN v
+             |       WHEN prev_v IS NOT NULL AND next_v IS NOT NULL AND least(i - pi, ni - i) <= 2 THEN
+             |         prev_v + (next_v - prev_v) * cast(i - pi as double) / cast(ni - pi as double)
+             |       WHEN prev_v IS NULL AND next_v IS NOT NULL AND ni - i <= 2 THEN next_v
+             |       WHEN next_v IS NULL AND prev_v IS NOT NULL AND i - pi <= 2 THEN prev_v
+             |  END AS v_interp
+             |FROM (
+             |  SELECT event_id, v, i,
+             |    last_value(v IGNORE NULLS) OVER b AS prev_v,
+             |    last_value(CASE WHEN v IS NOT NULL THEN i END IGNORE NULLS) OVER b AS pi,
+             |    first_value(v IGNORE NULLS) OVER f AS next_v,
+             |    first_value(CASE WHEN v IS NOT NULL THEN i END IGNORE NULLS) OVER f AS ni
+             |  FROM (
+             |    SELECT event_id,
+             |      CASE WHEN event_type = 'view' THEN NULL ELSE value END AS v,
+             |      cast(row_number() OVER (ORDER BY event_id) as bigint) AS i
+             |    FROM events WHERE user_id = 7)
+             |  WINDOW b AS (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             |         f AS (ORDER BY event_id ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+             |ORDER BY event_id""".stripMargin),
+    ),
+    // tz_localize + tz_convert [P core/arrays/datetimes.py] — the
+    // day-one TSDB ask the engine had deliberately scoped out (UTC
+    // session pin, §2.H). Both directions in one gated query, on
+    // dates spanning DST transitions (orders 1995–2001):
+    //   wall = tz_localize('UTC').tz_convert(zone)   — Spark
+    //     from_utc_timestamp ≡ DuckDB (ts AT TIME ZONE 'UTC') AT
+    //     TIME ZONE zone (instant → zone wall clock);
+    //   utc  = tz_localize(zone).tz_convert('UTC')   — Spark
+    //     to_utc_timestamp ≡ the mirrored AT TIME ZONE pair.
+    // Both engines resolve offsets from the IANA tz database (DST
+    // handling probed in-session: EDT −4 / EST −5 / CEST +2 /
+    // Kolkata +5:30 all agree), and midnight timestamps can never
+    // hit a spring-forward gap (US/EU transitions are 01:00–03:00
+    // local). Row-local projection — scan-fused, zero shuffle.
+    OpSpec(
+      "ts_tz_convert",
+      (s, d) =>
+        T.orders(s, d)
+          .filter(col("o_orderkey") % 500 === 0)
+          // P.tsOut: wall-clock results emit as NTZ (the §2.0 output
+          // policy — DuckDB's AT TIME ZONE chain is naive too)
+          .select(col("o_orderkey"), col("o_orderdate"),
+            P.tsOut(from_utc_timestamp(col("o_orderdate"), "America/New_York")).as("ny_wall"),
+            P.tsOut(from_utc_timestamp(col("o_orderdate"), "Asia/Kolkata")).as("kolkata_wall"),
+            P.tsOut(to_utc_timestamp(col("o_orderdate"), "Europe/Paris")).as("paris_as_utc"))
+          .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_orderdate,
+             |  (o_orderdate AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York' AS ny_wall,
+             |  (o_orderdate AT TIME ZONE 'UTC') AT TIME ZONE 'Asia/Kolkata' AS kolkata_wall,
+             |  (o_orderdate AT TIME ZONE 'Europe/Paris') AT TIME ZONE 'UTC' AS paris_as_utc
+             |FROM orders WHERE o_orderkey % 500 = 0 ORDER BY o_orderkey""".stripMargin),
     ),
     // .dt accessor family; weekday pinned Mon=0 on both engines
     // (Spark weekday ≡ DuckDB isodow−1 — the only portable encoding).

@@ -332,6 +332,84 @@ object NearDup {
            |ORDER BY a, b""".stripMargin
       },
     ),
+    // FUZZY train/test decontamination — the production form of
+    // text_decontaminate (exact prefix match misses paraphrased or
+    // truncated benchmark leakage): drop every training document whose
+    // shingle Jaccard with ANY held-out doc (src0 = the benchmark)
+    // reaches τ = 0.5, candidates generated by the SAME MinHash 4×2
+    // banding as dedup_minhash_lsh and verified exactly — the declared
+    // rule (band collision ∧ J ≥ τ) is spelled identically in the
+    // oracle, so the gate is exact. At 100 TB: the benchmark side is
+    // tiny, so its banded signatures broadcast; the training corpus
+    // streams through one signature pass and only band-colliding
+    // (train, bench) pairs ever pay the exact verify — the training
+    // side is filtered in place and never all-pairs-joined, the same
+    // asymmetry as the exact decontaminate's broadcast left_anti.
+    OpSpec(
+      "text_decontaminate_fuzzy",
+      (s, d) => {
+        val docs = T.documents(s, d)
+        val src = docs.select(col("doc_id"), col("source"))
+        val sh = shingleNums(s, d).cache()
+        val bands = bandedSignatures(sh).join(src, "doc_id")
+        val trainB = bands.filter(col("source") =!= "src0")
+          .select(col("doc_id").as("t"), col("band"), col("bucket"))
+        val benchB = bands.filter(col("source") === "src0")
+          .select(col("doc_id").as("b"), col("band"), col("bucket"))
+        val cands = trainB.join(broadcast(benchB), Seq("band", "bucket"))
+          .select("t", "b").distinct()
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+        val inter = cands
+          .join(sh.select(col("doc_id").as("t"), col("x")), "t")
+          .join(sh.select(col("doc_id").as("b"), col("x")), Seq("b", "x"))
+          .groupBy("t", "b").agg(count(lit(1)).as("inter"))
+        val contaminated = inter
+          .join(sizes.select(col("doc_id").as("t"), col("sz").as("szt")), "t")
+          .join(sizes.select(col("doc_id").as("b"), col("sz").as("szb")), "b")
+          .filter(col("inter").cast("double") /
+            (col("szt") + col("szb") - col("inter")) >= 0.5)
+          .select(col("t").as("doc_id")).distinct()
+        docs.filter(col("source") =!= "src0")
+          .join(contaminated, Seq("doc_id"), "left_anti")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_clean"), sum(col("n_chars")).as("sum_chars"))
+          .orderBy("source")
+      },
+      Some {
+        val mh = hashFamily.zipWithIndex.map { case ((a, b), j) =>
+          s"min((x * $a + $b) % $P) AS m${j + 1}"
+        }.mkString(", ")
+        val bandSel = (0 until 4).map { bi =>
+          s"SELECT doc_id, $bi AS band, m${2 * bi + 1} || '_' || m${2 * bi + 2} AS bucket FROM sig"
+        }.mkString(" UNION ALL ")
+        s"""WITH $shingleSql,
+           |sig AS (SELECT doc_id, $mh FROM shn GROUP BY doc_id),
+           |bands AS ($bandSel),
+           |src AS (SELECT doc_id, source FROM documents),
+           |cands AS (
+           |  SELECT DISTINCT xt.doc_id AS t, yb.doc_id AS b
+           |  FROM bands xt JOIN src st ON st.doc_id = xt.doc_id AND st.source <> 'src0'
+           |       JOIN bands yb ON xt.band = yb.band AND xt.bucket = yb.bucket
+           |       JOIN src sb ON sb.doc_id = yb.doc_id AND sb.source = 'src0'),
+           |sizes AS (SELECT doc_id, count(*) AS sz FROM shn GROUP BY doc_id),
+           |inter AS (
+           |  SELECT c.t, c.b, count(*) AS inter
+           |  FROM cands c JOIN shn sa ON sa.doc_id = c.t
+           |               JOIN shn sb ON sb.doc_id = c.b AND sa.x = sb.x
+           |  GROUP BY 1, 2),
+           |contaminated AS (
+           |  SELECT DISTINCT i.t AS doc_id
+           |  FROM inter i JOIN sizes zt ON zt.doc_id = i.t
+           |               JOIN sizes zb ON zb.doc_id = i.b
+           |  WHERE cast(i.inter as double) / (zt.sz + zb.sz - i.inter) >= 0.5)
+           |SELECT source, count(*) AS n_clean,
+           |  cast(sum(n_chars) as bigint) AS sum_chars
+           |FROM documents
+           |WHERE source <> 'src0'
+           |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+           |GROUP BY source ORDER BY source""".stripMargin
+      },
+    ),
     // 16-bit SimHash over token hashes (with multiplicity): bit b is the
     // sign of Σ(±1) where +1 iff bit b of the token hash is set. One
     // integer per document; equal values = near-dup candidates.
