@@ -1552,5 +1552,41 @@ object Aggs {
              |  GROUP BY o_orderstatus)
              |ORDER BY o_orderstatus""".stripMargin),
     ),
+    // Shannon entropy of each user's event-type mix — the behavioral-
+    // diversity profiling staple (pandas: groupby().value_counts() →
+    // scipy.stats.entropy). The text_lang_entropy determinism device
+    // reused verbatim: per-term p·ln p is transcendental, so the sum
+    // folds a SORTED (by event_type) term list left-to-right in both
+    // engines — every intermediate bit-identical, one r4 at the end;
+    // `+ 0D` turns a single-type user's −0.0 into 0.0 (negative zero
+    // hashes differently cross-engine). Shape: one (user, type) count
+    // agg (≤5 types/user) + one fold per user — two key-partitioned
+    // shuffles of tiny aggregates, the 100 TB-safe form.
+    OpSpec(
+      "agg_entropy",
+      (s, d) => {
+        val counts = T.events(s, d)
+          .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+          .withColumn("tot", sum(col("n")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("user_id")))
+          .withColumn("t", expr("(n / tot) * ln(n / tot)"))
+        counts.groupBy("user_id")
+          .agg(expr(
+            """round(-aggregate(
+              |  transform(array_sort(collect_list(struct(event_type, t))), s -> s.t),
+              |  0D, (acc, x) -> acc + x) + 0D, 4)""".stripMargin).as("entropy"),
+            countDistinct(col("event_type")).as("n_types"))
+          .orderBy("user_id")
+      },
+      Some("""WITH c AS (
+             |  SELECT user_id, event_type, count(*) AS n
+             |  FROM events GROUP BY user_id, event_type),
+             |cn AS (SELECT *, sum(n) OVER (PARTITION BY user_id) AS tot FROM c),
+             |t AS (SELECT user_id, event_type, (n / tot) * ln(n / tot) AS t FROM cn)
+             |SELECT user_id,
+             |  round(-list_sum(list(t ORDER BY event_type)) + 0.0, 4) AS entropy,
+             |  cast(count(event_type) as bigint) AS n_types
+             |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin),
+    ),
   )
 }

@@ -425,6 +425,36 @@ object Scalars {
              |  FROM documents WHERE doc_id < 20)
              |WHERE pos < 5 ORDER BY doc_id, pos""".stripMargin),
     ),
+    // pandas multi-column explode — df.explode(['a','b']) (pandas
+    // 1.3+): two ALIGNED list columns unnest in lockstep, one output
+    // row per position with both elements side by side. Spark:
+    // arrays_zip pairs the arrays into one struct array, a single
+    // explode preserves alignment (two independent explodes would
+    // cross-product). DuckDB: parallel unnest of sibling lists zips
+    // positionally (probed). Row-local generator — scan-fused, no
+    // shuffle; the second list here is derived (per-token length) so
+    // alignment is by construction.
+    OpSpec(
+      "arr_explode_zip",
+      (s, d) =>
+        T.documents(s, d)
+          .filter(col("doc_id") < 20)
+          .select(col("doc_id"),
+            explode(arrays_zip(
+              split(col("text"), " ").as("tok"),
+              expr("transform(split(text, ' '), x -> cast(length(x) as bigint))").as("tok_len")))
+              .as("z"))
+          .select(col("doc_id"), col("z.tok").as("tok"), col("z.tok_len").as("tok_len"))
+          .filter(col("tok_len") >= 6)
+          .orderBy("doc_id", "tok"),
+      Some("""SELECT doc_id, tok, tok_len FROM (
+             |  SELECT doc_id,
+             |    unnest(string_split(text, ' ')) AS tok,
+             |    unnest(list_transform(string_split(text, ' '),
+             |           x -> cast(length(x) as bigint))) AS tok_len
+             |  FROM documents WHERE doc_id < 20)
+             |WHERE tok_len >= 6 ORDER BY doc_id, tok""".stripMargin),
+    ),
     // pandas clip(lower, upper) / numpy clip — least∘greatest, row-local,
     // no value arithmetic so no float policy needed.
     OpSpec(

@@ -569,6 +569,40 @@ object Windows {
               |    + (count(*) OVER (PARTITION BY user_id, event_type) - 1) / 2.0 AS avg_rank
               |FROM $EV ORDER BY event_id""".stripMargin),
     ),
+    // The generic `rolling.apply` ESCAPE HATCH [P core/window/
+    // rolling.py:1855 .apply] — the windowed sibling of
+    // udf_groupby_apply's recipe: collect the frame into an ordered
+    // list (collect_list over a rows frame preserves frame order
+    // given the total order), then run ANY per-window lambda on it
+    // row-locally. The demo body — a position-weighted rolling mean
+    // (w = 1..5, Σwᵢxᵢ/15) — has no builtin aggregate. Determinism:
+    // the weighted sum is spelled as ONE fixed-association expression
+    // in both engines (identical IEEE op sequence, no rounding
+    // needed), complete windows only (size = 5 → else NULL), matching
+    // rolling(5).apply's min_periods default. Cost: one list column
+    // per row over the same single WindowExec every rolling op uses —
+    // O(window) per row, the same contract as pandas apply.
+    OpSpec(
+      "win_rolling_apply",
+      (s, d) =>
+        ev(s, d)
+          .withColumn("l", collect_list(col("value")).over(roll5))
+          .select(col("event_id"), col("user_id"),
+            when(size(col("l")) === 5, expr(
+              """(element_at(l,1)*1D + element_at(l,2)*2D + element_at(l,3)*3D
+                |  + element_at(l,4)*4D + element_at(l,5)*5D) / 15D""".stripMargin))
+              .as("wmean5"))
+          .orderBy("event_id"),
+      Some(s"""SELECT event_id, user_id,
+              |  CASE WHEN len(l) = 5 THEN
+              |    (l[1]*1 + l[2]*2 + l[3]*3 + l[4]*4 + l[5]*5) / 15
+              |  END AS wmean5
+              |FROM (SELECT event_id, user_id,
+              |        list(value) OVER (PARTITION BY user_id ORDER BY event_id
+              |          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS l
+              |      FROM $EV)
+              |ORDER BY event_id""".stripMargin),
+    ),
     // rank(method='first') [P core/generic.py:9950] — ties broken by
     // INSERTION ORDER, i.e. ranks are a permutation with no gaps and
     // no fractions. In a distributed engine "insertion order" must be
