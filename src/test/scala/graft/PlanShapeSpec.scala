@@ -179,6 +179,30 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("text_decontaminate_fuzzy broadcasts the benchmark band side (train never all-pairs)") {
+    val p = plan("text_decontaminate_fuzzy")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("the round-10 scalar ops are scan-fused projections (no Exchange before the sort)") {
+    // date_math_bday / ts_tz_convert / reshape_stack are row-local: the
+    // only exchange allowed is the final presentation orderBy
+    for (k <- Seq("date_math_bday", "ts_tz_convert", "reshape_stack")) {
+      val p = plan(k)
+      val exchanges = "Exchange ".r.findAllIn(p).size
+      assert(exchanges <= 1, s"$k should shuffle only for the final sort, got $exchanges:\n$p")
+      assert(!p.contains("HashJoin") && !p.contains("SortMergeJoin"), s"$k grew a join:\n$p")
+    }
+  }
+
+  test("win_rolling_apply and win_rank_first ride one window pass each") {
+    for (k <- Seq("win_rolling_apply", "win_rank_first")) {
+      val p = plan(k)
+      assert("(?m)Window ".r.findAllIn(p).size <= 2, s"$k:\n$p")
+    }
+  }
+
   test("no CartesianProduct outside the deliberate cross/pairs queries") {
     val allowed = Set("join_cross", "sim_cosine_topk", "text_tfidf")
     val offenders = Registry.all
