@@ -688,8 +688,14 @@ object NearDup {
   private val labelsMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private def clusterLabels(s: SparkSession, d: String): DataFrame =
+    // minRounds=1 (was 3): Hamming≤1 components are near-cliques that
+    // the seed + one jump round collapse, so checking after round 1
+    // usually confirms convergence immediately — two fewer lazy rounds
+    // of shuffles per corpus. Adversarial topologies still iterate to
+    // the true fixpoint (the convergence loop, not the knob, is the
+    // correctness argument — DedupCluster scaladoc).
     labelsMemo.computeIfAbsent((s, d),
-      _ => DedupCluster.clusters(hamming1Pairs(s, d), iters = 20, minRounds = 3))
+      _ => DedupCluster.clusters(hamming1Pairs(s, d), iters = 20, minRounds = 1))
 
   /** Drop this session's memoized label frames (graft.core.Caches). */
   private[graft] def clearMemo(s: SparkSession): Unit =
