@@ -2115,45 +2115,75 @@ object TimeSeries {
     // |cusum_dev| > 3σ·√i (the Brownian-scaling envelope).
     OpSpec(
       "ts_cusum_flag",
+      // Determinism device (tightened after an sf0.1-only 4-dp tie
+      // split that the sf0.01 gate never reached — row 38933's
+      // `cusum − i·mu` differed in the last ulp between engines and
+      // straddled a round-half boundary): the deviation is computed as
+      // ONE exact decimal numerator (cusum·n − i·s — every factor a
+      // 2-dp decimal or integer, exact in both engines) followed by a
+      // single double division by n. Identical numerator + one
+      // correctly-rounded division ⇒ bit-identical doubles, so the r4
+      // cannot split. The drift flag compares the same expression
+      // against 3·sd·√i (shared text, identical IEEE).
       (s, d) => {
         val byU = Window.partitionBy("user_id").orderBy("event_id")
         val cum = byU.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val stats = ev(s, d).groupBy("user_id")
           .agg(count(lit(1)).as("n"),
-            sum(P.dec2(col("value"))).cast("double").as("s"),
+            sum(P.dec2(col("value"))).as("s_dec"),
             sum((P.dec2(col("value")) * P.dec2(col("value"))).cast("decimal(38,4)"))
               .cast("double").as("q"))
-          .select(col("user_id"), (col("s") / col("n")).as("mu"),
-            sqrt((col("q") - col("s") * col("s") / col("n")) / (col("n") - 1)).as("sd"))
+          .select(col("user_id"), col("n"), col("s_dec"),
+            sqrt((col("q") - col("s_dec").cast("double") * col("s_dec").cast("double") / col("n")) /
+              (col("n") - 1)).as("sd"))
         ev(s, d)
           .select(col("event_id"), col("user_id"),
-            row_number().over(byU).cast("double").as("i"),
-            sum(P.dec2(col("value"))).over(cum).cast("double").as("cusum"))
+            row_number().over(byU).cast("bigint").as("i"),
+            sum(P.dec2(col("value"))).over(cum).as("cusum_dec"))
           .join(broadcast(stats), Seq("user_id"))
+          // bounded casts keep BOTH engines in exact decimal: an
+          // unbounded decimal×bigint would exceed width 38 and DuckDB
+          // silently falls back to double for the product (measured —
+          // that reintroduces the ulp split this device removes)
+          .withColumn("dev",
+            (col("cusum_dec").cast("decimal(24,2)") * col("n").cast("decimal(10,0)") -
+              col("i").cast("decimal(10,0)") * col("s_dec").cast("decimal(24,2)"))
+              .cast("double") / col("n").cast("double"))
+          // NO r4 on dev: the exact-decimal numerator makes the two
+          // engines' doubles bit-identical, and §2.0's rule is to
+          // round only where internals differ — here rounding would
+          // REINTRODUCE a split, because dev = num/n lands exactly on
+          // 4-dp half-ties (num·10⁴ divisible by 2n happens
+          // constantly) and Spark rounds the shortest-string repr
+          // while DuckDB rounds the binary value.
           .select(col("event_id"), col("user_id"),
-            P.r4(col("cusum") - col("i") * col("mu")).as("cusum_dev"),
-            (abs(col("cusum") - col("i") * col("mu")) >
-              lit(3.0) * col("sd") * sqrt(col("i"))).as("drift"))
+            col("dev").as("cusum_dev"),
+            (abs(col("dev")) > lit(3.0) * col("sd") * sqrt(col("i").cast("double"))).as("drift"))
           .orderBy("event_id")
       },
       Some("""SELECT event_id, user_id,
-             |  round(cusum - i * mu, 4) AS cusum_dev,
-             |  abs(cusum - i * mu) > 3.0 * sd * sqrt(i) AS drift
+             |  dev AS cusum_dev,
+             |  abs(dev) > 3.0 * sd * sqrt(cast(i as double)) AS drift
              |FROM (
-             |  SELECT event_id, user_id,
-             |    cast(row_number() OVER w as double) AS i,
-             |    cast(sum(cast(value as decimal(18,2))) OVER
-             |      (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as double) AS cusum
-             |  FROM events
-             |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)) c
-             |JOIN (
-             |  SELECT user_id, s / n AS mu,
-             |    sqrt((q - s * s / n) / (n - 1)) AS sd
+             |  SELECT event_id, user_id, i, sd,
+             |    cast(cast(cusum_dec as decimal(24,2)) * cast(n as decimal(10,0))
+             |         - cast(i as decimal(10,0)) * cast(s_dec as decimal(24,2)) as double)
+             |      / cast(n as double) AS dev
              |  FROM (
-             |    SELECT user_id, count(*) AS n,
-             |      cast(sum(cast(value as decimal(18,2))) as double) AS s,
-             |      cast(sum(cast(cast(value as decimal(18,2)) * cast(value as decimal(18,2)) as decimal(38,4))) as double) AS q
-             |    FROM events GROUP BY 1)) st USING (user_id)
+             |    SELECT event_id, user_id,
+             |      cast(row_number() OVER w as bigint) AS i,
+             |      sum(cast(value as decimal(18,2))) OVER
+             |        (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum_dec
+             |    FROM events
+             |    WINDOW w AS (PARTITION BY user_id ORDER BY event_id)) c
+             |  JOIN (
+             |    SELECT user_id, n, s_dec,
+             |      sqrt((q - cast(s_dec as double) * cast(s_dec as double) / n) / (n - 1)) AS sd
+             |    FROM (
+             |      SELECT user_id, count(*) AS n,
+             |        sum(cast(value as decimal(18,2))) AS s_dec,
+             |        cast(sum(cast(cast(value as decimal(18,2)) * cast(value as decimal(18,2)) as decimal(38,4))) as double) AS q
+             |      FROM events GROUP BY 1)) st USING (user_id))
              |ORDER BY event_id""".stripMargin),
     ),
     // Local-maxima peak detection (the find_peaks staple): a point is

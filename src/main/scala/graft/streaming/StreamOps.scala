@@ -391,15 +391,21 @@ object StreamOps {
     * ValueState (the cumsum in exact 2-dp CENTS, so state is 16 bytes
     * per key forever and the sum is order/batch-boundary-independent
     * — the streaming spelling of the batch op's exact-decimal cumsum
-    * device). μ/σ are the batch-computed baseline passed in (a real
-    * deployment broadcasts yesterday's stats); the deviation/envelope
-    * arithmetic replicates the batch formula text, HALF_UP 4-dp ==
-    * Spark round. StreamingSpec asserts stream == batch EXACTLY. */
+    * device). The baseline (n, Σvalue in cents, σ) is batch-computed
+    * and passed in (a real deployment broadcasts yesterday's stats).
+    * Deviation replicates the batch op's EXACT-NUMERATOR device: dev
+    * = (cusum·n − i·Σ)/n with the numerator in exact int64 cents →
+    * one BigDecimal→double conversion (== the batch decimal cast) →
+    * one double division — bit-identical to the batch plan, no
+    * rounding anywhere (§2.0: rounding identical doubles is what
+    * SPLITS engines on half-ties). StreamingSpec asserts stream ==
+    * batch EXACTLY. */
   case class CusumIn(user_id: Long, event_id: Long, value: Double)
   case class CusumOut(user_id: Long, event_id: Long, cusum_dev: Double, drift: Boolean)
   case class CusumState(n: Long, cents: Long)
+  case class CusumBase(n: Long, sumCents: Long, sd: Double)
 
-  private class CusumProcessor(baseline: Map[Long, (Double, Double)])
+  private class CusumProcessor(baseline: Map[Long, CusumBase])
       extends StatefulProcessor[Long, CusumIn, CusumOut] {
     @transient private var st: ValueState[CusumState] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
@@ -407,19 +413,19 @@ object StreamOps {
         "cusum", Encoders.product[CusumState], TTLConfig.NONE)
     override def handleInputRows(
         user: Long, rows: Iterator[CusumIn], tv: TimerValues): Iterator[CusumOut] = {
-      val (mu, sd) = baseline(user)
+      val base = baseline(user)
       var s = Option(st.get()).getOrElse(CusumState(0L, 0L))
       val out = rows.toSeq.sortBy(_.event_id).map { r =>
         val cents = new java.math.BigDecimal(java.lang.Double.toString(r.value))
           .setScale(2, java.math.RoundingMode.HALF_UP)
           .unscaledValue().longValueExact()
         s = CusumState(s.n + 1, s.cents + cents)
-        val cusum = java.math.BigDecimal.valueOf(s.cents, 2).doubleValue
-        val i = s.n.toDouble
-        val dev = cusum - i * mu
-        val devR = new java.math.BigDecimal(java.lang.Double.toString(dev))
-          .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue
-        CusumOut(user, r.event_id, devR, math.abs(dev) > 3.0 * sd * math.sqrt(i))
+        // exact int64 numerator in cents == the batch decimal(·,2)
+        // numerator; one conversion + one division, as in the plan
+        val numCents = s.cents * base.n - s.n * base.sumCents
+        val dev = java.math.BigDecimal.valueOf(numCents, 2).doubleValue / base.n.toDouble
+        CusumOut(user, r.event_id, dev,
+          math.abs(dev) > 3.0 * base.sd * math.sqrt(s.n.toDouble))
       }
       st.update(s)
       out.iterator
@@ -427,7 +433,7 @@ object StreamOps {
   }
 
   def streamingCusum(events: Dataset[CusumIn],
-                     baseline: Map[Long, (Double, Double)]): Dataset[CusumOut] = {
+                     baseline: Map[Long, CusumBase]): Dataset[CusumOut] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .transformWithState(new CusumProcessor(baseline),

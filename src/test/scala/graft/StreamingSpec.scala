@@ -339,14 +339,19 @@ class StreamingSpec extends AnyFunSuite {
           org.apache.spark.sql.functions.lit(1)).as("n"),
         org.apache.spark.sql.functions.sum(
           org.apache.spark.sql.functions.col("value").cast("decimal(18,2)"))
-          .cast("double").as("s"),
+          .as("s_dec"), // kept DECIMAL: the processor needs exact cents
         org.apache.spark.sql.functions.sum(
           (org.apache.spark.sql.functions.col("value").cast("decimal(18,2)") *
             org.apache.spark.sql.functions.col("value").cast("decimal(18,2)"))
             .cast("decimal(38,4)")).cast("double").as("q"))
       .collect().map { r =>
-        val (n, s, q) = (r.getLong(1), r.getDouble(2), r.getDouble(3))
-        r.getLong(0) -> (s / n, math.sqrt((q - s * s / n) / (n - 1)))
+        val n = r.getLong(1)
+        val sDec = r.getDecimal(2)
+        val sCents = sDec.movePointRight(2).longValueExact()
+        val s = sDec.doubleValue
+        val q = r.getDouble(3)
+        r.getLong(0) -> StreamOps.CusumBase(
+          n, sCents, math.sqrt((q - s * s / n) / (n - 1)))
       }.toMap
     val inRows = eventRows.map(e => StreamOps.CusumIn(e.user_id, e.event_id, e.value))
     val ms = MemoryStream[StreamOps.CusumIn]
