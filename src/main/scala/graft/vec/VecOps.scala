@@ -590,8 +590,12 @@ object VecOps {
           .filter(P.r4(dot("ea", "eb") / (col("na") * col("nb"))) >= 0.4)
           .select("a", "b")
         val emb = T.embeddings(s, d).select(col("vec_id"), col("label"))
+        // minRounds=1 (was 3): cosine≥τ components are near-cliques
+        // like the SimHash ones — the seed + one jump round collapse
+        // them, and the convergence loop (not this knob) is the
+        // correctness argument; two fewer lazy rounds of shuffles
         graft.text.DedupCluster.survivors(emb, "vec_id", pairs,
-            iters = 20, minRounds = 3)
+            iters = 20, minRounds = 1)
           .groupBy("label")
           .agg(count(lit(1)).as("n_survivors"))
           .orderBy("label")
