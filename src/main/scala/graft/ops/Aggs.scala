@@ -1555,9 +1555,14 @@ object Aggs {
     // Shannon entropy of each user's event-type mix — the behavioral-
     // diversity profiling staple (pandas: groupby().value_counts() →
     // scipy.stats.entropy). The text_lang_entropy determinism device
-    // reused verbatim: per-term p·ln p is transcendental, so the sum
-    // folds a SORTED (by event_type) term list left-to-right in both
-    // engines — every intermediate bit-identical, one r4 at the end;
+    // reused verbatim: the sum folds a SORTED (by event_type) term
+    // list left-to-right in both engines (removes within-engine
+    // association nondeterminism), then r4 absorbs the engines'
+    // ln() last-ulp skew. Round-11 note: emitting the fold UNROUNDED
+    // was tried per the r10 advice and is measurably wrong — the
+    // doubles are NOT bit-identical (libm ln differs in the last ulp;
+    // sf0.01 diff at row 32 even under a strict list_reduce left fold
+    // on the DuckDB side), so per §2.0 the r4 stays: internals differ;
     // `+ 0D` turns a single-type user's −0.0 into 0.0 (negative zero
     // hashes differently cross-engine). Shape: one (user, type) count
     // agg (≤5 types/user) + one fold per user — two key-partitioned
@@ -1584,7 +1589,8 @@ object Aggs {
              |cn AS (SELECT *, sum(n) OVER (PARTITION BY user_id) AS tot FROM c),
              |t AS (SELECT user_id, event_type, (n / tot) * ln(n / tot) AS t FROM cn)
              |SELECT user_id,
-             |  round(-list_sum(list(t ORDER BY event_type)) + 0.0, 4) AS entropy,
+             |  round(-list_reduce(list_prepend(0.0, list(t ORDER BY event_type)),
+             |                     (acc, x) -> acc + x) + 0.0, 4) AS entropy,
              |  cast(count(event_type) as bigint) AS n_types
              |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin),
     ),

@@ -2144,11 +2144,21 @@ object TimeSeries {
           // bounded casts keep BOTH engines in exact decimal: an
           // unbounded decimal×bigint would exceed width 38 and DuckDB
           // silently falls back to double for the product (measured —
-          // that reintroduces the ulp split this device removes)
+          // that reintroduces the ulp split this device removes).
+          // Width margin: decimal(24,2)×decimal(10,0) → decimal(35,2)
+          // ≤ DuckDB's exact width 38, provided |cusum|,|s| < 10²²
+          // and n < 10¹⁰ (i ≤ n). The guard asserts a 10× margin
+          // (|sum| < 10²¹, n < 10⁹) so an out-of-envelope corpus
+          // raises instead of silently nulling dev under Spark's
+          // non-ANSI narrowing cast.
           .withColumn("dev",
-            (col("cusum_dec").cast("decimal(24,2)") * col("n").cast("decimal(10,0)") -
-              col("i").cast("decimal(10,0)") * col("s_dec").cast("decimal(24,2)"))
-              .cast("double") / col("n").cast("double"))
+            when(abs(col("cusum_dec")) < lit(1e21) &&
+                 abs(col("s_dec")) < lit(1e21) && col("n") < lit(1000000000L),
+              (col("cusum_dec").cast("decimal(24,2)") * col("n").cast("decimal(10,0)") -
+                col("i").cast("decimal(10,0)") * col("s_dec").cast("decimal(24,2)"))
+                .cast("double") / col("n").cast("double"))
+              .otherwise(raise_error(lit(
+                "ts_cusum_flag: per-user cusum/count exceeds the decimal(24,2)/decimal(10,0) envelope — widen the bounded casts"))))
           // NO r4 on dev: the exact-decimal numerator makes the two
           // engines' doubles bit-identical, and §2.0's rule is to
           // round only where internals differ — here rounding would

@@ -16,12 +16,13 @@ import org.apache.spark.sql.functions._
   * be a low-id pendant whose own ball is small, so L(L(u)) adds
   * nothing in the worst case. Correctness therefore comes from the
   * convergence loop, not a round-count heuristic: rounds continue
-  * until a round changes no label. `minRounds` suppresses the
-  * convergence `count()` for the first k rounds (they stay fully lazy
-  * — no driver action, lineage truncated by lazy localCheckpoints), so
-  * a caller whose components are near-cliques (the dedup norm) pays
-  * exactly ONE confirming action instead of one per round, while
-  * adversarial topologies still iterate to the true fixpoint.
+  * until a round changes no label. The convergence test is an O(1)
+  * label-sum fingerprint (exact — see the inline proof), so a
+  * checking round costs one eager checkpoint plus a cached scan, not
+  * a shuffle join. `minRounds` keeps the first k rounds fully lazy
+  * (no driver action, lineage truncated by lazy localCheckpoints) for
+  * callers that can bound the diameter below; with the cheap test the
+  * knob matters far less than it did when each check was a join.
   *
   * Scale shape: each round is one join on the edge list + one
   * groupBy(min) — both shuffle on the node id, no driver-side graph.
@@ -58,6 +59,19 @@ object DedupCluster {
     // pay only the single confirming round
     var labels = edges.groupBy("u").agg(min("v").as("mv"))
       .select(col("u").as("id"), least(col("u"), col("mv")).as("lbl"))
+    // Convergence fingerprint: labels are MONOTONICALLY non-increasing
+    // per id (every round takes a min over a set containing the current
+    // label) and the id set is fixed after the seed (always exactly the
+    // node set of `edges`), so sum(lbl) strictly decreases iff ANY
+    // label changed. Comparing the sum between rounds is therefore an
+    // EXACT convergence test — no hash, no collision risk — and costs
+    // one in-memory scan of the just-checkpointed frame instead of the
+    // shuffle join-and-diff it replaces (the round-10 perf regression).
+    // decimal(38,0) keeps the sum exact far beyond any corpus size
+    // (38 digits ≫ 19-digit max-int64 label × any realistic row count).
+    def fingerprint(df: DataFrame): Option[java.math.BigDecimal] =
+      Option(df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0))
+    var prevFp: Option[Option[java.math.BigDecimal]] = None
     var changed = true
     var round = 0
     while (changed && round < iters) {
@@ -79,13 +93,19 @@ object DedupCluster {
       // checkpoint per round: the doubling join references `labels`
       // twice, so an unbroken lineage would DOUBLE the plan tree every
       // round (exponential analysis cost); localCheckpoint truncates it.
-      // Lazy while no convergence count() follows, eager when one does.
+      // Lazy while no convergence action follows, eager when one does.
       val next = labels.unionByName(viaEdges).unionByName(viaLabel)
         .groupBy("id").agg(min("lbl").as("lbl"))
         .localCheckpoint(eager = checking)
-      changed = !checking ||
-        next.join(labels.withColumnRenamed("lbl", "old"), Seq("id"))
-          .filter(col("lbl") =!= col("old")).limit(1).count() > 0
+      if (checking) {
+        // materializing `next` above also materialized every lazy
+        // checkpoint in its lineage, so the prior round's fingerprint
+        // (first checking round only) is a cached scan, not a re-run
+        val pf = prevFp.getOrElse(fingerprint(labels))
+        val fp = fingerprint(next)
+        changed = fp != pf
+        prevFp = Some(fp)
+      }
       labels = next
       round += 1
     }

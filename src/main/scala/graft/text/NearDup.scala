@@ -684,17 +684,38 @@ object NearDup {
     * join/agg on top — the round-10 verdict's "stop computing the
     * components three times". The frame is O(docs-in-clusters) rows of
     * two int64s; entries are keyed by session so a stopped session's
-    * entry can never leak into a new one. */
+    * entry can never leak into a new one.
+    *
+    * The key also folds in [[corpusStamp]] (size+mtime of the
+    * documents parquet), so a long-lived session that REGENERATES the
+    * testdata under `d` mid-session — the exact scenario the adaptive
+    * events loader exists for — gets fresh labels instead of silently
+    * serving the old corpus's clusters. Entries for retired stamps
+    * are a few KB each and are dropped by [[clearMemo]] /
+    * `graft.core.Caches.release` or session stop. */
   private val labelsMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  /** Cheap content key for the corpus under `d`: name:size:mtime of
+    * the documents parquet (recursed when it is a directory dataset).
+    * For non-local URIs (hdfs://, s3a://) this degrades to the bare
+    * path and the regen-requires-`Caches.release` contract applies. */
+  private def corpusStamp(d: String): String = {
+    def stamp(f: java.io.File): String =
+      if (f.isDirectory)
+        f.listFiles().sortBy(_.getName).map(stamp).mkString("[", ",", "]")
+      else s"${f.getName}:${f.length}:${f.lastModified}"
+    val f = new java.io.File(s"$d/documents.parquet")
+    if (f.exists) stamp(f) else d
+  }
   private def clusterLabels(s: SparkSession, d: String): DataFrame =
-    // minRounds=1 (was 3): Hamming≤1 components are near-cliques that
-    // the seed + one jump round collapse, so checking after round 1
-    // usually confirms convergence immediately — two fewer lazy rounds
-    // of shuffles per corpus. Adversarial topologies still iterate to
-    // the true fixpoint (the convergence loop, not the knob, is the
-    // correctness argument — DedupCluster scaladoc).
-    labelsMemo.computeIfAbsent((s, d),
+    // minRounds=1: with the O(1) sum-fingerprint convergence test
+    // (DedupCluster round-11 fix for the round-10 regression, where
+    // each check was a shuffle join) an early check that FAILS costs
+    // only an eager checkpoint + one cached scan, while a lazy round
+    // past the fixpoint wastes a real propagation shuffle — so check
+    // early. The convergence loop, not the knob, is the correctness
+    // argument (DedupCluster scaladoc).
+    labelsMemo.computeIfAbsent((s, s"$d ${corpusStamp(d)}"),
       _ => DedupCluster.clusters(hamming1Pairs(s, d), iters = 20, minRounds = 1))
 
   /** Drop this session's memoized label frames (graft.core.Caches). */

@@ -205,9 +205,13 @@ object TextOps {
     // terms (n/N)·ln(n/N) are transcendental, so exact-decimal sums
     // can't apply; instead both engines fold the terms in the SAME
     // lang order (Spark: aggregate over a lang-sorted collect_list;
-    // DuckDB: list_sum over `list(t ORDER BY lang)` — the proven
-    // left-fold-identical pair), making the double sum bit-identical
-    // before the final 4-dp round of the ln-derived value.
+    // DuckDB: list_reduce over `list_prepend(0.0, list(t ORDER BY
+    // lang))` — a strict left fold from the same 0.0 seed), removing
+    // within-engine association nondeterminism; the final r4 then
+    // absorbs the engines' ln() last-ulp skew. Round-11 note: the
+    // terms are NOT bit-identical across engines (libm ln differs in
+    // the last ulp — measured at sf0.01 even under the strict fold),
+    // so per §2.0 the r4 is required, not a latent tie-split.
     OpSpec(
       "text_lang_entropy",
       (s, d) => {
@@ -236,7 +240,8 @@ object TextOps {
              |cn AS (SELECT *, sum(n) OVER (PARTITION BY source) AS tot FROM c),
              |t AS (SELECT source, lang, (n / tot) * ln(n / tot) AS t FROM cn)
              |SELECT source,
-             |  round(-list_sum(list(t ORDER BY lang)) + 0.0, 4) AS entropy,
+             |  round(-list_reduce(list_prepend(0.0, list(t ORDER BY lang)),
+             |                     (acc, x) -> acc + x) + 0.0, 4) AS entropy,
              |  cast(count(lang) as bigint) AS n_langs
              |FROM t GROUP BY source ORDER BY source""".stripMargin),
     ),

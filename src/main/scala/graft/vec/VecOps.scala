@@ -590,10 +590,11 @@ object VecOps {
           .filter(P.r4(dot("ea", "eb") / (col("na") * col("nb"))) >= 0.4)
           .select("a", "b")
         val emb = T.embeddings(s, d).select(col("vec_id"), col("label"))
-        // minRounds=1 (was 3): cosine≥τ components are near-cliques
-        // like the SimHash ones — the seed + one jump round collapse
-        // them, and the convergence loop (not this knob) is the
-        // correctness argument; two fewer lazy rounds of shuffles
+        // minRounds=1: the sum-fingerprint convergence test makes an
+        // early failed check nearly free (eager checkpoint + cached
+        // scan — DedupCluster round-11), while a lazy round past the
+        // fixpoint wastes a real propagation shuffle; the convergence
+        // loop (not this knob) is the correctness argument
         graft.text.DedupCluster.survivors(emb, "vec_id", pairs,
             iters = 20, minRounds = 1)
           .groupBy("label")
