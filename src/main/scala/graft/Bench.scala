@@ -2,6 +2,13 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
+    // 1-min load average sampled BEFORE this JVM's own work ramps the
+    // box — contention context for envelope comparisons (BASELINE.md's
+    // r9/r10 spread on identical code was host noise; record the
+    // covariate so future regressions can be attributed).
+    val loadavg =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0)
+      catch { case _: Throwable => "-1" }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -31,7 +38,19 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","loadavg1m":$loadavg,"queries":$qs,"sf":"$sfDir"}"""
+    // The driver truncates long stdout tails, losing most of the
+    // per-query map from the shipped artifact; persist the full line
+    // to a stable path as well (round-10 verdict item 6). Printed
+    // BEFORE the metric line so that stays the final stdout line.
+    try {
+      val p = java.nio.file.Paths.get("target/bench_full.json")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, line.getBytes("UTF-8"))
+      println(s"""{"metric":"bench_full_path","path":"${p.toAbsolutePath}"}""")
+    } catch { case _: Throwable => () }
+    println(line)
     spark.stop()
   }
 }
