@@ -1,0 +1,316 @@
+package graft.api
+
+import graft.core.{Policy => P}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** The reusable operator API (round-11 verdict item 2): the §2.E/§2.H
+  * recipe families as PARAMETERIZED calls on any DataFrame, instead of
+  * fixed demo queries. `import graft.api.syntax._` gives
+  *
+  * {{{
+  * df.resample("hour", "ts", "h")(count(lit(1)).as("n"))
+  * df.interpolate("v", "event_id", by = Seq("user_id"),
+  *                limit = Some(2), direction = "both", as = "v_interp")
+  * df.sessionize(30 * 60 * 1000000L, "ts", "event_id", Seq("user_id"))
+  * df.rollingMean(5, "value", "event_id", Seq("user_id"), as = "r5")
+  * df.dedupMinhash("doc_id", "text", tau = 0.5)
+  * }}}
+  *
+  * Every method is the exact expression shape its gated registry query
+  * uses — the CORRECTNESS gate proves the API, not just the demos
+  * (≥20 §2 queries are thin calls into this layer; ApiSpec adds
+  * partitioned-input coverage the single-series demos don't reach).
+  *
+  * Determinism policy (SURVEY §2.0) is inherited from [[graft.core.Policy]]:
+  * money-like sums go through exact decimal, continuous stats are r4'd,
+  * divisions are null-guarded. Scale notes per method are on the
+  * registry queries they serve; the common rule: one shuffle on the
+  * `by` keys + one per-partition sort serves every windowed method, and
+  * `by = Nil` means a SINGLE-PARTITION window (correct but serial —
+  * pass series keys at scale).
+  */
+object syntax {
+
+  /** Ordered window over `by` keys; `by = Nil` → global (serial) window. */
+  private def ordered(by: Seq[String], order: Seq[Column]): WindowSpec =
+    if (by.isEmpty) Window.orderBy(order: _*)
+    else Window.partitionBy(by.map(col): _*).orderBy(order: _*)
+
+  implicit class GraftDataFrameOps(private val df: DataFrame) extends AnyVal {
+
+    // ----------------------------------------------------------------
+    // §2.H resample / calendar
+    // ----------------------------------------------------------------
+
+    /** `resample(every).agg(...)` — downsample into `date_trunc` buckets
+      * (non-empty buckets only, SQL semantics; see [[upsampleFfill]] for
+      * gap filling). The bucket emits as timestamp_ntz per §2.0.
+      * Shape: codegen'd partial+final hash agg — the 100 TB form. */
+    def resample(every: String, tsCol: String, as: String)(aggs: Column*): DataFrame =
+      df.groupBy(date_trunc(every, col(tsCol)).as(as))
+        .agg(aggs.head, aggs.tail: _*)
+        .withColumn(as, P.tsOut(col(as)))
+
+    /** `resample(every).ohlc()` — open/close picked deterministically by
+      * `orderCol` (min_by/max_by ≡ DuckDB arg_min/arg_max). */
+    def resampleOhlc(every: String, tsCol: String, valueCol: String,
+                     orderCol: String, as: String): DataFrame =
+      resample(every, tsCol, as)(
+        min_by(col(valueCol), col(orderCol)).as("open"),
+        max(valueCol).as("high"),
+        min(valueCol).as("low"),
+        max_by(col(valueCol), col(orderCol)).as("close"))
+
+    /** `between_time(start, end)` — inclusive start hour, exclusive end. */
+    def betweenTime(startHour: Int, endHour: Int, tsCol: String): DataFrame =
+      df.filter(hour(col(tsCol)) >= startHour && hour(col(tsCol)) < endHour)
+
+    /** `shift(freq=...)` — lattice shift of the time index by a SQL
+      * interval (row-local, scan-fused). */
+    def shiftTime(interval: String, tsCol: String, as: String): DataFrame =
+      df.withColumn(as, col(tsCol) + expr(s"INTERVAL $interval"))
+
+    // ----------------------------------------------------------------
+    // §2.H gap filling / interpolation
+    // ----------------------------------------------------------------
+
+    /** `ffill()` — carry the last non-null `valueCol` forward per `by`
+      * series in `orderCols` order. One shuffle + sort. */
+    def ffill(valueCol: String, orderCols: Seq[String], by: Seq[String],
+              as: String): DataFrame = {
+      val w = ordered(by, orderCols.map(col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      df.withColumn(as, last(valueCol, ignoreNulls = true).over(w))
+    }
+
+    /** `bfill()` — mirror of [[ffill]]: first non-null looking forward. */
+    def bfill(valueCol: String, orderCols: Seq[String], by: Seq[String],
+              as: String): DataFrame = {
+      val w = ordered(by, orderCols.map(col))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      df.withColumn(as, first(valueCol, ignoreNulls = true).over(w))
+    }
+
+    /** `interpolate(method='linear', limit=…, limit_direction=…)` —
+      * positional linear interpolation with the pandas-2.2.2-measured
+      * edge semantics (ops/TimeSeries scaladoc):
+      *  - interior nulls get prev + (next−prev)·(i−pi)/(ni−pi), gated by
+      *    `limit` in the given `direction` ("forward": i−pi ≤ limit;
+      *    "backward": ni−i ≤ limit; "both": min of the two);
+      *  - with a limit, "backward"/"both" clamp LEADING nulls to the
+      *    first valid value and "both" clamps TRAILING nulls to the last
+      *    valid value, each within the limit; unlimited leaves edges null.
+      * Shape: one row_number pass + one fused 4-function window pass per
+      * direction pair — two WindowExec total, one shuffle on `by`. */
+    def interpolate(valueCol: String, orderCol: String, by: Seq[String] = Nil,
+                    limit: Option[Int] = None, direction: String = "forward",
+                    as: String = "interp"): DataFrame = {
+      require(Seq("forward", "backward", "both").contains(direction),
+        s"direction must be forward|backward|both, got $direction")
+      val w = ordered(by, Seq(col(orderCol)))
+      val back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val v = col(valueCol)
+      // the four prev/next functions (dependent on _i) in one projection
+      // level -> ONE WindowExec above the row_number's
+      val base = df
+        .withColumn("_i", row_number().over(w).cast("bigint"))
+        .select(col("*"),
+          last(valueCol, ignoreNulls = true).over(back).as("_prev"),
+          last(when(v.isNotNull, col("_i")), ignoreNulls = true).over(back).as("_pi"),
+          first(valueCol, ignoreNulls = true).over(fwd).as("_next"),
+          first(when(v.isNotNull, col("_i")), ignoreNulls = true).over(fwd).as("_ni"))
+      val lin = col("_prev") + (col("_next") - col("_prev")) *
+        (col("_i") - col("_pi")).cast("double") /
+        (col("_ni") - col("_pi")).cast("double")
+      val interiorGate = limit match {
+        case None => lit(true)
+        case Some(l) => direction match {
+          case "forward"  => col("_i") - col("_pi") <= l
+          case "backward" => col("_ni") - col("_i") <= l
+          case _          => least(col("_i") - col("_pi"), col("_ni") - col("_i")) <= l
+        }
+      }
+      var out = when(v.isNotNull, v)
+        .when(col("_prev").isNotNull && col("_next").isNotNull && interiorGate, lin)
+      for (l <- limit if direction == "backward" || direction == "both")
+        out = out.when(col("_prev").isNull && col("_next").isNotNull &&
+          col("_ni") - col("_i") <= l, col("_next"))
+      for (l <- limit if direction == "both")
+        out = out.when(col("_next").isNull && col("_prev").isNotNull &&
+          col("_i") - col("_pi") <= l, col("_prev"))
+      base.withColumn(as, out).drop("_i", "_prev", "_pi", "_next", "_ni")
+    }
+
+    // ----------------------------------------------------------------
+    // §2.H sessionization / EWM
+    // ----------------------------------------------------------------
+
+    /** `sessionize(gap)` — monotone session ids per `by` series: a new
+      * session starts when the gap to the previous event exceeds
+      * `gapMicros`. One shuffle + sort; the cumulative-sum flag form
+      * (no iterative logic), safe at any scale. */
+    def sessionize(gapMicros: Long, tsCol: String, orderCol: String,
+                   by: Seq[String], as: String = "session_id"): DataFrame = {
+      val w = ordered(by, Seq(col(orderCol)))
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      df.withColumn("_prev_us", lag(unix_micros(col(tsCol)), 1).over(w))
+        .withColumn("_new_sess",
+          when(col("_prev_us").isNull ||
+            unix_micros(col(tsCol)) - col("_prev_us") > gapMicros, 1L).otherwise(0L))
+        .withColumn(as, sum("_new_sess").over(cum))
+        .drop("_prev_us", "_new_sess")
+    }
+
+    /** `ewm(alpha, adjust=True).mean()` in closed form: weights
+      * (1/(1−α))ⁱ as two cumulative window sums — left-to-right in frame
+      * order in both engines, exact scaling ⇒ bit-deterministic, r4 out.
+      * Valid for series ≲1000 points before the weight overflows double;
+      * the general-length path is graft.udaf.Ewm (tested vs this form). */
+    def ewmMean(alpha: Double, valueCol: String, orderCol: String,
+                by: Seq[String], as: String): DataFrame = {
+      require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+      val w = ordered(by, Seq(col(orderCol)))
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val base = 1.0 / (1.0 - alpha)
+      df.withColumn("_i", row_number().over(w).cast("double"))
+        .withColumn(as,
+          P.r4(sum(col(valueCol) * pow(lit(base), col("_i"))).over(cum) /
+            sum(pow(lit(base), col("_i"))).over(cum)))
+        .drop("_i")
+    }
+
+    /** `ewm(alpha, adjust=True).std(bias=False)` — [[ewmMean]] extended
+      * with second moments (Σw, Σw², Σwx, Σwx² as one fused 5-function
+      * window pass); NULL at n=1, clamped at 0 before sqrt so a constant
+      * series can't emit NaN from a −1 ulp residue. */
+    def ewmStd(alpha: Double, valueCol: String, orderCol: String,
+               by: Seq[String], as: String): DataFrame = {
+      require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+      val w = ordered(by, Seq(col(orderCol)))
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val b = 1.0 / (1.0 - alpha)
+      val b2 = b * b
+      df.withColumn("_i", row_number().over(w).cast("double"))
+        .select(col("*"),
+          sum(pow(lit(b), col("_i"))).over(cum).as("_sw"),
+          sum(pow(lit(b2), col("_i"))).over(cum).as("_sww"),
+          sum(col(valueCol) * pow(lit(b), col("_i"))).over(cum).as("_swx"),
+          sum(col(valueCol) * col(valueCol) * pow(lit(b), col("_i"))).over(cum).as("_swxx"),
+          count(lit(1)).over(cum).as("_nn"))
+        .withColumn(as,
+          when(col("_nn") > 1,
+            P.r4(sqrt(greatest(
+              (col("_sw") * col("_sw") / (col("_sw") * col("_sw") - col("_sww"))) *
+                (col("_swxx") / col("_sw") -
+                  (col("_swx") / col("_sw")) * (col("_swx") / col("_sw"))),
+              lit(0.0))))))
+        .drop("_i", "_sw", "_sww", "_swx", "_swxx", "_nn")
+    }
+
+    // ----------------------------------------------------------------
+    // §2.E rolling / expanding / shift-derived
+    // ----------------------------------------------------------------
+
+    /** `rolling(n, min_periods).mean()` — exact-decimal sum over the
+      * n-row frame; NULL until `minPeriods` rows exist (pandas default
+      * minPeriods = n). */
+    def rollingMean(n: Int, valueCol: String, orderCol: String, by: Seq[String],
+                    minPeriods: Int = -1, as: String): DataFrame = {
+      val mp = if (minPeriods < 0) n else minPeriods
+      val w = ordered(by, Seq(col(orderCol))).rowsBetween(-(n - 1), 0)
+      df.withColumn(as,
+        when(count(lit(1)).over(w) >= mp,
+          sum(P.dec2(col(valueCol))).over(w).cast("double") /
+            count(lit(1)).over(w)))
+    }
+
+    /** Time-based `rolling('1h')` window spec over `[t − duration, t]`
+      * at µs precision — pass to your own agg columns. */
+    def rollingTimeWindow(durationMicros: Long, tsCol: String,
+                          by: Seq[String]): WindowSpec =
+      ordered(by, Seq(unix_micros(col(tsCol)))).rangeBetween(-durationMicros, 0)
+
+    /** `expanding().mean()` — exact-decimal running mean. */
+    def expandingMean(valueCol: String, orderCol: String, by: Seq[String],
+                      as: String): DataFrame = {
+      val cum = ordered(by, Seq(col(orderCol)))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      df.withColumn(as,
+        sum(P.dec2(col(valueCol))).over(cum).cast("double") /
+          count(lit(1)).over(cum))
+    }
+
+    /** `diff(n)` — exact-decimal difference vs the n-back row. */
+    def diffN(n: Int, valueCol: String, orderCol: String, by: Seq[String],
+              as: String): DataFrame = {
+      val w = ordered(by, Seq(col(orderCol)))
+      df.withColumn(as,
+        (P.dec2(col(valueCol)) - P.dec2(lag(valueCol, n).over(w))).cast("double"))
+    }
+
+    /** `pct_change()` — null-guarded ratio to the previous row. */
+    def pctChange(valueCol: String, orderCol: String, by: Seq[String],
+                  as: String): DataFrame = {
+      val w = ordered(by, Seq(col(orderCol)))
+      df.withColumn(as, P.div(col(valueCol), lag(valueCol, 1).over(w)) - 1)
+    }
+
+    /** `cumsum()` — exact-decimal running sum (order-independent). */
+    def cumsum(valueCol: String, orderCol: String, by: Seq[String],
+               as: String): DataFrame = {
+      val cum = ordered(by, Seq(col(orderCol)))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      df.withColumn(as, sum(P.dec2(col(valueCol))).over(cum).cast("double"))
+    }
+
+    /** Per-group z-score: mean/std from exact decimal sums in one fused
+      * window pass, the feature-engineering staple. */
+    def zscore(valueCol: String, orderCol: String, by: Seq[String],
+               as: String): DataFrame = {
+      val full = ordered(by, Seq(col(orderCol)))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      df.select(col("*"),
+          count(lit(1)).over(full).as("_n"),
+          sum(P.dec2(col(valueCol))).over(full).cast("double").as("_sx"),
+          sum((P.dec2(col(valueCol)) * P.dec2(col(valueCol))).cast("decimal(38,4)"))
+            .over(full).cast("double").as("_sq"))
+        .withColumn(as,
+          (col(valueCol) - col("_sx") / col("_n")) /
+            sqrt((col("_sq") - col("_sx") * col("_sx") / col("_n")) / (col("_n") - 1)))
+        .drop("_n", "_sx", "_sq")
+    }
+
+    /** `groupby.head(k)` by rank: top-k rows per `by` group in `order`,
+      * rank column kept. Window form; see udaf.TopK for the map-side-
+      * combining form when k ≪ group size at scale. */
+    def topkPerGroup(k: Int, by: Seq[String], order: Seq[Column],
+                     rankAs: String = "rn"): DataFrame = {
+      val w = ordered(by, order)
+      df.withColumn(rankAs, row_number().over(w)).filter(col(rankAs) <= k)
+    }
+
+    // ----------------------------------------------------------------
+    // §2.J dedup
+    // ----------------------------------------------------------------
+
+    /** MinHash+LSH near-duplicate PAIRS with exact Jaccard verification:
+      * (a, b, jaccard) for every pair sharing an LSH band bucket whose
+      * exact 3-gram Jaccard ≥ `tau`. Banded — O(docs·bands) shuffle, no
+      * all-pairs. */
+    def minhashPairs(idCol: String, textCol: String, tau: Double): DataFrame =
+      graft.text.NearDup.minhashPairs(df, idCol, textCol, tau)
+
+    /** MinHash+LSH dedup END-TO-END: drop every row that is a
+      * non-representative member (keep-min id) of a near-duplicate
+      * cluster at threshold `tau`. Pairs via [[minhashPairs]], clusters
+      * via label propagation (graft.text.DedupCluster) — every stage
+      * banded/bucketed, the 100 TB shape. */
+    def dedupMinhash(idCol: String, textCol: String, tau: Double): DataFrame =
+      graft.text.DedupCluster.survivors(
+        df, idCol, minhashPairs(idCol, textCol, tau).select("a", "b"),
+        iters = 20, minRounds = 1)
+  }
+}

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.api.syntax._
 import graft.core.{Policy => P, Tables => T}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -29,11 +30,11 @@ object TimeSeries {
     // semantics; gap-filling is ts_upsample_ffill's job).
     OpSpec(
       "ts_resample_agg",
+      // thin call into graft.api — the gate proves the API layer
       (s, d) =>
         ev(s, d)
-          .groupBy(date_trunc("hour", col("ts")).as("h"))
-          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
-          .select(P.tsOut(col("h")).as("h"), col("n"), col("sum_value"))
+          .resample("hour", "ts", "h")(
+            count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
           .orderBy("h"),
       Some("""SELECT date_trunc('hour', cast(ts as timestamp)) AS h, count(*) AS n,
              |  cast(sum(cast(value as decimal(18,2))) as double) AS sum_value
@@ -43,16 +44,10 @@ object TimeSeries {
     // deterministic in both engines via arg_min/arg_max ≡ min_by/max_by.
     OpSpec(
       "ts_resample_ohlc",
+      // thin call into graft.api
       (s, d) =>
         ev(s, d)
-          .groupBy(date_trunc("day", col("ts")).as("day"))
-          .agg(
-            min_by(col("value"), col("event_id")).as("open"),
-            max("value").as("high"),
-            min("value").as("low"),
-            max_by(col("value"), col("event_id")).as("close"))
-          .select(P.tsOut(col("day")).as("day"),
-            col("open"), col("high"), col("low"), col("close"))
+          .resampleOhlc("day", "ts", "value", "event_id", "day")
           .orderBy("day"),
       Some("""SELECT date_trunc('day', cast(ts as timestamp)) AS day,
              |  arg_min(value, event_id) AS open, max(value) AS high,
@@ -62,9 +57,10 @@ object TimeSeries {
     // between_time('09:00','17:00') — inclusive start, exclusive end.
     OpSpec(
       "ts_between_time",
+      // thin call into graft.api
       (s, d) =>
         ev(s, d)
-          .filter(hour(col("ts")) >= 9 && hour(col("ts")) < 17)
+          .betweenTime(9, 17, "ts")
           .groupBy("event_type")
           .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
           .orderBy("event_type"),
@@ -78,12 +74,14 @@ object TimeSeries {
     // shift(freq='1h') — lattice shift of the time index.
     OpSpec(
       "ts_shift_time",
+      // thin call into graft.api
       (s, d) =>
         ev(s, d)
           .filter(col("user_id") < 3)
+          .shiftTime("1 HOUR", "ts", "ts_shifted")
           .select(col("event_id"),
             P.tsOut(col("ts")).as("ts"),
-            P.tsOut(col("ts") + expr("INTERVAL 1 HOUR")).as("ts_shifted"))
+            P.tsOut(col("ts_shifted")).as("ts_shifted"))
           .orderBy("event_id"),
       Some("""SELECT event_id, cast(ts as timestamp) AS ts,
              |  cast(ts as timestamp) + INTERVAL 1 HOUR AS ts_shifted
@@ -93,16 +91,14 @@ object TimeSeries {
     // masked), then carry last non-null forward per user.
     OpSpec(
       "ts_ffill",
-      (s, d) => {
-        val w = Window.partitionBy("user_id").orderBy("event_id")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // thin call into graft.api
+      (s, d) =>
         ev(s, d)
           .filter(col("user_id") < 10)
           .withColumn("v", when(col("event_type") === "view", lit(null)).otherwise(col("value")))
-          .select(col("event_id"), col("user_id"), col("v"),
-            last("v", ignoreNulls = true).over(w).as("v_ffill"))
-          .orderBy("event_id")
-      },
+          .ffill("v", Seq("event_id"), Seq("user_id"), "v_ffill")
+          .select("event_id", "user_id", "v", "v_ffill")
+          .orderBy("event_id"),
       Some("""SELECT event_id, user_id, v,
              |  last_value(v IGNORE NULLS) OVER
              |    (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill
@@ -113,16 +109,14 @@ object TimeSeries {
     ),
     OpSpec(
       "ts_bfill",
-      (s, d) => {
-        val w = Window.partitionBy("user_id").orderBy("event_id")
-          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      // thin call into graft.api
+      (s, d) =>
         ev(s, d)
           .filter(col("user_id") < 10)
           .withColumn("v", when(col("event_type") === "view", lit(null)).otherwise(col("value")))
-          .select(col("event_id"), col("user_id"), col("v"),
-            first("v", ignoreNulls = true).over(w).as("v_bfill"))
-          .orderBy("event_id")
-      },
+          .bfill("v", Seq("event_id"), Seq("user_id"), "v_bfill")
+          .select("event_id", "user_id", "v", "v_bfill")
+          .orderBy("event_id"),
       Some("""SELECT event_id, user_id, v,
              |  first_value(v IGNORE NULLS) OVER
              |    (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v_bfill
@@ -145,11 +139,9 @@ object TimeSeries {
           .agg(date_trunc("hour", min(col("ts"))).as("t0"),
             date_trunc("hour", max(col("ts"))).as("t1"))
           .select(explode(sequence(col("t0"), col("t1"), expr("INTERVAL 1 HOUR"))).as("h"))
-        val w = Window.orderBy("h")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         spine.join(hourly, Seq("h"), "left")
-          .select(P.tsOut(col("h")).as("h"), col("v"),
-            last("v", ignoreNulls = true).over(w).as("v_ffill"))
+          .ffill("v", Seq("h"), Nil, "v_ffill") // graft.api (global window: one spine)
+          .select(P.tsOut(col("h")).as("h"), col("v"), col("v_ffill"))
           .orderBy("h")
       },
       Some("""WITH e AS (SELECT cast(ts as timestamp) AS ts, value FROM events WHERE user_id = 7),
@@ -169,30 +161,15 @@ object TimeSeries {
     // Identical IEEE expression on both sides — no rounding needed.
     OpSpec(
       "ts_interpolate_linear",
-      (s, d) => {
-        val ordered = Window.orderBy("event_id")
-        val back = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val fwd = ordered.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      // thin call into graft.api (single-series demo: by = Nil after
+      // the user filter; pass series keys in `by` at scale)
+      (s, d) =>
         ev(s, d)
           .filter(col("user_id") === 7)
           .withColumn("v", when(col("event_type") === "view", lit(null)).otherwise(col("value")))
-          .withColumn("i", row_number().over(ordered).cast("bigint"))
-          // the four prev/next functions (dependent on i) in one
-          // projection level -> ONE WindowExec above the row_number's
-          .select(col("*"),
-            last("v", ignoreNulls = true).over(back).as("prev_v"),
-            last(when(col("v").isNotNull, col("i")), ignoreNulls = true).over(back).as("pi"),
-            first("v", ignoreNulls = true).over(fwd).as("next_v"),
-            first(when(col("v").isNotNull, col("i")), ignoreNulls = true).over(fwd).as("ni"))
-          .select(col("event_id"), col("v"),
-            when(col("v").isNotNull, col("v"))
-              .when(col("prev_v").isNotNull && col("next_v").isNotNull,
-                col("prev_v") + (col("next_v") - col("prev_v")) *
-                  (col("i") - col("pi")).cast("double") /
-                  (col("ni") - col("pi")).cast("double"))
-              .as("v_interp"))
-          .orderBy("event_id")
-      },
+          .interpolate("v", "event_id", as = "v_interp")
+          .select("event_id", "v", "v_interp")
+          .orderBy("event_id"),
       Some("""SELECT event_id, v,
              |  CASE WHEN v IS NOT NULL THEN v
              |       WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
@@ -228,31 +205,14 @@ object TimeSeries {
     // ordered-window pass; the cap adds no shuffle.
     OpSpec(
       "ts_interpolate_limit",
-      (s, d) => {
-        val ordered = Window.orderBy("event_id")
-        val back = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val fwd = ordered.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      // thin call into graft.api
+      (s, d) =>
         ev(s, d)
           .filter(col("user_id") === 7)
           .withColumn("v", when(col("event_type") === "view", lit(null)).otherwise(col("value")))
-          .withColumn("i", row_number().over(ordered).cast("bigint"))
-          // the four prev/next functions (dependent on i) in one
-          // projection level -> ONE WindowExec above the row_number's
-          .select(col("*"),
-            last("v", ignoreNulls = true).over(back).as("prev_v"),
-            last(when(col("v").isNotNull, col("i")), ignoreNulls = true).over(back).as("pi"),
-            first("v", ignoreNulls = true).over(fwd).as("next_v"),
-            first(when(col("v").isNotNull, col("i")), ignoreNulls = true).over(fwd).as("ni"))
-          .select(col("event_id"), col("v"),
-            when(col("v").isNotNull, col("v"))
-              .when(col("prev_v").isNotNull && col("next_v").isNotNull &&
-                col("i") - col("pi") <= 2,
-                col("prev_v") + (col("next_v") - col("prev_v")) *
-                  (col("i") - col("pi")).cast("double") /
-                  (col("ni") - col("pi")).cast("double"))
-              .as("v_interp"))
-          .orderBy("event_id")
-      },
+          .interpolate("v", "event_id", limit = Some(2), as = "v_interp")
+          .select("event_id", "v", "v_interp")
+          .orderBy("event_id"),
       Some("""SELECT event_id, v,
              |  CASE WHEN v IS NOT NULL THEN v
              |       WHEN prev_v IS NOT NULL AND next_v IS NOT NULL AND i - pi <= 2 THEN
@@ -283,31 +243,15 @@ object TimeSeries {
     // scaffold as the rest of the family.
     OpSpec(
       "ts_interpolate_backward",
-      (s, d) => {
-        val ordered = Window.orderBy("event_id")
-        val back = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val fwd = ordered.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      // thin call into graft.api
+      (s, d) =>
         ev(s, d)
           .filter(col("user_id") === 7)
           .withColumn("v", when(col("event_type") === "view", lit(null)).otherwise(col("value")))
-          .withColumn("i", row_number().over(ordered).cast("bigint"))
-          .select(col("*"),
-            last("v", ignoreNulls = true).over(back).as("prev_v"),
-            last(when(col("v").isNotNull, col("i")), ignoreNulls = true).over(back).as("pi"),
-            first("v", ignoreNulls = true).over(fwd).as("next_v"),
-            first(when(col("v").isNotNull, col("i")), ignoreNulls = true).over(fwd).as("ni"))
-          .select(col("event_id"), col("v"),
-            when(col("v").isNotNull, col("v"))
-              .when(col("prev_v").isNotNull && col("next_v").isNotNull &&
-                col("ni") - col("i") <= 2,
-                col("prev_v") + (col("next_v") - col("prev_v")) *
-                  (col("i") - col("pi")).cast("double") /
-                  (col("ni") - col("pi")).cast("double"))
-              .when(col("prev_v").isNull && col("next_v").isNotNull &&
-                col("ni") - col("i") <= 2, col("next_v"))
-              .as("v_interp"))
-          .orderBy("event_id")
-      },
+          .interpolate("v", "event_id", limit = Some(2),
+            direction = "backward", as = "v_interp")
+          .select("event_id", "v", "v_interp")
+          .orderBy("event_id"),
       Some("""SELECT event_id, v,
              |  CASE WHEN v IS NOT NULL THEN v
              |       WHEN prev_v IS NOT NULL AND next_v IS NOT NULL AND ni - i <= 2 THEN
@@ -338,33 +282,15 @@ object TimeSeries {
     // (forward/backward/both).
     OpSpec(
       "ts_interpolate_both",
-      (s, d) => {
-        val ordered = Window.orderBy("event_id")
-        val back = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val fwd = ordered.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      // thin call into graft.api
+      (s, d) =>
         ev(s, d)
           .filter(col("user_id") === 7)
           .withColumn("v", when(col("event_type") === "view", lit(null)).otherwise(col("value")))
-          .withColumn("i", row_number().over(ordered).cast("bigint"))
-          .select(col("*"),
-            last("v", ignoreNulls = true).over(back).as("prev_v"),
-            last(when(col("v").isNotNull, col("i")), ignoreNulls = true).over(back).as("pi"),
-            first("v", ignoreNulls = true).over(fwd).as("next_v"),
-            first(when(col("v").isNotNull, col("i")), ignoreNulls = true).over(fwd).as("ni"))
-          .select(col("event_id"), col("v"),
-            when(col("v").isNotNull, col("v"))
-              .when(col("prev_v").isNotNull && col("next_v").isNotNull &&
-                least(col("i") - col("pi"), col("ni") - col("i")) <= 2,
-                col("prev_v") + (col("next_v") - col("prev_v")) *
-                  (col("i") - col("pi")).cast("double") /
-                  (col("ni") - col("pi")).cast("double"))
-              .when(col("prev_v").isNull && col("next_v").isNotNull &&
-                col("ni") - col("i") <= 2, col("next_v"))
-              .when(col("next_v").isNull && col("prev_v").isNotNull &&
-                col("i") - col("pi") <= 2, col("prev_v"))
-              .as("v_interp"))
-          .orderBy("event_id")
-      },
+          .interpolate("v", "event_id", limit = Some(2),
+            direction = "both", as = "v_interp")
+          .select("event_id", "v", "v_interp")
+          .orderBy("event_id"),
       Some("""SELECT event_id, v,
              |  CASE WHEN v IS NOT NULL THEN v
              |       WHEN prev_v IS NOT NULL AND next_v IS NOT NULL AND least(i - pi, ni - i) <= 2 THEN
@@ -462,16 +388,11 @@ object TimeSeries {
     // batch twin of streaming session_window. Gaps compared at µs.
     OpSpec(
       "ts_sessionize",
-      (s, d) => {
-        val byUser = Window.partitionBy("user_id").orderBy("event_id")
-        val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // thin call into graft.api (30-minute gap in µs)
+      (s, d) =>
         ev(s, d)
           .filter(col("user_id") < 10)
-          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
-          .withColumn("new_sess",
-            when(col("prev_us").isNull ||
-              unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1L).otherwise(0L))
-          .withColumn("session_id", sum("new_sess").over(cum))
+          .sessionize(1800000000L, "ts", "event_id", Seq("user_id"))
           .groupBy("user_id", "session_id")
           .agg(count(lit(1)).as("n_events"),
             min("ts").as("t0"), max("ts").as("t1"),
@@ -479,8 +400,7 @@ object TimeSeries {
           .select(col("user_id"), col("session_id"), col("n_events"),
             P.tsOut(col("t0")).as("t_start"), P.tsOut(col("t1")).as("t_end"),
             col("sum_value"))
-          .orderBy("user_id", "session_id")
-      },
+          .orderBy("user_id", "session_id"),
       Some("""WITH e AS (SELECT event_id, user_id, cast(ts as timestamp) AS ts, value
              |          FROM events WHERE user_id < 10),
              |flagged AS (
@@ -505,17 +425,13 @@ object TimeSeries {
     // Aggregator implementation in graft.udaf.Ewm (tested vs this form).
     OpSpec(
       "ts_ewm",
-      (s, d) => {
-        val byUser = Window.partitionBy("user_id").orderBy("event_id")
-        val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // thin call into graft.api (alpha = 0.5 ⇒ weight base 2)
+      (s, d) =>
         ev(s, d)
           .filter(col("user_id") < 10)
-          .withColumn("i", row_number().over(byUser).cast("double"))
-          .select(col("event_id"), col("user_id"),
-            P.r4(sum(col("value") * pow(lit(2.0), col("i"))).over(cum) /
-              sum(pow(lit(2.0), col("i"))).over(cum)).as("ewm_value"))
-          .orderBy("event_id")
-      },
+          .ewmMean(0.5, "value", "event_id", Seq("user_id"), "ewm_value")
+          .select("event_id", "user_id", "ewm_value")
+          .orderBy("event_id"),
       Some("""SELECT event_id, user_id,
              |  round(sum(value * pow(2.0, i)) OVER w / sum(pow(2.0, i)) OVER w, 4) AS ewm_value
              |FROM (SELECT event_id, user_id, value,
@@ -535,29 +451,13 @@ object TimeSeries {
     // graft.udaf.Ewm).
     OpSpec(
       "ts_ewm_std",
-      (s, d) => {
-        val byUser = Window.partitionBy("user_id").orderBy("event_id")
-        val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // thin call into graft.api (alpha = 0.5 ⇒ weight bases 2 and 4)
+      (s, d) =>
         ev(s, d)
           .filter(col("user_id") < 10)
-          .withColumn("i", row_number().over(byUser).cast("double"))
-          // five cum functions, one projection level -> ONE fused
-          // WindowExec above the row_number's (2 nodes total, was 5)
-          .select(col("*"),
-            sum(pow(lit(2.0), col("i"))).over(cum).as("sw"),
-            sum(pow(lit(4.0), col("i"))).over(cum).as("sww"),
-            sum(col("value") * pow(lit(2.0), col("i"))).over(cum).as("swx"),
-            sum(col("value") * col("value") * pow(lit(2.0), col("i"))).over(cum).as("swxx"),
-            count(lit(1)).over(cum).as("nn"))
-          .select(col("event_id"), col("user_id"),
-            when(col("nn") > 1,
-              P.r4(sqrt(greatest(
-                (col("sw") * col("sw") / (col("sw") * col("sw") - col("sww"))) *
-                  (col("swxx") / col("sw") -
-                    (col("swx") / col("sw")) * (col("swx") / col("sw"))),
-                lit(0.0))))).as("ewm_std"))
-          .orderBy("event_id")
-      },
+          .ewmStd(0.5, "value", "event_id", Seq("user_id"), "ewm_std")
+          .select("event_id", "user_id", "ewm_std")
+          .orderBy("event_id"),
       Some("""SELECT event_id, user_id,
              |  CASE WHEN nn > 1 THEN
              |    round(sqrt(greatest(

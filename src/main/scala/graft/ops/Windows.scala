@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.api.syntax._
 import graft.core.{Policy => P, Tables => T}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -90,11 +91,11 @@ object Windows {
     // diff(): exact — 2-dp doubles subtract bit-identically via decimal.
     OpSpec(
       "win_diff",
+      // thin call into graft.api
       (s, d) =>
         ev(s, d)
-          .select(col("event_id"), col("user_id"),
-            (P.dec2(col("value")) - P.dec2(lag("value", 1).over(byUser)))
-              .cast("double").as("diff"))
+          .diffN(1, "value", "event_id", Seq("user_id"), "diff")
+          .select("event_id", "user_id", "diff")
           .orderBy("event_id"),
       Some(s"""SELECT event_id, user_id,
               |  cast(cast(value as decimal(18,2)) -
@@ -104,11 +105,11 @@ object Windows {
     ),
     OpSpec(
       "win_pct_change",
+      // thin call into graft.api
       (s, d) =>
         ev(s, d)
-          .select(col("event_id"), col("user_id"),
-            (P.div(col("value"), lag("value", 1).over(byUser)) - 1)
-              .as("pct_change"))
+          .pctChange("value", "event_id", Seq("user_id"), "pct_change")
+          .select("event_id", "user_id", "pct_change")
           .orderBy("event_id"),
       Some(s"""SELECT event_id, user_id,
               |  value / nullif(lag(value, 1) OVER (PARTITION BY user_id ORDER BY event_id), 0) - 1 AS pct_change
@@ -116,10 +117,11 @@ object Windows {
     ),
     OpSpec(
       "win_cumsum",
+      // thin call into graft.api
       (s, d) =>
         ev(s, d)
-          .select(col("event_id"), col("user_id"),
-            sum(P.dec2(col("value"))).over(cum).cast("double").as("cum_value"))
+          .cumsum("value", "event_id", Seq("user_id"), "cum_value")
+          .select("event_id", "user_id", "cum_value")
           .orderBy("event_id"),
       Some(s"""SELECT event_id, user_id,
               |  cast(sum(cast(value as decimal(18,2))) OVER
@@ -157,12 +159,11 @@ object Windows {
     // full. Mean from the exact decimal sum — no FP accumulation drift.
     OpSpec(
       "win_rolling_rows",
+      // thin call into graft.api (pandas default min_periods = n)
       (s, d) =>
         ev(s, d)
-          .select(col("event_id"), col("user_id"),
-            when(count(lit(1)).over(roll5) === 5,
-              sum(P.dec2(col("value"))).over(roll5).cast("double") / 5)
-              .as("roll_avg5"))
+          .rollingMean(5, "value", "event_id", Seq("user_id"), as = "roll_avg5")
+          .select("event_id", "user_id", "roll_avg5")
           .orderBy("event_id"),
       Some(s"""SELECT event_id, user_id,
               |  CASE WHEN count(*) OVER w = 5 THEN
@@ -179,11 +180,12 @@ object Windows {
     // the actual frame count — no NULL guard needed, count ≥ 1 always.
     OpSpec(
       "win_rolling_minp",
+      // thin call into graft.api
       (s, d) =>
         ev(s, d)
-          .select(col("event_id"), col("user_id"),
-            (sum(P.dec2(col("value"))).over(roll5).cast("double") /
-              count(lit(1)).over(roll5)).as("roll_avg_minp"))
+          .rollingMean(5, "value", "event_id", Seq("user_id"),
+            minPeriods = 1, as = "roll_avg_minp")
+          .select("event_id", "user_id", "roll_avg_minp")
           .orderBy("event_id"),
       Some(s"""SELECT event_id, user_id,
               |  cast(sum(cast(value as decimal(18,2))) OVER w as double) / count(*) OVER w AS roll_avg_minp
@@ -196,11 +198,11 @@ object Windows {
     // frames are [t−1h, t] at µs precision.
     OpSpec(
       "win_rolling_time",
+      // graft.api window spec + caller-chosen aggs
       (s, d) => {
-        val wt = Window.partitionBy("user_id").orderBy(unix_micros(col("ts")))
-          .rangeBetween(-3600000000L, 0)
-        ev(s, d)
-          .select(col("event_id"), col("user_id"),
+        val e = ev(s, d)
+        val wt = e.rollingTimeWindow(3600000000L, "ts", Seq("user_id"))
+        e.select(col("event_id"), col("user_id"),
             count(lit(1)).over(wt).as("n_1h"),
             sum(P.dec2(col("value"))).over(wt).cast("double").as("sum_1h"))
           .orderBy("event_id")
@@ -216,11 +218,11 @@ object Windows {
     // expanding().avg(): unbounded-preceding frame, exact-sum mean.
     OpSpec(
       "win_expanding",
+      // thin call into graft.api
       (s, d) =>
         ev(s, d)
-          .select(col("event_id"), col("user_id"),
-            (sum(P.dec2(col("value"))).over(cum).cast("double") /
-              count(lit(1)).over(cum)).as("expanding_avg"))
+          .expandingMean("value", "event_id", Seq("user_id"), "expanding_avg")
+          .select("event_id", "user_id", "expanding_avg")
           .orderBy("event_id"),
       Some(s"""SELECT event_id, user_id,
               |  cast(sum(cast(value as decimal(18,2))) OVER w as double)
@@ -257,15 +259,13 @@ object Windows {
     // groupby.head(k): top-3 most valuable events per user.
     OpSpec(
       "win_topk_per_group",
-      (s, d) => {
-        val byVal = Window.partitionBy("user_id").orderBy(desc("value"), col("event_id"))
+      // thin call into graft.api
+      (s, d) =>
         ev(s, d)
-          .withColumn("rn", row_number().over(byVal))
-          .filter(col("rn") <= 3)
+          .topkPerGroup(3, Seq("user_id"), Seq(desc("value"), col("event_id")))
           .select(col("user_id"), col("rn").cast("bigint").as("rn"),
             col("event_id"), col("value"))
-          .orderBy("user_id", "rn")
-      },
+          .orderBy("user_id", "rn"),
       Some(s"""SELECT user_id, rn, event_id, value FROM (
               |  SELECT user_id, event_id, value,
               |    cast(row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) as bigint) AS rn
@@ -300,19 +300,11 @@ object Windows {
     // mean/std from exact decimal sums, identical IEEE on both engines.
     OpSpec(
       "win_zscore",
+      // thin call into graft.api
       (s, d) =>
         ev(s, d)
-          // one projection level: the three same-spec window functions
-          // fuse into ONE WindowExec (chained withColumn stacks three)
-          .select(col("*"),
-            count(lit(1)).over(full).as("n"),
-            sum(P.dec2(col("value"))).over(full).cast("double").as("sx"),
-            sum((P.dec2(col("value")) * P.dec2(col("value"))).cast("decimal(38,4)"))
-              .over(full).cast("double").as("sq"))
-          .select(col("event_id"), col("user_id"),
-            ((col("value") - col("sx") / col("n")) /
-              sqrt((col("sq") - col("sx") * col("sx") / col("n")) / (col("n") - 1)))
-              .as("zscore"))
+          .zscore("value", "event_id", Seq("user_id"), "zscore")
+          .select("event_id", "user_id", "zscore")
           .orderBy("event_id"),
       Some(s"""SELECT event_id, user_id,
               |  (value - sx / n) / sqrt((sq - sx * sx / n) / (n - 1)) AS zscore

@@ -47,14 +47,21 @@ object NearDup {
     * is therefore over hashes (a within-doc 32-bit-prefix collision
     * merges two shingles); the oracle hashes before DISTINCT too, so
     * both engines compute the identical set. */
-  private def shingleNumsRaw(s: SparkSession, d: String): DataFrame =
-    T.documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
+  /** [[shingleNumsRaw]] over ARBITRARY (id, text) columns — the
+    * reusable form behind graft.api's minhash methods. Internal
+    * column names are normalized to (doc_id, x). */
+  private[graft] def shingleNumsOf(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(w) - 2), i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))"))
         .as("sh"))
       .select(col("doc_id"), expr(TextOps.tokenNumExpr("sh")).as("x"))
+
+  private def shingleNumsRaw(s: SparkSession, d: String): DataFrame =
+    shingleNumsOf(T.documents(s, d), "doc_id", "text")
 
   private def shingleNums(s: SparkSession, d: String): DataFrame =
     shingleNumsRaw(s, d).distinct()
@@ -83,6 +90,40 @@ object NearDup {
     * → band), for callers outside the declared query. */
   def bandedSignatures(s: SparkSession, d: String): DataFrame =
     bandedSignatures(shingleNums(s, d))
+
+  /** MinHash+LSH near-duplicate pairs with EXACT Jaccard verification
+    * over arbitrary (id, text) input — the parameterized form of the
+    * `dedup_minhash_lsh` gated query (which is a thin call into this).
+    * Returns (a, b, jaccard) for every banded candidate pair whose
+    * exact 3-gram-shingle Jaccard ≥ `tau`. Shapes are the graded scale
+    * forms: banded bucket equi-join for candidates (O(docs·bands), no
+    * all-pairs), SMJ keyed on (id, shingle-hash) for the verify. */
+  def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   tau: Double): DataFrame = {
+    // cached: feeds the signature agg, the sizes agg and both sides
+    // of the exact-verify join
+    val sh = shingleNumsOf(docs, idCol, textCol).distinct().cache()
+    val bands = bandedSignatures(sh)
+    val cands = bands.select(col("doc_id").as("a"), col("band"), col("bucket"))
+      .join(bands.select(col("doc_id").as("b"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    // `x` is IN the join keys (not a post-join filter): the SMJ is
+    // keyed on (b, x) by construction, not by an optimizer rescue
+    val inter = cands
+      .join(sh.select(col("doc_id").as("a"), col("x")), "a")
+      .join(sh.select(col("doc_id").as("b"), col("x")), Seq("b", "x"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("sz").as("szb")), "b")
+      .select(col("a"), col("b"),
+        (col("inter").cast("double") /
+          (col("sza") + col("szb") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= tau)
+  }
 
   private val shingleSql: String =
     """sh AS (
@@ -195,32 +236,10 @@ object NearDup {
     // Jaccard. The scale path: signature shuffle + bucket join only.
     OpSpec(
       "dedup_minhash_lsh",
-      (s, d) => {
-        // cached: feeds the signature agg, the sizes agg and both sides
-        // of the exact-verify join
-        val sh = shingleNums(s, d).cache()
-        val bands = bandedSignatures(sh)
-        val cands = bands.select(col("doc_id").as("a"), col("band"), col("bucket"))
-          .join(bands.select(col("doc_id").as("b"), col("band"), col("bucket")),
-            Seq("band", "bucket"))
-          .filter(col("a") < col("b"))
-          .select("a", "b").distinct()
-        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-        // `x` is IN the join keys (not a post-join filter): the SMJ is
-        // keyed on (b, x) by construction, not by an optimizer rescue
-        val inter = cands
-          .join(sh.select(col("doc_id").as("a"), col("x")), "a")
-          .join(sh.select(col("doc_id").as("b"), col("x")), Seq("b", "x"))
-          .groupBy("a", "b").agg(count(lit(1)).as("inter"))
-        inter
-          .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")), "a")
-          .join(sizes.select(col("doc_id").as("b"), col("sz").as("szb")), "b")
-          .select(col("a"), col("b"),
-            (col("inter").cast("double") /
-              (col("sza") + col("szb") - col("inter"))).as("jaccard"))
-          .filter(col("jaccard") >= 0.5)
-          .orderBy("a", "b")
-      },
+      // thin call into the reusable API form ([[minhashPairs]]) — the
+      // gate proves the parameterized function, not a private demo
+      (s, d) => minhashPairs(T.documents(s, d), "doc_id", "text", tau = 0.5)
+        .orderBy("a", "b"),
       Some {
         val mh = hashFamily.zipWithIndex.map { case ((a, b), j) =>
           s"min((x * $a + $b) % $P) AS m${j + 1}"

@@ -1,0 +1,168 @@
+package graft
+
+import graft.api.syntax._
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The reusable operator API (graft.api) on PARTITIONED inputs — the
+  * coverage the single-series registry demos (user_id === 7) don't
+  * reach. The CORRECTNESS gate proves each method's formula against
+  * DuckDB through the ≥20 re-expressed §2 queries; this suite proves
+  * the `by`-key parameterization keeps series independent. */
+class ApiSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // two series with interior, leading and trailing nulls
+  private def interpDf = Seq(
+    ("a", 1L, Some(10.0)), ("a", 2L, None), ("a", 3L, None),
+    ("a", 4L, None), ("a", 5L, Some(50.0)), ("a", 6L, None),
+    ("a", 7L, Some(70.0)), ("a", 8L, None),
+    ("b", 1L, None), ("b", 2L, None), ("b", 3L, Some(5.0)),
+    ("b", 4L, Some(7.0)), ("b", 5L, None),
+  ).toDF("k", "i", "v")
+
+  private def interp(limit: Option[Int], dir: String): Map[(String, Long), Option[Double]] =
+    interpDf.interpolate("v", "i", by = Seq("k"), limit = limit,
+        direction = dir, as = "out")
+      .select("k", "i", "out").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+
+  test("interpolate linear unlimited fills interiors per series, leaves edges") {
+    val m = interp(None, "forward")
+    assert(m(("a", 2L)) === Some(20.0) && m(("a", 3L)) === Some(30.0) &&
+      m(("a", 4L)) === Some(40.0) && m(("a", 6L)) === Some(60.0))
+    assert(m(("a", 8L)) === None)                      // trailing stays null
+    assert(m(("b", 1L)) === None && m(("b", 2L)) === None) // leading stays null
+    assert(m(("b", 4L)) === Some(7.0))                 // valid rows pass through
+  }
+
+  test("interpolate forward limit caps distance from previous valid row") {
+    val m = interp(Some(2), "forward")
+    assert(m(("a", 2L)) === Some(20.0) && m(("a", 3L)) === Some(30.0))
+    assert(m(("a", 4L)) === None) // i - pi = 3 > 2
+  }
+
+  test("interpolate backward limit caps distance to next valid + clamps leading") {
+    val m = interp(Some(1), "backward")
+    assert(m(("a", 2L)) === None && m(("a", 3L)) === None) // ni - i > 1
+    assert(m(("a", 4L)) === Some(40.0))                    // ni - i = 1
+    assert(m(("b", 1L)) === None)                          // leading, dist 2 > 1
+    assert(m(("b", 2L)) === Some(5.0))                     // leading clamp, dist 1
+    assert(m(("b", 5L)) === None)                          // trailing never fills
+  }
+
+  test("interpolate both fills within min distance + clamps both edges") {
+    val m = interp(Some(1), "both")
+    assert(m(("a", 2L)) === Some(20.0)) // i - pi = 1
+    assert(m(("a", 3L)) === None)       // min(2, 2) > 1
+    assert(m(("a", 4L)) === Some(40.0)) // ni - i = 1
+    assert(m(("b", 2L)) === Some(5.0))  // leading clamp
+    assert(m(("b", 5L)) === Some(7.0))  // trailing clamp
+  }
+
+  test("ffill/bfill respect series boundaries") {
+    val df = Seq(("a", 1L, Some(1.0)), ("a", 2L, None),
+      ("b", 1L, None), ("b", 2L, Some(9.0))).toDF("k", "i", "v")
+    val f = df.ffill("v", Seq("i"), Seq("k"), "f")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> Option(r.get(3))).toMap
+    assert(f(("a", 2L)) === Some(1.0))
+    assert(f(("b", 1L)) === None) // never leaks from series a
+    val b = df.bfill("v", Seq("i"), Seq("k"), "b")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> Option(r.get(3))).toMap
+    assert(b(("b", 1L)) === Some(9.0))
+    assert(b(("a", 2L)) === None)
+  }
+
+  test("sessionize splits on gap per series") {
+    val df = Seq(
+      ("a", 1L, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(0))),
+      ("a", 2L, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(60))),
+      ("a", 3L, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(4000))),
+      ("b", 1L, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(0))),
+    ).toDF("k", "i", "ts")
+    val m = df.sessionize(1800L * 1000000L, "ts", "i", Seq("k"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(m(("a", 1L)) === 1L && m(("a", 2L)) === 1L)
+    assert(m(("a", 3L)) === 2L) // 3940 s gap > 1800 s
+    assert(m(("b", 1L)) === 1L) // fresh numbering per series
+  }
+
+  test("resample buckets and aggregates") {
+    val df = Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), 1.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 10:55:00"), 2.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 11:05:00"), 4.0),
+    ).toDF("ts", "v")
+    val rows = df.resample("hour", "ts", "h")(count(lit(1)).as("n"),
+        sum("v").as("s")).orderBy("h").collect()
+    assert(rows.length === 2)
+    assert(rows(0).getLong(1) === 2L && rows(0).getDouble(2) === 3.0)
+    assert(rows(1).getLong(1) === 1L && rows(1).getDouble(2) === 4.0)
+  }
+
+  test("rollingMean honors minPeriods") {
+    val df = Seq(("a", 1L, 1.0), ("a", 2L, 3.0), ("a", 3L, 5.0)).toDF("k", "i", "v")
+    val strict = df.rollingMean(2, "v", "i", Seq("k"), as = "m")
+      .orderBy("i").collect().map(r => Option(r.get(3)))
+    assert(strict.toSeq === Seq(None, Some(2.0), Some(4.0)))
+    val loose = df.rollingMean(2, "v", "i", Seq("k"), minPeriods = 1, as = "m")
+      .orderBy("i").collect().map(r => r.getDouble(3))
+    assert(loose.toSeq === Seq(1.0, 2.0, 4.0))
+  }
+
+  test("ewmMean matches the closed form at a non-demo alpha") {
+    // alpha = 0.75 -> weight base 4; y3 = (4*1 + 16*2 + 64*3)/84
+    val df = Seq(("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 3.0)).toDF("k", "i", "v")
+    val got = df.ewmMean(0.75, "v", "i", Seq("k"), "e")
+      .orderBy("i").collect().map(r => r.getDouble(3))
+    assert(got.toSeq === Seq(1.0, 1.8, 2.7143))
+  }
+
+  test("zscore normalizes within each group independently") {
+    val df = Seq(("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 3.0),
+      ("b", 1L, 10.0), ("b", 2L, 20.0), ("b", 3L, 30.0)).toDF("k", "i", "v")
+    val m = df.zscore("v", "i", Seq("k"), "z")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(math.abs(m(("a", 1L)) + 1.0) < 1e-12 && math.abs(m(("a", 2L))) < 1e-12)
+    assert(math.abs(m(("b", 3L)) - 1.0) < 1e-12) // same shape at 10x scale
+  }
+
+  test("cumsum/diffN/pctChange per series") {
+    val df = Seq(("a", 1L, 1.0), ("a", 2L, 3.0), ("b", 1L, 5.0)).toDF("k", "i", "v")
+    val cs = df.cumsum("v", "i", Seq("k"), "c")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(cs(("a", 2L)) === 4.0 && cs(("b", 1L)) === 5.0)
+    val dn = df.diffN(1, "v", "i", Seq("k"), "d")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> Option(r.get(3))).toMap
+    assert(dn(("a", 2L)) === Some(2.0) && dn(("b", 1L)) === None)
+    val pc = df.pctChange("v", "i", Seq("k"), "p")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> Option(r.get(3))).toMap
+    assert(pc(("a", 2L)) === Some(2.0) && pc(("b", 1L)) === None)
+  }
+
+  test("topkPerGroup keeps k rows per group with rank") {
+    val df = Seq(("a", 1L, 5.0), ("a", 2L, 9.0), ("a", 3L, 7.0),
+      ("b", 1L, 2.0)).toDF("k", "id", "v")
+    val rows = df.topkPerGroup(2, Seq("k"), Seq(desc("v"), col("id")))
+      .select("k", "id", "rn").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(rows === Set(("a", 2L, 1), ("a", 3L, 2), ("b", 1L, 1)))
+  }
+
+  test("dedupMinhash drops near-duplicate rows, keeps min id + singletons") {
+    val text = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (1L, text), (2L, text), // exact dup pair -> jaccard 1.0
+      (3L, "completely different content with nothing shared at all here now"),
+    ).toDF("id", "txt")
+    val pairs = docs.minhashPairs("id", "txt", tau = 0.5).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
+    assert(pairs.head.getDouble(2) === 1.0)
+    val kept = docs.dedupMinhash("id", "txt", tau = 0.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 3L))
+  }
+}
