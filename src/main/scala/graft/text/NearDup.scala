@@ -433,9 +433,18 @@ object NearDup {
            |GROUP BY source ORDER BY source""".stripMargin
       },
     ),
-    // 16-bit SimHash over token hashes (with multiplicity): bit b is the
+    // 60-bit SimHash over token hashes (with multiplicity): bit b is the
     // sign of Σ(±1) where +1 iff bit b of the token hash is set. One
-    // integer per document; equal values = near-dup candidates.
+    // integer per document; equal values = near-dup candidates. The
+    // sketch covers the FULL corpus (round-11 verdict item 4 removed the
+    // doc_id<100 slice) and the width is the scale knob: sketch bits
+    // must grow ~log₂(n) or random pairs saturate the Hamming graph —
+    // measured on this corpus (31-word vocabulary, so sketches
+    // concentrate far above the uniform-random rate): at sf0.1's 5,000
+    // docs a 16-bit sketch yields 100,594 Hamming≤1 pairs and one
+    // 4,823-doc giant component (meaningless), 32-bit still chains a
+    // 520-doc component, while 60-bit gives 104 pairs with max
+    // component 4 — real near-dups only, at every scale factor.
     OpSpec(
       "dedup_simhash",
       (s, d) => simhashDf(s, d).orderBy("doc_id"),
@@ -443,19 +452,22 @@ object NearDup {
               |SELECT doc_id, simhash FROM sh ORDER BY doc_id""".stripMargin),
     ),
     // SimHash near-dup retrieval at Hamming distance ≤ 1: each document
-    // emits its sketch plus all 16 one-bit flips (17 probe rows), probes
+    // emits its sketch plus all 60 one-bit flips (61 probe rows), probes
     // equi-join documents' unflipped sketches, so every pair within one
     // flipped bit collides in some bucket — closing the "equal values
     // only" gap (one noisy token = one flipped bit = a missed dup). At
-    // scale this is 17 rows/doc shuffled on an int64 bucket — the same
-    // nprobe XOR device as sim_cosine_ivf_nprobe. The oracle is
-    // ALL-PAIRS bit_count(xor) ≤ 1, so the gate itself proves the
-    // bit-flip blocking finds every qualifying pair.
+    // scale this is 61 rows/doc shuffled on an int64 bucket — the same
+    // nprobe XOR device as sim_cosine_ivf_nprobe (the 2-part pigeonhole
+    // of pairs2 would cut that to 2 rows/doc; the flip probe is kept as
+    // the declared device precisely because the oracle can prove it).
+    // The oracle is ALL-PAIRS bit_count(xor) ≤ 1 over the FULL corpus,
+    // so the gate itself proves the bit-flip blocking finds every
+    // qualifying pair — at all 5,000 sf0.1 docs, not a slice.
     OpSpec(
       "dedup_simhash_pairs",
       (s, d) => {
         val sh = simhashDf(s, d).cache() // one int64/doc; feeds both join sides
-        val flips = array((lit(0L) +: (0 until 16).map(b => lit(1L << b))): _*)
+        val flips = array((lit(0L) +: (0 until 60).map(b => lit(1L << b))): _*)
         val probe = sh.select(col("doc_id").as("a"), col("simhash").as("sa"),
             explode(flips).as("flip"))
           .select(col("a"), col("sa"), col("sa").bitwiseXOR(col("flip")).as("bucket"))
@@ -474,28 +486,29 @@ object NearDup {
               |ORDER BY a, b""".stripMargin),
     ),
     // SimHash retrieval at Hamming ≤ 2 — the PIGEONHOLE generalization
-    // of the bit-flip device (17 probes/doc only works for distance 1;
-    // distance 2 would need C(16,2)+17 = 137). Split the 16-bit sketch
-    // into 3 parts (6/5/5 bits): two sketches within Hamming 2 differ
-    // in ≤ 2 parts, so AT LEAST ONE part matches exactly — block on
-    // (part_id, part_value), 3 rows per doc, equi-join, verify
+    // of the bit-flip device (61 probes/doc only works for distance 1;
+    // distance 2 would need C(60,2)+61 = 1831). Split the 60-bit sketch
+    // into 3 parts (20/20/20 bits): two sketches within Hamming 2
+    // differ in ≤ 2 parts, so AT LEAST ONE part matches exactly — block
+    // on (part_id, part_value), 3 rows per doc, equi-join, verify
     // bit_count ≤ 2 on candidates only. The same pigeonhole that makes
     // MinHash banding work, applied to SimHash; at 100 TB the blocking
-    // cost is 3 rows/doc vs 137. Oracle = all-pairs distance ≤ 2: the
-    // gate proves the 3-split lossless.
+    // cost is 3 rows/doc vs 1831. Oracle = all-pairs distance ≤ 2 over
+    // the FULL corpus: the gate proves the 3-split lossless at all
+    // 5,000 sf0.1 docs.
     OpSpec(
       "dedup_simhash_pairs2",
       (s, d) => {
         val sh = simhashDf(s, d).cache() // one int64/doc; feeds both join sides
-        // parts: bits [0,6) [6,11) [11,16)
+        // parts: bits [0,20) [20,40) [40,60)
         def part(c: org.apache.spark.sql.Column, lo: Int, hi: Int) =
           shiftright(c, lo).bitwiseAND(lit((1L << (hi - lo)) - 1))
         def parted(idCol: String, shCol: String) =
           sh.select(col("doc_id").as(idCol), col("simhash").as(shCol),
               explode(array(
-                struct(lit(0).as("pid"), part(col("simhash"), 0, 6).as("pv")),
-                struct(lit(1).as("pid"), part(col("simhash"), 6, 11).as("pv")),
-                struct(lit(2).as("pid"), part(col("simhash"), 11, 16).as("pv"))))
+                struct(lit(0).as("pid"), part(col("simhash"), 0, 20).as("pv")),
+                struct(lit(1).as("pid"), part(col("simhash"), 20, 40).as("pv")),
+                struct(lit(2).as("pid"), part(col("simhash"), 40, 60).as("pv"))))
                 .as("p"))
             .select(col(idCol), col(shCol), col("p.pid").as("pid"), col("p.pv").as("pv"))
         parted("a", "sa")
@@ -553,7 +566,7 @@ object NearDup {
     OpSpec(
       "dedup_survivors",
       (s, d) => {
-        val docs = T.documents(s, d).filter(col("doc_id") < 100)
+        val docs = T.documents(s, d)
         // keep-min policy off the SHARED memoized labels (see
         // clusterLabels): losers = cluster members that are not their
         // cluster's min id; survivors = left_anti against them
@@ -580,7 +593,7 @@ object NearDup {
               |  WHERE id <> cluster)
               |SELECT source, count(*) AS n_survivors, cast(sum(n_chars) as bigint) AS sum_chars
               |FROM documents
-              |WHERE doc_id < 100 AND doc_id NOT IN (SELECT id FROM losers)
+              |WHERE doc_id NOT IN (SELECT id FROM losers)
               |GROUP BY source ORDER BY source""".stripMargin),
     ),
     // QUALITY-AWARE survivor selection — what production pipelines
@@ -599,7 +612,14 @@ object NearDup {
     OpSpec(
       "dedup_survivors_quality",
       (s, d) => {
-        val docs = T.documents(s, d).filter(col("doc_id") < 100)
+        val docs = T.documents(s, d)
+        // quality = n_distinct/n_tokens·0.5 + sum_len/n_tokens·0.05 —
+        // an exact rational (10·n_distinct + sum_len)/(20·n_tokens).
+        // The double form is used ONLY for ordering (same IEEE ops both
+        // engines ⇒ same pick); the OUTPUT is rounded half-up in exact
+        // integer arithmetic, because round(double, 4) splits engines
+        // when the rational lands exactly on a half 4-dp tie (first
+        // seen at sf0.1 doc 693 — the ts_cusum_flag class, SURVEY §2.0).
         val quality = docs
           .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
           .groupBy("doc_id")
@@ -608,7 +628,9 @@ object NearDup {
             sum(length(col("w"))).as("sum_len"))
           .select(col("doc_id"),
             (col("n_distinct").cast("double") / col("n_tokens") * 0.5 +
-              col("sum_len").cast("double") / col("n_tokens") * 0.05).as("quality"))
+              col("sum_len").cast("double") / col("n_tokens") * 0.05).as("quality"),
+            (col("n_distinct") * 10 + col("sum_len")).as("qn"),
+            (col("n_tokens") * 20).as("qd"))
         val labels = clusterLabels(s, d) // SHARED memoized components
         docs.select(col("doc_id"))
           .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
@@ -616,11 +638,15 @@ object NearDup {
           .join(quality, Seq("doc_id"))
           .groupBy("cluster")
           .agg(count(lit(1)).as("n_members"),
+            // (nq, i) is already a total order (i unique) — n/dd ride
+            // along to rebuild the survivor's exact rational outside
             min(struct((col("quality") * -1).as("nq"),
-              col("doc_id").as("i"), col("quality").as("q"))).as("best"))
+              col("doc_id").as("i"), col("qn").as("n"), col("qd").as("dd"))).as("best"))
           .select(col("cluster"), col("n_members"),
             col("best.i").as("survivor_id"),
-            round(col("best.q"), 4).as("survivor_quality"))
+            // half-up round(N/D, 4) = (2·N·10⁴ + D) div (2·D), exact ints
+            (expr("cast((best.n * 20000 + best.dd) div (2 * best.dd) as double)")
+              / 10000.0).as("survivor_quality"))
           .orderBy("cluster")
       },
       Some(s"""WITH RECURSIVE $simhashSql,
@@ -638,37 +664,46 @@ object NearDup {
               |q AS (
               |  SELECT doc_id,
               |    cast(n_distinct as double) / n_tokens * 0.5 +
-              |      cast(sum_len as double) / n_tokens * 0.05 AS quality
+              |      cast(sum_len as double) / n_tokens * 0.05 AS quality,
+              |    n_distinct * 10 + sum_len AS qn,
+              |    n_tokens * 20 AS qd
               |  FROM (
               |    SELECT doc_id, count(*) AS n_tokens, count(DISTINCT w) AS n_distinct,
               |      cast(sum(length(w)) as bigint) AS sum_len
               |    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
-              |          FROM documents WHERE doc_id < 100)
+              |          FROM documents)
               |    GROUP BY doc_id))
               |SELECT cluster, count(*) AS n_members,
-              |  (min({'nq': -quality, 'i': doc_id, 'q': quality})).i AS survivor_id,
-              |  round((min({'nq': -quality, 'i': doc_id, 'q': quality})).q, 4) AS survivor_quality
+              |  (min({'nq': -quality, 'i': doc_id, 'n': qn, 'dd': qd})).i AS survivor_id,
+              |  cast(((min({'nq': -quality, 'i': doc_id, 'n': qn, 'dd': qd})).n * 20000
+              |        + (min({'nq': -quality, 'i': doc_id, 'n': qn, 'dd': qd})).dd)
+              |       // (2 * (min({'nq': -quality, 'i': doc_id, 'n': qn, 'dd': qd})).dd)
+              |       as double) / 10000 AS survivor_quality
               |FROM (
-              |  SELECT d.doc_id, coalesce(l.cluster, d.doc_id) AS cluster, q.quality
+              |  SELECT d.doc_id, coalesce(l.cluster, d.doc_id) AS cluster,
+              |    q.quality, q.qn, q.qd
               |  FROM documents d
               |  LEFT JOIN lbl l ON l.id = d.doc_id
-              |  JOIN q ON q.doc_id = d.doc_id
-              |  WHERE d.doc_id < 100)
+              |  JOIN q ON q.doc_id = d.doc_id)
               |GROUP BY cluster ORDER BY cluster""".stripMargin),
     ),
   )
 
-  /** (doc_id, simhash) for docs 0–99 — shared by the declared sketch
-    * query and the Hamming-1 pair retrieval. */
+  /** (doc_id, simhash) over the FULL corpus — shared by the declared
+    * sketch query and the Hamming-1 pair retrieval. 60 bits: the widest
+    * sketch a signed int64 token hash can feed (15 hex chars), chosen
+    * so the Hamming graph stays sparse at every gated scale factor
+    * (see the dedup_simhash OpSpec comment for the measured 16/32/60
+    * saturation numbers). Shape: one token explode + one 60-column
+    * partial+final hash agg — linear, the 100 TB form. */
   def simhashDf(s: SparkSession, d: String): DataFrame = {
     val toks = T.documents(s, d)
-      .filter(col("doc_id") < 100)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .select(col("doc_id"), expr(TextOps.tokenNumExpr("w")).as("x"))
-    val bitSums: Seq[Column] = (0 until 16).map { b =>
+      .select(col("doc_id"), expr(TextOps.tokenNumExpr60("w")).as("x"))
+    val bitSums: Seq[Column] = (0 until 60).map { b =>
       sum(expr(s"((x div ${1L << b}) % 2) * 2 - 1")).as(s"s$b")
     }
-    val combined = (0 until 16).map { b =>
+    val combined = (0 until 60).map { b =>
       when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L)
     }.reduce(_ + _)
     toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
@@ -682,7 +717,7 @@ object NearDup {
     * so both join sides and all three queries share one computation. */
   private def hamming1Pairs(s: SparkSession, d: String): DataFrame = {
     val sh = simhashDf(s, d).cache() // one int64/doc; feeds both join sides
-    val flips = array((lit(0L) +: (0 until 16).map(b => lit(1L << b))): _*)
+    val flips = array((lit(0L) +: (0 until 60).map(b => lit(1L << b))): _*)
     val probe = sh.select(col("doc_id").as("a"), col("simhash").as("sa"),
         explode(flips).as("flip"))
       .select(col("a"), col("sa").bitwiseXOR(col("flip")).as("bucket"))
@@ -744,16 +779,16 @@ object NearDup {
   /** DuckDB CTE `sh(doc_id, simhash)` mirroring [[simhashDf]]. Lazy:
     * it is referenced from `ops` above, which initializes first. */
   private lazy val simhashSql: String = {
-    val sums = (0 until 16).map { b =>
+    val sums = (0 until 60).map { b =>
       s"sum(((x // ${1L << b}) % 2) * 2 - 1) AS s$b"
     }.mkString(", ")
-    val comb = (0 until 16).map { b =>
+    val comb = (0 until 60).map { b =>
       s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END"
     }.mkString(" + ")
     s"""toks AS (
-       |  SELECT doc_id, ('0x' || substr(sha256(w), 1, 8))::BIGINT AS x
+       |  SELECT doc_id, ('0x' || substr(sha256(w), 1, 15))::BIGINT AS x
        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
-       |        FROM documents WHERE doc_id < 100)),
+       |        FROM documents)),
        |bits AS (SELECT doc_id, $sums FROM toks GROUP BY doc_id),
        |sh AS (SELECT doc_id, cast($comb as bigint) AS simhash FROM bits)""".stripMargin
   }

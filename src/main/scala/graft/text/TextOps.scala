@@ -22,6 +22,13 @@ object TextOps {
   def tokenNumSql(tok: String): String =
     s"('0x' || substr(sha256($tok), 1, 8))::BIGINT"
 
+  /** 60-bit variant (15 hex chars — the widest that stays inside a
+    * signed int64 on both engines): feeds the 60-bit SimHash sketch,
+    * whose width must grow ~log₂(corpus) to keep the Hamming graph
+    * sparse (NearDup.simhashDf). */
+  def tokenNumExpr60(tok: String): String =
+    s"cast(conv(substring(sha2($tok, 256), 1, 15), 16, 10) as bigint)"
+
   val ops: Seq[OpSpec] = Seq(
     // Whitespace tokenizer vs a BPE-ish lowercase-run regex tokenizer.
     OpSpec(
