@@ -328,28 +328,35 @@ object VecOps {
     ),
     // Hyperplane-LSH near-dup for vectors — the SCALE-CORRECT
     // replacement for dedup_embed_cosine's fixed-16-cell blocking:
-    // 16 fixed random-hyperplane sign bits (LshPlanes — literals in
-    // both plans, bit-identical dots) → 4 bands × 4 bits → banded
-    // bucket EQUI-join (the text/NearDup.scala MinHash banding applied
-    // to embeddings) → exact cosine verify ≥ 0.4 on candidates only.
+    // fixed random-hyperplane sign bits (LshPlanes — literals in both
+    // plans, bit-identical dots) → banded bucket EQUI-join (the
+    // text/NearDup.scala MinHash banding applied to embeddings) →
+    // exact cosine verify ≥ 0.4 on candidates only. Since round 11 the
+    // DECLARED query runs the Scale band family (4 bands × 8 bits =
+    // 256 buckets/band) — the construction you'd run at 100×, after
+    // the sf1 stress run measured the original 16-bucket bands at 46×
+    // growth for 10× data (BASELINE.md); the 16-bucket form survives
+    // as a test-only fixture (AnnSpec's recall-vs-bits comparison).
     // The declared semantic is the banded-LSH candidate rule (any band
     // collides ∧ cos ≥ τ) and the oracle computes THE SAME rule
     // all-pairs, so the gate is exact by construction; recall vs the
     // unblocked all-pairs truth is the honest LSH trade-off, measured
     // in AnnSpec. At 100 TB: one signature pass, bands-per-doc rows
     // shuffled on a bucket key whose cardinality GROWS with the plane
-    // count (the LshPlanes scaladoc knob) — no all-pairs product ever
-    // forms, and no fixed 1/16-of-corpus cell.
+    // count (bits/band ≈ log₂(n/c)) — no all-pairs product ever
+    // forms, and no fixed 1/16-of-corpus cell. τ = 0.4 is the strict
+    // dedup threshold; dedup_embed_lsh_scale keeps the wider τ = 0.25
+    // candidate-mining cut that feeds dedup_threshold_profile.
     OpSpec(
       "dedup_embed_lsh",
       (s, d) => {
-        // cache: both self-join sides read the signature (16 plane dots
+        // cache: both self-join sides read the signature (32 plane dots
         // per vector) — same device as the cached simhash sketch, but
         // SLIM: only (vec_id, band, bucket) is pinned; candidate id
         // pairs dedup FIRST (a pair can collide in several bands), then
         // the embeddings join in fresh from parquet for the exact
         // verify — the banded shuffle never carries a vector
-        val sig = bandedSig(s, d).cache()
+        val sig = bandedSigScale(s, d).cache()
         val cand = sig.select(col("vec_id").as("keep_id"), col("band"), col("bucket"))
           .join(sig.select(col("vec_id").as("dup_id"), col("band"), col("bucket")),
             Seq("band", "bucket"))
@@ -366,13 +373,13 @@ object VecOps {
           .orderBy("keep_id", "dup_id")
       },
       Some {
-        val anyBand = (0 until LshPlanes.nBands)
+        val anyBand = (0 until LshPlanes.Scale.nBands)
           .map(b => s"a.b$b = b.b$b").mkString(" OR ")
-        s"""WITH $bandedSql
+        s"""WITH $bandedSqlScale
            |SELECT a.vec_id AS keep_id, b.vec_id AS dup_id,
            |  round(list_inner_product(a.e, b.e) /
            |        (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))), 4) AS cos_sim
-           |FROM sg a JOIN sg b ON a.vec_id < b.vec_id AND ($anyBand)
+           |FROM sgs a JOIN sgs b ON a.vec_id < b.vec_id AND ($anyBand)
            |WHERE round(list_inner_product(a.e, b.e) /
            |        (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))), 4) >= 0.4
            |ORDER BY keep_id, dup_id""".stripMargin

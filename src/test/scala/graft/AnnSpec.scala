@@ -69,13 +69,34 @@ class AnnSpec extends AnyFunSuite {
       assert(truth.contains(k), s"pair $k not in all-pairs truth")
       assert(truth(k) == cos, s"pair $k: ${truth(k)} vs $cos")
     }
-    // 4 bands × 4 bits at τ=0.4 (θ ≈ 66°): expected pair recall
-    // 1 − (1 − (1 − θ/π)⁴)⁴ ≈ 0.5 — assert a conservative floor so a
-    // banding regression (e.g. a broken bucket key catching nothing)
-    // fails loudly without pinning data noise
+    // declared query = SCALE bands (4 × 8 bits) since round 11: at the
+    // τ=0.4 boundary (θ ≈ 66°, p = 1 − θ/π ≈ 0.63) expected pair
+    // recall is 1 − (1 − p⁸)⁴ ≈ 0.1 (measured 7/66 on this fixture) —
+    // wide bands keep only truly-close pairs, the deliberate trade for
+    // bounded buckets at scale. Floor 0.05: a broken bucket key (zero
+    // collisions) still fails loudly without pinning data noise.
     if (truth.nonEmpty)
-      assert(lsh.size.toDouble / truth.size >= 0.2,
+      assert(lsh.size.toDouble / truth.size >= 0.05,
         s"recall ${lsh.size}/${truth.size} below floor")
+
+    // the retired 16-bucket BASE family lives on as this test-only
+    // fixture: same pipeline, 4 × 4-bit bands — expected recall
+    // 1 − (1 − p⁴)⁴ ≈ 0.5, floored at 0.2 (the pre-swap assertion), so
+    // the narrow-band construction stays correctness-covered even
+    // though no declared query runs it anymore
+    val sigBase = emb.select(col("vec_id"),
+      posexplode(array((0 until graft.vec.LshPlanes.nBands)
+        .map(b => expr(graft.vec.LshPlanes.bandSparkG(
+          b, graft.vec.LshPlanes.bitsPerBand))): _*)).as(Seq("band", "bucket")))
+    val candBase = sigBase.select(col("vec_id").as("ka"), col("band"), col("bucket"))
+      .join(sigBase.select(col("vec_id").as("kb"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("ka") < col("kb")).select("ka", "kb").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val baseHits = truth.keySet.count(candBase.contains)
+    if (truth.nonEmpty)
+      assert(baseHits.toDouble / truth.size >= 0.2,
+        s"base-band fixture recall $baseHits/${truth.size} below floor")
   }
 
   test("nprobe=5 recall is at least nprobe=1 recall (more cells, superset candidates)") {
