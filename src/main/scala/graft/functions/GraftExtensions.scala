@@ -104,5 +104,89 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           org.apache.spark.sql.catalyst.analysis.UnresolvedRelation(Seq(str(args(1)))),
           str(args(2)), by, payload, tol, Nil, dir, allowExact)
       }))
+    // SQL surface for the resample/sessionize recipe families (round-11
+    // verdict item 3). Unlike asof_join these need NO custom physical
+    // operator: the TVF builder EXPANDS to ordinary Catalyst plans by
+    // parsing generated SQL text (CatalystSqlParser), so the analyzer
+    // resolves the view reference and the optimizer/codegen treat the
+    // result exactly like hand-written SQL — date_trunc hash-agg for
+    // resample, lag + cumulative-flag-sum windows for sessionize (the
+    // same shapes graft.api.syntax builds on the DataFrame side).
+    //
+    //   SELECT * FROM resample('view', 'ts_col', 'hour', 'value_col')
+    //     -> (bucket timestamp_ntz, n bigint, sum_<value> double)
+    //        [exact decimal(18,2) sum per the §2.0 money policy]
+    //   SELECT * FROM sessionize('view', 'ts_col', 'order_col',
+    //                            'by_col', gap_micros)
+    //     -> all view columns + session_id bigint (new session when the
+    //        gap to the previous event exceeds gap_micros)
+    ext.injectTableFunction((
+      new FunctionIdentifier("resample"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "resample"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          "resample(view, ts_col, unit, value_col)")
+        val Seq(view, ts, unit, value) = args.map(TvfSql.str)
+        TvfSql.parse(
+          s"""SELECT cast(date_trunc('${TvfSql.unit(unit)}', ${TvfSql.id(ts)}) as timestamp_ntz) AS bucket,
+             |  count(*) AS n,
+             |  cast(sum(cast(${TvfSql.id(value)} as decimal(18,2))) as double) AS sum_${TvfSql.name(value)}
+             |FROM ${TvfSql.id(view)}
+             |GROUP BY date_trunc('${TvfSql.unit(unit)}', ${TvfSql.id(ts)})""".stripMargin)
+      }))
+    ext.injectTableFunction((
+      new FunctionIdentifier("sessionize"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "sessionize"),
+      (args: Seq[Expression]) => {
+        require(args.length == 5,
+          "sessionize(view, ts_col, order_col, by_col, gap_micros)")
+        val Seq(view, ts, ord, by) = args.take(4).map(TvfSql.str)
+        val gap = args(4).eval().asInstanceOf[Number].longValue()
+        require(gap > 0, s"gap_micros must be positive, got $gap")
+        val w = s"PARTITION BY ${TvfSql.id(by)} ORDER BY ${TvfSql.id(ord)}"
+        TvfSql.parse(
+          s"""SELECT * EXCEPT (_prev_us, _new_sess),
+             |  sum(_new_sess) OVER ($w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             |FROM (
+             |  SELECT *, CASE WHEN _prev_us IS NULL
+             |      OR unix_micros(${TvfSql.id(ts)}) - _prev_us > ${gap}L
+             |    THEN 1L ELSE 0L END AS _new_sess
+             |  FROM (SELECT *, lag(unix_micros(${TvfSql.id(ts)}), 1) OVER ($w) AS _prev_us
+             |        FROM ${TvfSql.id(view)}))""".stripMargin)
+      }))
   }
+}
+
+/** Helpers for TVFs that expand to parsed SQL: literal extraction and
+  * strict identifier validation (the argument strings are spliced into
+  * SQL text, so anything but a plain identifier / calendar unit is
+  * rejected up front — no quoting tricks reach the parser). */
+private object TvfSql {
+  def str(e: Expression): String = e.eval() match {
+    case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+    case other => String.valueOf(other)
+  }
+
+  private val ident = "[A-Za-z_][A-Za-z0-9_]*".r
+
+  /** Validated identifier, emitted backtick-quoted. */
+  def id(s: String): String = {
+    require(ident.matches(s), s"not a plain identifier: '$s'")
+    s"`$s`"
+  }
+
+  /** Validated identifier, raw (for generated column-name suffixes). */
+  def name(s: String): String = { id(s); s }
+
+  private val units = Set(
+    "year", "quarter", "month", "week", "day", "hour", "minute", "second")
+
+  def unit(s: String): String = {
+    val u = s.toLowerCase(java.util.Locale.ROOT)
+    require(units.contains(u), s"unsupported date_trunc unit '$s'")
+    u
+  }
+
+  def parse(sql: String): LogicalPlan =
+    org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parsePlan(sql)
 }

@@ -417,6 +417,59 @@ object TimeSeries {
              |FROM sess GROUP BY user_id, session_id
              |ORDER BY user_id, session_id""".stripMargin),
     ),
+    // The hourly resample STRAIGHT FROM SQL TEXT through the `resample`
+    // table-valued function (GraftExtensions, round-11 verdict item 3)
+    // — gates the SQL surface of the recipe, not just the DataFrame/
+    // api.syntax forms. The TVF expands to a parsed date_trunc hash-agg
+    // plan, so Catalyst sees ordinary SQL (partial+final agg, codegen).
+    OpSpec(
+      "ts_resample_tvf",
+      (s, d) => {
+        ev(s, d).createOrReplaceTempView("tvf_events_rs")
+        s.sql("""SELECT * FROM resample('tvf_events_rs', 'ts', 'hour', 'value')
+                |ORDER BY bucket""".stripMargin)
+      },
+      Some("""SELECT date_trunc('hour', cast(ts as timestamp)) AS bucket, count(*) AS n,
+             |  cast(sum(cast(value as decimal(18,2))) as double) AS sum_value
+             |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin),
+    ),
+    // Gap sessionization from SQL text via the `sessionize` TVF — the
+    // SQL twin of ts_sessionize (same lag + cumulative-flag-sum plan,
+    // reached through GraftExtensions instead of api.syntax). The TVF
+    // returns per-event rows + session_id; the per-session aggregate on
+    // top is deliberately the ts_sessionize shape so the two queries'
+    // oracles stay textually identical.
+    OpSpec(
+      "ts_sessionize_tvf",
+      (s, d) => {
+        ev(s, d).filter(col("user_id") < 10)
+          .createOrReplaceTempView("tvf_events_sess")
+        s.sql("""SELECT * FROM sessionize('tvf_events_sess', 'ts', 'event_id', 'user_id', 1800000000)""")
+          .groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"),
+            min("ts").as("t0"), max("ts").as("t1"),
+            dsum(col("value")).as("sum_value"))
+          .select(col("user_id"), col("session_id"), col("n_events"),
+            P.tsOut(col("t0")).as("t_start"), P.tsOut(col("t1")).as("t_end"),
+            col("sum_value"))
+          .orderBy("user_id", "session_id")
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, cast(ts as timestamp) AS ts, value
+             |          FROM events WHERE user_id < 10),
+             |flagged AS (
+             |  SELECT *, CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTES
+             |                 THEN 1 ELSE 0 END AS new_sess
+             |  FROM (SELECT *, lag(ts, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_ts FROM e)),
+             |sess AS (
+             |  SELECT *, cast(sum(new_sess) OVER
+             |    (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS session_id
+             |  FROM flagged)
+             |SELECT user_id, session_id, count(*) AS n_events,
+             |  min(ts) AS t_start, max(ts) AS t_end,
+             |  cast(sum(cast(value as decimal(18,2))) as double) AS sum_value
+             |FROM sess GROUP BY user_id, session_id
+             |ORDER BY user_id, session_id""".stripMargin),
+    ),
     // Adjusted EWM (pandas ewm(alpha=.5, adjust=True).mean()) in closed
     // form: yₙ = Σ xᵢ·2ⁱ / Σ 2ⁱ — both cumulative sums run left-to-right
     // in frame order in both engines, and ·2ⁱ is exact scaling, so the

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL-surface tier for the recipe families (GraftExtensions `resample`
+  * and `sessionize` TVFs, round-11 verdict item 3): equivalence to the
+  * graft.api DataFrame forms, plan shape, and the strict argument
+  * validation that guards the text-splice expansion. */
+class TvfSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import graft.api.syntax._
+
+  private def events = graft.core.Tables.events(spark, TestSpark.sfSmoke)
+
+  test("resample TVF result equals the api.resample DataFrame form") {
+    events.createOrReplaceTempView("tvf_spec_ev")
+    val viaSql = spark.sql(
+      "SELECT * FROM resample('tvf_spec_ev', 'ts', 'hour', 'value') ORDER BY bucket")
+      .collect()
+    val viaApi = events
+      .resample("hour", "ts", "bucket")(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy("bucket")
+      .collect()
+    assert(viaSql.length == viaApi.length && viaSql.length > 0)
+    viaSql.zip(viaApi).foreach { case (a, b) => assert(a == b, s"$a vs $b") }
+  }
+
+  test("sessionize TVF result equals the api.sessionize DataFrame form") {
+    val ev = events.filter(col("user_id") < 5)
+    ev.createOrReplaceTempView("tvf_spec_sess")
+    val viaSql = spark.sql(
+      "SELECT * FROM sessionize('tvf_spec_sess', 'ts', 'event_id', 'user_id', 1800000000)")
+      .select("event_id", "user_id", "session_id")
+      .orderBy("event_id").collect()
+    val viaApi = ev
+      .sessionize(1800000000L, "ts", "event_id", Seq("user_id"))
+      .select("event_id", "user_id", "session_id")
+      .orderBy("event_id").collect()
+    assert(viaSql.length == viaApi.length && viaSql.length > 0)
+    viaSql.zip(viaApi).foreach { case (a, b) => assert(a == b, s"$a vs $b") }
+  }
+
+  test("sessionize TVF keeps every input column and appends session_id last") {
+    events.limit(10).createOrReplaceTempView("tvf_spec_cols")
+    val out = spark.sql(
+      "SELECT * FROM sessionize('tvf_spec_cols', 'ts', 'event_id', 'user_id', 60000000)")
+    assert(out.columns.toSeq == events.columns.toSeq :+ "session_id",
+      out.columns.mkString(","))
+  }
+
+  test("resample TVF plan is a hash aggregate over the scan — ordinary Catalyst, codegen'd") {
+    events.createOrReplaceTempView("tvf_spec_plan")
+    val p = spark.sql(
+      "SELECT * FROM resample('tvf_spec_plan', 'ts', 'day', 'value')")
+      .queryExecution.executedPlan.toString
+    // partial+final hash agg and a column-pruned scan — the plan shows
+    // the TVF expansion is ordinary Catalyst (AQE wraps it pre-codegen,
+    // so assert the agg/pruning facts rather than codegen span text)
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("ReadSchema: struct<ts:"), p)
+  }
+
+  test("TVF arguments are validated before any SQL text splice") {
+    events.createOrReplaceTempView("tvf_spec_val")
+    // non-identifier view/column names and unknown units must throw,
+    // not parse — the guard against quoting tricks in the expansion
+    for (bad <- Seq(
+        "SELECT * FROM resample('tvf_spec_val; DROP TABLE x', 'ts', 'hour', 'value')",
+        "SELECT * FROM resample('tvf_spec_val', 'ts`--', 'hour', 'value')",
+        "SELECT * FROM resample('tvf_spec_val', 'ts', 'fortnight', 'value')",
+        "SELECT * FROM sessionize('tvf_spec_val', 'ts', 'event_id', 'user_id', -1)"))
+      assertThrows[Exception](spark.sql(bad).collect())
+  }
+}
