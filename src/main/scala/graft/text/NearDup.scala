@@ -465,19 +465,12 @@ object NearDup {
     // qualifying pair — at all 5,000 sf0.1 docs, not a slice.
     OpSpec(
       "dedup_simhash_pairs",
-      (s, d) => {
-        val sh = simhashDf(s, d).cache() // one int64/doc; feeds both join sides
-        val flips = array((lit(0L) +: (0 until 60).map(b => lit(1L << b))): _*)
-        val probe = sh.select(col("doc_id").as("a"), col("simhash").as("sa"),
-            explode(flips).as("flip"))
-          .select(col("a"), col("sa"), col("sa").bitwiseXOR(col("flip")).as("bucket"))
-        val key = sh.select(col("doc_id").as("b"), col("simhash").as("bucket2"))
-        probe.join(key, col("bucket") === col("bucket2") && col("a") < col("b"))
-          .select(col("a"), col("b"),
-            expr("bit_count(sa ^ bucket2)").cast("bigint").as("hamming"))
-          .distinct()
-          .orderBy("a", "b")
-      },
+      // thin call into the parameterized API (simhashPairs, bit-flip
+      // blocking) — the gate proves the API form, not a private demo
+      (s, d) =>
+        simhashPairs(T.documents(s, d), "doc_id", "text",
+          bits = 60, maxDist = 1, blocking = "bitflip")
+          .orderBy("a", "b"),
       Some(s"""WITH $simhashSql
               |SELECT x.doc_id AS a, y.doc_id AS b,
               |  cast(bit_count(xor(x.simhash, y.simhash)) as bigint) AS hamming
@@ -498,28 +491,12 @@ object NearDup {
     // 5,000 sf0.1 docs.
     OpSpec(
       "dedup_simhash_pairs2",
-      (s, d) => {
-        val sh = simhashDf(s, d).cache() // one int64/doc; feeds both join sides
-        // parts: bits [0,20) [20,40) [40,60)
-        def part(c: org.apache.spark.sql.Column, lo: Int, hi: Int) =
-          shiftright(c, lo).bitwiseAND(lit((1L << (hi - lo)) - 1))
-        def parted(idCol: String, shCol: String) =
-          sh.select(col("doc_id").as(idCol), col("simhash").as(shCol),
-              explode(array(
-                struct(lit(0).as("pid"), part(col("simhash"), 0, 20).as("pv")),
-                struct(lit(1).as("pid"), part(col("simhash"), 20, 40).as("pv")),
-                struct(lit(2).as("pid"), part(col("simhash"), 40, 60).as("pv"))))
-                .as("p"))
-            .select(col(idCol), col(shCol), col("p.pid").as("pid"), col("p.pv").as("pv"))
-        parted("a", "sa")
-          .join(parted("b", "sb"), Seq("pid", "pv"))
-          .filter(col("a") < col("b"))
-          .select(col("a"), col("b"),
-            expr("bit_count(sa ^ sb)").cast("bigint").as("hamming"))
-          .filter(col("hamming") <= 2)
-          .distinct()
-          .orderBy("a", "b")
-      },
+      // thin call into the parameterized API (simhashPairs, pigeonhole
+      // blocking; partBounds(60, 3) = the [0,20)[20,40)[40,60) split)
+      (s, d) =>
+        simhashPairs(T.documents(s, d), "doc_id", "text",
+          bits = 60, maxDist = 2, blocking = "pigeonhole")
+          .orderBy("a", "b"),
       Some(s"""WITH $simhashSql
               |SELECT x.doc_id AS a, y.doc_id AS b,
               |  cast(bit_count(xor(x.simhash, y.simhash)) as bigint) AS hamming
@@ -689,25 +666,103 @@ object NearDup {
     ),
   )
 
-  /** (doc_id, simhash) over the FULL corpus — shared by the declared
-    * sketch query and the Hamming-1 pair retrieval. 60 bits: the widest
-    * sketch a signed int64 token hash can feed (15 hex chars), chosen
-    * so the Hamming graph stays sparse at every gated scale factor
-    * (see the dedup_simhash OpSpec comment for the measured 16/32/60
-    * saturation numbers). Shape: one token explode + one 60-column
-    * partial+final hash agg — linear, the 100 TB form. */
-  def simhashDf(s: SparkSession, d: String): DataFrame = {
-    val toks = T.documents(s, d)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+  /** `bits`-wide SimHash sketch over ARBITRARY (id, text) columns — the
+    * parameterized form behind graft.api's simhash methods (the gated
+    * queries are thin calls into this at bits = 60). Internal column
+    * names normalize to (doc_id, simhash). `bits` is the scale knob:
+    * it must grow ~log₂(corpus) to keep the Hamming graph sparse (see
+    * the dedup_simhash OpSpec comment for the measured 16/32/60
+    * saturation numbers); 60 is the widest a signed-int64 token hash
+    * (15 hex chars) can feed. Shape: one token explode + one
+    * `bits`-column partial+final hash agg — linear, the 100 TB form. */
+  def simhashOf(docs: DataFrame, idCol: String, textCol: String,
+                bits: Int): DataFrame = {
+    require(bits >= 1 && bits <= 60, s"bits must be in [1, 60], got $bits")
+    val toks = docs
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("w"))
       .select(col("doc_id"), expr(TextOps.tokenNumExpr60("w")).as("x"))
-    val bitSums: Seq[Column] = (0 until 60).map { b =>
+    val bitSums: Seq[Column] = (0 until bits).map { b =>
       sum(expr(s"((x div ${1L << b}) % 2) * 2 - 1")).as(s"s$b")
     }
-    val combined = (0 until 60).map { b =>
+    val combined = (0 until bits).map { b =>
       when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L)
     }.reduce(_ + _)
     toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"), combined.as("simhash"))
+  }
+
+  /** (doc_id, simhash) over the FULL corpus — shared by the declared
+    * sketch query and the Hamming pair retrievals. */
+  def simhashDf(s: SparkSession, d: String): DataFrame =
+    simhashOf(T.documents(s, d), "doc_id", "text", bits = 60)
+
+  /** Even `parts`-way split points of a `bits`-wide sketch (first
+    * `bits % parts` parts take the extra bit): (lo, hi) bit ranges. */
+  private def partBounds(bits: Int, parts: Int): Seq[(Int, Int)] = {
+    val base = bits / parts
+    val rem = bits % parts
+    val sizes = Seq.tabulate(parts)(i => base + (if (i < rem) 1 else 0))
+    sizes.scanLeft(0)(_ + _).sliding(2).map { case Seq(lo, hi) => (lo, hi) }.toSeq
+  }
+
+  /** SimHash near-duplicate PAIRS at Hamming ≤ `maxDist` over arbitrary
+    * (id, text) input — the parameterized form of the gated
+    * `dedup_simhash_pairs`/`pairs2` queries (thin calls into this).
+    * Returns (a, b, hamming), a < b, distinct.
+    *
+    * Blocking devices (both lossless — the gated all-pairs oracles
+    * prove it at the declared parameters):
+    *  - `"pigeonhole"` (default, any maxDist): split the sketch into
+    *    maxDist+1 parts — two sketches within maxDist differ in ≤
+    *    maxDist parts, so at least one part matches exactly; block on
+    *    (part_id, part_value) = maxDist+1 rows/doc, verify bit_count on
+    *    candidates. The scale device: rows/doc grow linearly in
+    *    maxDist, never combinatorially.
+    *  - `"bitflip"` (maxDist = 1 only): emit the sketch plus all
+    *    `bits` one-bit flips and equi-join unflipped sketches — the
+    *    nprobe XOR device (bits+1 rows/doc; C(bits, d) probes for
+    *    d ≥ 2 is why pigeonhole exists). */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   bits: Int = 60, maxDist: Int = 2,
+                   blocking: String = "pigeonhole"): DataFrame = {
+    require(maxDist >= 1 && maxDist < bits,
+      s"maxDist must be in [1, bits), got $maxDist")
+    val sh = simhashOf(docs, idCol, textCol, bits)
+      .cache() // one int64/doc; feeds both join sides
+    val cand = blocking match {
+      case "bitflip" =>
+        require(maxDist == 1, s"bitflip blocking only covers maxDist=1")
+        val flips = array((lit(0L) +: (0 until bits).map(b => lit(1L << b))): _*)
+        val probe = sh.select(col("doc_id").as("a"), col("simhash").as("sa"),
+            explode(flips).as("flip"))
+          .select(col("a"), col("sa"),
+            col("sa").bitwiseXOR(col("flip")).as("bucket"))
+        probe
+          .join(sh.select(col("doc_id").as("b"), col("simhash").as("bucket2")),
+            col("bucket") === col("bucket2") && col("a") < col("b"))
+          .select(col("a"), col("b"),
+            expr("bit_count(sa ^ bucket2)").cast("bigint").as("hamming"))
+      case "pigeonhole" =>
+        val parts = partBounds(bits, maxDist + 1)
+        def parted(idC: String, shC: String) =
+          sh.select(col("doc_id").as(idC), col("simhash").as(shC),
+              explode(array(parts.zipWithIndex.map { case ((lo, hi), pid) =>
+                struct(lit(pid).as("pid"),
+                  shiftright(col("simhash"), lo)
+                    .bitwiseAND(lit((1L << (hi - lo)) - 1)).as("pv"))
+              }: _*)).as("p"))
+            .select(col(idC), col(shC),
+              col("p.pid").as("pid"), col("p.pv").as("pv"))
+        parted("a", "sa")
+          .join(parted("b", "sb"), Seq("pid", "pv"))
+          .filter(col("a") < col("b"))
+          .select(col("a"), col("b"),
+            expr("bit_count(sa ^ sb)").cast("bigint").as("hamming"))
+      case other =>
+        throw new IllegalArgumentException(
+          s"blocking must be pigeonhole|bitflip, got '$other'")
+    }
+    cand.filter(col("hamming") <= maxDist).distinct()
   }
 
   /** Hamming≤1 candidate pairs off the SimHash sketch — the bit-flip
@@ -715,17 +770,10 @@ object NearDup {
     * trio (`dedup_cluster_resolve`, `dedup_survivors`,
     * `dedup_survivors_quality`); the underlying sketch is plan-cached
     * so both join sides and all three queries share one computation. */
-  private def hamming1Pairs(s: SparkSession, d: String): DataFrame = {
-    val sh = simhashDf(s, d).cache() // one int64/doc; feeds both join sides
-    val flips = array((lit(0L) +: (0 until 60).map(b => lit(1L << b))): _*)
-    val probe = sh.select(col("doc_id").as("a"), col("simhash").as("sa"),
-        explode(flips).as("flip"))
-      .select(col("a"), col("sa").bitwiseXOR(col("flip")).as("bucket"))
-    probe
-      .join(sh.select(col("doc_id").as("b"), col("simhash").as("bucket2")),
-        col("bucket") === col("bucket2") && col("a") < col("b"))
-      .select("a", "b").distinct()
-  }
+  private def hamming1Pairs(s: SparkSession, d: String): DataFrame =
+    simhashPairs(T.documents(s, d), "doc_id", "text",
+      bits = 60, maxDist = 1, blocking = "bitflip")
+      .select("a", "b")
 
   /** Connected-component labels over [[hamming1Pairs]], MEMOIZED per
     * (session, dir). Label propagation ends in a materialized

@@ -165,4 +165,57 @@ class ApiSpec extends AnyFunSuite {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(kept === Set(1L, 3L))
   }
+
+  // ----------------------------------------------------------------
+  // parameterized SimHash (round 11): the declared 60-bit queries are
+  // thin calls; these pin the PARAMETERS the demos don't reach
+  // ----------------------------------------------------------------
+
+  private def corpus = graft.core.Tables.documents(spark, TestSpark.sfSmoke)
+
+  test("simhash pigeonhole(d=1) retrieves exactly the bitflip(d=1) pair set") {
+    // two independent lossless blockings must agree pair-for-pair
+    def pairs(blocking: String) =
+      corpus.simhashPairs("doc_id", "text", bits = 60, maxHamming = 1,
+          blocking = blocking)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val pigeon = pairs("pigeonhole")
+    val flip = pairs("bitflip")
+    assert(pigeon.nonEmpty && pigeon === flip)
+  }
+
+  test("simhash blocking is lossless at a non-declared width (32-bit vs brute force)") {
+    val sketches = corpus.simhashSketch("doc_id", "text", bits = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (ia, sa) <- sketches; (ib, sb) <- sketches
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 2
+    } yield (ia, ib)).toSet
+    val blocked = corpus.simhashPairs("doc_id", "text", bits = 32, maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked === brute && brute.nonEmpty)
+  }
+
+  test("dedupSimhash keeps min id per Hamming cluster plus singletons") {
+    val pairs = corpus.simhashPairs("doc_id", "text", maxHamming = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // union-find expected survivors from the pair set
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      val m = ra min rb
+      parent(ra) = m
+      parent(rb) = m
+    }
+    val losers = (pairs.flatMap(p => Seq(p._1, p._2)).toSet)
+      .filterNot(x => find(x) == x)
+    val all = corpus.select("doc_id").collect().map(_.getLong(0)).toSet
+    val kept = corpus.dedupSimhash("doc_id", "text", maxHamming = 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === all -- losers && losers.nonEmpty)
+  }
 }
