@@ -89,7 +89,12 @@ class DeterminismSpec extends AnyFunSuite {
     "ts_seasonal_anomaly", "ts_holt_linear", "ts_holt_linear_keyed",
     // round 9 last: banded candidates + dual-score sketch report,
     // ordered-fold effect size
-    "dedup_minhash_quality", "agg_cramers_v")
+    "dedup_minhash_quality", "agg_cramers_v",
+    // round 11: full-corpus 60-bit simhash sketch (sign of a 60-way
+    // partial-sum race), TVF-expanded window sessionization, scale-band
+    // swap of the declared embed-LSH query
+    "dedup_simhash", "ts_sessionize_tvf", "ts_resample_tvf",
+    "dedup_embed_lsh")
 
   test("order-sensitive queries return identical results across runs") {
     val failures = sensitive.flatMap { key =>
