@@ -338,5 +338,22 @@ object syntax {
         df, idCol,
         simhashPairs(idCol, textCol, bits, maxHamming).select("a", "b"),
         iters = 20, minRounds = 1)
+
+    /** Hyperplane-LSH near-dup pairs (a, b, cos_sim) over an embedding
+      * column: banded candidates (2^bitsPerBand buckets/band — grow
+      * bits ~log₂(corpus), the sf1-measured policy) + exact cosine
+      * verify ≥ `tau`. Defaults are the gated Scale family. */
+    def embedLshPairs(idCol: String, vecCol: String, tau: Double,
+                      bands: Int = graft.vec.LshPlanes.Scale.nBands,
+                      bitsPerBand: Int = graft.vec.LshPlanes.Scale.bitsPerBand): DataFrame =
+      graft.vec.VecOps.embedLshPairs(df, idCol, vecCol, tau, bands, bitsPerBand)
+
+    /** Embedding dedup END-TO-END: keep one survivor (min id) per
+      * cosine-≥-`tau` LSH cluster plus singletons — the vector twin of
+      * [[dedupMinhash]]/[[dedupSimhash]]. */
+    def dedupEmbedLsh(idCol: String, vecCol: String, tau: Double,
+                      bands: Int = graft.vec.LshPlanes.Scale.nBands,
+                      bitsPerBand: Int = graft.vec.LshPlanes.Scale.bitsPerBand): DataFrame =
+      graft.vec.VecOps.dedupEmbedLsh(df, idCol, vecCol, tau, bands, bitsPerBand)
   }
 }

@@ -54,38 +54,51 @@ object LshPlanes {
     (z >>> 11).toDouble / (1L << 53).toDouble - 0.5
   }
 
-  /** Plane j is a pure function of j — the base family's 16 planes are
-    * the first 16 of the scale family's 32, so widening bands never
-    * perturbs the existing gate. */
+  /** Plane j (at vector width `d`) is a pure function of (j, d) — the
+    * base family's 16 planes are the first 16 of the scale family's 32,
+    * so widening bands never perturbs the existing gate, and ANY
+    * (bands × bits) family a graft.api caller asks for draws further
+    * planes from the same sequence on demand (memoized — plane text is
+    * spliced into generated SQL, so each is computed once). */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Double]]()
+  def plane(j: Int, d: Int = dim): Array[Double] =
+    planeCache.computeIfAbsent((j, d),
+      _ => Array.tabulate(d)(k => u(j.toLong * d + k)))
+
+  /** The gate families' planes (compat view of [[plane]]). */
   val planes: Array[Array[Double]] =
-    Array.tabulate(Scale.nPlanes max nPlanes)(j =>
-      Array.tabulate(dim)(k => u(j.toLong * dim + k)))
+    Array.tabulate(Scale.nPlanes max nPlanes)(plane(_))
 
   /** Sign bit of e·plane(j), Spark spelling (ordered fold over the
     * double array column `e` — the bit-equal dot device). */
-  private def bitSpark(j: Int): String = {
-    val arr = planes(j).map(x => s"${x}D").mkString(",")
+  private def bitSpark(j: Int, d: Int): String = {
+    val arr = plane(j, d).map(x => s"${x}D").mkString(",")
     s"(CASE WHEN aggregate(zip_with(e, array($arr), (x, y) -> x * y), 0D, (acc, x) -> acc + x) > 0 THEN 1 ELSE 0 END)"
   }
 
   /** Sign bit of e·plane(j), DuckDB spelling. */
-  private def bitDuck(j: Int): String = {
-    val arr = planes(j).mkString(",")
+  private def bitDuck(j: Int, d: Int): String = {
+    val arr = plane(j, d).mkString(",")
     s"(CASE WHEN list_inner_product(e, [$arr]::DOUBLE[]) > 0 THEN 1 ELSE 0 END)"
   }
 
   /** Band b's bucket value (`bits` bits packed little-endian), Spark
     * text over array column `e`. */
-  def bandSparkG(b: Int, bits: Int): String =
+  def bandSparkG(b: Int, bits: Int, d: Int = dim): String = {
+    require(bits >= 1 && bits <= 30, s"bitsPerBand must be in [1, 30], got $bits")
     "cast(" + (0 until bits).map { k =>
-      s"(${bitSpark(b * bits + k)} * ${1 << k})"
+      s"(${bitSpark(b * bits + k, d)} * ${1 << k})"
     }.mkString(" + ") + " as bigint)"
+  }
 
   /** DuckDB twin of [[bandSparkG]]. */
-  def bandDuckG(b: Int, bits: Int): String =
+  def bandDuckG(b: Int, bits: Int, d: Int = dim): String = {
+    require(bits >= 1 && bits <= 30, s"bitsPerBand must be in [1, 30], got $bits")
     "cast(" + (0 until bits).map { k =>
-      s"(${bitDuck(b * bits + k)} * ${1 << k})"
+      s"(${bitDuck(b * bits + k, d)} * ${1 << k})"
     }.mkString(" + ") + " as bigint)"
+  }
 
   /** Base-family band texts (the round-8 gate queries). */
   def bandSpark(b: Int): String = bandSparkG(b, bitsPerBand)

@@ -2,6 +2,7 @@ package graft.vec
 
 import graft.core.{Policy => P, Tables => T}
 import graft.ops.OpSpec
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor scale path: coarse quantization.
@@ -32,24 +33,17 @@ object VecOps {
     * shuffle ×nBands. */
   private def bandedSig(
       s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
-    T.embeddings(s, d)
-      .select(col("vec_id"),
-        expr("transform(embedding, x -> cast(x as double))").as("e"))
-      .select(col("vec_id"),
-        posexplode(array((0 until LshPlanes.nBands)
-          .map(b => expr(LshPlanes.bandSpark(b))): _*)).as(Seq("band", "bucket")))
+    lshBandsOf(T.embeddings(s, d), "vec_id", "embedding",
+      LshPlanes.nBands, LshPlanes.bitsPerBand)
 
   /** [[bandedSig]] with the SCALE band family (LshPlanes.Scale: 4
-    * bands × 8 bits = 256 buckets/band) — same slim shape. */
+    * bands × 8 bits = 256 buckets/band) — same slim shape. Thin call
+    * into [[lshBandsOf]] so every gate consumer shares ONE cached
+    * signature plan with the graft.api pair/dedup entry points. */
   private def bandedSigScale(
       s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
-    T.embeddings(s, d)
-      .select(col("vec_id"),
-        expr("transform(embedding, x -> cast(x as double))").as("e"))
-      .select(col("vec_id"),
-        posexplode(array((0 until LshPlanes.Scale.nBands)
-          .map(b => expr(LshPlanes.bandSparkG(b, LshPlanes.Scale.bitsPerBand))): _*))
-          .as(Seq("band", "bucket")))
+    lshBandsOf(T.embeddings(s, d), "vec_id", "embedding",
+      LshPlanes.Scale.nBands, LshPlanes.Scale.bitsPerBand)
 
   /** (vec_id, e double[], nrm) — the verify-side embedding read:
     * recomputed from parquet per use, never cached (see [[bandedSig]]). */
@@ -59,6 +53,75 @@ object VecOps {
       .select(col("vec_id"),
         expr("transform(embedding, x -> cast(x as double))").as("e"))
       .withColumn("nrm", sqrt(dot("e", "e")))
+
+  // ----------------------------------------------------------------
+  // Parameterized embedding-LSH API (round 11) — arbitrary (id, vec)
+  // columns and band family; the graft.api entry points and the thin
+  // bodies behind the gated dedup_embed_* queries.
+  // ----------------------------------------------------------------
+
+  /** SLIM banded hyperplane-LSH signatures (vec_id, band, bucket) over
+    * ARBITRARY (id, vec) columns — one row per (vector, band), no
+    * embedding carried (the [[bandedSig]] discipline). `bands` ×
+    * `bitsPerBand` is the scale knob: bucket count per band is
+    * 2^bitsPerBand, and bits must grow ~log₂(n/c) to hold per-bucket
+    * work constant (the sf1-measured LshPlanes policy). Vectors must
+    * be `dim`-dimensional ([[LshPlanes.dim]] unless overridden). */
+  def lshBandsOf(vecs: DataFrame, idCol: String, vecCol: String,
+                 bands: Int, bitsPerBand: Int,
+                 dim: Int = LshPlanes.dim): DataFrame =
+    vecs
+      .select(col(idCol).as("vec_id"),
+        expr(s"transform($vecCol, x -> cast(x as double))").as("e"))
+      .select(col("vec_id"),
+        posexplode(array((0 until bands)
+          .map(b => expr(LshPlanes.bandSparkG(b, bitsPerBand, dim))): _*))
+          .as(Seq("band", "bucket")))
+
+  /** Hyperplane-LSH near-duplicate PAIRS with exact cosine verification
+    * over arbitrary (id, vec) input — the parameterized form of the
+    * gated `dedup_embed_lsh`/`_scale` queries (thin calls into this).
+    * Returns (a, b, cos_sim), a < b, distinct: every pair sharing ≥ 1
+    * band bucket whose exact cosine ≥ `tau`. Candidates dedup BEFORE
+    * the embedding fetch; the banded shuffle never carries a vector. */
+  def embedLshPairs(vecs: DataFrame, idCol: String, vecCol: String,
+                    tau: Double,
+                    bands: Int = LshPlanes.Scale.nBands,
+                    bitsPerBand: Int = LshPlanes.Scale.bitsPerBand,
+                    dim: Int = LshPlanes.dim): DataFrame = {
+    val sig = lshBandsOf(vecs, idCol, vecCol, bands, bitsPerBand, dim)
+      .cache() // slim: 3 int64s/row; feeds both self-join sides
+    val cand = sig.select(col("vec_id").as("a"), col("band"), col("bucket"))
+      .join(sig.select(col("vec_id").as("b"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val base = vecs
+      .select(col(idCol).as("vec_id"),
+        expr(s"transform($vecCol, x -> cast(x as double))").as("e"))
+      .withColumn("nrm", sqrt(dot("e", "e")))
+    val va = base.select(col("vec_id").as("a"), col("e").as("ea"), col("nrm").as("na"))
+    val vb = base.select(col("vec_id").as("b"), col("e").as("eb"), col("nrm").as("nb"))
+    cand.join(va, Seq("a")).join(vb, Seq("b"))
+      .select(col("a"), col("b"),
+        P.r4(dot("ea", "eb") / (col("na") * col("nb"))).as("cos_sim"))
+      .filter(col("cos_sim") >= tau)
+  }
+
+  /** Embedding dedup END-TO-END: keep one survivor (min id) per
+    * cosine-≥-`tau` LSH cluster plus all singletons — the vector twin
+    * of graft.api's dedupMinhash/dedupSimhash (pairs →
+    * DedupCluster label propagation → keep-min anti-join). */
+  def dedupEmbedLsh(vecs: DataFrame, idCol: String, vecCol: String,
+                    tau: Double,
+                    bands: Int = LshPlanes.Scale.nBands,
+                    bitsPerBand: Int = LshPlanes.Scale.bitsPerBand,
+                    dim: Int = LshPlanes.dim): DataFrame =
+    graft.text.DedupCluster.survivors(
+      vecs, idCol,
+      embedLshPairs(vecs, idCol, vecCol, tau, bands, bitsPerBand, dim)
+        .select("a", "b"),
+      iters = 20, minRounds = 1)
 
   /** DuckDB `sg(vec_id, e, b0..b3)` CTE computing the same banded
     * signature. Lazy: referenced from `ops`, which initializes first. */
@@ -349,29 +412,14 @@ object VecOps {
     // candidate-mining cut that feeds dedup_threshold_profile.
     OpSpec(
       "dedup_embed_lsh",
-      (s, d) => {
-        // cache: both self-join sides read the signature (32 plane dots
-        // per vector) — same device as the cached simhash sketch, but
-        // SLIM: only (vec_id, band, bucket) is pinned; candidate id
-        // pairs dedup FIRST (a pair can collide in several bands), then
-        // the embeddings join in fresh from parquet for the exact
-        // verify — the banded shuffle never carries a vector
-        val sig = bandedSigScale(s, d).cache()
-        val cand = sig.select(col("vec_id").as("keep_id"), col("band"), col("bucket"))
-          .join(sig.select(col("vec_id").as("dup_id"), col("band"), col("bucket")),
-            Seq("band", "bucket"))
-          .filter(col("keep_id") < col("dup_id"))
-          .select("keep_id", "dup_id").distinct()
-        val va = vecsWithNorm(s, d)
-          .select(col("vec_id").as("keep_id"), col("e").as("ea"), col("nrm").as("na"))
-        val vb = vecsWithNorm(s, d)
-          .select(col("vec_id").as("dup_id"), col("e").as("eb"), col("nrm").as("nb"))
-        cand.join(va, Seq("keep_id")).join(vb, Seq("dup_id"))
-          .select(col("keep_id"), col("dup_id"),
-            P.r4(dot("ea", "eb") / (col("na") * col("nb"))).as("cos_sim"))
-          .filter(col("cos_sim") >= 0.4)
-          .orderBy("keep_id", "dup_id")
-      },
+      // thin call into the parameterized API (embedLshPairs at the
+      // Scale family defaults) — the gate proves the API form; the
+      // slim-signature-cache / verify-reads-parquet discipline lives
+      // in embedLshPairs now
+      (s, d) =>
+        embedLshPairs(T.embeddings(s, d), "vec_id", "embedding", tau = 0.4)
+          .select(col("a").as("keep_id"), col("b").as("dup_id"), col("cos_sim"))
+          .orderBy("keep_id", "dup_id"),
       Some {
         val anyBand = (0 until LshPlanes.Scale.nBands)
           .map(b => s"a.b$b = b.b$b").mkString(" OR ")
@@ -400,23 +448,12 @@ object VecOps {
     // (AnnSpec pins the subset relation to all-pairs truth).
     OpSpec(
       "dedup_embed_lsh_scale",
-      (s, d) => {
-        val sig = bandedSigScale(s, d).cache() // slim: 3 int64s/row
-        val cand = sig.select(col("vec_id").as("keep_id"), col("band"), col("bucket"))
-          .join(sig.select(col("vec_id").as("dup_id"), col("band"), col("bucket")),
-            Seq("band", "bucket"))
-          .filter(col("keep_id") < col("dup_id"))
-          .select("keep_id", "dup_id").distinct()
-        val va = vecsWithNorm(s, d)
-          .select(col("vec_id").as("keep_id"), col("e").as("ea"), col("nrm").as("na"))
-        val vb = vecsWithNorm(s, d)
-          .select(col("vec_id").as("dup_id"), col("e").as("eb"), col("nrm").as("nb"))
-        cand.join(va, Seq("keep_id")).join(vb, Seq("dup_id"))
-          .select(col("keep_id"), col("dup_id"),
-            P.r4(dot("ea", "eb") / (col("na") * col("nb"))).as("cos_sim"))
-          .filter(col("cos_sim") >= 0.25)
-          .orderBy("keep_id", "dup_id")
-      },
+      // thin call into the parameterized API — τ=0.25 candidate-mining
+      // twin of dedup_embed_lsh, same Scale bands
+      (s, d) =>
+        embedLshPairs(T.embeddings(s, d), "vec_id", "embedding", tau = 0.25)
+          .select(col("a").as("keep_id"), col("b").as("dup_id"), col("cos_sim"))
+          .orderBy("keep_id", "dup_id"),
       Some {
         val anyBand = (0 until LshPlanes.Scale.nBands)
           .map(b => s"a.b$b = b.b$b").mkString(" OR ")
@@ -577,33 +614,13 @@ object VecOps {
     OpSpec(
       "dedup_embed_survivors",
       (s, d) => {
-        // round 9: candidate stage moved to the SCALE band family
-        // (LshPlanes.Scale) after the sf1 stress run measured the
-        // 16-bucket base bands at ~90 s cold / 46x growth on 10x
-        // vectors (BASELINE.md "sf1 scale-stress") — same construction,
-        // 256 buckets/band, E[bucket] 16x smaller, sub-quadratic in
-        // the measured range. tau unchanged.
-        val sig = bandedSigScale(s, d).cache() // both pair sides read it (slim)
-        val cand = sig.select(col("vec_id").as("a"), col("band"), col("bucket"))
-          .join(sig.select(col("vec_id").as("b"), col("band"), col("bucket")),
-            Seq("band", "bucket"))
-          .filter(col("a") < col("b"))
-          .select("a", "b").distinct()
-        val va = vecsWithNorm(s, d)
-          .select(col("vec_id").as("a"), col("e").as("ea"), col("nrm").as("na"))
-        val vb = vecsWithNorm(s, d)
-          .select(col("vec_id").as("b"), col("e").as("eb"), col("nrm").as("nb"))
-        val pairs = cand.join(va, Seq("a")).join(vb, Seq("b"))
-          .filter(P.r4(dot("ea", "eb") / (col("na") * col("nb"))) >= 0.4)
-          .select("a", "b")
-        val emb = T.embeddings(s, d).select(col("vec_id"), col("label"))
-        // minRounds=1: the sum-fingerprint convergence test makes an
-        // early failed check nearly free (eager checkpoint + cached
-        // scan — DedupCluster round-11), while a lazy round past the
-        // fixpoint wastes a real propagation shuffle; the convergence
-        // loop (not this knob) is the correctness argument
-        graft.text.DedupCluster.survivors(emb, "vec_id", pairs,
-            iters = 20, minRounds = 1)
+        // thin call into the parameterized API: embedLshPairs (Scale
+        // bands, τ=0.4 — the dedup_embed_lsh rule) → DedupCluster
+        // survivors, composed by dedupEmbedLsh. minRounds=1 inside:
+        // the sum-fingerprint convergence test (DedupCluster round-11)
+        // makes an early failed check nearly free, while a lazy round
+        // past the fixpoint wastes a real propagation shuffle.
+        dedupEmbedLsh(T.embeddings(s, d), "vec_id", "embedding", tau = 0.4)
           .groupBy("label")
           .agg(count(lit(1)).as("n_survivors"))
           .orderBy("label")

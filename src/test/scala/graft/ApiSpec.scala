@@ -218,4 +218,62 @@ class ApiSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept === all -- losers && losers.nonEmpty)
   }
+
+  // ----------------------------------------------------------------
+  // parameterized embedding-LSH (round 11): declared queries are thin
+  // calls at the Scale defaults; these pin a NON-declared band family
+  // ----------------------------------------------------------------
+
+  private def vecs = graft.core.Tables.embeddings(spark, TestSpark.sfSmoke)
+
+  test("embedLshPairs at a non-declared family equals the brute-forced band rule") {
+    val bands = 2
+    val bits = 6
+    // ground truth: signatures via the same plane texts, rule computed
+    // driver-side — any band collides AND exact r4 cosine >= tau
+    val sig = graft.vec.VecOps.lshBandsOf(vecs, "vec_id", "embedding", bands, bits)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(x => (x._2, x._3)).toSet).toMap
+    val es = vecs.select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("e"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val ids = es.keys.toSeq.sorted
+    val truth = (for {
+      i <- ids.indices; j <- (i + 1) until ids.size
+      a = ids(i); b = ids(j)
+      if (sig(a) & sig(b)).nonEmpty && cos(es(a), es(b)) >= 0.3
+    } yield (a, b)).toSet
+    val api = vecs.embedLshPairs("vec_id", "embedding", tau = 0.3,
+        bands = bands, bitsPerBand = bits)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(api === truth && truth.nonEmpty)
+  }
+
+  test("dedupEmbedLsh keeps min id per LSH cluster plus singletons") {
+    val pairs = vecs.embedLshPairs("vec_id", "embedding", tau = 0.25)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      val m = ra min rb
+      parent(ra) = m
+      parent(rb) = m
+    }
+    val losers = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+      .filterNot(x => find(x) == x)
+    val all = vecs.select("vec_id").collect().map(_.getLong(0)).toSet
+    val kept = vecs.dedupEmbedLsh("vec_id", "embedding", tau = 0.25)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept === all -- losers && losers.nonEmpty)
+  }
 }
