@@ -355,5 +355,41 @@ object syntax {
                       bands: Int = graft.vec.LshPlanes.Scale.nBands,
                       bitsPerBand: Int = graft.vec.LshPlanes.Scale.bitsPerBand): DataFrame =
       graft.vec.VecOps.dedupEmbedLsh(df, idCol, vecCol, tau, bands, bitsPerBand)
+
+    // ----------------------------------------------------------------
+    // §2.J text metrics (row-local appenders fuse into the scan; the
+    // agg forms shuffle one row per document)
+    // ----------------------------------------------------------------
+
+    /** Append whitespace/regex tokenizer counts (row-local). */
+    def tokenCounts(textCol: String): DataFrame =
+      graft.text.TextOps.tokenCountsOf(df, textCol)
+
+    /** Per-document stopword-ratio language ID. */
+    def langId(idCol: String, textCol: String,
+               stopwords: Seq[String] = Seq("the", "a"),
+               minStopRatio: Double = 0.03): DataFrame =
+      graft.text.TextOps.langIdOf(df, idCol, textCol, stopwords, minStopRatio)
+
+    /** Per-document lexical-quality score (the curation formula). */
+    def textQuality(idCol: String, textCol: String): DataFrame =
+      graft.text.TextOps.qualityOf(df, idCol, textCol)
+
+    /** Append Gopher-style quality-filter flags (row-local HOF folds). */
+    def gopherFlags(textCol: String,
+                    minWords: Long = 5, maxWords: Long = 200,
+                    minMeanLen: Double = 2.0, maxMeanLen: Double = 10.0,
+                    stopwords: Seq[String] = Seq("the", "a", "of", "to")): DataFrame =
+      graft.text.TextOps.gopherFlagsOf(df, textCol, minWords, maxWords,
+        minMeanLen, maxMeanLen, stopwords)
+
+    /** Append the rolling-hash content fingerprint (row-local). */
+    def fingerprintText(textCol: String, as: String = "fingerprint"): DataFrame =
+      graft.text.TextOps.fingerprintOf(df, textCol, as)
+
+    /** Append redacted text + match count (row-local global replace). */
+    def redact(textCol: String, pattern: String = "[0-9]+",
+               replacement: String = "<num>"): DataFrame =
+      graft.text.TextOps.redactOf(df, textCol, pattern, replacement)
   }
 }

@@ -2,6 +2,7 @@ package graft.text
 
 import graft.core.{Tables => T}
 import graft.ops.OpSpec
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline: token counting
@@ -29,16 +30,109 @@ object TextOps {
   def tokenNumExpr60(tok: String): String =
     s"cast(conv(substring(sha2($tok, 256), 1, 15), 16, 10) as bigint)"
 
+  // ----------------------------------------------------------------
+  // Parameterized text-metric API (round 11) — arbitrary columns and
+  // thresholds; the graft.api entry points and the thin bodies behind
+  // the gated text_* queries. Identifier args that reach generated
+  // expression text are validated first (the TvfSql discipline).
+  // ----------------------------------------------------------------
+
+  private val identRe = "[A-Za-z_][A-Za-z0-9_]*".r
+  private def ident(s: String): String = {
+    require(identRe.matches(s), s"not a plain identifier: '$s'")
+    s
+  }
+  private def word(s: String): String = {
+    require("[A-Za-z']+".r.matches(s), s"not a plain word: '$s'")
+    s
+  }
+
+  /** Append whitespace- and regex-tokenizer counts (row-local —
+    * scan-fused at 100 TB). */
+  def tokenCountsOf(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .withColumn("n_ws_tokens", size(split(col(textCol), " ")).cast("bigint"))
+      .withColumn("n_re_tokens",
+        regexp_count(col(textCol), lit("[a-z]+")).cast("bigint"))
+
+  /** Per-document stopword-ratio language ID: (doc_id, stop_ratio,
+    * lang_pred). One token explode + hash agg; ratio is int/int IEEE. */
+  def langIdOf(docs: DataFrame, idCol: String, textCol: String,
+               stopwords: Seq[String] = Seq("the", "a"),
+               minStopRatio: Double = 0.03): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("w").isin(stopwords: _*), 1L).otherwise(0L)).as("n_stop"))
+      .select(col("doc_id"),
+        (col("n_stop").cast("double") / col("n")).as("stop_ratio"),
+        when(col("n_stop").cast("double") / col("n") >= minStopRatio, "en")
+          .otherwise("und").as("lang_pred"))
+
+  /** Per-document lexical-quality aggregates: (doc_id, n_tokens,
+    * distinct_ratio, avg_token_len, quality) — the curation-score
+    * formula the survivor-selection queries also use. */
+  def qualityOf(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("w")).as("n_distinct"),
+        sum(length(col("w"))).as("sum_len"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_distinct").cast("double") / col("n_tokens")).as("distinct_ratio"),
+        (col("sum_len").cast("double") / col("n_tokens")).as("avg_token_len"),
+        (col("n_distinct").cast("double") / col("n_tokens") * 0.5 +
+          col("sum_len").cast("double") / col("n_tokens") * 0.05).as("quality"))
+
+  /** Append Gopher-style quality-filter flags (Rae et al. 2021 §A1.1):
+    * n_words, mean_word_len, has_stop, keep. Row-local HOF folds —
+    * no explode, no shuffle; the whole filter fuses into the scan. */
+  def gopherFlagsOf(docs: DataFrame, textCol: String,
+                    minWords: Long = 5, maxWords: Long = 200,
+                    minMeanLen: Double = 2.0, maxMeanLen: Double = 10.0,
+                    stopwords: Seq[String] = Seq("the", "a", "of", "to")): DataFrame = {
+    val stopList = stopwords.map(w => s"'${word(w)}'").mkString(", ")
+    docs
+      .withColumn("_w", split(col(textCol), " "))
+      .withColumn("n_words", size(col("_w")).cast("bigint"))
+      .withColumn("mean_word_len",
+        expr("""cast(aggregate(transform(_w, x -> length(x)), 0L, (a, b) -> a + b)
+               | as double) / size(_w)""".stripMargin))
+      .withColumn("has_stop", expr(s"exists(_w, x -> x in ($stopList))"))
+      .withColumn("keep",
+        col("n_words").between(minWords, maxWords) &&
+          col("mean_word_len").between(minMeanLen, maxMeanLen) && col("has_stop"))
+      .drop("_w")
+  }
+
+  /** Append the polynomial rolling-hash content fingerprint,
+    * h = (31·h + ord(c)) mod 1e9+7 — row-local left fold. */
+  def fingerprintOf(docs: DataFrame, textCol: String,
+                    as: String = "fingerprint"): DataFrame =
+    docs.withColumn(as,
+      expr(s"""aggregate(
+              |  transform(split(${ident(textCol)}, ''), c -> cast(ascii(c) as bigint)),
+              |  0L, (acc, x) -> (acc * 31 + x) % 1000000007)""".stripMargin))
+
+  /** Append PII-style scrubbing: the redacted text plus the match
+    * count (global replace — row-local, scan-fused). */
+  def redactOf(docs: DataFrame, textCol: String,
+               pattern: String = "[0-9]+", replacement: String = "<num>",
+               as: String = "redacted", countAs: String = "n_redactions"): DataFrame =
+    docs
+      .withColumn(countAs, regexp_count(col(textCol), lit(pattern)).cast("bigint"))
+      .withColumn(as, regexp_replace(col(textCol), pattern, replacement))
+
   val ops: Seq[OpSpec] = Seq(
     // Whitespace tokenizer vs a BPE-ish lowercase-run regex tokenizer.
     OpSpec(
       "text_token_count",
+      // thin call into the parameterized API (tokenCountsOf)
       (s, d) =>
-        T.documents(s, d)
-          .filter(col("doc_id") < 50)
-          .select(col("doc_id"),
-            size(split(col("text"), " ")).cast("bigint").as("n_ws_tokens"),
-            regexp_count(col("text"), lit("[a-z]+")).cast("bigint").as("n_re_tokens"),
+        tokenCountsOf(T.documents(s, d).filter(col("doc_id") < 50), "text")
+          .select(col("doc_id"), col("n_ws_tokens"), col("n_re_tokens"),
             col("n_chars"))
           .orderBy("doc_id"),
       Some("""SELECT doc_id, cast(len(string_split(text, ' ')) as bigint) AS n_ws_tokens,
@@ -51,17 +145,11 @@ object TextOps {
     // function words). Ratio is an int/int division — identical IEEE.
     OpSpec(
       "text_lang_id",
+      // thin call into the parameterized API (langIdOf, default
+      // stopword set + 0.03 cutoff)
       (s, d) =>
-        T.documents(s, d)
-          .filter(col("doc_id") < 100)
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n"),
-            sum(when(col("w").isin("the", "a"), 1L).otherwise(0L)).as("n_stop"))
-          .select(col("doc_id"),
-            (col("n_stop").cast("double") / col("n")).as("stop_ratio"),
-            when(col("n_stop").cast("double") / col("n") >= 0.03, "en")
-              .otherwise("und").as("lang_pred"))
+        langIdOf(T.documents(s, d).filter(col("doc_id") < 100),
+          "doc_id", "text")
           .orderBy("doc_id"),
       Some("""SELECT doc_id, cast(n_stop as double) / n AS stop_ratio,
              |  CASE WHEN cast(n_stop as double) / n >= 0.03 THEN 'en' ELSE 'und' END AS lang_pred
@@ -159,19 +247,10 @@ object TextOps {
     // with fixed weights. Pure int-sum arithmetic → identical IEEE.
     OpSpec(
       "text_quality_score",
+      // thin call into the parameterized API (qualityOf)
       (s, d) =>
-        T.documents(s, d)
-          .filter(col("doc_id") < 50)
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_tokens"),
-            countDistinct(col("w")).as("n_distinct"),
-            sum(length(col("w"))).as("sum_len"))
-          .select(col("doc_id"), col("n_tokens"),
-            (col("n_distinct").cast("double") / col("n_tokens")).as("distinct_ratio"),
-            (col("sum_len").cast("double") / col("n_tokens")).as("avg_token_len"),
-            (col("n_distinct").cast("double") / col("n_tokens") * 0.5 +
-              col("sum_len").cast("double") / col("n_tokens") * 0.05).as("quality"))
+        qualityOf(T.documents(s, d).filter(col("doc_id") < 50),
+          "doc_id", "text")
           .orderBy("doc_id"),
       Some("""SELECT doc_id, n_tokens,
              |  cast(n_distinct as double) / n_tokens AS distinct_ratio,
@@ -191,14 +270,10 @@ object TextOps {
     // engines (Spark aggregate ≡ DuckDB list_reduce with prepended 0).
     OpSpec(
       "text_fingerprint",
+      // thin call into the parameterized API (fingerprintOf)
       (s, d) =>
-        T.documents(s, d)
-          .filter(col("doc_id") < 100)
-          .select(col("doc_id"),
-            expr("""aggregate(
-                   |  transform(split(text, ''), c -> cast(ascii(c) as bigint)),
-                   |  0L, (acc, x) -> (acc * 31 + x) % 1000000007)""".stripMargin)
-              .as("fingerprint"))
+        fingerprintOf(T.documents(s, d).filter(col("doc_id") < 100), "text")
+          .select("doc_id", "fingerprint")
           .orderBy("doc_id"),
       Some("""SELECT doc_id,
              |  list_reduce(
@@ -260,19 +335,11 @@ object TextOps {
     // fuses into the parquet scan — no explode, no shuffle.
     OpSpec(
       "text_gopher_rules",
+      // thin call into the parameterized API (gopherFlagsOf, the
+      // published Gopher bounds as defaults)
       (s, d) =>
-        T.documents(s, d)
-          .filter(col("doc_id") < 100)
-          .select(col("doc_id"), split(col("text"), " ").as("w"))
-          .select(
-            col("doc_id"),
-            size(col("w")).cast("bigint").as("n_words"),
-            expr("""cast(aggregate(transform(w, x -> length(x)), 0L, (a, b) -> a + b)
-                   | as double) / size(w)""".stripMargin).as("mean_word_len"),
-            expr("exists(w, x -> x in ('the', 'a', 'of', 'to'))").as("has_stop"))
-          .withColumn("keep",
-            col("n_words").between(5L, 200L) &&
-              col("mean_word_len").between(2.0, 10.0) && col("has_stop"))
+        gopherFlagsOf(T.documents(s, d).filter(col("doc_id") < 100), "text")
+          .select("doc_id", "n_words", "mean_word_len", "has_stop", "keep")
           .orderBy("doc_id"),
       Some("""SELECT doc_id, n_words, mean_word_len, has_stop,
              |  (n_words BETWEEN 5 AND 200 AND mean_word_len BETWEEN 2.0 AND 10.0
@@ -293,13 +360,12 @@ object TextOps {
     // split this row pins). Row-local → scan-fused at 100 TB.
     OpSpec(
       "text_redact",
+      // thin call into the parameterized API (redactOf)
       (s, d) =>
-        T.documents(s, d)
-          .filter(col("doc_id") < 100)
+        redactOf(T.documents(s, d).filter(col("doc_id") < 100), "text")
           .select(col("doc_id"),
-            regexp_count(col("text"), lit("[0-9]+")).cast("bigint").as("n_digit_runs"),
-            substring(regexp_replace(col("text"), "[0-9]+", "<num>"), 1, 80)
-              .as("redacted_prefix"))
+            col("n_redactions").as("n_digit_runs"),
+            substring(col("redacted"), 1, 80).as("redacted_prefix"))
           .orderBy("doc_id"),
       Some("""SELECT doc_id,
              |  cast(len(regexp_extract_all(text, '[0-9]+')) as bigint) AS n_digit_runs,

@@ -276,4 +276,51 @@ class ApiSpec extends AnyFunSuite {
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(kept === all -- losers && losers.nonEmpty)
   }
+
+  // ----------------------------------------------------------------
+  // parameterized text metrics (round 11): declared queries fix the
+  // defaults; these pin the knobs
+  // ----------------------------------------------------------------
+
+  test("langId threshold and stopword set are real parameters") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat beside the dog"), // 3/9 'the'
+      (2L, "cats sit mats dogs run fast here now"),  // 0 stopwords
+    ).toDF("id", "txt")
+    val strict = docs.langId("id", "txt", minStopRatio = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(strict === Map(1L -> "und", 2L -> "und")) // 1/3 < 0.5
+    val custom = docs.langId("id", "txt", stopwords = Seq("cats", "dogs"),
+        minStopRatio = 0.2)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(custom === Map(1L -> "und", 2L -> "en")) // 2/8 = 0.25
+  }
+
+  test("gopherFlags bounds are real parameters and row-local append keeps columns") {
+    val docs = Seq((1L, "one two three", "x")).toDF("id", "txt", "extra")
+    val loose = docs.gopherFlags("txt", minWords = 1, stopwords = Seq("one"))
+    assert(loose.columns.toSeq ===
+      Seq("id", "txt", "extra", "n_words", "mean_word_len", "has_stop", "keep"))
+    assert(loose.collect()(0).getAs[Boolean]("keep"))
+    val tight = docs.gopherFlags("txt", minWords = 5)
+    assert(!tight.collect()(0).getAs[Boolean]("keep")) // 3 words < 5
+  }
+
+  test("redact pattern/replacement are real parameters") {
+    val docs = Seq((1L, "call 555 or 911 for help")).toDF("id", "txt")
+    val r = docs.redact("txt").collect()(0)
+    assert(r.getAs[Long]("n_redactions") === 2L &&
+      r.getAs[String]("redacted") === "call <num> or <num> for help")
+    val vowels = docs.redact("txt", pattern = "[aeiou]+", replacement = "_")
+      .collect()(0)
+    assert(vowels.getAs[String]("redacted") === "c_ll 555 _r 911 f_r h_lp")
+  }
+
+  test("textQuality equals the inline survivor-quality formula") {
+    val docs = Seq((7L, "aa bb aa cc")).toDF("id", "txt")
+    val r = docs.textQuality("id", "txt").collect()(0)
+    // 4 tokens, 3 distinct, 8 chars: 3/4*0.5 + 8/4*0.05 = 0.475
+    assert(r.getAs[Long]("n_tokens") === 4L &&
+      r.getAs[Double]("quality") === 0.475)
+  }
 }
