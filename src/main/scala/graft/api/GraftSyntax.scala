@@ -356,6 +356,16 @@ object syntax {
                       bitsPerBand: Int = graft.vec.LshPlanes.Scale.bitsPerBand): DataFrame =
       graft.vec.VecOps.dedupEmbedLsh(df, idCol, vecCol, tau, bands, bitsPerBand)
 
+    /** Batched k-NN join against this corpus: top-`k` rows by exact r4
+      * cosine per query row — `"lsh"` band blocking (the 100 TB path)
+      * or `"broadcast"` exact scoring. (qid, rk, vec_id, cos_sim). */
+    def knnJoin(queries: DataFrame, idCol: String, vecCol: String, k: Int,
+                blocking: String = "lsh",
+                bands: Int = graft.vec.LshPlanes.nBands,
+                bitsPerBand: Int = graft.vec.LshPlanes.bitsPerBand): DataFrame =
+      graft.vec.VecOps.knnJoin(df, queries, idCol, vecCol, k, blocking,
+        bands, bitsPerBand)
+
     // ----------------------------------------------------------------
     // §2.J text metrics (row-local appenders fuse into the scan; the
     // agg forms shuffle one row per document)

@@ -23,30 +23,23 @@ object VecOps {
   private def dot(a: String, b: String) =
     expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
 
-  /** (vec_id, band, bucket) — SLIM banded hyperplane-LSH signature,
-    * one row per (vector, band); cached at the three self-join sites.
-    * Deliberately carries NO embedding: only three int64s per
-    * (vector, band) are pinned in executor storage, so the cached
-    * payload is O(1) per row regardless of embedding width — the
-    * verify side re-reads `e` from parquet via [[vecsWithNorm]]
-    * (column-pruned scan) instead of shipping it through the banded
-    * shuffle ×nBands. */
-  private def bandedSig(
-      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
-    lshBandsOf(T.embeddings(s, d), "vec_id", "embedding",
-      LshPlanes.nBands, LshPlanes.bitsPerBand)
-
-  /** [[bandedSig]] with the SCALE band family (LshPlanes.Scale: 4
-    * bands × 8 bits = 256 buckets/band) — same slim shape. Thin call
-    * into [[lshBandsOf]] so every gate consumer shares ONE cached
-    * signature plan with the graft.api pair/dedup entry points. */
+  /** The SCALE band family's signatures (LshPlanes.Scale: 4 bands ×
+    * 8 bits = 256 buckets/band) — slim (vec_id, band, bucket), one row
+    * per (vector, band), deliberately carrying NO embedding: only
+    * three int64s per row are pinned when cached, so the payload is
+    * O(1) per row regardless of embedding width — the verify side
+    * re-reads `e` from parquet via [[vecsWithNorm]] (column-pruned
+    * scan) instead of shipping it through the banded shuffle ×nBands.
+    * Thin call into [[lshBandsOf]] so every gate consumer shares ONE
+    * cached signature plan with the graft.api pair/dedup entry points. */
   private def bandedSigScale(
       s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
     lshBandsOf(T.embeddings(s, d), "vec_id", "embedding",
       LshPlanes.Scale.nBands, LshPlanes.Scale.bitsPerBand)
 
   /** (vec_id, e double[], nrm) — the verify-side embedding read:
-    * recomputed from parquet per use, never cached (see [[bandedSig]]). */
+    * recomputed from parquet per use, never cached (see
+    * [[bandedSigScale]]). */
   private def vecsWithNorm(
       s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
     T.embeddings(s, d)
@@ -122,6 +115,65 @@ object VecOps {
       embedLshPairs(vecs, idCol, vecCol, tau, bands, bitsPerBand, dim)
         .select("a", "b"),
       iters = 20, minRounds = 1)
+
+  /** Batched k-NN join: the top-`k` corpus rows by exact r4 cosine per
+    * query row, as (qid, rk, vec_id, cos_sim) — the parameterized form
+    * of the gated `sim_knn_join`/`sim_knn_lsh` queries (thin calls).
+    *
+    * `blocking`:
+    *  - `"broadcast"` — EXACT: broadcast the (small) query set and
+    *    score every corpus vector. The verifier / small-query path.
+    *  - `"lsh"` — honest ANN: candidates are only corpus vectors
+    *    sharing ≥ 1 hyperplane band with the query, so the corpus
+    *    stays partitioned by bucket and each query probes its `bands`
+    *    buckets — no broadcast-against-everything pass; the 100 TB
+    *    path. Narrow bands (the base family defaults) are the
+    *    recall-friendly choice for top-k search, unlike dedup.
+    * A corpus row whose id equals a query id is excluded (self-match);
+    * candidates dedup before the embedding fetch (a candidate
+    * colliding in 2 bands must score once). */
+  def knnJoin(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, blocking: String = "lsh",
+              bands: Int = LshPlanes.nBands,
+              bitsPerBand: Int = LshPlanes.bitsPerBand,
+              dim: Int = LshPlanes.dim): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    def norm(vecs: DataFrame, idAs: String, eAs: String, nAs: String) =
+      vecs.select(col(idCol).as(idAs),
+          expr(s"transform($vecCol, x -> cast(x as double))").as(eAs))
+        .withColumn(nAs, sqrt(expr(
+          s"aggregate(zip_with($eAs, $eAs, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")))
+    val vq = norm(queries, "qid", "qe", "qn")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(desc("cos_sim"), col("vec_id"))
+    val scored = blocking match {
+      case "broadcast" =>
+        norm(corpus, "vec_id", "e", "nrm")
+          .crossJoin(broadcast(vq))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"),
+            P.r4(dot("e", "qe") / (col("nrm") * col("qn"))).as("cos_sim"))
+      case "lsh" =>
+        val qSig = lshBandsOf(queries, idCol, vecCol, bands, bitsPerBand, dim)
+          .select(col("vec_id").as("qid"), col("band"), col("bucket")).cache()
+        val cSig = lshBandsOf(corpus, idCol, vecCol, bands, bitsPerBand, dim)
+          .cache()
+        val cand = qSig.join(cSig, Seq("band", "bucket"))
+          .filter(col("vec_id") =!= col("qid"))
+          .select("qid", "vec_id").distinct()
+        cand.join(broadcast(vq), Seq("qid"))
+          .join(norm(corpus, "vec_id", "e", "nrm"), Seq("vec_id"))
+          .select(col("qid"), col("vec_id"),
+            P.r4(dot("e", "qe") / (col("nrm") * col("qn"))).as("cos_sim"))
+      case other =>
+        throw new IllegalArgumentException(
+          s"blocking must be lsh|broadcast, got '$other'")
+    }
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("rk").cast("bigint").as("rk"),
+        col("vec_id"), col("cos_sim"))
+  }
 
   /** DuckDB `sg(vec_id, e, b0..b3)` CTE computing the same banded
     * signature. Lazy: referenced from `ops`, which initializes first. */
@@ -513,24 +565,15 @@ object VecOps {
     // queries; the window shuffles only (query, cand, score) triples.
     OpSpec(
       "sim_knn_join",
+      // thin call into the parameterized API (knnJoin, exact broadcast
+      // blocking) — the gate proves the API form
       (s, d) => {
-        val v = T.embeddings(s, d)
-          .select(col("vec_id"),
-            expr("transform(embedding, x -> cast(x as double))").as("e"))
-        val q = v.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("qid"), col("e").as("qe"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("qid").orderBy(desc("cos_sim"), col("vec_id"))
-        v.filter(col("vec_id") % 10 === 0)
-          .crossJoin(broadcast(q))
-          .filter(col("vec_id") =!= col("qid"))
-          .select(col("qid"), col("vec_id"),
-            P.r4(dot("e", "qe") /
-              (sqrt(dot("e", "e")) * sqrt(dot("qe", "qe")))).as("cos_sim"))
-          .withColumn("rk", row_number().over(w))
-          .filter(col("rk") <= 3)
-          .select(col("qid"), col("rk").cast("bigint").as("rk"),
-            col("vec_id"), col("cos_sim"))
+        val emb = T.embeddings(s, d)
+        knnJoin(
+          corpus = emb.filter(col("vec_id") % 10 === 0),
+          queries = emb.filter(col("vec_id") < 5),
+          idCol = "vec_id", vecCol = "embedding", k = 3,
+          blocking = "broadcast")
           .orderBy("qid", "rk")
       },
       Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
@@ -558,28 +601,15 @@ object VecOps {
     // colliding in 2 bands must rank once).
     OpSpec(
       "sim_knn_lsh",
+      // thin call into the parameterized API (knnJoin, LSH blocking at
+      // the recall-friendly base band family)
       (s, d) => {
-        val sig = bandedSig(s, d).cache() // query + corpus sides share it (slim)
-        val q = sig.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("qid"), col("band"), col("bucket"))
-        val c = sig.filter(col("vec_id") % 10 === 0)
-        // candidate (qid, vec_id) id pairs dedup BEFORE the embedding
-        // fetch (a candidate colliding in 2 bands must score once)
-        val cand = q.join(c, Seq("band", "bucket"))
-          .filter(col("vec_id") =!= col("qid"))
-          .select("qid", "vec_id").distinct()
-        val vq = vecsWithNorm(s, d).filter(col("vec_id") < 5)
-          .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("qid").orderBy(desc("cos_sim"), col("vec_id"))
-        cand.join(broadcast(vq), Seq("qid"))
-          .join(vecsWithNorm(s, d), Seq("vec_id"))
-          .select(col("qid"), col("vec_id"),
-            P.r4(dot("e", "qe") / (col("nrm") * col("qn"))).as("cos_sim"))
-          .withColumn("rk", row_number().over(w))
-          .filter(col("rk") <= 3)
-          .select(col("qid"), col("rk").cast("bigint").as("rk"),
-            col("vec_id"), col("cos_sim"))
+        val emb = T.embeddings(s, d)
+        knnJoin(
+          corpus = emb.filter(col("vec_id") % 10 === 0),
+          queries = emb.filter(col("vec_id") < 5),
+          idCol = "vec_id", vecCol = "embedding", k = 3,
+          blocking = "lsh")
           .orderBy("qid", "rk")
       },
       Some {

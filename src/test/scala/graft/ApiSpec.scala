@@ -277,6 +277,24 @@ class ApiSpec extends AnyFunSuite {
     assert(kept === all -- losers && losers.nonEmpty)
   }
 
+  test("knnJoin: lsh candidates are a subset of broadcast-exact ranks, k parameterized") {
+    val corpus = vecs.filter(col("vec_id") % 7 === 0)
+    val queries = vecs.filter(col("vec_id") < 3)
+    val exact = corpus.knnJoin(queries, "vec_id", "embedding", k = 5,
+        blocking = "broadcast")
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val ann = corpus.knnJoin(queries, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    assert(ann.nonEmpty)
+    // every ANN hit scores identically to the exact join's score for
+    // that (query, neighbor) — LSH changes the candidate set, never
+    // the metric; and k bounds each query's rows
+    ann.foreach { case (key, cos) =>
+      assert(exact.get(key).forall(_ == cos), s"$key: ${exact.get(key)} vs $cos")
+    }
+    assert(ann.keys.groupBy(_._1).values.forall(_.size <= 5))
+  }
+
   // ----------------------------------------------------------------
   // parameterized text metrics (round 11): declared queries fix the
   // defaults; these pin the knobs
