@@ -28,7 +28,11 @@ object PlanAudit {
         "join_indicator", "set_intersect_all", "agg_product",
         "text_normalize", "dedup_prefix", "join_range_binned",
         "sim_knn_join", "dedup_ngram_containment", "pipeline_dedup_clean",
-        "dedup_simhash_pairs2")) {
+        "dedup_simhash_pairs2",
+        // round-11 additions: TVF-expanded plans, scale-band embed LSH,
+        // full-corpus simhash sketch
+        "ts_resample_tvf", "ts_sessionize_tvf", "dedup_embed_lsh",
+        "dedup_simhash", "sim_knn_lsh")) {
       println(s"===== $k =====")
       val df = graft.ops.Registry.queries(k)(spark, d)
       println(df.queryExecution.executedPlan.toString.linesIterator
