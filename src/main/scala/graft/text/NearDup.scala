@@ -692,9 +692,13 @@ object NearDup {
   }
 
   /** (doc_id, simhash) over the FULL corpus — shared by the declared
-    * sketch query and the Hamming pair retrievals. */
+    * sketch query and the Hamming pair retrievals. cache(): the FIRST
+    * family member to run (registry order: the sketch query itself)
+    * materializes one int64/doc, and every pair/cluster/survivor query
+    * reuses it through Spark's plan-keyed cache — the thin-call
+    * simhashPairs plans contain the identical subplan. */
   def simhashDf(s: SparkSession, d: String): DataFrame =
-    simhashOf(T.documents(s, d), "doc_id", "text", bits = 60)
+    simhashOf(T.documents(s, d), "doc_id", "text", bits = 60).cache()
 
   /** Even `parts`-way split points of a `bits`-wide sketch (first
     * `bits % parts` parts take the extra bit): (lo, hi) bit ranges. */
