@@ -38,6 +38,13 @@ object syntax {
     if (by.isEmpty) Window.orderBy(order: _*)
     else Window.partitionBy(by.map(col): _*).orderBy(order: _*)
 
+  /** Validated plain identifier — the guard before any splice into
+    * generated expression text (the TvfSql discipline). */
+  private def ident(s: String): String = {
+    require("[A-Za-z_][A-Za-z0-9_]*".r.matches(s), s"not a plain identifier: '$s'")
+    s
+  }
+
   implicit class GraftDataFrameOps(private val df: DataFrame) extends AnyVal {
 
     // ----------------------------------------------------------------
@@ -290,6 +297,109 @@ object syntax {
                      rankAs: String = "rn"): DataFrame = {
       val w = ordered(by, order)
       df.withColumn(rankAs, row_number().over(w)).filter(col(rankAs) <= k)
+    }
+
+    // ----------------------------------------------------------------
+    // §2.D summaries / §2.I reshape
+    // ----------------------------------------------------------------
+
+    /** pandas `describe()` of one numeric column: (cnt, mean_v, std_v,
+      * min_v, p25, p50, p75, max_v). Exact decimal sums per §2.0;
+      * exact `percentile` here — swap approx_percentile at 100 TB for
+      * bounded memory (same plan shape). */
+    def describeCol(valueCol: String): DataFrame = {
+      val v = col(ident(valueCol))
+      df.agg(
+          count(lit(1)).as("cnt"),
+          sum(P.dec2(v)).cast("double").as("s"),
+          sum((P.dec2(v) * P.dec2(v)).cast("decimal(38,4)")).cast("double").as("q"),
+          min(v).as("min_v"),
+          P.r4(expr(s"percentile(`$valueCol`, 0.25)")).as("p25"),
+          P.r4(expr(s"percentile(`$valueCol`, 0.5)")).as("p50"),
+          P.r4(expr(s"percentile(`$valueCol`, 0.75)")).as("p75"),
+          max(v).as("max_v"))
+        .select(
+          col("cnt"),
+          (col("s") / col("cnt")).as("mean_v"),
+          P.r4(sqrt((col("q") - col("s") * col("s") / col("cnt")) / (col("cnt") - 1)))
+            .as("std_v"),
+          col("min_v"), col("p25"), col("p50"), col("p75"), col("max_v"))
+    }
+
+    /** `value_counts(normalize=)`: counts per key combination, plus the
+      * proportion when `normalize` — computed by a whole-frame window
+      * over the ALREADY AGGREGATED output, so the single-partition
+      * window touches O(groups) rows, never the corpus. */
+    def valueCounts(cols: Seq[String], normalize: Boolean = false): DataFrame = {
+      val base = df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("n"))
+      if (!normalize) base
+      else base.select(cols.map(col) ++ Seq(col("n"),
+        (col("n").cast("double") / sum("n").over(Window.partitionBy()))
+          .as("proportion")): _*)
+    }
+
+    /** `pd.qcut(x, q)` — EXACT global-rank form (ntile over the whole
+      * frame; one global sort — correct but serial at the limit; see
+      * [[qcutApprox]] for the scale path). `tieCol` makes the order
+      * total so ties split deterministically. */
+    def qcut(valueCol: String, q: Int, tieCol: String,
+             as: String = "bucket"): DataFrame =
+      df.withColumn(as,
+        ntile(q).over(Window.orderBy(col(valueCol), col(tieCol))).cast("bigint"))
+
+    /** `pd.qcut` — the SCALE form: quantile boundaries from one tiny
+      * aggregate, broadcast back, bucket = (q−1) range compares —
+      * map-side except the boundary agg. Swap percentile →
+      * approx_percentile at 100 TB (identical plan shape). Buckets are
+      * right-closed (x = boundary stays low), the pandas convention. */
+    def qcutApprox(valueCol: String, q: Int, as: String = "bucket"): DataFrame = {
+      require(q >= 2, s"q must be >= 2, got $q")
+      ident(valueCol)
+      val bs = (1 until q).map(i =>
+        expr(s"percentile(`$valueCol`, ${i.toDouble / q})").as(s"_qb$i"))
+      val b = df.agg(bs.head, bs.tail: _*)
+      val bucket = (1 until q).map(i =>
+        (col(valueCol) > col(s"_qb$i")).cast("bigint")).foldLeft(lit(1L))(_ + _)
+      df.crossJoin(broadcast(b))
+        .withColumn(as, bucket)
+        .drop((1 until q).map(i => s"_qb$i"): _*)
+    }
+
+    /** `pd.cut(x, bins, labels)` — explicit right-closed (lo, hi]
+      * edges; out-of-range values → NULL. Row-local CASE ladder,
+      * codegen'd, zero shuffles. */
+    def cut(valueCol: String, edges: Seq[Double], labels: Seq[String],
+            as: String = "bin"): DataFrame = {
+      require(labels.size == edges.size - 1,
+        s"need ${edges.size - 1} labels for ${edges.size} edges, got ${labels.size}")
+      val v = col(valueCol)
+      var ladder = when(v > edges(0) && v <= edges(1), labels(0))
+      for (i <- 1 until labels.size)
+        ladder = ladder.when(v > edges(i) && v <= edges(i + 1), labels(i))
+      df.withColumn(as, ladder)
+    }
+
+    /** `pd.factorize` — dense integer codes in FIRST-APPEARANCE order
+      * (first row by `orderCol`, not sorted values): tiny per-category
+      * agg → row_number over the category table only → BROADCAST
+      * join-back; the single-partition window never sees fact rows. */
+    def factorize(catCol: String, orderCol: String,
+                  as: String = "code"): DataFrame = {
+      val codes = df.groupBy(catCol).agg(min(col(orderCol)).as("_first"))
+        .select(col(catCol),
+          (row_number().over(Window.orderBy("_first")) - 1).cast("bigint").as(as))
+      df.join(broadcast(codes), Seq(catCol))
+    }
+
+    /** `pd.get_dummies` over an EXPLICIT category list (the scale
+      * discipline: at 100 TB the schema must not depend on a distinct
+      * scan) — appends one 0/1 column per value. */
+    def getDummies(catCol: String, values: Seq[String],
+                   prefix: String): DataFrame = {
+      val inds = values.map(v =>
+        when(col(catCol) === v, 1L).otherwise(0L)
+          .as(s"${prefix}_${v.toLowerCase(java.util.Locale.ROOT)}"))
+      df.select(col("*") +: inds: _*)
     }
 
     // ----------------------------------------------------------------

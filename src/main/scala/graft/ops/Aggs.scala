@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.api.syntax._
 import graft.core.{Policy => P, Tables => T}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -77,9 +78,9 @@ object Aggs {
     ),
     OpSpec(
       "agg_value_counts",
+      // thin call into graft.api (valueCounts)
       (s, d) =>
-        T.events(s, d)
-          .groupBy("event_type").agg(count(lit(1)).as("n"))
+        T.events(s, d).valueCounts(Seq("event_type"))
           .orderBy(desc("n"), col("event_type")),
       Some("""SELECT event_type, count(*) AS n FROM events
              |GROUP BY event_type ORDER BY n DESC, event_type""".stripMargin),
@@ -91,14 +92,10 @@ object Aggs {
     // double — bit-identical, no rounding.
     OpSpec(
       "agg_value_counts_norm",
-      (s, d) => {
-        val all = org.apache.spark.sql.expressions.Window.partitionBy()
-        T.events(s, d)
-          .groupBy("event_type").agg(count(lit(1)).as("n"))
-          .select(col("event_type"), col("n"),
-            (col("n").cast("double") / sum("n").over(all)).as("proportion"))
-          .orderBy(desc("n"), col("event_type"))
-      },
+      // thin call into graft.api (valueCounts normalize=true)
+      (s, d) =>
+        T.events(s, d).valueCounts(Seq("event_type"), normalize = true)
+          .orderBy(desc("n"), col("event_type")),
       Some("""SELECT event_type, n, cast(n as double) / sum(n) OVER () AS proportion
              |FROM (SELECT event_type, count(*) AS n FROM events GROUP BY event_type)
              |ORDER BY n DESC, event_type""".stripMargin),
@@ -235,23 +232,8 @@ object Aggs {
     // percentile ≡ quantile_cont, exact min/max).
     OpSpec(
       "agg_describe",
-      (s, d) =>
-        T.orders(s, d)
-          .agg(
-            count(lit(1)).as("cnt"),
-            dsum(col("o_totalprice")).as("s"),
-            dsumsq(col("o_totalprice")).as("q"),
-            min(col("o_totalprice")).as("min_v"),
-            P.r4(expr("percentile(o_totalprice, 0.25)")).as("p25"),
-            P.r4(expr("percentile(o_totalprice, 0.5)")).as("p50"),
-            P.r4(expr("percentile(o_totalprice, 0.75)")).as("p75"),
-            max(col("o_totalprice")).as("max_v"))
-          .select(
-            col("cnt"),
-            (col("s") / col("cnt")).as("mean_v"),
-            P.r4(sqrt((col("q") - col("s") * col("s") / col("cnt")) / (col("cnt") - 1)))
-              .as("std_v"),
-            col("min_v"), col("p25"), col("p50"), col("p75"), col("max_v")),
+      // thin call into graft.api (describeCol)
+      (s, d) => T.orders(s, d).describeCol("o_totalprice"),
       Some("""SELECT cnt, s / cnt AS mean_v,
              |  round(sqrt((q - s * s / cnt) / (cnt - 1)), 4) AS std_v,
              |  min_v, p25, p50, p75, max_v

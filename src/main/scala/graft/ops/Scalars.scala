@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.api.syntax._
 import graft.core.{Policy => P, Tables => T}
 import org.apache.spark.sql.functions._
 
@@ -348,14 +349,13 @@ object Scalars {
     // pandas get_dummies(): one-hot indicator projection.
     OpSpec(
       "reshape_dummies",
+      // thin call into graft.api (getDummies, explicit category list)
       (s, d) => {
         val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
-        val inds = segs.map(v =>
-          when(col("c_mktsegment") === v, 1L).otherwise(0L)
-            .as(s"seg_${v.toLowerCase}"))
         T.customer(s, d)
           .filter(col("c_custkey") % 100 === 0)
-          .select(col("c_custkey") +: inds: _*)
+          .getDummies("c_mktsegment", segs, prefix = "seg")
+          .select("c_custkey", segs.map(v => s"seg_${v.toLowerCase}"): _*)
           .orderBy("c_custkey")
       },
       Some {
@@ -495,15 +495,13 @@ object Scalars {
     // lookup; the rank-based form here is the exact-semantics contract.
     OpSpec(
       "reshape_qcut",
-      (s, d) => {
-        val w = org.apache.spark.sql.expressions.Window
-          .orderBy(col("c_acctbal"), col("c_custkey"))
+      // thin call into graft.api (qcut, exact global-rank form)
+      (s, d) =>
         T.customer(s, d)
           .filter(col("c_custkey") % 10 === 0)
-          .select(col("c_custkey"), col("c_acctbal"),
-            ntile(4).over(w).cast("bigint").as("bal_quartile"))
-          .orderBy("c_custkey")
-      },
+          .qcut("c_acctbal", 4, tieCol = "c_custkey", as = "bal_quartile")
+          .select("c_custkey", "c_acctbal", "bal_quartile")
+          .orderBy("c_custkey"),
       Some("""SELECT c_custkey, c_acctbal,
              |  ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS bal_quartile
              |FROM customer WHERE c_custkey % 10 = 0 ORDER BY c_custkey""".stripMargin),
@@ -523,19 +521,14 @@ object Scalars {
     // pandas qcut convention.
     OpSpec(
       "reshape_qcut_approx",
-      (s, d) => {
-        val c = T.customer(s, d).filter(col("c_custkey") % 10 === 0)
-        val b = c.agg(
-          expr("percentile(c_acctbal, 0.25)").as("b1"),
-          expr("percentile(c_acctbal, 0.5)").as("b2"),
-          expr("percentile(c_acctbal, 0.75)").as("b3"))
-        c.crossJoin(broadcast(b))
-          .select(col("c_custkey"), col("c_acctbal"),
-            (lit(1L) + (col("c_acctbal") > col("b1")).cast("bigint")
-              + (col("c_acctbal") > col("b2")).cast("bigint")
-              + (col("c_acctbal") > col("b3")).cast("bigint")).as("bal_quartile"))
-          .orderBy("c_custkey")
-      },
+      // thin call into graft.api (qcutApprox, the broadcast-boundary
+      // scale form)
+      (s, d) =>
+        T.customer(s, d)
+          .filter(col("c_custkey") % 10 === 0)
+          .select("c_custkey", "c_acctbal")
+          .qcutApprox("c_acctbal", 4, as = "bal_quartile")
+          .orderBy("c_custkey"),
       Some("""WITH c AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 10 = 0),
              |b AS (SELECT quantile_cont(c_acctbal, 0.25) AS b1,
              |             quantile_cont(c_acctbal, 0.5)  AS b2,
@@ -553,11 +546,13 @@ object Scalars {
     // projection (vs qcut's global rank).
     OpSpec(
       "reshape_cut",
+      // thin call into graft.api (cut; same edges/labels as cutCase)
       (s, d) =>
         T.customer(s, d)
           .filter(col("c_custkey") % 10 === 0)
-          .select(col("c_custkey"), col("c_acctbal"),
-            expr(cutCase).as("bal_bin"))
+          .cut("c_acctbal", Seq(-1000, 0, 3000, 7000, 10000),
+            Seq("neg", "low", "mid", "high"), as = "bal_bin")
+          .select("c_custkey", "c_acctbal", "bal_bin")
           .orderBy("c_custkey"),
       Some(s"""SELECT c_custkey, c_acctbal,
               |  $cutCase AS bal_bin
@@ -572,18 +567,13 @@ object Scalars {
     // the fact rows.
     OpSpec(
       "reshape_factorize",
-      (s, d) => {
-        val e = T.events(s, d).filter(col("user_id") < 5)
+      // thin call into graft.api (factorize, first-appearance codes)
+      (s, d) =>
+        T.events(s, d).filter(col("user_id") < 5)
           .select("event_id", "event_type")
-        val codes = e.groupBy("event_type")
-          .agg(min(col("event_id")).as("first_id"))
-          .select(col("event_type"),
-            (row_number().over(org.apache.spark.sql.expressions.Window
-              .orderBy("first_id")) - 1).cast("bigint").as("code"))
-        e.join(broadcast(codes), Seq("event_type"))
-          .select(col("event_id"), col("event_type"), col("code"))
-          .orderBy("event_id")
-      },
+          .factorize("event_type", orderCol = "event_id")
+          .select("event_id", "event_type", "code")
+          .orderBy("event_id"),
       Some("""WITH e AS (SELECT event_id, event_type FROM events WHERE user_id < 5),
              |c AS (SELECT event_type,
              |        row_number() OVER (ORDER BY min(event_id)) - 1 AS code

@@ -341,4 +341,55 @@ class ApiSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_tokens") === 4L &&
       r.getAs[Double]("quality") === 0.475)
   }
+
+  // ----------------------------------------------------------------
+  // parameterized summaries / reshape (round 11)
+  // ----------------------------------------------------------------
+
+  test("qcut and qcutApprox agree per row at a non-declared q") {
+    val df = (1 to 100).map(i => (i.toLong, (i * 37 % 101).toDouble))
+      .toDF("id", "v")
+    val exact = df.qcut("v", 5, tieCol = "id")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("bucket")).toMap
+    val approx = df.qcutApprox("v", 5)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("bucket")).toMap
+    // v values are distinct (37 coprime to 101), so rank-ntile and
+    // boundary-compare buckets coincide exactly
+    assert(exact === approx && exact.values.toSet === Set(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("cut respects explicit edges, labels, and NULLs out-of-range") {
+    val df = Seq((1L, -5.0), (2L, 0.0), (3L, 0.5), (4L, 99.0)).toDF("id", "v")
+    val m = df.cut("v", Seq(-1.0, 0.0, 1.0), Seq("lo", "hi"))
+      .collect().map(r => r.getAs[Long]("id") -> Option(r.getAs[String]("bin"))).toMap
+    // right-closed: 0.0 lands in "lo"; -5 and 99 are out of range
+    assert(m === Map(1L -> None, 2L -> Some("lo"), 3L -> Some("hi"), 4L -> None))
+  }
+
+  test("factorize assigns first-appearance codes by the order column") {
+    val df = Seq((10L, "z"), (20L, "a"), (30L, "z"), (40L, "m"))
+      .toDF("ord", "cat")
+    val m = df.factorize("cat", "ord")
+      .collect().map(r => (r.getAs[Long]("ord"), r.getAs[Long]("code"))).toSet
+    // z first at ord 10 -> 0, a at 20 -> 1, m at 40 -> 2 (not sorted)
+    assert(m === Set((10L, 0L), (20L, 1L), (30L, 0L), (40L, 2L)))
+  }
+
+  test("valueCounts normalize proportions sum to 1 over groups") {
+    val df = Seq("x", "x", "y", "z", "z", "z").map(Tuple1(_)).toDF("k")
+    val rows = df.valueCounts(Seq("k"), normalize = true).collect()
+    val m = rows.map(r => r.getAs[String]("k") ->
+      (r.getAs[Long]("n"), r.getAs[Double]("proportion"))).toMap
+    assert(m("z") === ((3L, 0.5)) && m("x") === ((2L, 2.0 / 6)) &&
+      math.abs(rows.map(_.getAs[Double]("proportion")).sum - 1.0) < 1e-12)
+  }
+
+  test("describeCol on a known column matches hand-computed stats") {
+    val df = Seq(1.0, 2.0, 3.0, 4.0).map(Tuple1(_)).toDF("v")
+    val r = df.describeCol("v").collect()(0)
+    assert(r.getAs[Long]("cnt") === 4L && r.getAs[Double]("mean_v") === 2.5 &&
+      r.getAs[Double]("min_v") === 1.0 && r.getAs[Double]("max_v") === 4.0 &&
+      r.getAs[Double]("p50") === 2.5 &&
+      math.abs(r.getAs[Double]("std_v") - 1.291) < 0.001)
+  }
 }
