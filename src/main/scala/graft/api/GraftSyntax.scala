@@ -300,6 +300,31 @@ object syntax {
     }
 
     // ----------------------------------------------------------------
+    // §2.C as-of join (pandas merge_asof)
+    // ----------------------------------------------------------------
+
+    /** `pd.merge_asof(df, build, on, by, direction=…)` — match each
+      * row of this frame with the latest (backward), earliest-at-or-
+      * after (forward) or closest (nearest; ties backward) build row
+      * per `by` keys, within `toleranceMicros` when given. Thin
+      * wrapper over graft.ts.AsofJoin's union-and-window form (one
+      * shuffle on the by keys); see plans/AsofJoinPlan for the
+      * physical-operator tier and the `asof_join(...)` SQL TVF. */
+    def asof(build: DataFrame, on: String, by: Seq[String],
+             payload: Seq[String], direction: String = "backward",
+             toleranceMicros: Option[Long] = None,
+             allowExactMatches: Boolean = true): DataFrame = direction match {
+      case "backward" => graft.ts.AsofJoin.backward(
+        df, build, on, by, payload, toleranceMicros, allowExactMatches)
+      case "forward" => graft.ts.AsofJoin.forward(
+        df, build, on, by, payload, toleranceMicros, allowExactMatches)
+      case "nearest" => graft.ts.AsofJoin.nearest(
+        df, build, on, by, payload, toleranceMicros, allowExactMatches)
+      case other => throw new IllegalArgumentException(
+        s"direction must be backward|forward|nearest, got '$other'")
+    }
+
+    // ----------------------------------------------------------------
     // §2.D summaries / §2.I reshape
     // ----------------------------------------------------------------
 

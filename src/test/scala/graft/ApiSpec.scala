@@ -342,6 +342,20 @@ class ApiSpec extends AnyFunSuite {
       r.getAs[Double]("quality") === 0.475)
   }
 
+  test("asof syntax routes all three directions through AsofJoin") {
+    val probe = Seq((1L, 100L), (1L, 200L)).toDF("k", "t")
+      .select(col("k"), timestamp_micros(col("t")).as("ts"))
+    val build = Seq((1L, 90L, "a"), (1L, 150L, "b"), (1L, 210L, "c"))
+      .toDF("k", "t", "v")
+      .select(col("k"), timestamp_micros(col("t")).as("ts"), col("v"))
+    def got(dir: String) = probe.asof(build, "ts", Seq("k"), Seq("v"), dir)
+      .orderBy("ts").collect().map(_.getAs[String]("v")).toSeq
+    assert(got("backward") === Seq("a", "b")) // latest at-or-before
+    assert(got("forward") === Seq("b", "c"))  // earliest at-or-after
+    assert(got("nearest") === Seq("a", "c"))  // 100: a@90 (10) vs b@150 (50); 200: b(50) vs c(10)
+    assertThrows[IllegalArgumentException](probe.asof(build, "ts", Seq("k"), Seq("v"), "sideways"))
+  }
+
   // ----------------------------------------------------------------
   // parameterized summaries / reshape (round 11)
   // ----------------------------------------------------------------
