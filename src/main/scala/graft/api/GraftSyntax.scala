@@ -70,6 +70,60 @@ object syntax {
         min(valueCol).as("low"),
         max_by(col(valueCol), col(orderCol)).as("close"))
 
+    /** `asfreq(every).ffill()` — regular time-spine per `by` series
+      * (each series' min→max bucket via sequence+explode — the spine
+      * is tiny relative to data, and the join broadcasts at scale),
+      * left-joined with the per-bucket exact-decimal sum of
+      * `valueCol`, then carried forward across empty buckets. Output:
+      * by ++ (h, v, v_ffill). */
+    def upsampleFfill(every: String, tsCol: String, valueCol: String,
+                      by: Seq[String] = Nil, as: String = "v_ffill"): DataFrame = {
+      val iv = Map("minute" -> "MINUTE", "hour" -> "HOUR",
+        "day" -> "DAY", "week" -> "WEEK")
+      require(iv.contains(every),
+        s"every must be one of ${iv.keys.mkString("|")}, got '$every'")
+      val bucket = date_trunc(every, col(tsCol))
+      val grouped =
+        if (by.isEmpty) df.groupBy(bucket.as("h"))
+        else df.groupBy(by.map(col) :+ bucket.as("h"): _*)
+      val bucketed = grouped.agg(sum(P.dec2(col(valueCol))).cast("double").as("v"))
+      val boundsAgg = Seq(date_trunc(every, min(col(tsCol))).as("_t0"),
+        date_trunc(every, max(col(tsCol))).as("_t1"))
+      val bounds =
+        if (by.isEmpty) df.agg(boundsAgg.head, boundsAgg.tail: _*)
+        else df.groupBy(by.map(col): _*).agg(boundsAgg.head, boundsAgg.tail: _*)
+      val spine = bounds.select(by.map(col) :+
+        explode(sequence(col("_t0"), col("_t1"),
+          expr(s"INTERVAL 1 ${iv(every)}"))).as("h"): _*)
+      spine.join(bucketed, by :+ "h", "left")
+        .ffill("v", Seq("h"), by, as)
+    }
+
+    /** `pd.merge_ordered` — ordered full-outer merge on (`by`, `on`)
+      * with optional forward fill of all value columns (names must be
+      * disjoint across sides). Thin wrapper over ts/MergeOrdered. */
+    def mergeOrdered(right: DataFrame, on: String, by: Seq[String],
+                     fillMethod: Option[String] = None): DataFrame = {
+      require(fillMethod.forall(_ == "ffill"),
+        s"fill_method must be None or ffill, got $fillMethod")
+      graft.ts.MergeOrdered.merge(df, right, on, by,
+        ffill = fillMethod.contains("ffill"))
+    }
+
+    /** Two-phase SALTED sum/count per hot key — the skew device behind
+      * agg_groupby_salted (core/Skew): partial agg on (key, salt),
+      * final on key. Output: (key, sum_value, n). */
+    def saltedAgg(key: String, valueCol: String, tieCol: String,
+                  salts: Int = 16): DataFrame =
+      graft.core.Skew.saltedAgg(df, key, valueCol, tieCol, salts)
+
+    /** Salted inner equi-join against a SMALL frame: hot keys of this
+      * frame spread over `salts` partitions by replicating the small
+      * side (core/Skew). */
+    def saltedJoin(small: DataFrame, key: String, tieCol: String,
+                   salts: Int = 16): DataFrame =
+      graft.core.Skew.saltedJoin(df, small, key, tieCol, salts)
+
     /** `between_time(start, end)` — inclusive start hour, exclusive end. */
     def betweenTime(startHour: Int, endHour: Int, tsCol: String): DataFrame =
       df.filter(hour(col(tsCol)) >= startHour && hour(col(tsCol)) < endHour)

@@ -131,19 +131,13 @@ object TimeSeries {
     // spine is tiny relative to data and the join broadcasts.
     OpSpec(
       "ts_upsample_ffill",
-      (s, d) => {
-        val e7 = ev(s, d).filter(col("user_id") === 7).select(col("ts"), col("value"))
-        val hourly = e7.groupBy(date_trunc("hour", col("ts")).as("h"))
-          .agg(dsum(col("value")).as("v"))
-        val spine = e7
-          .agg(date_trunc("hour", min(col("ts"))).as("t0"),
-            date_trunc("hour", max(col("ts"))).as("t1"))
-          .select(explode(sequence(col("t0"), col("t1"), expr("INTERVAL 1 HOUR"))).as("h"))
-        spine.join(hourly, Seq("h"), "left")
-          .ffill("v", Seq("h"), Nil, "v_ffill") // graft.api (global window: one spine)
+      // thin call into graft.api (upsampleFfill; single-series demo —
+      // by = Nil after the user filter, pass series keys at scale)
+      (s, d) =>
+        ev(s, d).filter(col("user_id") === 7).select(col("ts"), col("value"))
+          .upsampleFfill("hour", "ts", "value")
           .select(P.tsOut(col("h")).as("h"), col("v"), col("v_ffill"))
-          .orderBy("h")
-      },
+          .orderBy("h"),
       Some("""WITH e AS (SELECT cast(ts as timestamp) AS ts, value FROM events WHERE user_id = 7),
              |hourly AS (SELECT date_trunc('hour', ts) AS h,
              |             cast(sum(cast(value as decimal(18,2))) as double) AS v

@@ -342,6 +342,22 @@ class ApiSpec extends AnyFunSuite {
       r.getAs[Double]("quality") === 0.475)
   }
 
+  test("upsampleFfill builds an independent spine per series and fills within it") {
+    val df = Seq(
+      ("a", 0L, 1.0), ("a", 3L * 3600000000L, 4.0),   // a: hours 0..3
+      ("b", 3600000000L, 9.0),                        // b: hour 1 only
+    ).toDF("k", "t", "v0")
+      .select(col("k"), timestamp_micros(col("t")).as("ts"), col("v0"))
+    val out = df.upsampleFfill("hour", "ts", "v0", by = Seq("k"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime / 3600000,
+        Option(r.get(2)).map(_.asInstanceOf[Double]),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).toSet
+    assert(out === Set(
+      ("a", 0L, Some(1.0), Some(1.0)), ("a", 1L, None, Some(1.0)),
+      ("a", 2L, None, Some(1.0)), ("a", 3L, Some(4.0), Some(4.0)),
+      ("b", 1L, Some(9.0), Some(9.0)))) // b's spine is 1 bucket, not a's 4
+  }
+
   test("asof syntax routes all three directions through AsofJoin") {
     val probe = Seq((1L, 100L), (1L, 200L)).toDF("k", "t")
       .select(col("k"), timestamp_micros(col("t")).as("ts"))
