@@ -196,6 +196,19 @@ class ApiSpec extends AnyFunSuite {
     assert(blocked === brute && brute.nonEmpty)
   }
 
+  test("pigeonhole blocking stays lossless at maxHamming=3 (24-bit, 4 parts)") {
+    // the generic (maxDist+1)-part split beyond the declared d<=2
+    val sketches = corpus.simhashSketch("doc_id", "text", bits = 24)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (ia, sa) <- sketches; (ib, sb) <- sketches
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ia, ib)).toSet
+    val blocked = corpus.simhashPairs("doc_id", "text", bits = 24, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked === brute && brute.nonEmpty)
+  }
+
   test("dedupSimhash keeps min id per Hamming cluster plus singletons") {
     val pairs = corpus.simhashPairs("doc_id", "text", maxHamming = 1)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
