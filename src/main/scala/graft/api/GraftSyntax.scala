@@ -555,6 +555,16 @@ object syntax {
       graft.vec.VecOps.knnJoin(df, queries, idCol, vecCol, k, blocking,
         bands, bitsPerBand)
 
+    /** Learned-IVF batched ANN search against this corpus: k-means
+      * coarse quantizer fit in-call, per-query `nprobe`-cell probing,
+      * exact scores on occupants; nprobe = kCells reproduces the exact
+      * broadcast result. (qid, rk, vec_id, cos_sim). */
+    def ivfSearch(queries: DataFrame, idCol: String, vecCol: String, k: Int,
+                  kCells: Int = 8, nprobe: Int = 3,
+                  trainIters: Int = 3): DataFrame =
+      graft.vec.VecOps.ivfSearch(df, queries, idCol, vecCol, k, kCells,
+        nprobe, trainIters)
+
     // ----------------------------------------------------------------
     // §2.J text metrics (row-local appenders fuse into the scan; the
     // agg forms shuffle one row per document)

@@ -175,6 +175,57 @@ object VecOps {
         col("vec_id"), col("cos_sim"))
   }
 
+  /** Learned-IVF batched ANN search — the full index+search workflow
+    * as one call: fit the deterministic k-means coarse quantizer on
+    * the corpus ([[KMeans.fit]] — `kCells`×dim doubles on the driver,
+    * the only collect; they re-enter the plan as a broadcast centroid
+    * table), assign each corpus vector to its nearest cell, rank the
+    * cells PER QUERY and exact-score only the occupants of the
+    * `nprobe` nearest cells. Top-`k` per query as (qid, rk, vec_id,
+    * cos_sim) — same ranking rule as [[knnJoin]], so
+    * nprobe = kCells reproduces the exact broadcast result (asserted
+    * in ApiSpec). At 100 TB the cell is the partition key; recall vs
+    * nprobe is the measured trade (sim_recall_nprobe, AnnSpec). */
+  def ivfSearch(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, kCells: Int = 8, nprobe: Int = 3,
+                trainIters: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(nprobe >= 1 && nprobe <= kCells,
+      s"nprobe must be in [1, kCells=$kCells], got $nprobe")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (_, cents, _) = KMeans.fit(
+      corpus.select(col(idCol).as("vec_id"), col(vecCol).as("embedding")),
+      kCells, trainIters)
+    val centsDf = cents.toSeq.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.map(x => x * x).sum, c.toSeq) }
+      .toDF("cid", "csq", "c")
+    def asVec(f: DataFrame, idAs: String) =
+      f.select(col(idCol).as(idAs),
+        expr(s"transform($vecCol, x -> cast(x as double))").as("e"))
+    val withCell = assignCells(asVec(corpus, "vec_id"), centsDf)
+    val q = asVec(queries, "qid")
+      .crossJoin(broadcast(centsDf))
+      .withColumn("d", centDist)
+      .groupBy("qid")
+      .agg(min(col("e")).as("qe"),
+        expr(s"transform(slice(array_sort(collect_list(struct(d, cid))), 1, $nprobe), x -> x.cid)")
+          .as("probe_cells"))
+      .withColumn("qn", sqrt(dot("qe", "qe")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(desc("cos_sim"), col("vec_id"))
+    withCell
+      .join(broadcast(q),
+        array_contains(col("probe_cells"), col("cell")) &&
+          col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        P.r4(dot("e", "qe") / (sqrt(dot("e", "e")) * col("qn"))).as("cos_sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("rk").cast("bigint").as("rk"),
+        col("vec_id"), col("cos_sim"))
+  }
+
   /** DuckDB `sg(vec_id, e, b0..b3)` CTE computing the same banded
     * signature. Lazy: referenced from `ops`, which initializes first. */
   private lazy val bandedSql: String = {

@@ -355,6 +355,27 @@ class ApiSpec extends AnyFunSuite {
       r.getAs[Double]("quality") === 0.475)
   }
 
+  test("ivfSearch at nprobe=kCells reproduces the exact broadcast knnJoin") {
+    val corpus = vecs.filter(col("vec_id") % 5 === 0)
+    val queries = vecs.filter(col("vec_id") < 3)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val exact = rows(corpus.knnJoin(queries, "vec_id", "embedding", k = 4,
+      blocking = "broadcast"))
+    val full = rows(corpus.ivfSearch(queries, "vec_id", "embedding", k = 4,
+      kCells = 4, nprobe = 4))
+    assert(full === exact && exact.nonEmpty) // every cell probed = exhaustive
+    // pruned probing: every hit carries the exact score and k holds
+    val pruned = corpus.ivfSearch(queries, "vec_id", "embedding", k = 4,
+        kCells = 4, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val exactScores = exact.map(t => (t._1, t._3) -> t._4).toMap
+    assert(pruned.nonEmpty)
+    pruned.foreach { case (key, cos) =>
+      assert(exactScores.get(key).forall(_ == cos), s"$key score drifted")
+    }
+  }
+
   test("upsampleFfill builds an independent spine per series and fills within it") {
     val df = Seq(
       ("a", 0L, 1.0), ("a", 3L * 3600000000L, 4.0),   // a: hours 0..3
