@@ -288,6 +288,35 @@ object syntax {
             count(lit(1)).over(w)))
     }
 
+    /** `rolling(n).std()` — sample std from exact decimal moment sums
+      * over the n-row frame (one fused window pass); NULL until the
+      * frame fills (pandas min_periods = n). */
+    def rollingStd(n: Int, valueCol: String, orderCol: String, by: Seq[String],
+                   as: String): DataFrame = {
+      val w = ordered(by, Seq(col(orderCol))).rowsBetween(-(n - 1), 0)
+      val x = P.dec2(col(valueCol))
+      df.select(col("*"), // one projection level -> ONE fused WindowExec
+          count(lit(1)).over(w).as("_rn"),
+          sum(x).over(w).cast("double").as("_sx"),
+          sum((x * x).cast("decimal(38,4)")).over(w).cast("double").as("_sq"))
+        .withColumn(as,
+          when(col("_rn") === n,
+            P.r4(sqrt((col("_sq") - col("_sx") * col("_sx") / n) / (n - 1)))))
+        .drop("_rn", "_sx", "_sq")
+    }
+
+    /** `rolling(n).min()/.max()` — exact frame extrema with the
+      * min_periods guard (value comparisons only, no arithmetic). */
+    def rollingMinMax(n: Int, valueCol: String, orderCol: String,
+                      by: Seq[String], minAs: String = "roll_min",
+                      maxAs: String = "roll_max"): DataFrame = {
+      val w = ordered(by, Seq(col(orderCol))).rowsBetween(-(n - 1), 0)
+      df.withColumn("_rn", count(lit(1)).over(w))
+        .withColumn(minAs, when(col("_rn") === n, min(valueCol).over(w)))
+        .withColumn(maxAs, when(col("_rn") === n, max(valueCol).over(w)))
+        .drop("_rn")
+    }
+
     /** Time-based `rolling('1h')` window spec over `[t − duration, t]`
       * at µs precision — pass to your own agg columns. */
     def rollingTimeWindow(durationMicros: Long, tsCol: String,

@@ -337,17 +337,11 @@ object Windows {
     // 5-row frame, NULL until the frame fills (pandas min_periods).
     OpSpec(
       "win_rolling_std",
+      // thin call into graft.api (rollingStd)
       (s, d) =>
         ev(s, d)
-          .select(col("*"), // one projection level -> ONE fused WindowExec
-            count(lit(1)).over(roll5).as("rn5"),
-            sum(P.dec2(col("value"))).over(roll5).cast("double").as("sx"),
-            sum((P.dec2(col("value")) * P.dec2(col("value"))).cast("decimal(38,4)"))
-              .over(roll5).cast("double").as("sq"))
-          .select(col("event_id"), col("user_id"),
-            when(col("rn5") === 5,
-              P.r4(sqrt((col("sq") - col("sx") * col("sx") / 5) / 4)))
-              .as("roll_std5"))
+          .rollingStd(5, "value", "event_id", Seq("user_id"), as = "roll_std5")
+          .select("event_id", "user_id", "roll_std5")
           .orderBy("event_id"),
       Some(s"""SELECT event_id, user_id,
               |  CASE WHEN rn5 = 5 THEN round(sqrt((sq - sx * sx / 5) / 4), 4) END AS roll_std5
@@ -402,12 +396,12 @@ object Windows {
     // arithmetic, so no rounding device needed.
     OpSpec(
       "win_rolling_minmax",
+      // thin call into graft.api (rollingMinMax)
       (s, d) =>
         ev(s, d)
-          .withColumn("rn5", count(lit(1)).over(roll5))
-          .select(col("event_id"), col("user_id"),
-            when(col("rn5") === 5, min("value").over(roll5)).as("roll_min5"),
-            when(col("rn5") === 5, max("value").over(roll5)).as("roll_max5"))
+          .rollingMinMax(5, "value", "event_id", Seq("user_id"),
+            minAs = "roll_min5", maxAs = "roll_max5")
+          .select("event_id", "user_id", "roll_min5", "roll_max5")
           .orderBy("event_id"),
       Some(s"""SELECT event_id, user_id,
               |  CASE WHEN count(*) OVER w = 5 THEN min(value) OVER w END AS roll_min5,

@@ -143,6 +143,22 @@ class ApiSpec extends AnyFunSuite {
     assert(pc(("a", 2L)) === Some(2.0) && pc(("b", 1L)) === None)
   }
 
+  test("rollingStd/rollingMinMax honor the min_periods guard per series") {
+    val df = Seq(("a", 1L, 1.0), ("a", 2L, 3.0), ("a", 3L, 5.0),
+      ("b", 1L, 9.0)).toDF("k", "i", "v")
+    val std = df.rollingStd(2, "v", "i", Seq("k"), as = "s")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> Option(r.get(3))).toMap
+    // frame of 2: null at first row of each series; std of {1,3} = sqrt(2)
+    assert(std(("a", 1L)) === None && std(("b", 1L)) === None)
+    assert(std(("a", 2L)) === Some(1.4142) && std(("a", 3L)) === Some(1.4142))
+    val mm = df.rollingMinMax(2, "v", "i", Seq("k"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (Option(r.get(3)), Option(r.get(4)))).toMap
+    assert(mm(("a", 2L)) === ((Some(1.0), Some(3.0))) &&
+      mm(("a", 3L)) === ((Some(3.0), Some(5.0))) &&
+      mm(("b", 1L)) === ((None, None)))
+  }
+
   test("topkPerGroup keeps k rows per group with rank") {
     val df = Seq(("a", 1L, 5.0), ("a", 2L, 9.0), ("a", 3L, 7.0),
       ("b", 1L, 2.0)).toDF("k", "id", "v")
