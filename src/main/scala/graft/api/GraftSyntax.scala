@@ -531,6 +531,15 @@ object syntax {
         df, idCol, minhashPairs(idCol, textCol, tau).select("a", "b"),
         iters = 20, minRounds = 1)
 
+    /** FUZZY train/test decontamination: drop every row of THIS
+      * (training) frame whose 3-gram-shingle Jaccard with ANY
+      * `benchmark` row reaches `tau` — benchmark signatures broadcast,
+      * the training side is never all-pairs-joined. Returns the
+      * surviving training rows. */
+    def decontaminate(benchmark: DataFrame, idCol: String, textCol: String,
+                      tau: Double): DataFrame =
+      graft.text.NearDup.decontaminateFuzzy(df, benchmark, idCol, textCol, tau)
+
     /** `bits`-wide SimHash sketch per row: (doc_id, simhash). `bits` is
       * the scale knob — grow it ~log₂(corpus) to keep the Hamming graph
       * sparse (measured saturation numbers in NearDup.simhashOf). */

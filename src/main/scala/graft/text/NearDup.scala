@@ -709,6 +709,46 @@ object NearDup {
     sizes.scanLeft(0)(_ + _).sliding(2).map { case Seq(lo, hi) => (lo, hi) }.toSeq
   }
 
+  /** FUZZY train/test decontamination over ARBITRARY (id, text) frames
+    * — the two-frame form of the gated `text_decontaminate_fuzzy`
+    * query: drop every `train` row whose 3-gram-shingle Jaccard with
+    * ANY `bench` row reaches `tau`; candidates via the same MinHash
+    * 4×2 banding as [[minhashPairs]], verified exactly. The benchmark
+    * side is small by assumption: its banded signatures BROADCAST, the
+    * training side streams through one signature pass, and only
+    * band-colliding (train, bench) pairs pay the exact verify — the
+    * training corpus is never all-pairs-joined. Returns the surviving
+    * training rows (all columns). Ids need not be unique ACROSS the
+    * two frames — the sides stay separate throughout. (The declared
+    * query keeps its single-scan corpus-resident spelling so the
+    * shingle cache stays shared with the minhash family; ApiSpec
+    * asserts this form computes the identical survivor set.) */
+  def decontaminateFuzzy(train: DataFrame, bench: DataFrame,
+                         idCol: String, textCol: String,
+                         tau: Double): DataFrame = {
+    val trainSh = shingleNumsOf(train, idCol, textCol).distinct().cache()
+    val benchSh = shingleNumsOf(bench, idCol, textCol).distinct().cache()
+    val trainB = bandedSignatures(trainSh)
+      .select(col("doc_id").as("t"), col("band"), col("bucket"))
+    val benchB = bandedSignatures(benchSh)
+      .select(col("doc_id").as("b"), col("band"), col("bucket"))
+    val cands = trainB.join(broadcast(benchB), Seq("band", "bucket"))
+      .select("t", "b").distinct()
+    val inter = cands
+      .join(trainSh.select(col("doc_id").as("t"), col("x")), "t")
+      .join(benchSh.select(col("doc_id").as("b"), col("x")), Seq("b", "x"))
+      .groupBy("t", "b").agg(count(lit(1)).as("inter"))
+    val contaminated = inter
+      .join(trainSh.groupBy("doc_id").agg(count(lit(1)).as("szt"))
+        .withColumnRenamed("doc_id", "t"), "t")
+      .join(benchSh.groupBy("doc_id").agg(count(lit(1)).as("szb"))
+        .withColumnRenamed("doc_id", "b"), "b")
+      .filter(col("inter").cast("double") /
+        (col("szt") + col("szb") - col("inter")) >= tau)
+      .select(col("t").as(idCol)).distinct()
+    train.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** SimHash near-duplicate PAIRS at Hamming ≤ `maxDist` over arbitrary
     * (id, text) input — the parameterized form of the gated
     * `dedup_simhash_pairs`/`pairs2` queries (thin calls into this).

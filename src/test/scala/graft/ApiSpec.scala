@@ -189,6 +189,29 @@ class ApiSpec extends AnyFunSuite {
 
   private def corpus = graft.core.Tables.documents(spark, TestSpark.sfSmoke)
 
+  test("decontaminate equals the declared fuzzy query's survivor set on the corpus split") {
+    val train = corpus.filter(col("source") =!= "src0")
+    val bench = corpus.filter(col("source") === "src0")
+    val apiCounts = train.decontaminate(bench, "doc_id", "text", tau = 0.5)
+      .groupBy("source").agg(count(lit(1)).as("n_clean"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val declared = ops.Registry.queries("text_decontaminate_fuzzy")(
+        spark, TestSpark.sfSmoke)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(apiCounts === declared && declared.nonEmpty)
+  }
+
+  test("decontaminate keeps sides separate when ids collide across frames") {
+    val train = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "totally unrelated words nothing shared here")).toDF("id", "txt")
+    // bench reuses id 2 but with TRAIN ROW 1's text — only train id 1
+    // must drop; a side-mixing bug would drop id 2 (self-match) instead
+    val bench = Seq((2L, "alpha beta gamma delta epsilon zeta")).toDF("id", "txt")
+    val kept = train.decontaminate(bench, "id", "txt", tau = 0.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L))
+  }
+
   test("simhash pigeonhole(d=1) retrieves exactly the bitflip(d=1) pair set") {
     // two independent lossless blockings must agree pair-for-pair
     def pairs(blocking: String) =
