@@ -815,8 +815,12 @@ object NearDup {
     * `dedup_survivors_quality`); the underlying sketch is plan-cached
     * so both join sides and all three queries share one computation. */
   private def hamming1Pairs(s: SparkSession, d: String): DataFrame =
+    // pigeonhole, not bitflip: 2 rows/doc instead of 61 probes — the
+    // plan you'd run at 100× (the two devices retrieve the identical
+    // pair set; proven cross-device in ApiSpec and by the gated
+    // all-pairs oracles)
     simhashPairs(T.documents(s, d), "doc_id", "text",
-      bits = 60, maxDist = 1, blocking = "bitflip")
+      bits = 60, maxDist = 1, blocking = "pigeonhole")
       .select("a", "b")
 
   /** Connected-component labels over [[hamming1Pairs]], MEMOIZED per
