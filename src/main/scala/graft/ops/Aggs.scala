@@ -1542,9 +1542,12 @@ object Aggs {
     // association nondeterminism), then r4 absorbs the engines'
     // ln() last-ulp skew. Round-11 note: emitting the fold UNROUNDED
     // was tried per the r10 advice and is measurably wrong — the
-    // doubles are NOT bit-identical (libm ln differs in the last ulp;
-    // sf0.01 diff at row 32 even under a strict list_reduce left fold
-    // on the DuckDB side), so per §2.0 the r4 stays: internals differ;
+    // doubles are NOT bit-identical. Mechanism isolated: Spark's Log
+    // expression calls java.lang.StrictMath.log (fdlibm) while DuckDB
+    // calls libm log, and the two differ in the last ulp on real
+    // corpus ratios (measured: r = 14/69 → ...cd22 vs ...cd21; 728
+    // event-mix ratios probed, Math.log == libm everywhere but
+    // StrictMath diverges), so per §2.0 the r4 stays: internals differ;
     // `+ 0D` turns a single-type user's −0.0 into 0.0 (negative zero
     // hashes differently cross-engine). Shape: one (user, type) count
     // agg (≤5 types/user) + one fold per user — two key-partitioned
