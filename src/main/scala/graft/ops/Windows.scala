@@ -391,6 +391,54 @@ object Windows {
                 |ORDER BY event_id""".stripMargin),
       )
     },
+    // rolling(5).kurt() analogue: population EXCESS kurtosis over the
+    // 5-row frame from exact decimal moment sums (the win_rolling_skew
+    // device widened to the 4th moment). Width audit: value ≤ 10⁶ at
+    // 2 dp ⇒ x: decimal(8,2); x²: (17,4) exact; x⁴ = (17,4)² = (35,8)
+    // — the widest static type any engine sees is ≤ 38, so both sum
+    // EXACTLY (an (18,2) base would put x⁴ at precision 73 and
+    // silently truncate). Post-sum formula text shared verbatim; r4 on
+    // the final quotient (agg_skew_kurt precedent — the m2² denominator
+    // makes exact 4-dp half-ties measure-zero but internals can skew).
+    {
+      val mean = "(s1 / 5.0)"
+      val m2 = s"(s2 / 5.0 - $mean * $mean)"
+      val m4 = s"(s4 / 5.0 - 4 * $mean * s3 / 5.0 + 6 * $mean * $mean * s2 / 5.0 - 3 * $mean * $mean * $mean * $mean)"
+      val kurt = s"CASE WHEN n = 5 AND $m2 > 0 THEN round($m4 / ($m2 * $m2) - 3, 4) END"
+      OpSpec(
+        "win_rolling_kurt",
+        (s, d) => {
+          val x = col("value").cast("decimal(8,2)")
+          val x2 = (x * x).cast("decimal(17,4)")
+          ev(s, d)
+            .select(col("*"), // one projection level -> ONE fused WindowExec
+              count(lit(1)).over(roll5).as("n"),
+              sum(x).over(roll5).cast("double").as("s1"),
+              sum(x2).over(roll5).cast("double").as("s2"),
+              sum((x2 * x).cast("decimal(26,6)")).over(roll5).cast("double").as("s3"),
+              sum((x2 * x2).cast("decimal(35,8)")).over(roll5).cast("double").as("s4"))
+            .selectExpr("event_id", "user_id", s"$kurt AS roll_kurt5")
+            .orderBy("event_id")
+        },
+        Some(s"""SELECT event_id, user_id, $kurt AS roll_kurt5
+                |FROM (
+                |  SELECT event_id, user_id,
+                |    count(*) OVER w AS n,
+                |    cast(sum(x) OVER w as double) AS s1,
+                |    cast(sum(x2) OVER w as double) AS s2,
+                |    cast(sum(cast(x2 * x as decimal(26,6))) OVER w as double) AS s3,
+                |    cast(sum(cast(x2 * x2 as decimal(35,8))) OVER w as double) AS s4
+                |  FROM (
+                |    -- (19,4) not (17,4): DuckDB multiplies width-<=18
+                |    -- operands in physical int64 (measured overflow at
+                |    -- 137425.9041²); width 19 forces the int128 path.
+                |    -- Same exact values as Spark's (17,4) static type.
+                |    SELECT event_id, user_id, x, cast(x * x as decimal(19,4)) AS x2
+                |    FROM (SELECT event_id, user_id, cast(value as decimal(8,2)) AS x FROM $EV))
+                |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+                |ORDER BY event_id""".stripMargin),
+      )
+    },
     // rolling(5).min()/.max() [P rolling.py:2000]: exact frame extrema
     // with the min_periods guard — value comparisons only, no
     // arithmetic, so no rounding device needed.

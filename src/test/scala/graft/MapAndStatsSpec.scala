@@ -45,6 +45,44 @@ class MapAndStatsSpec extends AnyFunSuite {
     assert(math.abs(ku - (m4 / (m2 * m2) - 3.0)) < 1e-9) // excess kurtosis
   }
 
+  test("win_rolling_kurt matches hand-computed excess kurtosis; min_periods guard") {
+    val out = graft.ops.Registry.queries("win_rolling_kurt")(spark, TestSpark.sfSmoke)
+      .collect()
+    // source frame in the same (user, event_id) order the window sees
+    val src = graft.core.Tables.events(spark, TestSpark.sfSmoke)
+      .filter(col("user_id") < 10)
+      .select("event_id", "user_id", "value")
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(0), r.getDouble(2)))
+      .groupBy(_._1)
+      .map { case (u, rows) => u -> rows.sortBy(_._2).map(_._3) }
+    val byKey = out.map(r => (r.getLong(1), r.getLong(0)) ->
+      (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    val ids = graft.core.Tables.events(spark, TestSpark.sfSmoke)
+      .filter(col("user_id") < 10).select("user_id", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (u, rs) => u -> rs.map(_._2).sorted }
+    var checked = 0
+    ids.foreach { case (u, eids) =>
+      val vals = src(u)
+      eids.zipWithIndex.foreach { case (eid, i) =>
+        val got = byKey((u, eid))
+        if (i < 4) assert(got.isEmpty, s"user $u row $i should be null (min_periods)")
+        else {
+          val w = vals.slice(i - 4, i + 1)
+          val mean = w.sum / 5
+          val m2 = w.map(v => math.pow(v - mean, 2)).sum / 5
+          val m4 = w.map(v => math.pow(v - mean, 4)).sum / 5
+          val want = m4 / (m2 * m2) - 3.0
+          assert(math.abs(got.get - want) < 1e-3,
+            s"user $u eid $eid: got ${got.get}, want $want")
+          checked += 1
+        }
+      }
+    }
+    assert(checked > 50)
+  }
+
   test("describe() composes from declared aggregates") {
     val d = graft.core.Tables.lineitem(spark, TestSpark.sfSmoke)
       .select("l_quantity").describe()
