@@ -412,5 +412,121 @@ object TextOps {
              |    GROUP BY 1, 2))
              |WHERE rn = 1 ORDER BY doc_id""".stripMargin),
     ),
+    // Zipf law fit per source: OLS slope of ln(freq) on ln(rank) over
+    // the source's word-frequency table — the classic natural-text
+    // diagnostic (synthetic/templated corpora flatten the slope;
+    // natural text sits near −1). Shape at 100 TB: the freq table is
+    // VOCAB-sized, so ranking is a per-source sort of vocab rows (not
+    // corpus rows) and the fold runs over ≤|vocab| terms per source —
+    // two hash aggs on the token stream is the only corpus-sized work.
+    // Determinism: rank ties broken by word; the four transcendental
+    // sums each fold a rank-SORTED term list left-to-right in both
+    // engines (the text_lang_entropy device), r4 on the final slope
+    // (ln last-ulp skew — see agg_entropy's StrictMath note).
+    OpSpec(
+      "text_zipf_slope",
+      (s, d) => {
+        val freq = T.documents(s, d)
+          .select(col("source"), explode(split(col("text"), " ")).as("w"))
+          .groupBy("source", "w").agg(count(lit(1)).as("n"))
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("source").orderBy(desc("n"), col("w"))).cast("bigint"))
+          .select(col("source"), col("rank"),
+            expr("ln(cast(rank as double))").as("x"),
+            expr("ln(cast(n as double))").as("y"))
+        def fold(v: String) = expr(
+          s"""aggregate(
+             |  transform(array_sort(collect_list(struct(rank, $v AS v))), s -> s.v),
+             |  0D, (acc, t) -> acc + t)""".stripMargin)
+        freq.groupBy("source")
+          .agg(count(lit(1)).cast("double").as("k"),
+            fold("x").as("sx"), fold("y").as("sy"),
+            fold("x * y").as("sxy"), fold("x * x").as("sxx"))
+          .select(col("source"), col("k").cast("bigint").as("n_vocab"),
+            round((col("k") * col("sxy") - col("sx") * col("sy")) /
+              (col("k") * col("sxx") - col("sx") * col("sx")), 4).as("zipf_slope"))
+          .orderBy("source")
+      },
+      Some("""WITH f AS (
+             |  SELECT source, w, count(*) AS n
+             |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+             |  GROUP BY 1, 2),
+             |r AS (
+             |  SELECT source,
+             |    cast(row_number() OVER (PARTITION BY source ORDER BY n DESC, w) as bigint) AS rank,
+             |    n FROM f),
+             |t AS (SELECT source, rank, ln(cast(rank as double)) AS x, ln(cast(n as double)) AS y FROM r),
+             |s AS (
+             |  SELECT source, cast(count(*) as double) AS k,
+             |    list_reduce(list_prepend(0.0, list(x ORDER BY rank)), (a, b) -> a + b) AS sx,
+             |    list_reduce(list_prepend(0.0, list(y ORDER BY rank)), (a, b) -> a + b) AS sy,
+             |    list_reduce(list_prepend(0.0, list(x * y ORDER BY rank)), (a, b) -> a + b) AS sxy,
+             |    list_reduce(list_prepend(0.0, list(x * x ORDER BY rank)), (a, b) -> a + b) AS sxx
+             |  FROM t GROUP BY source)
+             |SELECT source, cast(k as bigint) AS n_vocab,
+             |  round((k * sxy - sx * sy) / (k * sxx - sx * sx), 4) AS zipf_slope
+             |FROM s ORDER BY source""".stripMargin),
+    ),
+    // Jensen-Shannon divergence of each source's word distribution
+    // from the global corpus distribution — the corpus-drift /
+    // source-mix diagnostic next to text_lang_entropy (0 = identical
+    // mix, ln 2 = disjoint). Per-source support is completed to the
+    // FULL vocabulary (absent words contribute the q-side term only),
+    // so the grid is sources × vocab — vocab-sized, broadcast-built,
+    // never corpus-sized; the token stream pays two hash aggs total.
+    // Determinism: p, q, m are double divisions of exact counts
+    // (identical IEEE); the transcendental term list folds word-sorted
+    // in both engines; r4 out.
+    OpSpec(
+      "text_js_divergence",
+      (s, d) => {
+        val tokens = T.documents(s, d)
+          .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        val global = tokens.groupBy("w").agg(count(lit(1)).as("nw"))
+          .crossJoin(broadcast(tokens.agg(count(lit(1)).as("ntot"))))
+        val bySrc = tokens.groupBy("source", "w").agg(count(lit(1)).as("ns"))
+          .withColumn("stot", sum(col("ns")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("source")))
+        val srcTot = bySrc.select("source", "stot").distinct()
+        val grid = srcTot.crossJoin(broadcast(global))
+          .join(bySrc.select("source", "w", "ns"), Seq("source", "w"), "left")
+          .na.fill(0L, Seq("ns"))
+          .select(col("source"), col("w"),
+            (col("ns").cast("double") / col("stot").cast("double")).as("p"),
+            (col("nw").cast("double") / col("ntot").cast("double")).as("q"))
+          .withColumn("m", (col("p") + col("q")) / 2)
+          .withColumn("t", expr(
+            "CASE WHEN p > 0 THEN 0.5 * p * ln(p / m) ELSE 0D END + 0.5 * q * ln(q / m)"))
+        grid.groupBy("source")
+          .agg(expr(
+            """round(aggregate(
+              |  transform(array_sort(collect_list(struct(w, t))), s -> s.t),
+              |  0D, (acc, x) -> acc + x) + 0D, 4)""".stripMargin).as("js_div"),
+            sum(when(col("p") > 0, 1L).otherwise(0L)).as("n_words"))
+          .orderBy("source")
+      },
+      Some("""WITH tok AS (
+             |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+             |g AS (SELECT w, count(*) AS nw FROM tok GROUP BY w),
+             |gt AS (SELECT count(*) AS ntot FROM tok),
+             |bs AS (SELECT source, w, count(*) AS ns FROM tok GROUP BY 1, 2),
+             |st AS (SELECT source, sum(ns) AS stot FROM bs GROUP BY source),
+             |grid AS (
+             |  SELECT st.source, g.w,
+             |    cast(coalesce(bs.ns, 0) as double) / cast(st.stot as double) AS p,
+             |    cast(g.nw as double) / cast(gt.ntot as double) AS q
+             |  FROM st CROSS JOIN g CROSS JOIN gt
+             |  LEFT JOIN bs ON bs.source = st.source AND bs.w = g.w),
+             |t AS (
+             |  SELECT source, w, p,
+             |    CASE WHEN p > 0 THEN 0.5 * p * ln(p / ((p + q) / 2)) ELSE 0.0 END
+             |      + 0.5 * q * ln(q / ((p + q) / 2)) AS t
+             |  FROM grid)
+             |SELECT source,
+             |  round(list_reduce(list_prepend(0.0, list(t ORDER BY w)), (a, b) -> a + b) + 0.0, 4) AS js_div,
+             |  cast(sum(CASE WHEN p > 0 THEN 1 ELSE 0 END) as bigint) AS n_words
+             |FROM t GROUP BY source ORDER BY source""".stripMargin),
+    ),
   )
 }

@@ -94,7 +94,10 @@ class DeterminismSpec extends AnyFunSuite {
     // partial-sum race), TVF-expanded window sessionization, scale-band
     // swap of the declared embed-LSH query
     "dedup_simhash", "ts_sessionize_tvf", "ts_resample_tvf",
-    "dedup_embed_lsh")
+    "dedup_embed_lsh",
+    // round 11 batch 2: rank-sorted OLS folds, vocab-grid divergence
+    // folds, 4th-moment window sums
+    "text_zipf_slope", "text_js_divergence", "win_rolling_kurt")
 
   test("order-sensitive queries return identical results across runs") {
     val failures = sensitive.flatMap { key =>
