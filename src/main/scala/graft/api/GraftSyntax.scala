@@ -638,5 +638,13 @@ object syntax {
     def redact(textCol: String, pattern: String = "[0-9]+",
                replacement: String = "<num>"): DataFrame =
       graft.text.TextOps.redactOf(df, textCol, pattern, replacement)
+
+    /** Per-group Zipf-law fit: OLS slope of ln(freq) on ln(rank). */
+    def zipfSlope(byCol: String, textCol: String): DataFrame =
+      graft.text.TextOps.zipfSlopeOf(df, byCol, textCol)
+
+    /** Per-group Jensen-Shannon divergence vs the whole frame's mix. */
+    def jsDivergence(byCol: String, textCol: String): DataFrame =
+      graft.text.TextOps.jsDivergenceOf(df, byCol, textCol)
   }
 }

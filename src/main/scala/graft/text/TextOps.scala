@@ -125,6 +125,66 @@ object TextOps {
       .withColumn(countAs, regexp_count(col(textCol), lit(pattern)).cast("bigint"))
       .withColumn(as, regexp_replace(col(textCol), pattern, replacement))
 
+  /** Per-group Zipf-law fit: OLS slope of ln(freq) on ln(rank) over
+    * each group's word-frequency table → (byCol, n_vocab, zipf_slope).
+    * The freq table is VOCAB-sized, so the per-group rank sort never
+    * touches corpus rows; rank ties break by word; the four
+    * transcendental sums fold rank-sorted (the ordered-fold device). */
+  def zipfSlopeOf(docs: DataFrame, byCol: String, textCol: String): DataFrame = {
+    val freq = docs
+      .select(col(byCol), explode(split(col(textCol), " ")).as("w"))
+      .groupBy(byCol, "w").agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(byCol).orderBy(desc("n"), col("w"))).cast("bigint"))
+      .select(col(byCol), col("rank"),
+        expr("ln(cast(rank as double))").as("x"),
+        expr("ln(cast(n as double))").as("y"))
+    def fold(v: String) = expr(
+      s"""aggregate(
+         |  transform(array_sort(collect_list(struct(rank, $v AS v))), s -> s.v),
+         |  0D, (acc, t) -> acc + t)""".stripMargin)
+    freq.groupBy(byCol)
+      .agg(count(lit(1)).cast("double").as("k"),
+        fold("x").as("sx"), fold("y").as("sy"),
+        fold("x * y").as("sxy"), fold("x * x").as("sxx"))
+      .select(col(byCol), col("k").cast("bigint").as("n_vocab"),
+        round((col("k") * col("sxy") - col("sx") * col("sy")) /
+          (col("k") * col("sxx") - col("sx") * col("sx")), 4).as("zipf_slope"))
+  }
+
+  /** Per-group Jensen-Shannon divergence of the group's word mix from
+    * the WHOLE frame's word mix → (byCol, js_div, n_words). Support is
+    * completed to the full vocabulary through a broadcast groups×vocab
+    * grid (absent words keep the q-side term only), so the grid is
+    * vocab-sized — never corpus-sized; p/q/m are exact-count
+    * divisions; the transcendental terms fold word-sorted. */
+  def jsDivergenceOf(docs: DataFrame, byCol: String, textCol: String): DataFrame = {
+    val tokens = docs
+      .select(col(byCol), explode(split(col(textCol), " ")).as("w"))
+    val global = tokens.groupBy("w").agg(count(lit(1)).as("nw"))
+      .crossJoin(broadcast(tokens.agg(count(lit(1)).as("ntot"))))
+    val byGrp = tokens.groupBy(byCol, "w").agg(count(lit(1)).as("ns"))
+      .withColumn("stot", sum(col("ns")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(byCol)))
+    val grpTot = byGrp.select(byCol, "stot").distinct()
+    grpTot.crossJoin(broadcast(global))
+      .join(byGrp.select(col(byCol), col("w"), col("ns")), Seq(byCol, "w"), "left")
+      .na.fill(0L, Seq("ns"))
+      .select(col(byCol), col("w"),
+        (col("ns").cast("double") / col("stot").cast("double")).as("p"),
+        (col("nw").cast("double") / col("ntot").cast("double")).as("q"))
+      .withColumn("m", (col("p") + col("q")) / 2)
+      .withColumn("t", expr(
+        "CASE WHEN p > 0 THEN 0.5 * p * ln(p / m) ELSE 0D END + 0.5 * q * ln(q / m)"))
+      .groupBy(byCol)
+      .agg(expr(
+        """round(aggregate(
+          |  transform(array_sort(collect_list(struct(w, t))), s -> s.t),
+          |  0D, (acc, x) -> acc + x) + 0D, 4)""".stripMargin).as("js_div"),
+        sum(when(col("p") > 0, 1L).otherwise(0L)).as("n_words"))
+  }
+
   val ops: Seq[OpSpec] = Seq(
     // Whitespace tokenizer vs a BPE-ish lowercase-run regex tokenizer.
     OpSpec(
@@ -425,29 +485,8 @@ object TextOps {
     // (ln last-ulp skew — see agg_entropy's StrictMath note).
     OpSpec(
       "text_zipf_slope",
-      (s, d) => {
-        val freq = T.documents(s, d)
-          .select(col("source"), explode(split(col("text"), " ")).as("w"))
-          .groupBy("source", "w").agg(count(lit(1)).as("n"))
-          .withColumn("rank", row_number().over(
-            org.apache.spark.sql.expressions.Window
-              .partitionBy("source").orderBy(desc("n"), col("w"))).cast("bigint"))
-          .select(col("source"), col("rank"),
-            expr("ln(cast(rank as double))").as("x"),
-            expr("ln(cast(n as double))").as("y"))
-        def fold(v: String) = expr(
-          s"""aggregate(
-             |  transform(array_sort(collect_list(struct(rank, $v AS v))), s -> s.v),
-             |  0D, (acc, t) -> acc + t)""".stripMargin)
-        freq.groupBy("source")
-          .agg(count(lit(1)).cast("double").as("k"),
-            fold("x").as("sx"), fold("y").as("sy"),
-            fold("x * y").as("sxy"), fold("x * x").as("sxx"))
-          .select(col("source"), col("k").cast("bigint").as("n_vocab"),
-            round((col("k") * col("sxy") - col("sx") * col("sy")) /
-              (col("k") * col("sxx") - col("sx") * col("sx")), 4).as("zipf_slope"))
-          .orderBy("source")
-      },
+      // thin call into the parameterized API (zipfSlopeOf)
+      (s, d) => zipfSlopeOf(T.documents(s, d), "source", "text").orderBy("source"),
       Some("""WITH f AS (
              |  SELECT source, w, count(*) AS n
              |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
@@ -480,32 +519,8 @@ object TextOps {
     // in both engines; r4 out.
     OpSpec(
       "text_js_divergence",
-      (s, d) => {
-        val tokens = T.documents(s, d)
-          .select(col("source"), explode(split(col("text"), " ")).as("w"))
-        val global = tokens.groupBy("w").agg(count(lit(1)).as("nw"))
-          .crossJoin(broadcast(tokens.agg(count(lit(1)).as("ntot"))))
-        val bySrc = tokens.groupBy("source", "w").agg(count(lit(1)).as("ns"))
-          .withColumn("stot", sum(col("ns")).over(
-            org.apache.spark.sql.expressions.Window.partitionBy("source")))
-        val srcTot = bySrc.select("source", "stot").distinct()
-        val grid = srcTot.crossJoin(broadcast(global))
-          .join(bySrc.select("source", "w", "ns"), Seq("source", "w"), "left")
-          .na.fill(0L, Seq("ns"))
-          .select(col("source"), col("w"),
-            (col("ns").cast("double") / col("stot").cast("double")).as("p"),
-            (col("nw").cast("double") / col("ntot").cast("double")).as("q"))
-          .withColumn("m", (col("p") + col("q")) / 2)
-          .withColumn("t", expr(
-            "CASE WHEN p > 0 THEN 0.5 * p * ln(p / m) ELSE 0D END + 0.5 * q * ln(q / m)"))
-        grid.groupBy("source")
-          .agg(expr(
-            """round(aggregate(
-              |  transform(array_sort(collect_list(struct(w, t))), s -> s.t),
-              |  0D, (acc, x) -> acc + x) + 0D, 4)""".stripMargin).as("js_div"),
-            sum(when(col("p") > 0, 1L).otherwise(0L)).as("n_words"))
-          .orderBy("source")
-      },
+      // thin call into the parameterized API (jsDivergenceOf)
+      (s, d) => jsDivergenceOf(T.documents(s, d), "source", "text").orderBy("source"),
       Some("""WITH tok AS (
              |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
              |g AS (SELECT w, count(*) AS nw FROM tok GROUP BY w),
