@@ -134,6 +134,69 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
              |FROM ${TvfSql.id(view)}
              |GROUP BY date_trunc('${TvfSql.unit(unit)}', ${TvfSql.id(ts)})""".stripMargin)
       }))
+    // SimHash near-dup retrieval from SQL text — the dedup family's SQL
+    // entry (the DataFrame path is graft.api df.simhashPairs):
+    //   SELECT * FROM simhash_pairs('view', 'id_col', 'text_col',
+    //                               bits, max_dist)
+    //     -> (a bigint, b bigint, hamming bigint), a < b, distinct
+    // Expands to the EXACT pigeonhole plan the DataFrame form builds —
+    // 60-bit sha-token sketch, (max_dist+1)-part split via
+    // NearDup.partBounds (shared code, so the two tiers can never block
+    // on different splits), (pid, pv) equi-join, bit_count verify —
+    // as parsed ordinary Catalyst SQL (hash aggs + lateral explode +
+    // self-join; no custom exec). The sketch CTE is referenced from
+    // both join sides; the DataFrame form additionally cache()s it,
+    // which SQL text cannot express — the TVF is the SQL entry, the
+    // API is the perf path.
+    ext.injectTableFunction((
+      new FunctionIdentifier("simhash_pairs"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "simhash_pairs"),
+      (args: Seq[Expression]) => {
+        require(args.length == 5,
+          "simhash_pairs(view, id_col, text_col, bits, max_dist)")
+        val Seq(view, id, text) = args.take(3).map(TvfSql.str)
+        val bits = args(3).eval().asInstanceOf[Number].intValue()
+        val maxDist = args(4).eval().asInstanceOf[Number].intValue()
+        require(bits >= 1 && bits <= 60, s"bits must be in [1, 60], got $bits")
+        require(maxDist >= 1 && maxDist < bits,
+          s"max_dist must be in [1, bits), got $maxDist")
+        val sums = (0 until bits).map { b =>
+          s"sum(((_x div ${1L << b}L) % 2L) * 2L - 1L) AS _s$b"
+        }.mkString(",\n      ")
+        val combined = (0 until bits).map { b =>
+          s"CASE WHEN _s$b > 0 THEN ${1L << b}L ELSE 0L END"
+        }.mkString(" + ")
+        val structs = graft.text.NearDup.partBounds(bits, maxDist + 1)
+          .zipWithIndex.map { case ((lo, hi), pid) =>
+            s"named_struct('pid', $pid, 'pv', (_h div ${1L << lo}L) % ${1L << (hi - lo)}L)"
+          }.mkString(",\n      ")
+        // NO CTEs: the TVF expands during function RESOLUTION, which
+        // runs after the analyzer's CTE-substitution batch — a WITH
+        // clause in here would be left as an UnresolvedRelation
+        // (measured). Nested subqueries only; the parts subtree is
+        // spliced twice and Spark's exchange reuse dedups at runtime.
+        val parts =
+          s"""(SELECT _id, _h, _p.pid AS _pid, _p.pv AS _pv
+             |   FROM (
+             |     SELECT _id, $combined AS _h
+             |     FROM (
+             |       SELECT _id,
+             |         $sums
+             |       FROM (
+             |         SELECT ${TvfSql.id(id)} AS _id,
+             |           cast(conv(substring(sha2(_w, 256), 1, 15), 16, 10) as bigint) AS _x
+             |         FROM (SELECT ${TvfSql.id(id)}, explode(split(${TvfSql.id(text)}, ' ')) AS _w
+             |               FROM ${TvfSql.id(view)}))
+             |       GROUP BY _id))
+             |   LATERAL VIEW explode(array(
+             |       $structs)) _t AS _p)""".stripMargin
+        TvfSql.parse(
+          s"""SELECT DISTINCT _pa._id AS a, _pb._id AS b,
+             |  cast(bit_count(_pa._h ^ _pb._h) as bigint) AS hamming
+             |FROM $parts _pa JOIN $parts _pb
+             |  ON _pa._pid = _pb._pid AND _pa._pv = _pb._pv AND _pa._id < _pb._id
+             |WHERE bit_count(_pa._h ^ _pb._h) <= $maxDist""".stripMargin)
+      }))
     ext.injectTableFunction((
       new FunctionIdentifier("sessionize"),
       new ExpressionInfo(classOf[GraftExtensions].getName, "sessionize"),

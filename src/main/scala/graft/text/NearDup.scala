@@ -504,6 +504,26 @@ object NearDup {
               |WHERE bit_count(xor(x.simhash, y.simhash)) <= 2
               |ORDER BY a, b""".stripMargin),
     ),
+    // The SAME Hamming≤2 retrieval STRAIGHT FROM SQL TEXT through the
+    // `simhash_pairs` table-valued function (GraftExtensions) — gates
+    // the dedup family's SQL tier the way join_asof_tvf gates the
+    // as-of operator's. The TVF expands to the pigeonhole plan via the
+    // shared partBounds split, so this green row + the all-pairs
+    // oracle prove SQL tier ≡ DataFrame tier ≡ truth.
+    OpSpec(
+      "dedup_simhash_pairs_tvf",
+      (s, d) => {
+        T.documents(s, d).createOrReplaceTempView("tvf_documents_sh")
+        s.sql("""SELECT * FROM simhash_pairs('tvf_documents_sh', 'doc_id', 'text', 60, 2)
+                |ORDER BY a, b""".stripMargin)
+      },
+      Some(s"""WITH $simhashSql
+              |SELECT x.doc_id AS a, y.doc_id AS b,
+              |  cast(bit_count(xor(x.simhash, y.simhash)) as bigint) AS hamming
+              |FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+              |WHERE bit_count(xor(x.simhash, y.simhash)) <= 2
+              |ORDER BY a, b""".stripMargin),
+    ),
     // Duplicate-CLUSTER resolution inside the hash gate: near-dup PAIRS
     // (here the Hamming≤1 SimHash edges) collapsed to connected
     // components, cluster = min member id — what a dedup pipeline needs
@@ -701,8 +721,10 @@ object NearDup {
     simhashOf(T.documents(s, d), "doc_id", "text", bits = 60).cache()
 
   /** Even `parts`-way split points of a `bits`-wide sketch (first
-    * `bits % parts` parts take the extra bit): (lo, hi) bit ranges. */
-  private def partBounds(bits: Int, parts: Int): Seq[(Int, Int)] = {
+    * `bits % parts` parts take the extra bit): (lo, hi) bit ranges.
+    * Shared with the `simhash_pairs` TVF so the SQL tier blocks on the
+    * exact same split as the DataFrame plan. */
+  private[graft] def partBounds(bits: Int, parts: Int): Seq[(Int, Int)] = {
     val base = bits / parts
     val rem = bits % parts
     val sizes = Seq.tabulate(parts)(i => base + (if (i < rem) 1 else 0))

@@ -75,4 +75,33 @@ class TvfSpec extends AnyFunSuite {
         "SELECT * FROM sessionize('tvf_spec_val', 'ts', 'event_id', 'user_id', -1)"))
       assertThrows[Exception](spark.sql(bad).collect())
   }
+
+  test("simhash_pairs TVF result equals the api.simhashPairs DataFrame form") {
+    val docs = graft.core.Tables.documents(spark, TestSpark.sfSmoke)
+    docs.createOrReplaceTempView("tvf_spec_docs")
+    // narrower-than-declared parameters on purpose: proves the TVF's
+    // generated split tracks (bits, max_dist), not just the 60/2 case
+    val viaSql = spark.sql(
+      "SELECT * FROM simhash_pairs('tvf_spec_docs', 'doc_id', 'text', 24, 3) ORDER BY a, b")
+      .collect()
+    val viaApi = docs
+      .simhashPairs("doc_id", "text", bits = 24, maxHamming = 3)
+      .orderBy("a", "b")
+      .collect()
+    assert(viaSql.length == viaApi.length && viaSql.length > 0,
+      s"sql=${viaSql.length} api=${viaApi.length}")
+    viaSql.zip(viaApi).foreach { case (a, b) => assert(a == b, s"$a vs $b") }
+  }
+
+  test("simhash_pairs TVF validates identifiers and parameter ranges") {
+    graft.core.Tables.documents(spark, TestSpark.sfSmoke)
+      .createOrReplaceTempView("tvf_spec_docs_val")
+    for (bad <- Seq(
+        "SELECT * FROM simhash_pairs('tvf_spec_docs_val; --', 'doc_id', 'text', 60, 2)",
+        "SELECT * FROM simhash_pairs('tvf_spec_docs_val', 'doc_id`', 'text', 60, 2)",
+        "SELECT * FROM simhash_pairs('tvf_spec_docs_val', 'doc_id', 'text', 61, 2)",
+        "SELECT * FROM simhash_pairs('tvf_spec_docs_val', 'doc_id', 'text', 60, 0)",
+        "SELECT * FROM simhash_pairs('tvf_spec_docs_val', 'doc_id', 'text', 8, 8)"))
+      assertThrows[Exception](spark.sql(bad).collect())
+  }
 }
