@@ -173,8 +173,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         // NO CTEs: the TVF expands during function RESOLUTION, which
         // runs after the analyzer's CTE-substitution batch — a WITH
         // clause in here would be left as an UnresolvedRelation
-        // (measured). Nested subqueries only; the parts subtree is
-        // spliced twice and Spark's exchange reuse dedups at runtime.
+        // (measured). Nested subqueries only, so the parts subtree is
+        // spliced twice and the sketch agg COMPUTES twice (measured:
+        // no ReusedExchange under either BHJ or SMJ — the two
+        // canonical subtrees sit under differently-shaped parents).
+        // That is the cost of the SQL entry; the DataFrame path
+        // (api.simhashPairs) cache()s the sketch and is the perf tier.
         val parts =
           s"""(SELECT _id, _h, _p.pid AS _pid, _p.pv AS _pv
              |   FROM (

@@ -54,6 +54,29 @@ object TimeSeries {
              |  min(value) AS low, arg_max(value, event_id) AS close
              |FROM events GROUP BY 1 ORDER BY day""".stripMargin),
     ),
+    // resample('1h').quantile([.5, .95]) — the hourly latency-profile
+    // staple. EXACT per-bucket percentiles (Spark `percentile` ≡
+    // DuckDB `quantile_cont`, identical (1−f)·a + f·b interpolation on
+    // identical 2-dp doubles, r4 per agg_quantile's precedent). Shape:
+    // one shuffle on the bucket key + a per-bucket sort of BUCKET rows
+    // (hours hold ~100s-1000s of rows at any SF — never a whole-series
+    // sort); at 100 TB swap `percentile` for `approx_percentile` per
+    // the agg_quantile scale note if buckets stop fitting.
+    OpSpec(
+      "ts_resample_quantile",
+      // thin call into graft.api — resample with arbitrary agg exprs
+      (s, d) =>
+        ev(s, d)
+          .resample("hour", "ts", "h")(
+            count(lit(1)).as("n"),
+            P.r4(expr("percentile(value, 0.5)")).as("p50"),
+            P.r4(expr("percentile(value, 0.95)")).as("p95"))
+          .orderBy("h"),
+      Some("""SELECT date_trunc('hour', cast(ts as timestamp)) AS h, count(*) AS n,
+             |  round(quantile_cont(value, 0.5), 4) AS p50,
+             |  round(quantile_cont(value, 0.95), 4) AS p95
+             |FROM events GROUP BY 1 ORDER BY h""".stripMargin),
+    ),
     // between_time('09:00','17:00') — inclusive start, exclusive end.
     OpSpec(
       "ts_between_time",

@@ -203,6 +203,28 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("round-11 batch-2 queries keep their designed shapes") {
+    // ts_resample_quantile: one shuffle on the bucket key (+ the
+    // presentation sort) — percentile aggregates two-phase
+    val rq = plan("ts_resample_quantile")
+    assert(rq.contains("partial"), rq)
+    assert("Exchange ".r.findAllIn(rq).size <= 2, rq)
+    // zipf: the rank window partitions by source (vocab-sized groups) —
+    // never an unpartitioned whole-corpus window
+    val zs = plan("text_zipf_slope")
+    assert(zs.contains("Window") && !zs.contains("Window [row_number() windowspecdefinition(sort"), zs)
+    assert(!zs.contains("CartesianProduct"), zs)
+    // js divergence: the grid build broadcasts (vocab + totals) — the
+    // corpus-sized token stream is never on both sides of a join
+    val js = plan("text_js_divergence")
+    assert(js.contains("Broadcast"), js)
+    assert(!js.contains("CartesianProduct") && !js.contains("SortMergeJoin"), js)
+    // the simhash TVF joins on the (pid, pv) block keys — an equi-join,
+    // not the all-pairs product its oracle runs
+    val tv = plan("dedup_simhash_pairs_tvf")
+    assert(!tv.contains("BroadcastNestedLoopJoin") && !tv.contains("CartesianProduct"), tv)
+  }
+
   test("no CartesianProduct outside the deliberate cross/pairs queries") {
     val allowed = Set("join_cross", "sim_cosine_topk", "text_tfidf")
     val offenders = Registry.all
