@@ -32,7 +32,10 @@ object PlanAudit {
         // round-11 additions: TVF-expanded plans, scale-band embed LSH,
         // full-corpus simhash sketch
         "ts_resample_tvf", "ts_sessionize_tvf", "dedup_embed_lsh",
-        "dedup_simhash", "sim_knn_lsh")) {
+        "dedup_simhash", "sim_knn_lsh",
+        // round-11 batch 2
+        "win_rolling_kurt", "text_zipf_slope", "text_js_divergence",
+        "dedup_simhash_pairs_tvf", "ts_resample_quantile")) {
       println(s"===== $k =====")
       val df = graft.ops.Registry.queries(k)(spark, d)
       println(df.queryExecution.executedPlan.toString.linesIterator
