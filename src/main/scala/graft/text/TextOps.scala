@@ -131,26 +131,29 @@ object TextOps {
     * touches corpus rows; rank ties break by word; the four
     * transcendental sums fold rank-sorted (the ordered-fold device). */
   def zipfSlopeOf(docs: DataFrame, byCol: String, textCol: String): DataFrame = {
+    // every intermediate is _zipf-prefixed so NO user byCol/textCol
+    // name can collide (an internal alias `k` once shadowed a group
+    // column named k — caught by ApiSpec)
     val freq = docs
-      .select(col(byCol), explode(split(col(textCol), " ")).as("w"))
-      .groupBy(byCol, "w").agg(count(lit(1)).as("n"))
-      .withColumn("rank", row_number().over(
+      .select(col(byCol), explode(split(col(textCol), " ")).as("_zw"))
+      .groupBy(byCol, "_zw").agg(count(lit(1)).as("_zn"))
+      .withColumn("_zrank", row_number().over(
         org.apache.spark.sql.expressions.Window
-          .partitionBy(byCol).orderBy(desc("n"), col("w"))).cast("bigint"))
-      .select(col(byCol), col("rank"),
-        expr("ln(cast(rank as double))").as("x"),
-        expr("ln(cast(n as double))").as("y"))
+          .partitionBy(byCol).orderBy(desc("_zn"), col("_zw"))).cast("bigint"))
+      .select(col(byCol), col("_zrank"),
+        expr("ln(cast(_zrank as double))").as("_zx"),
+        expr("ln(cast(_zn as double))").as("_zy"))
     def fold(v: String) = expr(
       s"""aggregate(
-         |  transform(array_sort(collect_list(struct(rank, $v AS v))), s -> s.v),
+         |  transform(array_sort(collect_list(struct(_zrank, $v AS v))), s -> s.v),
          |  0D, (acc, t) -> acc + t)""".stripMargin)
     freq.groupBy(byCol)
-      .agg(count(lit(1)).cast("double").as("k"),
-        fold("x").as("sx"), fold("y").as("sy"),
-        fold("x * y").as("sxy"), fold("x * x").as("sxx"))
-      .select(col(byCol), col("k").cast("bigint").as("n_vocab"),
-        round((col("k") * col("sxy") - col("sx") * col("sy")) /
-          (col("k") * col("sxx") - col("sx") * col("sx")), 4).as("zipf_slope"))
+      .agg(count(lit(1)).cast("double").as("_zk"),
+        fold("_zx").as("_zsx"), fold("_zy").as("_zsy"),
+        fold("_zx * _zy").as("_zsxy"), fold("_zx * _zx").as("_zsxx"))
+      .select(col(byCol), col("_zk").cast("bigint").as("n_vocab"),
+        round((col("_zk") * col("_zsxy") - col("_zsx") * col("_zsy")) /
+          (col("_zk") * col("_zsxx") - col("_zsx") * col("_zsx")), 4).as("zipf_slope"))
   }
 
   /** Per-group Jensen-Shannon divergence of the group's word mix from
@@ -160,29 +163,31 @@ object TextOps {
     * vocab-sized — never corpus-sized; p/q/m are exact-count
     * divisions; the transcendental terms fold word-sorted. */
   def jsDivergenceOf(docs: DataFrame, byCol: String, textCol: String): DataFrame = {
+    // _js-prefixed intermediates: collision-proof against user columns
+    // (the zipfSlopeOf lesson)
     val tokens = docs
-      .select(col(byCol), explode(split(col(textCol), " ")).as("w"))
-    val global = tokens.groupBy("w").agg(count(lit(1)).as("nw"))
-      .crossJoin(broadcast(tokens.agg(count(lit(1)).as("ntot"))))
-    val byGrp = tokens.groupBy(byCol, "w").agg(count(lit(1)).as("ns"))
-      .withColumn("stot", sum(col("ns")).over(
+      .select(col(byCol), explode(split(col(textCol), " ")).as("_jw"))
+    val global = tokens.groupBy("_jw").agg(count(lit(1)).as("_jnw"))
+      .crossJoin(broadcast(tokens.agg(count(lit(1)).as("_jntot"))))
+    val byGrp = tokens.groupBy(byCol, "_jw").agg(count(lit(1)).as("_jns"))
+      .withColumn("_jstot", sum(col("_jns")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(byCol)))
-    val grpTot = byGrp.select(byCol, "stot").distinct()
+    val grpTot = byGrp.select(byCol, "_jstot").distinct()
     grpTot.crossJoin(broadcast(global))
-      .join(byGrp.select(col(byCol), col("w"), col("ns")), Seq(byCol, "w"), "left")
-      .na.fill(0L, Seq("ns"))
-      .select(col(byCol), col("w"),
-        (col("ns").cast("double") / col("stot").cast("double")).as("p"),
-        (col("nw").cast("double") / col("ntot").cast("double")).as("q"))
-      .withColumn("m", (col("p") + col("q")) / 2)
-      .withColumn("t", expr(
-        "CASE WHEN p > 0 THEN 0.5 * p * ln(p / m) ELSE 0D END + 0.5 * q * ln(q / m)"))
+      .join(byGrp.select(col(byCol), col("_jw"), col("_jns")), Seq(byCol, "_jw"), "left")
+      .na.fill(0L, Seq("_jns"))
+      .select(col(byCol), col("_jw"),
+        (col("_jns").cast("double") / col("_jstot").cast("double")).as("_jp"),
+        (col("_jnw").cast("double") / col("_jntot").cast("double")).as("_jq"))
+      .withColumn("_jm", (col("_jp") + col("_jq")) / 2)
+      .withColumn("_jt", expr(
+        "CASE WHEN _jp > 0 THEN 0.5 * _jp * ln(_jp / _jm) ELSE 0D END + 0.5 * _jq * ln(_jq / _jm)"))
       .groupBy(byCol)
       .agg(expr(
         """round(aggregate(
-          |  transform(array_sort(collect_list(struct(w, t))), s -> s.t),
+          |  transform(array_sort(collect_list(struct(_jw, _jt))), s -> s._jt),
           |  0D, (acc, x) -> acc + x) + 0D, 4)""".stripMargin).as("js_div"),
-        sum(when(col("p") > 0, 1L).otherwise(0L)).as("n_words"))
+        sum(when(col("_jp") > 0, 1L).otherwise(0L)).as("n_words"))
   }
 
   val ops: Seq[OpSpec] = Seq(

@@ -495,4 +495,42 @@ class ApiSpec extends AnyFunSuite {
       r.getAs[Double]("p50") === 2.5 &&
       math.abs(r.getAs[Double]("std_v") - 1.291) < 0.001)
   }
+
+  test("zipfSlope matches hand-computed OLS per group, independent across groups") {
+    // g: freqs a×4 b×2 c×1 → (rank, freq) = (1,4)(2,2)(3,1);
+    // h: uniform freqs → slope 0 (y constant)
+    val df = Seq(
+      ("g", "a a b c"), ("g", "a a b"),
+      ("h", "p q"), ("h", "r s")).toDF("k", "text").repartition(5)
+    val out = df.zipfSlope("k", "text").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val xs = Seq(1.0, 2.0, 3.0).map(math.log)
+    val ys = Seq(4.0, 2.0, 1.0).map(math.log)
+    val n = 3.0
+    val want = (n * xs.zip(ys).map { case (x, y) => x * y }.sum - xs.sum * ys.sum) /
+      (n * xs.map(x => x * x).sum - xs.sum * xs.sum)
+    assert(out("g")._1 == 3L && math.abs(out("g")._2 - want) < 1e-4, out("g").toString)
+    assert(out("h")._1 == 4L && out("h")._2 == 0.0, out("h").toString)
+  }
+
+  test("jsDivergence: 0 for identical mixes, ln 2 for disjoint vocabularies") {
+    // both groups share the exact corpus mix → divergence 0 each
+    val same = Seq(("a", "x x y"), ("b", "x x y")).toDF("k", "text").repartition(3)
+    same.jsDivergence("k", "text").collect().foreach { r =>
+      assert(r.getDouble(1) == 0.0, r.toString)
+    }
+    // disjoint single-word vocabularies, equal mass: each group is
+    // compared against the GLOBAL mix (which contains the group
+    // itself), so the closed form is js(P={x:1}, Q={x:.5, y:.5}) =
+    // .5·ln(4/3) + .25·ln(2/3) + .25·ln 2 ≈ 0.2158 — NOT ln 2 (that
+    // bound needs disjoint P and Q, and Q here can never be disjoint
+    // from its own component)
+    val disj = Seq(("a", "x x"), ("b", "y y")).toDF("k", "text")
+    val want = 0.5 * math.log(1 / 0.75) +
+      0.5 * (0.5 * math.log(0.5 / 0.75) + 0.5 * math.log(0.5 / 0.25))
+    disj.jsDivergence("k", "text").collect().foreach { r =>
+      assert(math.abs(r.getDouble(1) - want) < 5e-5, r.toString)
+      assert(r.getLong(2) == 1L) // each group speaks one word
+    }
+  }
 }
