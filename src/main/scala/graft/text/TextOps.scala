@@ -167,11 +167,18 @@ object TextOps {
     // (the zipfSlopeOf lesson)
     val tokens = docs
       .select(col(byCol), explode(split(col(textCol), " ")).as("_jw"))
-    val global = tokens.groupBy("_jw").agg(count(lit(1)).as("_jnw"))
-      .crossJoin(broadcast(tokens.agg(count(lit(1)).as("_jntot"))))
+    // ONE corpus-sized aggregation: the global word distribution and
+    // the total token count both derive from the per-group counts
+    // (vocab×groups rows), so the token stream is scanned ONCE — the
+    // first cut recomputed them from the corpus and paid three full
+    // scans (plan-audited; at 100 TB that is the whole cost)
     val byGrp = tokens.groupBy(byCol, "_jw").agg(count(lit(1)).as("_jns"))
       .withColumn("_jstot", sum(col("_jns")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(byCol)))
+      .cache() // vocab×groups rows; referenced from 4 subplans below
+    val global = byGrp.groupBy("_jw").agg(sum(col("_jns")).as("_jnw"))
+      .crossJoin(broadcast(
+        byGrp.agg(sum(col("_jns")).as("_jntot"))))
     val grpTot = byGrp.select(byCol, "_jstot").distinct()
     grpTot.crossJoin(broadcast(global))
       .join(byGrp.select(col(byCol), col("_jw"), col("_jns")), Seq(byCol, "_jw"), "left")
