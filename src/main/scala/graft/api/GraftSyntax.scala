@@ -305,6 +305,51 @@ object syntax {
         .drop("_rn", "_sx", "_sq")
     }
 
+    /** `rolling(n).skew()` — population skewness over the n-row frame
+      * from exact decimal moment sums (decimal(12,2) base keeps the
+      * cube's static type inside 38 digits; values must stay < 10¹⁰). */
+    def rollingSkew(n: Int, valueCol: String, orderCol: String, by: Seq[String],
+                    as: String): DataFrame = {
+      val w = ordered(by, Seq(col(orderCol))).rowsBetween(-(n - 1), 0)
+      val x = col(valueCol).cast("decimal(12,2)")
+      val nd = s"$n.0"
+      val mean = s"(_s1 / $nd)"
+      val m2 = s"(_s2 / $nd - $mean * $mean)"
+      val m3 = s"(_s3 / $nd - 3 * $mean * _s2 / $nd + 2 * $mean * $mean * $mean)"
+      df.select(col("*"), // one projection level -> ONE fused WindowExec
+          count(lit(1)).over(w).as("_rn"),
+          sum(x).over(w).cast("double").as("_s1"),
+          sum((x * x).cast("decimal(38,4)")).over(w).cast("double").as("_s2"),
+          sum((x * x * x).cast("decimal(38,6)")).over(w).cast("double").as("_s3"))
+        .withColumn(as, expr(
+          s"CASE WHEN _rn = $n AND $m2 > 0 THEN round($m3 / ($m2 * sqrt($m2)), 4) END"))
+        .drop("_rn", "_s1", "_s2", "_s3")
+    }
+
+    /** `rolling(n).kurt()` — population EXCESS kurtosis over the n-row
+      * frame (the skew device widened to the 4th moment; decimal(8,2)
+      * base keeps x⁴'s static type exact — values must stay < 10⁶). */
+    def rollingKurt(n: Int, valueCol: String, orderCol: String, by: Seq[String],
+                    as: String): DataFrame = {
+      val w = ordered(by, Seq(col(orderCol))).rowsBetween(-(n - 1), 0)
+      val x = col(valueCol).cast("decimal(8,2)")
+      val x2 = (x * x).cast("decimal(17,4)")
+      val nd = s"$n.0"
+      val mean = s"(_s1 / $nd)"
+      val m2 = s"(_s2 / $nd - $mean * $mean)"
+      val m4 = s"(_s4 / $nd - 4 * $mean * _s3 / $nd + 6 * $mean * $mean * _s2 / $nd" +
+        s" - 3 * $mean * $mean * $mean * $mean)"
+      df.select(col("*"), // one projection level -> ONE fused WindowExec
+          count(lit(1)).over(w).as("_rn"),
+          sum(x).over(w).cast("double").as("_s1"),
+          sum(x2).over(w).cast("double").as("_s2"),
+          sum((x2 * x).cast("decimal(26,6)")).over(w).cast("double").as("_s3"),
+          sum((x2 * x2).cast("decimal(35,8)")).over(w).cast("double").as("_s4"))
+        .withColumn(as, expr(
+          s"CASE WHEN _rn = $n AND $m2 > 0 THEN round($m4 / ($m2 * $m2) - 3, 4) END"))
+        .drop("_rn", "_s1", "_s2", "_s3", "_s4")
+    }
+
     /** `rolling(n).min()/.max()` — exact frame extrema with the
       * min_periods guard (value comparisons only, no arithmetic). */
     def rollingMinMax(n: Int, valueCol: String, orderCol: String,

@@ -365,20 +365,14 @@ object Windows {
       val skew = s"CASE WHEN n = 5 AND $m2 > 0 THEN round($m3 / ($m2 * sqrt($m2)), 4) END"
       OpSpec(
         "win_rolling_skew",
-        (s, d) => {
-          // decimal(12,2), NOT (18,2): the static type of a (18,2) cube
-          // exceeds 38 digits and Spark would silently truncate scale;
-          // (12,2)³ = (38,6) fits exactly (values are ≤ ~10⁴)
-          val x = col("value").cast("decimal(12,2)")
+        // thin call into graft.api (rollingSkew) — decimal(12,2) base
+        // so the cube's STATIC type fits 38 digits; the API's formula
+        // text is the same algebra, so the doubles match the oracle's
+        (s, d) =>
           ev(s, d)
-            .select(col("*"), // one projection level -> ONE fused WindowExec
-              count(lit(1)).over(roll5).as("n"),
-              sum(x).over(roll5).cast("double").as("s1"),
-              sum((x * x).cast("decimal(38,4)")).over(roll5).cast("double").as("s2"),
-              sum((x * x * x).cast("decimal(38,6)")).over(roll5).cast("double").as("s3"))
-            .selectExpr("event_id", "user_id", s"$skew AS roll_skew5")
-            .orderBy("event_id")
-        },
+            .rollingSkew(5, "value", "event_id", Seq("user_id"), "roll_skew5")
+            .select("event_id", "user_id", "roll_skew5")
+            .orderBy("event_id"),
         Some(s"""SELECT event_id, user_id, $skew AS roll_skew5
                 |FROM (
                 |  SELECT event_id, user_id,
@@ -407,19 +401,13 @@ object Windows {
       val kurt = s"CASE WHEN n = 5 AND $m2 > 0 THEN round($m4 / ($m2 * $m2) - 3, 4) END"
       OpSpec(
         "win_rolling_kurt",
-        (s, d) => {
-          val x = col("value").cast("decimal(8,2)")
-          val x2 = (x * x).cast("decimal(17,4)")
+        // thin call into graft.api (rollingKurt) — same moment sums,
+        // same shared formula text
+        (s, d) =>
           ev(s, d)
-            .select(col("*"), // one projection level -> ONE fused WindowExec
-              count(lit(1)).over(roll5).as("n"),
-              sum(x).over(roll5).cast("double").as("s1"),
-              sum(x2).over(roll5).cast("double").as("s2"),
-              sum((x2 * x).cast("decimal(26,6)")).over(roll5).cast("double").as("s3"),
-              sum((x2 * x2).cast("decimal(35,8)")).over(roll5).cast("double").as("s4"))
-            .selectExpr("event_id", "user_id", s"$kurt AS roll_kurt5")
-            .orderBy("event_id")
-        },
+            .rollingKurt(5, "value", "event_id", Seq("user_id"), "roll_kurt5")
+            .select("event_id", "user_id", "roll_kurt5")
+            .orderBy("event_id"),
         Some(s"""SELECT event_id, user_id, $kurt AS roll_kurt5
                 |FROM (
                 |  SELECT event_id, user_id,
