@@ -562,9 +562,13 @@ object syntax {
     /** MinHash+LSH near-duplicate PAIRS with exact Jaccard verification:
       * (a, b, jaccard) for every pair sharing an LSH band bucket whose
       * exact 3-gram Jaccard ≥ `tau`. Banded — O(docs·bands) shuffle, no
-      * all-pairs. */
-    def minhashPairs(idCol: String, textCol: String, tau: Double): DataFrame =
-      graft.text.NearDup.minhashPairs(df, idCol, textCol, tau)
+      * all-pairs. `(nBands, rowsPerBand)` is the scale knob:
+      * P(candidate) = J^rowsPerBand per band, so raise rowsPerBand when
+      * the corpus's pairwise-similarity mass makes the default 4×2
+      * family superlinear (sf3-measured — BASELINE "30× axis"). */
+    def minhashPairs(idCol: String, textCol: String, tau: Double,
+                     nBands: Int = 4, rowsPerBand: Int = 2): DataFrame =
+      graft.text.NearDup.minhashPairs(df, idCol, textCol, tau, nBands, rowsPerBand)
 
     /** MinHash+LSH dedup END-TO-END: drop every row that is a
       * non-representative member (keep-min id) of a near-duplicate

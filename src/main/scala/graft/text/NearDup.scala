@@ -30,6 +30,18 @@ object NearDup {
     (1000003L, 12345L), (1000033L, 54321L), (1000211L, 98765L), (1000231L, 56789L),
     (1000249L, 13579L), (1000253L, 97531L), (1000273L, 24680L), (1000289L, 86420L))
 
+  /** First `k` members of the (fixed, deterministic) MinHash family.
+    * The first 8 are the gate constants above, BYTE-FOR-BYTE — wider
+    * band families (the scale knob: rowsPerBand must grow with corpus
+    * similarity mass, sf3-measured) extend the sequence with a fixed
+    * affine rule; (a x + b) mod P is universal for any a ∈ [1, P−1]
+    * with P prime, so the extension needs no prime hunt. */
+  def hashFamilyOf(k: Int): Seq[(Long, Long)] = {
+    require(k >= 1, s"need at least one hash, got $k")
+    hashFamily.take(k) ++
+      (hashFamily.length until k).map(j => (1000303L + 30L * j, 11111L * j + 7L))
+  }
+
   /** Candidate-generation cap: shingles appearing in more than this many
     * documents are "hot" (boilerplate) and excluded from the candidate
     * self-join — a shingle shared by n docs generates O(n²) candidate
@@ -69,19 +81,31 @@ object NearDup {
   /** MinHash 8-signature + 4×2 LSH banding over distinct (doc_id, x)
     * shingle hashes → one (doc_id, band, bucket) row per band. Shared
     * by the declared batch query and the streaming candidate emitter. */
-  def bandedSignatures(sh: DataFrame): DataFrame = {
-    val minhashCols: Seq[Column] = hashFamily.zipWithIndex.map { case ((a, b), j) =>
+  def bandedSignatures(sh: DataFrame): DataFrame =
+    bandedSignatures(sh, bands = 4, rowsPerBand = 2)
+
+  /** General (bands × rowsPerBand) form — the MinHash SCALE KNOB:
+    * P(band collision) = J^rowsPerBand, so rowsPerBand must grow when
+    * the corpus's pairwise-similarity mass does (sf3-measured: the
+    * 4×2 gate family goes superlinear at 150k docs of a 31-word
+    * vocabulary; 6×3 restores near-linear candidates at the cost of
+    * recall only below J ≈ τ^(1/3) — see BASELINE "30× axis"). The
+    * default (4, 2) is byte-identical to the gated family. */
+  def bandedSignatures(sh: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val fam = hashFamilyOf(bands * rowsPerBand)
+    val minhashCols: Seq[Column] = fam.zipWithIndex.map { case ((a, b), j) =>
       min((col("x") * a + b) % P).as(s"m${j + 1}")
     }
     // plan-keyed cache: the SAME signature agg feeds dedup_minhash_lsh,
     // dedup_minhash_quality and text_decontaminate_fuzzy in one bench
-    // session — slim (9 int64s per doc). Streaming callers can't cache.
+    // session — slim (bands·rows+1 int64s per doc). Streaming callers
+    // can't cache.
     val sigRaw = sh.groupBy("doc_id").agg(minhashCols.head, minhashCols.tail: _*)
     val sig = if (sh.isStreaming) sigRaw else sigRaw.cache()
-    // one posexplode instead of a 4-way union — the signature agg runs
-    // once, not once per band
-    val bandArr = array((0 until 4).map { bi =>
-      concat_ws("_", col(s"m${2 * bi + 1}"), col(s"m${2 * bi + 2}"))
+    // one posexplode instead of a bands-way union — the signature agg
+    // runs once, not once per band
+    val bandArr = array((0 until bands).map { bi =>
+      concat_ws("_", (1 to rowsPerBand).map(r => col(s"m${rowsPerBand * bi + r}")): _*)
     }: _*)
     sig.select(col("doc_id"), posexplode(bandArr).as(Seq("band", "bucket")))
   }
@@ -99,11 +123,12 @@ object NearDup {
     * forms: banded bucket equi-join for candidates (O(docs·bands), no
     * all-pairs), SMJ keyed on (id, shingle-hash) for the verify. */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   tau: Double): DataFrame = {
+                   tau: Double,
+                   nBands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
     // cached: feeds the signature agg, the sizes agg and both sides
     // of the exact-verify join
     val sh = shingleNumsOf(docs, idCol, textCol).distinct().cache()
-    val bands = bandedSignatures(sh)
+    val bands = bandedSignatures(sh, nBands, rowsPerBand)
     val cands = bands.select(col("doc_id").as("a"), col("band"), col("bucket"))
       .join(bands.select(col("doc_id").as("b"), col("band"), col("bucket")),
         Seq("band", "bucket"))

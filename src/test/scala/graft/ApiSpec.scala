@@ -496,6 +496,35 @@ class ApiSpec extends AnyFunSuite {
       math.abs(r.getAs[Double]("std_v") - 1.291) < 0.001)
   }
 
+  test("minhashPairs wider band family: exact-verified subset, high-J pairs kept") {
+    val docs = graft.core.Tables.documents(spark, TestSpark.sfSmoke)
+    // brute-force 3-gram Jaccard truth on the smoke corpus
+    val sh = docs.collect().map { r =>
+      val w = r.getAs[String]("text").split(" ")
+      r.getAs[Long]("doc_id") -> w.sliding(3).map(_.mkString(" ")).toSet
+    }.toMap
+    def jac(a: Long, b: Long): Double = {
+      val (x, y) = (sh(a), sh(b))
+      val i = (x & y).size
+      i.toDouble / (x.size + y.size - i)
+    }
+    val ids = sh.keys.toSeq.sorted
+    val truth = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      if jac(ids(i), ids(j)) >= 0.5
+    } yield (ids(i), ids(j))).toSet
+    for ((bands, rows) <- Seq((4, 2), (6, 3))) {
+      val got = docs.minhashPairs("doc_id", "text", 0.5, bands, rows)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // exact verify ⇒ nothing below τ ever comes out
+      assert(got.subsetOf(truth), s"$bands x $rows emitted sub-τ pairs")
+      // high-J pairs (J ≥ .9) collide in some band with near-certainty
+      // in BOTH families — banding loses only borderline-J pairs
+      val high = truth.filter { case (a, b) => jac(a, b) >= 0.9 }
+      assert(high.subsetOf(got), s"$bands x $rows missed high-J pairs")
+    }
+  }
+
   test("zipfSlope matches hand-computed OLS per group, independent across groups") {
     // g: freqs a×4 b×2 c×1 → (rank, freq) = (1,4)(2,2)(3,1);
     // h: uniform freqs → slope 0 (y constant)
