@@ -292,6 +292,49 @@ object NearDup {
            |ORDER BY a, b""".stripMargin
       },
     ),
+    // The SCALE form of the MinHash family — 6 bands × 3 rows, the
+    // band family the 30× stress run showed you'd RUN at 10⁵+ docs
+    // (BASELINE "tenth axis": 2-row bands collide at J² and the
+    // candidate set grew 8.4× at 3× data; 3-row bands collide at J³
+    // and restored near-linear candidates at −4% pairs). Declared
+    // next to the 4×2 gate form exactly as dedup_embed_lsh_scale sits
+    // next to dedup_embed_lsh: the oracle mirrors the banding with
+    // hashFamilyOf(18) — the first 8 constants are the gate family,
+    // the extension is the same deterministic affine rule — so the
+    // gate proves the WIDE family's banding ≡ its all-pairs twin.
+    OpSpec(
+      "dedup_minhash_lsh_scale",
+      // thin call into the parameterized API (minhashPairs at 6×3)
+      (s, d) => minhashPairs(T.documents(s, d), "doc_id", "text", tau = 0.5,
+        nBands = 6, rowsPerBand = 3).orderBy("a", "b"),
+      Some {
+        val mh = hashFamilyOf(18).zipWithIndex.map { case ((a, b), j) =>
+          s"min((x * $a + $b) % $P) AS m${j + 1}"
+        }.mkString(", ")
+        val bandSel = (0 until 6).map { bi =>
+          val parts = (1 to 3).map(r => s"m${3 * bi + r}").mkString(" || '_' || ")
+          s"SELECT doc_id, $bi AS band, $parts AS bucket FROM sig"
+        }.mkString(" UNION ALL ")
+        s"""WITH $shingleSql,
+           |sig AS (SELECT doc_id, $mh FROM shn GROUP BY doc_id),
+           |bands AS ($bandSel),
+           |cands AS (
+           |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+           |  FROM bands x JOIN bands y
+           |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+           |sizes AS (SELECT doc_id, count(*) AS sz FROM shn GROUP BY doc_id),
+           |inter AS (
+           |  SELECT c.a, c.b, count(*) AS inter
+           |  FROM cands c JOIN shn sa ON sa.doc_id = c.a
+           |               JOIN shn sb ON sb.doc_id = c.b AND sa.x = sb.x
+           |  GROUP BY 1, 2)
+           |SELECT a, b, cast(inter as double) / (za.sz + zb.sz - inter) AS jaccard
+           |FROM inter JOIN sizes za ON inter.a = za.doc_id
+           |           JOIN sizes zb ON inter.b = zb.doc_id
+           |WHERE cast(inter as double) / (za.sz + zb.sz - inter) >= 0.5
+           |ORDER BY a, b""".stripMargin
+      },
+    ),
     // MinHash SKETCH QUALITY measured in-gate (the text-family twin of
     // sim_recall_report): for every LSH candidate pair, the signature
     // ESTIMATE of Jaccard (matching components / 8) next to the EXACT

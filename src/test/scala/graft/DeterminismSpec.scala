@@ -96,8 +96,9 @@ class DeterminismSpec extends AnyFunSuite {
     "dedup_simhash", "ts_sessionize_tvf", "ts_resample_tvf",
     "dedup_embed_lsh",
     // round 11 batch 2: rank-sorted OLS folds, vocab-grid divergence
-    // folds, 4th-moment window sums
-    "text_zipf_slope", "text_js_divergence", "win_rolling_kurt")
+    // folds, 4th-moment window sums, the wide MinHash band family
+    "text_zipf_slope", "text_js_divergence", "win_rolling_kurt",
+    "dedup_minhash_lsh_scale")
 
   test("order-sensitive queries return identical results across runs") {
     val failures = sensitive.flatMap { key =>
