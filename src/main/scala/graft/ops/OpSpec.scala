@@ -20,6 +20,7 @@ object Registry {
   lazy val all: Seq[OpSpec] =
     Scans.ops ++ Filters.ops ++ Joins.ops ++ Aggs.ops ++ Windows.ops ++
       Sorts.ops ++ SetOps.ops ++ TimeSeries.ops ++ Scalars.ops ++ LlmOps.ops ++
+      CurationOps.ops ++
       graft.text.TextOps.ops ++ graft.text.NearDup.ops ++
       graft.vec.VecOps.ops ++ Udfs.ops
 
