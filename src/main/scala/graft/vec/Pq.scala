@@ -1,0 +1,224 @@
+package graft.vec
+
+import graft.core.{Tables => T}
+import graft.ops.OpSpec
+import org.apache.spark.sql.functions._
+
+/** Product quantization — the vector-compression tier of the ANN
+  * stack (reference scope: SURVEY §2.J similarity-search rows; PQ
+  * itself is the standard public recipe: split the vector into `m`
+  * subvectors, k-means each subspace to `ksub` centroids, store only
+  * the per-subspace code — asymmetric distance (ADC) then scans codes
+  * with a per-query lookup table instead of raw floats).
+  *
+  * Codebooks are trained OFFLINE ([[TrainPq]], deterministic k-means)
+  * and inlined as literals into both engines ([[PqCodebooks]] — the
+  * IvfCentroids device), so the gate proves encode + ADC are the same
+  * math in Spark and DuckDB.
+  *
+  * 100 TB shapes:
+  *  - encode is ROW-LOCAL (64 codegen'd dot products per row, no
+  *    shuffle, scan-fused): a 256 B float vector becomes m 4-bit
+  *    codes, so the encoded corpus is ~128× smaller than the raw one
+  *    — the artifact you actually keep hot for search;
+  *  - ADC builds the m×ksub lookup table ONCE per query (on the
+  *    single query row, before the broadcast), then every corpus row
+  *    pays m array lookups + m adds — no per-row dot products at all;
+  *  - the per-query top-k reduces via orderBy+limit
+  *    (TakeOrderedAndProject: per-partition top-k, O(k) to driver).
+  *
+  * Every emitted double is bit-identical across engines by
+  * construction (literal centroids round-trip exactly; the dot is the
+  * proven ordered fold; adds are written in one fixed order), so
+  * outputs are UNROUNDED per the never-round-bit-identical rule.
+  */
+object Pq {
+  import PqCodebooks.{m, ksub, subDim}
+
+  /** |c|² of codebook entry (s, j) — a Scala constant, spelled
+    * identically into both engines. */
+  private def csq(s: Int, j: Int): Double = {
+    val c = PqCodebooks.codebooks(s)(j)
+    var acc = 0.0; var i = 0
+    while (i < c.length) { acc += c(i) * c(i); i += 1 }
+    acc
+  }
+
+  /** Double literal, Spark spelling — `D` suffix so the parser types
+    * it DOUBLE directly (a bare 17-digit literal would go through
+    * DECIMAL; Spark widens without truncation, but explicit is
+    * proof). */
+  private def fs(x: Double): String = s"${x}D"
+
+  /** Double literal, DuckDB spelling — exponent suffix forces DOUBLE.
+    * CRITICAL: a bare decimal literal inside a DuckDB LIST literal is
+    * unified with its neighbours to one DECIMAL scale and can be
+    * TRUNCATED before the ::DOUBLE[] cast (measured: ...484360002 →
+    * ...48436, a 4-dp loss); `e0` makes each element DOUBLE from the
+    * start, which parses correctly rounded. */
+  private def fd(x: Double): String = {
+    val s = x.toString
+    if (s.contains('E') || s.contains('e')) s else s + "e0"
+  }
+
+  /** Spark ordered-fold dot of expression `es` with literal centroid. */
+  private def dotLit(es: String, s: Int, j: Int): String = {
+    val lit = s"array(${PqCodebooks.codebooks(s)(j).map(fs).mkString(",")})"
+    s"aggregate(zip_with($es, $lit, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+  }
+
+  /** DuckDB spelling of the same dot — an EXPLICIT left fold, not
+    * list_inner_product: the builtin accumulates with FMA and drifts
+    * an ulp from the two-rounding fold on real inputs (measured), and
+    * PQ outputs are unrounded. */
+  private def dotDuck(es: String, s: Int, j: Int): String = {
+    val lit = s"[${PqCodebooks.codebooks(s)(j).map(fd).mkString(",")}]::DOUBLE[]"
+    s"list_reduce(list_prepend(0.0, list_transform(list_zip($es, $lit), x -> x[1]*x[2])), (acc, x) -> acc + x)"
+  }
+
+  private def sliceSpark(s: Int) = s"slice(e, ${s * subDim + 1}, $subDim)"
+  private def sliceDuck(s: Int)  = s"e[${s * subDim + 1}:${(s + 1) * subDim}]"
+
+  /** d(s,j) = |c|² − 2·e_s·c — the |e_s|² term is constant across j
+    * and added back only where the true squared error is needed. */
+  private def dSpark(s: Int, j: Int) = s"(${fs(csq(s, j))} - 2.0D * ${dotLit(sliceSpark(s), s, j)})"
+  private def dDuck(s: Int, j: Int)  = s"(${fd(csq(s, j))} - 2.0 * ${dotDuck(sliceDuck(s), s, j)})"
+
+  /** Spark: argmin over the ksub codes of subspace s → struct(d, c). */
+  private def minStruct(s: Int): String =
+    "array_min(array(" +
+      (0 until ksub).map(j => s"named_struct('d', ${dSpark(s, j)}, 'c', cast($j as bigint))")
+        .mkString(", ") + "))"
+
+  /** DuckDB: the distance list per subspace (argmin via
+    * list_indexof(list_min) — first occurrence ⇒ ties to the lower
+    * code, matching Spark's struct-min tie rule on bit-identical d). */
+  private def dlDuck(s: Int): String =
+    "[" + (0 until ksub).map(j => dDuck(s, j)).mkString(", ") + "]"
+
+  /** Shared DuckDB encode CTE: enc(vec_id, e, c0..c{m-1}, dm0..). */
+  private def encSqlCte: String = {
+    val dls = (0 until m).map(s => s"${dlDuck(s)} AS dl$s").mkString(",\n    ")
+    val codes = (0 until m).map(s =>
+      s"cast(list_indexof(dl$s, list_min(dl$s)) - 1 as bigint) AS c$s, list_min(dl$s) AS dm$s")
+      .mkString(",\n    ")
+    s"""v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+       |dl AS (SELECT vec_id, label, e,
+       |    $dls
+       |  FROM v),
+       |enc AS (SELECT vec_id, label, e,
+       |    $codes
+       |  FROM dl)""".stripMargin
+  }
+
+  /** Spark-side encoded frame: vec_id, label, e, c0.., dm0.. */
+  private def encDf(s: org.apache.spark.sql.SparkSession, d: String) = {
+    var df = T.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> cast(x as double))").as("e"))
+    for (sub <- 0 until m) {
+      df = df.withColumn(s"ms$sub", expr(minStruct(sub)))
+    }
+    (0 until m).foldLeft(df) { (acc, sub) =>
+      acc.withColumn(s"c$sub", col(s"ms$sub.c"))
+        .withColumn(s"dm$sub", col(s"ms$sub.d"))
+    }
+  }
+
+  /** |e_s|² terms for qerr = Σ_s (|e_s|² + d_min(s)) — the true
+    * squared reconstruction error, one fixed-order left-assoc sum. */
+  private def esqSpark(s: Int) =
+    s"aggregate(zip_with(${sliceSpark(s)}, ${sliceSpark(s)}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+  private def esqDuck(s: Int) =
+    s"list_reduce(list_prepend(0.0, list_transform(${sliceDuck(s)}, x -> x*x)), (acc, x) -> acc + x)"
+
+  val ops: Seq[OpSpec] = Seq(
+    // PQ encode: the compressed representation (m 4-bit codes) plus
+    // the exact reconstruction error per vector. Row-local.
+    OpSpec(
+      "vec_pq_encode",
+      (s, d) => {
+        val qerr = (0 until m).map(sub => s"(${esqSpark(sub)} + dm$sub)").mkString(" + ")
+        encDf(s, d)
+          .select((col("vec_id") +: (0 until m).map(sub => col(s"c$sub")) :+
+            expr(qerr).as("qerr")): _*)
+          .orderBy("vec_id")
+      },
+      Some {
+        val qerr = (0 until m).map(sub => s"(${esqDuck(sub)} + dm$sub)").mkString(" + ")
+        s"""WITH $encSqlCte
+           |SELECT vec_id, ${(0 until m).map(s => s"c$s").mkString(", ")},
+           |  $qerr AS qerr
+           |FROM enc ORDER BY vec_id""".stripMargin
+      },
+    ),
+    // ADC top-k: approximate nearest neighbours of vector 0 by
+    // asymmetric distance — LUT built once on the query row, corpus
+    // side touches only codes.
+    OpSpec(
+      "sim_pq_adc_topk",
+      (s, d) => {
+        val enc = encDf(s, d)
+          .select((col("vec_id") +: (0 until m).map(sub => col(s"c$sub"))): _*)
+        val lutCols = (0 until m).map { sub =>
+          expr("array(" + (0 until ksub).map(j => dSpark(sub, j)).mkString(", ") + ")")
+            .as(s"l$sub")
+        }
+        val q = T.embeddings(s, d).filter(col("vec_id") === 0)
+          .select(expr("transform(embedding, x -> cast(x as double))").as("e"))
+          .select((expr("aggregate(zip_with(e, e, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+            .as("qsq") +: lutCols): _*)
+        val adc = "qsq + " + (0 until m)
+          .map(sub => s"element_at(l$sub, cast(c$sub + 1 as int))").mkString(" + ")
+        enc.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= 0)
+          .select(col("vec_id"), expr(adc).as("adc_dist"))
+          .orderBy("adc_dist", "vec_id")
+          .limit(10)
+      },
+      Some {
+        val luts = (0 until m).map(sub =>
+          "[" + (0 until ksub).map(j => dDuck(sub, j)).mkString(", ") + s"] AS l$sub")
+          .mkString(",\n    ")
+        val adc = "qsq + " + (0 until m).map(sub => s"l$sub[c$sub + 1]").mkString(" + ")
+        s"""WITH $encSqlCte,
+           |q AS (SELECT list_reduce(list_prepend(0.0, list_transform(e, x -> x*x)),
+           |        (acc, x) -> acc + x) AS qsq,
+           |    $luts
+           |  FROM v WHERE vec_id = 0)
+           |SELECT vec_id, $adc AS adc_dist
+           |FROM enc, q WHERE vec_id <> 0
+           |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin
+      },
+    ),
+    // Compression quality report: per-label mean reconstruction error
+    // (the number you watch when choosing m/ksub). The per-label mean
+    // is an ordered fold over (vec_id, qerr) — bit-identical across
+    // engines and partitionings; at 100 TB you would shard the fold by
+    // vec_id range and fold the shard sums in a second ordered pass.
+    OpSpec(
+      "vec_pq_mse",
+      (s, d) => {
+        val qerr = (0 until m).map(sub => s"(${esqSpark(sub)} + dm$sub)").mkString(" + ")
+        encDf(s, d)
+          .select(col("label"), col("vec_id"), expr(qerr).as("qerr"))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n"),
+            expr("""aggregate(transform(array_sort(collect_list(named_struct('i', vec_id, 'q', qerr))),
+              |  x -> x.q), 0D, (acc, x) -> acc + x)""".stripMargin).as("sum_qerr"))
+          .select(col("label").cast("int").as("label"), col("n"),
+            (col("sum_qerr") / col("n")).as("mse"))
+          .orderBy("label")
+      },
+      Some {
+        val qerr = (0 until m).map(sub => s"(${esqDuck(sub)} + dm$sub)").mkString(" + ")
+        s"""WITH $encSqlCte,
+           |t AS (SELECT label, vec_id, $qerr AS qerr FROM enc)
+           |SELECT cast(label as int) AS label, cast(count(*) as bigint) AS n,
+           |  list_reduce(list_prepend(0.0, list(qerr ORDER BY vec_id)),
+           |    (acc, x) -> acc + x) / count(*) AS mse
+           |FROM t GROUP BY label ORDER BY label""".stripMargin
+      },
+    ),
+  )
+}

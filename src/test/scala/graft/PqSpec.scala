@@ -1,0 +1,83 @@
+package graft
+
+import graft.vec.{KMeans, Pq, PqCodebooks}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Product-quantization invariants beyond the DuckDB gate: codebook
+  * reproducibility (the PqCodebooks constants are training OUTPUT,
+  * not magic numbers), row-local encode (no shuffle in the plan),
+  * ADC's approximation quality vs the exact ranking, and the
+  * compression accounting PQ exists for. */
+class PqSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private def emb = graft.core.Tables.embeddings(spark, TestSpark.sfSmoke)
+  private def q(name: String) =
+    graft.ops.Registry.queries(name)(spark, TestSpark.sfSmoke)
+
+  test("PqCodebooks constants are exactly per-subspace k-means output on sf0.001") {
+    for (s <- 0 until PqCodebooks.m) {
+      val sub = emb.select(col("vec_id"),
+        expr(s"slice(embedding, ${s * PqCodebooks.subDim + 1}, ${PqCodebooks.subDim})")
+          .as("embedding"))
+      val (_, cents, _) = KMeans.fit(sub, PqCodebooks.ksub, 3)
+      assert(cents.map(_.toSeq).toSeq == PqCodebooks.codebooks(s).map(_.toSeq).toSeq,
+        s"subspace $s codebook drifted from training output")
+    }
+  }
+
+  test("encode is row-local: no exchange in the physical plan") {
+    val plan = q("vec_pq_encode").queryExecution.executedPlan.toString
+    // the only allowed exchange is the final global orderBy's range
+    // partitioning; the encode itself must not shuffle
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges == 1 && plan.contains("Exchange rangepartitioning(vec_id"),
+      s"encode shuffled beyond the final sort:\n$plan")
+  }
+
+  test("codes are in range and qerr is non-negative") {
+    val rows = q("vec_pq_encode").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      for (s <- 0 until PqCodebooks.m) {
+        val c = r.getLong(1 + s)
+        assert(c >= 0 && c < PqCodebooks.ksub, s"code out of range: $r")
+      }
+      assert(r.getDouble(1 + PqCodebooks.m) >= -1e-12, s"negative qerr: $r")
+    }
+  }
+
+  test("ADC picks are genuinely near: mean true distance beats the corpus p25") {
+    // identity overlap with the exact top-10 is the wrong assertion on
+    // this corpus: the synthetic embeddings' distances to vector 0 are
+    // tightly crowded (measured sf0.001: min 1.33, p05 1.57, median
+    // 1.98), so 4-bit-code quantization noise reorders the crowded
+    // head. The honest PQ property is that ADC picks sit deep in the
+    // near tail of the TRUE distance distribution.
+    val adc = q("sim_pq_adc_topk").collect().map(_.getLong(0)).toSet
+    val d2 = emb
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("e"))
+      .crossJoin(
+        emb.filter(col("vec_id") === 0)
+          .select(expr("transform(embedding, x -> cast(x as double))").as("qe")))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        expr("aggregate(zip_with(e, qe, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)")
+          .as("d2"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val sorted = d2.values.toArray.sorted
+    val p25 = sorted((sorted.length * 0.25).toInt)
+    val meanPick = adc.toSeq.map(d2).sum / adc.size
+    assert(meanPick < p25, s"ADC picks not near: mean=$meanPick p25=$p25")
+  }
+
+  test("mse report covers every label and compression is 128x era") {
+    val rows = q("vec_pq_mse").collect()
+    assert(rows.map(_.getLong(1)).sum == emb.count())
+    assert(rows.forall(_.getDouble(2) > 0))
+    // 64 float32 dims = 256 B raw; m 4-bit codes = m/2 bytes
+    val rawBytes = 64 * 4
+    val codeBytes = PqCodebooks.m / 2.0
+    assert(rawBytes / codeBytes == 128.0)
+  }
+}
