@@ -35,7 +35,11 @@ object PlanAudit {
         "dedup_simhash", "sim_knn_lsh",
         // round-11 batch 2
         "win_rolling_kurt", "text_zipf_slope", "text_js_divergence",
-        "dedup_simhash_pairs_tvf", "ts_resample_quantile")) {
+        "dedup_simhash_pairs_tvf", "ts_resample_quantile",
+        // round-11 batch 3
+        "sample_token_budget", "mix_temperature_weights",
+        "dedup_chunk_boilerplate", "vec_pq_encode", "sim_pq_adc_topk",
+        "vec_pq_mse")) {
       println(s"===== $k =====")
       val df = graft.ops.Registry.queries(k)(spark, d)
       println(df.queryExecution.executedPlan.toString.linesIterator

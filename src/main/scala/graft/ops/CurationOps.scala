@@ -80,18 +80,25 @@ object CurationOps {
     OpSpec(
       "mix_temperature_weights",
       (s, d) => {
-        val perLang = T.documents(s, d)
+        // ONE corpus scan (the js_divergence plan lesson): everything
+        // after the per-lang agg runs as whole-frame windows over the
+        // lang-cardinality result — total is an exact integer window
+        // sum (order-independent), the sqrt normalizer is an
+        // array_sort'd window collect + ordered fold (deterministic
+        // regardless of window accumulation order).
+        val w = org.apache.spark.sql.expressions.Window
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing)
+        T.documents(s, d)
           .select(col("lang"), nTok("text").as("n_tok"))
           .groupBy("lang")
           .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens"))
-        val tot = perLang.agg(sum("tokens").as("total_tok"))
-        val p = perLang.crossJoin(broadcast(tot))
+          .withColumn("total_tok", sum("tokens").over(w))
           .withColumn("share", col("tokens") / col("total_tok"))
           .withColumn("sq", sqrt(col("share")))
-        val denom = p.agg(expr(
-          """aggregate(transform(array_sort(collect_list(struct(lang, sq))),
-            |  x -> x.sq), 0D, (acc, x) -> acc + x)""".stripMargin).as("denom"))
-        p.crossJoin(broadcast(denom))
+          .withColumn("sqs", array_sort(collect_list(struct(col("lang"), col("sq"))).over(w)))
+          .withColumn("denom",
+            expr("aggregate(transform(sqs, x -> x.sq), 0D, (acc, x) -> acc + x)"))
           .select(col("lang"), col("n_docs"), col("tokens"), col("share"),
             (col("sq") / col("denom")).as("target_share"),
             (col("sq") / col("denom") / col("share")).as("weight"))
@@ -122,18 +129,26 @@ object CurationOps {
     OpSpec(
       "dedup_chunk_boilerplate",
       (s, d) => {
-        val ch = T.documents(s, d)
+        // ONE scan + ONE explode: aggregate instances to the
+        // (chunk, doc) grid first, get each chunk's distinct-doc count
+        // as a window count over that grid (cheaper than re-deriving
+        // the explode for a frequency join — at 100 TB the explode IS
+        // the expensive part), then roll up per doc.
+        val grid = T.documents(s, d)
           .select(col("doc_id"), split(col("text"), " ").as("ws"))
           .withColumn("nch", expr("size(ws) div 10"))
           .filter(col("nch") >= 1)
           .select(col("doc_id"), explode(expr(
             "transform(sequence(0, nch - 1), i -> array_join(slice(ws, cast(i*10+1 as int), 10), ' '))"))
             .as("chunk"))
-        val freq = ch.groupBy("chunk").agg(countDistinct("doc_id").as("nd"))
-        ch.join(freq, Seq("chunk"))
+          .groupBy("chunk", "doc_id")
+          .agg(count(lit(1)).as("n_inst"))
+        grid
+          .withColumn("nd", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("chunk")))
           .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_chunks"),
-            sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_boiler"))
+          .agg(sum("n_inst").as("n_chunks"),
+            sum(when(col("nd") >= 2, col("n_inst")).otherwise(0L)).as("n_boiler"))
           .select(col("doc_id"), col("n_chunks"), col("n_boiler"),
             // exact half-up round(n_boiler/n_chunks, 4) in integers
             (expr("cast((n_boiler * 20000 + n_chunks) div (2 * n_chunks) as double)")
