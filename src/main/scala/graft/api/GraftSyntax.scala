@@ -695,5 +695,49 @@ object syntax {
     /** Per-group Jensen-Shannon divergence vs the whole frame's mix. */
     def jsDivergence(byCol: String, textCol: String): DataFrame =
       graft.text.TextOps.jsDivergenceOf(df, byCol, textCol)
+
+    // ----------------------------------------------------------------
+    // §2.J corpus curation (round-11 batch 3)
+    // ----------------------------------------------------------------
+
+    /** Deterministic per-group token-budget subsample: keep each
+      * group's rows in Knuth-hash pseudo-random order until `budget`
+      * whitespace tokens are spent. One window per group partition. */
+    def tokenBudgetSample(byCol: String, idCol: String, textCol: String,
+                          budget: Long): DataFrame =
+      graft.ops.CurationOps.tokenBudgetSampleOf(df, byCol, idCol, textCol, budget)
+
+    /** α=0.5 temperature mixture re-weighting per group (q_i ∝ √p_i,
+      * the multilingual up/down-sampling recipe). One corpus scan. */
+    def temperatureWeights(byCol: String, textCol: String): DataFrame =
+      graft.ops.CurationOps.temperatureWeightsOf(df, byCol, textCol)
+
+    /** Per-doc boilerplate fraction from corpus-wide `chunkWords`-word
+      * chunk hashing (C4-style repeated-text signal). */
+    def chunkBoilerplate(idCol: String, textCol: String,
+                         chunkWords: Int = 10): DataFrame =
+      graft.ops.CurationOps.chunkBoilerplateOf(df, idCol, textCol, chunkWords)
+
+    // ----------------------------------------------------------------
+    // §2.J product quantization (round-11 batch 3; train codebooks
+    // per corpus with graft.vec.TrainPq)
+    // ----------------------------------------------------------------
+
+    /** PQ-encode the embedding column: id ++ (c0.., qerr). Row-local. */
+    def pqEncode(idCol: String, vecCol: String,
+                 books: graft.vec.Pq.Books = graft.vec.PqCodebooks.codebooks): DataFrame =
+      graft.vec.Pq.pqEncodeOf(df, idCol, vecCol, books)
+
+    /** Batched ADC top-k against this corpus: (qid, rk, id, adc_dist).
+      * Per-query LUT built once on the broadcast side; corpus rows pay
+      * m lookups + m adds. */
+    def pqAdcSearch(queries: DataFrame, idCol: String, vecCol: String, k: Int,
+                    books: graft.vec.Pq.Books = graft.vec.PqCodebooks.codebooks): DataFrame =
+      graft.vec.Pq.pqAdcSearch(df, queries, idCol, vecCol, k, books)
+
+    /** Per-group PQ reconstruction MSE: (by, n, mse). */
+    def pqMse(byCol: String, idCol: String, vecCol: String,
+              books: graft.vec.Pq.Books = graft.vec.PqCodebooks.codebooks): DataFrame =
+      graft.vec.Pq.pqMseOf(df, byCol, idCol, vecCol, books)
   }
 }

@@ -1,6 +1,8 @@
 package graft.ops
 
 import graft.core.{Tables => T}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators a training-data pipeline runs between
@@ -8,7 +10,9 @@ import org.apache.spark.sql.functions._
   * and boilerplate detection (reference scope: SURVEY §2.J's pipeline
   * tier; the ops themselves are the standard curation recipes from the
   * public LLM-data literature — C4/Gopher-style rules live in
-  * text/TextOps, these are their corpus-level companions).
+  * text/TextOps, these are their corpus-level companions). The
+  * parameterized forms are the graft.api entry points; the gated
+  * queries are thin calls into them.
   *
   * Scale notes (the 100 TB shapes):
   *  - token-budget sampling is ONE window per source partition — no
@@ -17,47 +21,101 @@ import org.apache.spark.sql.functions._
   *    across engines and reruns (SURVEY §2.0.6 bans RNG). At real
   *    corpus scale (doc_id beyond 2^32) the key becomes
   *    xxhash64(doc_id) — same plan, different key expression;
-  *  - temperature re-weighting aggregates to ONE ROW PER LANG before
-  *    any double math — the corpus scan is a pure integer token
-  *    count, and every double op after it is on a lang-cardinality
-  *    frame (exact integer totals, correctly-rounded sqrt, one
-  *    ordered fold for the normalizer — all bit-identical across
-  *    engines, so the output doubles are emitted UNROUNDED);
-  *  - boilerplate detection shuffles one row per 10-word chunk
-  *    instance keyed by the chunk text (at 100 TB: by xxhash64 of the
-  *    chunk — 8-byte keys, same plan); the per-doc fraction is an
-  *    exact rational emitted through the integer half-up round device
-  *    (the dedup_survivors_quality lesson: round(double, 4) splits
-  *    engines on exact 4-dp half-ties).
+  *  - temperature re-weighting makes ONE corpus scan (a pure integer
+  *    token count to group cardinality); every double op after it
+  *    runs as whole-frame windows over the tiny per-group frame
+  *    (exact integer window total, correctly-rounded sqrt, ordered
+  *    fold for the normalizer — all bit-identical across engines, so
+  *    the output doubles are emitted UNROUNDED);
+  *  - boilerplate detection is ONE scan + ONE explode: instances
+  *    aggregate to the (chunk, doc) grid, each chunk's distinct-doc
+  *    count is a window over that grid (at 100 TB the chunk key
+  *    becomes an xxhash64 digest — 8-byte keys, same plan); the
+  *    per-doc fraction is an exact rational emitted through the
+  *    integer half-up round device (the dedup_survivors_quality
+  *    lesson: round(double, 4) splits engines on 4-dp half-ties).
   */
 object CurationOps {
 
   private def nTok(c: String) = size(split(col(c), " ")).cast("bigint")
 
+  /** Deterministic per-group token-budget subsample: keep each group's
+    * docs in Knuth-hash pseudo-random order until `budget` tokens are
+    * spent. Output: by, id, n_tok, cum_tok (kept rows only). */
+  def tokenBudgetSampleOf(df: DataFrame, byCol: String, idCol: String,
+                          textCol: String, budget: Long): DataFrame = {
+    val w = Window.partitionBy(byCol)
+      .orderBy(col("shuf"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    df.select(col(byCol), col(idCol), nTok(textCol).as("n_tok"),
+        // Knuth multiplicative hash: deterministic, portable (plain
+        // int64 arithmetic both engines; id·2654435761 stays under
+        // 2^63 for any id < 3.4e9 — beyond that, xxhash64(id)).
+        ((col(idCol) * 2654435761L) % 4294967296L).as("shuf"))
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .filter(col("cum_tok") <= budget)
+      .select(byCol, idCol, "n_tok", "cum_tok")
+      .orderBy(byCol, idCol)
+  }
+
+  /** Temperature (α=0.5) mixture re-weighting per group — the
+    * multilingual up/down-sampling recipe: sampled share q_i ∝ p_i^α.
+    * α is HALF by design: p^0.5 = sqrt(p) is IEEE-correctly-rounded
+    * on both engines, unlike pow's libm-vs-Math.pow last-ulp split,
+    * so the whole chain is bit-identical and the doubles go out
+    * unrounded (the agg_entropy rule). Output per group: n_docs,
+    * tokens, share, target_share, weight. */
+  def temperatureWeightsOf(df: DataFrame, byCol: String,
+                           textCol: String): DataFrame = {
+    val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    df.select(col(byCol), nTok(textCol).as("n_tok"))
+      .groupBy(byCol)
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens"))
+      .withColumn("total_tok", sum("tokens").over(w))
+      .withColumn("share", col("tokens") / col("total_tok"))
+      .withColumn("sq", sqrt(col("share")))
+      .withColumn("sqs", array_sort(collect_list(struct(col(byCol), col("sq"))).over(w)))
+      .withColumn("denom",
+        expr("aggregate(transform(sqs, x -> x.sq), 0D, (acc, x) -> acc + x)"))
+      .select(col(byCol), col("n_docs"), col("tokens"), col("share"),
+        (col("sq") / col("denom")).as("target_share"),
+        (col("sq") / col("denom") / col("share")).as("weight"))
+      .orderBy(byCol)
+  }
+
+  /** Per-doc boilerplate fraction from corpus-wide `chunkWords`-word
+    * chunk hashing (the C4 repeated-text signal at chunk granularity).
+    * Output: id, n_chunks, n_boiler, boiler_frac (exact half-up 4-dp).
+    * Docs shorter than one chunk are dropped (no denominator). */
+  def chunkBoilerplateOf(df: DataFrame, idCol: String, textCol: String,
+                         chunkWords: Int = 10): DataFrame = {
+    require(chunkWords >= 1, s"chunkWords must be positive, got $chunkWords")
+    val cw = chunkWords
+    val grid = df
+      .select(col(idCol), split(col(textCol), " ").as("ws"))
+      .withColumn("nch", expr(s"size(ws) div $cw"))
+      .filter(col("nch") >= 1)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(0, nch - 1), i -> array_join(slice(ws, cast(i*$cw+1 as int), $cw), ' '))"))
+        .as("chunk"))
+      .groupBy("chunk", idCol)
+      .agg(count(lit(1)).as("n_inst"))
+    grid
+      .withColumn("nd", count(lit(1)).over(Window.partitionBy("chunk")))
+      .groupBy(idCol)
+      .agg(sum("n_inst").as("n_chunks"),
+        sum(when(col("nd") >= 2, col("n_inst")).otherwise(0L)).as("n_boiler"))
+      .select(col(idCol), col("n_chunks"), col("n_boiler"),
+        // exact half-up round(n_boiler/n_chunks, 4) in integers
+        (expr("cast((n_boiler * 20000 + n_chunks) div (2 * n_chunks) as double)")
+          / 10000.0).as("boiler_frac"))
+      .orderBy(idCol)
+  }
+
   val ops: Seq[OpSpec] = Seq(
-    // Budgeted subsample: keep a deterministic pseudo-random prefix of
-    // each source's docs until the per-source token budget is spent.
-    // This is how a mixture spec ("at most B tokens from source X")
-    // turns into a scan: window-cumsum per source, one shuffle total.
     OpSpec(
       "sample_token_budget",
-      (s, d) => {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("source")
-          .orderBy("shuf", "doc_id")
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-        T.documents(s, d)
-          .select(col("source"), col("doc_id"), nTok("text").as("n_tok"),
-            // Knuth multiplicative hash: deterministic, portable
-            // (plain int64 arithmetic both engines; doc_id·2654435761
-            // stays under 2^63 for any doc_id < 3.4e9 — beyond that,
-            // swap in xxhash64(doc_id)).
-            ((col("doc_id") * 2654435761L) % 4294967296L).as("shuf"))
-          .withColumn("cum_tok", sum(col("n_tok")).over(w))
-          .filter(col("cum_tok") <= 1500)
-          .select("source", "doc_id", "n_tok", "cum_tok")
-          .orderBy("source", "doc_id")
-      },
+      (s, d) => tokenBudgetSampleOf(T.documents(s, d), "source", "doc_id", "text", 1500L),
       Some("""WITH t AS (
              |  SELECT source, doc_id,
              |    cast(len(string_split(text, ' ')) as bigint) AS n_tok,
@@ -70,40 +128,9 @@ object CurationOps {
              |  FROM t)
              |WHERE cum_tok <= 1500 ORDER BY source, doc_id""".stripMargin),
     ),
-    // Temperature (α=0.5) mixture re-weighting — the multilingual
-    // up/down-sampling recipe: sampled share q_i ∝ p_i^α. α is HALF
-    // by design: p^0.5 = sqrt(p) is IEEE-correctly-rounded on both
-    // engines, unlike pow's libm-vs-Math.pow last-ulp split, so the
-    // whole chain (int token totals → int/int division → sqrt →
-    // ordered-fold normalizer → divisions) is bit-identical and the
-    // doubles go out unrounded (the agg_entropy rule).
     OpSpec(
       "mix_temperature_weights",
-      (s, d) => {
-        // ONE corpus scan (the js_divergence plan lesson): everything
-        // after the per-lang agg runs as whole-frame windows over the
-        // lang-cardinality result — total is an exact integer window
-        // sum (order-independent), the sqrt normalizer is an
-        // array_sort'd window collect + ordered fold (deterministic
-        // regardless of window accumulation order).
-        val w = org.apache.spark.sql.expressions.Window
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-            org.apache.spark.sql.expressions.Window.unboundedFollowing)
-        T.documents(s, d)
-          .select(col("lang"), nTok("text").as("n_tok"))
-          .groupBy("lang")
-          .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens"))
-          .withColumn("total_tok", sum("tokens").over(w))
-          .withColumn("share", col("tokens") / col("total_tok"))
-          .withColumn("sq", sqrt(col("share")))
-          .withColumn("sqs", array_sort(collect_list(struct(col("lang"), col("sq"))).over(w)))
-          .withColumn("denom",
-            expr("aggregate(transform(sqs, x -> x.sq), 0D, (acc, x) -> acc + x)"))
-          .select(col("lang"), col("n_docs"), col("tokens"), col("share"),
-            (col("sq") / col("denom")).as("target_share"),
-            (col("sq") / col("denom") / col("share")).as("weight"))
-          .orderBy("lang")
-      },
+      (s, d) => temperatureWeightsOf(T.documents(s, d), "lang", "text"),
       Some("""WITH c AS (
              |  SELECT lang, cast(count(*) as bigint) AS n_docs,
              |    cast(sum(cast(len(string_split(text, ' ')) as bigint)) as bigint) AS tokens
@@ -121,40 +148,9 @@ object CurationOps {
              |  sq / denom / share AS weight
              |FROM p, d ORDER BY lang""".stripMargin),
     ),
-    // Boilerplate detection: non-overlapping 10-word chunks hashed
-    // corpus-wide; a chunk seen in ≥2 distinct docs is boilerplate and
-    // each doc reports its boilerplate fraction (the per-doc signal
-    // behind C4-style repeated-line stripping, at chunk granularity
-    // because the corpus has no line structure).
     OpSpec(
       "dedup_chunk_boilerplate",
-      (s, d) => {
-        // ONE scan + ONE explode: aggregate instances to the
-        // (chunk, doc) grid first, get each chunk's distinct-doc count
-        // as a window count over that grid (cheaper than re-deriving
-        // the explode for a frequency join — at 100 TB the explode IS
-        // the expensive part), then roll up per doc.
-        val grid = T.documents(s, d)
-          .select(col("doc_id"), split(col("text"), " ").as("ws"))
-          .withColumn("nch", expr("size(ws) div 10"))
-          .filter(col("nch") >= 1)
-          .select(col("doc_id"), explode(expr(
-            "transform(sequence(0, nch - 1), i -> array_join(slice(ws, cast(i*10+1 as int), 10), ' '))"))
-            .as("chunk"))
-          .groupBy("chunk", "doc_id")
-          .agg(count(lit(1)).as("n_inst"))
-        grid
-          .withColumn("nd", count(lit(1)).over(
-            org.apache.spark.sql.expressions.Window.partitionBy("chunk")))
-          .groupBy("doc_id")
-          .agg(sum("n_inst").as("n_chunks"),
-            sum(when(col("nd") >= 2, col("n_inst")).otherwise(0L)).as("n_boiler"))
-          .select(col("doc_id"), col("n_chunks"), col("n_boiler"),
-            // exact half-up round(n_boiler/n_chunks, 4) in integers
-            (expr("cast((n_boiler * 20000 + n_chunks) div (2 * n_chunks) as double)")
-              / 10000.0).as("boiler_frac"))
-          .orderBy("doc_id")
-      },
+      (s, d) => chunkBoilerplateOf(T.documents(s, d), "doc_id", "text", 10),
       Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
              |e AS (SELECT doc_id, ws, unnest(range(0, len(ws) // 10)) AS i
              |      FROM w WHERE len(ws) // 10 >= 1),

@@ -35,14 +35,18 @@ import org.apache.spark.sql.functions._
 object Pq {
   import PqCodebooks.{m, ksub, subDim}
 
+  /** Codebooks: books(subspace)(code) = centroid of subDim doubles. */
+  type Books = Array[Array[Array[Double]]]
+
   /** |c|² of codebook entry (s, j) — a Scala constant, spelled
     * identically into both engines. */
-  private def csq(s: Int, j: Int): Double = {
-    val c = PqCodebooks.codebooks(s)(j)
+  private def csqB(b: Books, s: Int, j: Int): Double = {
+    val c = b(s)(j)
     var acc = 0.0; var i = 0
     while (i < c.length) { acc += c(i) * c(i); i += 1 }
     acc
   }
+  private def csq(s: Int, j: Int): Double = csqB(PqCodebooks.codebooks, s, j)
 
   /** Double literal, Spark spelling — `D` suffix so the parser types
     * it DOUBLE directly (a bare 17-digit literal would go through
@@ -62,10 +66,12 @@ object Pq {
   }
 
   /** Spark ordered-fold dot of expression `es` with literal centroid. */
-  private def dotLit(es: String, s: Int, j: Int): String = {
-    val lit = s"array(${PqCodebooks.codebooks(s)(j).map(fs).mkString(",")})"
+  private def dotLitB(b: Books, es: String, s: Int, j: Int): String = {
+    val lit = s"array(${b(s)(j).map(fs).mkString(",")})"
     s"aggregate(zip_with($es, $lit, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
   }
+  private def dotLit(es: String, s: Int, j: Int): String =
+    dotLitB(PqCodebooks.codebooks, es, s, j)
 
   /** DuckDB spelling of the same dot — an EXPLICIT left fold, not
     * list_inner_product: the builtin accumulates with FMA and drifts
@@ -76,18 +82,21 @@ object Pq {
     s"list_reduce(list_prepend(0.0, list_transform(list_zip($es, $lit), x -> x[1]*x[2])), (acc, x) -> acc + x)"
   }
 
+  private def sliceSparkB(b: Books, s: Int) = s"slice(e, ${s * b(0)(0).length + 1}, ${b(0)(0).length})"
   private def sliceSpark(s: Int) = s"slice(e, ${s * subDim + 1}, $subDim)"
   private def sliceDuck(s: Int)  = s"e[${s * subDim + 1}:${(s + 1) * subDim}]"
 
   /** d(s,j) = |c|² − 2·e_s·c — the |e_s|² term is constant across j
     * and added back only where the true squared error is needed. */
-  private def dSpark(s: Int, j: Int) = s"(${fs(csq(s, j))} - 2.0D * ${dotLit(sliceSpark(s), s, j)})"
+  private def dSparkB(b: Books, s: Int, j: Int) =
+    s"(${fs(csqB(b, s, j))} - 2.0D * ${dotLitB(b, sliceSparkB(b, s), s, j)})"
+  private def dSpark(s: Int, j: Int) = dSparkB(PqCodebooks.codebooks, s, j)
   private def dDuck(s: Int, j: Int)  = s"(${fd(csq(s, j))} - 2.0 * ${dotDuck(sliceDuck(s), s, j)})"
 
   /** Spark: argmin over the ksub codes of subspace s → struct(d, c). */
-  private def minStruct(s: Int): String =
+  private def minStructB(b: Books, s: Int): String =
     "array_min(array(" +
-      (0 until ksub).map(j => s"named_struct('d', ${dSpark(s, j)}, 'c', cast($j as bigint))")
+      b(s).indices.map(j => s"named_struct('d', ${dSparkB(b, s, j)}, 'c', cast($j as bigint))")
         .mkString(", ") + "))"
 
   /** DuckDB: the distance list per subspace (argmin via
@@ -111,39 +120,104 @@ object Pq {
        |  FROM dl)""".stripMargin
   }
 
-  /** Spark-side encoded frame: vec_id, label, e, c0.., dm0.. */
-  private def encDf(s: org.apache.spark.sql.SparkSession, d: String) = {
-    var df = T.embeddings(s, d)
-      .select(col("vec_id"), col("label"),
-        expr("transform(embedding, x -> cast(x as double))").as("e"))
-    for (sub <- 0 until m) {
-      df = df.withColumn(s"ms$sub", expr(minStruct(sub)))
+  /** Encoded frame: keyCols ++ (e, c0.., dm0..) — row-local. */
+  private[vec] def encFrame(df: org.apache.spark.sql.DataFrame, vecCol: String,
+                            keyCols: Seq[String], b: Books) = {
+    var out = df.select((keyCols.map(col) :+
+      expr(s"transform($vecCol, x -> cast(x as double))").as("e")): _*)
+    for (sub <- b.indices) {
+      out = out.withColumn(s"ms$sub", expr(minStructB(b, sub)))
     }
-    (0 until m).foldLeft(df) { (acc, sub) =>
+    b.indices.foldLeft(out) { (acc, sub) =>
       acc.withColumn(s"c$sub", col(s"ms$sub.c"))
         .withColumn(s"dm$sub", col(s"ms$sub.d"))
     }
   }
 
+  /** Spark-side encoded frame for the gated queries. */
+  private def encDf(s: org.apache.spark.sql.SparkSession, d: String) =
+    encFrame(T.embeddings(s, d), "embedding", Seq("vec_id", "label"),
+      PqCodebooks.codebooks)
+
   /** |e_s|² terms for qerr = Σ_s (|e_s|² + d_min(s)) — the true
     * squared reconstruction error, one fixed-order left-assoc sum. */
-  private def esqSpark(s: Int) =
-    s"aggregate(zip_with(${sliceSpark(s)}, ${sliceSpark(s)}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+  private def esqSparkB(b: Books, s: Int) =
+    s"aggregate(zip_with(${sliceSparkB(b, s)}, ${sliceSparkB(b, s)}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+  private def esqSpark(s: Int) = esqSparkB(PqCodebooks.codebooks, s)
   private def esqDuck(s: Int) =
     s"list_reduce(list_prepend(0.0, list_transform(${sliceDuck(s)}, x -> x*x)), (acc, x) -> acc + x)"
+
+  private[vec] def qerrExprB(b: Books): String =
+    b.indices.map(sub => s"(${esqSparkB(b, sub)} + dm$sub)").mkString(" + ")
+
+  // ----------------------------------------------------------------
+  // Parameterized API (graft.api entry points) — any frame, any
+  // codebooks (train per corpus with TrainPq; defaults are the gated
+  // constants).
+  // ----------------------------------------------------------------
+
+  /** PQ-encode `df`: idCol ++ (c0..c{m-1}, qerr). Row-local — fuses
+    * into the scan, no shuffle (plan-asserted in PqSpec). */
+  def pqEncodeOf(df: org.apache.spark.sql.DataFrame, idCol: String, vecCol: String,
+                 books: Books = PqCodebooks.codebooks): org.apache.spark.sql.DataFrame =
+    encFrame(df, vecCol, Seq(idCol), books)
+      .select((col(idCol) +: books.indices.map(sub => col(s"c$sub")) :+
+        expr(qerrExprB(books)).as("qerr")): _*)
+
+  /** Batched ADC search: top-`k` corpus rows per query row by
+    * asymmetric distance. Each query row computes its m×ksub LUT once
+    * (row-local on the broadcast side); corpus rows pay m lookups + m
+    * adds. Output: (qid, rk, id, adc_dist). */
+  def pqAdcSearch(corpus: org.apache.spark.sql.DataFrame,
+                  queries: org.apache.spark.sql.DataFrame,
+                  idCol: String, vecCol: String, k: Int,
+                  books: Books = PqCodebooks.codebooks): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val enc = encFrame(corpus, vecCol, Seq(idCol), books)
+      .select((col(idCol) +: books.indices.map(sub => col(s"c$sub"))): _*)
+    val lutCols = books.indices.map { sub =>
+      expr("array(" + books(sub).indices.map(j => dSparkB(books, sub, j)).mkString(", ") + ")")
+        .as(s"l$sub")
+    }
+    val q = queries
+      .select(col(idCol).as("qid"),
+        expr(s"transform($vecCol, x -> cast(x as double))").as("e"))
+      .select((col("qid") +:
+        expr("aggregate(zip_with(e, e, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+          .as("qsq") +: lutCols): _*)
+    val adc = "qsq + " + books.indices
+      .map(sub => s"element_at(l$sub, cast(c$sub + 1 as int))").mkString(" + ")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("adc_dist"), col(idCol))
+    enc.crossJoin(broadcast(q))
+      .filter(col(idCol) =!= col("qid"))
+      .select(col("qid"), col(idCol), expr(adc).as("adc_dist"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("rk").cast("bigint").as("rk"),
+        col(idCol), col("adc_dist"))
+  }
+
+  /** Per-group mean reconstruction error (ordered-fold sum — exact
+    * determinism across partitionings): (by, n, mse). */
+  def pqMseOf(df: org.apache.spark.sql.DataFrame, byCol: String, idCol: String,
+              vecCol: String,
+              books: Books = PqCodebooks.codebooks): org.apache.spark.sql.DataFrame =
+    encFrame(df, vecCol, Seq(byCol, idCol), books)
+      .select(col(byCol), col(idCol), expr(qerrExprB(books)).as("qerr"))
+      .groupBy(byCol)
+      .agg(count(lit(1)).as("n"),
+        expr(s"""aggregate(transform(array_sort(collect_list(named_struct('i', $idCol, 'q', qerr))),
+          |  x -> x.q), 0D, (acc, x) -> acc + x)""".stripMargin).as("sum_qerr"))
+      .select(col(byCol), col("n"), (col("sum_qerr") / col("n")).as("mse"))
 
   val ops: Seq[OpSpec] = Seq(
     // PQ encode: the compressed representation (m 4-bit codes) plus
     // the exact reconstruction error per vector. Row-local.
     OpSpec(
       "vec_pq_encode",
-      (s, d) => {
-        val qerr = (0 until m).map(sub => s"(${esqSpark(sub)} + dm$sub)").mkString(" + ")
-        encDf(s, d)
-          .select((col("vec_id") +: (0 until m).map(sub => col(s"c$sub")) :+
-            expr(qerr).as("qerr")): _*)
-          .orderBy("vec_id")
-      },
+      (s, d) => pqEncodeOf(T.embeddings(s, d), "vec_id", "embedding")
+        .orderBy("vec_id"),
       Some {
         val qerr = (0 until m).map(sub => s"(${esqDuck(sub)} + dm$sub)").mkString(" + ")
         s"""WITH $encSqlCte
@@ -198,18 +272,9 @@ object Pq {
     // vec_id range and fold the shard sums in a second ordered pass.
     OpSpec(
       "vec_pq_mse",
-      (s, d) => {
-        val qerr = (0 until m).map(sub => s"(${esqSpark(sub)} + dm$sub)").mkString(" + ")
-        encDf(s, d)
-          .select(col("label"), col("vec_id"), expr(qerr).as("qerr"))
-          .groupBy("label")
-          .agg(count(lit(1)).as("n"),
-            expr("""aggregate(transform(array_sort(collect_list(named_struct('i', vec_id, 'q', qerr))),
-              |  x -> x.q), 0D, (acc, x) -> acc + x)""".stripMargin).as("sum_qerr"))
-          .select(col("label").cast("int").as("label"), col("n"),
-            (col("sum_qerr") / col("n")).as("mse"))
-          .orderBy("label")
-      },
+      (s, d) => pqMseOf(T.embeddings(s, d), "label", "vec_id", "embedding")
+        .select(col("label").cast("int").as("label"), col("n"), col("mse"))
+        .orderBy("label"),
       Some {
         val qerr = (0 until m).map(sub => s"(${esqDuck(sub)} + dm$sub)").mkString(" + ")
         s"""WITH $encSqlCte,
