@@ -739,5 +739,11 @@ object syntax {
     def pqMse(byCol: String, idCol: String, vecCol: String,
               books: graft.vec.Pq.Books = graft.vec.PqCodebooks.codebooks): DataFrame =
       graft.vec.Pq.pqMseOf(df, byCol, idCol, vecCol, books)
+
+    /** IVF-PQ encode (coarse cell + residual codes + exact error) —
+      * the billion-scale index layout; the cell doubles as the IVF
+      * partition key. Expects `vec_id`/`embedding` columns (the gated
+      * corpus shape); train residual books with TrainIvfPq. */
+    def ivfPqEncode(): DataFrame = graft.vec.IvfPq.ivfPqEncodeOf(df)
   }
 }

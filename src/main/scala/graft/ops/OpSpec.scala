@@ -22,7 +22,8 @@ object Registry {
       Sorts.ops ++ SetOps.ops ++ TimeSeries.ops ++ Scalars.ops ++ LlmOps.ops ++
       CurationOps.ops ++
       graft.text.TextOps.ops ++ graft.text.NearDup.ops ++
-      graft.vec.VecOps.ops ++ graft.vec.Pq.ops ++ Udfs.ops
+      graft.vec.VecOps.ops ++ graft.vec.Pq.ops ++ graft.vec.IvfPq.ops ++
+      Udfs.ops
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(op => op.key -> op.build).toMap
