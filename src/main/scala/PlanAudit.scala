@@ -39,7 +39,8 @@ object PlanAudit {
         // round-11 batch 3
         "sample_token_budget", "mix_temperature_weights",
         "dedup_chunk_boilerplate", "vec_pq_encode", "sim_pq_adc_topk",
-        "vec_pq_mse", "vec_ivfpq_encode", "sim_ivfpq_adc_topk")) {
+        "vec_pq_mse", "vec_ivfpq_encode", "sim_ivfpq_adc_topk",
+        "sample_token_budget_tvf", "sample_class_balance")) {
       println(s"===== $k =====")
       val df = graft.ops.Registry.queries(k)(spark, d)
       println(df.queryExecution.executedPlan.toString.linesIterator

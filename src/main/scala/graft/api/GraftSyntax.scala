@@ -712,6 +712,11 @@ object syntax {
     def temperatureWeights(byCol: String, textCol: String): DataFrame =
       graft.ops.CurationOps.temperatureWeightsOf(df, byCol, textCol)
 
+    /** Class-balanced subsample: every group keeps exactly the
+      * smallest group's count, deterministic Knuth-hash order. */
+    def classBalance(byCol: String, idCol: String): DataFrame =
+      graft.ops.CurationOps.classBalanceOf(df, byCol, idCol)
+
     /** Per-doc boilerplate fraction from corpus-wide `chunkWords`-word
       * chunk hashing (C4-style repeated-text signal). */
     def chunkBoilerplate(idCol: String, textCol: String,

@@ -201,6 +201,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
              |  ON _pa._pid = _pb._pid AND _pa._pv = _pb._pv AND _pa._id < _pb._id
              |WHERE bit_count(_pa._h ^ _pb._h) <= $maxDist""".stripMargin)
       }))
+    // Token-budget sampling from SQL text — the curation family's SQL
+    // entry (DataFrame path: api df.tokenBudgetSample):
+    //   SELECT * FROM token_budget_sample('view', 'by_col', 'id_col',
+    //                                     'text_col', budget)
+    //     -> (by, id, n_tok bigint, cum_tok bigint) — the kept rows.
+    // Expands to the same one-window-per-group cumsum plan over the
+    // Knuth-hash deterministic order as the DataFrame form.
+    ext.injectTableFunction((
+      new FunctionIdentifier("token_budget_sample"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "token_budget_sample"),
+      (args: Seq[Expression]) => {
+        require(args.length == 5,
+          "token_budget_sample(view, by_col, id_col, text_col, budget)")
+        val Seq(view, by, id, text) = args.take(4).map(TvfSql.str)
+        val budget = args(4).eval().asInstanceOf[Number].longValue()
+        require(budget > 0, s"budget must be positive, got $budget")
+        val (v, b, i, t) = (TvfSql.id(view), TvfSql.id(by), TvfSql.id(id), TvfSql.id(text))
+        TvfSql.parse(
+          s"""SELECT $b, $i, n_tok, cum_tok FROM (
+             |  SELECT $b, $i, n_tok,
+             |    sum(n_tok) OVER (PARTITION BY $b ORDER BY _shuf, $i
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+             |  FROM (SELECT $b, $i,
+             |          cast(size(split($t, ' ')) as bigint) AS n_tok,
+             |          ($i * 2654435761L) % 4294967296L AS _shuf
+             |        FROM $v))
+             |WHERE cum_tok <= ${budget}L""".stripMargin)
+      }))
     ext.injectTableFunction((
       new FunctionIdentifier("sessionize"),
       new ExpressionInfo(classOf[GraftExtensions].getName, "sessionize"),

@@ -58,6 +58,24 @@ object CurationOps {
       .orderBy(byCol, idCol)
   }
 
+  /** Class-balanced subsample: every group keeps exactly the smallest
+    * group's count, chosen by the deterministic Knuth-hash order.
+    * Shape: one column-pruned count scan (partial-agged to group
+    * cardinality) feeding a broadcast n_min, plus one windowed scan
+    * partitioned by the class key — no global window. */
+  def classBalanceOf(df: DataFrame, byCol: String, idCol: String): DataFrame = {
+    val wOrd = Window.partitionBy(byCol).orderBy(col("shuf"), col(idCol))
+    val nMin = df.groupBy(byCol).agg(count(lit(1)).as("n_class"))
+      .agg(min("n_class").as("n_min"))
+    df.select(col(byCol), col(idCol),
+        ((col(idCol) * 2654435761L) % 4294967296L).as("shuf"))
+      .withColumn("rn", row_number().over(wOrd))
+      .crossJoin(broadcast(nMin))
+      .filter(col("rn") <= col("n_min"))
+      .select(col(byCol), col(idCol), col("rn").cast("bigint").as("rn"))
+      .orderBy(byCol, idCol)
+  }
+
   /** Temperature (α=0.5) mixture re-weighting per group — the
     * multilingual up/down-sampling recipe: sampled share q_i ∝ p_i^α.
     * α is HALF by design: p^0.5 = sqrt(p) is IEEE-correctly-rounded
@@ -127,6 +145,48 @@ object CurationOps {
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS cum_tok
              |  FROM t)
              |WHERE cum_tok <= 1500 ORDER BY source, doc_id""".stripMargin),
+    ),
+    // SQL twin of sample_token_budget via the token_budget_sample TVF
+    // (GraftExtensions) — same oracle text, so SQL tier ≡ DataFrame
+    // tier ≡ DuckDB truth.
+    OpSpec(
+      "sample_token_budget_tvf",
+      (s, d) => {
+        T.documents(s, d).createOrReplaceTempView("tvf_docs_tb")
+        s.sql("""SELECT * FROM token_budget_sample('tvf_docs_tb', 'source', 'doc_id', 'text', 1500)
+                |ORDER BY source, doc_id""".stripMargin)
+      },
+      Some("""WITH t AS (
+             |  SELECT source, doc_id,
+             |    cast(len(string_split(text, ' ')) as bigint) AS n_tok,
+             |    (doc_id * 2654435761) % 4294967296 AS shuf
+             |  FROM documents)
+             |SELECT source, doc_id, n_tok, cum_tok FROM (
+             |  SELECT source, doc_id, n_tok,
+             |    cast(sum(n_tok) OVER (PARTITION BY source ORDER BY shuf, doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS cum_tok
+             |  FROM t)
+             |WHERE cum_tok <= 1500 ORDER BY source, doc_id""".stripMargin),
+    ),
+    // Class-balanced subsample: every lang keeps exactly n_min docs
+    // (the smallest class's count), chosen by the same deterministic
+    // Knuth-hash order — the "balance the mixture by downsampling"
+    // primitive. Two windows, one shuffle on the class key.
+    OpSpec(
+      "sample_class_balance",
+      (s, d) => classBalanceOf(T.documents(s, d), "lang", "doc_id"),
+      Some("""WITH t AS (
+             |  SELECT lang, doc_id,
+             |    (doc_id * 2654435761) % 4294967296 AS shuf
+             |  FROM documents),
+             |r AS (
+             |  SELECT lang, doc_id,
+             |    row_number() OVER (PARTITION BY lang ORDER BY shuf, doc_id) AS rn,
+             |    count(*) OVER (PARTITION BY lang) AS n_class
+             |  FROM t),
+             |m AS (SELECT min(n_class) AS n_min FROM (SELECT DISTINCT lang, n_class FROM r))
+             |SELECT lang, doc_id, cast(rn as bigint) AS rn
+             |FROM r, m WHERE rn <= n_min ORDER BY lang, doc_id""".stripMargin),
     ),
     OpSpec(
       "mix_temperature_weights",

@@ -63,6 +63,27 @@ class CurationSpec extends AnyFunSuite {
     assert(ids == Set(2L))
   }
 
+  test("token_budget_sample TVF output equals the DataFrame form") {
+    docs.createOrReplaceTempView("cur_docs_tvf")
+    val viaSql = spark.sql(
+      """SELECT * FROM token_budget_sample('cur_docs_tvf', 'source', 'doc_id', 'text', 1500)
+        |ORDER BY source, doc_id""".stripMargin).collect().toSeq
+    val viaDf = docs.tokenBudgetSample("source", "doc_id", "text", 1500L)
+      .collect().toSeq
+    assert(viaSql == viaDf)
+  }
+
+  test("classBalance keeps exactly the min class count per group, deterministically") {
+    val out = docs.classBalance("lang", "doc_id")
+    val perGroup = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val minClass = docs.groupBy("lang").count()
+      .agg(org.apache.spark.sql.functions.min("count")).head().getLong(0)
+    assert(perGroup.values.toSet == Set(minClass), perGroup.toString)
+    val again = docs.repartition(5).classBalance("lang", "doc_id").collect().toSeq
+    assert(again == out.collect().toSeq)
+  }
+
   test("pqAdcSearch(single query) reproduces the gated sim_pq_adc_topk") {
     val emb = graft.core.Tables.embeddings(spark, TestSpark.sfSmoke)
     val viaApi = emb.pqAdcSearch(emb.filter(col("vec_id") === 0), "vec_id", "embedding", 10)
