@@ -492,4 +492,47 @@ object StreamOps {
       .transformWithState(new HeavyHittersProcessor(k),
         TimeMode.None(), OutputMode.Append())
   }
+
+  /** Streaming token-budget gate — the live twin of the declared
+    * sample_token_budget: per source, admit documents until the token
+    * budget is spent, then drop forever. ONE int64 running total per
+    * source (bounded state for an unbounded doc stream). The batch
+    * query fixes admission order by the Knuth hash; the stream admits
+    * in ARRIVAL order — feed it in the batch's hash order (as the
+    * equivalence test does) and the admitted set is identical, which
+    * is exactly the deployment contract: the budget gate is
+    * order-sensitive and the batch order is the spec. Within a
+    * micro-batch, rows are processed in (shuf, doc_id) order so a
+    * batch boundary can never reorder admission. */
+  case class TbIn(source: String, doc_id: Long, n_tok: Long, shuf: Long)
+  case class TbOut(source: String, doc_id: Long, n_tok: Long, cum_tok: Long)
+
+  private class TokenBudgetProcessor(budget: Long)
+      extends StatefulProcessor[String, TbIn, TbOut] {
+    @transient private var spent: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      spent = getHandle.getValueState[Long](
+        "spent", Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(
+        source: String, rows: Iterator[TbIn], tv: TimerValues): Iterator[TbOut] = {
+      // batch semantics exactly: cum_tok accumulates over EVERY doc in
+      // order (admitted or not), a doc is admitted iff its cum ≤
+      // budget — monotone cumsum ⇒ the admitted set is a strict
+      // prefix, and the gate never reopens after the first overflow
+      var cum = if (spent.exists()) spent.get() else 0L
+      val out = rows.toSeq.sortBy(r => (r.shuf, r.doc_id)).flatMap { r =>
+        cum += r.n_tok
+        if (cum <= budget) Some(TbOut(source, r.doc_id, r.n_tok, cum)) else None
+      }
+      spent.update(cum)
+      out.iterator
+    }
+  }
+
+  def streamingTokenBudget(docs: Dataset[TbIn], budget: Long): Dataset[TbOut] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.source)
+      .transformWithState(new TokenBudgetProcessor(budget),
+        TimeMode.None(), OutputMode.Append())
+  }
 }

@@ -158,4 +158,42 @@ class StreamingRecoverySpec extends AnyFunSuite {
     val preMax = run1.map(_.cnt).max
     assert(run2.map(_.cnt).max > preMax)
   }
+
+  test("token-budget gate restarted from checkpoint never re-admits or over-spends") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_tb").toString
+
+    // one source, 20 docs of 100 tokens, budget 1200 → exactly the
+    // first 12 admitted; the stop lands mid-budget (after 8)
+    val rows = (0 until 20).map(i =>
+      StreamOps.TbIn("s0", i.toLong, 100L, i.toLong))
+    val (before, after) = rows.splitAt(8)
+
+    val ms = MemoryStream[StreamOps.TbIn]
+    def start(sink: scala.collection.mutable.ArrayBuffer[StreamOps.TbOut]) =
+      StreamOps.streamingTokenBudget(ms.toDS(), budget = 1200L)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[StreamOps.TbOut], _: Long) =>
+          sink.synchronized { sink ++= batch.collect() }; ()
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+
+    val run1 = scala.collection.mutable.ArrayBuffer[StreamOps.TbOut]()
+    val q1 = start(run1)
+    ms.addData(before); q1.processAllAvailable()
+    q1.stop() // failure mid-budget: 800 of 1200 tokens spent
+
+    val run2 = scala.collection.mutable.ArrayBuffer[StreamOps.TbOut]()
+    val q2 = start(run2)
+    ms.addData(after); q2.processAllAvailable()
+    q2.stop()
+
+    // recovered spend: docs 8-11 admitted (cum 900..1200), 12+ rejected
+    assert(run1.map(_.doc_id).sorted == (0L until 8L))
+    assert(run2.map(_.doc_id).sorted == (8L until 12L),
+      s"budget state lost or over-spent across restart: ${run2.map(_.doc_id).sorted}")
+    assert((run1 ++ run2).map(_.n_tok).sum == 1200L)
+  }
 }

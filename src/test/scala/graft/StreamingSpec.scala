@@ -368,6 +368,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch) // bit-exact incl. the r4'd dev
   }
 
+  test("streaming token-budget gate == batch sample_token_budget when fed in the batch order") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the batch query's admission order IS the contract: feed the
+    // stream in (shuf, doc_id) order and assert the identical set
+    val inRows = graft.core.Tables.documents(spark, TestSpark.sfSmoke)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("bigint").as("n_tok"),
+        ((col("doc_id") * 2654435761L) % 4294967296L).as("shuf"))
+      .as[StreamOps.TbIn].collect().toSeq.sortBy(r => (r.shuf, r.doc_id))
+    val ms = MemoryStream[StreamOps.TbIn]
+    val q = StreamOps.streamingTokenBudget(ms.toDS(), budget = 1500L)
+      .writeStream.format("memory").queryName("t_tb").outputMode("append").start()
+    val (a, b) = inRows.splitAt(inRows.size / 2)
+    ms.addData(a); q.processAllAvailable()
+    ms.addData(b); q.processAllAvailable() // running totals cross the boundary
+    q.stop()
+    val streamed = spark.table("t_tb").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = graft.ops.Registry.queries("sample_token_budget")(spark, TestSpark.sfSmoke)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming heavy hitters (MapState space-saving, k >= distinct) == batch counts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
