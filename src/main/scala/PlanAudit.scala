@@ -40,7 +40,8 @@ object PlanAudit {
         "sample_token_budget", "mix_temperature_weights",
         "dedup_chunk_boilerplate", "vec_pq_encode", "sim_pq_adc_topk",
         "vec_pq_mse", "vec_ivfpq_encode", "sim_ivfpq_adc_topk",
-        "sample_token_budget_tvf", "sample_class_balance")) {
+        "sample_token_budget_tvf", "sample_class_balance",
+        "sim_pq_recall_report", "ts_changepoint")) {
       println(s"===== $k =====")
       val df = graft.ops.Registry.queries(k)(spark, d)
       println(df.queryExecution.executedPlan.toString.linesIterator

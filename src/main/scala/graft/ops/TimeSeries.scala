@@ -2266,5 +2266,62 @@ object TimeSeries {
              |FROM t2 JOIN sm USING (hod) CROSS JOIN g
              |ORDER BY h""".stripMargin),
     ),
+    // CUSUM single-changepoint estimate per series (the classic
+    // offline estimator: k* = argmax_k |S_k| where S_k is the cumsum
+    // of deviations from the series mean). The whole argmax runs in
+    // EXACT decimal arithmetic — score = |n·cumsum_k − k·total| as
+    // decimal(35,2) (n·S_k scaled by n, the ts_cusum_flag width
+    // device), so comparisons can't ulp-split and ties break to the
+    // earlier row identically in both engines. One window pass per
+    // series, one argmax agg; the only doubles are the two output
+    // divisions (int/int and decimal→double/double, bit-identical).
+    OpSpec(
+      "ts_changepoint",
+      (s, d) => {
+        val wOrd = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("event_id")
+        val wCum = wOrd.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        val wAll = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id")
+        T.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            col("value").cast("decimal(18,2)").as("v"))
+          .withColumn("rn", row_number().over(wOrd))
+          .withColumn("cum", sum(col("v")).over(wCum))
+          .withColumn("total", sum(col("v")).over(wAll))
+          .withColumn("n", count(lit(1)).over(wAll))
+          .withColumn("score",
+            abs(col("cum").cast("decimal(24,2)") * col("n").cast("decimal(10,0)") -
+              col("rn").cast("decimal(10,0)") * col("total").cast("decimal(24,2)")))
+          .groupBy("user_id")
+          .agg(max(struct(col("score"), (-col("rn")).as("nrn"),
+            col("event_id").as("eid"), col("n").as("nn"))).as("best"))
+          .select(col("user_id"),
+            col("best.eid").as("cp_event_id"),
+            (-col("best.nrn")).cast("bigint").as("cp_k"),
+            (col("best.score").cast("double") / col("best.nn").cast("double"))
+              .as("s_max"))
+          .orderBy("user_id")
+      },
+      Some("""WITH w AS (
+             |  SELECT user_id, event_id,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
+             |    sum(cast(value as decimal(18,2))) OVER
+             |      (PARTITION BY user_id ORDER BY event_id
+             |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             |    sum(cast(value as decimal(18,2))) OVER (PARTITION BY user_id) AS total,
+             |    cast(count(*) OVER (PARTITION BY user_id) as bigint) AS n
+             |  FROM events),
+             |sc AS (SELECT user_id, event_id, rn, n,
+             |    abs(cast(cum as decimal(24,2)) * cast(n as decimal(10,0))
+             |        - cast(rn as decimal(10,0)) * cast(total as decimal(24,2))) AS score
+             |  FROM w)
+             |SELECT user_id, event_id AS cp_event_id, cast(rn as bigint) AS cp_k,
+             |  cast(score as double) / cast(n as double) AS s_max
+             |FROM sc
+             |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY score DESC, rn) = 1
+             |ORDER BY user_id""".stripMargin),
+    ),
   )
 }

@@ -265,6 +265,86 @@ object Pq {
            |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin
       },
     ),
+    // Recall report: ADC top-k vs the exact L2 top-k for a panel of
+    // query vectors — the self-measuring knob the IVF tier already
+    // has (sim_recall_report). recall = hits/k is an int/int IEEE
+    // division, bit-identical unrounded.
+    OpSpec(
+      "sim_pq_recall_report",
+      (s, d) => {
+        val emb = T.embeddings(s, d)
+        val queries = emb.filter(col("vec_id") < 3)
+        val adc = pqAdcSearch(emb, queries, "vec_id", "embedding", 10)
+          .select(col("qid"), col("vec_id"))
+        val exact = emb
+          .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("e"))
+          .crossJoin(broadcast(queries
+            .select(col("vec_id").as("qid"),
+              expr("transform(embedding, x -> cast(x as double))").as("qe"))))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"),
+            expr("aggregate(zip_with(e, qe, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)")
+              .as("d2"))
+          .withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("qid")
+              .orderBy(col("d2"), col("vec_id"))))
+          .filter(col("rk") <= 10)
+          .select(col("qid"), col("vec_id"))
+        adc.join(exact, Seq("qid", "vec_id"))
+          .groupBy("qid")
+          .agg(count(lit(1)).as("n_hits"))
+          .select(col("qid"), col("n_hits"),
+            (col("n_hits") / lit(10)).as("recall"))
+          .orderBy("qid")
+      },
+      Some {
+        // relational encode (VALUES codebook + QUALIFY argmin — the
+        // IvfPq oracle device) so ADC is computed per (vector, query)
+        // from codes + a per-query LUT, exactly like the Spark side
+        val b = PqCodebooks.codebooks
+        val cbRows = (for (s <- b.indices; j <- b(s).indices) yield {
+          var acc = 0.0; b(s)(j).foreach(x => acc += x * x)
+          s"($s, $j, ${fd(acc)}, [${b(s)(j).map(fd).mkString(",")}]::DOUBLE[])"
+        }).mkString(",\n    ")
+        val fold = (a: String, c: String) =>
+          s"list_reduce(list_prepend(0.0, list_transform(list_zip($a, $c), x -> x[1]*x[2])), (acc, x) -> acc + x)"
+        s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+           |pcb(sub, code, ccsq, cb) AS (VALUES $cbRows),
+           |dd AS (SELECT vec_id, e, sub, code,
+           |    ccsq - 2.0 * ${fold(s"e[(sub*$subDim+1):((sub+1)*$subDim)]", "cb")} AS d
+           |  FROM v, pcb),
+           |best AS (SELECT vec_id, sub, code FROM dd
+           |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) = 1),
+           |q AS (SELECT vec_id AS qid, e AS qe,
+           |    list_reduce(list_prepend(0.0, list_transform(e, x -> x*x)),
+           |      (acc, x) -> acc + x) AS qsq
+           |  FROM v WHERE vec_id < 3),
+           |lut AS (SELECT qid, sub, code,
+           |    ccsq - 2.0 * ${fold(s"qe[(sub*$subDim+1):((sub+1)*$subDim)]", "cb")} AS lval
+           |  FROM q, pcb),
+           |sc AS (SELECT b.vec_id, l.qid, b.sub, l.lval
+           |  FROM best b JOIN lut l ON b.sub = l.sub AND b.code = l.code),
+           |adcs AS (SELECT vec_id, qid,
+           |    list_reduce(list_prepend(0.0, list(lval ORDER BY sub)),
+           |      (acc, x) -> acc + x) AS s
+           |  FROM sc GROUP BY vec_id, qid),
+           |adc AS (SELECT a.qid, a.vec_id
+           |  FROM (SELECT x.qid, x.vec_id, x.s + qq.qsq AS adc_dist
+           |        FROM adcs x JOIN q qq ON x.qid = qq.qid
+           |        WHERE x.vec_id <> x.qid) a
+           |  QUALIFY row_number() OVER (PARTITION BY a.qid ORDER BY a.adc_dist, a.vec_id) <= 10),
+           |exact AS (SELECT qid, vec_id
+           |  FROM (SELECT q.qid, v.vec_id,
+           |          list_reduce(list_prepend(0.0, list_transform(list_zip(v.e, q.qe),
+           |            x -> (x[1]-x[2])*(x[1]-x[2]))), (acc, x) -> acc + x) AS d2
+           |        FROM v, q WHERE v.vec_id <> q.qid) t
+           |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY d2, vec_id) <= 10)
+           |SELECT a.qid, cast(count(*) as bigint) AS n_hits,
+           |  count(*) / 10 AS recall
+           |FROM adc a JOIN exact e ON a.qid = e.qid AND a.vec_id = e.vec_id
+           |GROUP BY a.qid ORDER BY a.qid""".stripMargin
+      },
+    ),
     // Compression quality report: per-label mean reconstruction error
     // (the number you watch when choosing m/ksub). The per-label mean
     // is an ordered fold over (vec_id, qerr) — bit-identical across
