@@ -225,6 +225,31 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!tv.contains("BroadcastNestedLoopJoin") && !tv.contains("CartesianProduct"), tv)
   }
 
+  test("round-11 batch-3 queries keep their designed shapes") {
+    // token budget: ONE hash exchange (the source window) + the
+    // presentation sort — no join at all
+    val tb = plan("sample_token_budget")
+    assert("Exchange ".r.findAllIn(tb).size <= 2, tb)
+    assert(!tb.contains("Join"), tb)
+    // temperature weights: ONE corpus scan (the round-11 crossJoin
+    // re-derivation fix) — the documents parquet appears exactly once
+    val tw = plan("mix_temperature_weights")
+    assert("documents\\.parquet".r.findAllIn(tw).size == 1, tw)
+    // boilerplate: one scan + chunk-grid window, no broadcast of a
+    // corpus-sized side and no second explode
+    val cb = plan("dedup_chunk_boilerplate")
+    assert("documents\\.parquet".r.findAllIn(cb).size == 1, cb)
+    // changepoint: two fused window specs over ONE user_id shuffle,
+    // then a partial+final argmax — three exchanges max with the sort
+    val cp = plan("ts_changepoint")
+    assert("Exchange ".r.findAllIn(cp).size <= 2, cp)
+    assert(cp.contains("partial_max"), cp)
+    // IVF-ADC: the LUT side is broadcast; the corpus side never sorts
+    // globally before the top-k
+    val ia = plan("sim_ivfpq_adc_topk")
+    assert(ia.contains("Broadcast"), ia)
+  }
+
   test("no CartesianProduct outside the deliberate cross/pairs queries") {
     val allowed = Set("join_cross", "sim_cosine_topk", "text_tfidf")
     val offenders = Registry.all
