@@ -467,6 +467,37 @@ object Windows {
               |WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
               |ORDER BY event_id""".stripMargin),
     ),
+    // rolling(5).apply(robust scale) — rolling MEDIAN ABSOLUTE
+    // DEVIATION: mad = median(|x_i − median(window)|). One
+    // collect_list window (≤5 values), then both medians are exact
+    // 3rd-order-statistic picks over the sorted 5-array — no
+    // interpolation, no aggregation-order dependence (sorting makes
+    // the list canonical), so the doubles are bit-identical and go
+    // out unrounded. The window list is O(n) state per row at frame
+    // width n — the same cost class as win_rolling_median's exact
+    // percentile.
+    OpSpec(
+      "win_rolling_mad",
+      (s, d) =>
+        ev(s, d)
+          .withColumn("rn5", count(lit(1)).over(roll5))
+          .withColumn("ws", collect_list(col("value")).over(roll5))
+          .select(col("event_id"), col("user_id"),
+            when(col("rn5") === 5, expr(
+              "element_at(array_sort(transform(ws, x -> abs(x - element_at(array_sort(ws), 3)))), 3)"))
+              .as("roll_mad5"))
+          .orderBy("event_id"),
+      Some(s"""SELECT event_id, user_id,
+              |  CASE WHEN cnt = 5 THEN
+              |    list_sort(list_transform(lw, x -> abs(x - list_sort(lw)[3])))[3]
+              |  END AS roll_mad5
+              |FROM (
+              |  SELECT event_id, user_id,
+              |    count(*) OVER w AS cnt, list(value) OVER w AS lw
+              |  FROM $EV
+              |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+              |ORDER BY event_id""".stripMargin),
+    ),
     // diff(periods=3) [P core/frame.py:10028]: the periods parameter is
     // just lag's offset — declared at n=3 to pin the generalized form
     // (win_diff pins n=1). Exact via the decimal device.
