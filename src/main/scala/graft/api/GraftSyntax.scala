@@ -745,6 +745,42 @@ object syntax {
               books: graft.vec.Pq.Books = graft.vec.PqCodebooks.codebooks): DataFrame =
       graft.vec.Pq.pqMseOf(df, byCol, idCol, vecCol, books)
 
+    /** CUSUM single-changepoint estimate per series: k* =
+      * argmax_k |S_k|, S_k the cumsum of deviations from the series
+      * mean. The ENTIRE argmax runs in exact decimal(35,2) — score =
+      * |n·cumsum_k − k·total| (the ts_cusum_flag width device) — so
+      * comparisons can't ulp-split and ties break to the earlier row
+      * identically in both engines. One window pass + one argmax agg
+      * per series; `by = Nil` → one global series (serial window).
+      * Output: by ++ (cp_<order>, cp_k, s_max). */
+    def changepoint(valueCol: String, orderCol: String,
+                    by: Seq[String]): DataFrame = {
+      val wOrd = ordered(by, Seq(col(orderCol)))
+      val wCum = wOrd.rowsBetween(Window.unboundedPreceding, 0)
+      val wAll = if (by.isEmpty)
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      else Window.partitionBy(by.map(col): _*)
+      val keyed = df
+        .select((by.map(col) :+ col(orderCol) :+
+          col(valueCol).cast("decimal(18,2)").as("_v")): _*)
+        .withColumn("_rn", row_number().over(wOrd))
+        .withColumn("_cum", sum(col("_v")).over(wCum))
+        .withColumn("_total", sum(col("_v")).over(wAll))
+        .withColumn("_n", count(lit(1)).over(wAll))
+        .withColumn("_score",
+          abs(col("_cum").cast("decimal(24,2)") * col("_n").cast("decimal(10,0)") -
+            col("_rn").cast("decimal(10,0)") * col("_total").cast("decimal(24,2)")))
+      val grouped = if (by.isEmpty) keyed.groupBy() else keyed.groupBy(by.map(col): _*)
+      grouped
+        .agg(max(struct(col("_score"), (-col("_rn")).as("nrn"),
+          col(orderCol).as("eid"), col("_n").as("nn"))).as("_best"))
+        .select((by.map(col) :+
+          col("_best.eid").as(s"cp_$orderCol") :+
+          (-col("_best.nrn")).cast("bigint").as("cp_k") :+
+          (col("_best._score").cast("double") / col("_best.nn").cast("double"))
+            .as("s_max")): _*)
+    }
+
     /** IVF-PQ encode (coarse cell + residual codes + exact error) —
       * the billion-scale index layout; the cell doubles as the IVF
       * partition key. Expects `vec_id`/`embedding` columns (the gated

@@ -2277,31 +2277,11 @@ object TimeSeries {
     // divisions (int/int and decimal→double/double, bit-identical).
     OpSpec(
       "ts_changepoint",
+      // thin call into graft.api (changepoint)
       (s, d) => {
-        val wOrd = org.apache.spark.sql.expressions.Window
-          .partitionBy("user_id").orderBy("event_id")
-        val wCum = wOrd.rowsBetween(
-          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-        val wAll = org.apache.spark.sql.expressions.Window
-          .partitionBy("user_id")
+        import graft.api.syntax._
         T.events(s, d)
-          .select(col("user_id"), col("event_id"),
-            col("value").cast("decimal(18,2)").as("v"))
-          .withColumn("rn", row_number().over(wOrd))
-          .withColumn("cum", sum(col("v")).over(wCum))
-          .withColumn("total", sum(col("v")).over(wAll))
-          .withColumn("n", count(lit(1)).over(wAll))
-          .withColumn("score",
-            abs(col("cum").cast("decimal(24,2)") * col("n").cast("decimal(10,0)") -
-              col("rn").cast("decimal(10,0)") * col("total").cast("decimal(24,2)")))
-          .groupBy("user_id")
-          .agg(max(struct(col("score"), (-col("rn")).as("nrn"),
-            col("event_id").as("eid"), col("n").as("nn"))).as("best"))
-          .select(col("user_id"),
-            col("best.eid").as("cp_event_id"),
-            (-col("best.nrn")).cast("bigint").as("cp_k"),
-            (col("best.score").cast("double") / col("best.nn").cast("double"))
-              .as("s_max"))
+          .changepoint("value", "event_id", Seq("user_id"))
           .orderBy("user_id")
       },
       Some("""WITH w AS (

@@ -94,6 +94,20 @@ class CurationSpec extends AnyFunSuite {
     assert(viaApi == gated)
   }
 
+  test("changepoint finds the regime boundary on a step series") {
+    // 1,1,1,9,9: mean 4.2, S_k = -3.2,-6.4,-9.6,-4.8,0 → argmax|S| at
+    // k=3, the last row of the low regime (the classic CUSUM estimate)
+    val toy = Seq((1L, 1L, 1.0), (1L, 2L, 1.0), (1L, 3L, 1.0),
+      (1L, 4L, 9.0), (1L, 5L, 9.0)).toDF("uid", "i", "v")
+    val r = toy.changepoint("v", "i", Seq("uid")).collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(1) == 3L && r(0).getLong(2) == 3L, r(0).toString)
+    assert(math.abs(r(0).getDouble(3) - 9.6) < 1e-12, r(0).toString)
+    // global (by = Nil) form agrees
+    val g = toy.changepoint("v", "i", Nil).collect()
+    assert(g.length == 1 && g(0).getLong(0) == 3L)
+  }
+
   test("pqEncode accepts a non-default codebook family") {
     val emb = graft.core.Tables.embeddings(spark, TestSpark.sfSmoke)
     // 2 subspaces × 32 dims × 2 codes: zero vs all-ones centroids —
