@@ -25,6 +25,7 @@ object Caches {
     * memo and all of Spark's in-memory relation cache entries. */
   def release(spark: SparkSession): Unit = {
     graft.text.NearDup.clearMemo(spark)
+    graft.store.TsdbStore.clearMemo(spark)
     spark.catalog.clearCache()
   }
 }

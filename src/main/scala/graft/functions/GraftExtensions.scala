@@ -127,12 +127,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 4,
           "resample(view, ts_col, unit, value_col)")
         val Seq(view, ts, unit, value) = args.map(TvfSql.str)
+        // unit accepts calendar units (date_trunc) AND pandas offset
+        // frequencies ('15min', '5s', …) via epoch-floor — the same
+        // dual spelling as api.syntax.resample (shared offsetMicros
+        // parser, so the two tiers can never accept different forms)
+        val bucket = graft.api.syntax.offsetMicros(unit) match {
+          case Some(step) =>
+            s"timestamp_micros((unix_micros(${TvfSql.id(ts)}) div ${step}L) * ${step}L)"
+          case None => s"date_trunc('${TvfSql.unit(unit)}', ${TvfSql.id(ts)})"
+        }
         TvfSql.parse(
-          s"""SELECT cast(date_trunc('${TvfSql.unit(unit)}', ${TvfSql.id(ts)}) as timestamp_ntz) AS bucket,
+          s"""SELECT cast($bucket as timestamp_ntz) AS bucket,
              |  count(*) AS n,
              |  cast(sum(cast(${TvfSql.id(value)} as decimal(18,2))) as double) AS sum_${TvfSql.name(value)}
              |FROM ${TvfSql.id(view)}
-             |GROUP BY date_trunc('${TvfSql.unit(unit)}', ${TvfSql.id(ts)})""".stripMargin)
+             |GROUP BY $bucket""".stripMargin)
       }))
     // SimHash near-dup retrieval from SQL text — the dedup family's SQL
     // entry (the DataFrame path is graft.api df.simhashPairs):

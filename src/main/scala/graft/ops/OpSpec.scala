@@ -18,7 +18,7 @@ final case class OpSpec(
 object Registry {
   /** All declared ops, every §2 category. Order is the bench order. */
   lazy val all: Seq[OpSpec] =
-    Scans.ops ++ Filters.ops ++ Joins.ops ++ Aggs.ops ++ Windows.ops ++
+    Scans.ops ++ StoreOps.ops ++ Filters.ops ++ Joins.ops ++ Aggs.ops ++ Windows.ops ++
       Sorts.ops ++ SetOps.ops ++ TimeSeries.ops ++ Scalars.ops ++ LlmOps.ops ++
       CurationOps.ops ++
       graft.text.TextOps.ops ++ graft.text.NearDup.ops ++

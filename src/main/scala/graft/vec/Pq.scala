@@ -38,6 +38,16 @@ object Pq {
   /** Codebooks: books(subspace)(code) = centroid of subDim doubles. */
   type Books = Array[Array[Array[Double]]]
 
+  /** Plain-identifier guard before any caller-supplied column name is
+    * spliced into generated expression text (the TvfSql discipline —
+    * an unusual name would otherwise fail with a confusing parse error
+    * or, worse, alter the generated expression). */
+  private def ident(s: String): String = {
+    require("[A-Za-z_][A-Za-z0-9_]*".r.matches(s),
+      s"not a plain identifier: '$s'")
+    s
+  }
+
   /** |c|² of codebook entry (s, j) — a Scala constant, spelled
     * identically into both engines. */
   private def csqB(b: Books, s: Int, j: Int): Double = {
@@ -120,9 +130,12 @@ object Pq {
        |  FROM dl)""".stripMargin
   }
 
-  /** Encoded frame: keyCols ++ (e, c0.., dm0..) — row-local. */
+  /** Encoded frame: keyCols ++ (e, c0.., dm0..) — row-local.
+    * `vecCol` is spliced into generated expression text, so it must be
+    * a plain identifier ([[ident]]); keyCols go through `col()`. */
   private[vec] def encFrame(df: org.apache.spark.sql.DataFrame, vecCol: String,
                             keyCols: Seq[String], b: Books) = {
+    ident(vecCol)
     var out = df.select((keyCols.map(col) :+
       expr(s"transform($vecCol, x -> cast(x as double))").as("e")): _*)
     for (sub <- b.indices) {
@@ -167,12 +180,21 @@ object Pq {
   /** Batched ADC search: top-`k` corpus rows per query row by
     * asymmetric distance. Each query row computes its m×ksub LUT once
     * (row-local on the broadcast side); corpus rows pay m lookups + m
-    * adds. Output: (qid, rk, id, adc_dist). */
+    * adds. Output: (qid, rk, id, adc_dist).
+    *
+    * `excludeSelf` (default true, the self-search case: queries drawn
+    * from the corpus, where the trivial distance-0 self hit is noise):
+    * a corpus row whose `idCol` equals the query's id is dropped. Pass
+    * false when corpus and queries are DISTINCT frames whose id spaces
+    * happen to overlap — otherwise valid neighbors are silently lost
+    * (ADVICE round 11). */
   def pqAdcSearch(corpus: org.apache.spark.sql.DataFrame,
                   queries: org.apache.spark.sql.DataFrame,
                   idCol: String, vecCol: String, k: Int,
-                  books: Books = PqCodebooks.codebooks): org.apache.spark.sql.DataFrame = {
+                  books: Books = PqCodebooks.codebooks,
+                  excludeSelf: Boolean = true): org.apache.spark.sql.DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
+    ident(idCol); ident(vecCol)
     val enc = encFrame(corpus, vecCol, Seq(idCol), books)
       .select((col(idCol) +: books.indices.map(sub => col(s"c$sub"))): _*)
     val lutCols = books.indices.map { sub =>
@@ -189,8 +211,8 @@ object Pq {
       .map(sub => s"element_at(l$sub, cast(c$sub + 1 as int))").mkString(" + ")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("adc_dist"), col(idCol))
-    enc.crossJoin(broadcast(q))
-      .filter(col(idCol) =!= col("qid"))
+    val joined = enc.crossJoin(broadcast(q))
+    (if (excludeSelf) joined.filter(col(idCol) =!= col("qid")) else joined)
       .select(col("qid"), col(idCol), expr(adc).as("adc_dist"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
@@ -202,7 +224,8 @@ object Pq {
     * determinism across partitionings): (by, n, mse). */
   def pqMseOf(df: org.apache.spark.sql.DataFrame, byCol: String, idCol: String,
               vecCol: String,
-              books: Books = PqCodebooks.codebooks): org.apache.spark.sql.DataFrame =
+              books: Books = PqCodebooks.codebooks): org.apache.spark.sql.DataFrame = {
+    ident(idCol) // spliced into the ordered-fold agg text below
     encFrame(df, vecCol, Seq(byCol, idCol), books)
       .select(col(byCol), col(idCol), expr(qerrExprB(books)).as("qerr"))
       .groupBy(byCol)
@@ -210,6 +233,7 @@ object Pq {
         expr(s"""aggregate(transform(array_sort(collect_list(named_struct('i', $idCol, 'q', qerr))),
           |  x -> x.q), 0D, (acc, x) -> acc + x)""".stripMargin).as("sum_qerr"))
       .select(col(byCol), col("n"), (col("sum_qerr") / col("n")).as("mse"))
+  }
 
   val ops: Seq[OpSpec] = Seq(
     // PQ encode: the compressed representation (m 4-bit codes) plus
@@ -300,7 +324,12 @@ object Pq {
       Some {
         // relational encode (VALUES codebook + QUALIFY argmin — the
         // IvfPq oracle device) so ADC is computed per (vector, query)
-        // from codes + a per-query LUT, exactly like the Spark side
+        // from codes + a per-query LUT, exactly like the Spark side.
+        // The ADC fold STARTS from qsq — (((qsq+l0)+l1)+…) — matching
+        // the Spark side's `qsq + l0 + l1 + …` addition order exactly:
+        // FP addition is non-associative, so folding the luts first and
+        // adding qsq last could differ by an ulp and flip top-10
+        // membership on near-tied distances (ADVICE round 11).
         val b = PqCodebooks.codebooks
         val cbRows = (for (s <- b.indices; j <- b(s).indices) yield {
           var acc = 0.0; b(s)(j).foreach(x => acc += x * x)
@@ -324,15 +353,14 @@ object Pq {
            |  FROM q, pcb),
            |sc AS (SELECT b.vec_id, l.qid, b.sub, l.lval
            |  FROM best b JOIN lut l ON b.sub = l.sub AND b.code = l.code),
-           |adcs AS (SELECT vec_id, qid,
-           |    list_reduce(list_prepend(0.0, list(lval ORDER BY sub)),
-           |      (acc, x) -> acc + x) AS s
-           |  FROM sc GROUP BY vec_id, qid),
-           |adc AS (SELECT a.qid, a.vec_id
-           |  FROM (SELECT x.qid, x.vec_id, x.s + qq.qsq AS adc_dist
-           |        FROM adcs x JOIN q qq ON x.qid = qq.qid
-           |        WHERE x.vec_id <> x.qid) a
-           |  QUALIFY row_number() OVER (PARTITION BY a.qid ORDER BY a.adc_dist, a.vec_id) <= 10),
+           |adcs AS (SELECT sc.vec_id, sc.qid,
+           |    list_reduce(list_prepend(qq.qsq, list(lval ORDER BY sub)),
+           |      (acc, x) -> acc + x) AS adc_dist
+           |  FROM sc JOIN q qq ON sc.qid = qq.qid
+           |  GROUP BY sc.vec_id, sc.qid, qq.qsq),
+           |adc AS (SELECT qid, vec_id
+           |  FROM adcs WHERE vec_id <> qid
+           |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY adc_dist, vec_id) <= 10),
            |exact AS (SELECT qid, vec_id
            |  FROM (SELECT q.qid, v.vec_id,
            |          list_reduce(list_prepend(0.0, list_transform(list_zip(v.e, q.qe),

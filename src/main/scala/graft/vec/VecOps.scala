@@ -23,6 +23,14 @@ object VecOps {
   private def dot(a: String, b: String) =
     expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
 
+  /** Plain-identifier guard before splicing a caller-supplied column
+    * name into generated expression text (the TvfSql discipline). */
+  private def ident(s: String): String = {
+    require("[A-Za-z_][A-Za-z0-9_]*".r.matches(s),
+      s"not a plain identifier: '$s'")
+    s
+  }
+
   /** The SCALE band family's signatures (LshPlanes.Scale: 4 bands ×
     * 8 bits = 256 buckets/band) — slim (vec_id, band, bucket), one row
     * per (vector, band), deliberately carrying NO embedding: only
@@ -62,7 +70,8 @@ object VecOps {
     * be `dim`-dimensional ([[LshPlanes.dim]] unless overridden). */
   def lshBandsOf(vecs: DataFrame, idCol: String, vecCol: String,
                  bands: Int, bitsPerBand: Int,
-                 dim: Int = LshPlanes.dim): DataFrame =
+                 dim: Int = LshPlanes.dim): DataFrame = {
+    ident(vecCol) // spliced into the transform(...) text below
     vecs
       .select(col(idCol).as("vec_id"),
         expr(s"transform($vecCol, x -> cast(x as double))").as("e"))
@@ -70,6 +79,7 @@ object VecOps {
         posexplode(array((0 until bands)
           .map(b => expr(LshPlanes.bandSparkG(b, bitsPerBand, dim))): _*))
           .as(Seq("band", "bucket")))
+  }
 
   /** Hyperplane-LSH near-duplicate PAIRS with exact cosine verification
     * over arbitrary (id, vec) input — the parameterized form of the
@@ -82,6 +92,7 @@ object VecOps {
                     bands: Int = LshPlanes.Scale.nBands,
                     bitsPerBand: Int = LshPlanes.Scale.bitsPerBand,
                     dim: Int = LshPlanes.dim): DataFrame = {
+    ident(vecCol)
     val sig = lshBandsOf(vecs, idCol, vecCol, bands, bitsPerBand, dim)
       .cache() // slim: 3 int64s/row; feeds both self-join sides
     val cand = sig.select(col("vec_id").as("a"), col("band"), col("bucket"))
@@ -138,6 +149,7 @@ object VecOps {
               bitsPerBand: Int = LshPlanes.bitsPerBand,
               dim: Int = LshPlanes.dim): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
+    ident(vecCol)
     def norm(vecs: DataFrame, idAs: String, eAs: String, nAs: String) =
       vecs.select(col(idCol).as(idAs),
           expr(s"transform($vecCol, x -> cast(x as double))").as(eAs))
@@ -192,6 +204,7 @@ object VecOps {
     require(k >= 1, s"k must be positive, got $k")
     require(nprobe >= 1 && nprobe <= kCells,
       s"nprobe must be in [1, kCells=$kCells], got $nprobe")
+    ident(vecCol)
     val spark = corpus.sparkSession
     import spark.implicits._
     val (_, cents, _) = KMeans.fit(

@@ -250,6 +250,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(ia.contains("Broadcast"), ia)
   }
 
+  test("store_read_pruned prunes day partitions at the scan (PartitionFilters)") {
+    // the §1.1 store-tier claim: the event_date range filter must reach
+    // the parquet scan as a PARTITION filter (directories skipped before
+    // any file opens), not a post-scan Filter over all days
+    val p = plan("store_read_pruned")
+    assert(p.contains("PartitionFilters") && p.contains("event_date"), p)
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("event_date"),
+      s"event_date range not pushed as a partition filter:\n$p")
+  }
+
+  test("store_upsert_latest is one hash aggregation, not a window/sort pass") {
+    val p = plan("store_upsert_latest")
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("WindowExec") && !p.contains("Window "), p)
+  }
+
+  test("ts_resample_15min is the same two-phase hash agg as the calendar form") {
+    val p = plan("ts_resample_15min")
+    assert(p.contains("HashAggregate") && p.contains("partial"), p)
+  }
+
   test("no CartesianProduct outside the deliberate cross/pairs queries") {
     val allowed = Set("join_cross", "sim_cosine_topk", "text_tfidf")
     val offenders = Registry.all
