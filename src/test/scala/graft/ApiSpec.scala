@@ -562,4 +562,108 @@ class ApiSpec extends AnyFunSuite {
       assert(r.getLong(2) == 1L) // each group speaks one word
     }
   }
+
+  // ----------------------------------------------------------------
+  // auto-sized sketch band families (round-12 verdict item 1)
+  // ----------------------------------------------------------------
+
+  test("auto band families: monotone in n, never narrower than the gate families") {
+    import graft.text.NearDup.autoMinhashFamily
+    import graft.vec.VecOps.autoEmbedLshFamily
+    val ns = Seq(1L, 50L, 500L, 5000L, 50000L, 100000L, 150000L,
+      1000000L, 10000000L, 1000000000L, 100000000000L)
+    // MinHash: the gate family up to 1e5 docs, the MEASURED sf3 fix
+    // (6×3) at 150k (BASELINE "tenth axis"), then +1 row per decade
+    assert(autoMinhashFamily(5000L) === ((4, 2)))
+    assert(autoMinhashFamily(100000L) === ((4, 2)))
+    assert(autoMinhashFamily(150000L) === ((6, 3)))
+    val mh = ns.map(autoMinhashFamily)
+    assert(mh.map(_._2) === mh.map(_._2).sorted, "rowsPerBand must be monotone")
+    mh.foreach { case (b, r) => assert(b == 2 * r && r >= 2) }
+    // embed LSH: the gate family at the gate corpus, the MEASURED sf3
+    // fix (12 bits at 60k vectors), log-growth, ≤ 30-bit packing bound
+    assert(autoEmbedLshFamily(2000L) === ((4, 8)))
+    assert(autoEmbedLshFamily(60000L) === ((4, 12)))
+    val el = ns.map(autoEmbedLshFamily)
+    assert(el.map(_._2) === el.map(_._2).sorted, "bitsPerBand must be monotone")
+    el.foreach { case (b, bits) => assert(b == 4 && bits >= 8 && bits <= 30) }
+  }
+
+  test("auto mode equals the pinned family it derives (pairs identical)") {
+    // both corpora are below the first auto step, so auto must derive
+    // EXACTLY the gate family — byte-identical pair sets
+    val docs = corpus
+    val auto = docs.minhashPairs("doc_id", "text", tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pinned = docs.minhashPairs("doc_id", "text", tau = 0.5,
+        nBands = 4, rowsPerBand = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto === pinned)
+    val eAuto = vecs.embedLshPairs("vec_id", "embedding", tau = 0.25)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ePinned = vecs.embedLshPairs("vec_id", "embedding", tau = 0.25,
+        bands = 4, bitsPerBand = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(eAuto === ePinned)
+  }
+
+  test("half-specified band families are rejected (auto is both-or-neither)") {
+    intercept[IllegalArgumentException] {
+      corpus.minhashPairs("doc_id", "text", 0.5, nBands = 4, rowsPerBand = 0)
+    }
+    intercept[IllegalArgumentException] {
+      vecs.embedLshPairs("vec_id", "embedding", 0.4, bands = 0, bitsPerBand = 8)
+    }
+  }
+
+  // ----------------------------------------------------------------
+  // serial-window hazard guard (round-11 verdict item 5)
+  // ----------------------------------------------------------------
+
+  test("by = Nil plans count on the serial-window hazard counter; keyed plans don't") {
+    val df = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("id", "v")
+    val before = graft.api.syntax.serialWindowCount.get()
+    df.cumsum("v", "id", Nil, "c").collect()
+    assert(graft.api.syntax.serialWindowCount.get() > before,
+      "global window must increment the hazard counter")
+    val mid = graft.api.syntax.serialWindowCount.get()
+    df.cumsum("v", "id", Seq("id"), "c").collect()
+    assert(graft.api.syntax.serialWindowCount.get() === mid,
+      "keyed window must NOT increment the hazard counter")
+  }
+
+  // ----------------------------------------------------------------
+  // offset-frequency resample (round-12 verdict item 4)
+  // ----------------------------------------------------------------
+
+  test("offsetMicros parses pandas offsets and rejects calendar units") {
+    import graft.api.syntax.offsetMicros
+    assert(offsetMicros("15min") === Some(900000000L))
+    assert(offsetMicros("5s") === Some(5000000L))
+    assert(offsetMicros("2h") === Some(7200000000L))
+    assert(offsetMicros("1d") === Some(86400000000L))
+    assert(offsetMicros("hour") === None)   // calendar unit → date_trunc
+    assert(offsetMicros("week") === None)
+    assert(offsetMicros("nonsense") === None)
+  }
+
+  test("resample('60min') == resample('hour') bucket-for-bucket") {
+    val df = Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:10:00"), 1.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:50:00"), 2.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 01:05:00"), 4.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 03:59:59"), 8.0),
+    ).toDF("ts", "value")
+    def res(every: String) = // bucket emits timestamp_ntz → LocalDateTime
+      df.resample(every, "ts", "b")(sum(col("value")).as("s"))
+        .collect()
+        .map(r => (r.getAs[java.time.LocalDateTime](0), r.getDouble(1))).toSet
+    assert(res("60min") === res("hour"))
+    // and 15min buckets land on the quarter-hour lattice
+    val q = df.resample("15min", "ts", "b")(count(lit(1)).as("n"))
+      .collect()
+      .map(_.getAs[java.time.LocalDateTime](0)
+        .toEpochSecond(java.time.ZoneOffset.UTC)).toSet
+    assert(q.forall(_ % 900L == 0))
+  }
 }

@@ -80,4 +80,20 @@ class PqSpec extends AnyFunSuite {
     val codeBytes = PqCodebooks.m / 2.0
     assert(rawBytes / codeBytes == 128.0)
   }
+
+  test("pqAdcSearch excludeSelf flag: self hit kept iff disabled") {
+    val queries = emb.filter(col("vec_id") === 0)
+    // excludeSelf = false (distinct-frames mode): the query's own
+    // reconstruction is its ADC-nearest row by a wide margin on
+    // unit-norm random vectors (qerr ≈ MSE ≪ |q−x|² ≈ 2)
+    val withSelf = Pq.pqAdcSearch(emb, queries, "vec_id", "embedding", 3,
+        excludeSelf = false)
+      .filter(col("rk") === 1).collect()
+    assert(withSelf.length == 1 && withSelf.head.getLong(2) == 0L,
+      s"self row must rank 1 when kept: ${withSelf.mkString}")
+    // default (self-search mode): the self row never appears
+    val without = Pq.pqAdcSearch(emb, queries, "vec_id", "embedding", 3)
+      .collect()
+    assert(without.forall(_.getLong(2) != 0L))
+  }
 }
