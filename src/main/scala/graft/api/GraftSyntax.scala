@@ -839,9 +839,19 @@ object syntax {
         .withColumn("_cum", sum(col("_v")).over(wCum))
         .withColumn("_total", sum(col("_v")).over(wAll))
         .withColumn("_n", count(lit(1)).over(wAll))
+        // Width margin (the ts_cusum_flag adjudication, same device):
+        // decimal(24,2)×decimal(10,0) → decimal(35,2) ≤ width 38 in
+        // both engines provided |cum|,|total| < 10²² and n < 10¹⁰; the
+        // guard asserts a 10× margin so an out-of-envelope series
+        // raises instead of silently nulling under Spark's non-ANSI
+        // narrowing cast (or DuckDB's silent double fallback past 38).
         .withColumn("_score",
-          abs(col("_cum").cast("decimal(24,2)") * col("_n").cast("decimal(10,0)") -
-            col("_rn").cast("decimal(10,0)") * col("_total").cast("decimal(24,2)")))
+          when(abs(col("_cum")) < lit(1e21) &&
+               abs(col("_total")) < lit(1e21) && col("_n") < lit(1000000000L),
+            abs(col("_cum").cast("decimal(24,2)") * col("_n").cast("decimal(10,0)") -
+              col("_rn").cast("decimal(10,0)") * col("_total").cast("decimal(24,2)")))
+            .otherwise(raise_error(lit(
+              "changepoint: series cumsum/count exceeds the decimal(24,2)/decimal(10,0) envelope — widen the bounded casts"))))
       val grouped = if (by.isEmpty) keyed.groupBy() else keyed.groupBy(by.map(col): _*)
       grouped
         .agg(max(struct(col("_score"), (-col("_rn")).as("nrn"),

@@ -82,5 +82,36 @@ object StoreOps {
               |  count(*) AS n_versions
               |FROM store GROUP BY user_id ORDER BY user_id""".stripMargin),
     ),
+    // COMPACTION: rewrite the store keeping only the latest version
+    // per (user_id, ts) — one max_by(struct(*), event_id) hash agg +
+    // one clustered day-partitioned write (TsdbStore.compact), run
+    // partition-at-a-time at scale. The gated read aggregates the
+    // COMPACTED store per day: row counts prove superseded versions
+    // (and only those) were reclaimed, the value mass proves each
+    // survivor is the bumped update, max_version proves the kept row
+    // is the latest one.
+    OpSpec(
+      "store_compact",
+      (s, d) => {
+        val path = TsdbStore.ensureCompactedStore(s, d)
+        TsdbStore.read(s, path)
+          .groupBy("event_date")
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
+            max(col("event_id")).as("max_version"))
+          .select(graft.core.Policy.tsOut(col("event_date").cast("timestamp"))
+            .as("event_date"), col("n"), col("sum_value"), col("max_version"))
+          .orderBy("event_date")
+      },
+      Some(s"""WITH $storeSql,
+              |latest AS (
+              |  SELECT user_id, ts, arg_max(value, event_id) AS value,
+              |    max(event_id) AS event_id
+              |  FROM store GROUP BY user_id, ts)
+              |SELECT cast(ts as date) AS event_date, count(*) AS n,
+              |  cast(sum(cast(value as decimal(18,2))) as double) AS sum_value,
+              |  max(event_id) AS max_version
+              |FROM latest GROUP BY 1 ORDER BY event_date""".stripMargin),
+    ),
   )
 }

@@ -37,21 +37,57 @@ object TsdbStore {
   /** Write `df` as a NEW day-partitioned store at `path` (overwrite —
     * the initial bulk load). The partition key `event_date` is derived
     * from `tsCol` (UTC session ⇒ calendar-day buckets match DuckDB's
-    * `cast(ts as date)`). */
-  def writeDayPartitioned(df: DataFrame, tsCol: String, path: String): Unit =
-    df.withColumn("event_date", to_date(col(tsCol)))
+    * `cast(ts as date)`). Rows are CLUSTERED by the partition key
+    * before the write (`repartition(event_date)`): without it every
+    * task holding rows of day D opens its own file under
+    * `event_date=D/`, so a T-task write of P days emits up to T×P
+    * small files — the classic partitioned-write mistake that turns a
+    * 100 TB store into a metadata bomb. Clustered, each day emits one
+    * well-sized file (shard WITHIN hot days by adding a salt column to
+    * the repartition when a single day outgrows one task). */
+  def writeDayPartitioned(df: DataFrame, tsCol: String, path: String): Unit = {
+    val dated = df.withColumn("event_date", to_date(col(tsCol)))
+    dated.repartition(col("event_date"))
       .write.mode("overwrite").partitionBy("event_date").parquet(path)
+    // ZERO-ROW corpus: a partitioned write of an empty frame emits no
+    // files at all (there are no partition values), so a later read
+    // can't infer the schema. Keep the store READABLE by writing one
+    // empty schema-carrying file with event_date as a data column —
+    // type-identical to the partition-discovered DATE, zero rows.
+    val files = Option(new java.io.File(path).listFiles).getOrElse(Array.empty)
+    if (!files.exists(f => f.getName.startsWith("event_date=")))
+      dated.limit(0).write.mode("overwrite").parquet(path)
+  }
 
   /** Append a batch to an existing store at `path` (the ingest /
-    * upsert path: new versions append, readers resolve). */
+    * upsert path: new versions append, readers resolve). Same
+    * cluster-before-write discipline. */
   def appendDayPartitioned(df: DataFrame, tsCol: String, path: String): Unit =
     df.withColumn("event_date", to_date(col(tsCol)))
+      .repartition(col("event_date"))
       .write.mode("append").partitionBy("event_date").parquet(path)
 
   /** Read the store back. Partition discovery types `event_date` as
     * DATE; filters on it prune directories before any file opens. */
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** COMPACTION: rewrite the store keeping only the latest version of
+    * each `keyCols` row (full-row survivor via one
+    * max_by(struct(*), version) hash agg — no window, no sort), day-
+    * partitioned again at `dstPath`. Reclaims superseded versions; at
+    * scale this runs partition-at-a-time (day directories are
+    * independent), and the agg shuffles one row per LIVE key. */
+  def compact(spark: SparkSession, srcPath: String, dstPath: String,
+              keyCols: Seq[String], versionCol: String, tsCol: String): Unit = {
+    val df = read(spark, srcPath)
+    val dataCols = df.columns.filterNot(_ == "event_date") // re-derived on write
+    val survivors = df
+      .groupBy(keyCols.map(col): _*)
+      .agg(max_by(struct(dataCols.map(col): _*), col(versionCol)).as("_r"))
+      .select(col("_r.*"))
+    writeDayPartitioned(survivors, tsCol, dstPath)
+  }
 
   /** Upsert-on-read: the LATEST version per `keyCols`, where
     * `versionCol` is the monotone version (here the unique event_id —
@@ -115,7 +151,24 @@ object TsdbStore {
       path
     })
 
+  private val compactMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** Compact (once per session+corpus) the gate's events store at
+    * (user_id, ts) granularity — exactly the update batch's duplicated
+    * keys collapse, each to its max-event_id version. Returns the
+    * compacted store's path. */
+  def ensureCompactedStore(spark: SparkSession, sfDir: String): String =
+    compactMemo.computeIfAbsent((spark, s"$sfDir ${stamp(sfDir)}"), _ => {
+      val src = ensureEventsStore(spark, sfDir)
+      val dst = src + "_compact"
+      compact(spark, src, dst, Seq("user_id", "ts"), "event_id", "ts")
+      dst
+    })
+
   /** Drop this session's store memo entries (graft.core.Caches). */
-  private[graft] def clearMemo(s: SparkSession): Unit =
+  private[graft] def clearMemo(s: SparkSession): Unit = {
     storeMemo.keySet.removeIf(_._1 eq s)
+    compactMemo.keySet.removeIf(_._1 eq s)
+  }
 }

@@ -192,8 +192,20 @@ object NearDup {
     * (a, b, inter, sza, szb) over DF-capped distinct shingle sets —
     * one CappedCollect agg, in-group pair explode, broadcast size
     * joins. Both the Jaccard and the containment scorers are one
-    * formula over this frame. */
-  private def cappedPairStats(s: SparkSession, d: String): DataFrame = {
+    * formula over this frame — and since round 12 the WHOLE frame is
+    * cached AND memoized driver-side (O(candidate pairs) rows of five
+    * int64s): each call constructs a fresh CappedCollect UDAF
+    * instance, so two builds canonicalize to DIFFERENT plans and
+    * Spark's plan-keyed cache can never share them (the labelsMemo
+    * lesson applied to an Aggregator) — the memo hands both gated
+    * queries the same frame, so the second pays only its scoring
+    * projection (verdict item 6). */
+  private val pairStatsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def cappedPairStats(s: SparkSession, d: String): DataFrame =
+    pairStatsMemo.computeIfAbsent((s, s"$d ${corpusStamp(d)}"),
+      _ => cappedPairStatsBuild(s, d))
+  private def cappedPairStatsBuild(s: SparkSession, d: String): DataFrame = {
     val cappedDocs = udaf(
       new graft.udaf.CappedCollect.CappedCollectAgg(maxShingleDf.toInt),
       org.apache.spark.sql.Encoders.scalaLong)
@@ -214,6 +226,7 @@ object NearDup {
     inter
       .join(broadcast(sizes.select(col("doc_id").as("a"), col("sz").as("sza"))), "a")
       .join(broadcast(sizes.select(col("doc_id").as("b"), col("sz").as("szb"))), "b")
+      .cache()
   }
 
   /** The oracle-side twin of [[cappedPairStats]]. */
@@ -995,9 +1008,12 @@ object NearDup {
     labelsMemo.computeIfAbsent((s, s"$d ${corpusStamp(d)}"),
       _ => DedupCluster.clusters(hamming1Pairs(s, d), iters = 20, minRounds = 1))
 
-  /** Drop this session's memoized label frames (graft.core.Caches). */
-  private[graft] def clearMemo(s: SparkSession): Unit =
+  /** Drop this session's memoized label/pair-stats frames
+    * (graft.core.Caches). */
+  private[graft] def clearMemo(s: SparkSession): Unit = {
     labelsMemo.keySet.removeIf(_._1 eq s)
+    pairStatsMemo.keySet.removeIf(_._1 eq s)
+  }
 
   /** DuckDB CTE `sh(doc_id, simhash)` mirroring [[simhashDf]]. Lazy:
     * it is referenced from `ops` above, which initializes first. */

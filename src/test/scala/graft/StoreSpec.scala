@@ -52,6 +52,31 @@ class StoreSpec extends AnyFunSuite {
     assert(untouched.filter(col("last_event_id") >= 10000000L).count() === 0L)
   }
 
+  test("compact reclaims exactly the superseded versions, full rows survive") {
+    val src = TsdbStore.ensureEventsStore(spark, TestSpark.sfSmoke)
+    val dst = TsdbStore.ensureCompactedStore(spark, TestSpark.sfSmoke)
+    val srcDf = TsdbStore.read(spark, src)
+    val dstDf = TsdbStore.read(spark, dst)
+    // compacted rows = distinct (user_id, ts) keys of the source
+    assert(dstDf.count() === srcDf.select("user_id", "ts").distinct().count())
+    assert(dstDf.columns.sorted === srcDf.columns.sorted) // full rows, not a projection
+    // every updated key kept the UPDATE's version (event_id ≥ 10⁷)
+    val updatedKeys = TsdbStore.updateBatch(events).select("user_id", "ts")
+    val keptOld = dstDf.join(updatedKeys, Seq("user_id", "ts"), "left_semi")
+      .filter(col("event_id") < 10000000L)
+    assert(keptOld.count() === 0L, "compaction kept a superseded base version")
+    // and the day layout survived the rewrite
+    val dirs = new java.io.File(dst).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("event_date="))
+    assert(dirs.nonEmpty)
+    // clustered write: at most one data file per day directory
+    dirs.foreach { dn =>
+      val files = new java.io.File(dst, dn).listFiles()
+        .filter(f => f.getName.endsWith(".parquet"))
+      assert(files.length <= 1, s"$dn has ${files.length} files — write not clustered")
+    }
+  }
+
   test("shared sketch caches pin MEMORY_AND_DISK (eviction spills, never recomputes)") {
     // the round-11 bench fragility finding: cached sketch frames must
     // survive memory pressure by SPILLING — assert the registered
