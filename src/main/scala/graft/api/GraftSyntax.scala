@@ -95,6 +95,14 @@ object syntax {
     case _ => None
   }
 
+  /** Epoch-floor bucket of `c` at `stepMicros`: true FLOOR via
+    * `x − pmod(x, step)` (pmod is non-negative, so pre-1970 instants
+    * floor downward exactly like DuckDB `time_bucket`, where integer
+    * `div` would truncate toward zero). Shared by resample /
+    * upsampleFfill / the resample TVF. */
+  private[graft] def floorBucket(c: Column, stepMicros: Long): Column =
+    timestamp_micros(unix_micros(c) - pmod(unix_micros(c), lit(stepMicros)))
+
   implicit class GraftDataFrameOps(private val df: DataFrame) extends AnyVal {
 
     // ----------------------------------------------------------------
@@ -108,19 +116,16 @@ object syntax {
       *  - calendar units ('minute'|'hour'|'day'|'week'|'month'|…) →
       *    `date_trunc` buckets;
       *  - pandas OFFSET frequencies ('15min', '5s', '2h', '1d' — any
-      *    day-dividing step) → epoch-floor buckets
-      *    `(unix_micros(ts) div step)·step`, the same 15-min lattice
-      *    as DuckDB `time_bucket` (both anchor on an epoch-aligned
-      *    origin; `div` truncation ≡ floor for post-1970 data).
+      *    day-dividing step) → epoch-floor buckets ([[floorBucket]]:
+      *    x − pmod(x, step), a true floor), the same lattice as DuckDB
+      *    `time_bucket` at every epoch including pre-1970.
       * The bucket emits as timestamp_ntz per §2.0.
       * Shape: identical either way — one codegen'd row-local bucket
       * expression + partial+final hash agg, the 100 TB form. */
     def resample(every: String, tsCol: String, as: String)(aggs: Column*): DataFrame = {
       val bucket = offsetMicros(every) match {
-        case Some(step) =>
-          timestamp_micros(expr(
-            s"(unix_micros(`${ident(tsCol)}`) div ${step}L) * ${step}L"))
-        case None => date_trunc(every, col(tsCol))
+        case Some(step) => syntax.floorBucket(col(tsCol), step)
+        case None       => date_trunc(every, col(tsCol))
       }
       df.groupBy(bucket.as(as))
         .agg(aggs.head, aggs.tail: _*)
@@ -141,27 +146,38 @@ object syntax {
       * (each series' min→max bucket via sequence+explode — the spine
       * is tiny relative to data, and the join broadcasts at scale),
       * left-joined with the per-bucket exact-decimal sum of
-      * `valueCol`, then carried forward across empty buckets. Output:
-      * by ++ (h, v, v_ffill). */
+      * `valueCol`, then carried forward across empty buckets. `every`
+      * accepts calendar units (minute|hour|day|week → date_trunc) AND
+      * pandas offset frequencies ('15min', '5s', … → [[floorBucket]]
+      * lattice with an exact-second spine step), like [[resample]].
+      * Output: by ++ (h, v, v_ffill). */
     def upsampleFfill(every: String, tsCol: String, valueCol: String,
                       by: Seq[String] = Nil, as: String = "v_ffill"): DataFrame = {
       val iv = Map("minute" -> "MINUTE", "hour" -> "HOUR",
         "day" -> "DAY", "week" -> "WEEK")
-      require(iv.contains(every),
-        s"every must be one of ${iv.keys.mkString("|")}, got '$every'")
-      val bucket = date_trunc(every, col(tsCol))
+      val offset = offsetMicros(every)
+      require(offset.isDefined || iv.contains(every),
+        s"every must be one of ${iv.keys.mkString("|")} or an offset " +
+          s"frequency ('15min', '5s', …), got '$every'")
+      val (bucketOf, step) = offset match {
+        case Some(us) =>
+          ((c: Column) => syntax.floorBucket(c, us),
+            expr(s"INTERVAL ${us / 1000000L} SECOND")) // offsets are whole seconds
+        case None =>
+          ((c: Column) => date_trunc(every, c), expr(s"INTERVAL 1 ${iv(every)}"))
+      }
+      val bucket = bucketOf(col(tsCol))
       val grouped =
         if (by.isEmpty) df.groupBy(bucket.as("h"))
         else df.groupBy(by.map(col) :+ bucket.as("h"): _*)
       val bucketed = grouped.agg(sum(P.dec2(col(valueCol))).cast("double").as("v"))
-      val boundsAgg = Seq(date_trunc(every, min(col(tsCol))).as("_t0"),
-        date_trunc(every, max(col(tsCol))).as("_t1"))
+      val boundsAgg = Seq(bucketOf(min(col(tsCol))).as("_t0"),
+        bucketOf(max(col(tsCol))).as("_t1"))
       val bounds =
         if (by.isEmpty) df.agg(boundsAgg.head, boundsAgg.tail: _*)
         else df.groupBy(by.map(col): _*).agg(boundsAgg.head, boundsAgg.tail: _*)
       val spine = bounds.select(by.map(col) :+
-        explode(sequence(col("_t0"), col("_t1"),
-          expr(s"INTERVAL 1 ${iv(every)}"))).as("h"): _*)
+        explode(sequence(col("_t0"), col("_t1"), step)).as("h"): _*)
       spine.join(bucketed, by :+ "h", "left")
         .ffill("v", Seq("h"), by, as)
     }

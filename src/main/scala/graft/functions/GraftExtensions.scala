@@ -132,8 +132,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         // dual spelling as api.syntax.resample (shared offsetMicros
         // parser, so the two tiers can never accept different forms)
         val bucket = graft.api.syntax.offsetMicros(unit) match {
-          case Some(step) =>
-            s"timestamp_micros((unix_micros(${TvfSql.id(ts)}) div ${step}L) * ${step}L)"
+          case Some(step) => // x − pmod(x, step): true floor, the api.floorBucket lattice
+            s"timestamp_micros(unix_micros(${TvfSql.id(ts)}) - pmod(unix_micros(${TvfSql.id(ts)}), ${step}L))"
           case None => s"date_trunc('${TvfSql.unit(unit)}', ${TvfSql.id(ts)})"
         }
         TvfSql.parse(

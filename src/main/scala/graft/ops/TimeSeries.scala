@@ -194,6 +194,33 @@ object TimeSeries {
              |FROM spine LEFT JOIN hourly ON spine.h = hourly.h
              |ORDER BY spine.h""".stripMargin),
     ),
+    // asfreq('15min') + ffill — the OFFSET-frequency upsample (the
+    // same API generalization as ts_resample_15min applied to the
+    // spine family): epoch-floor buckets + a 900-second sequence
+    // spine, forward-filled. Same single-series demo shape as
+    // ts_upsample_ffill; DuckDB twin via time_bucket +
+    // generate_series(…, INTERVAL 15 MINUTES).
+    OpSpec(
+      "ts_upsample_15min",
+      // thin call into graft.api (upsampleFfill, offset spelling)
+      (s, d) =>
+        ev(s, d).filter(col("user_id") === 7).select(col("ts"), col("value"))
+          .upsampleFfill("15min", "ts", "value")
+          .select(P.tsOut(col("h")).as("h"), col("v"), col("v_ffill"))
+          .orderBy("h"),
+      Some("""WITH e AS (SELECT cast(ts as timestamp) AS ts, value FROM events WHERE user_id = 7),
+             |q AS (SELECT time_bucket(INTERVAL 15 MINUTES, ts) AS h,
+             |        cast(sum(cast(value as decimal(18,2))) as double) AS v
+             |      FROM e GROUP BY 1),
+             |bounds AS (SELECT time_bucket(INTERVAL 15 MINUTES, min(ts)) AS t0,
+             |                  time_bucket(INTERVAL 15 MINUTES, max(ts)) AS t1 FROM e),
+             |spine AS (SELECT unnest(generate_series(t0, t1, INTERVAL 15 MINUTES)) AS h FROM bounds)
+             |SELECT spine.h, q.v AS v,
+             |  last_value(q.v IGNORE NULLS) OVER
+             |    (ORDER BY spine.h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill
+             |FROM spine LEFT JOIN q ON spine.h = q.h
+             |ORDER BY spine.h""".stripMargin),
+    ),
     // interpolate('linear') positionally, pandas-style: null cells get
     // prev + (next−prev)·(i−pi)/(ni−pi); leading/trailing nulls stay.
     // Identical IEEE expression on both sides — no rounding needed.
