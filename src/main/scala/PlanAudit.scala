@@ -41,7 +41,10 @@ object PlanAudit {
         "dedup_chunk_boilerplate", "vec_pq_encode", "sim_pq_adc_topk",
         "vec_pq_mse", "vec_ivfpq_encode", "sim_ivfpq_adc_topk",
         "sample_token_budget_tvf", "sample_class_balance",
-        "sim_pq_recall_report", "ts_changepoint")) {
+        "sim_pq_recall_report", "ts_changepoint",
+        // round-12 additions: store tier, offset resample/upsample
+        "store_read_pruned", "store_upsert_latest", "store_compact",
+        "ts_resample_15min", "ts_resample_tvf15", "ts_upsample_15min")) {
       println(s"===== $k =====")
       val df = graft.ops.Registry.queries(k)(spark, d)
       println(df.queryExecution.executedPlan.toString.linesIterator

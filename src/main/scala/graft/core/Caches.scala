@@ -19,6 +19,13 @@ import org.apache.spark.sql.SparkSession
   * call [[release]] between corpora so retired entries don't
   * accumulate (each is small, but 100 corpora × a few MB is real
   * executor memory at scale).
+  *
+  * Driver-side memos released here (all keyed by (session, corpus
+  * stamp), so a regenerated corpus re-derives automatically):
+  * NearDup's cluster labels + n-gram pair stats (their plans embed
+  * per-invocation UDAF/checkpoint identities, so Spark's plan-keyed
+  * cache can never share them), and TsdbStore's built/compacted
+  * store paths (filesystem artifacts, not plans).
   */
 object Caches {
   /** Drop every engine-held cache for `spark`: the driver-side label

@@ -250,6 +250,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
              |        FROM $v))
              |WHERE cum_tok <= ${budget}L""".stripMargin)
       }))
+    // Upsert-on-read from SQL text — the store tier's SQL entry
+    // (DataFrame path: graft.store.TsdbStore.latestByKey):
+    //   SELECT * FROM latest_by('view', 'key1,key2', 'version_col',
+    //                           'value1,value2')
+    //     -> keys ++ (last_<version>, last_<value>…, n_versions)
+    // Expands to ONE max/max_by hash aggregation — the MERGE-less
+    // latest-version resolution, no window, no sort.
+    ext.injectTableFunction((
+      new FunctionIdentifier("latest_by"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "latest_by"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          "latest_by(view, key_csv, version_col, value_csv)")
+        val Seq(view, keyCsv, version, valueCsv) = args.map(TvfSql.str)
+        val keys = keyCsv.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val values = valueCsv.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        require(keys.nonEmpty, "latest_by requires a non-empty key list")
+        val keySel = keys.map(TvfSql.id).mkString(", ")
+        val valueSel = values.map(v =>
+          s"max_by(${TvfSql.id(v)}, ${TvfSql.id(version)}) AS last_${TvfSql.name(v)}")
+        val cols = (Seq(keySel,
+          s"max(${TvfSql.id(version)}) AS last_${TvfSql.name(version)}") ++
+          valueSel :+ "count(*) AS n_versions").mkString(",\n  ")
+        TvfSql.parse(
+          s"""SELECT $cols
+             |FROM ${TvfSql.id(view)}
+             |GROUP BY $keySel""".stripMargin)
+      }))
     ext.injectTableFunction((
       new FunctionIdentifier("sessionize"),
       new ExpressionInfo(classOf[GraftExtensions].getName, "sessionize"),

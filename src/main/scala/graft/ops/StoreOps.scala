@@ -82,6 +82,25 @@ object StoreOps {
               |  count(*) AS n_versions
               |FROM store GROUP BY user_id ORDER BY user_id""".stripMargin),
     ),
+    // The SAME upsert-on-read STRAIGHT FROM SQL TEXT through the
+    // `latest_by` table-valued function — the store family's SQL tier,
+    // mirroring resample/sessionize/simhash_pairs/asof_join. Expands
+    // to the identical one-hash-agg plan as TsdbStore.latestByKey, so
+    // this green row proves SQL tier ≡ DataFrame tier ≡ oracle.
+    OpSpec(
+      "store_upsert_tvf",
+      (s, d) => {
+        val path = TsdbStore.ensureEventsStore(s, d)
+        TsdbStore.read(s, path).createOrReplaceTempView("tvf_store_events")
+        s.sql("""SELECT * FROM latest_by('tvf_store_events', 'user_id', 'event_id', 'value')
+                |ORDER BY user_id""".stripMargin)
+      },
+      Some(s"""WITH $storeSql
+              |SELECT user_id, max(event_id) AS last_event_id,
+              |  arg_max(value, event_id) AS last_value,
+              |  count(*) AS n_versions
+              |FROM store GROUP BY user_id ORDER BY user_id""".stripMargin),
+    ),
     // COMPACTION: rewrite the store keeping only the latest version
     // per (user_id, ts) — one max_by(struct(*), event_id) hash agg +
     // one clustered day-partitioned write (TsdbStore.compact), run

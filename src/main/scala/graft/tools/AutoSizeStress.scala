@@ -10,14 +10,19 @@ import org.apache.spark.sql.functions.col
   * near-dup path near-linear where the pinned gate families were
   * measured superlinear (BASELINE.md "tenth axis").
   *
-  * Usage: runMain graft.tools.AutoSizeStress <dirA> <dirB> [reps]
+  * Usage: runMain graft.tools.AutoSizeStress <dirA> <dirB> [reps [tauText tauVec]]
+  * (taus default to the gated 0.5 / 0.4; pass e.g. 0.9 0.9 to measure
+  * the output-bound claim — at a real dedup threshold the qualifying
+  * pair count is ~linear in n and growth should track it.)
   * Evidence consumer: BASELINE.md "auto-sized band families" section.
   */
 object AutoSizeStress {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "args: dirA dirB [reps]")
+    require(args.length >= 2, "args: dirA dirB [reps [tauText tauVec]]")
     val dirs = Seq(args(0), args(1))
     val reps = if (args.length > 2) args(2).toInt else 2
+    val tauText = if (args.length > 3) args(3).toDouble else 0.5
+    val tauVec = if (args.length > 4) args(4).toDouble else 0.4
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .withExtensions(new graft.functions.GraftExtensions)
@@ -52,10 +57,10 @@ object AutoSizeStress {
       val (eb, ebits) = graft.vec.VecOps.autoEmbedLshFamily(vecs.count())
       println(s"[auto-stress] $d minhash family ${mb}x$mr, embed family ${eb}x${ebits}bits")
       val tm = time("minhash_auto", d) {
-        graft.text.NearDup.minhashPairs(docs, "doc_id", "text", tau = 0.5).count()
+        graft.text.NearDup.minhashPairs(docs, "doc_id", "text", tau = tauText).count()
       }
       val te = time("embed_auto", d) {
-        graft.vec.VecOps.embedLshPairs(vecs, "vec_id", "embedding", tau = 0.4).count()
+        graft.vec.VecOps.embedLshPairs(vecs, "vec_id", "embedding", tau = tauVec).count()
       }
       (d, tm, te)
     }

@@ -93,6 +93,29 @@ class TvfSpec extends AnyFunSuite {
     viaSql.zip(viaApi).foreach { case (a, b) => assert(a == b, s"$a vs $b") }
   }
 
+  test("latest_by TVF equals the TsdbStore.latestByKey DataFrame form") {
+    val path = graft.store.TsdbStore.ensureEventsStore(spark, TestSpark.sfSmoke)
+    val store = graft.store.TsdbStore.read(spark, path)
+    store.createOrReplaceTempView("tvf_lb_store")
+    val viaTvf = spark.sql(
+      "SELECT * FROM latest_by('tvf_lb_store', 'user_id', 'event_id', 'value') ORDER BY user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val viaApi = graft.store.TsdbStore
+      .latestByKey(store, Seq("user_id"), "event_id", Seq("value"))
+      .orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(viaTvf.toSeq === viaApi.toSeq && viaTvf.nonEmpty)
+  }
+
+  test("latest_by TVF validates identifiers and requires keys") {
+    intercept[Exception] {
+      spark.sql("SELECT * FROM latest_by('v; DROP', 'k', 'v', 'x')").collect()
+    }
+    intercept[Exception] {
+      spark.sql("SELECT * FROM latest_by('tvf_lb_store', '', 'event_id', 'value')").collect()
+    }
+  }
+
   test("simhash_pairs TVF validates identifiers and parameter ranges") {
     graft.core.Tables.documents(spark, TestSpark.sfSmoke)
       .createOrReplaceTempView("tvf_spec_docs_val")
