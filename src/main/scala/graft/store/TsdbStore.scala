@@ -89,6 +89,20 @@ object TsdbStore {
     writeDayPartitioned(survivors, tsCol, dstPath)
   }
 
+  /** BUCKETED store variant: save the store as a bucketed table
+    * (`bucketBy(buckets, keyCol)` + saveAsTable — bucketing metadata
+    * needs the catalog; a bare parquet path can't carry it). Reading
+    * the table back, any aggregation or join keyed on `keyCol` —
+    * [[latestByKey]] above all — needs NO exchange: the scan already
+    * reports hash distribution by bucket, so EnsureRequirements plans
+    * zero shuffles and upsert resolution over a 100 TB store never
+    * moves a row (asserted in StoreSpec). The trade: ingest pays the
+    * bucketing shuffle once at write. */
+  def writeBucketed(df: DataFrame, table: String, keyCol: String,
+                    buckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, keyCol).saveAsTable(table)
+
   /** Upsert-on-read: the LATEST version per `keyCols`, where
     * `versionCol` is the monotone version (here the unique event_id —
     * a commit timestamp at scale). One hash aggregation: max_by picks

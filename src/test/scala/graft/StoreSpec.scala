@@ -77,6 +77,30 @@ class StoreSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed store: latestByKey resolves with ZERO exchange") {
+    spark.sql("DROP TABLE IF EXISTS graft_store_bucketed_t")
+    TsdbStore.writeBucketed(
+      events.select("event_id", "ts", "user_id", "value"),
+      "graft_store_bucketed_t", "user_id", buckets = 8)
+    val latest = TsdbStore.latestByKey(
+      spark.table("graft_store_bucketed_t"), Seq("user_id"), "event_id", Seq("value"))
+    val plan = latest.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate") || plan.contains("ObjectHashAggregate"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed upsert resolution still shuffles:\n$plan")
+    assert(plan.contains("Bucketed: true"), plan)
+    // and it computes the same answer as the unbucketed path
+    val viaBuckets = latest.orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val viaPlain = TsdbStore.latestByKey(
+        events.select("event_id", "ts", "user_id", "value"),
+        Seq("user_id"), "event_id", Seq("value"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(viaBuckets.toSeq === viaPlain.toSeq && viaBuckets.nonEmpty)
+    spark.sql("DROP TABLE IF EXISTS graft_store_bucketed_t")
+  }
+
   test("streaming ingest lands in the day-partitioned store layout and reads back pruned") {
     // the production TSDB ingest path: writeStream → parquet file sink
     // partitioned by event_date, exactly-once via the sink's commit
