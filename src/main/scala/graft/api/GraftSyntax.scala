@@ -451,6 +451,26 @@ object syntax {
                           by: Seq[String]): WindowSpec =
       ordered(by, Seq(unix_micros(col(tsCol)))).rangeBetween(-durationMicros, 0)
 
+    /** `expanding().std()` — sample std over the unbounded-preceding
+      * frame from exact decimal moment sums (one fused window pass);
+      * NULL at n = 1 (pandas min_periods). Same formula text as
+      * [[rollingStd]] with the frame opened and n per-row. */
+    def expandingStd(valueCol: String, orderCol: String, by: Seq[String],
+                     as: String): DataFrame = {
+      val cum = ordered(by, Seq(col(orderCol)))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val x = P.dec2(col(valueCol))
+      df.select(col("*"), // one projection level -> ONE fused WindowExec
+          count(lit(1)).over(cum).as("_en"),
+          sum(x).over(cum).cast("double").as("_esx"),
+          sum((x * x).cast("decimal(38,4)")).over(cum).cast("double").as("_esq"))
+        .withColumn(as,
+          when(col("_en") > 1,
+            P.r4(sqrt((col("_esq") - col("_esx") * col("_esx") / col("_en")) /
+              (col("_en") - 1)))))
+        .drop("_en", "_esx", "_esq")
+    }
+
     /** `expanding().mean()` — exact-decimal running mean. */
     def expandingMean(valueCol: String, orderCol: String, by: Seq[String],
                       as: String): DataFrame = {

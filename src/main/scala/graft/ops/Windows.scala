@@ -231,6 +231,31 @@ object Windows {
               |WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
               |ORDER BY event_id""".stripMargin),
     ),
+    // expanding().std() — the running sample std (pandas expanding
+    // family's second member): exact decimal moment sums over the
+    // unbounded-preceding frame, n per-row, NULL at n = 1. Same
+    // formula text as win_rolling_std with the frame opened; the
+    // doubles (sx, sq exact decimals cast once) are identical in both
+    // engines so the CASE/round land the same.
+    OpSpec(
+      "win_expanding_std",
+      // thin call into graft.api (expandingStd)
+      (s, d) =>
+        ev(s, d)
+          .expandingStd("value", "event_id", Seq("user_id"), as = "exp_std")
+          .select("event_id", "user_id", "exp_std")
+          .orderBy("event_id"),
+      Some(s"""SELECT event_id, user_id,
+              |  CASE WHEN n > 1 THEN round(sqrt((sq - sx * sx / n) / (n - 1)), 4) END AS exp_std
+              |FROM (
+              |  SELECT event_id, user_id,
+              |    count(*) OVER w AS n,
+              |    cast(sum(cast(value as decimal(18,2))) OVER w as double) AS sx,
+              |    cast(sum(cast(cast(value as decimal(18,2)) * cast(value as decimal(18,2)) as decimal(38,4))) OVER w as double) AS sq
+              |  FROM $EV
+              |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+              |ORDER BY event_id""".stripMargin),
+    ),
     // percent_rank / cume_dist (pandas rank(pct=True) family).
     OpSpec(
       "win_percent_rank",

@@ -22,6 +22,25 @@ object StreamOps {
     spark.readStream.schema(
       spark.read.parquet(dir).schema).parquet(dir)
 
+  /** Streaming INGEST into the TSDB store layout: append the stream to
+    * a day-partitioned parquet store — exactly-once via the file
+    * sink's commit log + `checkpointLocation`, so a crashed/restarted
+    * query never duplicates a batch. Partitions by `event_date =
+    * to_date(tsCol)` (the graft.store.TsdbStore layout: the day
+    * directory is the index; batch readers prune on it), so continuous
+    * ingest appends only to the current day's directory while
+    * [[graft.store.TsdbStore.latestByKey]]/compact resolve versions
+    * downstream. Returns the started query; StoreSpec proves the
+    * landed layout equals the batch write of the same rows. */
+  def ingestToStore(events: DataFrame, tsCol: String, path: String,
+                    checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events
+      .withColumn("event_date", org.apache.spark.sql.functions.to_date(col(tsCol)))
+      .writeStream.format("parquet")
+      .partitionBy("event_date")
+      .option("path", path).option("checkpointLocation", checkpoint)
+      .outputMode("append").start()
+
   /** Tumbling-window count/sum — the incremental twin of
     * ts_resample_agg. */
   def tumblingAgg(events: DataFrame, watermark: String = "1 hour"): DataFrame =

@@ -118,13 +118,9 @@ class StoreSpec extends AnyFunSuite {
     val out = new java.io.File(dir, "data").getAbsolutePath
     val ckpt = new java.io.File(dir, "ckpt").getAbsolutePath
     val ms = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
-    val q = ms.toDF()
-      .toDF("event_id", "ts", "user_id", "event_type", "value")
-      .withColumn("event_date", to_date(col("ts")))
-      .writeStream.format("parquet")
-      .partitionBy("event_date")
-      .option("path", out).option("checkpointLocation", ckpt)
-      .outputMode("append").start()
+    val q = graft.streaming.StreamOps.ingestToStore(
+      ms.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"),
+      "ts", out, ckpt)
     val (a, b) = rows.splitAt(rows.size / 2)
     ms.addData(a); q.processAllAvailable()
     ms.addData(b); q.processAllAvailable()
