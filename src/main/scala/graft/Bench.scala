@@ -38,8 +38,33 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // Post-run covariates (round-12 verdict item 7): storage-memory
+    // occupancy and cached-RDD block health, so a contended-box run
+    // can CONFIRM cache eviction as the inflation mechanism instead of
+    // inferring it from per-query deltas. All from public APIs:
+    // SparkStatusTracker executor infos + getRDDStorageInfo.
+    val loadavgEnd =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0)
+      catch { case _: Throwable => "-1" }
+    val (memUsed, memTotal) =
+      try {
+        val ex = spark.sparkContext.statusTracker.getExecutorInfos
+        (ex.map(_.usedOnHeapStorageMemory).sum, ex.map(_.totalOnHeapStorageMemory).sum)
+      } catch { case _: Throwable => (-1L, -1L) }
+    val (rddMem, rddDisk, rddPartsCached, rddPartsTotal) =
+      try {
+        val infos = spark.sparkContext.getRDDStorageInfo
+        (infos.map(_.memSize).sum, infos.map(_.diskSize).sum,
+          infos.map(_.numCachedPartitions.toLong).sum,
+          infos.map(_.numPartitions.toLong).sum)
+      } catch { case _: Throwable => (-1L, -1L, -1L, -1L) }
+    val cov =
+      s""""loadavg1m_end":$loadavgEnd,"storage_mem_used":$memUsed,""" +
+        s""""storage_mem_total":$memTotal,"cached_rdd_mem_bytes":$rddMem,""" +
+        s""""cached_rdd_disk_bytes":$rddDisk,"cached_rdd_parts":$rddPartsCached,""" +
+        s""""cached_rdd_parts_expected":$rddPartsTotal"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","loadavg1m":$loadavg,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","loadavg1m":$loadavg,$cov,"queries":$qs,"sf":"$sfDir"}"""
     // The driver truncates long stdout tails, losing most of the
     // per-query map from the shipped artifact; persist the full line
     // to a stable path as well (round-10 verdict item 6). Printed

@@ -80,7 +80,18 @@ object syntax {
     * ('hour', 'week', 'month', …). Only day-dividing units are offsets
     * — weeks/months/quarters are irregular lattices and stay calendar
     * units. Shared by [[GraftDataFrameOps.resample]] and the
-    * `resample` SQL TVF so both tiers accept the same spellings. */
+    * `resample` SQL TVF so both tiers accept the same spellings.
+    *
+    * The step must DIVIDE A DAY (86 400 s — admits '15min', '2h',
+    * '1d'; rejects '7h', '2d', '90min'): the epoch-floor lattice
+    * ([[floorBucket]]: x − pmod(x, step)) coincides with DuckDB
+    * `time_bucket` and pandas `resample` (origin 'start_day') exactly
+    * when the step divides a day — for a non-dividing step the three
+    * lattices anchor differently (DuckDB's origin is 2000-01-03,
+    * pandas' is each series' first midnight) and the documented
+    * equivalences would silently produce different buckets (ADVICE
+    * round 12). A non-dividing period belongs to a calendar unit or an
+    * explicit-origin bucketing, not this parser. */
   private[graft] def offsetMicros(every: String): Option[Long] = every match {
     case offsetRe(n, u) =>
       val unit = u.toLowerCase(java.util.Locale.ROOT) match {
@@ -91,6 +102,11 @@ object syntax {
       }
       val step = n.toLong * unit
       require(step > 0, s"offset frequency must be positive, got '$every'")
+      require(86400000000L % step == 0,
+        s"offset frequency must divide a day (admits '15min'/'2h'/'1d', " +
+          s"rejects '7h'/'2d'), got '$every' — the epoch-floor lattice " +
+          "only matches DuckDB time_bucket / pandas resample for " +
+          "day-dividing steps")
       Some(step)
     case _ => None
   }

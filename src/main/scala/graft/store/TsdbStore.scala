@@ -61,11 +61,25 @@ object TsdbStore {
 
   /** Append a batch to an existing store at `path` (the ingest /
     * upsert path: new versions append, readers resolve). Same
-    * cluster-before-write discipline. */
-  def appendDayPartitioned(df: DataFrame, tsCol: String, path: String): Unit =
+    * cluster-before-write discipline.
+    *
+    * If the store was bulk-loaded EMPTY, [[writeDayPartitioned]] left a
+    * root-level schema-marker file (event_date as a data column). Once
+    * a non-empty append lands real `event_date=…` directories, that
+    * marker would make partition discovery see a MIXED layout
+    * (conflicting directory structures) and fail the read — the
+    * empty-backfill-then-stream shape the streaming ingest advertises
+    * (ADVICE round 12). So after the append, if partition directories
+    * now exist, the root marker files are removed. */
+  def appendDayPartitioned(df: DataFrame, tsCol: String, path: String): Unit = {
     df.withColumn("event_date", to_date(col(tsCol)))
       .repartition(col("event_date"))
       .write.mode("append").partitionBy("event_date").parquet(path)
+    val files = Option(new java.io.File(path).listFiles).getOrElse(Array.empty)
+    if (files.exists(f => f.isDirectory && f.getName.startsWith("event_date=")))
+      files.filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .foreach(f => f.delete(): Unit)
+  }
 
   /** Read the store back. Partition discovery types `event_date` as
     * DATE; filters on it prune directories before any file opens. */
@@ -87,6 +101,54 @@ object TsdbStore {
       .agg(max_by(struct(dataCols.map(col): _*), col(versionCol)).as("_r"))
       .select(col("_r.*"))
     writeDayPartitioned(survivors, tsCol, dstPath)
+  }
+
+  /** RETENTION / TTL expiry — the first of the two maintenance jobs
+    * every production TSDB runs beside compaction (drop partitions
+    * older than the retention window). Because the store is
+    * day-partitioned, expiry is a METADATA operation: delete the
+    * `event_date=D` directories with D < `keepFrom` — O(expired days)
+    * filesystem deletes, ZERO data read or rewrite (at 100 TB this is
+    * the difference between an instant and a full-store rewrite; on a
+    * lake format the same op is a partition-drop commit). Rows inside
+    * retained days are untouched. Returns the number of partitions
+    * dropped. */
+  def expirePartitions(path: String, keepFrom: java.sql.Date): Int = {
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles).getOrElse(Array.empty[java.io.File]).foreach(deleteRec)
+      f.delete(): Unit
+    }
+    val dirs = Option(new java.io.File(path).listFiles)
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("event_date="))
+    val expired = dirs.filter { d =>
+      val v = d.getName.stripPrefix("event_date=")
+      try java.sql.Date.valueOf(v).before(keepFrom)
+      catch { case _: IllegalArgumentException => false } // non-date partition value: keep
+    }
+    expired.foreach(deleteRec)
+    expired.length
+  }
+
+  /** ROLLUP maintenance — the second standing TSDB job: materialize a
+    * coarser-grained aggregate store (here hourly per event_type) so
+    * dashboards read the rollup while raw data ages out under
+    * [[expirePartitions]]. One partial+final hash agg over the raw
+    * store (exact-decimal sums per the §2.0 money policy) + one
+    * clustered day-partitioned write — the rollup is
+    * hours × event_types rows, so each day directory is a single small
+    * file and a month of 100 TB raw collapses to MBs of rollup. The
+    * agg keys on (hour, event_type): upstream partition pruning on the
+    * raw scan composes (roll up only the days you need). */
+  def rollupHourly(spark: SparkSession, srcPath: String, dstPath: String,
+                   tsCol: String, byCol: String, valueCol: String): Unit = {
+    val rolled = read(spark, srcPath)
+      .groupBy(date_trunc("hour", col(tsCol)).as("hour_ts"), col(byCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol).cast("decimal(18,2)")).cast("double")
+          .as(s"sum_$valueCol"))
+    writeDayPartitioned(rolled, "hour_ts", dstPath)
   }
 
   /** BUCKETED store variant: save the store as a bucketed table
@@ -135,9 +197,6 @@ object TsdbStore {
       .withColumn("event_id", col("event_id") + versionOffset)
       .withColumn("value", col("value") + valueBump)
 
-  private val storeMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
-
   /** size+mtime stamp of the source events parquet, so a regenerated
     * corpus rebuilds the store (the NearDup.corpusStamp contract). */
   private def stamp(d: String): String = {
@@ -149,40 +208,88 @@ object TsdbStore {
     if (f.exists) rec(f) else d
   }
 
-  /** Build (once per session+corpus) the gate's events store under
+  /** Per-JVM uid + strong digest (ADVICE round 12): the old path was a
+    * 32-bit hashCode of (sfDir + stamp) SHARED across JVMs — two
+    * processes over the same corpus raced overwrite-then-append on one
+    * directory, and a hashCode collision could conflate distinct
+    * corpora. Now: sha-256 prefix (collision-proof in practice) inside
+    * a per-JVM directory (no cross-process path sharing at all), and
+    * the JVM-wide `built` map's computeIfAbsent serializes concurrent
+    * builders of the same corpus within this JVM. The store content is
+    * deterministic in the corpus, so JVM-wide (not per-session) memo
+    * keys are sound; stamp changes (corpus regen) re-key and rebuild. */
+  private lazy val jvmUid: String =
+    java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+      .replaceAll("[^A-Za-z0-9]", "")
+  private def sha16(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).take(12).map("%02x".format(_)).mkString
+  private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ensureBuilt(key: String)(build: String => Unit): String =
+    built.computeIfAbsent(sha16(key), dg => {
+      val path = new java.io.File(
+        sys.props("java.io.tmpdir"), s"graft_store_${jvmUid}_$dg").getAbsolutePath
+      build(path)
+      path
+    })
+
+  /** Build (once per JVM+corpus) the gate's events store under
     * java.io.tmpdir: bulk load + appended update batch. Returns the
     * store path. Idempotent: overwrite-then-append, so a rebuild after
     * corpus regen yields byte-equivalent content. */
   def ensureEventsStore(spark: SparkSession, sfDir: String): String =
-    storeMemo.computeIfAbsent((spark, s"$sfDir ${stamp(sfDir)}"), _ => {
+    ensureBuilt(s"events|$sfDir ${stamp(sfDir)}") { path =>
       val events = graft.core.Tables.events(spark, sfDir)
-      val path = new java.io.File(
-        sys.props("java.io.tmpdir"),
-        s"graft_store_${(sfDir + stamp(sfDir)).hashCode.toHexString}"
-      ).getAbsolutePath
       writeDayPartitioned(events, "ts", path)
       appendDayPartitioned(updateBatch(events), "ts", path)
-      path
-    })
+    }
 
-  private val compactMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
-
-  /** Compact (once per session+corpus) the gate's events store at
+  /** Compact (once per JVM+corpus) the gate's events store at
     * (user_id, ts) granularity — exactly the update batch's duplicated
     * keys collapse, each to its max-event_id version. Returns the
     * compacted store's path. */
   def ensureCompactedStore(spark: SparkSession, sfDir: String): String =
-    compactMemo.computeIfAbsent((spark, s"$sfDir ${stamp(sfDir)}"), _ => {
+    ensureBuilt(s"compact|$sfDir ${stamp(sfDir)}") { dst =>
       val src = ensureEventsStore(spark, sfDir)
-      val dst = src + "_compact"
       compact(spark, src, dst, Seq("user_id", "ts"), "event_id", "ts")
-      dst
-    })
+    }
 
-  /** Drop this session's store memo entries (graft.core.Caches). */
-  private[graft] def clearMemo(s: SparkSession): Unit = {
-    storeMemo.keySet.removeIf(_._1 eq s)
-    compactMemo.keySet.removeIf(_._1 eq s)
+  /** Retention cutoff used by the gated retention query — inlined in
+    * its oracle (the store holds 2024-01-01..30, so 15 days expire). */
+  private[graft] val retentionCutoff: java.sql.Date =
+    java.sql.Date.valueOf("2024-01-15")
+
+  private def copyRec(src: java.io.File, dst: java.io.File): Unit = {
+    if (src.isDirectory) {
+      dst.mkdirs()
+      Option(src.listFiles).getOrElse(Array.empty[java.io.File])
+        .foreach(f => copyRec(f, new java.io.File(dst, f.getName)))
+    } else
+      java.nio.file.Files.copy(src.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
   }
+
+  /** Gate fixture: a copy of the events store with partitions before
+    * [[retentionCutoff]] dropped via [[expirePartitions]] — the
+    * metadata-only delete is the op under test (the copy exists only
+    * so sibling gated queries keep the full store). */
+  def ensureRetainedStore(spark: SparkSession, sfDir: String): String =
+    ensureBuilt(s"retain|$sfDir ${stamp(sfDir)}") { dst =>
+      val src = ensureEventsStore(spark, sfDir)
+      copyRec(new java.io.File(src), new java.io.File(dst))
+      expirePartitions(dst, retentionCutoff): Unit
+    }
+
+  /** Gate fixture: the hourly (hour × event_type) rollup store
+    * materialized from the events store via [[rollupHourly]]. */
+  def ensureRollupStore(spark: SparkSession, sfDir: String): String =
+    ensureBuilt(s"rollup|$sfDir ${stamp(sfDir)}") { dst =>
+      val src = ensureEventsStore(spark, sfDir)
+      rollupHourly(spark, src, dst, "ts", "event_type", "value")
+    }
+
+  /** Forget memoized store paths (graft.core.Caches). Rebuilds are
+    * idempotent overwrites, so clearing is always safe. */
+  private[graft] def clearMemo(s: SparkSession): Unit = built.clear()
 }

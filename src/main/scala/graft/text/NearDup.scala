@@ -75,14 +75,37 @@ object NearDup {
   private def shingleNumsRaw(s: SparkSession, d: String): DataFrame =
     shingleNumsOf(T.documents(s, d), "doc_id", "text")
 
+  /** Corpus shingle set, DISK-memoized (graft.core.DiskMemo): the
+    * frame every minhash-family query starts from is written once per
+    * (corpus, content-stamp) and read back as parquet — under the
+    * official bench box's memory pressure an evicted `.cache()` here
+    * re-paid the full explode+hash+distinct pipeline in EVERY consumer
+    * (measured 12–15× inflation); a file read cannot be evicted. */
   private def shingleNums(s: SparkSession, d: String): DataFrame =
-    shingleNumsRaw(s, d).distinct()
+    graft.core.DiskMemo.persist(shingleNumsRaw(s, d).distinct(), "nd_sh")
 
   /** MinHash 8-signature + 4×2 LSH banding over distinct (doc_id, x)
     * shingle hashes → one (doc_id, band, bucket) row per band. Shared
     * by the declared batch query and the streaming candidate emitter. */
   def bandedSignatures(sh: DataFrame): DataFrame =
     bandedSignatures(sh, bands = 4, rowsPerBand = 2)
+
+  /** The (doc_id, m1..mk) MinHash signature frame over distinct
+    * (doc_id, x) shingle hashes — the agg [[bandedSignatures]] bands,
+    * exposed so quality reports can read the raw components. Batch
+    * frames are DISK-memoized (slim: k+1 int64s per doc; identical
+    * (shingle-frame, k) constructions share one artifact — the
+    * plan-keyed `.cache()` sharing, minus the evictability); streaming
+    * frames pass through. */
+  def signatures(sh: DataFrame, nHashes: Int): DataFrame = {
+    val fam = hashFamilyOf(nHashes)
+    val minhashCols: Seq[Column] = fam.zipWithIndex.map { case ((a, b), j) =>
+      min((col("x") * a + b) % P).as(s"m${j + 1}")
+    }
+    val sigRaw = sh.groupBy("doc_id").agg(minhashCols.head, minhashCols.tail: _*)
+    if (sh.isStreaming) sigRaw
+    else graft.core.DiskMemo.persist(sigRaw, "nd_sig")
+  }
 
   /** General (bands × rowsPerBand) form — the MinHash SCALE KNOB:
     * P(band collision) = J^rowsPerBand, so rowsPerBand must grow when
@@ -92,16 +115,12 @@ object NearDup {
     * recall only below J ≈ τ^(1/3) — see BASELINE "30× axis"). The
     * default (4, 2) is byte-identical to the gated family. */
   def bandedSignatures(sh: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
-    val fam = hashFamilyOf(bands * rowsPerBand)
-    val minhashCols: Seq[Column] = fam.zipWithIndex.map { case ((a, b), j) =>
-      min((col("x") * a + b) % P).as(s"m${j + 1}")
-    }
-    // plan-keyed cache: the SAME signature agg feeds dedup_minhash_lsh,
-    // dedup_minhash_quality and text_decontaminate_fuzzy in one bench
-    // session — slim (bands·rows+1 int64s per doc). Streaming callers
-    // can't cache.
-    val sigRaw = sh.groupBy("doc_id").agg(minhashCols.head, minhashCols.tail: _*)
-    val sig = if (sh.isStreaming) sigRaw else sigRaw.cache()
+    // DISK-memoized signature agg ([[signatures]]): the SAME frame
+    // feeds dedup_minhash_lsh, dedup_minhash_quality and
+    // text_decontaminate_fuzzy in one bench session — slim (bands·rows
+    // + 1 int64s per doc), eviction-proof. Streaming callers pass
+    // through uncached.
+    val sig = signatures(sh, bands * rowsPerBand)
     // one posexplode instead of a bands-way union — the signature agg
     // runs once, not once per band
     val bandArr = array((0 until bands).map { bi =>
@@ -150,13 +169,17 @@ object NearDup {
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    tau: Double,
                    nBands: Int = 0, rowsPerBand: Int = 0): DataFrame = {
-    require((nBands == 0) == (rowsPerBand == 0),
-      s"pass BOTH nBands and rowsPerBand, or neither (auto) — got ($nBands, $rowsPerBand)")
+    require((nBands == 0 && rowsPerBand == 0) || (nBands > 0 && rowsPerBand > 0),
+      "pass BOTH nBands and rowsPerBand strictly positive, or both 0 (auto) — " +
+        s"got ($nBands, $rowsPerBand)")
     val (nb, rpb) =
       if (nBands > 0) (nBands, rowsPerBand) else autoMinhashFamily(docs.count())
-    // cached: feeds the signature agg, the sizes agg and both sides
-    // of the exact-verify join
-    val sh = shingleNumsOf(docs, idCol, textCol).distinct().cache()
+    // DISK-memoized (plan-keyed): feeds the signature agg, the sizes
+    // agg and both sides of the exact-verify join — and resolves to
+    // the SAME artifact as every sibling minhash query over the same
+    // corpus (eviction-proof; round-12 verdict item 1)
+    val sh = graft.core.DiskMemo.persist(
+      shingleNumsOf(docs, idCol, textCol).distinct(), "nd_sh")
     val bands = bandedSignatures(sh, nb, rpb)
     val cands = bands.select(col("doc_id").as("a"), col("band"), col("bucket"))
       .join(bands.select(col("doc_id").as("b"), col("band"), col("bucket")),
@@ -204,7 +227,16 @@ object NearDup {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private def cappedPairStats(s: SparkSession, d: String): DataFrame =
     pairStatsMemo.computeIfAbsent((s, s"$d ${corpusStamp(d)}"),
-      _ => cappedPairStatsBuild(s, d))
+      // DISK-memoized (round-12 verdict item 1): the frame is written
+      // once per (corpus, stamp) and both scorers read the FILE — the
+      // in-memory `.cache()` of rounds ≤ 12 inflated 12–23× on the
+      // contended bench box when its blocks were evicted mid-DAG. The
+      // explicit key (not the plan digest) is required here: each
+      // build constructs a fresh CappedCollect UDAF whose identity
+      // lands in the canonicalized plan, so plan-keyed forms can never
+      // collide two builds.
+      _ => graft.core.DiskMemo.ensure(s, s"nd_pairstats|$d ${corpusStamp(d)}")(
+        cappedPairStatsBuild(s, d)))
   private def cappedPairStatsBuild(s: SparkSession, d: String): DataFrame = {
     val cappedDocs = udaf(
       new graft.udaf.CappedCollect.CappedCollectAgg(maxShingleDf.toInt),
@@ -226,7 +258,6 @@ object NearDup {
     inter
       .join(broadcast(sizes.select(col("doc_id").as("a"), col("sz").as("sza"))), "a")
       .join(broadcast(sizes.select(col("doc_id").as("b"), col("sz").as("szb"))), "b")
-      .cache()
   }
 
   /** The oracle-side twin of [[cappedPairStats]]. */
@@ -394,11 +425,10 @@ object NearDup {
     OpSpec(
       "dedup_minhash_quality",
       (s, d) => {
-        val sh = shingleNums(s, d).cache()
-        val minhashCols: Seq[Column] = hashFamily.zipWithIndex.map { case ((a, b), j) =>
-          min((col("x") * a + b) % P).as(s"m${j + 1}")
-        }
-        val sig = sh.groupBy("doc_id").agg(minhashCols.head, minhashCols.tail: _*).cache()
+        val sh = shingleNums(s, d) // disk-memoized
+        // the SAME disk-backed signature artifact dedup_minhash_lsh and
+        // text_decontaminate_fuzzy read (8 hashes = the 4×2 family)
+        val sig = signatures(sh, 8)
         val bandArr = array((0 until 4).map { bi =>
           concat_ws("_", col(s"m${2 * bi + 1}"), col(s"m${2 * bi + 2}"))
         }: _*)
@@ -488,7 +518,7 @@ object NearDup {
       (s, d) => {
         val docs = T.documents(s, d)
         val src = docs.select(col("doc_id"), col("source"))
-        val sh = shingleNums(s, d).cache()
+        val sh = shingleNums(s, d) // disk-memoized
         val bands = bandedSignatures(sh).join(src, "doc_id")
         val trainB = bands.filter(col("source") =!= "src0")
           .select(col("doc_id").as("t"), col("band"), col("bucket"))
@@ -830,13 +860,18 @@ object NearDup {
   }
 
   /** (doc_id, simhash) over the FULL corpus — shared by the declared
-    * sketch query and the Hamming pair retrievals. cache(): the FIRST
-    * family member to run (registry order: the sketch query itself)
-    * materializes one int64/doc, and every pair/cluster/survivor query
-    * reuses it through Spark's plan-keyed cache — the thin-call
-    * simhashPairs plans contain the identical subplan. */
+    * sketch query and the Hamming pair retrievals. DISK-memoized
+    * (graft.core.DiskMemo, plan-keyed): the FIRST family member to run
+    * (registry order: the sketch query itself) writes one int64/doc to
+    * a parquet artifact, and every pair/cluster/survivor query — whose
+    * thin-call simhashPairs plans build the identical canonicalized
+    * sketch subplan — reads the FILE. Rounds ≤ 12 shared this through
+    * `.cache()`, which the contended bench box evicted: each of the
+    * six downstream queries re-paid the token-explode + 60-column agg,
+    * 7–19× inflation (round-12 verdict item 1). */
   def simhashDf(s: SparkSession, d: String): DataFrame =
-    simhashOf(T.documents(s, d), "doc_id", "text", bits = 60).cache()
+    graft.core.DiskMemo.persist(
+      simhashOf(T.documents(s, d), "doc_id", "text", bits = 60), "nd_sk")
 
   /** Even `parts`-way split points of a `bits`-wide sketch (first
     * `bits % parts` parts take the extra bit): (lo, hi) bit ranges.
@@ -866,8 +901,10 @@ object NearDup {
   def decontaminateFuzzy(train: DataFrame, bench: DataFrame,
                          idCol: String, textCol: String,
                          tau: Double): DataFrame = {
-    val trainSh = shingleNumsOf(train, idCol, textCol).distinct().cache()
-    val benchSh = shingleNumsOf(bench, idCol, textCol).distinct().cache()
+    val trainSh = graft.core.DiskMemo.persist(
+      shingleNumsOf(train, idCol, textCol).distinct(), "nd_sh")
+    val benchSh = graft.core.DiskMemo.persist(
+      shingleNumsOf(bench, idCol, textCol).distinct(), "nd_sh")
     val trainB = bandedSignatures(trainSh)
       .select(col("doc_id").as("t"), col("band"), col("bucket"))
     val benchB = bandedSignatures(benchSh)
@@ -911,8 +948,11 @@ object NearDup {
                    blocking: String = "pigeonhole"): DataFrame = {
     require(maxDist >= 1 && maxDist < bits,
       s"maxDist must be in [1, bits), got $maxDist")
-    val sh = simhashOf(docs, idCol, textCol, bits)
-      .cache() // one int64/doc; feeds both join sides
+    // one int64/doc; feeds both join sides. Disk-memoized: identical
+    // (docs, bits) constructions — every gated simhash query — share
+    // one eviction-proof artifact; streaming frames pass through.
+    val sh = graft.core.DiskMemo.persist(
+      simhashOf(docs, idCol, textCol, bits), "nd_sk")
     val cand = blocking match {
       case "bitflip" =>
         require(maxDist == 1, s"bitflip blocking only covers maxDist=1")
@@ -1006,7 +1046,13 @@ object NearDup {
     // early. The convergence loop, not the knob, is the correctness
     // argument (DedupCluster scaladoc).
     labelsMemo.computeIfAbsent((s, s"$d ${corpusStamp(d)}"),
-      _ => DedupCluster.clusters(hamming1Pairs(s, d), iters = 20, minRounds = 1))
+      // DISK-memoized on top of the driver memo (round-12 verdict item
+      // 1): the label-prop result ends in localCheckpoint blocks that
+      // memory pressure can evict; written to parquet, the whole
+      // cluster/survivor trio reads a file instead of re-running the
+      // propagation loop (measured 7× inflation on the contended box).
+      _ => graft.core.DiskMemo.ensure(s, s"nd_labels|$d ${corpusStamp(d)}")(
+        DedupCluster.clusters(hamming1Pairs(s, d), iters = 20, minRounds = 1)))
 
   /** Drop this session's memoized label/pair-stats frames
     * (graft.core.Caches). */

@@ -181,7 +181,12 @@ object TextOps {
     val byGrp = tokens.groupBy(byCol, "_jw").agg(count(lit(1)).as("_jns"))
       .withColumn("_jstot", sum(col("_jns")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(byCol)))
-      .cache() // vocab×groups rows; referenced from 4 subplans below
+      // vocab×groups rows; referenced from 4 subplans below.
+      // DISK-memoized, not `.cache()`d: an eviction on the contended
+      // bench box re-paid the corpus token scan once per subplan
+      // (measured 9× inflation — round-12 verdict item 1); a parquet
+      // artifact read cannot be evicted. Streaming frames pass through.
+      .transform(f => graft.core.DiskMemo.persist(f, "js_bygrp"))
     val global = byGrp.groupBy("_jw").agg(sum(col("_jns")).as("_jnw"))
       .crossJoin(broadcast(
         byGrp.agg(sum(col("_jns")).as("_jntot"))))

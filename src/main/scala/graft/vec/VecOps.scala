@@ -118,12 +118,16 @@ object VecOps {
                     bitsPerBand: Int = 0,
                     dim: Int = LshPlanes.dim): DataFrame = {
     ident(vecCol)
-    require((bands == 0) == (bitsPerBand == 0),
-      s"pass BOTH bands and bitsPerBand, or neither (auto) — got ($bands, $bitsPerBand)")
+    require((bands == 0 && bitsPerBand == 0) || (bands > 0 && bitsPerBand > 0),
+      "pass BOTH bands and bitsPerBand strictly positive, or both 0 (auto) — " +
+        s"got ($bands, $bitsPerBand)")
     val (nb, bits) =
       if (bands > 0) (bands, bitsPerBand) else autoEmbedLshFamily(vecs.count())
-    val sig = lshBandsOf(vecs, idCol, vecCol, nb, bits, dim)
-      .cache() // slim: 3 int64s/row; feeds both self-join sides
+    // slim: 3 int64s/row; feeds both self-join sides. DISK-memoized
+    // (graft.core.DiskMemo): eviction-proof sharing across the gated
+    // embed-LSH siblings over the same corpus; streaming passes through.
+    val sig = graft.core.DiskMemo.persist(
+      lshBandsOf(vecs, idCol, vecCol, nb, bits, dim), "vec_lsh")
     val cand = sig.select(col("vec_id").as("a"), col("band"), col("bucket"))
       .join(sig.select(col("vec_id").as("b"), col("band"), col("bucket")),
         Seq("band", "bucket"))
@@ -626,7 +630,7 @@ object VecOps {
     OpSpec(
       "dedup_threshold_profile",
       (s, d) => {
-        val sig = bandedSigScale(s, d).cache()
+        val sig = graft.core.DiskMemo.persist(bandedSigScale(s, d), "vec_lsh")
         val cand = sig.select(col("vec_id").as("keep_id"), col("band"), col("bucket"))
           .join(sig.select(col("vec_id").as("dup_id"), col("band"), col("bucket")),
             Seq("band", "bucket"))

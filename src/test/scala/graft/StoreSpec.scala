@@ -143,15 +143,101 @@ class StoreSpec extends AnyFunSuite {
     assert(streamCounts === batchCounts)
   }
 
-  test("shared sketch caches pin MEMORY_AND_DISK (eviction spills, never recomputes)") {
-    // the round-11 bench fragility finding: cached sketch frames must
-    // survive memory pressure by SPILLING — assert the registered
-    // storage level actually has the disk leg after materialization
-    graft.text.NearDup.simhashDf(spark, TestSpark.sfSmoke).count()
-    val levels = spark.sparkContext.getPersistentRDDs.values
-      .map(_.getStorageLevel).toSeq
-    assert(levels.nonEmpty, "no persistent RDDs after a cached action")
-    assert(levels.exists(l => l.useMemory && l.useDisk),
-      s"no MEMORY_AND_DISK entry among: $levels")
+  test("shared sketch frames are DISK-memoized (a cache miss is a file read, not a recompute)") {
+    // the round-12 bench robustness finding: `.cache()`d shared frames
+    // inflated 5–23× on the contended bench box when evicted; the fix
+    // materializes them once to parquet (graft.core.DiskMemo) — assert
+    // the returned frame is literally a file scan of a diskmemo
+    // artifact, and that a rebuild resolves to the SAME artifact
+    // (plan-keyed sharing across sibling queries).
+    val a = graft.text.NearDup.simhashDf(spark, TestSpark.sfSmoke)
+    val b = graft.text.NearDup.simhashDf(spark, TestSpark.sfSmoke)
+    def scanPath(df: org.apache.spark.sql.DataFrame): String = {
+      val rels = df.queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString)
+            case _ => Nil
+          }
+      }.flatten
+      assert(rels.length === 1, s"expected one file scan, got $rels")
+      rels.head
+    }
+    val pa = scanPath(a)
+    assert(pa.contains("graft_diskmemo_"), s"not a diskmemo artifact: $pa")
+    assert(scanPath(b) === pa, "identical constructions must share one artifact")
+    assert(a.count() > 0 && a.count() === b.count())
+  }
+
+  test("retention expiry drops exactly the pre-cutoff day partitions, metadata-only") {
+    val full = TsdbStore.ensureEventsStore(spark, TestSpark.sfSmoke)
+    val kept = TsdbStore.ensureRetainedStore(spark, TestSpark.sfSmoke)
+    def days(p: String) = new java.io.File(p).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("event_date=")).sorted
+    val cutoff = TsdbStore.retentionCutoff.toString
+    assert(days(kept).toSeq === days(full).filter(_.stripPrefix("event_date=") >= cutoff).toSeq)
+    assert(days(kept).nonEmpty && days(kept).length < days(full).length)
+    // retained rows are byte-identical to the full store's post-cutoff rows
+    val fullPost = TsdbStore.read(spark, full)
+      .filter(col("event_date") >= lit(TsdbStore.retentionCutoff))
+    assert(TsdbStore.read(spark, kept).count() === fullPost.count())
+    assert(TsdbStore.read(spark, kept).exceptAll(fullPost).count() === 0L)
+  }
+
+  test("hourly rollup: one file per day dir; content = hour×type aggregate of the store") {
+    val src = TsdbStore.ensureEventsStore(spark, TestSpark.sfSmoke)
+    val dst = TsdbStore.ensureRollupStore(spark, TestSpark.sfSmoke)
+    val dirs = new java.io.File(dst).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("event_date="))
+    assert(dirs.nonEmpty)
+    dirs.foreach { dn =>
+      val files = new java.io.File(dst, dn).listFiles()
+        .filter(f => f.getName.endsWith(".parquet"))
+      assert(files.length <= 1, s"$dn has ${files.length} files — write not clustered")
+    }
+    val expect = TsdbStore.read(spark, src)
+      .groupBy(date_trunc("hour", col("ts")).as("hour_ts"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+    val got = TsdbStore.read(spark, dst)
+      .select("hour_ts", "event_type", "n", "sum_value")
+    assert(got.count() === expect.count())
+    assert(got.exceptAll(expect).count() === 0L)
+  }
+
+  test("as-of-version read at V = 10^7 - 1 reproduces the exact pre-append state") {
+    val path = TsdbStore.ensureEventsStore(spark, TestSpark.sfSmoke)
+    val asof = TsdbStore.latestByKey(
+      TsdbStore.read(spark, path).filter(col("event_id") <= 9999999L),
+      Seq("user_id"), "event_id", Seq("value"))
+    val base = TsdbStore.latestByKey(
+      events.select("event_id", "ts", "user_id", "event_type", "value"),
+      Seq("user_id"), "event_id", Seq("value"))
+    assert(asof.count() === base.count())
+    assert(asof.exceptAll(base).count() === 0L,
+      "time travel to the pre-append version diverged from the original table")
+  }
+
+  test("empty bulk load then non-empty append leaves a uniformly partitioned, readable store") {
+    // the ADVICE round-12 mixed-layout hazard: writeDayPartitioned of
+    // an EMPTY frame leaves a root-level schema-marker file; a later
+    // real append must remove it or partition discovery sees
+    // conflicting structures and the store is unreadable — exactly the
+    // empty-backfill-then-stream shape.
+    val dir = java.nio.file.Files.createTempDirectory("graft_store_backfill").toFile
+    val path = new java.io.File(dir, "store").getAbsolutePath
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+    val src = events.select(cols.map(col): _*)
+    TsdbStore.writeDayPartitioned(src.limit(0), "ts", path)
+    // marker keeps the empty store readable
+    assert(TsdbStore.read(spark, path).count() === 0L)
+    TsdbStore.appendDayPartitioned(src.limit(500), "ts", path)
+    val back = TsdbStore.read(spark, path) // must not throw on mixed layout
+    assert(back.count() === 500L)
+    assert(back.columns.contains("event_date"), "partition column must survive")
+    val rootFiles = new java.io.File(path).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(rootFiles.isEmpty, "schema-marker file must be removed after a real append")
   }
 }
