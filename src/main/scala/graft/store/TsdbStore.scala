@@ -278,7 +278,15 @@ object TsdbStore {
     ensureBuilt(s"retain|$sfDir ${stamp(sfDir)}") { dst =>
       val src = ensureEventsStore(spark, sfDir)
       copyRec(new java.io.File(src), new java.io.File(dst))
-      expirePartitions(dst, retentionCutoff): Unit
+      expirePartitions(dst, retentionCutoff)
+      // a corpus that lies ENTIRELY before the cutoff expires to zero
+      // partitions — keep the store readable with the zero-row
+      // schema-marker device (the writeDayPartitioned contract; a
+      // later real append removes it again)
+      val files = Option(new java.io.File(dst).listFiles)
+        .getOrElse(Array.empty[java.io.File])
+      if (!files.exists(f => f.isDirectory && f.getName.startsWith("event_date=")))
+        read(spark, src).limit(0).write.mode("overwrite").parquet(dst)
     }
 
   /** Gate fixture: the hourly (hour × event_type) rollup store

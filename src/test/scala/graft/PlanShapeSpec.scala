@@ -272,6 +272,34 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate") && p.contains("partial"), p)
   }
 
+  test("round-13 queries keep their designed shapes") {
+    // time travel: the version filter reaches the parquet scan
+    // (row-group stats prune), resolution stays one hash agg, no window
+    val av = plan("store_read_asof_version")
+    assert(av.contains("PushedFilters") && av.contains("event_id"), av)
+    assert(!av.contains("WindowExec") && !av.contains("Window "), av)
+    // retention: the gated read has NO date filter anywhere — the
+    // expired partitions are GONE from the directory tree, which is
+    // the whole point of the metadata-only drop (match the Filter
+    // OPERATOR node, not the scan's empty PartitionFilters metadata)
+    val re = plan("store_retention_expire")
+    assert(!re.contains("+- Filter") && re.contains("PartitionFilters: []"), re)
+    // rollup read: the aggregation was MATERIALIZED at write time —
+    // the gated read must carry no aggregate at all, just scan + sort
+    val ro = plan("store_rollup_hourly")
+    assert(!ro.contains("HashAggregate"), ro)
+    // weighted rolling: five same-spec lags fuse into ONE WindowExec
+    val ww = plan("win_rolling_weighted")
+    assert("Window ".r.findAllIn(ww).size == 1, ww)
+    // substring dedup: in-group pair explode — no join node anywhere
+    val sd = plan("dedup_substring_exact")
+    assert(!sd.contains("Join"), sd)
+    // BPE counting: the word-token table is BROADCAST back (vocab-
+    // bounded side), never shuffled against the corpus
+    val bp = plan("text_token_count_bpe")
+    assert(bp.contains("BroadcastHashJoin"), bp)
+  }
+
   test("no CartesianProduct outside the deliberate cross/pairs queries") {
     val allowed = Set("join_cross", "sim_cosine_topk", "text_tfidf")
     val offenders = Registry.all
