@@ -92,7 +92,10 @@ object syntax {
     * equivalences would silently produce different buckets (ADVICE
     * round 12). A non-dividing period belongs to a calendar unit or an
     * explicit-origin bucketing, not this parser. */
-  private[graft] def offsetMicros(every: String): Option[Long] = every match {
+  /** Offset parse WITHOUT the day-dividing guard — for callers that
+    * supply an EXPLICIT origin ([[GraftDataFrameOps.resampleOrigin]]),
+    * where any positive step is a well-defined lattice. */
+  private[graft] def offsetMicrosRaw(every: String): Option[Long] = every match {
     case offsetRe(n, u) =>
       val unit = u.toLowerCase(java.util.Locale.ROOT) match {
         case "s" | "sec" | "secs" | "second" | "seconds"   => 1000000L
@@ -102,14 +105,20 @@ object syntax {
       }
       val step = n.toLong * unit
       require(step > 0, s"offset frequency must be positive, got '$every'")
+      Some(step)
+    case _ => None
+  }
+
+  private[graft] def offsetMicros(every: String): Option[Long] =
+    offsetMicrosRaw(every).map { step =>
       require(86400000000L % step == 0,
         s"offset frequency must divide a day (admits '15min'/'2h'/'1d', " +
           s"rejects '7h'/'2d'), got '$every' — the epoch-floor lattice " +
           "only matches DuckDB time_bucket / pandas resample for " +
-          "day-dividing steps")
-      Some(step)
-    case _ => None
-  }
+          "day-dividing steps; for a non-dividing step pass an explicit " +
+          "origin (resampleOrigin)")
+      step
+    }
 
   /** Epoch-floor bucket of `c` at `stepMicros`: true FLOOR via
     * `x − pmod(x, step)` (pmod is non-negative, so pre-1970 instants
@@ -143,6 +152,31 @@ object syntax {
         case Some(step) => syntax.floorBucket(col(tsCol), step)
         case None       => date_trunc(every, col(tsCol))
       }
+      df.groupBy(bucket.as(as))
+        .agg(aggs.head, aggs.tail: _*)
+        .withColumn(as, P.tsOut(col(as)))
+    }
+
+    /** `resample(every, origin=…)` — downsample into time buckets
+      * anchored at an EXPLICIT origin, which makes ANY positive step a
+      * well-defined lattice (the '7h'/'2d' spellings [[resample]]
+      * rejects: without an anchor, every engine picks a different one
+      * — DuckDB 2000-01-03, pandas the series' first midnight, naive
+      * epoch-floor 1970-01-01 — and they silently disagree; ADVICE
+      * round 12). bucket = origin + ⌊(ts − origin)/step⌋·step via the
+      * pmod true-floor (pre-origin instants floor DOWNWARD), which is
+      * exactly DuckDB `time_bucket(step, ts, origin)` and pandas
+      * `resample(step, origin=origin)`. Same one-expression +
+      * partial/final hash agg shape as [[resample]]. */
+    def resampleOrigin(every: String, origin: java.time.LocalDateTime,
+                       tsCol: String, as: String)(aggs: Column*): DataFrame = {
+      val step = syntax.offsetMicrosRaw(every).getOrElse(throw
+        new IllegalArgumentException(
+          s"resampleOrigin needs an offset frequency ('7h', '90min', …), got '$every'"))
+      val o = origin.toInstant(java.time.ZoneOffset.UTC)
+      val oUs = o.getEpochSecond * 1000000L + o.getNano / 1000L
+      val delta = unix_micros(col(tsCol)) - lit(oUs)
+      val bucket = timestamp_micros(lit(oUs) + (delta - pmod(delta, lit(step))))
       df.groupBy(bucket.as(as))
         .agg(aggs.head, aggs.tail: _*)
         .withColumn(as, P.tsOut(col(as)))
@@ -385,6 +419,28 @@ object syntax {
         when(count(lit(1)).over(w) >= mp,
           sum(P.dec2(col(valueCol))).over(w).cast("double") /
             count(lit(1)).over(w)))
+    }
+
+    /** `rolling(n, win_type=…).mean()` — WEIGHTED rolling mean with an
+      * explicit integer weight vector (oldest row first; e.g. pandas
+      * `win_type='triang'` at n=5 is `Seq(1, 2, 3, 2, 1)`). Spelled as
+      * a LAG CHAIN — `weights.length` same-spec lags fuse into ONE
+      * WindowExec — with each weighted term an exact decimal (int
+      * literal × 2-dp value) so the sum is exact and the single
+      * double division by Σweights is identical IEEE across engines.
+      * NULL until the frame fills (pandas min_periods = n). */
+    def rollingWeighted(weights: Seq[Int], valueCol: String, orderCol: String,
+                        by: Seq[String], as: String): DataFrame = {
+      require(weights.nonEmpty && weights.forall(_ > 0),
+        s"weights must be non-empty and strictly positive, got $weights")
+      val w = ordered(by, Seq(col(orderCol)))
+      val n = weights.length
+      val wsum = weights.zipWithIndex.map { case (wt, i) =>
+        // weights are oldest-first: weight i multiplies lag (n-1-i)
+        val term = lag(P.dec2(col(valueCol)), n - 1 - i).over(w)
+        if (wt == 1) term else term * wt
+      }.reduce(_ + _)
+      df.withColumn(as, wsum.cast("double") / weights.sum.toDouble)
     }
 
     /** `rolling(n).std()` — sample std from exact decimal moment sums
@@ -846,6 +902,26 @@ object syntax {
     def chunkBoilerplate(idCol: String, textCol: String,
                          chunkWords: Int = 10): DataFrame =
       graft.ops.CurationOps.chunkBoilerplateOf(df, idCol, textCol, chunkWords)
+
+    /** Sliding-window EXACT substring duplication at stride 1 — doc
+      * pairs sharing ≥ 1 duplicated `k`-word window at ANY offset
+      * (catches spans the fixed chunk grid misses). Digest-keyed,
+      * DF-capped, in-group pair explode — no self-join. */
+    def substringDups(idCol: String, textCol: String, k: Int = 10,
+                      maxDf: Int = 50): DataFrame =
+      graft.ops.CurationOps.substringDupsOf(df, idCol, textCol, k, maxDf)
+
+    /** Tokenizer-faithful counting: per-doc whitespace vs greedy
+      * longest-match BPE tokens over the inlined trained vocabulary
+      * (graft.text.Bpe). Tokenization is DISTINCT-words-bounded. */
+    def bpeTokenCounts(idCol: String, textCol: String): DataFrame =
+      graft.text.Bpe.bpeTokenCountsOf(df, idCol, textCol)
+
+    /** [[tokenBudgetSample]] with the budget in REAL (BPE) tokens —
+      * the production unit of account. */
+    def tokenBudgetSampleBpe(byCol: String, idCol: String, textCol: String,
+                             budget: Long): DataFrame =
+      graft.text.Bpe.tokenBudgetSampleBpe(df, byCol, idCol, textCol, budget)
 
     // ----------------------------------------------------------------
     // §2.J product quantization (round-11 batch 3; train codebooks

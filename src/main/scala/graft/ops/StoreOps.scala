@@ -215,5 +215,60 @@ object StoreOps {
               |FROM store WHERE event_id <= 10004000
               |GROUP BY user_id ORDER BY user_id""".stripMargin),
     ),
+    // SCHEMA EVOLUTION: a later ingest batch carries a column the base
+    // load lacks (`batch_tag`), and the MERGED read surfaces it with
+    // NULL on the old rows — the store survives additive schema change
+    // without a rewrite (TsdbStore.readMerged; per-file footer merge).
+    // The gated per-day profile counts tagged rows: exactly the update
+    // batch's rows per day, or the merge lost/invented a column value.
+    OpSpec(
+      "store_schema_evolution",
+      (s, d) => {
+        val path = TsdbStore.ensureEvolvedStore(s, d)
+        TsdbStore.readMerged(s, path)
+          .groupBy("event_date")
+          .agg(count(lit(1)).as("n"),
+            count(col("batch_tag")).as("n_tagged"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+          .select(graft.core.Policy.tsOut(col("event_date").cast("timestamp"))
+            .as("event_date"), col("n"), col("n_tagged"), col("sum_value"))
+          .orderBy("event_date")
+      },
+      Some(s"""WITH $storeSql
+              |SELECT cast(ts as date) AS event_date, count(*) AS n,
+              |  count(CASE WHEN event_id >= 10000000 THEN 1 END) AS n_tagged,
+              |  cast(sum(cast(value as decimal(18,2))) as double) AS sum_value
+              |FROM store GROUP BY 1 ORDER BY event_date""".stripMargin),
+    ),
+    // Per-day operational PROFILE of the store — the observability
+    // query a store operator runs before compaction/retention
+    // decisions: per partition, row count, live key count, version-id
+    // range, exact value mass. One partition-discovery scan + one hash
+    // agg keyed on the PARTITION column (at 100 TB each day directory
+    // aggregates independently — partition-local, no cross-day
+    // shuffle pressure).
+    OpSpec(
+      "store_day_profile",
+      (s, d) => {
+        val path = TsdbStore.ensureEventsStore(s, d)
+        TsdbStore.read(s, path)
+          .groupBy("event_date")
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("user_id")).as("n_users"),
+            min(col("event_id")).as("min_version"),
+            max(col("event_id")).as("max_version"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+          .select(graft.core.Policy.tsOut(col("event_date").cast("timestamp"))
+            .as("event_date"), col("n"), col("n_users"),
+            col("min_version"), col("max_version"), col("sum_value"))
+          .orderBy("event_date")
+      },
+      Some(s"""WITH $storeSql
+              |SELECT cast(ts as date) AS event_date, count(*) AS n,
+              |  count(DISTINCT user_id) AS n_users,
+              |  min(event_id) AS min_version, max(event_id) AS max_version,
+              |  cast(sum(cast(value as decimal(18,2))) as double) AS sum_value
+              |FROM store GROUP BY 1 ORDER BY event_date""".stripMargin),
+    ),
   )
 }

@@ -61,6 +61,31 @@ object TimeSeries {
              |  cast(sum(cast(value as decimal(18,2))) as double) AS sum_value
              |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin),
     ),
+    // resample with an EXPLICIT ORIGIN — the lattice that makes
+    // NON-day-dividing steps ('7h' here) well-defined (round-12 ADVICE:
+    // without an anchor, DuckDB time_bucket (2000-01-03), pandas
+    // (start_day) and naive epoch-floor (1970) silently disagree for
+    // such steps, so plain resample REJECTS them; with the anchor all
+    // engines agree by construction). bucket = origin +
+    // ⌊(ts−origin)/step⌋·step via pmod true floor ≡ DuckDB
+    // time_bucket(step, ts, origin) ≡ pandas resample(origin=…). Same
+    // partial+final hash-agg shape; the gate runs the one spelling the
+    // day-dividing family CANNOT express.
+    OpSpec(
+      "ts_resample_origin",
+      // thin call into graft.api (explicit-origin offset spelling)
+      (s, d) =>
+        ev(s, d)
+          .resampleOrigin("7h",
+            java.time.LocalDateTime.of(2024, 1, 1, 0, 0), "ts", "bucket")(
+            count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .orderBy("bucket"),
+      Some("""SELECT time_bucket(INTERVAL '7 hours', cast(ts as timestamp),
+             |                   TIMESTAMP '2024-01-01 00:00:00') AS bucket,
+             |  count(*) AS n,
+             |  cast(sum(cast(value as decimal(18,2))) as double) AS sum_value
+             |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin),
+    ),
     // resample('1d').ohlc — open/close picked by event_id (ts order),
     // deterministic in both engines via arg_min/arg_max ≡ min_by/max_by.
     OpSpec(

@@ -1242,14 +1242,14 @@ object Windows {
     // the guard needs no count window), matching min_periods=5.
     OpSpec(
       "win_rolling_weighted",
-      (s, d) => {
-        def dv(n: Int) = lag(P.dec2(col("value")), n).over(byUser)
-        val wsum = dv(4) + dv(3) * 2 + dv(2) * 3 + dv(1) * 2 + P.dec2(col("value"))
+      // thin call into the parameterized API (syntax.rollingWeighted —
+      // arbitrary weight vectors; the triang family pinned here)
+      (s, d) =>
         ev(s, d)
-          .select(col("event_id"), col("user_id"),
-            P.r4(wsum.cast("double") / 9.0).as("wma5"))
-          .orderBy("event_id")
-      },
+          .rollingWeighted(Seq(1, 2, 3, 2, 1), "value", "event_id",
+            Seq("user_id"), "_w")
+          .select(col("event_id"), col("user_id"), P.r4(col("_w")).as("wma5"))
+          .orderBy("event_id"),
       Some(s"""SELECT event_id, user_id,
               |  round(cast((lag(cast(value as decimal(18,2)), 4) OVER w)
               |      + (lag(cast(value as decimal(18,2)), 3) OVER w) * 2

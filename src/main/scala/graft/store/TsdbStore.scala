@@ -86,6 +86,17 @@ object TsdbStore {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Read the store with SCHEMA MERGING across heterogeneous batches —
+    * the schema-evolution read path: an appended batch may carry
+    * columns the base load lacks (a new sensor field, a tag); merged
+    * read unions the schemas and NULLs the column where a file lacks
+    * it. Costs one footer read per file at planning (at 100 TB: keep
+    * schema-stable batches per partition, or register the store in a
+    * catalog that tracks the merged schema once); row reads are
+    * unchanged. */
+  def readMerged(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** COMPACTION: rewrite the store keeping only the latest version of
     * each `keyCols` row (full-row survivor via one
     * max_by(struct(*), version) hash agg — no window, no sort), day-
@@ -295,6 +306,18 @@ object TsdbStore {
     ensureBuilt(s"rollup|$sfDir ${stamp(sfDir)}") { dst =>
       val src = ensureEventsStore(spark, sfDir)
       rollupHourly(spark, src, dst, "ts", "event_type", "value")
+    }
+
+  /** Gate fixture for SCHEMA EVOLUTION: the events store rebuilt with
+    * the update batch carrying a NEW `batch_tag` column the base load
+    * lacks — the "a later ingest added a field" shape. Read it with
+    * [[readMerged]]; base rows surface NULL tags. */
+  def ensureEvolvedStore(spark: SparkSession, sfDir: String): String =
+    ensureBuilt(s"evolve|$sfDir ${stamp(sfDir)}") { dst =>
+      val events = graft.core.Tables.events(spark, sfDir)
+      writeDayPartitioned(events, "ts", dst)
+      appendDayPartitioned(
+        updateBatch(events).withColumn("batch_tag", lit("u1")), "ts", dst)
     }
 
   /** Forget memoized store paths (graft.core.Caches). Rebuilds are

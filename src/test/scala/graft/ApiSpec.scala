@@ -666,4 +666,79 @@ class ApiSpec extends AnyFunSuite {
         .toEpochSecond(java.time.ZoneOffset.UTC)).toSet
     assert(q.forall(_ % 900L == 0))
   }
+
+  test("offsetMicros rejects non-day-dividing steps (lattice-divergence guard)") {
+    import graft.api.syntax.offsetMicros
+    // '7h'/'2d'/'7s' epoch-floor lattices diverge from DuckDB
+    // time_bucket AND pandas resample — must fail loudly (ADVICE r12)
+    for (bad <- Seq("7h", "2d", "7s", "11min"))
+      assertThrows[IllegalArgumentException](offsetMicros(bad))
+    // 90 min = 5400 s and 90 s both DIVIDE a day — legitimately accepted
+    assert(offsetMicros("90min").isDefined && offsetMicros("90s").isDefined)
+  }
+
+  test("resampleOrigin: anchored lattice for non-dividing steps; 1h at midnight == date_trunc") {
+    val df = Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 06:59:59"), 1.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 07:00:00"), 2.0),
+      (java.sql.Timestamp.valueOf("2024-01-02 13:30:00"), 4.0),
+      (java.sql.Timestamp.valueOf("2023-12-31 23:00:00"), 8.0), // pre-origin: floors DOWN
+    ).toDF("ts", "value")
+    val origin = java.time.LocalDateTime.of(2024, 1, 1, 0, 0)
+    val got = df.resampleOrigin("7h", origin, "ts", "b")(sum(col("value")).as("s"))
+      .collect()
+      .map(r => r.getAs[java.time.LocalDateTime](0) -> r.getDouble(1)).toMap
+    def t(s: String) = java.time.LocalDateTime.parse(s)
+    assert(got === Map(
+      t("2024-01-01T00:00") -> 1.0,   // [00:00, 07:00)
+      t("2024-01-01T07:00") -> 2.0,   // [07:00, 14:00)
+      t("2024-01-02T11:00") -> 4.0,   // 13:30 next day = origin+37.5h → origin + 5·7h = +35h
+      t("2023-12-31T17:00") -> 8.0))  // pre-origin bucket = origin − 7h
+    // every bucket sits on the origin + k·step lattice
+    val us = got.keySet.map(_.toEpochSecond(java.time.ZoneOffset.UTC))
+    val o = origin.toEpochSecond(java.time.ZoneOffset.UTC)
+    assert(us.forall(x => math.floorMod(x - o, 7L * 3600L) == 0L))
+    // '1h' anchored at a midnight == the calendar-unit resample
+    val viaOrigin = df.resampleOrigin("1h", origin, "ts", "b")(count(lit(1)).as("n"))
+      .collect().map(r => (r.getAs[java.time.LocalDateTime](0), r.getLong(1))).toSet
+    val viaTrunc = df.resample("hour", "ts", "b")(count(lit(1)).as("n"))
+      .collect().map(r => (r.getAs[java.time.LocalDateTime](0), r.getLong(1))).toSet
+    assert(viaOrigin === viaTrunc)
+    // calendar units make no sense with an origin — rejected
+    assertThrows[IllegalArgumentException](
+      df.resampleOrigin("month", origin, "ts", "b")(count(lit(1)).as("n")))
+  }
+
+  test("rollingWeighted: uniform weights reproduce rollingMean; weights are real parameters") {
+    val df = Seq((1L, 1, 10.0), (1L, 2, 20.0), (1L, 3, 60.0), (1L, 4, 0.0),
+      (2L, 1, 5.0)).toDF("k", "o", "v")
+    // uniform Seq(1,1,1) over 3 rows ≡ rolling(3).mean() row-for-row
+    val wm = df.rollingWeighted(Seq(1, 1, 1), "v", "o", Seq("k"), "w")
+      .select("k", "o", "w").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> Option(r.get(2))).toMap
+    val rm = df.rollingMean(3, "v", "o", Seq("k"), as = "m")
+      .select("k", "o", "m").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> Option(r.get(2))).toMap
+    assert(wm === rm)
+    // a non-uniform vector actually weights: [1,3] over (20,60) at
+    // row (1,3)... frame rows (20,60)? frame = rows o=2,3 → (1·20+3·60)/4
+    val w2 = df.rollingWeighted(Seq(1, 3), "v", "o", Seq("k"), "w")
+      .filter(col("k") === 1 && col("o") === 3).head.getDouble(3)
+    assert(w2 === (1 * 20.0 + 3 * 60.0) / 4.0)
+    // guard: empty / non-positive weights rejected
+    assertThrows[IllegalArgumentException](
+      df.rollingWeighted(Seq(1, 0), "v", "o", Seq("k"), "w"))
+  }
+
+  test("substringDups / bpeTokenCounts / tokenBudgetSampleBpe ride the df syntax") {
+    val docs = graft.core.Tables.documents(spark, TestSpark.sfSmoke)
+    val viaSyntax = docs.substringDups("doc_id", "text").count()
+    val direct = graft.ops.CurationOps
+      .substringDupsOf(docs, "doc_id", "text").count()
+    assert(viaSyntax === direct)
+    val b1 = docs.bpeTokenCounts("doc_id", "text").count()
+    assert(b1 === docs.count())
+    val kept = docs.tokenBudgetSampleBpe("source", "doc_id", "text", 5000L)
+    assert(kept.count() > 0 && kept.filter(col("cum_tok") > 5000L).count() === 0L)
+  }
 }

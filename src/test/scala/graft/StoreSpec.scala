@@ -219,6 +219,17 @@ class StoreSpec extends AnyFunSuite {
       "time travel to the pre-append version diverged from the original table")
   }
 
+  test("schema evolution: merged read surfaces the appended column, NULL on base rows") {
+    val path = TsdbStore.ensureEvolvedStore(spark, TestSpark.sfSmoke)
+    val merged = TsdbStore.readMerged(spark, path)
+    assert(merged.columns.contains("batch_tag"))
+    val updates = TsdbStore.updateBatch(events).count()
+    assert(merged.filter(col("batch_tag").isNotNull).count() === updates)
+    assert(merged.filter(col("batch_tag") === "u1").count() === updates)
+    // base rows: present, tag NULL — no row lost to the schema change
+    assert(merged.filter(col("batch_tag").isNull).count() === events.count())
+  }
+
   test("empty bulk load then non-empty append leaves a uniformly partitioned, readable store") {
     // the ADVICE round-12 mixed-layout hazard: writeDayPartitioned of
     // an EMPTY frame leaves a root-level schema-marker file; a later
