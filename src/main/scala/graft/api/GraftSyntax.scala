@@ -911,6 +911,13 @@ object syntax {
                       maxDf: Int = 50): DataFrame =
       graft.ops.CurationOps.substringDupsOf(df, idCol, textCol, k, maxDf)
 
+    /** Span-level duplicate-removal accounting: per affected doc, the
+      * word positions covered by any ≥2-doc duplicated `k`-word window
+      * (the text a span-dedup pass strips). Instance-sized joins — no
+      * cap needed, boilerplate is exactly what removal wants. */
+    def stripDupSpans(idCol: String, textCol: String, k: Int = 10): DataFrame =
+      graft.ops.CurationOps.stripDupSpansOf(df, idCol, textCol, k)
+
     /** Tokenizer-faithful counting: per-doc whitespace vs greedy
       * longest-match BPE tokens over the inlined trained vocabulary
       * (graft.text.Bpe). Tokenization is DISTINCT-words-bounded. */

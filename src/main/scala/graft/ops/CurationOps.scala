@@ -168,6 +168,46 @@ object CurationOps {
       .agg(count(lit(1)).as("n_shared_spans"))
   }
 
+  /** Span-level duplicate-REMOVAL accounting — the other half of the
+    * Lee et al. 2021 recipe ([[substringDupsOf]] finds the doc PAIRS;
+    * real pipelines then CUT the duplicated spans, not the documents):
+    * for every doc, the word positions covered by ANY `k`-word window
+    * whose digest appears in ≥ 2 docs, i.e. exactly the text a
+    * span-dedup pass would strip. Output per affected doc: (id,
+    * n_words, n_removed, removed_frac).
+    *
+    * Scale: unlike pair mining, coverage needs NO occupancy cap — the
+    * join kg⋈dup is instance-sized (one row per duplicated-window
+    * occurrence, never |bucket|²), and the position explode is a
+    * bounded ×k. Boilerplate (high-DF) windows are exactly what
+    * removal WANTS, so no DF ceiling applies. */
+  def stripDupSpansOf(df: DataFrame, idCol: String, textCol: String,
+                      k: Int = 10): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val kg = df
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
+      .filter(size(col("ws")) >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(ws) - ${k - 1}), i -> array_join(slice(ws, i, $k), ' '))"))
+        .as(Seq("i0", "kgs")))
+      .select(col("doc_id"), (col("i0") + 1).as("i"),
+        expr(graft.text.TextOps.tokenNumExpr60("kgs")).as("x"))
+    val dup = kg.select("doc_id", "x").distinct()
+      .groupBy("x").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select("x")
+    val covered = kg.join(dup, "x")
+      .select(col("doc_id"), explode(expr(s"sequence(i, i + ${k - 1})")).as("j"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_removed"))
+    df.select(col(idCol).as("doc_id"),
+        size(split(col(textCol), " ")).cast("bigint").as("n_words"))
+      .join(covered, "doc_id")
+      .select(col("doc_id"), col("n_words"), col("n_removed"),
+        // exact half-up round(n_removed/n_words, 4) in integers
+        (expr("cast((n_removed * 20000 + n_words) div (2 * n_words) as double)")
+          / 10000.0).as("removed_frac"))
+  }
+
   val ops: Seq[OpSpec] = Seq(
     OpSpec(
       "sample_token_budget",
@@ -284,6 +324,36 @@ object CurationOps {
              |FROM kg a JOIN kg b ON a.x = b.x AND a.doc_id < b.doc_id
              |WHERE a.x IN (SELECT x FROM f WHERE nd BETWEEN 2 AND 50)
              |GROUP BY 1, 2 ORDER BY a, b""".stripMargin),
+    ),
+    // Span-level duplicate-REMOVAL accounting (Lee et al.'s actual
+    // dedup semantic — cut the span, keep the doc): per affected doc,
+    // the word positions covered by any ≥2-doc 10-word window. No DF
+    // cap (coverage is instance-sized, never pairwise; boilerplate is
+    // exactly what removal wants). Fraction via the exact half-up
+    // integer round device.
+    OpSpec(
+      "text_strip_dup_spans",
+      (s, d) => stripDupSpansOf(T.documents(s, d), "doc_id", "text", k = 10)
+        .orderBy("doc_id"),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |e AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 10 + 2)) AS i
+             |      FROM w WHERE len(ws) >= 10),
+             |kg AS (SELECT doc_id, i,
+             |         ('0x' || substr(sha256(array_to_string(ws[i:i+9], ' ')), 1, 15))::BIGINT AS x
+             |       FROM e),
+             |dup AS (SELECT x FROM (SELECT DISTINCT doc_id, x FROM kg)
+             |        GROUP BY x HAVING count(*) >= 2),
+             |cov AS (SELECT DISTINCT doc_id, unnest(range(i, i + 10)) AS j
+             |        FROM kg WHERE x IN (SELECT x FROM dup)),
+             |per AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id),
+             |sizes AS (SELECT doc_id,
+             |            cast(len(string_split(text, ' ')) as bigint) AS n_words
+             |          FROM documents)
+             |SELECT s.doc_id, s.n_words, p.n_removed,
+             |  cast((p.n_removed * 20000 + s.n_words) // (2 * s.n_words) as double) / 10000.0
+             |    AS removed_frac
+             |FROM sizes s JOIN per p ON p.doc_id = s.doc_id
+             |ORDER BY s.doc_id""".stripMargin),
     ),
     // Tokenizer-faithful token counting (round-12 verdict "missing"
     // #3): whitespace words vs greedy longest-match subword tokens

@@ -554,4 +554,26 @@ object StreamOps {
       .transformWithState(new TokenBudgetProcessor(budget),
         TimeMode.None(), OutputMode.Append())
   }
+
+  /** The token-budget gate in REAL (BPE) tokens — the live twin of the
+    * declared sample_token_budget_bpe. The per-doc count comes from
+    * graft.text.Bpe's ROW-LOCAL fold expression (the distinct-words
+    * broadcast join of the batch form is unavailable on a stream; the
+    * fold is one scalar expression per row, no shuffle, and BpeSpec
+    * asserts it equals the batch tokenizer word-for-word), then the
+    * same one-int64-per-source [[TokenBudgetProcessor]] admits a
+    * strict prefix. Same order contract as [[streamingTokenBudget]]:
+    * feed in the batch's Knuth-hash order and the admitted set is the
+    * batch query's exactly. */
+  def streamingBpeTokenBudget(docs: DataFrame, byCol: String, idCol: String,
+                              textCol: String, budget: Long): Dataset[TbOut] = {
+    import docs.sparkSession.implicits._
+    docs.select(col(byCol).as("source"), col(idCol).as("doc_id"),
+        expr(graft.text.Bpe.docTokExpr(textCol)).as("n_tok"),
+        ((col(idCol) * 2654435761L) % 4294967296L).as("shuf"))
+      .as[TbIn]
+      .groupByKey(_.source)
+      .transformWithState(new TokenBudgetProcessor(budget),
+        TimeMode.None(), OutputMode.Append())
+  }
 }

@@ -59,6 +59,31 @@ object Bpe {
       s"CASE WHEN substr($w, $p, ${u.length}) = '$u' THEN ${u.length} ELSE 1 END")
       .mkString("greatest(", ", ", ")")
 
+  /** ROW-LOCAL per-word BPE token count as ONE scalar expression — the
+    * same greedy scan as [[wordTokenCounts]] folded through Spark's
+    * `aggregate` HOF with (pos, count) struct state (a lambda variable
+    * binds the state, so the 12 steps share subexpressions instead of
+    * exponentially substituting them). Row-local ⇒ works on STREAMING
+    * frames, where the distinct-words broadcast join can't. `w` is any
+    * string-typed expression (e.g. a higher-order lambda variable). */
+  def wordTokExpr(w: String): String = {
+    val step = stepSql(w, "acc.p")
+    s"""aggregate(sequence(1, $unrollSteps),
+       |  named_struct('p', 1, 'c', 0),
+       |  (acc, _i) -> IF(acc.p <= length($w),
+       |      named_struct('p', acc.p + $step, 'c', acc.c + 1), acc),
+       |  acc -> cast(acc.c + IF(acc.p <= length($w),
+       |                         length($w) - acc.p + 1, 0) as bigint))""".stripMargin
+  }
+
+  /** ROW-LOCAL per-document BPE token count: Σ over whitespace words
+    * of [[wordTokExpr]]. One expression, no shuffle, no join — the
+    * streaming-safe form (BpeSpec asserts it equals the distinct-join
+    * batch form word-for-word). */
+  def docTokExpr(textCol: String): String =
+    s"""aggregate(transform(split($textCol, ' '), _bw -> ${wordTokExpr("_bw")}),
+       |  cast(0 as bigint), (a, x) -> a + x)""".stripMargin
+
   /** Per-word BPE token count over the DISTINCT words of
     * `docs.textCol` → (_bw, _bn). The greedy scan is the unrolled
     * (pos, count) advance chain. */

@@ -152,6 +152,25 @@ class CurationSpec extends AnyFunSuite {
     assert(dup(0).getLong(2) === 1L)
   }
 
+  test("stripDupSpans removes exactly the straddling span's positions, nothing else") {
+    import spark.implicits._
+    val span = (1 to 10).map(i => s"dup$i").mkString(" ")
+    val fill = (1 to 5).map(i => s"pre$i").mkString(" ")
+    val tail = (1 to 5).map(i => s"post$i").mkString(" ")
+    val d = Seq(
+      (1L, s"$fill $span $tail"),         // span at word positions 6..15 of 20
+      (2L, s"$span zz1 zz2 zz3 zz4 zz5"), // span at positions 1..10 of 15
+      (3L, "unrelated words only nothing shared here at all zz yy xx ww vv"),
+    ).toDF("doc_id", "text")
+    val rows = graft.ops.CurationOps.stripDupSpansOf(d, "doc_id", "text", 10)
+      .orderBy("doc_id").collect()
+    // only the two span-sharing docs are affected, each losing exactly
+    // the 10 span words — the flanks survive
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(rows.forall(_.getLong(2) === 10L))
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 20L), (2L, 15L)))
+  }
+
   test("BPE trainer re-derives the inlined merge table bit-for-bit") {
     import org.apache.spark.sql.functions._
     val wf = docs.select(explode(split(col("text"), " ")).as("w"))
@@ -178,6 +197,19 @@ class CurationSpec extends AnyFunSuite {
       Seq((1L, "window")).toDF("doc_id", "text"), "doc_id", "text")
       .head()
     assert(one.getLong(1) === 1L && one.getLong(2) === 4L)
+  }
+
+  test("row-local BPE fold expression equals the distinct-join batch tokenizer") {
+    import org.apache.spark.sql.functions._
+    // the streaming-safe scalar form (aggregate-HOF fold, no join)
+    // must count identically to the broadcast-join batch form on
+    // every corpus doc — same scan, same tail rule
+    val local = docs.select(col("doc_id"),
+        expr(graft.text.Bpe.docTokExpr("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = graft.text.Bpe.bpeTokenCountsOf(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(local.nonEmpty && local === batch)
   }
 
   test("BPE budget sampler: kept prefix under budget in BPE units, deterministic order") {

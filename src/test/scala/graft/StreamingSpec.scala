@@ -393,6 +393,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streaming BPE token-budget gate == batch sample_token_budget_bpe in batch order") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // raw documents stream in the batch's admission order; the gate
+    // computes BPE counts ROW-LOCALLY (Bpe.docTokExpr — no join on a
+    // stream) and must admit exactly the batch query's set
+    val inRows = graft.core.Tables.documents(spark, TestSpark.sfSmoke)
+      .select(col("source"), col("doc_id"), col("text"),
+        ((col("doc_id") * 2654435761L) % 4294967296L).as("shuf"))
+      .as[(String, Long, String, Long)].collect().toSeq
+      .sortBy { case (_, id, _, shuf) => (shuf, id) }
+    val ms = MemoryStream[(String, Long, String, Long)]
+    val q = StreamOps.streamingBpeTokenBudget(
+        ms.toDF().toDF("source", "doc_id", "text", "shuf"),
+        "source", "doc_id", "text", budget = 5000L)
+      .writeStream.format("memory").queryName("t_tbb").outputMode("append").start()
+    val (a, b) = inRows.splitAt(inRows.size / 2)
+    ms.addData(a); q.processAllAvailable()
+    ms.addData(b); q.processAllAvailable() // spend crosses the boundary
+    q.stop()
+    val streamed = spark.table("t_tbb").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = graft.ops.Registry.queries("sample_token_budget_bpe")(spark, TestSpark.sfSmoke)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming heavy hitters (MapState space-saving, k >= distinct) == batch counts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
