@@ -158,6 +158,9 @@ object CurationOps {
       .select(col("doc_id"),
         expr(graft.text.TextOps.tokenNumExpr60("kg")).as("x"))
       .distinct()
+      // disk-memoized: shared with dedup_substring_survivors' pair
+      // mining over the same corpus (eviction-proof, DiskMemo contract)
+      .transform(f => graft.core.DiskMemo.persist(f, "cur_kg"))
     kg.groupBy("x").agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")).between(2, maxDf))
       .select(expr(
@@ -324,6 +327,52 @@ object CurationOps {
              |FROM kg a JOIN kg b ON a.x = b.x AND a.doc_id < b.doc_id
              |WHERE a.x IN (SELECT x FROM f WHERE nd BETWEEN 2 AND 50)
              |GROUP BY 1, 2 ORDER BY a, b""".stripMargin),
+    ),
+    // Substring-dedup SURVIVORS end-to-end: the pair graph from
+    // dedup_substring_exact collapsed to connected components
+    // (DedupCluster label propagation — the same composition as
+    // dedup_survivors, over the substring edge set), keep the min
+    // doc_id per component plus all singletons; per-source surviving
+    // counts. The oracle recomputes the components via the
+    // recursive-CTE transitive closure over the SAME capped pair
+    // edges — proving blocking + propagation + keep-min end-to-end.
+    OpSpec(
+      "dedup_substring_survivors",
+      (s, d) => {
+        val docs = T.documents(s, d)
+        val pairs = substringDupsOf(docs, "doc_id", "text", k = 10, maxDf = 50)
+          .select("a", "b")
+        graft.text.DedupCluster.survivors(docs, "doc_id", pairs,
+            iters = 20, minRounds = 1)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_survivors"), sum(col("n_chars")).as("sum_chars"))
+          .orderBy("source")
+      },
+      Some("""WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |e AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 10 + 2)) AS i
+             |      FROM w WHERE len(ws) >= 10),
+             |kg AS (SELECT DISTINCT doc_id,
+             |         ('0x' || substr(sha256(array_to_string(ws[i:i+9], ' ')), 1, 15))::BIGINT AS x
+             |       FROM e),
+             |f AS (SELECT x, count(*) AS nd FROM kg GROUP BY x),
+             |prs AS (
+             |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+             |  FROM kg a JOIN kg b ON a.x = b.x AND a.doc_id < b.doc_id
+             |  WHERE a.x IN (SELECT x FROM f WHERE nd BETWEEN 2 AND 50)),
+             |edges AS (SELECT a AS u, b AS v FROM prs UNION SELECT b, a FROM prs),
+             |reach AS (
+             |  SELECT u AS id, v AS nb FROM edges
+             |  UNION
+             |  SELECT r.id, e2.v FROM reach r JOIN edges e2 ON e2.u = r.nb),
+             |losers AS (
+             |  SELECT id FROM (SELECT id, least(id, min(nb)) AS cluster
+             |                  FROM reach GROUP BY id)
+             |  WHERE id <> cluster)
+             |SELECT source, count(*) AS n_survivors,
+             |  cast(sum(n_chars) as bigint) AS sum_chars
+             |FROM documents
+             |WHERE doc_id NOT IN (SELECT id FROM losers)
+             |GROUP BY source ORDER BY source""".stripMargin),
     ),
     // Span-level duplicate-REMOVAL accounting (Lee et al.'s actual
     // dedup semantic — cut the span, keep the doc): per affected doc,

@@ -240,6 +240,39 @@ object StoreOps {
               |  cast(sum(cast(value as decimal(18,2))) as double) AS sum_value
               |FROM store GROUP BY 1 ORDER BY event_date""".stripMargin),
     ),
+    // TIERED READ — the production read path AFTER the two maintenance
+    // jobs ran ("retain raw 15 days, keep hourly forever"): hot days
+    // (≥ cutoff) aggregate from the RETAINED raw store, cold days
+    // (< cutoff) read straight from the materialized hourly ROLLUP
+    // (re-summing its per-type rows through the decimal(18,2)
+    // round-trip — a 2-dp value survives double↔decimal exactly, so
+    // the re-agg is order-free). The oracle aggregates the FULL raw
+    // store hourly: the gate proves the tiering is LOSSLESS — rollup
+    // rows + retained raw rows tile the month with no seam, overlap,
+    // or gap at the cutoff boundary.
+    OpSpec(
+      "store_tiered_read",
+      (s, d) => {
+        val cutoff = java.sql.Date.valueOf("2024-01-15")
+        val hot = TsdbStore.read(s, TsdbStore.ensureRetainedStore(s, d))
+          .groupBy(date_trunc("hour", col("ts")).as("hour_ts"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        val cold = TsdbStore.read(s, TsdbStore.ensureRollupStore(s, d))
+          .filter(col("event_date") < lit(cutoff))
+          .groupBy("hour_ts")
+          .agg(sum(col("n")).as("n"),
+            sum(col("sum_value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        hot.unionByName(cold)
+          .select(graft.core.Policy.tsOut(col("hour_ts")).as("hour_ts"),
+            col("n"), col("sum_value"))
+          .orderBy("hour_ts")
+      },
+      Some(s"""WITH $storeSql
+              |SELECT date_trunc('hour', ts) AS hour_ts, count(*) AS n,
+              |  cast(sum(cast(value as decimal(18,2))) as double) AS sum_value
+              |FROM store GROUP BY 1 ORDER BY hour_ts""".stripMargin),
+    ),
     // Per-day operational PROFILE of the store — the observability
     // query a store operator runs before compaction/retention
     // decisions: per partition, row count, live key count, version-id
