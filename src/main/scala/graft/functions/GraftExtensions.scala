@@ -114,6 +114,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // same shapes graft.api.syntax builds on the DataFrame side).
     //
     //   SELECT * FROM resample('view', 'ts_col', 'hour', 'value_col')
+    //   SELECT * FROM resample('view', 'ts_col', '7h', 'value_col',
+    //                          '2024-01-01 00:00:00')   -- explicit origin
     //     -> (bucket timestamp_ntz, n bigint, sum_<value> double)
     //        [exact decimal(18,2) sum per the §2.0 money policy]
     //   SELECT * FROM sessionize('view', 'ts_col', 'order_col',
@@ -124,18 +126,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("resample"),
       new ExpressionInfo(classOf[GraftExtensions].getName, "resample"),
       (args: Seq[Expression]) => {
-        require(args.length == 4,
-          "resample(view, ts_col, unit, value_col)")
-        val Seq(view, ts, unit, value) = args.map(TvfSql.str)
+        require(args.length == 4 || args.length == 5,
+          "resample(view, ts_col, unit, value_col[, origin])")
+        val Seq(view, ts, unit, value) = args.take(4).map(TvfSql.str)
+        // optional 5th arg: explicit ORIGIN 'yyyy-MM-dd HH:mm:ss' —
+        // unlocks NON-day-dividing steps ('7h') exactly like
+        // api.resampleOrigin (same anchored pmod-floor lattice; the
+        // two tiers share offsetMicrosRaw, so they can never accept
+        // different spellings). No `return` — a non-local return from
+        // a TVF builder lambda would throw through the analyzer.
+        val originBucket = args.lift(4).map(TvfSql.str).map { originStr =>
+          val origin = java.time.LocalDateTime.parse(
+            originStr.replace(' ', 'T'))
+          val step = graft.api.syntax.offsetMicrosRaw(unit).getOrElse(
+            throw new IllegalArgumentException(
+              s"resample with origin needs an offset frequency, got '$unit'"))
+          val o = origin.toInstant(java.time.ZoneOffset.UTC)
+          val oUs = o.getEpochSecond * 1000000L + o.getNano / 1000L
+          val dlt = s"(unix_micros(${TvfSql.id(ts)}) - ${oUs}L)"
+          s"timestamp_micros(${oUs}L + ($dlt - pmod($dlt, ${step}L)))"
+        }
         // unit accepts calendar units (date_trunc) AND pandas offset
         // frequencies ('15min', '5s', …) via epoch-floor — the same
         // dual spelling as api.syntax.resample (shared offsetMicros
         // parser, so the two tiers can never accept different forms)
-        val bucket = graft.api.syntax.offsetMicros(unit) match {
-          case Some(step) => // x − pmod(x, step): true floor, the api.floorBucket lattice
-            s"timestamp_micros(unix_micros(${TvfSql.id(ts)}) - pmod(unix_micros(${TvfSql.id(ts)}), ${step}L))"
-          case None => s"date_trunc('${TvfSql.unit(unit)}', ${TvfSql.id(ts)})"
-        }
+        val bucket = originBucket.getOrElse(
+          graft.api.syntax.offsetMicros(unit) match {
+            case Some(step) => // x − pmod(x, step): true floor, the api.floorBucket lattice
+              s"timestamp_micros(unix_micros(${TvfSql.id(ts)}) - pmod(unix_micros(${TvfSql.id(ts)}), ${step}L))"
+            case None => s"date_trunc('${TvfSql.unit(unit)}', ${TvfSql.id(ts)})"
+          })
         TvfSql.parse(
           s"""SELECT cast($bucket as timestamp_ntz) AS bucket,
              |  count(*) AS n,

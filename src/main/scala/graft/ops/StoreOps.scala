@@ -225,7 +225,15 @@ object StoreOps {
       "store_schema_evolution",
       (s, d) => {
         val path = TsdbStore.ensureEvolvedStore(s, d)
-        TsdbStore.readMerged(s, path)
+        val merged = TsdbStore.readMerged(s, path)
+        // a zero-row corpus has an EMPTY update batch, so no file ever
+        // carries the evolved column and the merged schema lacks it —
+        // absent column ≡ all-NULL column, materialized so the profile
+        // below stays schema-stable
+        val stable =
+          if (merged.columns.contains("batch_tag")) merged
+          else merged.withColumn("batch_tag", lit(null).cast("string"))
+        stable
           .groupBy("event_date")
           .agg(count(lit(1)).as("n"),
             count(col("batch_tag")).as("n_tagged"),

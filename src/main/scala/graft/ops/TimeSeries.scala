@@ -86,6 +86,25 @@ object TimeSeries {
              |  cast(sum(cast(value as decimal(18,2))) as double) AS sum_value
              |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin),
     ),
+    // The SAME anchored resample STRAIGHT FROM SQL TEXT — the
+    // `resample` TVF's optional 5th (origin) argument; expands to the
+    // identical pmod-floor lattice via the shared offsetMicrosRaw
+    // parser, so SQL tier ≡ DataFrame tier ≡ time_bucket-origin truth.
+    OpSpec(
+      "ts_resample_origin_tvf",
+      (s, d) => {
+        ev(s, d).createOrReplaceTempView("tvf_events_ro")
+        s.sql("""SELECT bucket, n, sum_value
+                |FROM resample('tvf_events_ro', 'ts', '7h', 'value',
+                |              '2024-01-01 00:00:00')
+                |ORDER BY bucket""".stripMargin)
+      },
+      Some("""SELECT time_bucket(INTERVAL '7 hours', cast(ts as timestamp),
+             |                   TIMESTAMP '2024-01-01 00:00:00') AS bucket,
+             |  count(*) AS n,
+             |  cast(sum(cast(value as decimal(18,2))) as double) AS sum_value
+             |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin),
+    ),
     // resample('1d').ohlc — open/close picked by event_id (ts order),
     // deterministic in both engines via arg_min/arg_max ≡ min_by/max_by.
     OpSpec(

@@ -72,8 +72,26 @@ class TvfSpec extends AnyFunSuite {
         "SELECT * FROM resample('tvf_spec_val; DROP TABLE x', 'ts', 'hour', 'value')",
         "SELECT * FROM resample('tvf_spec_val', 'ts`--', 'hour', 'value')",
         "SELECT * FROM resample('tvf_spec_val', 'ts', 'fortnight', 'value')",
-        "SELECT * FROM sessionize('tvf_spec_val', 'ts', 'event_id', 'user_id', -1)"))
+        "SELECT * FROM sessionize('tvf_spec_val', 'ts', 'event_id', 'user_id', -1)",
+        // origin form: garbage origin text and calendar units must throw
+        "SELECT * FROM resample('tvf_spec_val', 'ts', '7h', 'value', 'not-a-time')",
+        "SELECT * FROM resample('tvf_spec_val', 'ts', 'hour', 'value', '2024-01-01 00:00:00')"))
       assertThrows[Exception](spark.sql(bad).collect())
+  }
+
+  test("resample TVF with explicit origin equals the api.resampleOrigin DataFrame form") {
+    events.createOrReplaceTempView("tvf_spec_ro")
+    val viaSql = spark.sql(
+      """SELECT * FROM resample('tvf_spec_ro', 'ts', '7h', 'value',
+        |                       '2024-01-01 00:00:00') ORDER BY bucket""".stripMargin)
+      .collect().map(r => (r.get(0).toString, r.getLong(1), r.getDouble(2))).toSeq
+    val viaApi = events
+      .resampleOrigin("7h", java.time.LocalDateTime.of(2024, 1, 1, 0, 0), "ts", "bucket")(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy("bucket")
+      .collect().map(r => (r.get(0).toString, r.getLong(1), r.getDouble(2))).toSeq
+    assert(viaSql.nonEmpty && viaSql === viaApi)
   }
 
   test("simhash_pairs TVF result equals the api.simhashPairs DataFrame form") {
