@@ -145,18 +145,30 @@ object CurationOps {
     * (one such window in 10⁶ docs would emit 10¹² pairs — the
     * maxShingleDf argument), and pairs explode IN-GROUP from each
     * digest's ≤ `maxDf` sorted doc list, so no self-join ever runs. */
+  /** Positioned k-gram digests (doc_id, i, x) at stride 1 — the ONE
+    * sha-256 pipeline the whole substring family derives from,
+    * DISK-memoized per (corpus, k): the digest pass is the family's
+    * dominant cost (75 M hashes at sf3), so pair mining, survivors
+    * and span coverage all read this artifact instead of re-hashing
+    * the corpus. */
+  private def kgPositionsOf(df: DataFrame, idCol: String, textCol: String,
+                            k: Int): DataFrame =
+    graft.core.DiskMemo.persist(
+      df.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
+        .filter(size(col("ws")) >= k)
+        .select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(1, size(ws) - ${k - 1}), i -> array_join(slice(ws, i, $k), ' '))"))
+          .as(Seq("i0", "kgs")))
+        .select(col("doc_id"), (col("i0") + 1).as("i"),
+          expr(graft.text.TextOps.tokenNumExpr60("kgs")).as("x")),
+      "cur_kgp")
+
   def substringDupsOf(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 10, maxDf: Int = 50): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
     require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
-    val kg = df
-      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
-      .filter(size(col("ws")) >= k)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, size(ws) - ${k - 1}), i -> array_join(slice(ws, i, $k), ' '))"))
-        .as("kg"))
-      .select(col("doc_id"),
-        expr(graft.text.TextOps.tokenNumExpr60("kg")).as("x"))
+    val kg = kgPositionsOf(df, idCol, textCol, k)
+      .select("doc_id", "x")
       .distinct()
       // disk-memoized: shared with dedup_substring_survivors' pair
       // mining over the same corpus (eviction-proof, DiskMemo contract)
@@ -187,14 +199,7 @@ object CurationOps {
   def stripDupSpansOf(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 10): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
-    val kg = df
-      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
-      .filter(size(col("ws")) >= k)
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(1, size(ws) - ${k - 1}), i -> array_join(slice(ws, i, $k), ' '))"))
-        .as(Seq("i0", "kgs")))
-      .select(col("doc_id"), (col("i0") + 1).as("i"),
-        expr(graft.text.TextOps.tokenNumExpr60("kgs")).as("x"))
+    val kg = kgPositionsOf(df, idCol, textCol, k) // shared digest artifact
     val dup = kg.select("doc_id", "x").distinct()
       .groupBy("x").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2).select("x")

@@ -241,7 +241,13 @@ object NearDup {
     val cappedDocs = udaf(
       new graft.udaf.CappedCollect.CappedCollectAgg(maxShingleDf.toInt),
       org.apache.spark.sql.Encoders.scalaLong)
-    val grouped = shingleNumsRaw(s, d)
+    // reads the DISK-memoized distinct shingle frame, not the raw
+    // corpus explode: CappedCollect dedups in-buffer, so distinct
+    // input computes the identical capped sets while the expensive
+    // explode+hash pipeline is paid once per corpus (shared with the
+    // whole minhash family) — and a contended-box rebuild of THIS
+    // frame starts from a parquet scan, not a corpus scan.
+    val grouped = shingleNums(s, d)
       .groupBy("x").agg(cappedDocs(col("doc_id")).as("cd"))
       .filter(size(col("cd.items")) <= maxShingleDf)
       .select(sort_array(col("cd.items")).as("ds"))
