@@ -256,6 +256,50 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
              |  WHERE size(_g) >= 2)
              |WHERE bit_count(_q.l.h ^ _q.r.h) <= $maxDist""".stripMargin)
       }))
+    // Sliding-window exact-substring pair mining from SQL text — the
+    // substring family's SQL entry (DataFrame path:
+    // CurationOps.substringDupsOf / api df.substringDups):
+    //   SELECT * FROM substring_pairs('view', 'id_col', 'text_col',
+    //                                 k, max_df)
+    //     -> (a bigint, b bigint, n_shared_spans bigint), a < b
+    // Expands to the SAME shape as the DataFrame form: stride-1 k-word
+    // windows digested to int64 BEFORE the dedup shuffle, doc-level
+    // DISTINCT, per-digest id-sorted collect capped at max_df, and the
+    // in-group pair explode (no self-join — the cappedPairStats
+    // device; same skew trade as simhash_pairs, documented there).
+    ext.injectTableFunction((
+      new FunctionIdentifier("substring_pairs"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "substring_pairs"),
+      (args: Seq[Expression]) => {
+        require(args.length == 5,
+          "substring_pairs(view, id_col, text_col, k, max_df)")
+        val Seq(view, id, text) = args.take(3).map(TvfSql.str)
+        val k = args(3).eval().asInstanceOf[Number].intValue()
+        val maxDf = args(4).eval().asInstanceOf[Number].intValue()
+        require(k >= 2, s"k must be >= 2, got $k")
+        require(maxDf >= 2, s"max_df must be >= 2, got $maxDf")
+        TvfSql.parse(
+          s"""SELECT _q.a AS a, _q.b AS b, count(*) AS n_shared_spans
+             |FROM (
+             |  SELECT explode(flatten(transform(sequence(1, size(_g) - 1),
+             |    i -> transform(slice(_g, i + 1, size(_g) - i),
+             |         y -> named_struct('a', element_at(_g, i), 'b', y))))) AS _q
+             |  FROM (
+             |    SELECT array_sort(collect_list(_id)) AS _g
+             |    FROM (
+             |      SELECT DISTINCT _id,
+             |        cast(conv(substring(sha2(_kg, 256), 1, 15), 16, 10) as bigint) AS _x
+             |      FROM (
+             |        SELECT _id, explode(transform(sequence(1, size(_ws) - ${k - 1}),
+             |          i -> array_join(slice(_ws, i, $k), ' '))) AS _kg
+             |        FROM (SELECT ${TvfSql.id(id)} AS _id,
+             |                split(${TvfSql.id(text)}, ' ') AS _ws
+             |              FROM ${TvfSql.id(view)})
+             |        WHERE size(_ws) >= $k))
+             |    GROUP BY _x)
+             |  WHERE size(_g) BETWEEN 2 AND $maxDf)
+             |GROUP BY _q.a, _q.b""".stripMargin)
+      }))
     // Token-budget sampling from SQL text — the curation family's SQL
     // entry (DataFrame path: api df.tokenBudgetSample):
     //   SELECT * FROM token_budget_sample('view', 'by_col', 'id_col',

@@ -333,6 +333,30 @@ object CurationOps {
              |WHERE a.x IN (SELECT x FROM f WHERE nd BETWEEN 2 AND 50)
              |GROUP BY 1, 2 ORDER BY a, b""".stripMargin),
     ),
+    // The SAME substring pair mining STRAIGHT FROM SQL TEXT through
+    // the `substring_pairs` TVF (GraftExtensions) — the family's SQL
+    // tier, mirroring simhash_pairs: one digest pipeline, in-group
+    // pair explode, no self-join. Green row + the shared oracle prove
+    // SQL tier ≡ DataFrame tier ≡ truth.
+    OpSpec(
+      "dedup_substring_tvf",
+      (s, d) => {
+        T.documents(s, d).createOrReplaceTempView("tvf_documents_sub")
+        s.sql("""SELECT * FROM substring_pairs('tvf_documents_sub', 'doc_id', 'text', 10, 50)
+                |ORDER BY a, b""".stripMargin)
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |e AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 10 + 2)) AS i
+             |      FROM w WHERE len(ws) >= 10),
+             |kg AS (SELECT DISTINCT doc_id,
+             |         ('0x' || substr(sha256(array_to_string(ws[i:i+9], ' ')), 1, 15))::BIGINT AS x
+             |       FROM e),
+             |f AS (SELECT x, count(*) AS nd FROM kg GROUP BY x)
+             |SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_shared_spans
+             |FROM kg a JOIN kg b ON a.x = b.x AND a.doc_id < b.doc_id
+             |WHERE a.x IN (SELECT x FROM f WHERE nd BETWEEN 2 AND 50)
+             |GROUP BY 1, 2 ORDER BY a, b""".stripMargin),
+    ),
     // Substring-dedup SURVIVORS end-to-end: the pair graph from
     // dedup_substring_exact collapsed to connected components
     // (DedupCluster label propagation — the same composition as

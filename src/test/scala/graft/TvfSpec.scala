@@ -94,6 +94,26 @@ class TvfSpec extends AnyFunSuite {
     assert(viaSql.nonEmpty && viaSql === viaApi)
   }
 
+  test("substring_pairs TVF equals the CurationOps.substringDupsOf DataFrame form") {
+    val docs = graft.core.Tables.documents(spark, TestSpark.sfSmoke)
+    docs.createOrReplaceTempView("tvf_spec_sub")
+    // narrower-than-declared parameters on purpose: proves the TVF's
+    // generated windows/cap track (k, max_df), not just the 10/50 case
+    val viaSql = spark.sql(
+      "SELECT * FROM substring_pairs('tvf_spec_sub', 'doc_id', 'text', 5, 10) ORDER BY a, b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val viaApi = graft.ops.CurationOps
+      .substringDupsOf(docs, "doc_id", "text", k = 5, maxDf = 10)
+      .orderBy("a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(viaSql.nonEmpty && viaSql === viaApi)
+    // parameter validation before any splice
+    for (bad <- Seq(
+        "SELECT * FROM substring_pairs('tvf_spec_sub', 'doc_id', 'text', 1, 50)",
+        "SELECT * FROM substring_pairs('tvf_spec_sub', 'doc_id`--', 'text', 10, 50)"))
+      assertThrows[Exception](spark.sql(bad).collect())
+  }
+
   test("simhash_pairs TVF result equals the api.simhashPairs DataFrame form") {
     val docs = graft.core.Tables.documents(spark, TestSpark.sfSmoke)
     docs.createOrReplaceTempView("tvf_spec_docs")
