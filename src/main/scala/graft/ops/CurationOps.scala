@@ -433,6 +433,52 @@ object CurationOps {
              |FROM sizes s JOIN per p ON p.doc_id = s.doc_id
              |ORDER BY s.doc_id""".stripMargin),
     ),
+    // Per-SOURCE span-duplication KPI — the number a curation review
+    // actually reads ("what fraction of each source is duplicated
+    // text"): docs, affected docs, total/duplicated word mass, and the
+    // corpus-level duplicated share per source, composed from
+    // stripDupSpansOf's coverage. Exact integer sums; the share via
+    // the half-up integer round device.
+    OpSpec(
+      "text_span_dup_report",
+      (s, d) => {
+        val docs = T.documents(s, d)
+        val cov = stripDupSpansOf(docs, "doc_id", "text", k = 10)
+          .select(col("doc_id"), col("n_removed"))
+        docs.select(col("doc_id"), col("source"),
+            size(split(col("text"), " ")).cast("bigint").as("n_words"))
+          .join(cov, Seq("doc_id"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            count(col("n_removed")).as("n_affected"),
+            sum(col("n_words")).as("total_words"),
+            sum(coalesce(col("n_removed"), lit(0L))).as("dup_words"))
+          .select(col("source"), col("n_docs"), col("n_affected"),
+            col("total_words"), col("dup_words"),
+            (expr("cast((dup_words * 20000 + total_words) div (2 * total_words) as double)")
+              / 10000.0).as("dup_share"))
+          .orderBy("source")
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |e AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 10 + 2)) AS i
+             |      FROM w WHERE len(ws) >= 10),
+             |kg AS (SELECT doc_id, i,
+             |         ('0x' || substr(sha256(array_to_string(ws[i:i+9], ' ')), 1, 15))::BIGINT AS x
+             |       FROM e),
+             |dup AS (SELECT x FROM (SELECT DISTINCT doc_id, x FROM kg)
+             |        GROUP BY x HAVING count(*) >= 2),
+             |cov AS (SELECT DISTINCT doc_id, unnest(range(i, i + 10)) AS j
+             |        FROM kg WHERE x IN (SELECT x FROM dup)),
+             |per AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id)
+             |SELECT d.source, count(*) AS n_docs,
+             |  count(p.n_removed) AS n_affected,
+             |  cast(sum(len(string_split(d.text, ' '))) as bigint) AS total_words,
+             |  cast(sum(coalesce(p.n_removed, 0)) as bigint) AS dup_words,
+             |  cast((sum(coalesce(p.n_removed, 0)) * 20000 + sum(len(string_split(d.text, ' '))))
+             |       // (2 * sum(len(string_split(d.text, ' ')))) as double) / 10000.0 AS dup_share
+             |FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+             |GROUP BY d.source ORDER BY d.source""".stripMargin),
+    ),
     // Tokenizer-faithful token counting (round-12 verdict "missing"
     // #3): whitespace words vs greedy longest-match subword tokens
     // over the offline-trained BPE vocabulary (graft.text.Bpe — the

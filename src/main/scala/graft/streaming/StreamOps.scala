@@ -218,6 +218,33 @@ object StreamOps {
         TimeMode.None(), OutputMode.Append())
   }
 
+  /** Streaming EXACT-substring near-dup candidates — the live twin of
+    * the declared dedup_substring_exact's candidate stage: each
+    * arriving document explodes its stride-1 `k`-word window digests
+    * ROW-LOCALLY (no shuffle before the keyBy), and every digest
+    * bucket runs the same capped-occupants [[LshProcessor]] (the
+    * digest IS the bucket — band 0), emitting each digest-sharing doc
+    * pair exactly once across micro-batch boundaries. State: ≤
+    * `maxPerBucket` int64 occupants per live digest. Exact Jaccard /
+    * span verification stays a batch job over candidates, as in the
+    * batch pipeline. */
+  def streamingSubstringCandidates(docs: DataFrame, idCol: String,
+                                   textCol: String, k: Int = 10,
+                                   maxPerBucket: Int = 50): Dataset[CandPair] = {
+    import docs.sparkSession.implicits._
+    require(k >= 2, s"k must be >= 2, got $k")
+    val sigs = docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("_ws"))
+      .filter(size(col("_ws")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(_ws) - ${k - 1}), i -> array_join(slice(_ws, i, $k), ' '))"))
+        .as("_kg"))
+      .select(col("doc_id"), lit(0).as("band"),
+        expr(graft.text.TextOps.tokenNumExpr60("_kg")).cast("string").as("bucket"))
+      .as[SigIn]
+    streamingLshCandidates(sigs, maxPerBucket)
+  }
+
   /** Streaming backward as-of: the flagship TSDB enrichment running
     * incrementally. Build rows (tag 0) update per-key state (latest
     * build ts + payload); probe rows (tag 1) emit themselves enriched

@@ -195,6 +195,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streaming substring candidates equal the batch digest-sharing pairs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // raw documents stream in; digests explode row-locally inside the
+    // transform — with the cap above every bucket's occupancy, the
+    // emitted pair set must equal the UNCAPPED batch candidate set
+    val docs = graft.core.Tables.documents(spark, TestSpark.sfSmoke)
+    val inRows = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamOps.streamingSubstringCandidates(
+        ms.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        k = 10, maxPerBucket = 10000)
+      .writeStream.format("memory").queryName("t_sub").outputMode("append").start()
+    val (a, b) = inRows.splitAt(inRows.size / 2)
+    ms.addData(a); q.processAllAvailable()
+    ms.addData(b); q.processAllAvailable() // bucket occupants cross the boundary
+    q.stop()
+    val streamed = spark.table("t_sub").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.ops.CurationOps
+      .substringDupsOf(docs, "doc_id", "text", k = 10, maxDf = 10000)
+      .select("a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("the funnel StatefulProcessor runs as a BATCH query and equals the batch agg") {
     import spark.implicits._
     spark.streams.active // StateStoreCoordinator endpoint (batch tWS needs it)
