@@ -524,5 +524,70 @@ object CurationOps {
               |  FROM t)
               |WHERE cum_tok <= 5000 ORDER BY source, doc_id""".stripMargin),
     ),
+    // The mixture CASHED OUT: given the α=0.5 temperature targets and a
+    // fixed training budget B = 50,000 tokens, how many tokens each
+    // lang contributes and how many EPOCHS (passes over its available
+    // data) that implies — epochs > 1 is the repeated-data signal a
+    // mixture review flags (up-sampled low-resource langs repeat;
+    // down-sampled high-resource ones train on a subset). Pure
+    // arithmetic on the temperatureWeightsOf frame: every double
+    // derives from the same sqrt/ordered-fold chain, so the outputs go
+    // out UNROUNDED (the agg_entropy rule).
+    OpSpec(
+      "mix_epoch_report",
+      (s, d) => temperatureWeightsOf(T.documents(s, d), "lang", "text")
+        .select(col("lang"), col("tokens"), col("target_share"),
+          (col("target_share") * lit(50000.0)).as("target_tokens"),
+          (col("target_share") * lit(50000.0) / col("tokens")).as("epochs"))
+        .orderBy("lang"),
+      Some("""WITH c AS (
+             |  SELECT lang, cast(count(*) as bigint) AS n_docs,
+             |    cast(sum(cast(len(string_split(text, ' ')) as bigint)) as bigint) AS tokens
+             |  FROM documents GROUP BY lang),
+             |p AS (
+             |  SELECT lang, tokens,
+             |    sqrt(tokens / cast((SELECT sum(tokens) FROM c) as bigint)) AS sq
+             |  FROM c),
+             |d AS (
+             |  SELECT list_reduce(list_prepend(0.0, list(sq ORDER BY lang)),
+             |    (acc, x) -> acc + x) AS denom FROM p)
+             |SELECT lang, tokens, sq / denom AS target_share,
+             |  sq / denom * 50000.0 AS target_tokens,
+             |  sq / denom * 50000.0 / tokens AS epochs
+             |FROM p, d ORDER BY lang""".stripMargin),
+    ),
+    // Per-source document-LENGTH profile — the first distribution a
+    // curation review plots (truncation / context-fit / chunking
+    // decisions all read off it): count, word mass, exact half-up
+    // mean, interpolated p50/p90 (the agg_quantile percentile ≡
+    // quantile_cont device), max. One column-pruned scan + one
+    // per-source hash agg.
+    OpSpec(
+      "text_length_profile",
+      (s, d) => T.documents(s, d)
+        .select(col("source"), nTok("text").as("n_words"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("total_words"),
+          graft.core.Policy.r4(expr("percentile(n_words, 0.5)")).as("p50_words"),
+          graft.core.Policy.r4(expr("percentile(n_words, 0.9)")).as("p90_words"),
+          max(col("n_words")).as("max_words"))
+        .select(col("source"), col("n_docs"), col("total_words"),
+          (expr("cast((total_words * 20000 + n_docs) div (2 * n_docs) as double)")
+            / 10000.0).as("mean_words"),
+          col("p50_words"), col("p90_words"), col("max_words"))
+        .orderBy("source"),
+      Some("""WITH t AS (SELECT source,
+             |    cast(len(string_split(text, ' ')) as bigint) AS n_words
+             |  FROM documents)
+             |SELECT source, count(*) AS n_docs,
+             |  cast(sum(n_words) as bigint) AS total_words,
+             |  cast((sum(n_words) * 20000 + count(*)) // (2 * count(*)) as double)
+             |    / 10000.0 AS mean_words,
+             |  round(quantile_cont(n_words, 0.5), 4) AS p50_words,
+             |  round(quantile_cont(n_words, 0.9), 4) AS p90_words,
+             |  max(n_words) AS max_words
+             |FROM t GROUP BY source ORDER BY source""".stripMargin),
+    ),
   )
 }

@@ -962,5 +962,140 @@ object VecOps {
               |LEFT JOIN a5 ON a5.qid = e.qid AND a5.vec_id = e.vec_id
               |GROUP BY e.qid ORDER BY qid""".stripMargin),
     ),
+    // Prefix-TRUNCATION quality (the Matryoshka / MRL serving trade:
+    // store 64 dims, search the first 16): per label, how much of each
+    // vector's norm the 16-dim prefix retains — sqrt(||e[1:16]||² /
+    // ||e||²), the exact energy fraction the truncated index keeps.
+    // Row-local per vector (zero shuffles before the label agg); the
+    // per-label mean is the vec_pq_mse ordered fold (bit-identical
+    // across partitionings). Oracle dots are EXPLICIT list_zip folds
+    // mirroring Spark's aggregate(zip_with(…)) term order — not
+    // list_inner_product, whose FMA drifts an ulp (the Pq.scala
+    // lesson), so the r4'd per-vector values are bit-identical.
+    OpSpec(
+      "vec_truncate_renorm",
+      (s, d) => truncateRenormOf(T.embeddings(s, d), "vec_id", "label",
+        "embedding", dims = 16),
+      Some(s"""WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+              |t AS (SELECT vec_id, label,
+              |  round(sqrt(
+              |    ${dotDuck("e[1:16]", "e[1:16]")} / ${dotDuck("e", "e")}), 4) AS kept
+              |FROM v)
+              |SELECT cast(label as int) AS label, cast(count(*) as bigint) AS n,
+              |  round(list_reduce(list_prepend(0.0, list(kept ORDER BY vec_id)),
+              |    (acc, x) -> acc + x) / count(*), 4) AS mean_kept,
+              |  min(kept) AS min_kept
+              |FROM t GROUP BY label ORDER BY label""".stripMargin),
+    ),
+    // The truncation dial MEASURED the way the IVF dial is
+    // (sim_recall_report's device): recall@10 of the 16-dim-prefix
+    // cosine ranking vs the full 64-dim ground truth, per query. ONE
+    // scored frame carries both cosines so the truncated side can
+    // never disagree with the truth side on an input row; both
+    // rankings use the rounded score + vec_id tie-break. At 100 TB
+    // the truncated index is the one you can afford to scan — this
+    // query is the evidence for how much recall that costs.
+    OpSpec(
+      "sim_recall_truncated",
+      (s, d) => truncatedRecallOf(T.embeddings(s, d), "vec_id", "embedding",
+        dims = 16),
+      Some(s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+              |q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 5),
+              |scored AS (
+              |  SELECT q.qid, v.vec_id,
+              |    round(${dotDuck("e", "qe")} /
+              |      (sqrt(${dotDuck("e", "e")}) * sqrt(${dotDuck("qe", "qe")})), 4) AS cos_full,
+              |    round(${dotDuck("e[1:16]", "qe[1:16]")} /
+              |      (sqrt(${dotDuck("e[1:16]", "e[1:16]")}) *
+              |       sqrt(${dotDuck("qe[1:16]", "qe[1:16]")})), 4) AS cos_t
+              |  FROM v, q WHERE v.vec_id <> q.qid),
+              |exact AS (SELECT qid, vec_id FROM (
+              |    SELECT qid, vec_id,
+              |      row_number() OVER (PARTITION BY qid ORDER BY cos_full DESC, vec_id) AS rk
+              |    FROM scored) WHERE rk <= 10),
+              |approx AS (SELECT qid, vec_id FROM (
+              |    SELECT qid, vec_id,
+              |      row_number() OVER (PARTITION BY qid ORDER BY cos_t DESC, vec_id) AS rk
+              |    FROM scored) WHERE rk <= 10)
+              |SELECT e.qid AS qid, count(*) AS k,
+              |  cast(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) as bigint) AS n_hit,
+              |  round(cast(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) as double)
+              |        / cast(count(*) as double), 4) AS recall
+              |FROM exact e LEFT JOIN approx a ON a.qid = e.qid AND a.vec_id = e.vec_id
+              |GROUP BY e.qid ORDER BY qid""".stripMargin),
+    ),
   )
+
+  /** DuckDB dot product as an EXPLICIT list_zip fold — the exact
+    * term-order mirror of the Spark-side [[dot]] (aggregate over
+    * zip_with), avoiding list_inner_product's FMA ulp drift. */
+  private def dotDuck(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b), " +
+      "p -> p[1] * p[2])), (acc, x) -> acc + x)"
+
+  /** Per-label norm retention of the first-`dims` prefix:
+    * kept = sqrt(||e[1:dims]||² / ||e||²), r4'd per vector; mean via
+    * the vec_pq_mse ordered fold, plus the min. `dims` = the vector
+    * width makes kept exactly 1.0 for every row (AnnSpec's boundary
+    * assertion on the machinery). */
+  def truncateRenormOf(df: DataFrame, idCol: String, byCol: String,
+                       vecCol: String, dims: Int): DataFrame = {
+    require(dims >= 1, s"dims must be positive, got $dims")
+    ident(idCol); ident(byCol); ident(vecCol)
+    val t = df
+      .select(col(idCol), col(byCol),
+        expr(s"transform($vecCol, x -> cast(x as double))").as("e"))
+      .withColumn("ep", expr(s"slice(e, 1, $dims)"))
+      .select(col(idCol), col(byCol),
+        P.r4(sqrt(dot("ep", "ep") / dot("e", "e"))).as("kept"))
+    t.groupBy(byCol)
+      .agg(count(lit(1)).as("n"),
+        expr(s"""aggregate(transform(array_sort(collect_list(named_struct('i', $idCol, 'q', kept))),
+          |  x -> x.q), 0D, (acc, x) -> acc + x)""".stripMargin).as("sum_kept"),
+        min(col("kept")).as("min_kept"))
+      .select(col(byCol).cast("int").as(byCol), col("n"),
+        P.r4(col("sum_kept") / col("n")).as("mean_kept"), col("min_kept"))
+      .orderBy(byCol)
+  }
+
+  /** Recall@10 of the first-`dims`-prefix cosine ranking vs the
+    * full-width ground truth over the qid < 5 query panel — ONE scored
+    * frame carries both cosines (the sim_recall_report device).
+    * `dims` = the vector width makes the two rankings identical, so
+    * recall is exactly 1.0 per query (AnnSpec's boundary assertion). */
+  def truncatedRecallOf(df: DataFrame, idCol: String, vecCol: String,
+                        dims: Int): DataFrame = {
+    require(dims >= 1, s"dims must be positive, got $dims")
+    ident(idCol); ident(vecCol)
+    val v = df
+      .select(col(idCol).as("vec_id"),
+        expr(s"transform($vecCol, x -> cast(x as double))").as("e"))
+      .withColumn("ep", expr(s"slice(e, 1, $dims)"))
+    val q = v.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("ep").as("qep"))
+    val scored = v.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        P.r4(dot("e", "qe") /
+          (sqrt(dot("e", "e")) * sqrt(dot("qe", "qe")))).as("cos_full"),
+        P.r4(dot("ep", "qep") /
+          (sqrt(dot("ep", "ep")) * sqrt(dot("qep", "qep")))).as("cos_t"))
+    val byFull = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(desc("cos_full"), col("vec_id"))
+    val byT = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(desc("cos_t"), col("vec_id"))
+    val exact = scored
+      .withColumn("rk", row_number().over(byFull)).filter(col("rk") <= 10)
+      .select(col("qid"), col("vec_id"))
+    val approx = scored
+      .withColumn("rk", row_number().over(byT)).filter(col("rk") <= 10)
+      .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
+    exact.join(approx, Seq("qid", "vec_id"), "left")
+      .groupBy("qid")
+      .agg(count(lit(1)).as("k"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"),
+        P.r4(sum(coalesce(col("hit"), lit(0L))).cast("double") /
+          count(lit(1)).cast("double")).as("recall"))
+      .orderBy("qid")
+  }
 }

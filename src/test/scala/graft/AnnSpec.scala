@@ -157,4 +157,45 @@ class AnnSpec extends AnyFunSuite {
       assert(np5 >= np1, s"qid ${r.getLong(0)}: recall_np5 $np5 < recall_np1 $np1")
     }
   }
+
+  test("truncation norm retention: in (0,1] at dims=16, exactly 1.0 at full width") {
+    val emb = graft.core.Tables.embeddings(spark, TestSpark.sfSmoke)
+    val d16 = graft.vec.VecOps
+      .truncateRenormOf(emb, "vec_id", "label", "embedding", dims = 16)
+      .collect()
+    assert(d16.nonEmpty)
+    d16.foreach { r =>
+      val (mean, min) = (r.getDouble(2), r.getDouble(3))
+      assert(min > 0.0 && min <= mean && mean <= 1.0,
+        s"label ${r.getInt(0)}: min $min mean $mean out of (0,1]")
+    }
+    // dims = the vector width: the prefix IS the vector, so every
+    // per-vector kept is exactly 1.0 — mean and min both 1.0, proving
+    // the fold/round machinery introduces no drift
+    val full = graft.vec.VecOps
+      .truncateRenormOf(emb, "vec_id", "label", "embedding", dims = 64)
+      .collect()
+    full.foreach { r =>
+      assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 1.0,
+        s"label ${r.getInt(0)}: full-width kept != 1.0")
+    }
+  }
+
+  test("truncated-dim recall: valid at dims=16, exactly 1.0 at full width") {
+    val emb = graft.core.Tables.embeddings(spark, TestSpark.sfSmoke)
+    val d16 = graft.vec.VecOps
+      .truncatedRecallOf(emb, "vec_id", "embedding", dims = 16).collect()
+    assert(d16.length == 5)
+    d16.foreach { r =>
+      val (k, nHit, recall) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(k == 10 && nHit >= 0 && nHit <= k)
+      assert(recall == BigDecimal(nHit.toDouble / k)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    // full width: truncated ranking IS the ground-truth ranking
+    graft.vec.VecOps
+      .truncatedRecallOf(emb, "vec_id", "embedding", dims = 64).collect()
+      .foreach(r => assert(r.getDouble(3) == 1.0,
+        s"qid ${r.getLong(0)}: full-width recall ${r.getDouble(3)} != 1.0"))
+  }
 }

@@ -231,4 +231,34 @@ class CurationSpec extends AnyFunSuite {
     }.toSet
     assert(rows.map(_.getLong(1)).toSet === expectKept)
   }
+
+  test("mix_epoch_report: target tokens tile the budget; epochs cash out the weights") {
+    val rows = graft.ops.Registry.queries("mix_epoch_report")(spark, TestSpark.sfSmoke)
+      .collect()
+    assert(rows.nonEmpty)
+    // Σ target_share = 1 ⇒ Σ target_tokens = B (up to fp addition)
+    val sumTarget = rows.map(_.getDouble(3)).sum
+    assert(math.abs(sumTarget - 50000.0) < 1e-6, s"Σ target_tokens $sumTarget != 50000")
+    // epochs × available = target, per row exactly (same-expression arithmetic)
+    rows.foreach { r =>
+      val (tokens, target, epochs) = (r.getLong(1), r.getDouble(3), r.getDouble(4))
+      assert(epochs == target / tokens, s"lang ${r.getString(0)}: epochs mismatch")
+    }
+  }
+
+  test("text_length_profile: exact mean, ordered percentiles") {
+    val rows = graft.ops.Registry.queries("text_length_profile")(spark, TestSpark.sfSmoke)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, total) = (r.getLong(1), r.getLong(2))
+      val mean = r.getDouble(3)
+      // the half-up integer device == BigDecimal HALF_UP round of total/n
+      val expect = ((total * 20000L + n) / (2L * n)).toDouble / 10000.0
+      assert(mean == expect, s"source ${r.getString(0)}: mean $mean != $expect")
+      val (p50, p90, max) = (r.getDouble(4), r.getDouble(5), r.getLong(6))
+      assert(p50 <= p90 && p90 <= max.toDouble,
+        s"source ${r.getString(0)}: percentile order violated")
+    }
+  }
 }
