@@ -311,5 +311,39 @@ object StoreOps {
               |  cast(sum(cast(value as decimal(18,2))) as double) AS sum_value
               |FROM store GROUP BY 1 ORDER BY event_date""".stripMargin),
     ),
+    // Compaction DRY-RUN (the planning half of store_compact): per day
+    // partition, how many rows a compaction pass would reclaim —
+    // total versions minus live (user_id, ts) keys — and the reclaim
+    // share. The query an operator reads to DECIDE which partitions
+    // are worth rewriting; at 100 TB you compact the 3 days with 40%
+    // superseded rows, not the whole store. Pure read: one hash agg
+    // per partition, nothing rewritten.
+    OpSpec(
+      "store_vacuum_report",
+      (s, d) => {
+        val path = TsdbStore.ensureEventsStore(s, d)
+        TsdbStore.read(s, path)
+          .groupBy("event_date")
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("user_id"), col("ts")).as("n_live"))
+          .withColumn("n_superseded", col("n_rows") - col("n_live"))
+          .select(graft.core.Policy.tsOut(col("event_date").cast("timestamp"))
+            .as("event_date"), col("n_rows"), col("n_live"),
+            col("n_superseded"),
+            (expr("cast((n_superseded * 20000 + n_rows) div (2 * n_rows) as double)")
+              / 10000.0).as("reclaim_share"))
+          .orderBy("event_date")
+      },
+      Some(s"""WITH $storeSql,
+              |per AS (
+              |  SELECT cast(ts as date) AS event_date, count(*) AS n_rows,
+              |    count(DISTINCT (user_id, ts)) AS n_live
+              |  FROM store GROUP BY 1)
+              |SELECT event_date, n_rows, n_live,
+              |  n_rows - n_live AS n_superseded,
+              |  cast(((n_rows - n_live) * 20000 + n_rows) // (2 * n_rows) as double)
+              |    / 10000.0 AS reclaim_share
+              |FROM per ORDER BY event_date""".stripMargin),
+    ),
   )
 }

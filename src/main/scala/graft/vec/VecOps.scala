@@ -1024,6 +1024,124 @@ object VecOps {
               |FROM exact e LEFT JOIN approx a ON a.qid = e.qid AND a.vec_id = e.vec_id
               |GROUP BY e.qid ORDER BY qid""".stripMargin),
     ),
+    // The int8 dial measured the same way (completing the set: IVF,
+    // PQ, truncation, int8 — every compression knob ships with its
+    // recall report): recall@10 of the ASYMMETRIC search shape —
+    // corpus stored int8-dequantized (vec_quantize_int8's exact
+    // round-trip), query kept full-precision — vs the full-precision
+    // ground truth. One scored frame carries both cosines.
+    OpSpec(
+      "sim_recall_int8",
+      (s, d) => {
+        val v = T.embeddings(s, d)
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> cast(x as double))").as("e"))
+          .withColumn("amax",
+            expr("aggregate(e, 0D, (acc, x) -> greatest(acc, abs(x)))"))
+          .withColumn("eq",
+            expr("transform(e, x -> round(x * 127.0 / amax) * amax / 127.0)"))
+        val q = v.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("e").as("qe"))
+        val scored = v.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"),
+            P.r4(dot("e", "qe") /
+              (sqrt(dot("e", "e")) * sqrt(dot("qe", "qe")))).as("cos_full"),
+            P.r4(dot("eq", "qe") /
+              (sqrt(dot("eq", "eq")) * sqrt(dot("qe", "qe")))).as("cos_q"))
+        recallTail(scored, "cos_q")
+      },
+      Some(s"""WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+              |v AS (SELECT vec_id, e,
+              |    list_transform(e, x -> round(x * 127.0 / amax) * amax / 127.0) AS eq
+              |  FROM (SELECT vec_id, e,
+              |    list_reduce(list_prepend(0.0, list_transform(e, x -> abs(x))),
+              |      (acc, x) -> greatest(acc, x)) AS amax FROM v0)),
+              |q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 5),
+              |scored AS (
+              |  SELECT q.qid, v.vec_id,
+              |    round(${dotDuck("e", "qe")} /
+              |      (sqrt(${dotDuck("e", "e")}) * sqrt(${dotDuck("qe", "qe")})), 4) AS cos_full,
+              |    round(${dotDuck("eq", "qe")} /
+              |      (sqrt(${dotDuck("eq", "eq")}) * sqrt(${dotDuck("qe", "qe")})), 4) AS cos_q
+              |  FROM v, q WHERE v.vec_id <> q.qid),
+              |exact AS (SELECT qid, vec_id FROM (
+              |    SELECT qid, vec_id,
+              |      row_number() OVER (PARTITION BY qid ORDER BY cos_full DESC, vec_id) AS rk
+              |    FROM scored) WHERE rk <= 10),
+              |approx AS (SELECT qid, vec_id FROM (
+              |    SELECT qid, vec_id,
+              |      row_number() OVER (PARTITION BY qid ORDER BY cos_q DESC, vec_id) AS rk
+              |    FROM scored) WHERE rk <= 10)
+              |SELECT e.qid AS qid, count(*) AS k,
+              |  cast(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) as bigint) AS n_hit,
+              |  round(cast(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) as double)
+              |        / cast(count(*) as double), 4) AS recall
+              |FROM exact e LEFT JOIN approx a ON a.qid = e.qid AND a.vec_id = e.vec_id
+              |GROUP BY e.qid ORDER BY qid""".stripMargin),
+    ),
+    // k-NN LABEL VOTE — the classifier-eval the labeled embedding
+    // table exists for: leave-self-out 10-NN majority vote over a
+    // 50-query panel, per-true-label accuracy. Ties break to the
+    // smaller label (deterministic); ranking is the r4-score + vec_id
+    // tie-break. At 100 TB the panel is the point: the corpus side
+    // streams once past broadcast queries; nothing is all-pairs.
+    OpSpec(
+      "sim_knn_classify",
+      (s, d) => {
+        val v = T.embeddings(s, d)
+          .select(col("vec_id"), col("label"),
+            expr("transform(embedding, x -> cast(x as double))").as("e"))
+        val q = v.filter(col("vec_id") < 50)
+          .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+            col("e").as("qe"))
+        val scored = v.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("qlabel"), col("vec_id"), col("label"),
+            P.r4(dot("e", "qe") /
+              (sqrt(dot("e", "e")) * sqrt(dot("qe", "qe")))).as("cos_sim"))
+        val byQ = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(desc("cos_sim"), col("vec_id"))
+        val byVote = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(desc("n_votes"), col("label"))
+        val pred = scored
+          .withColumn("rk", row_number().over(byQ)).filter(col("rk") <= 10)
+          .groupBy("qid", "qlabel", "label")
+          .agg(count(lit(1)).as("n_votes"))
+          .withColumn("vr", row_number().over(byVote)).filter(col("vr") === 1)
+        pred.groupBy("qlabel")
+          .agg(count(lit(1)).as("n_q"),
+            sum(when(col("label") === col("qlabel"), 1L).otherwise(0L))
+              .as("n_correct"))
+          .select(col("qlabel").cast("int").as("label"), col("n_q"),
+            col("n_correct"),
+            P.r4(col("n_correct").cast("double") / col("n_q").cast("double"))
+              .as("acc"))
+          .orderBy("label")
+      },
+      Some(s"""WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+              |q AS (SELECT vec_id AS qid, label AS qlabel, e AS qe FROM v WHERE vec_id < 50),
+              |scored AS (
+              |  SELECT q.qid, q.qlabel, v.vec_id, v.label,
+              |    round(${dotDuck("e", "qe")} /
+              |      (sqrt(${dotDuck("e", "e")}) * sqrt(${dotDuck("qe", "qe")})), 4) AS cos_sim
+              |  FROM v, q WHERE v.vec_id <> q.qid),
+              |nn AS (SELECT qid, qlabel, label FROM (
+              |    SELECT qid, qlabel, label,
+              |      row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rk
+              |    FROM scored) WHERE rk <= 10),
+              |votes AS (SELECT qid, qlabel, label, count(*) AS n_votes
+              |          FROM nn GROUP BY qid, qlabel, label),
+              |pred AS (SELECT qid, qlabel, label AS pred_label FROM (
+              |    SELECT qid, qlabel, label,
+              |      row_number() OVER (PARTITION BY qid ORDER BY n_votes DESC, label) AS vr
+              |    FROM votes) WHERE vr = 1)
+              |SELECT cast(qlabel as int) AS label, count(*) AS n_q,
+              |  cast(sum(CASE WHEN pred_label = qlabel THEN 1 ELSE 0 END) as bigint) AS n_correct,
+              |  round(cast(sum(CASE WHEN pred_label = qlabel THEN 1 ELSE 0 END) as double)
+              |        / cast(count(*) as double), 4) AS acc
+              |FROM pred GROUP BY qlabel ORDER BY label""".stripMargin),
+    ),
   )
 
   /** DuckDB dot product as an EXPLICIT list_zip fold — the exact
@@ -1080,15 +1198,22 @@ object VecOps {
           (sqrt(dot("e", "e")) * sqrt(dot("qe", "qe")))).as("cos_full"),
         P.r4(dot("ep", "qep") /
           (sqrt(dot("ep", "ep")) * sqrt(dot("qep", "qep")))).as("cos_t"))
+    recallTail(scored, "cos_t")
+  }
+
+  /** The standard recall@10 tail over a scored panel frame (qid,
+    * vec_id, cos_full, `approxCol`): rank both columns with the
+    * r4-score + vec_id tie-break, count the overlap. */
+  private def recallTail(scored: DataFrame, approxCol: String): DataFrame = {
     val byFull = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(desc("cos_full"), col("vec_id"))
-    val byT = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(desc("cos_t"), col("vec_id"))
+    val byA = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(desc(approxCol), col("vec_id"))
     val exact = scored
       .withColumn("rk", row_number().over(byFull)).filter(col("rk") <= 10)
       .select(col("qid"), col("vec_id"))
     val approx = scored
-      .withColumn("rk", row_number().over(byT)).filter(col("rk") <= 10)
+      .withColumn("rk", row_number().over(byA)).filter(col("rk") <= 10)
       .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
     exact.join(approx, Seq("qid", "vec_id"), "left")
       .groupBy("qid")

@@ -198,4 +198,60 @@ class AnnSpec extends AnyFunSuite {
       .foreach(r => assert(r.getDouble(3) == 1.0,
         s"qid ${r.getLong(0)}: full-width recall ${r.getDouble(3)} != 1.0"))
   }
+
+  test("int8 recall: 8-bit round-trip barely perturbs the 64-dim ranking") {
+    val rows = ops.Registry.queries("sim_recall_int8")(spark, TestSpark.sfSmoke)
+      .collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (k, nHit, recall) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(k == 10 && nHit <= k)
+      // int8 over 64 dims is a ~0.4% per-coordinate perturbation — a
+      // ranking that loses most of the top-10 would mean the quantizer
+      // (or the scoring) is broken, not that the dial is honest
+      assert(recall >= 0.5, s"qid ${r.getLong(0)}: int8 recall $recall < 0.5")
+    }
+  }
+
+  test("knn label vote equals a driver-side re-derivation, query for query") {
+    // the embeddings are near-isotropic (see the sign-quantizer test
+    // above), so labels carry NO geometric signal and the honest
+    // accuracy sits at the uniform prior — what the eval op must get
+    // RIGHT is the vote accounting, asserted here by full independent
+    // re-derivation in plain Scala
+    def r4(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    val all = graft.core.Tables.embeddings(spark, TestSpark.sfSmoke)
+      .selectExpr("vec_id", "label", "transform(embedding, x -> cast(x as double)) AS e")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    def dot(a: Array[Double], b: Array[Double]) = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }; acc
+    }
+    val expected = all.filter(_._1 < 50).map { case (qid, qlabel, qe) =>
+      val top10 = all.filter(_._1 != qid)
+        .map { case (id, lbl, e) =>
+          (id, lbl, r4(dot(e, qe) / (math.sqrt(dot(e, e)) * math.sqrt(dot(qe, qe)))))
+        }
+        .sortBy { case (id, _, cos) => (-cos, id) }.take(10)
+      val pred = top10.groupBy(_._2).view.mapValues(_.length).toSeq
+        .sortBy { case (lbl, n) => (-n, lbl) }.head._1
+      (qlabel, pred)
+    }
+    val perLabel = expected.groupBy(_._1).view.mapValues { ps =>
+      (ps.length.toLong, ps.count { case (t, p) => t == p }.toLong)
+    }.toMap
+    val rows = ops.Registry.queries("sim_knn_classify")(spark, TestSpark.sfSmoke)
+      .collect()
+    assert(rows.map(_.getLong(1)).sum == 50L, "panel must be exactly 50 queries")
+    assert(rows.length == perLabel.size)
+    rows.foreach { r =>
+      val (lbl, nQ, nC, acc) =
+        (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      val (eQ, eC) = perLabel(lbl)
+      assert(nQ == eQ && nC == eC, s"label $lbl: ($nQ,$nC) != expected ($eQ,$eC)")
+      assert(acc == r4(nC.toDouble / nQ))
+    }
+  }
 }

@@ -251,4 +251,22 @@ class StoreSpec extends AnyFunSuite {
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))
     assert(rootFiles.isEmpty, "schema-marker file must be removed after a real append")
   }
+
+  test("vacuum report: superseded rows are exactly the update batch; share device exact") {
+    val rows = graft.ops.Registry.queries("store_vacuum_report")(spark, TestSpark.sfSmoke)
+      .collect()
+    assert(rows.nonEmpty)
+    // base events are (user_id, ts)-unique, so the only superseded
+    // versions are the every-1000th update batch — totals must agree
+    val expected = events.filter(col("event_id") % 1000 === 0).count()
+    assert(rows.map(_.getLong(3)).sum === expected,
+      s"Σ n_superseded != update-batch size $expected")
+    rows.foreach { r =>
+      val (n, live, sup, share) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(sup == n - live)
+      assert(share == ((sup * 20000L + n) / (2L * n)).toDouble / 10000.0,
+        s"${r.get(0)}: share device mismatch")
+    }
+  }
 }
