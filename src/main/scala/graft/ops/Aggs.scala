@@ -1579,5 +1579,101 @@ object Aggs {
              |  cast(count(event_type) as bigint) AS n_types
              |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin),
     ),
+    // Multiple linear regression per group — value ~ hour-of-day +
+    // weekday, solved by CRAMER on the 3×3 normal equations. Every
+    // moment is EXACT before the solve (integer sums for the int
+    // regressors, decimal(18,2)/(38,4) sums for the y cross terms —
+    // the agg_stddev_var device), and the four determinants are ONE
+    // shared formula text parsed by both engines, so the doubles go
+    // out bit-identical and UNROUNDED. Shape: one partial+final hash
+    // agg over 9 sums — the distributed-OLS recipe (moments shuffle,
+    // rows never do; at 100 TB the solve is a per-group scalar).
+    OpSpec(
+      "agg_ols_normal_eq",
+      (s, d) => olsNormalEqOf(
+        T.events(s, d).select(col("event_type"),
+          hour(col("ts")).cast("bigint").as("x1"),
+          weekday(col("ts")).cast("bigint").as("x2"),
+          col("value")),
+        "event_type", "x1", "x2", "value"),
+      Some(s"""WITH x AS (
+              |  SELECT event_type, cast(hour(ts) as bigint) AS x1,
+              |    cast(isodow(ts) - 1 as bigint) AS x2, value
+              |  FROM events),
+              |m AS (
+              |  SELECT event_type, cast(count(*) as double) AS n,
+              |    cast(sum(x1) as double) AS s1, cast(sum(x2) as double) AS s2,
+              |    cast(sum(x1 * x1) as double) AS s11,
+              |    cast(sum(x2 * x2) as double) AS s22,
+              |    cast(sum(x1 * x2) as double) AS s12,
+              |    cast(sum(cast(value as decimal(18,2))) as double) AS sy,
+              |    cast(sum(cast(x1 * cast(value as decimal(18,2)) as decimal(38,4))) as double) AS s1y,
+              |    cast(sum(cast(x2 * cast(value as decimal(18,2)) as decimal(38,4))) as double) AS s2y
+              |  FROM x GROUP BY event_type),
+              |dets AS (
+              |  SELECT event_type, cast(n as bigint) AS n,
+              |    ${det3("n", "s1", "s2", "s1", "s11", "s12", "s2", "s12", "s22")} AS det,
+              |    ${det3("sy", "s1", "s2", "s1y", "s11", "s12", "s2y", "s12", "s22")} AS det0,
+              |    ${det3("n", "sy", "s2", "s1", "s1y", "s12", "s2", "s2y", "s22")} AS det1,
+              |    ${det3("n", "s1", "sy", "s1", "s11", "s1y", "s2", "s12", "s2y")} AS det2
+              |  FROM m)
+              |SELECT event_type, n, det0 / det AS b0, det1 / det AS b1,
+              |  det2 / det AS b2
+              |FROM dets ORDER BY event_type""".stripMargin),
+    ),
+    // 2-D histogram (the heatmap feed): hour-of-day × 50-unit value
+    // band, count + exact value mass per cell. One hash agg on two
+    // small int keys — the density-plot query at any scale.
+    OpSpec(
+      "agg_histogram2d",
+      (s, d) => T.events(s, d)
+        .select(hour(col("ts")).cast("bigint").as("hour_of_day"),
+          floor(col("value") / lit(50.0)).cast("bigint").as("value_band"),
+          col("value"))
+        .groupBy("hour_of_day", "value_band")
+        .agg(count(lit(1)).as("n"),
+          dsum(col("value")).as("sum_value"))
+        .orderBy("hour_of_day", "value_band"),
+      Some("""SELECT cast(hour(ts) as bigint) AS hour_of_day,
+             |  cast(floor(value / 50.0) as bigint) AS value_band,
+             |  count(*) AS n,
+             |  cast(sum(cast(value as decimal(18,2))) as double) AS sum_value
+             |FROM events GROUP BY 1, 2 ORDER BY hour_of_day, value_band""".stripMargin),
+    ),
   )
+
+  /** 3×3 determinant as ONE formula text parsed by BOTH engines (the
+    * BPE stepSql device): row-major a b c / d e f / g h i. */
+  private def det3(a: String, b: String, c: String, d: String, e: String,
+                   f: String, g: String, h: String, i: String): String =
+    s"($a * ($e * $i - $f * $h) - $b * ($d * $i - $f * $g) + $c * ($d * $h - $e * $g))"
+
+  /** y ~ b0 + b1·x1 + b2·x2 per group by Cramer on the 3×3 normal
+    * equations; x columns must be integral (bigint), y a 2-dp value.
+    * Moments are exact before the double solve — see agg_ols_normal_eq. */
+  def olsNormalEqOf(df: org.apache.spark.sql.DataFrame, byCol: String,
+                    x1Col: String, x2Col: String,
+                    yCol: String): org.apache.spark.sql.DataFrame = {
+    val sums = df.groupBy(byCol).agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col(x1Col)).cast("double").as("s1"),
+      sum(col(x2Col)).cast("double").as("s2"),
+      sum(col(x1Col) * col(x1Col)).cast("double").as("s11"),
+      sum(col(x2Col) * col(x2Col)).cast("double").as("s22"),
+      sum(col(x1Col) * col(x2Col)).cast("double").as("s12"),
+      dsum(col(yCol)).as("sy"),
+      sum((col(x1Col) * col(yCol).cast("decimal(18,2)"))
+        .cast("decimal(38,4)")).cast("double").as("s1y"),
+      sum((col(x2Col) * col(yCol).cast("decimal(18,2)"))
+        .cast("decimal(38,4)")).cast("double").as("s2y"))
+    sums.selectExpr(
+        byCol, "cast(n as bigint) AS n",
+        s"${det3("n", "s1", "s2", "s1", "s11", "s12", "s2", "s12", "s22")} AS det",
+        s"${det3("sy", "s1", "s2", "s1y", "s11", "s12", "s2y", "s12", "s22")} AS det0",
+        s"${det3("n", "sy", "s2", "s1", "s1y", "s12", "s2", "s2y", "s22")} AS det1",
+        s"${det3("n", "s1", "sy", "s1", "s11", "s1y", "s2", "s12", "s2y")} AS det2")
+      .selectExpr(byCol, "n",
+        "det0 / det AS b0", "det1 / det AS b1", "det2 / det AS b2")
+      .orderBy(byCol)
+  }
 }

@@ -2411,5 +2411,58 @@ object TimeSeries {
              |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY score DESC, rn) = 1
              |ORDER BY user_id""".stripMargin),
     ),
+    // BURSTINESS — coefficient of variation of per-key inter-arrival
+    // gaps (CV ≈ 1 Poisson, ≫ 1 bursty, ≪ 1 metronomic): the
+    // arrival-process diagnostic read next to ts_gap_report. Gaps in
+    // whole seconds from EXACT µs integers (unix_micros ≡ epoch_us,
+    // integer div — the gap_report device), moments as exact bigint
+    // sums, then the agg_stddev_var closed form with identical
+    // expression text both engines. One window pass + one hash agg.
+    OpSpec(
+      "ts_burstiness",
+      (s, d) => burstinessOf(ev(s, d), "user_id", "ts", "event_id"),
+      Some("""WITH g AS (
+             |  SELECT user_id,
+             |    (epoch_us(cast(ts as timestamp))
+             |     - epoch_us(lag(cast(ts as timestamp), 1)
+             |         OVER (PARTITION BY user_id ORDER BY ts, event_id))) // 1000000
+             |      AS gap_s
+             |  FROM events),
+             |m AS (
+             |  SELECT user_id, count(gap_s) AS n_gaps,
+             |    cast(sum(gap_s) as double) AS sg,
+             |    cast(sum(gap_s * gap_s) as double) AS sq
+             |  FROM g WHERE gap_s IS NOT NULL GROUP BY user_id)
+             |SELECT user_id, n_gaps,
+             |  round(sg / n_gaps, 4) AS mean_gap_s,
+             |  round(sqrt((sq - sg * sg / n_gaps) / (n_gaps - 1))
+             |        / (sg / n_gaps), 4) AS cv_gap
+             |FROM m WHERE n_gaps >= 2 ORDER BY user_id""".stripMargin),
+    ),
   )
+
+  /** Per-key inter-arrival CV — see ts_burstiness. `idCol` breaks
+    * timestamp ties deterministically in the lag ordering. */
+  def burstinessOf(df: org.apache.spark.sql.DataFrame, keyCol: String,
+                   tsCol: String,
+                   idCol: String): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(tsCol, idCol)
+    df.select(col(keyCol), col(tsCol), col(idCol))
+      .withColumn("prev_ts", lag(col(tsCol), 1).over(w))
+      .filter(col("prev_ts").isNotNull)
+      .select(col(keyCol),
+        expr(s"(unix_micros($tsCol) - unix_micros(prev_ts)) div 1000000")
+          .as("gap_s"))
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap_s")).cast("double").as("sg"),
+        sum(col("gap_s") * col("gap_s")).cast("double").as("sq"))
+      .filter(col("n_gaps") >= 2)
+      .select(col(keyCol), col("n_gaps"),
+        P.r4(col("sg") / col("n_gaps")).as("mean_gap_s"),
+        P.r4(sqrt((col("sq") - col("sg") * col("sg") / col("n_gaps")) /
+            (col("n_gaps") - lit(1L))) /
+          (col("sg") / col("n_gaps"))).as("cv_gap"))
+      .orderBy(keyCol)
+  }
 }

@@ -88,4 +88,59 @@ class MapAndStatsSpec extends AnyFunSuite {
       .select("l_quantity").describe()
     assert(d.count() == 5) // count/mean/stddev/min/max
   }
+
+  test("olsNormalEq recovers an exact-fit plane bit-exactly") {
+    import spark.implicits._
+    // y = 3 + 2·x1 − x2 on a 5×3 grid: every moment is a small exact
+    // integer, the Cramer determinants stay inside 2^53, and the
+    // solution divides out exactly — the recovered coefficients must
+    // be EXACTLY (3, 2, −1), no tolerance
+    val rows = for (x1 <- 0L to 4L; x2 <- 0L to 2L)
+      yield ("g", x1, x2, (3 + 2 * x1 - x2).toDouble)
+    val df = rows.toDF("grp", "x1", "x2", "y")
+    val out = graft.ops.Aggs.olsNormalEqOf(df, "grp", "x1", "x2", "y").collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(1) == 15L)
+    assert(r.getDouble(2) == 3.0 && r.getDouble(3) == 2.0 && r.getDouble(4) == -1.0,
+      s"got (${r.getDouble(2)}, ${r.getDouble(3)}, ${r.getDouble(4)})")
+  }
+
+  test("burstiness: metronomic key has CV exactly 0; bursty key matches hand math") {
+    import spark.implicits._
+    def r4(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    val df = Seq(
+      (1L, "2024-01-01 00:00:00", 1L), (1L, "2024-01-01 00:00:10", 2L),
+      (1L, "2024-01-01 00:00:20", 3L), (1L, "2024-01-01 00:00:30", 4L),
+      (2L, "2024-01-01 00:00:00", 5L), (2L, "2024-01-01 00:00:01", 6L),
+      (2L, "2024-01-01 00:01:41", 7L))
+      .toDF("user_id", "ts_s", "event_id")
+      .select(col("user_id"), to_timestamp(col("ts_s")).as("ts"), col("event_id"))
+    val out = graft.ops.TimeSeries.burstinessOf(df, "user_id", "ts", "event_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(out(1L) == ((3L, 10.0, 0.0)))
+    // key 2: gaps (1, 100) — mean 50.5, sample var (sq − sg²/n)/(n−1)
+    val (sg, sq) = (101.0, 10001.0)
+    val cv = math.sqrt((sq - sg * sg / 2) / 1) / (sg / 2)
+    assert(out(2L) == ((2L, 50.5, r4(cv))))
+  }
+
+  test("histogram2d cells tile the events table exactly") {
+    val rows = graft.ops.Registry.queries("agg_histogram2d")(spark, TestSpark.sfSmoke)
+      .collect()
+    assert(rows.nonEmpty)
+    val events = graft.core.Tables.events(spark, TestSpark.sfSmoke)
+    assert(rows.map(_.getLong(2)).sum == events.count())
+    // exact value mass: cells sum to the table's decimal(18,2) total
+    val total = events.agg(
+      sum(col("value").cast("decimal(18,2)")).cast("double")).head().getDouble(0)
+    val cellSum = rows.map(r => BigDecimal(r.getDouble(3))).sum
+    assert(cellSum == BigDecimal(total), s"$cellSum != $total")
+    rows.foreach { r =>
+      val h = r.getLong(0)
+      assert(h >= 0 && h <= 23 && r.getLong(1) >= 0)
+    }
+  }
 }

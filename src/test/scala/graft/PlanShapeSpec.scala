@@ -298,6 +298,18 @@ class PlanShapeSpec extends AnyFunSuite {
     // bounded side), never shuffled against the corpus
     val bp = plan("text_token_count_bpe")
     assert(bp.contains("BroadcastHashJoin"), bp)
+    // panel evals: the query panel is the BROADCAST side (corpus
+    // streams once past it — never a shuffled or cartesian pair build)
+    Seq("sim_knn_classify", "sim_recall_int8", "sim_recall_truncated")
+      .foreach { k =>
+        val p = plan(k)
+        assert(p.contains("BroadcastNestedLoopJoin"), s"$k: no broadcast panel\n$p")
+        assert(!p.contains("CartesianProduct"), s"$k: cartesian pair build\n$p")
+      }
+    // vacuum dry-run: a READ-side report — distinct-pair count + hash
+    // agg per partition, no window/sort pass over the store
+    val vr = plan("store_vacuum_report")
+    assert(!vr.contains("WindowExec") && !vr.contains("Window "), vr)
   }
 
   test("no CartesianProduct outside the deliberate cross/pairs queries") {
