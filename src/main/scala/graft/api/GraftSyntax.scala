@@ -1003,5 +1003,29 @@ object syntax {
       * partition key. Expects `vec_id`/`embedding` columns (the gated
       * corpus shape); train residual books with TrainIvfPq. */
     def ivfPqEncode(): DataFrame = graft.vec.IvfPq.ivfPqEncodeOf(df)
+
+    /** Multiple linear regression per group (y ~ b0 + b1·x1 + b2·x2)
+      * via Cramer on the normal equations — exact integer/decimal
+      * moments, deterministic coefficients. x columns integral, y a
+      * 2-dp value. See agg_ols_normal_eq. */
+    def olsNormalEq(byCol: String, x1Col: String, x2Col: String,
+                    yCol: String): DataFrame =
+      graft.ops.Aggs.olsNormalEqOf(df, byCol, x1Col, x2Col, yCol)
+
+    /** Inter-arrival burstiness (CV of per-key gaps in whole seconds);
+      * `idCol` breaks timestamp ties. See ts_burstiness. */
+    def burstiness(keyCol: String, tsCol: String, idCol: String): DataFrame =
+      graft.ops.TimeSeries.burstinessOf(df, keyCol, tsCol, idCol)
+
+    /** Per-`byCol` norm retention of the first-`dims` prefix (the
+      * Matryoshka truncation-quality report). See vec_truncate_renorm. */
+    def truncateRenorm(idCol: String, byCol: String, vecCol: String,
+                       dims: Int): DataFrame =
+      graft.vec.VecOps.truncateRenormOf(df, idCol, byCol, vecCol, dims)
+
+    /** Recall@10 of the first-`dims`-prefix cosine ranking vs the
+      * full-width truth over the qid < 5 panel. See sim_recall_truncated. */
+    def truncatedRecall(idCol: String, vecCol: String, dims: Int): DataFrame =
+      graft.vec.VecOps.truncatedRecallOf(df, idCol, vecCol, dims)
   }
 }

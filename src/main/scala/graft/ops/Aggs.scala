@@ -1607,18 +1607,20 @@ object Aggs {
               |    cast(sum(x2 * x2) as double) AS s22,
               |    cast(sum(x1 * x2) as double) AS s12,
               |    cast(sum(cast(value as decimal(18,2))) as double) AS sy,
+              |    cast(sum(cast(cast(value as decimal(18,2)) * cast(value as decimal(18,2)) as decimal(38,4))) as double) AS syy,
               |    cast(sum(cast(x1 * cast(value as decimal(18,2)) as decimal(38,4))) as double) AS s1y,
               |    cast(sum(cast(x2 * cast(value as decimal(18,2)) as decimal(38,4))) as double) AS s2y
               |  FROM x GROUP BY event_type),
               |dets AS (
-              |  SELECT event_type, cast(n as bigint) AS n,
+              |  SELECT event_type, n AS nd, sy, syy, s1y, s2y,
               |    ${det3("n", "s1", "s2", "s1", "s11", "s12", "s2", "s12", "s22")} AS det,
               |    ${det3("sy", "s1", "s2", "s1y", "s11", "s12", "s2y", "s12", "s22")} AS det0,
               |    ${det3("n", "sy", "s2", "s1", "s1y", "s12", "s2", "s2y", "s22")} AS det1,
               |    ${det3("n", "s1", "sy", "s1", "s11", "s1y", "s2", "s12", "s2y")} AS det2
               |  FROM m)
-              |SELECT event_type, n, det0 / det AS b0, det1 / det AS b1,
-              |  det2 / det AS b2
+              |SELECT event_type, cast(nd as bigint) AS n,
+              |  det0 / det AS b0, det1 / det AS b1, det2 / det AS b2,
+              |  1.0 - (syy - (det0 / det * sy + det1 / det * s1y + det2 / det * s2y)) / (syy - sy * sy / nd) AS r2
               |FROM dets ORDER BY event_type""".stripMargin),
     ),
     // 2-D histogram (the heatmap feed): hour-of-day × 50-unit value
@@ -1662,18 +1664,22 @@ object Aggs {
       sum(col(x2Col) * col(x2Col)).cast("double").as("s22"),
       sum(col(x1Col) * col(x2Col)).cast("double").as("s12"),
       dsum(col(yCol)).as("sy"),
+      dsumsq(col(yCol)).as("syy"),
       sum((col(x1Col) * col(yCol).cast("decimal(18,2)"))
         .cast("decimal(38,4)")).cast("double").as("s1y"),
       sum((col(x2Col) * col(yCol).cast("decimal(18,2)"))
         .cast("decimal(38,4)")).cast("double").as("s2y"))
     sums.selectExpr(
-        byCol, "cast(n as bigint) AS n",
+        byCol, "n AS nd", "sy", "syy", "s1y", "s2y",
         s"${det3("n", "s1", "s2", "s1", "s11", "s12", "s2", "s12", "s22")} AS det",
         s"${det3("sy", "s1", "s2", "s1y", "s11", "s12", "s2y", "s12", "s22")} AS det0",
         s"${det3("n", "sy", "s2", "s1", "s1y", "s12", "s2", "s2y", "s22")} AS det1",
         s"${det3("n", "s1", "sy", "s1", "s11", "s1y", "s2", "s12", "s2y")} AS det2")
-      .selectExpr(byCol, "n",
-        "det0 / det AS b0", "det1 / det AS b1", "det2 / det AS b2")
+      .selectExpr(byCol, "cast(nd as bigint) AS n",
+        "det0 / det AS b0", "det1 / det AS b1", "det2 / det AS b2",
+        // R² from the same exact moments: SSE = syy − (b0·sy + b1·s1y
+        // + b2·s2y), SST = syy − sy²/n — one shared expression text
+        "1.0 - (syy - (det0 / det * sy + det1 / det * s1y + det2 / det * s2y)) / (syy - sy * sy / nd) AS r2")
       .orderBy(byCol)
   }
 }

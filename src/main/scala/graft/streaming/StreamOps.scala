@@ -486,6 +486,55 @@ object StreamOps {
         TimeMode.None(), OutputMode.Append())
   }
 
+  /** Streaming BURSTINESS — live twin of the declared ts_burstiness:
+    * per key, 32 bytes of state forever (last-arrival µs + gap count +
+    * Σgap + Σgap², all int64 — gaps in whole seconds stay EXACT). Each
+    * batch emits the key's current (n_gaps, mean_gap_s, cv_gap)
+    * snapshot through the declared query's closed form (same HALF_UP
+    * 4-dp rounds). Fed per-key in (ts, event_id) order — the
+    * deployment contract, as for the token-budget gate — n_gaps grows
+    * monotonically, so each key's max-n_gaps emission equals the
+    * batch ts_burstiness row bit-for-bit (StreamingSpec). */
+  case class BurstIn(user_id: Long, event_id: Long, tsUs: Long)
+  case class BurstOut(user_id: Long, n_gaps: Long, mean_gap_s: Double,
+                      cv_gap: Double)
+  case class BurstState(lastUs: Long, n: Long, sg: Long, sq: Long)
+
+  private class BurstinessProcessor
+      extends StatefulProcessor[Long, BurstIn, BurstOut] {
+    @transient private var st: ValueState[BurstState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[BurstState](
+        "burst", Encoders.product[BurstState], TTLConfig.NONE)
+    override def handleInputRows(
+        user: Long, rows: Iterator[BurstIn], tv: TimerValues): Iterator[BurstOut] = {
+      var s = Option(st.get()).getOrElse(BurstState(Long.MinValue, 0L, 0L, 0L))
+      rows.toSeq.sortBy(r => (r.tsUs, r.event_id)).foreach { r =>
+        if (s.lastUs != Long.MinValue) {
+          // gaps are non-negative under the in-order contract, so
+          // truncating division == the declared query's `div`
+          val gap = (r.tsUs - s.lastUs) / 1000000L
+          s = BurstState(r.tsUs, s.n + 1, s.sg + gap, s.sq + gap * gap)
+        } else s = s.copy(lastUs = r.tsUs)
+      }
+      st.update(s)
+      if (s.n >= 2) {
+        def r4(x: Double) = java.math.BigDecimal.valueOf(x)
+          .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue
+        val (n, sg, sq) = (s.n.toDouble, s.sg.toDouble, s.sq.toDouble)
+        Iterator.single(BurstOut(user, s.n, r4(sg / n),
+          r4(math.sqrt((sq - sg * sg / n) / (n - 1)) / (sg / n))))
+      } else Iterator.empty
+    }
+  }
+
+  def streamingBurstiness(events: Dataset[BurstIn]): Dataset[BurstOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new BurstinessProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** Streaming heavy hitters — the SPACE-SAVING sketch (Metwally,
     * Agrawal, El Abbadi 2005): per shard at most `k` counters live in
     * a [[org.apache.spark.sql.streaming.MapState]] (the third state

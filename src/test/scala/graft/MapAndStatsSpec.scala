@@ -104,6 +104,8 @@ class MapAndStatsSpec extends AnyFunSuite {
     assert(r.getLong(1) == 15L)
     assert(r.getDouble(2) == 3.0 && r.getDouble(3) == 2.0 && r.getDouble(4) == -1.0,
       s"got (${r.getDouble(2)}, ${r.getDouble(3)}, ${r.getDouble(4)})")
+    // exact fit: SSE is exactly 0 in exact moment arithmetic ⇒ R² == 1
+    assert(r.getDouble(5) == 1.0, s"r2 ${r.getDouble(5)} != 1.0")
   }
 
   test("burstiness: metronomic key has CV exactly 0; bursty key matches hand math") {

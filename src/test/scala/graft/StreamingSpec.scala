@@ -355,6 +355,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch) // bit-exact, incl. the r4'd z
   }
 
+  test("streaming burstiness snapshots converge to the declared batch ts_burstiness") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val inRows = graft.core.Tables.events(spark, TestSpark.sfSmoke)
+      .selectExpr("user_id", "event_id", "unix_micros(ts) AS tsUs")
+      .as[StreamOps.BurstIn].collect().toSeq
+      .sortBy(r => (r.tsUs, r.event_id)) // per-key in-order feed = the contract
+    val ms = MemoryStream[StreamOps.BurstIn]
+    val q = StreamOps.streamingBurstiness(ms.toDS())
+      .writeStream.format("memory").queryName("t_burst").outputMode("append").start()
+    val (a, b) = inRows.splitAt(inRows.size / 2)
+    ms.addData(a); q.processAllAvailable()
+    ms.addData(b); q.processAllAvailable() // gap state crosses the boundary
+    q.stop()
+    // n_gaps grows monotonically: each key's max-n_gaps emission is final
+    val streamed = spark.table("t_burst").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).maxBy(_._1) }
+    val batch = graft.ops.Registry.queries("ts_burstiness")(spark, TestSpark.sfSmoke)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(streamed.nonEmpty && streamed == batch) // bit-exact incl. both r4s
+  }
+
   test("streaming CUSUM drift detector equals the declared batch ts_cusum_flag EXACTLY") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
