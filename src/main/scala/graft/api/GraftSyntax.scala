@@ -915,6 +915,11 @@ object syntax {
       * word positions covered by any ≥2-doc duplicated `k`-word window
       * (the text a span-dedup pass strips). Instance-sized joins — no
       * cap needed, boilerplate is exactly what removal wants. */
+    /** Cleaned text of every span-affected doc (covered positions cut,
+      * order kept) — the rewrite half of [[stripDupSpans]]. */
+    def stripDupSpansApply(idCol: String, textCol: String, k: Int = 10): DataFrame =
+      graft.ops.CurationOps.stripDupSpansApplyOf(df, idCol, textCol, k)
+
     def stripDupSpans(idCol: String, textCol: String, k: Int = 10): DataFrame =
       graft.ops.CurationOps.stripDupSpansOf(df, idCol, textCol, k)
 

@@ -216,6 +216,33 @@ object CurationOps {
           / 10000.0).as("removed_frac"))
   }
 
+  /** The REWRITE half of the span-dedup recipe: the cleaned text of
+    * every affected doc — words at positions covered by any ≥2-doc
+    * duplicated k-window removed, everything else kept in order.
+    * Shares the disk-memoized positioned-digest artifact with
+    * text_strip_dup_spans; the cut itself is one row-local lambda
+    * filter against each doc's sorted covered-position list. */
+  def stripDupSpansApplyOf(df: DataFrame, idCol: String, textCol: String,
+                           k: Int = 10): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val kg = kgPositionsOf(df, idCol, textCol, k)
+    val dup = kg.select("doc_id", "x").distinct()
+      .groupBy("x").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select("x")
+    val covl = kg.join(dup, "x")
+      .select(col("doc_id"), explode(expr(s"sequence(i, i + ${k - 1})")).as("j"))
+      .distinct()
+      .groupBy("doc_id").agg(sort_array(collect_list(col("j"))).as("cv"))
+    df.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
+      .join(covl, "doc_id")
+      // Spark lambda index is 0-based; covered positions are 1-based
+      .select(col("doc_id"),
+        expr("filter(ws, (w, idx) -> NOT array_contains(cv, idx + 1))").as("kept"))
+      .select(col("doc_id"), size(col("kept")).cast("bigint").as("n_kept"),
+        substring(array_join(col("kept"), " "), 1, 120).as("kept_prefix"))
+      .orderBy("doc_id")
+  }
+
   val ops: Seq[OpSpec] = Seq(
     OpSpec(
       "sample_token_budget",
@@ -478,6 +505,34 @@ object CurationOps {
              |       // (2 * sum(len(string_split(d.text, ' ')))) as double) / 10000.0 AS dup_share
              |FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
              |GROUP BY d.source ORDER BY d.source""".stripMargin),
+    ),
+    // The rewrite half of the Lee et al. span-dedup recipe (the report
+    // half is text_strip_dup_spans): emit each affected doc's CLEANED
+    // text — covered positions cut, order kept. Two dialect splits
+    // pinned by this row: DuckDB's list_filter lambda index is 1-based
+    // where Spark's is 0-based, and DuckDB array_to_string([]) is NULL
+    // where Spark array_join([]) is '' (fully-covered docs hit it —
+    // hence the oracle's coalesce).
+    OpSpec(
+      "text_strip_dup_spans_apply",
+      (s, d) => stripDupSpansApplyOf(T.documents(s, d), "doc_id", "text", k = 10),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |e AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 10 + 2)) AS i
+             |      FROM w WHERE len(ws) >= 10),
+             |kg AS (SELECT doc_id, i,
+             |         ('0x' || substr(sha256(array_to_string(ws[i:i+9], ' ')), 1, 15))::BIGINT AS x
+             |       FROM e),
+             |dup AS (SELECT x FROM (SELECT DISTINCT doc_id, x FROM kg)
+             |        GROUP BY x HAVING count(*) >= 2),
+             |cov AS (SELECT DISTINCT doc_id, unnest(range(i, i + 10)) AS j
+             |        FROM kg WHERE x IN (SELECT x FROM dup)),
+             |covl AS (SELECT doc_id, list(j ORDER BY j) AS cv FROM cov GROUP BY doc_id),
+             |cl AS (SELECT w.doc_id,
+             |         list_filter(w.ws, (x, i) -> NOT list_contains(c.cv, i)) AS kept
+             |       FROM w JOIN covl c ON c.doc_id = w.doc_id)
+             |SELECT doc_id, cast(len(kept) as bigint) AS n_kept,
+             |  substr(coalesce(array_to_string(kept, ' '), ''), 1, 120) AS kept_prefix
+             |FROM cl ORDER BY doc_id""".stripMargin),
     ),
     // Tokenizer-faithful token counting (round-12 verdict "missing"
     // #3): whitespace words vs greedy longest-match subword tokens

@@ -169,6 +169,13 @@ class CurationSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L))
     assert(rows.forall(_.getLong(2) === 10L))
     assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 20L), (2L, 15L)))
+    // the APPLY half: cleaned text is exactly the flanks, in order
+    val applied = graft.ops.CurationOps
+      .stripDupSpansApplyOf(d, "doc_id", "text", 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(applied.keySet === Set(1L, 2L))
+    assert(applied(1L) === ((10L, s"$fill $tail")))
+    assert(applied(2L) === ((5L, "zz1 zz2 zz3 zz4 zz5")))
   }
 
   test("BPE trainer re-derives the inlined merge table bit-for-bit") {
