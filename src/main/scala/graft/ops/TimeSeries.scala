@@ -25,6 +25,12 @@ object TimeSeries {
   private def dsum(c: org.apache.spark.sql.Column) =
     sum(P.dec2(c)).cast("double")
 
+  // Holt-Winters level update l' = α(x − s₁) + (1−α)(l + b), spelled
+  // once per engine so every repetition inside the step is the same
+  // text (ts_holt_winters; complements as literals, never 1−α).
+  private val hwL = "0.3D * (x - element_at(acc.s, 1)) + 0.7D * (acc.l + acc.b)"
+  private val hwLSql = "0.3 * (s.x - rec.sv[1]) + 0.7 * (rec.l + rec.b)"
+
   val ops: Seq[OpSpec] = Seq(
     // resample('1h').agg — downsample, non-empty buckets only (SQL
     // semantics; gap-filling is ts_upsample_ffill's job).
@@ -1185,6 +1191,61 @@ object TimeSeries {
              |  FROM rec JOIN s ON s.i = rec.i + 1)
              |SELECT event_id, l AS level, b AS trend, l + b AS forecast_next
              |FROM rec ORDER BY event_id""".stripMargin),
+    ),
+    // HOLT-WINTERS additive (α=.3, β=.1, γ=.05, season m=24) — the
+    // classical seasonal forecaster completing the exponential family
+    // (EWM → Holt → HW). THREE coupled states per step: level, trend,
+    // and a 24-slot seasonal vector carried as a ROTATING array inside
+    // the struct accumulator (head = the step's seasonal, rotate-and-
+    // append writes the updated one) — the prefix-fold device extended
+    // to vector state. The oracle runs the identical recursion as a
+    // recursive CTE over LIST(DOUBLE) (sv[2:24] || [s1']), the same
+    // IEEE op sequence op-for-op, so level/trend/seasonal/forecast all
+    // go out UNROUNDED and bit-exact. Single-series by the documented
+    // O(n²) prefix-fold policy; the keyed linear path is the same
+    // flatMapGroups pattern as udaf/Holt.
+    OpSpec(
+      "ts_holt_winters",
+      (s, d) => {
+        val cum = Window.partitionBy("user_id").orderBy("event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev(s, d)
+          .filter(col("user_id") === 7)
+          .withColumn("pl", collect_list(col("value")).over(cum))
+          .select(col("event_id"),
+            expr(s"""aggregate(slice(pl, 2, size(pl) - 1),
+                   |  named_struct('l', element_at(pl, 1), 'b', CAST(0.0 AS DOUBLE),
+                   |    's', transform(sequence(1, 24), i -> CAST(0.0 AS DOUBLE))),
+                   |  (acc, x) -> named_struct(
+                   |    'l', $hwL,
+                   |    'b', 0.1D * (($hwL) - acc.l) + 0.9D * acc.b,
+                   |    's', concat(slice(acc.s, 2, 23),
+                   |           array(0.05D * (x - ($hwL)) + 0.95D * element_at(acc.s, 1)))))""".stripMargin)
+              .as("st"))
+          .select(col("event_id"), col("st.l").as("level"), col("st.b").as("trend"),
+            expr("element_at(st.s, 1)").as("seasonal_next"),
+            (col("st.l") + col("st.b") + expr("element_at(st.s, 1)"))
+              .as("forecast_next"))
+          .orderBy("event_id")
+      },
+      Some(s"""WITH RECURSIVE s AS (
+              |  SELECT cast(row_number() OVER (ORDER BY event_id) as bigint) AS i,
+              |    event_id, value AS x
+              |  FROM events WHERE user_id = 7),
+              |rec AS (
+              |  SELECT i, event_id, x, x AS l, CAST(0.0 AS DOUBLE) AS b,
+              |    list_transform(range(24), i2 -> CAST(0.0 AS DOUBLE)) AS sv
+              |  FROM s WHERE i = 1
+              |  UNION ALL
+              |  SELECT s.i, s.event_id, s.x,
+              |    $hwLSql AS l,
+              |    0.1 * (($hwLSql) - rec.l) + 0.9 * rec.b AS b,
+              |    rec.sv[2:24] ||
+              |      [0.05 * (s.x - ($hwLSql)) + 0.95 * rec.sv[1]] AS sv
+              |  FROM rec JOIN s ON s.i = rec.i + 1)
+              |SELECT event_id, l AS level, b AS trend, sv[1] AS seasonal_next,
+              |  l + b + sv[1] AS forecast_next
+              |FROM rec ORDER BY event_id""".stripMargin),
     ),
     // The LINEAR keyed twin of ts_holt_linear (the ts_ewm_linear
     // pattern): udaf/Holt's flatMapGroups carries the coupled

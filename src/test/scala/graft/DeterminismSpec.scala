@@ -98,7 +98,10 @@ class DeterminismSpec extends AnyFunSuite {
     // round 11 batch 2: rank-sorted OLS folds, vocab-grid divergence
     // folds, 4th-moment window sums, the wide MinHash band family
     "text_zipf_slope", "text_js_divergence", "win_rolling_kurt",
-    "dedup_minhash_lsh_scale")
+    "dedup_minhash_lsh_scale",
+    // round 13: vector-state struct fold (rotating 24-slot seasonal),
+    // Cramer determinants from exact moments
+    "ts_holt_winters", "agg_ols_normal_eq")
 
   test("order-sensitive queries return identical results across runs") {
     val failures = sensitive.flatMap { key =>

@@ -36,4 +36,27 @@ class EwmSpec extends AnyFunSuite {
     }
     got.zip(want).foreach { case (g, w) => assert(math.abs(g - w) < 1e-12) }
   }
+
+  test("Holt-Winters fold equals the plain-Scala recursion bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    val xs = graft.core.Tables.events(spark, TestSpark.sfSmoke)
+      .filter(col("user_id") === 7).orderBy("event_id")
+      .select("value").collect().map(_.getDouble(0))
+    assert(xs.length >= 30, "fixture series too short to exercise the seasonal slot")
+    // the exact update order of the declared expression, in plain doubles
+    var l = xs.head; var b = 0.0; var sv = Array.fill(24)(0.0)
+    val want = Vector.newBuilder[(Double, Double, Double, Double)]
+    want += ((l, b, sv(0), l + b + sv(0)))
+    xs.tail.foreach { x =>
+      val l2 = 0.3 * (x - sv(0)) + 0.7 * (l + b)
+      val b2 = 0.1 * (l2 - l) + 0.9 * b
+      val s2 = 0.05 * (x - l2) + 0.95 * sv(0)
+      sv = sv.drop(1) :+ s2; l = l2; b = b2
+      want += ((l, b, sv(0), l + b + sv(0)))
+    }
+    val got = ops.Registry.queries("ts_holt_winters")(spark, TestSpark.sfSmoke)
+      .collect()
+      .map(r => (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(got.toSeq == want.result(), "HW chain diverged from the Scala recursion")
+  }
 }
