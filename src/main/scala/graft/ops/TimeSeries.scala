@@ -1281,6 +1281,45 @@ object TimeSeries {
              |SELECT user_id, event_id, l AS level, b AS trend, l + b AS forecast_next
              |FROM rec ORDER BY user_id, event_id""".stripMargin),
     ),
+    // The LINEAR keyed twin of ts_holt_winters (the udaf/Holt pattern
+    // with VECTOR state): one O(n·m) ordered pass per series via
+    // flatMapGroups with a rotating m-queue, partition-parallel across
+    // keys — the form a million-series corpus uses. Gated against the
+    // SAME list-state recursive CTE partitioned by key; identical IEEE
+    // sequence (complements as literals) ⇒ bit-exact unrounded.
+    OpSpec(
+      "ts_holt_winters_keyed",
+      (s, d) =>
+        graft.udaf.HoltWinters.holtWintersDf(
+            ev(s, d).filter(col("user_id") < 10)
+              .select("user_id", "event_id", "value"),
+            m = 24, alpha = 0.3, omAlpha = 0.7, beta = 0.1, omBeta = 0.9,
+            gamma = 0.05, omGamma = 0.95)
+          .select(col("user_id"), col("event_id"), col("level"), col("trend"),
+            col("seasonal_next"),
+            (col("level") + col("trend") + col("seasonal_next"))
+              .as("forecast_next"))
+          .orderBy("user_id", "event_id"),
+      Some(s"""WITH RECURSIVE s AS (
+              |  SELECT user_id,
+              |    cast(row_number() OVER (PARTITION BY user_id ORDER BY event_id) as bigint) AS i,
+              |    event_id, value AS x
+              |  FROM events WHERE user_id < 10),
+              |rec AS (
+              |  SELECT user_id, i, event_id, x, x AS l, CAST(0.0 AS DOUBLE) AS b,
+              |    list_transform(range(24), i2 -> CAST(0.0 AS DOUBLE)) AS sv
+              |  FROM s WHERE i = 1
+              |  UNION ALL
+              |  SELECT s.user_id, s.i, s.event_id, s.x,
+              |    $hwLSql AS l,
+              |    0.1 * (($hwLSql) - rec.l) + 0.9 * rec.b AS b,
+              |    rec.sv[2:24] ||
+              |      [0.05 * (s.x - ($hwLSql)) + 0.95 * rec.sv[1]] AS sv
+              |  FROM rec JOIN s ON s.user_id = rec.user_id AND s.i = rec.i + 1)
+              |SELECT user_id, event_id, l AS level, b AS trend,
+              |  sv[1] AS seasonal_next, l + b + sv[1] AS forecast_next
+              |FROM rec ORDER BY user_id, event_id""".stripMargin),
+    ),
     // Seasonal anomaly — z-score of each event against ITS HOUR-OF-
     // DAY baseline (how real monitoring alerts: 3am traffic compared
     // to 3am history, not the global mean). The 24-row baseline of

@@ -58,5 +58,11 @@ class EwmSpec extends AnyFunSuite {
       .collect()
       .map(r => (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
     assert(got.toSeq == want.result(), "HW chain diverged from the Scala recursion")
+    // third implementation: the keyed flatMapGroups path must agree
+    // with the prefix fold bit-for-bit on the shared series
+    val keyed = ops.Registry.queries("ts_holt_winters_keyed")(spark, TestSpark.sfSmoke)
+      .collect().filter(_.getLong(0) == 7L)
+      .map(r => (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(keyed.toSeq == got.toSeq, "keyed HW diverged from the fold on user 7")
   }
 }
