@@ -1320,6 +1320,104 @@ object TimeSeries {
               |  sv[1] AS seasonal_next, l + b + sv[1] AS forecast_next
               |FROM rec ORDER BY user_id, event_id""".stripMargin),
     ),
+    // BACKTEST — the forecasting tier's self-measuring report (what
+    // sim_recall_report is to the ANN tier): one-step-ahead MAE of
+    // naive (xₜ₋₁), Holt, and Holt-Winters on the same series, side by
+    // side — the number that DECIDES which smoother a pipeline ships.
+    // Forecasts come from the exact gated recursions (both folds reuse
+    // the declared expression text), errors via one lag window, MAE as
+    // the ordered fold over event order, r4. The oracle reruns both
+    // recursive CTEs and the same lag/fold — every double identical
+    // until the final rounds.
+    OpSpec(
+      "ts_backtest_report",
+      (s, d) => {
+        val cum = Window.partitionBy("user_id").orderBy("event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val withF = ev(s, d)
+          .filter(col("user_id") === 7)
+          .withColumn("pl", collect_list(col("value")).over(cum))
+          .withColumn("sth", expr(
+            """aggregate(slice(pl, 2, size(pl) - 1),
+              |  named_struct('l', element_at(pl, 1), 'b', CAST(0.0 AS DOUBLE)),
+              |  (acc, x) -> named_struct(
+              |    'l', 0.3D * x + 0.7D * (acc.l + acc.b),
+              |    'b', 0.1D * (0.3D * x + 0.7D * (acc.l + acc.b) - acc.l) + 0.9D * acc.b))""".stripMargin))
+          .withColumn("stw", expr(
+            s"""aggregate(slice(pl, 2, size(pl) - 1),
+               |  named_struct('l', element_at(pl, 1), 'b', CAST(0.0 AS DOUBLE),
+               |    's', transform(sequence(1, 24), i -> CAST(0.0 AS DOUBLE))),
+               |  (acc, x) -> named_struct(
+               |    'l', $hwL,
+               |    'b', 0.1D * (($hwL) - acc.l) + 0.9D * acc.b,
+               |    's', concat(slice(acc.s, 2, 23),
+               |           array(0.05D * (x - ($hwL)) + 0.95D * element_at(acc.s, 1)))))""".stripMargin))
+          .select(col("event_id"), col("value"),
+            col("value").as("f_naive"),
+            (col("sth.l") + col("sth.b")).as("f_holt"),
+            (col("stw.l") + col("stw.b") + expr("element_at(stw.s, 1)"))
+              .as("f_hw"))
+        val lagE = Window.orderBy("event_id") // single declared series
+        val errs = withF
+          .select(col("event_id"), col("value"),
+            abs(lag(col("f_naive"), 1).over(lagE) - col("value")).as("e_naive"),
+            abs(lag(col("f_holt"), 1).over(lagE) - col("value")).as("e_holt"),
+            abs(lag(col("f_hw"), 1).over(lagE) - col("value")).as("e_hw"))
+          .filter(col("e_naive").isNotNull)
+        errs
+          .selectExpr("event_id",
+            "stack(3, 'holt', e_holt, 'hw', e_hw, 'naive', e_naive) AS (model, err)")
+          .groupBy("model")
+          .agg(count(lit(1)).as("n"),
+            expr("""aggregate(transform(array_sort(collect_list(named_struct('i', event_id, 'e', err))),
+              |  x -> x.e), 0D, (acc, x) -> acc + x)""".stripMargin).as("se"))
+          .select(col("model"), col("n"),
+            P.r4(col("se") / col("n")).as("mae"))
+          .orderBy("model")
+      },
+      Some(s"""WITH RECURSIVE s AS (
+              |  SELECT cast(row_number() OVER (ORDER BY event_id) as bigint) AS i,
+              |    event_id, value AS x
+              |  FROM events WHERE user_id = 7),
+              |rec AS (
+              |  SELECT i, event_id, x, x AS l, CAST(0.0 AS DOUBLE) AS b FROM s WHERE i = 1
+              |  UNION ALL
+              |  SELECT s.i, s.event_id, s.x,
+              |    0.3 * s.x + 0.7 * (rec.l + rec.b) AS l,
+              |    0.1 * (0.3 * s.x + 0.7 * (rec.l + rec.b) - rec.l) + 0.9 * rec.b AS b
+              |  FROM rec JOIN s ON s.i = rec.i + 1),
+              |recw AS (
+              |  SELECT i, event_id, x, x AS l, CAST(0.0 AS DOUBLE) AS b,
+              |    list_transform(range(24), i2 -> CAST(0.0 AS DOUBLE)) AS sv
+              |  FROM s WHERE i = 1
+              |  UNION ALL
+              |  SELECT s.i, s.event_id, s.x,
+              |    $hwLSql AS l,
+              |    0.1 * (($hwLSql) - rec.l) + 0.9 * rec.b AS b,
+              |    rec.sv[2:24] ||
+              |      [0.05 * (s.x - ($hwLSql)) + 0.95 * rec.sv[1]] AS sv
+              |  FROM recw rec JOIN s ON s.i = rec.i + 1),
+              |f AS (
+              |  SELECT r.event_id, r.x, r.x AS f_naive, r.l + r.b AS f_holt,
+              |    w.l + w.b + w.sv[1] AS f_hw
+              |  FROM rec r JOIN recw w ON w.event_id = r.event_id),
+              |e AS (
+              |  SELECT event_id, x,
+              |    abs(lag(f_naive, 1) OVER (ORDER BY event_id) - x) AS e_naive,
+              |    abs(lag(f_holt, 1) OVER (ORDER BY event_id) - x) AS e_holt,
+              |    abs(lag(f_hw, 1) OVER (ORDER BY event_id) - x) AS e_hw
+              |  FROM f),
+              |st AS (
+              |  SELECT 'naive' AS model, event_id, e_naive AS err FROM e WHERE e_naive IS NOT NULL
+              |  UNION ALL
+              |  SELECT 'holt', event_id, e_holt FROM e WHERE e_holt IS NOT NULL
+              |  UNION ALL
+              |  SELECT 'hw', event_id, e_hw FROM e WHERE e_hw IS NOT NULL)
+              |SELECT model, count(*) AS n,
+              |  round(list_reduce(list_prepend(0.0, list(err ORDER BY event_id)),
+              |    (acc, x) -> acc + x) / count(*), 4) AS mae
+              |FROM st GROUP BY model ORDER BY model""".stripMargin),
+    ),
     // Seasonal anomaly — z-score of each event against ITS HOUR-OF-
     // DAY baseline (how real monitoring alerts: 3am traffic compared
     // to 3am history, not the global mean). The 24-row baseline of

@@ -65,4 +65,37 @@ class EwmSpec extends AnyFunSuite {
       .map(r => (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
     assert(keyed.toSeq == got.toSeq, "keyed HW diverged from the fold on user 7")
   }
+
+  test("backtest MAEs equal a plain-Scala replay of both recursions") {
+    import org.apache.spark.sql.functions._
+    def r4(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    val xs = graft.core.Tables.events(spark, TestSpark.sfSmoke)
+      .filter(col("user_id") === 7).orderBy("event_id")
+      .select("value").collect().map(_.getDouble(0))
+    // forecasts after each step, exactly the declared op's order
+    var hl = xs.head; var hb = 0.0
+    var wl = xs.head; var wb = 0.0; var sv = Array.fill(24)(0.0)
+    val fNaive = xs.toBuffer
+    val fHolt = scala.collection.mutable.Buffer(hl + hb)
+    val fHw = scala.collection.mutable.Buffer(wl + wb + sv(0))
+    xs.tail.foreach { x =>
+      val hl2 = 0.3 * x + 0.7 * (hl + hb)
+      hb = 0.1 * (hl2 - hl) + 0.9 * hb; hl = hl2
+      fHolt += hl + hb
+      val wl2 = 0.3 * (x - sv(0)) + 0.7 * (wl + wb)
+      wb = 0.1 * (wl2 - wl) + 0.9 * wb
+      val s2 = 0.05 * (x - wl2) + 0.95 * sv(0)
+      sv = sv.drop(1) :+ s2; wl = wl2
+      fHw += wl + wb + sv(0)
+    }
+    def mae(fs: Seq[Double]) =
+      r4(xs.tail.zip(fs.dropRight(1)).map { case (x, f) => math.abs(f - x) }.sum
+        / (xs.length - 1).toDouble)
+    val want = Map("naive" -> mae(fNaive.toSeq), "holt" -> mae(fHolt.toSeq),
+      "hw" -> mae(fHw.toSeq))
+    val got = ops.Registry.queries("ts_backtest_report")(spark, TestSpark.sfSmoke)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got == want, s"$got != $want")
+  }
 }
