@@ -2523,34 +2523,10 @@ object TimeSeries {
     // total — the 100 TB shape.
     OpSpec(
       "ts_seasonal_decompose",
-      (s, d) => {
-        val hourly = ev(s, d)
-          .groupBy(date_trunc("hour", col("ts")).as("h"))
-          .agg(sum(P.dec2(col("value"))).as("st"))
-        val w25 = Window.orderBy("h").rowsBetween(-12, 12) // hourly frame: bounded
-        val t2 = hourly
-          .withColumn("obs", col("st").cast("double"))
-          .withColumn("trend", when(count(lit(1)).over(w25) === 25,
-            sum(col("st")).over(w25).cast("double") / 25))
-          .withColumn("det", col("obs") - col("trend"))
-          .withColumn("hod", hour(col("h")))
-        val sm = t2.filter(col("det").isNotNull)
-          .groupBy("hod")
-          .agg((expr("""aggregate(
-                       |  transform(array_sort(collect_list(struct(h, det))), x -> x.det),
-                       |  0D, (acc, x) -> acc + x)""".stripMargin) /
-            count(lit(1)).cast("double")).as("smean"))
-        val g = sm.agg((expr("""aggregate(
-                               |  transform(array_sort(collect_list(struct(hod, smean))), x -> x.smean),
-                               |  0D, (acc, x) -> acc + x)""".stripMargin) /
-          count(lit(1)).cast("double")).as("gmean"))
-        t2.join(broadcast(sm), Seq("hod"))
-          .crossJoin(broadcast(g))
-          .select(P.tsOut(col("h")).as("h"), col("obs"), col("trend"),
-            (col("smean") - col("gmean")).as("seasonal"),
-            (col("det") - (col("smean") - col("gmean"))).as("resid"))
-          .orderBy("h")
-      },
+      (s, d) => decomposeFrame(s, d)
+        .select(P.tsOut(col("h")).as("h"), col("obs"), col("trend"),
+          col("seasonal"), col("resid"))
+        .orderBy("h"),
       Some("""WITH hourly AS (
              |  SELECT date_trunc('hour', cast(ts as timestamp)) AS h,
              |    sum(cast(value as decimal(18,2))) AS st
@@ -2571,6 +2547,65 @@ object TimeSeries {
              |  t2.det - (sm.smean - g.gmean) AS resid
              |FROM t2 JOIN sm USING (hod) CROSS JOIN g
              |ORDER BY h""".stripMargin),
+    ),
+    // SEASONAL / TREND STRENGTH (Hyndman-Athanasopoulos FPP §: F_T =
+    // max(0, 1 − Var(resid)/Var(trend+resid)), F_S analogously with
+    // seasonal) — the two scalars that SUMMARIZE a decomposition: "is
+    // there a trend / a daily cycle worth modeling?" Computed over the
+    // full-window rows of the SAME decomposeFrame; all three variances
+    // from ordered-fold sums (h order) through the agg_stddev_var
+    // closed form in one shared expression text.
+    OpSpec(
+      "ts_seasonal_strength",
+      (s, d) => {
+        val f = decomposeFrame(s, d).filter(col("trend").isNotNull)
+          .select(col("h"), (col("trend") + col("resid")).as("tr"),
+            (col("seasonal") + col("resid")).as("sr"), col("resid").as("rr"))
+          .withColumn("arr",
+            expr("struct(h, tr, sr, rr, tr * tr AS tr2, sr * sr AS sr2, rr * rr AS rr2)"))
+        def fold(field: String) =
+          expr(s"""aggregate(transform(array_sort(collect_list(arr)), x -> x.$field),
+                 |  0D, (acc, x) -> acc + x)""".stripMargin)
+        f.agg(count(lit(1)).cast("double").as("nd"),
+            fold("tr").as("s_tr"), fold("tr2").as("q_tr"),
+            fold("sr").as("s_sr"), fold("sr2").as("q_sr"),
+            fold("rr").as("s_rr"), fold("rr2").as("q_rr"))
+          .selectExpr("cast(nd as bigint) AS n",
+            "round(greatest(0D, 1.0 - ((q_rr - s_rr * s_rr / nd) / (nd - 1)) / ((q_tr - s_tr * s_tr / nd) / (nd - 1))), 4) AS trend_strength",
+            "round(greatest(0D, 1.0 - ((q_rr - s_rr * s_rr / nd) / (nd - 1)) / ((q_sr - s_sr * s_sr / nd) / (nd - 1))), 4) AS seasonal_strength")
+      },
+      Some("""WITH hourly AS (
+             |  SELECT date_trunc('hour', cast(ts as timestamp)) AS h,
+             |    sum(cast(value as decimal(18,2))) AS st
+             |  FROM events GROUP BY 1),
+             |t AS (
+             |  SELECT h, cast(st as double) AS obs,
+             |    CASE WHEN count(*) OVER w = 25
+             |         THEN cast(sum(st) OVER w as double) / 25 END AS trend
+             |  FROM hourly
+             |  WINDOW w AS (ORDER BY h ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+             |t2 AS (SELECT h, obs, trend, obs - trend AS det,
+             |         extract(hour FROM h) AS hod FROM t),
+             |sm AS (SELECT hod, list_sum(list(det ORDER BY h)) / cast(count(*) as double) AS smean
+             |       FROM t2 WHERE det IS NOT NULL GROUP BY hod),
+             |g AS (SELECT list_sum(list(smean ORDER BY hod)) / cast(count(*) as double) AS gmean FROM sm),
+             |f AS (
+             |  SELECT t2.h AS h,
+             |    t2.trend + (t2.det - (sm.smean - g.gmean)) AS tr,
+             |    (sm.smean - g.gmean) + (t2.det - (sm.smean - g.gmean)) AS sr,
+             |    t2.det - (sm.smean - g.gmean) AS rr
+             |  FROM t2 JOIN sm USING (hod) CROSS JOIN g
+             |  WHERE t2.trend IS NOT NULL),
+             |m AS (
+             |  SELECT cast(count(*) as double) AS nd,
+             |    list_sum(list(tr ORDER BY h)) AS s_tr, list_sum(list(tr * tr ORDER BY h)) AS q_tr,
+             |    list_sum(list(sr ORDER BY h)) AS s_sr, list_sum(list(sr * sr ORDER BY h)) AS q_sr,
+             |    list_sum(list(rr ORDER BY h)) AS s_rr, list_sum(list(rr * rr ORDER BY h)) AS q_rr
+             |  FROM f)
+             |SELECT cast(nd as bigint) AS n,
+             |  round(greatest(0, 1.0 - ((q_rr - s_rr * s_rr / nd) / (nd - 1)) / ((q_tr - s_tr * s_tr / nd) / (nd - 1))), 4) AS trend_strength,
+             |  round(greatest(0, 1.0 - ((q_rr - s_rr * s_rr / nd) / (nd - 1)) / ((q_sr - s_sr * s_sr / nd) / (nd - 1))), 4) AS seasonal_strength
+             |FROM m""".stripMargin),
     ),
     // CUSUM single-changepoint estimate per series (the classic
     // offline estimator: k* = argmax_k |S_k| where S_k is the cumsum
@@ -2638,6 +2673,39 @@ object TimeSeries {
              |FROM m WHERE n_gaps >= 2 ORDER BY user_id""".stripMargin),
     ),
   )
+
+  /** The classical-decomposition frame shared by ts_seasonal_decompose
+    * and ts_seasonal_strength: h, obs, trend (centered 25 h mean, NULL
+    * at the edges), seasonal (centered hour-of-day means), resid.
+    * Ordered-fold devices throughout — bit-deterministic, unrounded. */
+  private def decomposeFrame(s: org.apache.spark.sql.SparkSession,
+                             d: String): org.apache.spark.sql.DataFrame = {
+    val hourly = ev(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(sum(P.dec2(col("value"))).as("st"))
+    val w25 = Window.orderBy("h").rowsBetween(-12, 12) // hourly frame: bounded
+    val t2 = hourly
+      .withColumn("obs", col("st").cast("double"))
+      .withColumn("trend", when(count(lit(1)).over(w25) === 25,
+        sum(col("st")).over(w25).cast("double") / 25))
+      .withColumn("det", col("obs") - col("trend"))
+      .withColumn("hod", hour(col("h")))
+    val sm = t2.filter(col("det").isNotNull)
+      .groupBy("hod")
+      .agg((expr("""aggregate(
+                   |  transform(array_sort(collect_list(struct(h, det))), x -> x.det),
+                   |  0D, (acc, x) -> acc + x)""".stripMargin) /
+        count(lit(1)).cast("double")).as("smean"))
+    val g = sm.agg((expr("""aggregate(
+                           |  transform(array_sort(collect_list(struct(hod, smean))), x -> x.smean),
+                           |  0D, (acc, x) -> acc + x)""".stripMargin) /
+      count(lit(1)).cast("double")).as("gmean"))
+    t2.join(broadcast(sm), Seq("hod"))
+      .crossJoin(broadcast(g))
+      .select(col("h"), col("obs"), col("trend"),
+        (col("smean") - col("gmean")).as("seasonal"),
+        (col("det") - (col("smean") - col("gmean"))).as("resid"))
+  }
 
   /** Per-key inter-arrival CV — see ts_burstiness. `idCol` breaks
     * timestamp ties deterministically in the lag ordering. */

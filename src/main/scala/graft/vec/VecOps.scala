@@ -1080,6 +1080,38 @@ object VecOps {
               |FROM exact e LEFT JOIN approx a ON a.qid = e.qid AND a.vec_id = e.vec_id
               |GROUP BY e.qid ORDER BY qid""".stripMargin),
     ),
+    // Embedding DRIFT monitor: per label, cosine between the centroids
+    // of two deterministic cohorts (even vs odd vec_id — the A/B split
+    // that exists at any scale). The number a production embedding
+    // pipeline watches across re-embeds/model bumps: centroid_cos near
+    // 1 = stable geometry, drops = drift. Centroid sums via the
+    // ordered vector fold (element-wise zip_with add in vec_id order —
+    // bit-deterministic; at 100 TB: shard the fold by vec_id range,
+    // fold shard sums in a second ordered pass, the vec_pq_mse
+    // policy); the label⨯cohort table is tiny, the join trivial.
+    OpSpec(
+      "vec_centroid_drift",
+      (s, d) => centroidDriftOf(T.embeddings(s, d), "vec_id", "label",
+        "embedding", dims = 64),
+      Some(s"""WITH v AS (
+              |  SELECT vec_id, label, embedding::DOUBLE[] AS e, vec_id % 2 AS grp
+              |  FROM embeddings),
+              |cent AS (
+              |  SELECT label, grp, cast(count(*) as double) AS nd,
+              |    list_reduce(
+              |      list_prepend(list_transform(range(64), i -> CAST(0.0 AS DOUBLE)),
+              |                   list(e ORDER BY vec_id)),
+              |      (acc, x) -> list_transform(list_zip(acc, x), p -> p[1] + p[2])) AS sarr
+              |  FROM v GROUP BY label, grp),
+              |c2 AS (SELECT label, grp, nd, list_transform(sarr, x -> x / nd) AS c FROM cent)
+              |SELECT cast(a.label as int) AS label,
+              |  cast(a.nd as bigint) AS n_even, cast(b.nd as bigint) AS n_odd,
+              |  round(${dotDuck("a.c", "b.c")} /
+              |    (sqrt(${dotDuck("a.c", "a.c")}) * sqrt(${dotDuck("b.c", "b.c")})), 4)
+              |    AS centroid_cos
+              |FROM c2 a JOIN c2 b ON b.label = a.label AND a.grp = 0 AND b.grp = 1
+              |ORDER BY label""".stripMargin),
+    ),
     // k-NN LABEL VOTE — the classifier-eval the labeled embedding
     // table exists for: leave-self-out 10-NN majority vote over a
     // 50-query panel, per-true-label accuracy. Ties break to the
@@ -1150,6 +1182,37 @@ object VecOps {
   private def dotDuck(a: String, b: String): String =
     s"list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b), " +
       "p -> p[1] * p[2])), (acc, x) -> acc + x)"
+
+  /** Per-`byCol` cosine between even- and odd-id cohort centroids —
+    * see vec_centroid_drift. Ordered vector fold (zip_with add in id
+    * order) keeps the sums bit-deterministic. */
+  def centroidDriftOf(df: DataFrame, idCol: String, byCol: String,
+                      vecCol: String, dims: Int): DataFrame = {
+    require(dims >= 1, s"dims must be positive, got $dims")
+    ident(idCol); ident(byCol); ident(vecCol)
+    val v = df
+      .select(col(idCol).as("vec_id"), col(byCol).as("_by"),
+        expr(s"transform($vecCol, x -> cast(x as double))").as("e"),
+        (col(idCol) % 2).as("grp"))
+    val cent = v.groupBy("_by", "grp")
+      .agg(count(lit(1)).cast("double").as("nd"),
+        expr(s"""aggregate(transform(array_sort(collect_list(struct(vec_id, e))), x -> x.e),
+               |  transform(sequence(1, $dims), i -> CAST(0.0 AS DOUBLE)),
+               |  (acc, x) -> zip_with(acc, x, (a, b) -> a + b))""".stripMargin)
+          .as("sarr"))
+      .withColumn("c", expr("transform(sarr, x -> x / nd)"))
+    val a = cent.filter(col("grp") === 0)
+      .select(col("_by"), col("nd").as("na"), col("c").as("ca"))
+    val b = cent.filter(col("grp") === 1)
+      .select(col("_by"), col("nd").as("nb"), col("c").as("cb"))
+    a.join(b, "_by")
+      .select(col("_by").cast("int").as(byCol),
+        col("na").cast("bigint").as("n_even"),
+        col("nb").cast("bigint").as("n_odd"),
+        P.r4(dot("ca", "cb") /
+          (sqrt(dot("ca", "ca")) * sqrt(dot("cb", "cb")))).as("centroid_cos"))
+      .orderBy(byCol)
+  }
 
   /** Per-label norm retention of the first-`dims` prefix:
     * kept = sqrt(||e[1:dims]||² / ||e||²), r4'd per vector; mean via

@@ -213,6 +213,30 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("centroid drift: identical cohorts read exactly 1.0; valid on the corpus") {
+    import spark.implicits._
+    // every label's even/odd cohorts carry the SAME two vectors →
+    // equal centroids → r4'd cosine exactly 1.0 (sqrt(d)·sqrt(d) sits
+    // within an ulp of d; the 4-dp round absorbs it)
+    val fix = Seq(
+      (0L, 1, Seq(1.0f, 2.0f, 3.0f, 4.0f)), (1L, 1, Seq(1.0f, 2.0f, 3.0f, 4.0f)),
+      (2L, 1, Seq(-1.0f, 0.5f, 2.0f, 0.0f)), (3L, 1, Seq(-1.0f, 0.5f, 2.0f, 0.0f)),
+      (4L, 2, Seq(5.0f, 1.0f, 0.0f, 2.0f)), (5L, 2, Seq(5.0f, 1.0f, 0.0f, 2.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val out = graft.vec.VecOps
+      .centroidDriftOf(fix, "vec_id", "label", "embedding", dims = 4)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out(1) == ((2L, 2L, 1.0)) && out(2) == ((1L, 1L, 1.0)))
+    // corpus: one row per label, cosine in [-1, 1], cohorts tile the table
+    val rows = ops.Registry.queries("vec_centroid_drift")(spark, TestSpark.sfSmoke)
+      .collect()
+    assert(rows.nonEmpty)
+    val total = graft.core.Tables.embeddings(spark, TestSpark.sfSmoke).count()
+    assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum == total)
+    rows.foreach(r => assert(math.abs(r.getDouble(3)) <= 1.0))
+  }
+
   test("knn label vote equals a driver-side re-derivation, query for query") {
     // the embeddings are near-isotropic (see the sign-quantizer test
     // above), so labels carry NO geometric signal and the honest

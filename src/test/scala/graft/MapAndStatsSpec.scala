@@ -129,6 +129,33 @@ class MapAndStatsSpec extends AnyFunSuite {
     assert(out(2L) == ((2L, 50.5, r4(cv))))
   }
 
+  test("seasonal strengths are in [0,1] and replay from the decompose output") {
+    def r4(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    val dec = graft.ops.Registry.queries("ts_seasonal_decompose")(spark, TestSpark.sfSmoke)
+      .collect().filter(!_.isNullAt(2)) // full-window rows only
+      .sortBy(_.getAs[java.time.LocalDateTime](0)
+        .toEpochSecond(java.time.ZoneOffset.UTC))
+      .map(r => (r.getDouble(2) + r.getDouble(4), // trend + resid
+        r.getDouble(3) + r.getDouble(4),          // seasonal + resid
+        r.getDouble(4)))
+    def varOf(xs: Array[Double]) = {
+      val n = xs.length.toDouble
+      var s = 0.0; var q = 0.0
+      xs.foreach { x => s += x; q += x * x } // h-order fold, as the op
+      (q - s * s / n) / (n - 1)
+    }
+    val (vtr, vsr, vrr) =
+      (varOf(dec.map(_._1)), varOf(dec.map(_._2)), varOf(dec.map(_._3)))
+    val want = (dec.length.toLong,
+      r4(math.max(0.0, 1.0 - vrr / vtr)), r4(math.max(0.0, 1.0 - vrr / vsr)))
+    val row = graft.ops.Registry.queries("ts_seasonal_strength")(spark, TestSpark.sfSmoke)
+      .head()
+    val got = (row.getLong(0), row.getDouble(1), row.getDouble(2))
+    assert(got == want, s"$got != $want")
+    assert(got._2 >= 0.0 && got._2 <= 1.0 && got._3 >= 0.0 && got._3 <= 1.0)
+  }
+
   test("histogram2d cells tile the events table exactly") {
     val rows = graft.ops.Registry.queries("agg_histogram2d")(spark, TestSpark.sfSmoke)
       .collect()
