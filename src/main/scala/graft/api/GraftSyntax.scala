@@ -1032,5 +1032,11 @@ object syntax {
       * full-width truth over the qid < 5 panel. See sim_recall_truncated. */
     def truncatedRecall(idCol: String, vecCol: String, dims: Int): DataFrame =
       graft.vec.VecOps.truncatedRecallOf(df, idCol, vecCol, dims)
+
+    /** Per-group cosine between even/odd-id cohort centroids (the
+      * embedding drift monitor). See vec_centroid_drift. */
+    def centroidDrift(idCol: String, byCol: String, vecCol: String,
+                      dims: Int): DataFrame =
+      graft.vec.VecOps.centroidDriftOf(df, idCol, byCol, vecCol, dims)
   }
 }

@@ -1652,7 +1652,14 @@ object Aggs {
 
   /** y ~ b0 + b1·x1 + b2·x2 per group by Cramer on the 3×3 normal
     * equations; x columns must be integral (bigint), y a 2-dp value.
-    * Moments are exact before the double solve — see agg_ols_normal_eq. */
+    * Moments are exact before the double solve — see agg_ols_normal_eq.
+    *
+    * PRECONDITION: the per-group design must be non-singular (both
+    * regressors vary within every group and are not collinear). A
+    * singular group has det = 0, where the two engines diverge by
+    * dialect — Spark emits IEEE ±Infinity/NaN for the x/0 doubles,
+    * DuckDB emits NULL — so such a group would hash-fail rather than
+    * silently agree; filter degenerate groups upstream. */
   def olsNormalEqOf(df: org.apache.spark.sql.DataFrame, byCol: String,
                     x1Col: String, x2Col: String,
                     yCol: String): org.apache.spark.sql.DataFrame = {

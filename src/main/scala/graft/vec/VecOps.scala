@@ -1185,7 +1185,9 @@ object VecOps {
 
   /** Per-`byCol` cosine between even- and odd-id cohort centroids —
     * see vec_centroid_drift. Ordered vector fold (zip_with add in id
-    * order) keeps the sums bit-deterministic. */
+    * order) keeps the sums bit-deterministic. A group whose ids are
+    * all one parity has no counterpart cohort and drops out of the
+    * inner join (by design — no drift is measurable for it). */
   def centroidDriftOf(df: DataFrame, idCol: String, byCol: String,
                       vecCol: String, dims: Int): DataFrame = {
     require(dims >= 1, s"dims must be positive, got $dims")
