@@ -356,6 +356,48 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
              |FROM ${TvfSql.id(view)}
              |GROUP BY $keySel""".stripMargin)
       }))
+    // OLS (y ~ b0 + b1·x1 + b2·x2 + R²) from SQL text — the analytics
+    // tier's SQL entry (DataFrame path: graft.ops.Aggs.olsNormalEqOf):
+    //   SELECT * FROM ols_fit('view', 'by_col', 'x1_col', 'x2_col', 'y_col')
+    //     -> (by, n bigint, b0, b1, b2, r2) per group.
+    // Expands to the identical exact-moments + shared-det3-text plan;
+    // x columns must be integral, y a 2-dp value, and the per-group
+    // design non-singular (the olsNormalEqOf precondition).
+    ext.injectTableFunction((
+      new FunctionIdentifier("ols_fit"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "ols_fit"),
+      (args: Seq[Expression]) => {
+        require(args.length == 5, "ols_fit(view, by_col, x1_col, x2_col, y_col)")
+        val Seq(view, by, x1, x2, y) = args.map(TvfSql.str)
+        val (v, b) = (TvfSql.id(view), TvfSql.id(by))
+        val (c1, c2, cy) = (TvfSql.id(x1), TvfSql.id(x2), TvfSql.id(y))
+        def det3(a: String, bb: String, c: String, d: String, e: String,
+                 f: String, g: String, h: String, i: String): String =
+          s"($a * ($e * $i - $f * $h) - $bb * ($d * $i - $f * $g) + $c * ($d * $h - $e * $g))"
+        TvfSql.parse(
+          s"""SELECT $b, cast(nd as bigint) AS n,
+             |  det0 / det AS b0, det1 / det AS b1, det2 / det AS b2,
+             |  1.0 - (syy - (det0 / det * sy + det1 / det * s1y + det2 / det * s2y)) / (syy - sy * sy / nd) AS r2
+             |FROM (
+             |  SELECT $b, nd, sy, syy, s1y, s2y,
+             |    ${det3("nd", "s1", "s2", "s1", "s11", "s12", "s2", "s12", "s22")} AS det,
+             |    ${det3("sy", "s1", "s2", "s1y", "s11", "s12", "s2y", "s12", "s22")} AS det0,
+             |    ${det3("nd", "sy", "s2", "s1", "s1y", "s12", "s2", "s2y", "s22")} AS det1,
+             |    ${det3("nd", "s1", "sy", "s1", "s11", "s1y", "s2", "s12", "s2y")} AS det2
+             |  FROM (
+             |    SELECT $b,
+             |      cast(count(1) as double) AS nd,
+             |      cast(sum($c1) as double) AS s1,
+             |      cast(sum($c2) as double) AS s2,
+             |      cast(sum($c1 * $c1) as double) AS s11,
+             |      cast(sum($c2 * $c2) as double) AS s22,
+             |      cast(sum($c1 * $c2) as double) AS s12,
+             |      cast(sum(cast($cy as decimal(18,2))) as double) AS sy,
+             |      cast(sum(cast(cast($cy as decimal(18,2)) * cast($cy as decimal(18,2)) as decimal(38,4))) as double) AS syy,
+             |      cast(sum(cast($c1 * cast($cy as decimal(18,2)) as decimal(38,4))) as double) AS s1y,
+             |      cast(sum(cast($c2 * cast($cy as decimal(18,2)) as decimal(38,4))) as double) AS s2y
+             |    FROM $v GROUP BY $b))""".stripMargin)
+      }))
     ext.injectTableFunction((
       new FunctionIdentifier("sessionize"),
       new ExpressionInfo(classOf[GraftExtensions].getName, "sessionize"),

@@ -24,7 +24,9 @@ object Aggs {
   private def dsumsq(c: org.apache.spark.sql.Column) =
     sum((P.dec2(c) * P.dec2(c)).cast("decimal(38,4)")).cast("double")
 
-  val ops: Seq[OpSpec] = Seq(
+  val ops: Seq[OpSpec] = baseOps ++ histogramOps
+
+  private lazy val baseOps: Seq[OpSpec] = Seq(
     OpSpec(
       "agg_global",
       (s, d) =>
@@ -1596,8 +1598,32 @@ object Aggs {
           weekday(col("ts")).cast("bigint").as("x2"),
           col("value")),
         "event_type", "x1", "x2", "value"),
-      Some(s"""WITH x AS (
-              |  SELECT event_type, cast(hour(ts) as bigint) AS x1,
+      olsOracle,
+    ),
+    // The SAME fit STRAIGHT FROM SQL TEXT through the `ols_fit` TVF
+    // (GraftExtensions) — the analytics tier's SQL entry, mirroring
+    // resample/sessionize/latest_by/simhash_pairs: identical exact
+    // moments + shared det3 text, so this green row proves SQL tier ≡
+    // DataFrame tier ≡ DuckDB truth.
+    OpSpec(
+      "agg_ols_tvf",
+      (s, d) => {
+        T.events(s, d).select(col("event_type"),
+            hour(col("ts")).cast("bigint").as("x1"),
+            weekday(col("ts")).cast("bigint").as("x2"),
+            col("value"))
+          .createOrReplaceTempView("tvf_events_ols")
+        s.sql("""SELECT * FROM ols_fit('tvf_events_ols', 'event_type', 'x1', 'x2', 'value')
+                |ORDER BY event_type""".stripMargin)
+      },
+      olsOracle,
+    ),
+  )
+
+  /** The shared DuckDB oracle for agg_ols_normal_eq / agg_ols_tvf. */
+  private lazy val olsOracle: Option[String] =
+    Some(s"""WITH x AS (
+            |  SELECT event_type, cast(hour(ts) as bigint) AS x1,
               |    cast(isodow(ts) - 1 as bigint) AS x2, value
               |  FROM events),
               |m AS (
@@ -1621,11 +1647,12 @@ object Aggs {
               |SELECT event_type, cast(nd as bigint) AS n,
               |  det0 / det AS b0, det1 / det AS b1, det2 / det AS b2,
               |  1.0 - (syy - (det0 / det * sy + det1 / det * s1y + det2 / det * s2y)) / (syy - sy * sy / nd) AS r2
-              |FROM dets ORDER BY event_type""".stripMargin),
-    ),
-    // 2-D histogram (the heatmap feed): hour-of-day × 50-unit value
-    // band, count + exact value mass per cell. One hash agg on two
-    // small int keys — the density-plot query at any scale.
+              |FROM dets ORDER BY event_type""".stripMargin)
+
+  // 2-D histogram (the heatmap feed): hour-of-day × 50-unit value
+  // band, count + exact value mass per cell. One hash agg on two
+  // small int keys — the density-plot query at any scale.
+  private lazy val histogramOps: Seq[OpSpec] = Seq(
     OpSpec(
       "agg_histogram2d",
       (s, d) => T.events(s, d)

@@ -154,6 +154,33 @@ class TvfSpec extends AnyFunSuite {
     }
   }
 
+  test("ols_fit TVF equals Aggs.olsNormalEqOf on non-declared columns, bit for bit") {
+    import spark.implicits._
+    // a different (by, x1, x2, y) shape than the gated query
+    val rows = for (g <- Seq("a", "b"); x1 <- 0L to 4L; x2 <- 0L to 2L)
+      yield (g, x1, x2, (1 + (if (g == "a") 2 else 3) * x1 + 4 * x2).toDouble)
+    val df = rows.toDF("grp", "u", "w", "yv")
+    df.createOrReplaceTempView("tvf_ols_fix")
+    val viaTvf = spark.sql(
+        "SELECT * FROM ols_fit('tvf_ols_fix', 'grp', 'u', 'w', 'yv') ORDER BY grp")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    val viaApi = graft.ops.Aggs.olsNormalEqOf(df, "grp", "u", "w", "yv")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(viaTvf.toSeq === viaApi.toSeq && viaTvf.length == 2)
+    // exact-fit plane: coefficients recovered exactly, R² exactly 1
+    assert(viaTvf(0) == (("a", 15L, 1.0, 2.0, 4.0, 1.0)))
+    assert(viaTvf(1) == (("b", 15L, 1.0, 3.0, 4.0, 1.0)))
+  }
+
+  test("ols_fit TVF validates identifiers") {
+    for (bad <- Seq(
+        "SELECT * FROM ols_fit('tvf_ols_fix; --', 'grp', 'u', 'w', 'yv')",
+        "SELECT * FROM ols_fit('tvf_ols_fix', 'grp`', 'u', 'w', 'yv')"))
+      assertThrows[Exception](spark.sql(bad).collect())
+  }
+
   test("simhash_pairs TVF validates identifiers and parameter ranges") {
     graft.core.Tables.documents(spark, TestSpark.sfSmoke)
       .createOrReplaceTempView("tvf_spec_docs_val")
