@@ -535,6 +535,60 @@ object StreamOps {
         TimeMode.None(), OutputMode.Append())
   }
 
+  /** Streaming HOLT-WINTERS — the live forecaster twin of the declared
+    * ts_holt_winters_keyed: per key the FULL smoother state rides in
+    * ONE ValueState — level, trend, and the m-slot seasonal vector
+    * (the tier's first VECTOR state; 8·(m+2) bytes per key forever).
+    * Every arriving point advances the recursion with the exact same
+    * IEEE sequence as udaf/HoltWinters (complements as literals) and
+    * emits its (level, trend, seasonal_next, forecast_next) row, so
+    * under the per-key in-order feed contract the emissions equal the
+    * batch query row-for-row, bit-for-bit (StreamingSpec). */
+  case class HwIn(user_id: Long, event_id: Long, value: Double)
+  case class HwPoint(user_id: Long, event_id: Long, level: Double,
+                     trend: Double, seasonal_next: Double,
+                     forecast_next: Double)
+  case class HwState(l: Double, b: Double, s: Array[Double])
+
+  private class HoltWintersProcessor(m: Int, alpha: Double, omAlpha: Double,
+                                     beta: Double, omBeta: Double,
+                                     gamma: Double, omGamma: Double)
+      extends StatefulProcessor[Long, HwIn, HwPoint] {
+    @transient private var st: ValueState[HwState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[HwState](
+        "hw", Encoders.product[HwState], TTLConfig.NONE)
+    override def handleInputRows(
+        user: Long, rows: Iterator[HwIn], tv: TimerValues): Iterator[HwPoint] = {
+      var s = Option(st.get()).orNull
+      val out = rows.toSeq.sortBy(_.event_id).map { r =>
+        if (s == null) s = HwState(r.value, 0.0, Array.fill(m)(0.0))
+        else {
+          val s1 = s.s(0)
+          val ln = alpha * (r.value - s1) + omAlpha * (s.l + s.b)
+          val bn = beta * (ln - s.l) + omBeta * s.b
+          s = HwState(ln, bn,
+            s.s.drop(1) :+ (gamma * (r.value - ln) + omGamma * s1))
+        }
+        HwPoint(user, r.event_id, s.l, s.b, s.s(0), s.l + s.b + s.s(0))
+      }
+      st.update(s)
+      out.iterator
+    }
+  }
+
+  def streamingHoltWinters(events: Dataset[HwIn], m: Int = 24,
+                           alpha: Double = 0.3, omAlpha: Double = 0.7,
+                           beta: Double = 0.1, omBeta: Double = 0.9,
+                           gamma: Double = 0.05,
+                           omGamma: Double = 0.95): Dataset[HwPoint] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(
+        new HoltWintersProcessor(m, alpha, omAlpha, beta, omBeta, gamma, omGamma),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** Streaming heavy hitters — the SPACE-SAVING sketch (Metwally,
     * Agrawal, El Abbadi 2005): per shard at most `k` counters live in
     * a [[org.apache.spark.sql.streaming.MapState]] (the third state

@@ -380,6 +380,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch) // bit-exact incl. both r4s
   }
 
+  test("streaming Holt-Winters equals the declared batch keyed query row-for-row") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val inRows = eventRows.filter(_.user_id < 10)
+      .map(e => StreamOps.HwIn(e.user_id, e.event_id, e.value))
+      .sortBy(_.event_id) // per-key in-order feed = the contract
+    val ms = MemoryStream[StreamOps.HwIn]
+    val q = StreamOps.streamingHoltWinters(ms.toDS())
+      .writeStream.format("memory").queryName("t_hw").outputMode("append").start()
+    val (a, b) = inRows.splitAt(inRows.size / 2)
+    ms.addData(a); q.processAllAvailable()
+    ms.addData(b); q.processAllAvailable() // vector state crosses the boundary
+    q.stop()
+    val streamed = spark.table("t_hw").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    val batch = graft.ops.Registry.queries("ts_holt_winters_keyed")(spark, TestSpark.sfSmoke)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(streamed.nonEmpty && streamed == batch) // bit-exact, all four columns
+  }
+
   test("streaming CUSUM drift detector equals the declared batch ts_cusum_flag EXACTLY") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
