@@ -79,6 +79,56 @@ class StreamingRecoverySpec extends AnyFunSuite {
     }
   }
 
+  test("Holt-Winters vector state restarted from checkpoint == one-shot recursion") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_hw").toString
+    // 2 keys x 30 in-order points; m=3 so seasonal slots wrap several
+    // times BEFORE the failure point — the recovered array must carry
+    // mid-rotation contents, not just level/trend
+    val rows = (0 until 60).map { i =>
+      StreamOps.HwIn(user_id = i % 2, event_id = i, value = (i * 11 % 17) + 0.25)
+    }
+    val (before, after) = rows.splitAt(30)
+    val ms = MemoryStream[StreamOps.HwIn]
+    def start(sink: scala.collection.mutable.ArrayBuffer[StreamOps.HwPoint]) =
+      StreamOps.streamingHoltWinters(ms.toDS(), m = 3)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[StreamOps.HwPoint], _: Long) =>
+          sink.synchronized { sink ++= batch.collect() }; ()
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+    val run1 = scala.collection.mutable.ArrayBuffer[StreamOps.HwPoint]()
+    val q1 = start(run1)
+    ms.addData(before); q1.processAllAvailable()
+    q1.stop() // simulated failure point
+    val run2 = scala.collection.mutable.ArrayBuffer[StreamOps.HwPoint]()
+    val q2 = start(run2)
+    ms.addData(after); q2.processAllAvailable()
+    q2.stop()
+    assert(run1.map(_.event_id).toSet == before.map(_.event_id).toSet)
+    assert(run2.map(_.event_id).toSet == after.map(_.event_id).toSet)
+    // recovered state ⇒ combined output == one sequential recursion
+    val got = (run1 ++ run2).map(o => o.event_id -> o).toMap
+    for (u <- 0L until 2L) {
+      var l = Double.NaN; var b = 0.0; var sv = Array.fill(3)(0.0)
+      rows.filter(_.user_id == u).foreach { r =>
+        if (l.isNaN) { l = r.value; b = 0.0 }
+        else {
+          val s1 = sv(0)
+          val ln = 0.3 * (r.value - s1) + 0.7 * (l + b)
+          b = 0.1 * (ln - l) + 0.9 * b
+          sv = sv.drop(1) :+ (0.05 * (r.value - ln) + 0.95 * s1)
+          l = ln
+        }
+        val o = got(r.event_id)
+        assert(o.level == l && o.trend == b && o.seasonal_next == sv(0),
+          s"user $u event ${r.event_id}: recovered chain diverged")
+      }
+    }
+  }
+
   test("streaming dedup restarted from checkpoint still drops pre-restart keys") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
