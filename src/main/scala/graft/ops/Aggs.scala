@@ -1600,6 +1600,72 @@ object Aggs {
         "event_type", "x1", "x2", "value"),
       olsOracle,
     ),
+    // PARTIAL correlation (value ~ hour, CONTROLLING weekday): r_xy·z
+    // = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)) — the statistic that
+    // answers "is the hour effect real or just the weekday mix?",
+    // completing the corr family (corr → grouped → matrix → partial).
+    // All three pairwise r's from the agg_corr exact-moment closed
+    // form via ONE shared corrTxt text; the partial combination is one
+    // more shared expression ⇒ r4 outputs identical.
+    OpSpec(
+      "agg_partial_corr",
+      (s, d) => {
+        val sums = T.events(s, d).select(col("event_type"),
+            hour(col("ts")).cast("bigint").as("x1"),
+            weekday(col("ts")).cast("bigint").as("x2"),
+            col("value"))
+          .groupBy("event_type").agg(
+            count(lit(1)).cast("double").as("nd"),
+            sum(col("x1")).cast("double").as("s1"),
+            sum(col("x2")).cast("double").as("s2"),
+            sum(col("x1") * col("x1")).cast("double").as("s11"),
+            sum(col("x2") * col("x2")).cast("double").as("s22"),
+            sum(col("x1") * col("x2")).cast("double").as("s12"),
+            dsum(col("value")).as("sy"),
+            dsumsq(col("value")).as("syy"),
+            sum((col("x1") * col("value").cast("decimal(18,2)"))
+              .cast("decimal(38,4)")).cast("double").as("s1y"),
+            sum((col("x2") * col("value").cast("decimal(18,2)"))
+              .cast("decimal(38,4)")).cast("double").as("s2y"))
+        sums.selectExpr("event_type", "cast(nd as bigint) AS n",
+            s"${corrTxt("s1y", "s1", "sy", "s11", "syy")} AS r_vh",
+            s"${corrTxt("s2y", "s2", "sy", "s22", "syy")} AS r_vw",
+            s"${corrTxt("s12", "s1", "s2", "s11", "s22")} AS r_hw")
+          .selectExpr("event_type", "n",
+            "round(r_vh, 4) AS r_value_hour",
+            "round(r_vw, 4) AS r_value_wday",
+            "round(r_hw, 4) AS r_hour_wday",
+            "round((r_vh - r_vw * r_hw) / sqrt((1.0 - r_vw * r_vw) * (1.0 - r_hw * r_hw)), 4) AS partial_value_hour")
+          .orderBy("event_type")
+      },
+      Some(s"""WITH x AS (
+              |  SELECT event_type, cast(hour(ts) as bigint) AS x1,
+              |    cast(isodow(ts) - 1 as bigint) AS x2, value
+              |  FROM events),
+              |m AS (
+              |  SELECT event_type, cast(count(*) as double) AS nd,
+              |    cast(sum(x1) as double) AS s1, cast(sum(x2) as double) AS s2,
+              |    cast(sum(x1 * x1) as double) AS s11,
+              |    cast(sum(x2 * x2) as double) AS s22,
+              |    cast(sum(x1 * x2) as double) AS s12,
+              |    cast(sum(cast(value as decimal(18,2))) as double) AS sy,
+              |    cast(sum(cast(cast(value as decimal(18,2)) * cast(value as decimal(18,2)) as decimal(38,4))) as double) AS syy,
+              |    cast(sum(cast(x1 * cast(value as decimal(18,2)) as decimal(38,4))) as double) AS s1y,
+              |    cast(sum(cast(x2 * cast(value as decimal(18,2)) as decimal(38,4))) as double) AS s2y
+              |  FROM x GROUP BY event_type),
+              |r AS (
+              |  SELECT event_type, cast(nd as bigint) AS n,
+              |    ${corrTxt("s1y", "s1", "sy", "s11", "syy")} AS r_vh,
+              |    ${corrTxt("s2y", "s2", "sy", "s22", "syy")} AS r_vw,
+              |    ${corrTxt("s12", "s1", "s2", "s11", "s22")} AS r_hw
+              |  FROM m)
+              |SELECT event_type, n,
+              |  round(r_vh, 4) AS r_value_hour,
+              |  round(r_vw, 4) AS r_value_wday,
+              |  round(r_hw, 4) AS r_hour_wday,
+              |  round((r_vh - r_vw * r_hw) / sqrt((1.0 - r_vw * r_vw) * (1.0 - r_hw * r_hw)), 4) AS partial_value_hour
+              |FROM r ORDER BY event_type""".stripMargin),
+    ),
     // The SAME fit STRAIGHT FROM SQL TEXT through the `ols_fit` TVF
     // (GraftExtensions) — the analytics tier's SQL entry, mirroring
     // resample/sessionize/latest_by/simhash_pairs: identical exact
@@ -1670,6 +1736,13 @@ object Aggs {
              |FROM events GROUP BY 1, 2 ORDER BY hour_of_day, value_band""".stripMargin),
     ),
   )
+
+  /** Pearson r from exact moments as ONE formula text both engines
+    * (the agg_corr closed form): r(a,b) given Σab, Σa, Σb, Σa², Σb²
+    * and the group count `nd`. */
+  private def corrTxt(sab: String, sa: String, sb: String, saa: String,
+                      sbb: String): String =
+    s"((nd * $sab - $sa * $sb) / (sqrt(nd * $saa - $sa * $sa) * sqrt(nd * $sbb - $sb * $sb)))"
 
   /** 3×3 determinant as ONE formula text parsed by BOTH engines (the
     * BPE stepSql device): row-major a b c / d e f / g h i. */

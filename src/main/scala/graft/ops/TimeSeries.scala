@@ -1320,6 +1320,59 @@ object TimeSeries {
               |  sv[1] AS seasonal_next, l + b + sv[1] AS forecast_next
               |FROM rec ORDER BY user_id, event_id""".stripMargin),
     ),
+    // PAGE'S two-sided CUSUM (Page 1954, the SPC standard): S⁺ₜ =
+    // max(0, S⁺ₜ₋₁ + (xₜ−μ) − k), S⁻ₜ = max(0, S⁻ₜ₋₁ − (xₜ−μ) − k),
+    // alarm when either exceeds h — the RESETTING drift detector the
+    // declared ts_cusum_flag's cumulative form complements (Page
+    // resets at zero, so it localizes WHERE the shift starts). A
+    // max-recursion — non-associative, no window expresses it — so the
+    // prefix-fold device carries the (S⁺, S⁻) pair; μ is the exact
+    // decimal series mean broadcast in; k = 5, h = 50 literals both
+    // engines. The oracle runs the identical recursion as a recursive
+    // CTE; greatest/adds share text ⇒ unrounded bit-exact.
+    OpSpec(
+      "ts_cusum_page",
+      (s, d) => {
+        val base = ev(s, d).filter(col("user_id") === 7)
+        val mu = base.agg(
+          (sum(P.dec2(col("value"))).cast("double") / count(lit(1))).as("mu"))
+        val cum = Window.partitionBy("user_id").orderBy("event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        base.crossJoin(broadcast(mu))
+          .withColumn("pl", collect_list(col("value")).over(cum))
+          .select(col("event_id"), col("value"),
+            expr("""aggregate(pl,
+                   |  named_struct('sp', CAST(0.0 AS DOUBLE), 'sn', CAST(0.0 AS DOUBLE)),
+                   |  (acc, x) -> named_struct(
+                   |    'sp', greatest(CAST(0.0 AS DOUBLE), acc.sp + (x - mu) - 5.0D),
+                   |    'sn', greatest(CAST(0.0 AS DOUBLE), acc.sn - (x - mu) - 5.0D)))""".stripMargin)
+              .as("st"))
+          .select(col("event_id"), col("value"),
+            col("st.sp").as("cusum_pos"), col("st.sn").as("cusum_neg"),
+            (col("st.sp") > 50.0d || col("st.sn") > 50.0d).as("alarm"))
+          .orderBy("event_id")
+      },
+      Some("""WITH RECURSIVE s AS (
+             |  SELECT cast(row_number() OVER (ORDER BY event_id) as bigint) AS i,
+             |    event_id, value AS x
+             |  FROM events WHERE user_id = 7),
+             |m AS (
+             |  SELECT cast(sum(cast(value as decimal(18,2))) as double) / count(*) AS mu
+             |  FROM events WHERE user_id = 7),
+             |rec AS (
+             |  SELECT i, event_id, x,
+             |    greatest(CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE) + (x - mu) - 5.0) AS sp,
+             |    greatest(CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE) - (x - mu) - 5.0) AS sn
+             |  FROM s CROSS JOIN m WHERE i = 1
+             |  UNION ALL
+             |  SELECT s.i, s.event_id, s.x,
+             |    greatest(CAST(0.0 AS DOUBLE), rec.sp + (s.x - mu) - 5.0) AS sp,
+             |    greatest(CAST(0.0 AS DOUBLE), rec.sn - (s.x - mu) - 5.0) AS sn
+             |  FROM rec JOIN s ON s.i = rec.i + 1 CROSS JOIN m)
+             |SELECT event_id, x AS value, sp AS cusum_pos, sn AS cusum_neg,
+             |  (sp > 50.0 OR sn > 50.0) AS alarm
+             |FROM rec ORDER BY event_id""".stripMargin),
+    ),
     // BACKTEST — the forecasting tier's self-measuring report (what
     // sim_recall_report is to the ANN tier): one-step-ahead MAE of
     // naive (xₜ₋₁), Holt, and Holt-Winters on the same series, side by

@@ -101,7 +101,8 @@ class DeterminismSpec extends AnyFunSuite {
     "dedup_minhash_lsh_scale",
     // round 13: vector-state struct fold (rotating 24-slot seasonal),
     // Cramer determinants from exact moments
-    "ts_holt_winters", "ts_holt_winters_keyed", "agg_ols_normal_eq")
+    "ts_holt_winters", "ts_holt_winters_keyed", "agg_ols_normal_eq",
+    "ts_cusum_page", "agg_partial_corr")
 
   test("order-sensitive queries return identical results across runs") {
     val failures = sensitive.flatMap { key =>

@@ -156,6 +156,63 @@ class MapAndStatsSpec extends AnyFunSuite {
     assert(got._2 >= 0.0 && got._2 <= 1.0 && got._3 >= 0.0 && got._3 <= 1.0)
   }
 
+  test("Page CUSUM equals the plain-Scala recursion; alarms localize and reset") {
+    import org.apache.spark.sql.functions._
+    val xs = graft.core.Tables.events(spark, TestSpark.sfSmoke)
+      .filter(col("user_id") === 7).orderBy("event_id")
+      .select("value").collect().map(_.getDouble(0))
+    // exact decimal mean, then the exact fold order of the declared op
+    val cents = xs.map(x => java.math.BigDecimal.valueOf(x)
+      .setScale(2, java.math.RoundingMode.HALF_UP).movePointRight(2).longValueExact())
+    val mu = java.math.BigDecimal.valueOf(cents.sum, 2).doubleValue / xs.length
+    var sp = 0.0; var sn = 0.0
+    val want = xs.map { x =>
+      sp = math.max(0.0, sp + (x - mu) - 5.0)
+      sn = math.max(0.0, sn - (x - mu) - 5.0)
+      (sp, sn, sp > 50.0 || sn > 50.0)
+    }
+    val got = graft.ops.Registry.queries("ts_cusum_page")(spark, TestSpark.sfSmoke)
+      .collect().map(r => (r.getDouble(2), r.getDouble(3), r.getBoolean(4)))
+    assert(got.toSeq == want.toSeq, "Page chain diverged from the Scala recursion")
+    // resetting property: any non-alarm zero row fully forgets history
+    assert(got.exists(g => g._1 == 0.0 || g._2 == 0.0),
+      "a Page accumulator should touch zero somewhere on a stationary series")
+  }
+
+  test("partial correlation equals a plain-Scala moment replay") {
+    import org.apache.spark.sql.functions._
+    def r4(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    val rows = graft.core.Tables.events(spark, TestSpark.sfSmoke)
+      .select(col("event_type"), hour(col("ts")).cast("long").as("x1"),
+        weekday(col("ts")).cast("long").as("x2"), col("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val want = rows.groupBy(_._1).map { case (et, g) =>
+      val nd = g.length.toDouble
+      val (s1, s2) = (g.map(_._2).sum.toDouble, g.map(_._3).sum.toDouble)
+      val (s11, s22, s12) = (g.map(r => r._2 * r._2).sum.toDouble,
+        g.map(r => r._3 * r._3).sum.toDouble, g.map(r => r._2 * r._3).sum.toDouble)
+      def cents(x: Double) = java.math.BigDecimal.valueOf(x)
+        .setScale(2, java.math.RoundingMode.HALF_UP).unscaledValue().longValueExact()
+      val sy = java.math.BigDecimal.valueOf(g.map(r => cents(r._4)).sum, 2).doubleValue
+      val syy = java.math.BigDecimal.valueOf(
+        g.map(r => cents(r._4) * cents(r._4)).sum, 4).doubleValue
+      val s1y = java.math.BigDecimal.valueOf(g.map(r => r._2 * cents(r._4)).sum, 2).doubleValue
+      val s2y = java.math.BigDecimal.valueOf(g.map(r => r._3 * cents(r._4)).sum, 2).doubleValue
+      def corr(sab: Double, sa: Double, sb: Double, saa: Double, sbb: Double) =
+        (nd * sab - sa * sb) / (math.sqrt(nd * saa - sa * sa) * math.sqrt(nd * sbb - sb * sb))
+      val (rvh, rvw, rhw) = (corr(s1y, s1, sy, s11, syy),
+        corr(s2y, s2, sy, s22, syy), corr(s12, s1, s2, s11, s22))
+      et -> ((r4(rvh), r4(rvw), r4(rhw),
+        r4((rvh - rvw * rhw) / math.sqrt((1.0 - rvw * rvw) * (1.0 - rhw * rhw)))))
+    }
+    val got = graft.ops.Registry.queries("agg_partial_corr")(spark, TestSpark.sfSmoke)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got == want, s"$got != $want")
+  }
+
   test("histogram2d cells tile the events table exactly") {
     val rows = graft.ops.Registry.queries("agg_histogram2d")(spark, TestSpark.sfSmoke)
       .collect()
