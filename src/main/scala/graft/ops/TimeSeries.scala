@@ -1373,6 +1373,74 @@ object TimeSeries {
              |  (sp > 50.0 OR sn > 50.0) AS alarm
              |FROM rec ORDER BY event_id""".stripMargin),
     ),
+    // EWMA CONTROL CHART (Roberts 1959 — with Page above and
+    // ts_cusum_flag, the SPC triad): zₜ = λxₜ + (1−λ)zₜ₋₁ from z₀ = μ,
+    // with the TIME-VARYING limit ±L·σ·√(λ/(2−λ)·(1−(1−λ)^{2t})) that
+    // tightens as the chart warms up. (1−λ)^{2t} is carried as a
+    // MULTIPLICATIVE fold state (q ← q·(0.7·0.7)) — pow() is banned by
+    // the determinism policy (libm-vs-Math.pow last-ulp split), a
+    // product recursion is exact-same-ops both engines. μ, σ from the
+    // exact-moment closed form, broadcast in. Unrounded bit-exact.
+    OpSpec(
+      "ts_ewma_chart",
+      (s, d) => {
+        val base = ev(s, d).filter(col("user_id") === 7)
+        val stats = base.agg(
+          count(lit(1)).cast("double").as("nd"),
+          sum(P.dec2(col("value"))).cast("double").as("sy"),
+          sum((P.dec2(col("value")) * P.dec2(col("value"))).cast("decimal(38,4)"))
+            .cast("double").as("syy"))
+          .selectExpr("sy / nd AS mu",
+            "sqrt((syy - sy * sy / nd) / (nd - 1)) AS sd")
+        val cum = Window.partitionBy("user_id").orderBy("event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        base.crossJoin(broadcast(stats))
+          .withColumn("pl", collect_list(col("value")).over(cum))
+          .select(col("event_id"), col("value"), col("mu"), col("sd"),
+            expr("""aggregate(pl,
+                   |  named_struct('z', mu, 'q', CAST(1.0 AS DOUBLE)),
+                   |  (acc, x) -> named_struct(
+                   |    'z', 0.3D * x + 0.7D * acc.z,
+                   |    'q', acc.q * (0.7D * 0.7D)))""".stripMargin).as("st"))
+          .selectExpr("event_id", "value", "mu", "st.z AS ewma",
+            "3.0D * sd * sqrt(0.3D / (2.0D - 0.3D) * (1.0D - st.q)) AS ctrl_limit")
+          .selectExpr("event_id", "value", "ewma", "ctrl_limit",
+            "abs(ewma - mu) > ctrl_limit AS alarm")
+          .orderBy("event_id")
+      },
+      Some("""WITH RECURSIVE s AS (
+             |  SELECT cast(row_number() OVER (ORDER BY event_id) as bigint) AS i,
+             |    event_id, value AS x
+             |  FROM events WHERE user_id = 7),
+             |m AS (
+             |  SELECT sy / nd AS mu, sqrt((syy - sy * sy / nd) / (nd - 1)) AS sd
+             |  FROM (
+             |    SELECT cast(count(*) as double) AS nd,
+             |      cast(sum(cast(value as decimal(18,2))) as double) AS sy,
+             |      cast(sum(cast(cast(value as decimal(18,2)) * cast(value as decimal(18,2)) as decimal(38,4))) as double) AS syy
+             |    FROM events WHERE user_id = 7)),
+             |rec AS (
+             |  -- q must ride as DOUBLE: bare 0.7 * 0.7 is DECIMAL in
+             |  -- DuckDB (exactly 0.490) where Spark's 0.7D * 0.7D is
+             |  -- the double 0.48999999999999994 — the recursion would
+             |  -- diverge measurably within a few steps
+             |  SELECT i, event_id, x,
+             |    0.3 * x + 0.7 * mu AS z,
+             |    CAST(1.0 AS DOUBLE) * (CAST(0.7 AS DOUBLE) * CAST(0.7 AS DOUBLE)) AS q
+             |  FROM s CROSS JOIN m WHERE i = 1
+             |  UNION ALL
+             |  SELECT s.i, s.event_id, s.x,
+             |    0.3 * s.x + 0.7 * rec.z AS z,
+             |    rec.q * (CAST(0.7 AS DOUBLE) * CAST(0.7 AS DOUBLE)) AS q
+             |  FROM rec JOIN s ON s.i = rec.i + 1),
+             |cl AS (
+             |  SELECT event_id, x, mu, z,
+             |    3.0 * sd * sqrt(0.3 / (2.0 - 0.3) * (1.0 - q)) AS ctrl_limit
+             |  FROM rec CROSS JOIN m)
+             |SELECT event_id, x AS value, z AS ewma, ctrl_limit,
+             |  abs(z - mu) > ctrl_limit AS alarm
+             |FROM cl ORDER BY event_id""".stripMargin),
+    ),
     // BACKTEST — the forecasting tier's self-measuring report (what
     // sim_recall_report is to the ANN tier): one-step-ahead MAE of
     // naive (xₜ₋₁), Holt, and Holt-Winters on the same series, side by

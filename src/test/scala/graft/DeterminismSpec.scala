@@ -102,7 +102,7 @@ class DeterminismSpec extends AnyFunSuite {
     // round 13: vector-state struct fold (rotating 24-slot seasonal),
     // Cramer determinants from exact moments
     "ts_holt_winters", "ts_holt_winters_keyed", "agg_ols_normal_eq",
-    "ts_cusum_page", "agg_partial_corr")
+    "ts_cusum_page", "agg_partial_corr", "ts_ewma_chart")
 
   test("order-sensitive queries return identical results across runs") {
     val failures = sensitive.flatMap { key =>

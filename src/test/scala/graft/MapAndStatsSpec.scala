@@ -179,6 +179,34 @@ class MapAndStatsSpec extends AnyFunSuite {
       "a Page accumulator should touch zero somewhere on a stationary series")
   }
 
+  test("EWMA chart equals the plain-Scala recursion; warm-up limits widen monotonically") {
+    import org.apache.spark.sql.functions._
+    val xs = graft.core.Tables.events(spark, TestSpark.sfSmoke)
+      .filter(col("user_id") === 7).orderBy("event_id")
+      .select("value").collect().map(_.getDouble(0))
+    def cents(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(2, java.math.RoundingMode.HALF_UP).unscaledValue().longValueExact()
+    val nd = xs.length.toDouble
+    val sy = java.math.BigDecimal.valueOf(xs.map(cents).sum, 2).doubleValue
+    val syy = java.math.BigDecimal.valueOf(xs.map(x => cents(x) * cents(x)).sum, 4).doubleValue
+    val mu = sy / nd
+    val sd = math.sqrt((syy - sy * sy / nd) / (nd - 1))
+    var z = mu; var q = 1.0
+    val want = xs.map { x =>
+      z = 0.3 * x + 0.7 * z
+      q = q * (0.7 * 0.7)
+      val cl = 3.0 * sd * math.sqrt(0.3 / (2.0 - 0.3) * (1.0 - q))
+      (z, cl, math.abs(z - mu) > cl)
+    }
+    val got = graft.ops.Registry.queries("ts_ewma_chart")(spark, TestSpark.sfSmoke)
+      .collect().map(r => (r.getDouble(2), r.getDouble(3), r.getBoolean(4)))
+    assert(got.toSeq == want.toSeq, "EWMA chart diverged from the Scala recursion")
+    // warm-up property: limits widen monotonically toward the
+    // asymptote (and reach it exactly once q underflows past 1 ulp)
+    got.map(_._2).toSeq.sliding(2).foreach { w => assert(w(1) >= w(0)) }
+    assert(got.last._2 > got.head._2)
+  }
+
   test("partial correlation equals a plain-Scala moment replay") {
     import org.apache.spark.sql.functions._
     def r4(x: Double) = java.math.BigDecimal.valueOf(x)
