@@ -349,6 +349,36 @@ object TextOps {
              |ORDER BY doc_id""".stripMargin),
     ),
     // Polynomial rolling hash over characters, h = (31·h + ord(c)) mod
+    // FEATURE-HASHING doc embedding (the hashing trick, Weinberger et
+    // al. 2009): 8 signed-sum dimensions per doc — every token
+    // contributes ±1 to dim i by bit i of its sha-256 prefix. The
+    // text→vector bridge that needs NO trained model: exact integer
+    // vectors (bit-identical trivially), one explode + one hash agg
+    // keyed on doc_id (map-side combine; at 100 TB the agg carries 8
+    // small ints per doc, never the tokens).
+    OpSpec(
+      "text_hash_embed",
+      (s, d) => {
+        val toks = T.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+          .withColumn("b", expr("cast(conv(substring(sha2(t, 256), 1, 4), 16, 10) as int)"))
+        toks.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            (0 until 8).map(i =>
+              sum(when(expr(s"(shiftright(b, $i) & 1) = 1"), 1L).otherwise(-1L))
+                .as(s"h$i")): _*)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (
+              |  SELECT doc_id,
+              |    ('0x' || substr(sha256(unnest(string_split(text, ' '))), 1, 4))::INT AS b
+              |  FROM documents)
+              |SELECT doc_id, count(*) AS n_tokens,
+              |  ${(0 until 8).map(i =>
+                   s"cast(sum(CASE WHEN ((b >> $i) & 1) = 1 THEN 1 ELSE -1 END) as bigint) AS h$i")
+                   .mkString(",\n              |  ")}
+              |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    ),
     // 1e9+7 — the classic content fingerprint, folded left in both
     // engines (Spark aggregate ≡ DuckDB list_reduce with prepended 0).
     OpSpec(

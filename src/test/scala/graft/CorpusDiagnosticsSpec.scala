@@ -48,4 +48,37 @@ class CorpusDiagnosticsSpec extends AnyFunSuite {
     assert(math.abs(js(d, d)) < 1e-12)
     assert(math.abs(js(Map("a" -> 1.0), Map("b" -> 1.0)) - math.log(2.0)) < 1e-12)
   }
+
+  test("hash embed: parity/bound invariants on the corpus; sha bits re-derived by hand") {
+    val rows = graft.ops.Registry.queries("text_hash_embed")(spark, TestSpark.sfSmoke)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getLong(1)
+      (0 until 8).foreach { i =>
+        val h = r.getLong(2 + i)
+        // every token adds ±1: |h_i| ≤ n and h_i ≡ n (mod 2)
+        assert(math.abs(h) <= n && ((h - n) % 2 == 0),
+          s"doc ${r.getLong(0)} dim $i: h=$h n=$n")
+      }
+    }
+    // independent re-derivation of the sign convention for one token
+    val docs = graft.core.Tables.documents(spark, TestSpark.sfSmoke)
+      .selectExpr("doc_id", "split(text, ' ') AS ws").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1))
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    def b16(t: String): Int = {
+      val d = md.digest(t.getBytes("UTF-8"))
+      ((d(0) & 0xff) << 8) | (d(1) & 0xff) // first 4 hex chars
+    }
+    val expect = docs.toMap.map { case (id, ws) =>
+      id -> (0 until 8).map(i =>
+        ws.map(t => if (((b16(t) >> i) & 1) == 1) 1L else -1L).sum)
+    }
+    rows.foreach { r =>
+      val want = expect(r.getLong(0))
+      (0 until 8).foreach(i => assert(r.getLong(2 + i) == want(i),
+        s"doc ${r.getLong(0)} dim $i"))
+    }
+  }
 }
