@@ -310,6 +310,19 @@ class PlanShapeSpec extends AnyFunSuite {
     // agg per partition, no window/sort pass over the store
     val vr = plan("store_vacuum_report")
     assert(!vr.contains("WindowExec") && !vr.contains("Window "), vr)
+    // moment-closed-form stats: pure partial+final hash aggs, no window
+    Seq("agg_ols_normal_eq", "agg_ols_tvf", "agg_partial_corr",
+      "text_hash_embed").foreach { k =>
+      val p = plan(k)
+      assert(p.contains("HashAggregate") && !p.contains("Window "),
+        s"$k: expected windowless hash-agg plan\n$p")
+    }
+    // prefix-fold recursions ride exactly ONE window pass (the
+    // collect_list), never a second sort/window
+    Seq("ts_cusum_page", "ts_ewma_chart", "ts_holt_winters").foreach { k =>
+      val p = plan(k)
+      assert("Window ".r.findAllIn(p).size == 1, s"$k: window count != 1\n$p")
+    }
   }
 
   test("no CartesianProduct outside the deliberate cross/pairs queries") {
