@@ -1320,6 +1320,59 @@ object TimeSeries {
               |  sv[1] AS seasonal_next, l + b + sv[1] AS forecast_next
               |FROM rec ORDER BY user_id, event_id""".stripMargin),
     ),
+    // WALD–WOLFOWITZ RUNS TEST: is the series' above/below-median
+    // pattern random, or does it trend/oscillate? R = number of sign
+    // runs; z = (R − (2n₁n₂/n + 1)) / √(2n₁n₂(2n₁n₂ − n)/(n²(n−1))).
+    // The threshold is the interpolated median of EXACT CENTS (integer
+    // inputs ⇒ (a+b)/2 identical doubles both engines — a raw double
+    // COMPARISON is safe only because the operands are exact);
+    // everything after is integer counting + one shared formula text.
+    OpSpec(
+      "ts_runs_test",
+      (s, d) => {
+        val base = ev(s, d).filter(col("user_id") === 7)
+          .select(col("event_id"),
+            (col("value").cast("decimal(18,2)") * 100).cast("bigint").as("cents"))
+        val med = base.agg(expr("percentile(cents, 0.5)").as("med"))
+        val w = Window.orderBy("event_id")
+        val signs = base.crossJoin(broadcast(med))
+          .filter(col("cents") =!= col("med")) // drop exact-median points
+          .withColumn("up", (col("cents") > col("med")).cast("bigint"))
+          .withColumn("flip",
+            when(lag(col("up"), 1).over(w).isNull, 0L)
+              .when(lag(col("up"), 1).over(w) =!= col("up"), 1L).otherwise(0L))
+        signs.agg(
+            sum(col("up")).as("n1"),
+            sum(lit(1L) - col("up")).as("n2"),
+            (sum(col("flip")) + lit(1L)).as("runs"))
+          .selectExpr("n1", "n2", "runs",
+            "cast(n1 + n2 as double) AS nd",
+            "cast(2 * n1 * n2 as double) AS p")
+          .selectExpr("n1", "n2", "runs",
+            "round((runs - (p / nd + 1.0)) / sqrt(p * (p - nd) / (nd * nd * (nd - 1.0))), 4) AS z")
+      },
+      Some("""WITH b AS (
+             |  SELECT event_id, cast(cast(value as decimal(18,2)) * 100 as bigint) AS cents
+             |  FROM events WHERE user_id = 7),
+             |m AS (SELECT quantile_cont(cents, 0.5) AS med FROM b),
+             |s AS (
+             |  SELECT event_id, CASE WHEN cents > med THEN 1 ELSE 0 END AS up
+             |  FROM b CROSS JOIN m WHERE cents <> med),
+             |f AS (
+             |  SELECT up, CASE WHEN lag(up, 1) OVER (ORDER BY event_id) IS NULL THEN 0
+             |    WHEN lag(up, 1) OVER (ORDER BY event_id) <> up THEN 1 ELSE 0 END AS flip
+             |  FROM s),
+             |a AS (
+             |  SELECT cast(sum(up) as bigint) AS n1,
+             |    cast(sum(1 - up) as bigint) AS n2,
+             |    cast(sum(flip) + 1 as bigint) AS runs
+             |  FROM f),
+             |d AS (SELECT n1, n2, runs, cast(n1 + n2 as double) AS nd,
+             |        cast(2 * n1 * n2 as double) AS p FROM a)
+             |SELECT n1, n2, runs,
+             |  round((runs - (p / nd + 1.0)) / sqrt(p * (p - nd) / (nd * nd * (nd - 1.0))), 4) AS z
+             |FROM d""".stripMargin),
+    ),
     // PAGE'S two-sided CUSUM (Page 1954, the SPC standard): S⁺ₜ =
     // max(0, S⁺ₜ₋₁ + (xₜ−μ) − k), S⁻ₜ = max(0, S⁻ₜ₋₁ − (xₜ−μ) − k),
     // alarm when either exceeds h — the RESETTING drift detector the

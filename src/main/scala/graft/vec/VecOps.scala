@@ -1080,6 +1080,30 @@ object VecOps {
               |FROM exact e LEFT JOIN approx a ON a.qid = e.qid AND a.vec_id = e.vec_id
               |GROUP BY e.qid ORDER BY qid""".stripMargin),
     ),
+    // IVF INDEX HEALTH: per-cell occupancy of the sign-quantizer index
+    // — the balance histogram an ANN operator reads before trusting
+    // nprobe math (a skewed cell means one probe scans half the
+    // corpus). One tiny agg + broadcast total; share via the half-up
+    // integer device.
+    OpSpec(
+      "vec_ivf_cell_stats",
+      (s, d) => {
+        val v = T.embeddings(s, d).select(expr(cellExpr).as("cell"))
+        val tot = v.agg(count(lit(1)).as("n_total"))
+        v.groupBy("cell").agg(count(lit(1)).as("n"))
+          .crossJoin(broadcast(tot))
+          .select(col("cell"), col("n"), col("n_total"),
+            (expr("cast((n * 20000 + n_total) div (2 * n_total) as double)")
+              / 10000.0).as("share"))
+          .orderBy("cell")
+      },
+      Some(s"""WITH v AS (SELECT $cellSql AS cell FROM embeddings),
+              |t AS (SELECT count(*) AS n_total FROM v)
+              |SELECT cell, count(*) AS n, t.n_total AS n_total,
+              |  cast((count(*) * 20000 + t.n_total) // (2 * t.n_total) as double)
+              |    / 10000.0 AS share
+              |FROM v CROSS JOIN t GROUP BY cell, t.n_total ORDER BY cell""".stripMargin),
+    ),
     // Embedding DRIFT monitor: per label, cosine between the centroids
     // of two deterministic cohorts (even vs odd vec_id — the A/B split
     // that exists at any scale). The number a production embedding

@@ -241,6 +241,39 @@ class MapAndStatsSpec extends AnyFunSuite {
     assert(got == want, s"$got != $want")
   }
 
+  test("runs test replays from sorted cents; IVF cell stats tile the corpus") {
+    import org.apache.spark.sql.functions._
+    def r4(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    val cents = graft.core.Tables.events(spark, TestSpark.sfSmoke)
+      .filter(col("user_id") === 7).orderBy("event_id")
+      .selectExpr("cast(cast(value as decimal(18,2)) * 100 as bigint) AS c")
+      .collect().map(_.getLong(0))
+    // interpolated median over exact ints, then runs over the
+    // median-dropped sign sequence in event order
+    val sorted = cents.sorted
+    val idx = (sorted.length - 1) * 0.5
+    val (lo, hi) = (sorted(idx.toInt), sorted(math.ceil(idx).toInt))
+    val med = lo + (hi - lo) * (idx - idx.toInt)
+    val ups = cents.filter(_.toDouble != med).map(c => c > med)
+    val n1 = ups.count(identity).toLong; val n2 = ups.length - n1
+    val runs = 1L + ups.sliding(2).count { w => w.length == 2 && w(0) != w(1) }
+    val nd = (n1 + n2).toDouble; val p = (2 * n1 * n2).toDouble
+    val z = r4((runs - (p / nd + 1.0)) /
+      math.sqrt(p * (p - nd) / (nd * nd * (nd - 1.0))))
+    val row = graft.ops.Registry.queries("ts_runs_test")(spark, TestSpark.sfSmoke).head()
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getDouble(3))
+      == ((n1, n2, runs, z)))
+    val cellRows = graft.ops.Registry.queries("vec_ivf_cell_stats")(spark, TestSpark.sfSmoke)
+      .collect()
+    val total = graft.core.Tables.embeddings(spark, TestSpark.sfSmoke).count()
+    assert(cellRows.map(_.getLong(1)).sum == total)
+    cellRows.foreach { r =>
+      assert(r.getDouble(3) ==
+        ((r.getLong(1) * 20000L + total) / (2L * total)).toDouble / 10000.0)
+    }
+  }
+
   test("histogram2d cells tile the events table exactly") {
     val rows = graft.ops.Registry.queries("agg_histogram2d")(spark, TestSpark.sfSmoke)
       .collect()
