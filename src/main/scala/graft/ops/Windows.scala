@@ -523,6 +523,52 @@ object Windows {
               |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
               |ORDER BY event_id""".stripMargin),
     ),
+    // HAMPEL FILTER — the robust rolling outlier CLEANER (flag where
+    // |x − med₅| > 3·1.4826·mad₅, replace with the window median):
+    // what a production TSDB runs before any model sees the data.
+    // Composes the two order-statistic devices above (exact 3rd-pick
+    // median and MAD — no interpolation); the 3·1.4826 factor ships as
+    // the SINGLE literal 4.4478 in both engines (a literal×literal
+    // product would be decimal-exact in DuckDB but double-rounded in
+    // Spark — the ts_ewma_chart dialect split). NULL until the frame
+    // fills.
+    OpSpec(
+      "win_hampel_filter",
+      (s, d) =>
+        ev(s, d)
+          .withColumn("rn5", count(lit(1)).over(roll5))
+          .withColumn("ws", collect_list(col("value")).over(roll5))
+          // try_element_at: warm-up rows carry < 3 elements; the rn5
+          // gate below nulls their outputs, but the projection still
+          // evaluates here
+          .withColumn("med", expr("try_element_at(array_sort(ws), 3)"))
+          .withColumn("mad", expr(
+            "try_element_at(array_sort(transform(ws, x -> abs(x - try_element_at(array_sort(ws), 3)))), 3)"))
+          .select(col("event_id"), col("user_id"), col("value"),
+            // int flag, not boolean: a NULLABLE bool column dtype-splits
+            // the driver comparator (object-with-None vs duckdb's float)
+            when(col("rn5") === 5,
+              expr("cast(abs(value - med) > 4.4478D * mad as int)")).as("is_outlier"),
+            when(col("rn5") === 5, expr(
+              "CASE WHEN abs(value - med) > 4.4478D * mad THEN med ELSE value END"))
+              .as("cleaned"))
+          .orderBy("event_id"),
+      Some(s"""SELECT event_id, user_id, value,
+              |  CASE WHEN cnt = 5 THEN cast(abs(value - med) > 4.4478 * mad as int) END AS is_outlier,
+              |  CASE WHEN cnt = 5 THEN
+              |    CASE WHEN abs(value - med) > 4.4478 * mad THEN med ELSE value END
+              |  END AS cleaned
+              |FROM (
+              |  SELECT event_id, user_id, value, cnt,
+              |    list_sort(lw)[3] AS med,
+              |    list_sort(list_transform(lw, x -> abs(x - list_sort(lw)[3])))[3] AS mad
+              |  FROM (
+              |    SELECT event_id, user_id, value,
+              |      count(*) OVER w AS cnt, list(value) OVER w AS lw
+              |    FROM $EV
+              |    WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)))
+              |ORDER BY event_id""".stripMargin),
+    ),
     // diff(periods=3) [P core/frame.py:10028]: the periods parameter is
     // just lag's offset — declared at n=3 to pin the generalized form
     // (win_diff pins n=1). Exact via the decimal device.

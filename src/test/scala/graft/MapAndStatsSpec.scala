@@ -241,6 +241,23 @@ class MapAndStatsSpec extends AnyFunSuite {
     assert(got == want, s"$got != $want")
   }
 
+  test("Hampel filter: identity off-flag, median-replacement on-flag, warm-up NULLs") {
+    val rows = graft.ops.Registry.queries("win_hampel_filter")(spark, TestSpark.sfSmoke)
+      .collect()
+    assert(rows.nonEmpty)
+    var warm = 0
+    rows.foreach { r =>
+      if (r.isNullAt(3)) { assert(r.isNullAt(4)); warm += 1 }
+      else if (r.getInt(3) == 0) assert(r.getDouble(4) == r.getDouble(2),
+        s"event ${r.getLong(0)}: non-outlier must pass through")
+      else assert(r.getDouble(4) != r.getDouble(2),
+        s"event ${r.getLong(0)}: outlier must be replaced by the window median")
+    }
+    // exactly 4 warm-up rows per user (the 5-row frame's min_periods)
+    val nUsers = rows.map(_.getLong(1)).distinct.length
+    assert(warm == 4 * nUsers)
+  }
+
   test("runs test replays from sorted cents; IVF cell stats tile the corpus") {
     import org.apache.spark.sql.functions._
     def r4(x: Double) = java.math.BigDecimal.valueOf(x)
