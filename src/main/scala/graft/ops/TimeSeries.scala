@@ -1320,6 +1320,53 @@ object TimeSeries {
               |  sv[1] AS seasonal_next, l + b + sv[1] AS forecast_next
               |FROM rec ORDER BY user_id, event_id""".stripMargin),
     ),
+    // THEIL–SEN robust trend (Sen 1968): slope = median of all C(n,2)
+    // pairwise slopes over the DAILY value-mass series, intercept =
+    // median residual — the trend estimate a single outlier day can't
+    // drag (unlike the OLS fit). The pair explode is over the
+    // TIME-BOUNDED daily aggregate (30 rows → 435 pairs; at 100 TB the
+    // daily series is still ~365·years rows — the fact table never
+    // self-joins). Slopes are exact-input doubles with one shared
+    // division text ⇒ identical multisets; medians via the proven
+    // percentile ≡ quantile_cont device, r4.
+    OpSpec(
+      "ts_theil_sen",
+      (s, d) => {
+        val daily = ev(s, d)
+          .groupBy(dayofmonth(col("ts")).cast("bigint").as("i"))
+          .agg(dsum(col("value")).as("y"))
+        val a = daily.select(col("i").as("ia"), col("y").as("ya"))
+        val b = daily.select(col("i").as("ib"), col("y").as("yb"))
+        val mMed = a.join(broadcast(b), col("ia") < col("ib"))
+          .select(((col("yb") - col("ya")) /
+            (col("ib") - col("ia")).cast("double")).as("m"))
+          .agg(expr("percentile(m, 0.5)").as("m"), count(lit(1)).as("n_pairs"))
+        daily.crossJoin(broadcast(mMed))
+          .select(col("m"), col("n_pairs"),
+            (col("y") - col("m") * col("i").cast("double")).as("r"))
+          .groupBy("m", "n_pairs")
+          .agg(count(lit(1)).as("n_days"),
+            expr("percentile(r, 0.5)").as("b"))
+          .select(col("n_days"), col("n_pairs"),
+            P.r4(col("m")).as("slope"), P.r4(col("b")).as("intercept"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT cast(extract(day FROM ts) as bigint) AS i,
+             |    cast(sum(cast(value as decimal(18,2))) as double) AS y
+             |  FROM events GROUP BY 1),
+             |sl AS (
+             |  SELECT (b.y - a.y) / cast(b.i - a.i as double) AS m
+             |  FROM daily a JOIN daily b ON a.i < b.i),
+             |mm AS (SELECT quantile_cont(m, 0.5) AS m, count(*) AS n_pairs FROM sl),
+             |res AS (
+             |  SELECT mm.m, mm.n_pairs,
+             |    d.y - mm.m * cast(d.i as double) AS r
+             |  FROM daily d CROSS JOIN mm)
+             |SELECT count(*) AS n_days, n_pairs,
+             |  round(m, 4) AS slope,
+             |  round(quantile_cont(r, 0.5), 4) AS intercept
+             |FROM res GROUP BY m, n_pairs""".stripMargin),
+    ),
     // WALD–WOLFOWITZ RUNS TEST: is the series' above/below-median
     // pattern random, or does it trend/oscillate? R = number of sign
     // runs; z = (R − (2n₁n₂/n + 1)) / √(2n₁n₂(2n₁n₂ − n)/(n²(n−1))).

@@ -535,6 +535,45 @@ object StreamOps {
         TimeMode.None(), OutputMode.Append())
   }
 
+  /** Streaming PAGE CUSUM — live twin of the declared ts_cusum_page:
+    * per key 16 bytes of state (the resetting S⁺/S⁻ pair), the
+    * baseline mean broadcast in, alarms at h. The exact fold sequence
+    * of the declared query ⇒ under the in-order feed contract the
+    * emissions equal the batch rows bit-for-bit (StreamingSpec). */
+  case class PageIn(user_id: Long, event_id: Long, value: Double)
+  case class PageOut(user_id: Long, event_id: Long, cusum_pos: Double,
+                     cusum_neg: Double, alarm: Boolean)
+  case class PageState(sp: Double, sn: Double)
+
+  private class PageProcessor(mu: Map[Long, Double], k: Double, h: Double)
+      extends StatefulProcessor[Long, PageIn, PageOut] {
+    @transient private var st: ValueState[PageState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[PageState](
+        "page", Encoders.product[PageState], TTLConfig.NONE)
+    override def handleInputRows(
+        user: Long, rows: Iterator[PageIn], tv: TimerValues): Iterator[PageOut] = {
+      val m = mu(user)
+      var s = Option(st.get()).getOrElse(PageState(0.0, 0.0))
+      val out = rows.toSeq.sortBy(_.event_id).map { r =>
+        s = PageState(
+          math.max(0.0, s.sp + (r.value - m) - k),
+          math.max(0.0, s.sn - (r.value - m) - k))
+        PageOut(user, r.event_id, s.sp, s.sn, s.sp > h || s.sn > h)
+      }
+      st.update(s)
+      out.iterator
+    }
+  }
+
+  def streamingPageCusum(events: Dataset[PageIn], mu: Map[Long, Double],
+                         k: Double = 5.0, h: Double = 50.0): Dataset[PageOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new PageProcessor(mu, k, h),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** Streaming HOLT-WINTERS — the live forecaster twin of the declared
     * ts_holt_winters_keyed: per key the FULL smoother state rides in
     * ONE ValueState — level, trend, and the m-slot seasonal vector

@@ -241,6 +241,31 @@ class MapAndStatsSpec extends AnyFunSuite {
     assert(got == want, s"$got != $want")
   }
 
+  test("Theil-Sen replays from daily sums; pair accounting exact") {
+    import org.apache.spark.sql.functions._
+    def r4(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    def medCont(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val idx = (s.length - 1) * 0.5
+      val (lo, hi) = (s(idx.toInt), s(math.ceil(idx).toInt))
+      lo + (hi - lo) * (idx - idx.toInt)
+    }
+    val daily = graft.core.Tables.events(spark, TestSpark.sfSmoke)
+      .groupBy(dayofmonth(col("ts")).cast("long").as("i"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("y"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    val slopes = for {
+      (ia, ya) <- daily; (ib, yb) <- daily if ia < ib
+    } yield (yb - ya) / (ib - ia).toDouble
+    val m = medCont(slopes.toSeq)
+    val b = medCont(daily.map { case (i, y) => y - m * i.toDouble }.toSeq)
+    val row = graft.ops.Registry.queries("ts_theil_sen")(spark, TestSpark.sfSmoke).head()
+    assert(row.getLong(0) == daily.length && row.getLong(1) == slopes.length)
+    assert((row.getDouble(2), row.getDouble(3)) == ((r4(m), r4(b))),
+      s"(${row.getDouble(2)}, ${row.getDouble(3)}) != (${r4(m)}, ${r4(b)})")
+  }
+
   test("Hampel filter: identity off-flag, median-replacement on-flag, warm-up NULLs") {
     val rows = graft.ops.Registry.queries("win_hampel_filter")(spark, TestSpark.sfSmoke)
       .collect()

@@ -380,6 +380,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch) // bit-exact incl. both r4s
   }
 
+  test("streaming Page CUSUM equals the declared batch query row-for-row") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the batch op runs on user 7 with the exact-decimal series mean
+    val mu = graft.core.Tables.events(spark, TestSpark.sfSmoke)
+      .filter(col("user_id") === 7)
+      .agg((org.apache.spark.sql.functions.sum(
+          col("value").cast("decimal(18,2)")).cast("double") /
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1))).as("mu"))
+      .head().getDouble(0)
+    val inRows = eventRows.filter(_.user_id == 7)
+      .map(e => StreamOps.PageIn(e.user_id, e.event_id, e.value))
+      .sortBy(_.event_id)
+    val ms = MemoryStream[StreamOps.PageIn]
+    val q = StreamOps.streamingPageCusum(ms.toDS(), Map(7L -> mu))
+      .writeStream.format("memory").queryName("t_page").outputMode("append").start()
+    val (a, b) = inRows.splitAt(inRows.size / 2)
+    ms.addData(a); q.processAllAvailable()
+    ms.addData(b); q.processAllAvailable() // S+/S- cross the boundary
+    q.stop()
+    val streamed = spark.table("t_page").collect()
+      .map(r => r.getLong(1) -> ((r.getDouble(2), r.getDouble(3), r.getBoolean(4))))
+      .toMap
+    val batch = graft.ops.Registry.queries("ts_cusum_page")(spark, TestSpark.sfSmoke)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(2), r.getDouble(3), r.getBoolean(4))))
+      .toMap
+    assert(streamed.nonEmpty && streamed == batch) // bit-exact
+  }
+
   test("streaming Holt-Winters equals the declared batch keyed query row-for-row") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
