@@ -1367,6 +1367,57 @@ object TimeSeries {
              |  round(quantile_cont(r, 0.5), 4) AS intercept
              |FROM res GROUP BY m, n_pairs""".stripMargin),
     ),
+    // MANN–KENDALL trend TEST (Mann 1945; Theil–Sen's standard
+    // companion — Sen estimates the slope, MK decides if it's real):
+    // S = Σ_{i<j} sign(yⱼ−yᵢ), tie-corrected var(S) = [n(n−1)(2n+5) −
+    // Σₜ t(t−1)(2t+5)]/18, z with the ±1 continuity correction. S and
+    // the tie sums are EXACT INTEGERS (sign counting over the daily
+    // CENTS series — equality is int equality, no epsilon); only the
+    // final z division is floating, in one shared text.
+    OpSpec(
+      "ts_mann_kendall",
+      (s, d) => {
+        val daily = ev(s, d)
+          .groupBy(dayofmonth(col("ts")).cast("bigint").as("i"))
+          .agg(sum((col("value").cast("decimal(18,2)") * 100).cast("bigint"))
+            .as("yc"))
+        val a = daily.select(col("i").as("ia"), col("yc").as("ya"))
+        val b = daily.select(col("i").as("ib"), col("yc").as("yb"))
+        val sAgg = a.join(broadcast(b), col("ia") < col("ib"))
+          .agg(sum(signum(col("yb") - col("ya")).cast("bigint")).as("s_stat"))
+        val ties = daily.groupBy("yc").agg(count(lit(1)).as("t"))
+          .agg(coalesce(sum(expr("t * (t - 1) * (2 * t + 5)")), lit(0L)).as("tie_sum"))
+        val nRow = daily.agg(count(lit(1)).as("n_days"))
+        nRow.crossJoin(broadcast(sAgg)).crossJoin(broadcast(ties))
+          .selectExpr("n_days", "s_stat",
+            "cast(n_days * (n_days - 1) * (2 * n_days + 5) - tie_sum as double) / 18.0 AS v")
+          .selectExpr("n_days", "s_stat",
+            """round(CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(v)
+              |  WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(v)
+              |  ELSE 0.0 END, 4) AS z""".stripMargin)
+      },
+      Some("""WITH daily AS (
+             |  SELECT cast(extract(day FROM ts) as bigint) AS i,
+             |    cast(sum(cast(cast(value as decimal(18,2)) * 100 as bigint)) as bigint) AS yc
+             |  FROM events GROUP BY 1),
+             |sa AS (
+             |  SELECT cast(sum(CASE WHEN b.yc > a.yc THEN 1
+             |    WHEN b.yc < a.yc THEN -1 ELSE 0 END) as bigint) AS s_stat
+             |  FROM daily a JOIN daily b ON a.i < b.i),
+             |ti AS (
+             |  SELECT cast(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) as bigint) AS tie_sum
+             |  FROM (SELECT count(*) AS t FROM daily GROUP BY yc)),
+             |nr AS (SELECT count(*) AS n_days FROM daily),
+             |vv AS (
+             |  SELECT n_days, s_stat,
+             |    cast(n_days * (n_days - 1) * (2 * n_days + 5) - tie_sum as double) / 18.0 AS v
+             |  FROM nr CROSS JOIN sa CROSS JOIN ti)
+             |SELECT n_days, s_stat,
+             |  round(CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(v)
+             |    WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(v)
+             |    ELSE 0.0 END, 4) AS z
+             |FROM vv""".stripMargin),
+    ),
     // WALD–WOLFOWITZ RUNS TEST: is the series' above/below-median
     // pattern random, or does it trend/oscillate? R = number of sign
     // runs; z = (R − (2n₁n₂/n + 1)) / √(2n₁n₂(2n₁n₂ − n)/(n²(n−1))).

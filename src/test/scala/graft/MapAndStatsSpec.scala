@@ -241,6 +241,26 @@ class MapAndStatsSpec extends AnyFunSuite {
     assert(got == want, s"$got != $want")
   }
 
+  test("Mann-Kendall replays from daily cents; S and tie sums are exact integers") {
+    import org.apache.spark.sql.functions._
+    def r4(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    val daily = graft.core.Tables.events(spark, TestSpark.sfSmoke)
+      .groupBy(dayofmonth(col("ts")).cast("long").as("i"))
+      .agg(sum((col("value").cast("decimal(18,2)") * 100).cast("long")).as("yc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val sStat = (for { (ia, ya) <- daily; (ib, yb) <- daily if ia < ib }
+      yield java.lang.Long.signum(yb - ya).toLong).sum
+    val n = daily.length.toLong
+    val tieSum = daily.groupBy(_._2).values.map(_.length.toLong)
+      .map(t => t * (t - 1) * (2 * t + 5)).sum
+    val v = (n * (n - 1) * (2 * n + 5) - tieSum).toDouble / 18.0
+    val z = r4(if (sStat > 0) (sStat - 1) / math.sqrt(v)
+      else if (sStat < 0) (sStat + 1) / math.sqrt(v) else 0.0)
+    val row = graft.ops.Registry.queries("ts_mann_kendall")(spark, TestSpark.sfSmoke).head()
+    assert((row.getLong(0), row.getLong(1), row.getDouble(2)) == ((n, sStat, z)))
+  }
+
   test("Theil-Sen replays from daily sums; pair accounting exact") {
     import org.apache.spark.sql.functions._
     def r4(x: Double) = java.math.BigDecimal.valueOf(x)
