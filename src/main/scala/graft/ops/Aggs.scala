@@ -1600,6 +1600,54 @@ object Aggs {
         "event_type", "x1", "x2", "value"),
       olsOracle,
     ),
+    // GRUBBS' statistic (Grubbs 1950): G = max|x−x̄|/s per group plus
+    // WHICH point attains it — the single-outlier screen run before
+    // any Gaussian assumption. μ/σ from exact moments broadcast back;
+    // the per-row deviation is one shared expression of identical
+    // doubles, so `dev = G` is an exact equality match both engines
+    // (argmax ties break to the smallest event_id via min).
+    OpSpec(
+      "agg_grubbs_stat",
+      (s, d) => {
+        val stats = T.events(s, d).groupBy("event_type").agg(
+            count(lit(1)).cast("double").as("nd"),
+            dsum(col("value")).as("sy"),
+            dsumsq(col("value")).as("syy"))
+          .selectExpr("event_type", "nd", "sy / nd AS mu",
+            "sqrt((syy - sy * sy / nd) / (nd - 1)) AS sd")
+        val dev = T.events(s, d).select(col("event_type"), col("event_id"), col("value"))
+          .join(broadcast(stats), "event_type")
+          .withColumn("g", expr("abs(value - mu) / sd"))
+        val gMax = dev.groupBy("event_type").agg(max(col("g")).as("g_max"))
+        dev.join(broadcast(gMax), "event_type")
+          .filter(col("g") === col("g_max"))
+          .groupBy("event_type")
+          .agg(min(col("event_id")).as("outlier_event_id"),
+            graft.core.Policy.r4(max(col("g_max"))).as("grubbs_g"),
+            max(col("nd")).cast("bigint").as("n"))
+          .select(col("event_type"), col("n"), col("grubbs_g"),
+            col("outlier_event_id"))
+          .orderBy("event_type")
+      },
+      Some("""WITH st AS (
+             |  SELECT event_type, nd, sy / nd AS mu,
+             |    sqrt((syy - sy * sy / nd) / (nd - 1)) AS sd
+             |  FROM (
+             |    SELECT event_type, cast(count(*) as double) AS nd,
+             |      cast(sum(cast(value as decimal(18,2))) as double) AS sy,
+             |      cast(sum(cast(cast(value as decimal(18,2)) * cast(value as decimal(18,2)) as decimal(38,4))) as double) AS syy
+             |    FROM events GROUP BY event_type)),
+             |dev AS (
+             |  SELECT e.event_type, e.event_id, st.nd,
+             |    abs(e.value - st.mu) / st.sd AS g
+             |  FROM events e JOIN st USING (event_type)),
+             |gm AS (SELECT event_type, max(g) AS g_max FROM dev GROUP BY event_type)
+             |SELECT d.event_type, cast(max(d.nd) as bigint) AS n,
+             |  round(max(gm.g_max), 4) AS grubbs_g,
+             |  min(d.event_id) AS outlier_event_id
+             |FROM dev d JOIN gm ON gm.event_type = d.event_type AND d.g = gm.g_max
+             |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin),
+    ),
     // PARTIAL correlation (value ~ hour, CONTROLLING weekday): r_xy·z
     // = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)) — the statistic that
     // answers "is the hour effect real or just the weekday mix?",

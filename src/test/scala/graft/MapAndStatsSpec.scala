@@ -241,6 +241,34 @@ class MapAndStatsSpec extends AnyFunSuite {
     assert(got == want, s"$got != $want")
   }
 
+  test("Grubbs statistic replays from exact moments; argmax id deterministic") {
+    import org.apache.spark.sql.functions._
+    def r4(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    def cents(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(2, java.math.RoundingMode.HALF_UP).unscaledValue().longValueExact()
+    val rows = graft.core.Tables.events(spark, TestSpark.sfSmoke)
+      .select("event_type", "event_id", "value")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val want = rows.groupBy(_._1).map { case (et, g) =>
+      val nd = g.length.toDouble
+      val sy = java.math.BigDecimal.valueOf(g.map(r => cents(r._3)).sum, 2).doubleValue
+      val syy = java.math.BigDecimal.valueOf(
+        g.map(r => cents(r._3) * cents(r._3)).sum, 4).doubleValue
+      val mu = sy / nd
+      val sd = math.sqrt((syy - sy * sy / nd) / (nd - 1))
+      val devs = g.map { case (_, id, v) => (id, math.abs(v - mu) / sd) }
+      val gMax = devs.map(_._2).max
+      et -> ((g.length.toLong, r4(gMax),
+        devs.filter(_._2 == gMax).map(_._1).min))
+    }
+    val got = graft.ops.Registry.queries("agg_grubbs_stat")(spark, TestSpark.sfSmoke)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3))))
+      .toMap
+    assert(got == want, s"$got != $want")
+  }
+
   test("Mann-Kendall replays from daily cents; S and tie sums are exact integers") {
     import org.apache.spark.sql.functions._
     def r4(x: Double) = java.math.BigDecimal.valueOf(x)
