@@ -25,6 +25,23 @@ object TimeSeries {
   private def dsum(c: org.apache.spark.sql.Column) =
     sum(P.dec2(c)).cast("double")
 
+  // Durbin–Levinson steps for ts_pacf, ONE shared expression text per
+  // step evaluated by both engines (each step references only earlier
+  // aliases, so the chain is a plain select/CTE cascade — no fold):
+  // aₖ = PACF(k), pₖⱼ = AR(k) coefficient j.
+  private val dlSteps: Seq[String] = Seq(
+    "r1 AS a1",
+    "(r2 - a1 * r1) / (1.0 - a1 * r1) AS a2",
+    "a1 - a2 * a1 AS p21",
+    "(r3 - (p21 * r2 + a2 * r1)) / (1.0 - (p21 * r1 + a2 * r2)) AS a3",
+    "p21 - a3 * a2 AS p31",
+    "a2 - a3 * p21 AS p32",
+    "(r4 - (p31 * r3 + p32 * r2 + a3 * r1)) / (1.0 - (p31 * r1 + p32 * r2 + a3 * r3)) AS a4",
+    "p31 - a4 * a3 AS p41",
+    "p32 - a4 * p32 AS p42",
+    "a3 - a4 * p31 AS p43",
+    "(r5 - (p41 * r4 + p42 * r3 + p43 * r2 + a4 * r1)) / (1.0 - (p41 * r1 + p42 * r2 + p43 * r3 + a4 * r4)) AS a5")
+
   // Holt-Winters level update l' = α(x − s₁) + (1−α)(l + b), spelled
   // once per engine so every repetition inside the step is the same
   // text (ts_holt_winters; complements as literals, never 1−α).
@@ -1319,6 +1336,62 @@ object TimeSeries {
               |SELECT user_id, event_id, l AS level, b AS trend,
               |  sv[1] AS seasonal_next, l + b + sv[1] AS forecast_next
               |FROM rec ORDER BY user_id, event_id""".stripMargin),
+    ),
+    // PACF via DURBIN–LEVINSON (the second panel of every AR-order
+    // diagnostic, pandas plot_pacf): standard ρₖ = cₖ/c₀ from the
+    // single series (mean-centered lag products folded IN EVENT ORDER
+    // over the collected array — both engines the same ascending-t
+    // fold), then the DL recursion UNROLLED to k = 5 as a cascade of
+    // shared per-step expressions (dlSteps — no fold, each step only
+    // references earlier aliases). ACF and PACF emitted side by side,
+    // r4.
+    OpSpec(
+      "ts_pacf",
+      (s, d) => {
+        val base = ev(s, d).filter(col("user_id") === 7)
+        val ser = base.agg(
+          expr("transform(array_sort(collect_list(named_struct('i', event_id, 'v', value))), x -> x.v)")
+            .as("arr"),
+          (sum(P.dec2(col("value"))).cast("double") / count(lit(1))).as("mu"))
+        def ck(k: Int) =
+          s"""aggregate(sequence(1, size(arr) - $k), 0D,
+             |  (acc, t) -> acc + (element_at(arr, t) - mu) * (element_at(arr, t + $k) - mu))""".stripMargin
+        val withR = ser
+          .selectExpr((0 to 5).map(k => s"${ck(k)} AS c$k"): _*)
+          .selectExpr((1 to 5).map(k => s"c$k / c0 AS r$k"): _*)
+        val dl = dlSteps.foldLeft(withR)((df, step) => df.selectExpr("*", step))
+        dl.selectExpr(
+            """stack(5, 1L, r1, a1, 2L, r2, a2, 3L, r3, a3, 4L, r4, a4, 5L, r5, a5)
+              |AS (k, acf_raw, pacf_raw)""".stripMargin)
+          .selectExpr("k", "round(acf_raw, 4) AS acf", "round(pacf_raw, 4) AS pacf")
+          .orderBy("k")
+      },
+      Some {
+        val ckSql = (0 to 5).map(k =>
+          s"""list_reduce(list_prepend(0.0, list_transform(range(1, len(arr) - ${k - 1}),
+             |    t -> (arr[t] - mu) * (arr[t + $k] - mu))), (acc, x) -> acc + x) AS c$k""".stripMargin)
+          .mkString(",\n|  ")
+        val dlCtes = dlSteps.zipWithIndex.map { case (step, i) =>
+          s"q${i + 1} AS (SELECT *, $step FROM q$i)"
+        }.mkString(",\n|")
+        s"""WITH b AS (SELECT event_id, value FROM events WHERE user_id = 7),
+           |s AS (
+           |  SELECT list(value ORDER BY event_id) AS arr,
+           |    cast(sum(cast(value as decimal(18,2))) as double) / count(*) AS mu
+           |  FROM b),
+           |c AS (
+           |  SELECT
+           |  $ckSql
+           |  FROM s),
+           |q0 AS (SELECT ${(1 to 5).map(k => s"c$k / c0 AS r$k").mkString(", ")} FROM c),
+           |$dlCtes,
+           |st AS (
+           |  ${(1 to 5).map(k =>
+                s"SELECT cast($k as bigint) AS k, r$k AS acf_raw, a$k AS pacf_raw FROM q${dlSteps.length}")
+                .mkString("\n|  UNION ALL ")})
+           |SELECT k, round(acf_raw, 4) AS acf, round(pacf_raw, 4) AS pacf
+           |FROM st ORDER BY k""".stripMargin
+      },
     ),
     // THEIL–SEN robust trend (Sen 1968): slope = median of all C(n,2)
     // pairwise slopes over the DAILY value-mass series, intercept =

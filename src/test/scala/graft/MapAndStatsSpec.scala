@@ -241,6 +241,41 @@ class MapAndStatsSpec extends AnyFunSuite {
     assert(got == want, s"$got != $want")
   }
 
+  test("PACF: Durbin-Levinson replay matches; PACF(1) == ACF(1)") {
+    import org.apache.spark.sql.functions._
+    def r4(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    def cents(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(2, java.math.RoundingMode.HALF_UP).unscaledValue().longValueExact()
+    val xs = graft.core.Tables.events(spark, TestSpark.sfSmoke)
+      .filter(col("user_id") === 7).orderBy("event_id")
+      .select("value").collect().map(_.getDouble(0))
+    val mu = java.math.BigDecimal.valueOf(xs.map(cents).sum, 2).doubleValue / xs.length
+    def c(k: Int) = {
+      var acc = 0.0
+      (0 until xs.length - k).foreach(t => acc += (xs(t) - mu) * (xs(t + k) - mu))
+      acc
+    }
+    val r = (1 to 5).map(k => c(k) / c(0))
+    // the dlSteps cascade, op order preserved
+    val a1 = r(0)
+    val a2 = (r(1) - a1 * r(0)) / (1.0 - a1 * r(0))
+    val p21 = a1 - a2 * a1
+    val a3 = (r(2) - (p21 * r(1) + a2 * r(0))) / (1.0 - (p21 * r(0) + a2 * r(1)))
+    val p31 = p21 - a3 * a2; val p32 = a2 - a3 * p21
+    val a4 = (r(3) - (p31 * r(2) + p32 * r(1) + a3 * r(0))) /
+      (1.0 - (p31 * r(0) + p32 * r(1) + a3 * r(2)))
+    val p41 = p31 - a4 * a3; val p42 = p32 - a4 * p32; val p43 = a3 - a4 * p31
+    val a5 = (r(4) - (p41 * r(3) + p42 * r(2) + p43 * r(1) + a4 * r(0))) /
+      (1.0 - (p41 * r(0) + p42 * r(1) + p43 * r(2) + a4 * r(3)))
+    val want = Seq(a1, a2, a3, a4, a5).zip(r).zipWithIndex
+      .map { case ((a, rk), i) => (i + 1L, r4(rk), r4(a)) }
+    val got = graft.ops.Registry.queries("ts_pacf")(spark, TestSpark.sfSmoke)
+      .collect().map(row => (row.getLong(0), row.getDouble(1), row.getDouble(2)))
+    assert(got.toSeq == want, s"${got.toSeq} != $want")
+    assert(got.head._2 == got.head._3, "PACF(1) must equal ACF(1)")
+  }
+
   test("Grubbs statistic replays from exact moments; argmax id deterministic") {
     import org.apache.spark.sql.functions._
     def r4(x: Double) = java.math.BigDecimal.valueOf(x)
