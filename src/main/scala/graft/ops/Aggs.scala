@@ -1600,6 +1600,54 @@ object Aggs {
         "event_type", "x1", "x2", "value"),
       olsOracle,
     ),
+    // JARQUE–BERA normality test per group: JB = n/6·(S² + K²/4) from
+    // the same population moments as agg_skew_kurt — skew/kurt are
+    // SCALE-INVARIANT, so the moments run over exact integer CENTS
+    // (value·100) and every sum is exact (Σx⁴ as decimal(38,0) —
+    // 49002⁴ fits a long per element, never in the sum). One shared
+    // formula text end to end.
+    {
+      val mean = "(s1 / n)"
+      val m2 = s"(s2 / n - $mean * $mean)"
+      val m3 = s"(s3 / n - 3 * $mean * s2 / n + 2 * $mean * $mean * $mean)"
+      val m4 = s"(s4 / n - 4 * $mean * s3 / n + 6 * $mean * $mean * s2 / n - 3 * $mean * $mean * $mean * $mean)"
+      val sk = s"($m3 / ($m2 * sqrt($m2)))"
+      val ku = s"($m4 / ($m2 * $m2) - 3)"
+      val jb = s"round(n / 6.0 * ($sk * $sk + $ku * $ku / 4.0), 4)"
+      OpSpec(
+        "agg_jarque_bera",
+        (s, d) => {
+          val xi = (col("value").cast("decimal(18,2)") * 100).cast("bigint")
+          T.events(s, d)
+            .groupBy("event_type")
+            .agg(
+              count(lit(1)).cast("double").as("n"),
+              sum(xi).cast("double").as("s1"),
+              sum((xi * xi).cast("decimal(38,0)")).cast("double").as("s2"),
+              sum((xi * xi * xi).cast("decimal(38,0)")).cast("double").as("s3"),
+              sum((xi * xi * xi * xi).cast("decimal(38,0)")).cast("double").as("s4"))
+            .selectExpr("event_type", "cast(n as bigint) AS n_rows",
+              s"round($sk, 4) AS skew", s"round($ku, 4) AS kurt",
+              s"$jb AS jb")
+            .orderBy("event_type")
+        },
+        Some(s"""SELECT event_type, cast(n as bigint) AS n_rows,
+                |  round($sk, 4) AS skew, round($ku, 4) AS kurt,
+                |  $jb AS jb
+                |FROM (
+                |  SELECT event_type,
+                |    cast(count(*) as double) AS n,
+                |    cast(sum(x) as double) AS s1,
+                |    cast(sum(x * x) as double) AS s2,
+                |    cast(sum(x * x * x) as double) AS s3,
+                |    cast(sum(x * x * x * x) as double) AS s4
+                |  FROM (SELECT event_type,
+                |          cast(cast(value as decimal(18,2)) * 100 as bigint) AS x
+                |        FROM events)
+                |  GROUP BY event_type)
+                |ORDER BY event_type""".stripMargin),
+      )
+    },
     // GRUBBS' statistic (Grubbs 1950): G = max|x−x̄|/s per group plus
     // WHICH point attains it — the single-outlier screen run before
     // any Gaussian assumption. μ/σ from exact moments broadcast back;

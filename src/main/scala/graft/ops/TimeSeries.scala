@@ -1393,6 +1393,53 @@ object TimeSeries {
            |FROM st ORDER BY k""".stripMargin
       },
     ),
+    // LJUNG–BOX portmanteau (Ljung & Box 1978): Q = n(n+2)·Σₖ r²ₖ/(n−k)
+    // at lags 1–5 — the white-noise test read NEXT TO acf/pacf (is
+    // there any autocorrelation left?). Reuses ts_pacf's exact c_k/r_k
+    // machinery verbatim; the Q combination is one shared text.
+    OpSpec(
+      "ts_ljung_box",
+      (s, d) => {
+        val base = ev(s, d).filter(col("user_id") === 7)
+        val ser = base.agg(
+          expr("transform(array_sort(collect_list(named_struct('i', event_id, 'v', value))), x -> x.v)")
+            .as("arr"),
+          (sum(P.dec2(col("value"))).cast("double") / count(lit(1))).as("mu"),
+          count(lit(1)).cast("double").as("nd"))
+        def ck(k: Int) =
+          s"""aggregate(sequence(1, size(arr) - $k), 0D,
+             |  (acc, t) -> acc + (element_at(arr, t) - mu) * (element_at(arr, t + $k) - mu))""".stripMargin
+        ser
+          .selectExpr(Seq("nd") ++ (0 to 5).map(k => s"${ck(k)} AS c$k"): _*)
+          .selectExpr(Seq("nd") ++ (1 to 5).map(k => s"c$k / c0 AS r$k"): _*)
+          .selectExpr("cast(nd as bigint) AS n",
+            s"""round(nd * (nd + 2.0) * (${(1 to 5).map(k =>
+                 s"r$k * r$k / (nd - $k)").mkString(" + ")}), 4) AS q_lb""",
+            "cast(5 as bigint) AS dof")
+      },
+      Some {
+        val ckSql = (0 to 5).map(k =>
+          s"""list_reduce(list_prepend(0.0, list_transform(range(1, len(arr) - ${k - 1}),
+             |    t -> (arr[t] - mu) * (arr[t + $k] - mu))), (acc, x) -> acc + x) AS c$k""".stripMargin)
+          .mkString(",\n|  ")
+        s"""WITH b AS (SELECT event_id, value FROM events WHERE user_id = 7),
+           |s AS (
+           |  SELECT list(value ORDER BY event_id) AS arr,
+           |    cast(sum(cast(value as decimal(18,2))) as double) / count(*) AS mu,
+           |    cast(count(*) as double) AS nd
+           |  FROM b),
+           |c AS (
+           |  SELECT nd,
+           |  $ckSql
+           |  FROM s),
+           |r AS (SELECT nd, ${(1 to 5).map(k => s"c$k / c0 AS r$k").mkString(", ")} FROM c)
+           |SELECT cast(nd as bigint) AS n,
+           |  round(nd * (nd + 2.0) * (${(1 to 5).map(k =>
+                s"r$k * r$k / (nd - $k)").mkString(" + ")}), 4) AS q_lb,
+           |  cast(5 as bigint) AS dof
+           |FROM r""".stripMargin
+      },
+    ),
     // THEIL–SEN robust trend (Sen 1968): slope = median of all C(n,2)
     // pairwise slopes over the DAILY value-mass series, intercept =
     // median residual — the trend estimate a single outlier day can't

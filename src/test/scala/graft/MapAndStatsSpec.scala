@@ -276,6 +276,51 @@ class MapAndStatsSpec extends AnyFunSuite {
     assert(got.head._2 == got.head._3, "PACF(1) must equal ACF(1)")
   }
 
+  test("Ljung-Box and Jarque-Bera replay from the same exact primitives") {
+    import org.apache.spark.sql.functions._
+    def r4(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    def cents(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(2, java.math.RoundingMode.HALF_UP).unscaledValue().longValueExact()
+    // Ljung-Box over user 7 from the PACF machinery
+    val xs = graft.core.Tables.events(spark, TestSpark.sfSmoke)
+      .filter(col("user_id") === 7).orderBy("event_id")
+      .select("value").collect().map(_.getDouble(0))
+    val mu = java.math.BigDecimal.valueOf(xs.map(cents).sum, 2).doubleValue / xs.length
+    def c(k: Int) = {
+      var acc = 0.0
+      (0 until xs.length - k).foreach(t => acc += (xs(t) - mu) * (xs(t + k) - mu))
+      acc
+    }
+    val nd = xs.length.toDouble
+    val q = r4(nd * (nd + 2.0) *
+      (1 to 5).map(k => { val r = c(k) / c(0); r * r / (nd - k) }).sum)
+    val lb = graft.ops.Registry.queries("ts_ljung_box")(spark, TestSpark.sfSmoke).head()
+    assert((lb.getLong(0), lb.getDouble(1), lb.getLong(2)) == ((xs.length.toLong, q, 5L)))
+    // Jarque-Bera per type from exact cents moments
+    val rows = graft.core.Tables.events(spark, TestSpark.sfSmoke)
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), cents(r.getDouble(1))))
+    val want = rows.groupBy(_._1).map { case (et, g) =>
+      val n = g.length.toDouble
+      val xsc = g.map(_._2)
+      def s(p: Int) = xsc.map(x => BigInt(x).pow(p)).sum.toDouble
+      val (s1, s2, s3, s4) = (s(1), s(2), s(3), s(4))
+      val mean = s1 / n
+      val m2 = s2 / n - mean * mean
+      val m3 = s3 / n - 3 * mean * s2 / n + 2 * mean * mean * mean
+      val m4 = s4 / n - 4 * mean * s3 / n + 6 * mean * mean * s2 / n -
+        3 * mean * mean * mean * mean
+      val sk = m3 / (m2 * math.sqrt(m2)); val ku = m4 / (m2 * m2) - 3
+      et -> ((g.length.toLong, r4(sk), r4(ku),
+        r4(n / 6.0 * (sk * sk + ku * ku / 4.0))))
+    }
+    val got = graft.ops.Registry.queries("agg_jarque_bera")(spark, TestSpark.sfSmoke)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got == want, s"$got != $want")
+  }
+
   test("Grubbs statistic replays from exact moments; argmax id deterministic") {
     import org.apache.spark.sql.functions._
     def r4(x: Double) = java.math.BigDecimal.valueOf(x)
