@@ -42,6 +42,16 @@ object TimeSeries {
     "a3 - a4 * p31 AS p43",
     "(r5 - (p41 * r4 + p42 * r3 + p43 * r2 + a4 * r1)) / (1.0 - (p41 * r1 + p42 * r2 + p43 * r3 + a4 * r4)) AS a5")
 
+  // ADF normal-equation determinants (ts_adf_test) — the Aggs.det3
+  // device over this file's moment names, one text both engines.
+  private def det3t(a: String, b: String, c: String, d: String, e: String,
+                    f: String, g: String, h: String, i: String): String =
+    s"($a * ($e * $i - $f * $h) - $b * ($d * $i - $f * $g) + $c * ($d * $h - $e * $g))"
+  private val adfDet = det3t("n", "s1", "s2", "s1", "s11", "s12", "s2", "s12", "s22")
+  private val adfDet0 = det3t("sy", "s1", "s2", "s1y", "s11", "s12", "s2y", "s12", "s22")
+  private val adfDet1 = det3t("n", "sy", "s2", "s1", "s1y", "s12", "s2", "s2y", "s22")
+  private val adfDet2 = det3t("n", "s1", "sy", "s1", "s11", "s1y", "s2", "s12", "s2y")
+
   // Holt-Winters level update l' = α(x − s₁) + (1−α)(l + b), spelled
   // once per engine so every repetition inside the step is the same
   // text (ts_holt_winters; complements as literals, never 1−α).
@@ -1392,6 +1402,82 @@ object TimeSeries {
            |SELECT k, round(acf_raw, 4) AS acf, round(pacf_raw, 4) AS pacf
            |FROM st ORDER BY k""".stripMargin
       },
+    ),
+    // ADF UNIT-ROOT TEST (Dickey & Fuller 1979, one augmentation lag,
+    // constant only): Δxₜ ~ α + β·xₜ₋₁ + γ·Δxₜ₋₁ over the daily CENTS
+    // series; the stat is β̂/se(β̂) with se from the (X'X)⁻¹ cofactor —
+    // the stationarity question every TSDB analysis asks, answered
+    // with the agg_ols machinery. EVERY moment is an exact bigint sum
+    // (all three regressands are integer cents; at much larger daily
+    // masses the sums move to decimal(38,0), same plan); β̂, SSE, the
+    // cofactor and det are Cramer/det3 texts shared verbatim, so only
+    // the final divisions float.
+    OpSpec(
+      "ts_adf_test",
+      (s, d) => {
+        val w = Window.orderBy("i")
+        val daily = ev(s, d)
+          .groupBy(dayofmonth(col("ts")).cast("bigint").as("i"))
+          .agg(sum((col("value").cast("decimal(18,2)") * 100).cast("bigint"))
+            .as("yc"))
+        val reg = daily
+          .withColumn("x1", lag(col("yc"), 1).over(w))
+          .withColumn("dy", col("yc") - col("x1"))
+          .withColumn("x2", lag(col("dy"), 1).over(w))
+          .filter(col("x2").isNotNull)
+          .select(col("x1"), col("x2"), col("dy").as("y"))
+        val m = reg.agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(col("x1")).cast("double").as("s1"),
+          sum(col("x2")).cast("double").as("s2"),
+          sum(col("x1") * col("x1")).cast("double").as("s11"),
+          sum(col("x2") * col("x2")).cast("double").as("s22"),
+          sum(col("x1") * col("x2")).cast("double").as("s12"),
+          sum(col("y")).cast("double").as("sy"),
+          sum(col("y") * col("y")).cast("double").as("syy"),
+          sum(col("x1") * col("y")).cast("double").as("s1y"),
+          sum(col("x2") * col("y")).cast("double").as("s2y"))
+        m.selectExpr("n", "sy", "syy", "s1y", "s2y", "s2", "s22",
+            s"$adfDet AS det", s"$adfDet0 AS det0", s"$adfDet1 AS det1",
+            s"$adfDet2 AS det2")
+          .selectExpr("cast(n as bigint) AS n_obs",
+            "det1 / det AS beta",
+            s"""round((det1 / det) / sqrt(
+               |  ((syy - (det0 / det * sy + det1 / det * s1y + det2 / det * s2y)) / (n - 3))
+               |  * (n * s22 - s2 * s2) / det), 4) AS adf_stat""".stripMargin)
+      },
+      Some(s"""WITH daily AS (
+              |  SELECT cast(extract(day FROM ts) as bigint) AS i,
+              |    cast(sum(cast(cast(value as decimal(18,2)) * 100 as bigint)) as bigint) AS yc
+              |  FROM events GROUP BY 1),
+              |lag1 AS (
+              |  SELECT i, yc, lag(yc, 1) OVER (ORDER BY i) AS x1,
+              |    yc - lag(yc, 1) OVER (ORDER BY i) AS dy
+              |  FROM daily),
+              |lag2 AS (
+              |  SELECT x1, dy, lag(dy, 1) OVER (ORDER BY i) AS x2 FROM lag1),
+              |reg AS (SELECT x1, x2, dy AS y FROM lag2 WHERE x2 IS NOT NULL),
+              |m AS (
+              |  SELECT cast(count(*) as double) AS n,
+              |    cast(sum(x1) as double) AS s1, cast(sum(x2) as double) AS s2,
+              |    cast(sum(x1 * x1) as double) AS s11,
+              |    cast(sum(x2 * x2) as double) AS s22,
+              |    cast(sum(x1 * x2) as double) AS s12,
+              |    cast(sum(y) as double) AS sy, cast(sum(y * y) as double) AS syy,
+              |    cast(sum(x1 * y) as double) AS s1y,
+              |    cast(sum(x2 * y) as double) AS s2y
+              |  FROM reg),
+              |dets AS (
+              |  SELECT n, sy, syy, s1y, s2y, s2, s22,
+              |    $adfDet AS det, $adfDet0 AS det0, $adfDet1 AS det1,
+              |    $adfDet2 AS det2
+              |  FROM m)
+              |SELECT cast(n as bigint) AS n_obs,
+              |  det1 / det AS beta,
+              |  round((det1 / det) / sqrt(
+              |    ((syy - (det0 / det * sy + det1 / det * s1y + det2 / det * s2y)) / (n - 3))
+              |    * (n * s22 - s2 * s2) / det), 4) AS adf_stat
+              |FROM dets""".stripMargin),
     ),
     // LJUNG–BOX portmanteau (Ljung & Box 1978): Q = n(n+2)·Σₖ r²ₖ/(n−k)
     // at lags 1–5 — the white-noise test read NEXT TO acf/pacf (is

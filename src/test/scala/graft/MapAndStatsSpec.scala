@@ -276,6 +276,42 @@ class MapAndStatsSpec extends AnyFunSuite {
     assert(got.head._2 == got.head._3, "PACF(1) must equal ACF(1)")
   }
 
+  test("ADF test replays from daily cents via the Cramer/cofactor formulas") {
+    import org.apache.spark.sql.functions._
+    def r4(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    val daily = graft.core.Tables.events(spark, TestSpark.sfSmoke)
+      .groupBy(dayofmonth(col("ts")).cast("long").as("i"))
+      .agg(sum((col("value").cast("decimal(18,2)") * 100).cast("long")).as("yc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).map(_._2)
+    val reg = daily.sliding(3).map { w =>
+      (w(1), w(1) - w(0), w(2) - w(1)) // x1 = x_{t-1}, x2 = dx_{t-1}, y = dx_t
+    }.toSeq
+    val n = reg.length.toDouble
+    def sOf(f: ((Long, Long, Long)) => Long) = reg.map(r => BigInt(f(r))).sum.toDouble
+    val s1 = sOf(_._1); val s2 = sOf(_._2)
+    val s11 = reg.map(r => BigInt(r._1) * BigInt(r._1)).sum.toDouble
+    val s22 = reg.map(r => BigInt(r._2) * BigInt(r._2)).sum.toDouble
+    val s12 = reg.map(r => BigInt(r._1) * BigInt(r._2)).sum.toDouble
+    val sy = sOf(_._3)
+    val syy = reg.map(r => BigInt(r._3) * BigInt(r._3)).sum.toDouble
+    val s1y = reg.map(r => BigInt(r._1) * BigInt(r._3)).sum.toDouble
+    val s2y = reg.map(r => BigInt(r._2) * BigInt(r._3)).sum.toDouble
+    def det3(a: Double, b: Double, c: Double, d: Double, e: Double,
+             f: Double, g: Double, h: Double, i: Double) =
+      a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+    val det = det3(n, s1, s2, s1, s11, s12, s2, s12, s22)
+    val det0 = det3(sy, s1, s2, s1y, s11, s12, s2y, s12, s22)
+    val det1 = det3(n, sy, s2, s1, s1y, s12, s2, s2y, s22)
+    val det2 = det3(n, s1, sy, s1, s11, s1y, s2, s12, s2y)
+    val beta = det1 / det
+    val sse = syy - (det0 / det * sy + det1 / det * s1y + det2 / det * s2y)
+    val stat = r4(beta / math.sqrt(sse / (n - 3) * (n * s22 - s2 * s2) / det))
+    val row = graft.ops.Registry.queries("ts_adf_test")(spark, TestSpark.sfSmoke).head()
+    assert((row.getLong(0), row.getDouble(1), row.getDouble(2))
+      == ((reg.length.toLong, beta, stat)))
+  }
+
   test("Ljung-Box and Jarque-Bera replay from the same exact primitives") {
     import org.apache.spark.sql.functions._
     def r4(x: Double) = java.math.BigDecimal.valueOf(x)
