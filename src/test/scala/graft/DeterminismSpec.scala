@@ -102,7 +102,11 @@ class DeterminismSpec extends AnyFunSuite {
     // round 13: vector-state struct fold (rotating 24-slot seasonal),
     // Cramer determinants from exact moments
     "ts_holt_winters", "ts_holt_winters_keyed", "agg_ols_normal_eq",
-    "ts_cusum_page", "agg_partial_corr", "ts_ewma_chart")
+    "ts_cusum_page", "agg_partial_corr", "ts_ewma_chart",
+    // round-13 batch 4: event-order autocovariance folds, Cramer
+    // determinant cascades, order-statistic window composites
+    "ts_pacf", "ts_ljung_box", "ts_adf_test", "agg_grubbs_stat",
+    "agg_jarque_bera", "ts_theil_sen", "win_hampel_filter")
 
   test("order-sensitive queries return identical results across runs") {
     val failures = sensitive.flatMap { key =>
