@@ -1611,8 +1611,12 @@ object Aggs {
       val m2 = s"(s2 / n - $mean * $mean)"
       val m3 = s"(s3 / n - 3 * $mean * s2 / n + 2 * $mean * $mean * $mean)"
       val m4 = s"(s4 / n - 4 * $mean * s3 / n + 6 * $mean * $mean * s2 / n - 3 * $mean * $mean * $mean * $mean)"
-      val sk = s"($m3 / ($m2 * sqrt($m2)))"
-      val ku = s"($m4 / ($m2 * $m2) - 3)"
+      // nullif: a constant (or 1-row) group has m2 = 0 and ANSI double
+      // division throws in Spark 4 — NULL skew/kurt instead. The text
+      // is SHARED with the oracle (nullif exists in DuckDB with the
+      // same semantics), and when m2 ≠ 0 the division is identical.
+      val sk = s"($m3 / nullif($m2 * sqrt($m2), 0))"
+      val ku = s"($m4 / nullif($m2 * $m2, 0) - 3)"
       val jb = s"round(n / 6.0 * ($sk * $sk + $ku * $ku / 4.0), 4)"
       OpSpec(
         "agg_jarque_bera",
@@ -1657,10 +1661,15 @@ object Aggs {
     OpSpec(
       "agg_grubbs_stat",
       (s, d) => {
+        // Groups of n < 2 have no sample sd — drop them BEFORE the sd
+        // projection (the decimal sy²/nd path throws DIVIDE_BY_ZERO
+        // under ANSI when nd−1 = 0; a 1-row group is degenerate for
+        // Grubbs anyway). Gate-neutral: every sf group has thousands.
         val stats = T.events(s, d).groupBy("event_type").agg(
             count(lit(1)).cast("double").as("nd"),
             dsum(col("value")).as("sy"),
             dsumsq(col("value")).as("syy"))
+          .filter(col("nd") >= 2)
           .selectExpr("event_type", "nd", "sy / nd AS mu",
             "sqrt((syy - sy * sy / nd) / (nd - 1)) AS sd")
         val dev = T.events(s, d).select(col("event_type"), col("event_id"), col("value"))

@@ -1364,11 +1364,20 @@ object TimeSeries {
             .as("arr"),
           (sum(P.dec2(col("value"))).cast("double") / count(lit(1))).as("mu"))
         def ck(k: Int) =
-          s"""aggregate(sequence(1, size(arr) - $k), 0D,
-             |  (acc, t) -> acc + (element_at(arr, t) - mu) * (element_at(arr, t + $k) - mu))""".stripMargin
+          // sequence(1, 0) DESCENDS in Spark ([1, 0]), so an empty/short
+          // arr would drive element_at out of bounds — size(arr) ≤ k
+          // yields c_k = 0 instead (gate-neutral: the gated series has
+          // hundreds of points).
+          s"""CASE WHEN size(arr) <= $k THEN 0D ELSE aggregate(sequence(1, size(arr) - $k), 0D,
+             |  (acc, t) -> acc + (element_at(arr, t) - mu) * (element_at(arr, t + $k) - mu)) END""".stripMargin
         val withR = ser
           .selectExpr((0 to 5).map(k => s"${ck(k)} AS c$k"): _*)
-          .selectExpr((1 to 5).map(k => s"c$k / c0 AS r$k"): _*)
+          // nullif guards the degenerate c0 = 0 series (ANSI double
+          // division THROWS on zero in Spark 4): NULL acf/pacf rows
+          // instead of a crash. Gate-neutral — c0 > 0 on the gated
+          // series, and x / nullif(c0, 0) is the identical IEEE
+          // division when c0 ≠ 0.
+          .selectExpr((1 to 5).map(k => s"c$k / nullif(c0, 0D) AS r$k"): _*)
         val dl = dlSteps.foldLeft(withR)((df, step) => df.selectExpr("*", step))
         dl.selectExpr(
             """stack(5, 1L, r1, a1, 2L, r2, a2, 3L, r3, a3, 4L, r4, a4, 5L, r5, a5)
@@ -1440,11 +1449,15 @@ object TimeSeries {
         m.selectExpr("n", "sy", "syy", "s1y", "s2y", "s2", "s22",
             s"$adfDet AS det", s"$adfDet0 AS det0", s"$adfDet1 AS det1",
             s"$adfDet2 AS det2")
+          // nullif guards the degenerate regressions (singular X'X or
+          // n ≤ 3 — ANSI double division throws on zero in Spark 4);
+          // gate-neutral: det > 0 and n ≫ 3 on the gated daily series,
+          // and x / nullif(d, 0) is the identical IEEE division there.
           .selectExpr("cast(n as bigint) AS n_obs",
-            "det1 / det AS beta",
-            s"""round((det1 / det) / sqrt(
-               |  ((syy - (det0 / det * sy + det1 / det * s1y + det2 / det * s2y)) / (n - 3))
-               |  * (n * s22 - s2 * s2) / det), 4) AS adf_stat""".stripMargin)
+            "det1 / nullif(det, 0D) AS beta",
+            s"""round((det1 / nullif(det, 0D)) / sqrt(
+               |  ((syy - (det0 / nullif(det, 0D) * sy + det1 / nullif(det, 0D) * s1y + det2 / nullif(det, 0D) * s2y)) / nullif(n - 3, 0D))
+               |  * (n * s22 - s2 * s2) / nullif(det, 0D)), 4) AS adf_stat""".stripMargin)
       },
       Some(s"""WITH daily AS (
               |  SELECT cast(extract(day FROM ts) as bigint) AS i,
@@ -1493,14 +1506,20 @@ object TimeSeries {
           (sum(P.dec2(col("value"))).cast("double") / count(lit(1))).as("mu"),
           count(lit(1)).cast("double").as("nd"))
         def ck(k: Int) =
-          s"""aggregate(sequence(1, size(arr) - $k), 0D,
-             |  (acc, t) -> acc + (element_at(arr, t) - mu) * (element_at(arr, t + $k) - mu))""".stripMargin
+          // sequence(1, 0) DESCENDS in Spark ([1, 0]), so an empty/short
+          // arr would drive element_at out of bounds — size(arr) ≤ k
+          // yields c_k = 0 instead (gate-neutral: the gated series has
+          // hundreds of points).
+          s"""CASE WHEN size(arr) <= $k THEN 0D ELSE aggregate(sequence(1, size(arr) - $k), 0D,
+             |  (acc, t) -> acc + (element_at(arr, t) - mu) * (element_at(arr, t + $k) - mu)) END""".stripMargin
         ser
           .selectExpr(Seq("nd") ++ (0 to 5).map(k => s"${ck(k)} AS c$k"): _*)
-          .selectExpr(Seq("nd") ++ (1 to 5).map(k => s"c$k / c0 AS r$k"): _*)
+          // nullif: same degenerate-series guard as ts_pacf (ANSI double
+          // division throws on c0 = 0; gate-neutral when c0 ≠ 0).
+          .selectExpr(Seq("nd") ++ (1 to 5).map(k => s"c$k / nullif(c0, 0D) AS r$k"): _*)
           .selectExpr("cast(nd as bigint) AS n",
             s"""round(nd * (nd + 2.0) * (${(1 to 5).map(k =>
-                 s"r$k * r$k / (nd - $k)").mkString(" + ")}), 4) AS q_lb""",
+                 s"r$k * r$k / nullif(nd - $k, 0D)").mkString(" + ")}), 4) AS q_lb""",
             "cast(5 as bigint) AS dof")
       },
       Some {
