@@ -19,7 +19,8 @@ object Registry {
   /** All declared ops, every §2 category. Order is the bench order. */
   lazy val all: Seq[OpSpec] =
     Scans.ops ++ StoreOps.ops ++ Filters.ops ++ Joins.ops ++ Aggs.ops ++ Windows.ops ++
-      Sorts.ops ++ SetOps.ops ++ TimeSeries.ops ++ Scalars.ops ++ LlmOps.ops ++
+      Sorts.ops ++ SetOps.ops ++ TimeSeries.ops ++ StatsTests.ops ++
+      Scalars.ops ++ LlmOps.ops ++
       CurationOps.ops ++
       graft.text.TextOps.ops ++ graft.text.NearDup.ops ++
       graft.vec.VecOps.ops ++ graft.vec.Pq.ops ++ graft.vec.IvfPq.ops ++

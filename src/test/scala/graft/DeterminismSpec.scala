@@ -106,7 +106,12 @@ class DeterminismSpec extends AnyFunSuite {
     // round-13 batch 4: event-order autocovariance folds, Cramer
     // determinant cascades, order-statistic window composites
     "ts_pacf", "ts_ljung_box", "ts_adf_test", "agg_grubbs_stat",
-    "agg_jarque_bera", "ts_theil_sen", "win_hampel_filter")
+    "agg_jarque_bera", "ts_theil_sen", "win_hampel_filter",
+    // round-13 batch 5: ordered cross-group folds (ANOVA/KW), the
+    // distinct-grid doubled ranks, pair-concordance counting, and the
+    // exact-demeaned partial-sum cascade
+    "agg_anova_oneway", "agg_kruskal_wallis", "agg_cohens_d",
+    "agg_kendall_tau", "ts_kpss")
 
   test("order-sensitive queries return identical results across runs") {
     val failures = sensitive.flatMap { key =>

@@ -480,6 +480,106 @@ class MapAndStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("ANOVA, Kruskal-Wallis and Cohen's d replay from exact cents") {
+    import org.apache.spark.sql.functions._
+    def r4(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    def cents(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(2, java.math.RoundingMode.HALF_UP).unscaledValue().longValueExact()
+    val rows = graft.core.Tables.events(spark, TestSpark.sfSmoke)
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), cents(r.getDouble(1))))
+    val byG = rows.groupBy(_._1).toSeq.sortBy(_._1)
+    // one-way ANOVA from group moments, T1 folded in event_type order
+    val k = byG.length.toDouble
+    val n = rows.length.toDouble
+    val s = rows.map(r => BigInt(r._2)).sum.toDouble
+    val s2 = rows.map(r => BigInt(r._2) * BigInt(r._2)).sum.toDouble
+    var t1 = 0.0
+    byG.foreach { case (_, g) =>
+      val sj = g.map(r => BigInt(r._2)).sum.toDouble
+      t1 += sj * sj / g.length.toDouble
+    }
+    val fStat = r4(((t1 - s * s / n) / (k - 1.0)) / ((s2 - t1) / (n - k)))
+    val av = graft.ops.Registry.queries("agg_anova_oneway")(spark, TestSpark.sfSmoke).head()
+    assert((av.getLong(0), av.getLong(1), av.getDouble(4))
+      == ((byG.length.toLong, rows.length.toLong, fStat)))
+    // Kruskal-Wallis from doubled average ranks over the cents grid
+    val grid = rows.groupBy(_._2).map { case (v, g) => v -> g.length.toLong }
+    val sortedV = grid.keys.toSeq.sorted
+    val cum = sortedV.scanLeft(0L)((acc, v) => acc + grid(v)).tail
+    val dr = sortedV.zip(cum).map { case (v, c) => v -> (2 * c - grid(v) + 1) }.toMap
+    var tt = 0.0
+    byG.foreach { case (_, g) =>
+      val r2j = g.map(r => dr(r._2)).sum.toDouble
+      tt += (r2j / 2.0) * (r2j / 2.0) / g.length.toDouble
+    }
+    val h = 12.0 / (n * (n + 1.0)) * tt - 3.0 * (n + 1.0)
+    val tieSum = grid.values.map(t => BigInt(t) * t * t - t).sum.toDouble
+    val hAdj = r4(h / (1.0 - tieSum / (n * n * n - n)))
+    val kw = graft.ops.Registry.queries("agg_kruskal_wallis")(spark, TestSpark.sfSmoke).head()
+    assert((kw.getLong(0), kw.getLong(1), kw.getDouble(2), kw.getDouble(3))
+      == ((byG.length.toLong, rows.length.toLong, r4(h), hAdj)))
+    // Cohen's d for the lexicographically first pair
+    val (ta, ga) = byG(0); val (tb, gb) = byG(1)
+    def mom(g: Seq[(String, Long)]) = (g.length.toDouble,
+      g.map(r => BigInt(r._2)).sum.toDouble,
+      g.map(r => BigInt(r._2) * BigInt(r._2)).sum.toDouble)
+    val (na, sa, s2a) = mom(ga); val (nb, sb, s2b) = mom(gb)
+    val dWant = r4((sa / na - sb / nb) /
+      math.sqrt((s2a - sa * sa / na + s2b - sb * sb / nb) / (na + nb - 2.0)))
+    val cd = graft.ops.Registry.queries("agg_cohens_d")(spark, TestSpark.sfSmoke)
+      .collect()
+    assert(cd.length == byG.length * (byG.length - 1) / 2)
+    val first = cd.head
+    assert((first.getString(0), first.getString(1), first.getDouble(4))
+      == ((ta, tb, dWant)))
+  }
+
+  test("Kendall tau-b and KPSS replay from the daily series") {
+    import org.apache.spark.sql.functions._
+    def r4(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    def cents(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(2, java.math.RoundingMode.HALF_UP).unscaledValue().longValueExact()
+    val ev = graft.core.Tables.events(spark, TestSpark.sfSmoke)
+    // Kendall over daily view/click masses
+    val vc = ev.filter(col("event_type").isin("view", "click"))
+      .select(dayofmonth(col("ts")).cast("long").as("i"), col("event_type"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getString(1), cents(r.getDouble(2))))
+    val daily = vc.groupBy(_._1).toSeq.sortBy(_._1).map { case (i, g) =>
+      (i, g.filter(_._2 == "view").map(_._3).sum, g.filter(_._2 == "click").map(_._3).sum)
+    }
+    var (c, dd, n1, n2, n0) = (0L, 0L, 0L, 0L, 0L)
+    for (a <- daily.indices; b <- a + 1 until daily.length) {
+      val (_, xa, ya) = daily(a); val (_, xb, yb) = daily(b)
+      val sgn = math.signum((xb - xa).toDouble) * math.signum((yb - ya).toDouble)
+      if (sgn == 1.0) c += 1 else if (sgn == -1.0) dd += 1
+      if (xa == xb) n1 += 1
+      if (ya == yb) n2 += 1
+      n0 += 1
+    }
+    val tau = r4((c - dd).toDouble / math.sqrt((n0 - n1).toDouble * (n0 - n2).toDouble))
+    val kt = graft.ops.Registry.queries("agg_kendall_tau")(spark, TestSpark.sfSmoke).head()
+    assert((kt.getLong(0), kt.getLong(1), kt.getLong(2), kt.getLong(3), kt.getDouble(4))
+      == ((daily.length.toLong, n0, c, dd, tau)))
+    // KPSS from the full daily series via the exact n·y − S demeaning
+    val all = ev.select(dayofmonth(col("ts")).cast("long").as("i"), col("value"))
+      .collect().map(r => (r.getLong(0), cents(r.getDouble(1))))
+    val ys = all.groupBy(_._1).toSeq.sortBy(_._1).map(g => g._2.map(_._2).sum)
+    val nD = ys.length
+    val sy = ys.map(BigInt(_)).sum
+    val e = ys.map(y => BigInt(nD) * y - sy)
+    val st = e.scanLeft(BigInt(0))(_ + _).tail
+    val ss2 = st.map(x => x * x).sum.toDouble
+    val se2 = e.map(x => x * x).sum.toDouble
+    def gl(l: Int) = (l until nD).map(t => e(t) * e(t - l)).sum.toDouble
+    val eta = r4(ss2 / (nD.toDouble * (se2 +
+      2.0 * (0.8 * gl(1) + 0.6 * gl(2) + 0.4 * gl(3) + 0.2 * gl(4)))))
+    val kp = graft.ops.Registry.queries("ts_kpss")(spark, TestSpark.sfSmoke).head()
+    assert((kp.getLong(0), kp.getDouble(1)) == ((nD.toLong, eta)))
+  }
+
   test("histogram2d cells tile the events table exactly") {
     val rows = graft.ops.Registry.queries("agg_histogram2d")(spark, TestSpark.sfSmoke)
       .collect()
