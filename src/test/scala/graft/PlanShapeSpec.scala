@@ -325,6 +325,32 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("the stats-panel queries keep their designed shapes") {
+    // ANOVA: pure partial+final hash aggs + the ordered fold — no
+    // window, no join; the fact table is scanned exactly once
+    val an = plan("agg_anova_oneway")
+    assert(!an.contains("Window ") && !an.contains("Join"), an)
+    // Cohen's d: k-row frame self-joined via BROADCAST nested loop on
+    // type_a < type_b — never a shuffled or cartesian pair build
+    val cd = plan("agg_cohens_d")
+    assert(cd.contains("BroadcastNestedLoopJoin") &&
+      !cd.contains("CartesianProduct"), cd)
+    // Kendall: the pair explode is the bounded daily frame (broadcast
+    // NL on ia < ib), the fact table never self-joins; windowless
+    val kt = plan("agg_kendall_tau")
+    assert(kt.contains("BroadcastNestedLoopJoin") &&
+      !kt.contains("Window ") && !kt.contains("CartesianProduct"), kt)
+    // Kruskal-Wallis: the rank window runs over the bounded distinct-
+    // cents grid ONCE, and the cell⋈ranked join is broadcast-hash
+    val kw = plan("agg_kruskal_wallis")
+    assert("Window ".r.findAllIn(kw).size == 1, kw)
+    assert(kw.contains("BroadcastHashJoin"), kw)
+    // KPSS: the cumsum + four lags share one (partition, order) spec
+    // and fuse into ONE WindowExec over the 31-row daily frame
+    val kp = plan("ts_kpss")
+    assert("Window ".r.findAllIn(kp).size == 1, kp)
+  }
+
   test("no CartesianProduct outside the deliberate cross/pairs queries") {
     val allowed = Set("join_cross", "sim_cosine_topk", "text_tfidf")
     val offenders = Registry.all
