@@ -1038,5 +1038,32 @@ object syntax {
     def centroidDrift(idCol: String, byCol: String, vecCol: String,
                       dims: Int): DataFrame =
       graft.vec.VecOps.centroidDriftOf(df, idCol, byCol, vecCol, dims)
+
+    /** One-way ANOVA of a 2-dp `valueCol` across `byCol` groups:
+      * k_groups, n_rows, sums of squares, F. See agg_anova_oneway. */
+    def anovaOneway(byCol: String, valueCol: String): DataFrame =
+      graft.ops.StatsTests.anovaOnewayOf(df, byCol, valueCol)
+
+    /** Kruskal–Wallis H (+ tie-corrected H′) of a 2-dp `valueCol`
+      * across `byCol` groups. See agg_kruskal_wallis. */
+    def kruskalWallis(byCol: String, valueCol: String): DataFrame =
+      graft.ops.StatsTests.kruskalWallisOf(df, byCol, valueCol)
+
+    /** Pairwise Cohen's d effect sizes of a 2-dp `valueCol` across
+      * `byCol` groups (k(k−1)/2 rows). See agg_cohens_d. */
+    def cohensD(byCol: String, valueCol: String): DataFrame =
+      graft.ops.StatsTests.cohensDOf(df, byCol, valueCol)
+
+    /** Kendall's τ-b between integer columns `xCol`/`yCol` of an
+      * aligned series keyed by `idCol`. Pair-explodes C(n,2): feed it
+      * a BOUNDED aggregate, never a fact table. See agg_kendall_tau. */
+    def kendallTau(idCol: String, xCol: String, yCol: String): DataFrame =
+      graft.ops.StatsTests.kendallTauOf(df, idCol, xCol, yCol)
+
+    /** KPSS level-stationarity η (Bartlett L=4) of an integer series
+      * `valueCol` ordered by `orderCol` (a bounded pre-aggregated
+      * series — the ADF complement). See ts_kpss. */
+    def kpss(orderCol: String, valueCol: String): DataFrame =
+      graft.ops.StatsTests.kpssOf(df, orderCol, valueCol)
   }
 }

@@ -32,15 +32,168 @@ import org.apache.spark.sql.functions._
   * self-joins, sorts globally, or enters a window.
   */
 object StatsTests {
+  import org.apache.spark.sql.DataFrame
+
   private def cents(c: org.apache.spark.sql.Column) =
     (c.cast("decimal(18,2)") * 100).cast("bigint")
+
+  // column names are spliced into expr() texts below — reject anything
+  // that is not a plain identifier BEFORE it reaches a parser
+  private def ident(s: String): String = {
+    require("[A-Za-z_][A-Za-z0-9_]*".r.matches(s),
+      s"not a plain identifier: '$s'")
+    s
+  }
 
   /** Ordered fold of `term` over rows keyed by `key` (both engines sum
     * the same ascending-key sequence left to right). */
   private def foldTerm(key: String, term: String): String =
     s"""aggregate(
-       |  transform(array_sort(collect_list(struct($key, $term))), x -> x.$term),
+       |  transform(array_sort(collect_list(struct(${ident(key)}, $term))), x -> x.$term),
        |  0D, (acc, x) -> acc + x)""".stripMargin
+
+  /** One-way ANOVA of a 2-dp `valueCol` across `byCol` groups — the
+    * reusable form behind agg_anova_oneway (see the OpSpec below for
+    * the determinism story). */
+  def anovaOnewayOf(df: DataFrame, byCol: String, valueCol: String): DataFrame = {
+    ident(byCol) // spliced into the fold text — validate before any parse
+    val xi = cents(col(valueCol))
+    df.groupBy(byCol)
+      .agg(
+        count(lit(1)).as("nj"),
+        sum(xi).as("sj"),
+        sum((xi.cast("decimal(38,0)") * xi.cast("decimal(38,0)"))).as("s2j"))
+      .withColumn("t1term",
+        col("sj").cast("double") * col("sj").cast("double") /
+          col("nj").cast("double"))
+      .agg(
+        count(lit(1)).as("k"),
+        sum(col("nj")).as("n"),
+        sum(col("sj")).as("s"),
+        sum(col("s2j")).as("s2"),
+        expr(foldTerm(byCol, "t1term")).as("t1"))
+      .selectExpr(
+        "cast(k as bigint) AS k_groups",
+        "cast(coalesce(n, 0) as bigint) AS n_rows",
+        "round((t1 - cast(s as double) * cast(s as double) / nullif(cast(n as double), 0D)) / 10000.0, 4) AS ss_between",
+        "round((cast(s2 as double) - t1) / 10000.0, 4) AS ss_within",
+        """round(((t1 - cast(s as double) * cast(s as double) / nullif(cast(n as double), 0D))
+          |        / nullif(cast(k as double) - 1.0, 0D))
+          |      / nullif((cast(s2 as double) - t1)
+          |        / nullif(cast(n as double) - cast(k as double), 0D), 0D), 4) AS f_stat""".stripMargin)
+  }
+
+  /** Kruskal–Wallis H of a 2-dp `valueCol` across `byCol` groups — the
+    * reusable form behind agg_kruskal_wallis. */
+  def kruskalWallisOf(df: DataFrame, byCol: String, valueCol: String): DataFrame = {
+    ident(byCol) // spliced into the fold text — validate before any parse
+    val xi = cents(col(valueCol))
+    val cell = df.groupBy(xi.as("v"), col(byCol)).agg(count(lit(1)).as("cnt"))
+    val grid = cell.groupBy("v").agg(sum(col("cnt")).as("t"))
+    val byV = Window.orderBy("v") // distinct-cents grid: bounded
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = grid.select(col("v"), col("t"),
+      (sum(col("t")).over(byV) * 2 - col("t") + 1).as("dr"))
+    val rj = cell.join(ranked.select("v", "dr"), "v")
+      .groupBy(byCol)
+      .agg(sum(col("cnt")).as("nj"), sum(col("cnt") * col("dr")).as("r2j"))
+      .withColumn("hterm",
+        (col("r2j").cast("double") / 2.0) * (col("r2j").cast("double") / 2.0) /
+          col("nj").cast("double"))
+    val ties = grid.agg(
+      coalesce(sum(expr("t * t * t - t")), lit(0L)).as("tie_sum"),
+      coalesce(sum(col("t")), lit(0L)).as("n"))
+    rj.agg(
+        count(lit(1)).as("k"),
+        expr(foldTerm(byCol, "hterm")).as("tt"))
+      .crossJoin(broadcast(ties))
+      .selectExpr("cast(k as bigint) AS k_groups", "cast(n as bigint) AS n_rows",
+        """round(12.0 / nullif(cast(n as double) * (cast(n as double) + 1.0), 0D) * tt
+          |  - 3.0 * (cast(n as double) + 1.0), 4) AS h_stat""".stripMargin,
+        """round((12.0 / nullif(cast(n as double) * (cast(n as double) + 1.0), 0D) * tt
+          |  - 3.0 * (cast(n as double) + 1.0))
+          |  / nullif(1.0 - cast(tie_sum as double)
+          |    / nullif(cast(n as double) * cast(n as double) * cast(n as double) - cast(n as double), 0D), 0D), 4) AS h_adj""".stripMargin)
+  }
+
+  /** Pairwise Cohen's d of a 2-dp `valueCol` across `byCol` groups —
+    * the reusable form behind agg_cohens_d. */
+  def cohensDOf(df: DataFrame, byCol: String, valueCol: String): DataFrame = {
+    val xi = cents(col(valueCol))
+    val g = df.groupBy(byCol)
+      .agg(
+        count(lit(1)).as("nj"),
+        sum(xi).as("sj"),
+        sum((xi.cast("decimal(38,0)") * xi.cast("decimal(38,0)"))).as("s2j"))
+    val a = g.select(col(byCol).as("type_a"), col("nj").as("na"),
+      col("sj").as("sa"), col("s2j").as("s2a"))
+    val b = g.select(col(byCol).as("type_b"), col("nj").as("nb"),
+      col("sj").as("sb"), col("s2j").as("s2b"))
+    a.join(broadcast(b), col("type_a") < col("type_b"))
+      .selectExpr("type_a", "type_b",
+        "cast(na as bigint) AS n_a", "cast(nb as bigint) AS n_b",
+        """round((cast(sa as double) / cast(na as double)
+          |        - cast(sb as double) / cast(nb as double))
+          |      / nullif(sqrt((cast(s2a as double) - cast(sa as double) * cast(sa as double) / cast(na as double)
+          |          + cast(s2b as double) - cast(sb as double) * cast(sb as double) / cast(nb as double))
+          |        / nullif(cast(na as double) + cast(nb as double) - 2.0, 0D)), 0D), 4) AS cohens_d""".stripMargin)
+      .orderBy("type_a", "type_b")
+  }
+
+  /** Kendall's τ-b between integer-valued columns `xCol`/`yCol` of an
+    * aligned series frame keyed by `idCol` — the reusable form behind
+    * agg_kendall_tau. The frame pair-explodes (C(n,2)): feed it
+    * BOUNDED aggregates (daily series, panels), never a fact table. */
+  def kendallTauOf(df: DataFrame, idCol: String, xCol: String, yCol: String): DataFrame = {
+    val a = df.select(col(idCol).as("ia"), col(xCol).as("xa"), col(yCol).as("ya"))
+    val b = df.select(col(idCol).as("ib"), col(xCol).as("xb"), col(yCol).as("yb"))
+    val pairs = a.join(broadcast(b), col("ia") < col("ib"))
+      .agg(
+        coalesce(sum(when(signum(col("xb") - col("xa")) * signum(col("yb") - col("ya")) === 1.0, 1L)
+          .otherwise(0L)), lit(0L)).as("concordant"),
+        coalesce(sum(when(signum(col("xb") - col("xa")) * signum(col("yb") - col("ya")) === -1.0, 1L)
+          .otherwise(0L)), lit(0L)).as("discordant"),
+        coalesce(sum(when(col("xa") === col("xb"), 1L).otherwise(0L)), lit(0L)).as("n1"),
+        coalesce(sum(when(col("ya") === col("yb"), 1L).otherwise(0L)), lit(0L)).as("n2"),
+        count(lit(1)).as("n0"))
+    df.agg(count(lit(1)).as("n_days")).crossJoin(broadcast(pairs))
+      .selectExpr("cast(n_days as bigint) AS n_days", "n0 AS n_pairs",
+        "concordant", "discordant",
+        """round(cast(concordant - discordant as double)
+          |  / nullif(sqrt(cast(n0 - n1 as double) * cast(n0 - n2 as double)), 0D), 4) AS tau_b""".stripMargin)
+  }
+
+  /** KPSS level-stationarity η (Bartlett L=4) over an integer-valued
+    * series `valueCol` ordered by `orderCol` — the reusable form
+    * behind ts_kpss. Feed it a BOUNDED pre-aggregated series. */
+  def kpssOf(df: DataFrame, orderCol: String, valueCol: String): DataFrame = {
+    val daily = df.select(col(orderCol).as("i"), col(valueCol).as("yc"))
+    val tot = daily.agg(count(lit(1)).as("n"), coalesce(sum(col("yc")), lit(0L)).as("sy"))
+    val w = Window.orderBy("i")
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val e = daily.crossJoin(broadcast(tot))
+      .select(col("i"), col("n"), (col("n") * col("yc") - col("sy")).as("et"))
+    val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val frame = e.select(col("n"), col("et"),
+      sum(col("et")).over(cum).as("st"),
+      lag(col("et"), 1).over(w).as("e1"),
+      lag(col("et"), 2).over(w).as("e2"),
+      lag(col("et"), 3).over(w).as("e3"),
+      lag(col("et"), 4).over(w).as("e4"))
+    frame.agg(
+        max(col("n")).as("n"),
+        sum(d38(col("st")) * d38(col("st"))).as("ss2"),
+        sum(d38(col("et")) * d38(col("et"))).as("se2"),
+        sum(d38(col("et")) * d38(col("e1"))).as("g1"),
+        sum(d38(col("et")) * d38(col("e2"))).as("g2"),
+        sum(d38(col("et")) * d38(col("e3"))).as("g3"),
+        sum(d38(col("et")) * d38(col("e4"))).as("g4"))
+      .selectExpr("cast(coalesce(n, 0) as bigint) AS n_days",
+        """round(cast(ss2 as double)
+          |  / nullif(cast(n as double) * (cast(se2 as double)
+          |    + 2.0 * (0.8 * cast(g1 as double) + 0.6 * cast(g2 as double)
+          |             + 0.4 * cast(g3 as double) + 0.2 * cast(g4 as double))), 0D), 4) AS kpss_eta""".stripMargin)
+  }
 
   val ops: Seq[OpSpec] = Seq(
     // ONE-WAY ANOVA (Fisher): F = (SSB/(k−1)) / (SSW/(N−k)) over the
@@ -53,32 +206,7 @@ object StatsTests {
     // agg over the fact table, then a k-row fold — nothing else.
     OpSpec(
       "agg_anova_oneway",
-      (s, d) => {
-        val xi = cents(col("value"))
-        T.events(s, d).groupBy("event_type")
-          .agg(
-            count(lit(1)).as("nj"),
-            sum(xi).as("sj"),
-            sum((xi.cast("decimal(38,0)") * xi.cast("decimal(38,0)"))).as("s2j"))
-          .withColumn("t1term",
-            col("sj").cast("double") * col("sj").cast("double") /
-              col("nj").cast("double"))
-          .agg(
-            count(lit(1)).as("k"),
-            sum(col("nj")).as("n"),
-            sum(col("sj")).as("s"),
-            sum(col("s2j")).as("s2"),
-            expr(foldTerm("event_type", "t1term")).as("t1"))
-          .selectExpr(
-            "cast(k as bigint) AS k_groups",
-            "cast(coalesce(n, 0) as bigint) AS n_rows",
-            "round((t1 - cast(s as double) * cast(s as double) / nullif(cast(n as double), 0D)) / 10000.0, 4) AS ss_between",
-            "round((cast(s2 as double) - t1) / 10000.0, 4) AS ss_within",
-            """round(((t1 - cast(s as double) * cast(s as double) / nullif(cast(n as double), 0D))
-              |        / nullif(cast(k as double) - 1.0, 0D))
-              |      / nullif((cast(s2 as double) - t1)
-              |        / nullif(cast(n as double) - cast(k as double), 0D), 0D), 4) AS f_stat""".stripMargin)
-      },
+      (s, d) => anovaOnewayOf(T.events(s, d), "event_type", "value"),
       Some("""WITH g AS (
              |  SELECT event_type, count(*) AS nj,
              |    cast(sum(x) as bigint) AS sj,
@@ -112,37 +240,7 @@ object StatsTests {
     // floating cross-group sum (Σ Rⱼ²/nⱼ) rides the ordered fold.
     OpSpec(
       "agg_kruskal_wallis",
-      (s, d) => {
-        val xi = cents(col("value"))
-        val cell = T.events(s, d)
-          .groupBy(xi.as("v"), col("event_type"))
-          .agg(count(lit(1)).as("cnt"))
-        val grid = cell.groupBy("v").agg(sum(col("cnt")).as("t"))
-        val byV = Window.orderBy("v") // distinct-cents grid: bounded
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val ranked = grid.select(col("v"), col("t"),
-          (sum(col("t")).over(byV) * 2 - col("t") + 1).as("dr"))
-        val rj = cell.join(ranked.select("v", "dr"), "v")
-          .groupBy("event_type")
-          .agg(sum(col("cnt")).as("nj"), sum(col("cnt") * col("dr")).as("r2j"))
-          .withColumn("hterm",
-            (col("r2j").cast("double") / 2.0) * (col("r2j").cast("double") / 2.0) /
-              col("nj").cast("double"))
-        val ties = grid.agg(
-          coalesce(sum(expr("t * t * t - t")), lit(0L)).as("tie_sum"),
-          coalesce(sum(col("t")), lit(0L)).as("n"))
-        rj.agg(
-            count(lit(1)).as("k"),
-            expr(foldTerm("event_type", "hterm")).as("tt"))
-          .crossJoin(broadcast(ties))
-          .selectExpr("cast(k as bigint) AS k_groups", "cast(n as bigint) AS n_rows",
-            """round(12.0 / nullif(cast(n as double) * (cast(n as double) + 1.0), 0D) * tt
-              |  - 3.0 * (cast(n as double) + 1.0), 4) AS h_stat""".stripMargin,
-            """round((12.0 / nullif(cast(n as double) * (cast(n as double) + 1.0), 0D) * tt
-              |  - 3.0 * (cast(n as double) + 1.0))
-              |  / nullif(1.0 - cast(tie_sum as double)
-              |    / nullif(cast(n as double) * cast(n as double) * cast(n as double) - cast(n as double), 0D), 0D), 4) AS h_adj""".stripMargin)
-      },
+      (s, d) => kruskalWallisOf(T.events(s, d), "event_type", "value"),
       Some("""WITH cell AS (
              |  SELECT cast(cast(value as decimal(18,2)) * 100 as bigint) AS v,
              |    event_type, count(*) AS cnt
@@ -185,27 +283,7 @@ object StatsTests {
     // without the fact table ever joining itself.
     OpSpec(
       "agg_cohens_d",
-      (s, d) => {
-        val xi = cents(col("value"))
-        val g = T.events(s, d).groupBy("event_type")
-          .agg(
-            count(lit(1)).as("nj"),
-            sum(xi).as("sj"),
-            sum((xi.cast("decimal(38,0)") * xi.cast("decimal(38,0)"))).as("s2j"))
-        val a = g.select(col("event_type").as("type_a"), col("nj").as("na"),
-          col("sj").as("sa"), col("s2j").as("s2a"))
-        val b = g.select(col("event_type").as("type_b"), col("nj").as("nb"),
-          col("sj").as("sb"), col("s2j").as("s2b"))
-        a.join(broadcast(b), col("type_a") < col("type_b"))
-          .selectExpr("type_a", "type_b",
-            "cast(na as bigint) AS n_a", "cast(nb as bigint) AS n_b",
-            """round((cast(sa as double) / cast(na as double)
-              |        - cast(sb as double) / cast(nb as double))
-              |      / nullif(sqrt((cast(s2a as double) - cast(sa as double) * cast(sa as double) / cast(na as double)
-              |          + cast(s2b as double) - cast(sb as double) * cast(sb as double) / cast(nb as double))
-              |        / nullif(cast(na as double) + cast(nb as double) - 2.0, 0D)), 0D), 4) AS cohens_d""".stripMargin)
-          .orderBy("type_a", "type_b")
-      },
+      (s, d) => cohensDOf(T.events(s, d), "event_type", "value"),
       Some("""WITH g AS (
              |  SELECT event_type, count(*) AS nj,
              |    cast(sum(x) as bigint) AS sj,
@@ -234,32 +312,16 @@ object StatsTests {
     // division floats, in one shared text.
     OpSpec(
       "agg_kendall_tau",
-      (s, d) => {
-        val daily = T.events(s, d)
+      (s, d) => kendallTauOf(
+        T.events(s, d)
           .filter(col("event_type").isin("view", "click"))
           .groupBy(dayofmonth(col("ts")).cast("bigint").as("i"))
           .agg(
             sum(when(col("event_type") === "view", cents(col("value")))
               .otherwise(0L)).as("xc"),
             sum(when(col("event_type") === "click", cents(col("value")))
-              .otherwise(0L)).as("yc"))
-        val a = daily.select(col("i").as("ia"), col("xc").as("xa"), col("yc").as("ya"))
-        val b = daily.select(col("i").as("ib"), col("xc").as("xb"), col("yc").as("yb"))
-        val pairs = a.join(broadcast(b), col("ia") < col("ib"))
-          .agg(
-            coalesce(sum(when(signum(col("xb") - col("xa")) * signum(col("yb") - col("ya")) === 1.0, 1L)
-              .otherwise(0L)), lit(0L)).as("concordant"),
-            coalesce(sum(when(signum(col("xb") - col("xa")) * signum(col("yb") - col("ya")) === -1.0, 1L)
-              .otherwise(0L)), lit(0L)).as("discordant"),
-            coalesce(sum(when(col("xa") === col("xb"), 1L).otherwise(0L)), lit(0L)).as("n1"),
-            coalesce(sum(when(col("ya") === col("yb"), 1L).otherwise(0L)), lit(0L)).as("n2"),
-            count(lit(1)).as("n0"))
-        daily.agg(count(lit(1)).as("n_days")).crossJoin(broadcast(pairs))
-          .selectExpr("cast(n_days as bigint) AS n_days", "n0 AS n_pairs",
-            "concordant", "discordant",
-            """round(cast(concordant - discordant as double)
-              |  / nullif(sqrt(cast(n0 - n1 as double) * cast(n0 - n2 as double)), 0D), 4) AS tau_b""".stripMargin)
-      },
+              .otherwise(0L)).as("yc")),
+        "i", "xc", "yc"),
       Some("""WITH daily AS (
              |  SELECT cast(extract(day FROM ts) as bigint) AS i,
              |    cast(sum(CASE WHEN event_type = 'view'
@@ -293,36 +355,11 @@ object StatsTests {
     // wₗ = 1 − l/5 exact literals. Only that division floats.
     OpSpec(
       "ts_kpss",
-      (s, d) => {
-        val daily = T.events(s, d)
+      (s, d) => kpssOf(
+        T.events(s, d)
           .groupBy(dayofmonth(col("ts")).cast("bigint").as("i"))
-          .agg(sum(cents(col("value"))).as("yc"))
-        val tot = daily.agg(count(lit(1)).as("n"), coalesce(sum(col("yc")), lit(0L)).as("sy"))
-        val w = Window.orderBy("i")
-        val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val e = daily.crossJoin(broadcast(tot))
-          .select(col("i"), col("n"), (col("n") * col("yc") - col("sy")).as("et"))
-        val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
-        val frame = e.select(col("n"), col("et"),
-          sum(col("et")).over(cum).as("st"),
-          lag(col("et"), 1).over(w).as("e1"),
-          lag(col("et"), 2).over(w).as("e2"),
-          lag(col("et"), 3).over(w).as("e3"),
-          lag(col("et"), 4).over(w).as("e4"))
-        frame.agg(
-            max(col("n")).as("n"),
-            sum(d38(col("st")) * d38(col("st"))).as("ss2"),
-            sum(d38(col("et")) * d38(col("et"))).as("se2"),
-            sum(d38(col("et")) * d38(col("e1"))).as("g1"),
-            sum(d38(col("et")) * d38(col("e2"))).as("g2"),
-            sum(d38(col("et")) * d38(col("e3"))).as("g3"),
-            sum(d38(col("et")) * d38(col("e4"))).as("g4"))
-          .selectExpr("cast(coalesce(n, 0) as bigint) AS n_days",
-            """round(cast(ss2 as double)
-              |  / nullif(cast(n as double) * (cast(se2 as double)
-              |    + 2.0 * (0.8 * cast(g1 as double) + 0.6 * cast(g2 as double)
-              |             + 0.4 * cast(g3 as double) + 0.2 * cast(g4 as double))), 0D), 4) AS kpss_eta""".stripMargin)
-      },
+          .agg(sum(cents(col("value"))).as("yc")),
+        "i", "yc"),
       Some("""WITH daily AS (
              |  SELECT cast(extract(day FROM ts) as bigint) AS i,
              |    cast(sum(cast(cast(value as decimal(18,2)) * 100 as bigint)) as bigint) AS yc

@@ -741,4 +741,29 @@ class ApiSpec extends AnyFunSuite {
     val kept = docs.tokenBudgetSampleBpe("source", "doc_id", "text", 5000L)
     assert(kept.count() > 0 && kept.filter(col("cum_tok") > 5000L).count() === 0L)
   }
+
+  test("stats-panel wrappers equal their gated queries and reject bad identifiers") {
+    val ev = graft.core.Tables.events(spark, TestSpark.sfSmoke)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSeq
+    assert(rows(ev.anovaOneway("event_type", "value")) ==
+      rows(graft.ops.Registry.queries("agg_anova_oneway")(spark, TestSpark.sfSmoke)))
+    assert(rows(ev.kruskalWallis("event_type", "value")) ==
+      rows(graft.ops.Registry.queries("agg_kruskal_wallis")(spark, TestSpark.sfSmoke)))
+    assert(rows(ev.cohensD("event_type", "value")) ==
+      rows(graft.ops.Registry.queries("agg_cohens_d")(spark, TestSpark.sfSmoke)))
+    // the fold key is spliced into expr() text — non-identifiers must
+    // be rejected before any parse
+    intercept[IllegalArgumentException] {
+      ev.anovaOneway("event_type; drop", "value")
+    }
+    // kendall/kpss over an arbitrary prepared series frame
+    val ser = ev.groupBy(dayofmonth(col("ts")).cast("long").as("d"))
+      .agg(sum((col("value").cast("decimal(18,2)") * 100).cast("long")).as("m"),
+        count(lit(1)).as("c"))
+    val kt = ser.kendallTau("d", "m", "c").head()
+    assert(kt.getLong(1) == kt.getLong(0) * (kt.getLong(0) - 1) / 2)
+    val kp = ser.kpss("d", "m").head()
+    assert(kp.getLong(0) > 0 && !kp.isNullAt(1))
+  }
 }
