@@ -61,21 +61,39 @@ object DiskMemo {
     java.security.MessageDigest.getInstance("SHA-256")
       .digest(s.getBytes("UTF-8")).take(12).map("%02x".format(_)).mkString
 
-  /** digest(key) → artifact path; computeIfAbsent serializes concurrent
-    * builders of the same key inside this JVM (the write runs at most
-    * once per key per JVM). */
+  /** digest(key) → artifact path. NOT built inside computeIfAbsent:
+    * memoized builds NEST (cappedPairStats' ensure reads the distinct-
+    * shingle frame through another ensure), and a nested
+    * computeIfAbsent on one ConcurrentHashMap throws
+    * IllegalStateException("Recursive update") whenever the two
+    * digests happen to share a hash bin — a hash-dependent flake.
+    * Instead: per-key lock objects serialize concurrent builders of
+    * the SAME key (the write still runs at most once per key per JVM),
+    * while nested builds of DIFFERENT keys just take their own lock.
+    * Build dependencies form a DAG (pair stats → shingles), so lock
+    * acquisition order is consistent and cannot deadlock. */
   private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val buildLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** Build-once / read-everywhere: the first call per `key` (full
     * caller-provided key — fold a content stamp in when the source can
     * regenerate) materializes `build` to parquet; every call returns a
     * scan of that artifact. */
   def ensure(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
-    val path = built.computeIfAbsent(sha16(key), dg => {
-      val p = new java.io.File(root, dg).getAbsolutePath
-      build.write.mode("overwrite").parquet(p)
-      p
-    })
+    val dg = sha16(key)
+    var path = built.get(dg)
+    if (path == null) {
+      // the lock-object lambda touches no other map — never recursive
+      buildLocks.computeIfAbsent(dg, _ => new Object).synchronized {
+        path = built.get(dg)
+        if (path == null) {
+          val p = new java.io.File(root, dg).getAbsolutePath
+          build.write.mode("overwrite").parquet(p)
+          built.put(dg, p)
+          path = p
+        }
+      }
+    }
     spark.read.parquet(path)
   }
 

@@ -1,0 +1,604 @@
+package graft.ops
+
+import graft.core.{Tables => T}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** §2.D / §2.H — round-13 batch 6: the inference panel COMPLETED.
+  * StatsTests brought ANOVA / Kruskal–Wallis / Cohen's d / Kendall /
+  * KPSS; this file adds the variance-homogeneity pair every ANOVA
+  * protocol runs FIRST (Bartlett, Brown–Forsythe/Levene), the
+  * repeated-measures rank test (Friedman), the regression-residual
+  * autocorrelation statistic (Durbin–Watson), lag-1 Granger
+  * causality, transcendental-free period detection (phase-binned
+  * ANOVA), and the two-proportion z-test.
+  *
+  * Determinism is the StatsTests discipline, unchanged:
+  *  - exact integer/decimal moments (value cents, doubled medians,
+  *    doubled ranks, D·n·e-scaled residuals) — order-free under any
+  *    partitioning;
+  *  - floating cross-group sums ride the ORDERED FOLD (Spark
+  *    `aggregate(transform(array_sort(collect_list(struct(k, t)))))`
+  *    ≡ DuckDB `list_sum(list(t ORDER BY k))` — identical
+  *    left-to-right IEEE sequences; Bartlett's nullable ln-terms use
+  *    the entropy device `list_reduce(list_prepend(0.0, …))` so a
+  *    NULL term poisons the fold identically in both engines);
+  *  - ONE shared final-formula text per statistic, nullif-guarded —
+  *    degenerate inputs (empty corpus, 1-row corpus, constant or
+  *    single-member groups) yield NULL, never an ANSI
+  *    divide-by-zero.
+  *
+  * Scale shapes: every op is one partial+final hash agg over the
+  * fact table into a BOUNDED frame (k event types, ≤49k distinct
+  * cents, 31 days, 744 hours, 9 candidate periods) and all test
+  * statistics run on that frame. The fact table never self-joins,
+  * never sorts globally, and never enters a window — at 100 TB the
+  * moments shuffle, the rows don't.
+  */
+object Inference {
+  private def cents(c: Column) = (c.cast("decimal(18,2)") * 100).cast("bigint")
+  private def d38(c: Column) = c.cast("decimal(38,0)")
+
+  // column names are spliced into expr() texts below — reject anything
+  // that is not a plain identifier BEFORE it reaches a parser
+  private def ident(s: String): String = {
+    require("[A-Za-z_][A-Za-z0-9_]*".r.matches(s),
+      s"not a plain identifier: '$s'")
+    s
+  }
+
+  /** Ordered fold of `term` over rows keyed by `key` (both engines sum
+    * the same ascending-key sequence left to right). Null-propagating:
+    * a NULL term poisons the whole fold, matching the oracle's
+    * list_reduce(list_prepend(0.0, …)) device. */
+  private def foldTerm(key: String, term: String): String =
+    s"""aggregate(
+       |  transform(array_sort(collect_list(struct(${ident(key)}, $term))), x -> x.$term),
+       |  0D, (acc, x) -> acc + x)""".stripMargin
+
+  /** 3×3 determinant as ONE formula text parsed by BOTH engines —
+    * row-major a b c / d e f / g h i (the agg_ols det3 device). */
+  private def det3(a: String, b: String, c: String, d: String, e: String,
+                   f: String, g: String, h: String, i: String): String =
+    s"($a * ($e * $i - $f * $h) - $b * ($d * $i - $f * $g) + $c * ($d * $h - $e * $g))"
+
+  /** The daily value-mass series in exact cents: i = day-of-month,
+    * yc = Σ cents(value) — the KPSS/theil_sen bounded frame. */
+  private def dailyCents(df: DataFrame): DataFrame =
+    df.groupBy(dayofmonth(col("ts")).cast("bigint").as("i"))
+      .agg(sum(cents(col("value"))).as("yc"))
+
+  /** One-way ANOVA F over an ALREADY-EXACT integer column `zCol`
+    * (half-cents, ranks, …) across `byCol` groups — the reusable
+    * core shared by agg_levene_bf (and mirroring anovaOnewayOf's
+    * formula text, minus the /10⁴ cents rescale). */
+  private def anovaOnInt(df: DataFrame, byCol: String, zCol: String,
+                         statAlias: String): DataFrame = {
+    ident(byCol); ident(statAlias)
+    val zi = col(zCol)
+    df.groupBy(byCol)
+      .agg(
+        count(lit(1)).as("nj"),
+        sum(zi).as("sj"),
+        sum(d38(zi) * d38(zi)).as("s2j"))
+      .withColumn("t1term",
+        col("sj").cast("double") * col("sj").cast("double") /
+          col("nj").cast("double"))
+      .agg(
+        count(lit(1)).as("k"),
+        sum(col("nj")).as("n"),
+        sum(col("sj")).as("s"),
+        sum(col("s2j")).as("s2"),
+        expr(foldTerm(byCol, "t1term")).as("t1"))
+      .selectExpr(
+        "cast(k as bigint) AS k_groups",
+        "cast(coalesce(n, 0) as bigint) AS n_rows",
+        s"""round(((t1 - cast(s as double) * cast(s as double) / nullif(cast(n as double), 0D))
+           |        / nullif(cast(k as double) - 1.0, 0D))
+           |      / nullif((cast(s2 as double) - t1)
+           |        / nullif(cast(n as double) - cast(k as double), 0D), 0D), 4) AS $statAlias""".stripMargin)
+  }
+
+  val ops: Seq[OpSpec] = Seq(
+    // BARTLETT'S TEST of variance homogeneity across event_type — the
+    // parametric pre-check run before trusting ANOVA's pooled-variance
+    // denominator. B = [(N−k)·ln(S²ₚ) − Σ(nⱼ−1)·ln(S²ⱼ)] / C with
+    // C = 1 + (Σ1/(nⱼ−1) − 1/(N−k)) / (3(k−1)). Moments are exact
+    // integer cents; B is SCALE-INVARIANT (Σ(nⱼ−1) = N−k makes the
+    // ln(10⁴) unit terms cancel exactly), so cents need no rescale.
+    // The three floating per-group sums (Σ sⱼ²/nⱼ for the pooled SS,
+    // the ln-variance sum, the inverse-df sum) all ride the ordered
+    // fold; the ln term is nullif-guarded (a constant group has
+    // S²ⱼ = 0 → NULL B, not -Inf — and the fold propagates the NULL
+    // in BOTH engines via the list_reduce device).
+    OpSpec(
+      "agg_bartlett_test",
+      (s, d) => {
+        val xi = cents(col("value"))
+        T.events(s, d)
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("nj"),
+            sum(xi).as("sj"),
+            sum(d38(xi) * d38(xi)).as("s2j"))
+          .filter(col("nj") >= 2)
+          .withColumn("t1term",
+            expr("cast(sj as double) * cast(sj as double) / cast(nj as double)"))
+          .withColumn("lterm",
+            expr("""(cast(nj as double) - 1.0)
+                   |  * ln(nullif((cast(s2j as double)
+                   |      - cast(sj as double) * cast(sj as double) / cast(nj as double))
+                   |    / (cast(nj as double) - 1.0), 0D))""".stripMargin))
+          .withColumn("iterm", expr("1.0 / (cast(nj as double) - 1.0)"))
+          .agg(
+            count(lit(1)).as("k"),
+            sum(col("nj")).as("n"),
+            sum(col("s2j")).as("s2"),
+            expr(foldTerm("event_type", "t1term")).as("t1"),
+            expr(foldTerm("event_type", "lterm")).as("ls"),
+            expr(foldTerm("event_type", "iterm")).as("si"))
+          .selectExpr(
+            "cast(k as bigint) AS k_groups",
+            "cast(coalesce(n, 0) as bigint) AS n_rows",
+            """round(((cast(n as double) - cast(k as double))
+              |    * ln(nullif((cast(s2 as double) - t1)
+              |        / nullif(cast(n as double) - cast(k as double), 0D), 0D))
+              |  - ls)
+              |  / nullif(1.0 + (si - 1.0 / nullif(cast(n as double) - cast(k as double), 0D))
+              |      / nullif(3.0 * (cast(k as double) - 1.0), 0D), 0D), 4) AS bartlett_b""".stripMargin)
+      },
+      Some("""WITH g AS (
+             |  SELECT event_type, count(*) AS nj,
+             |    cast(sum(x) as bigint) AS sj,
+             |    sum(cast(x as decimal(38,0)) * cast(x as decimal(38,0))) AS s2j
+             |  FROM (SELECT event_type,
+             |          cast(cast(value as decimal(18,2)) * 100 as bigint) AS x
+             |        FROM events)
+             |  GROUP BY event_type
+             |  HAVING count(*) >= 2),
+             |t AS (
+             |  SELECT event_type, nj, s2j,
+             |    cast(sj as double) * cast(sj as double) / cast(nj as double) AS t1term,
+             |    (cast(nj as double) - 1.0)
+             |      * ln(nullif((cast(s2j as double)
+             |          - cast(sj as double) * cast(sj as double) / cast(nj as double))
+             |        / (cast(nj as double) - 1.0), 0.0)) AS lterm,
+             |    1.0 / (cast(nj as double) - 1.0) AS iterm
+             |  FROM g),
+             |f AS (
+             |  SELECT count(*) AS k, sum(nj) AS n, sum(s2j) AS s2,
+             |    list_reduce(list_prepend(0.0, list(t1term ORDER BY event_type)), (acc, x) -> acc + x) AS t1,
+             |    list_reduce(list_prepend(0.0, list(lterm ORDER BY event_type)), (acc, x) -> acc + x) AS ls,
+             |    list_reduce(list_prepend(0.0, list(iterm ORDER BY event_type)), (acc, x) -> acc + x) AS si
+             |  FROM t)
+             |SELECT cast(k as bigint) AS k_groups,
+             |  cast(coalesce(n, 0) as bigint) AS n_rows,
+             |  round(((cast(n as double) - cast(k as double))
+             |      * ln(nullif((cast(s2 as double) - t1)
+             |          / nullif(cast(n as double) - cast(k as double), 0.0), 0.0))
+             |    - ls)
+             |    / nullif(1.0 + (si - 1.0 / nullif(cast(n as double) - cast(k as double), 0.0))
+             |        / nullif(3.0 * (cast(k as double) - 1.0), 0.0), 0.0), 4) AS bartlett_b
+             |FROM f""".stripMargin),
+    ),
+    // BROWN–FORSYTHE (median-centered Levene) — the ROBUST
+    // variance-homogeneity test (Bartlett assumes normality; B–F is
+    // the one scipy.levene defaults toward for heavy tails). The group
+    // median rides the EXACT DOUBLED-MEDIAN device: over the per-group
+    // distinct-cents grid, 2·median = v[⌈n/2⌉] + v[⌊n/2⌋+1] via
+    // cumulative counts — an exact integer, no percentile_cont float.
+    // zᵢⱼ = |2xᵢⱼ − 2medⱼ| is then exact half-cents and W is literally
+    // the one-way ANOVA F over z (anovaOnInt — same fold, same text).
+    // Plan: grid agg + k-row broadcast back onto the fact scan + one
+    // hash agg — two fact passes, zero fact shuffles beyond the aggs.
+    OpSpec(
+      "agg_levene_bf",
+      (s, d) => {
+        val xi = cents(col("value"))
+        val cell = T.events(s, d)
+          .groupBy(col("event_type"), xi.as("v"))
+          .agg(count(lit(1)).as("cnt"))
+        val byType = Window.partitionBy("event_type").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = cell
+          .withColumn("cu", sum(col("cnt")).over(byType))
+          .withColumn("nj", sum(col("cnt")).over(Window.partitionBy("event_type")))
+        val med = cum.groupBy("event_type").agg(
+          (min(when(col("cu") >= expr("cast(floor((nj + 1) / 2) as bigint)"), col("v"))) +
+            min(when(col("cu") >= expr("cast(floor(nj / 2) + 1 as bigint)"), col("v"))))
+            .as("dmed"))
+        val z = T.events(s, d)
+          .select(col("event_type"), xi.as("x"))
+          .join(broadcast(med), "event_type")
+          .select(col("event_type"), abs(lit(2L) * col("x") - col("dmed")).as("z"))
+        anovaOnInt(z, "event_type", "z", "w_stat")
+      },
+      Some("""WITH cell AS (
+             |  SELECT event_type,
+             |    cast(cast(value as decimal(18,2)) * 100 as bigint) AS v,
+             |    count(*) AS cnt
+             |  FROM events GROUP BY 1, 2),
+             |cum AS (
+             |  SELECT event_type, v, cnt,
+             |    sum(cnt) OVER (PARTITION BY event_type ORDER BY v
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cu,
+             |    sum(cnt) OVER (PARTITION BY event_type) AS nj
+             |  FROM cell),
+             |med AS (
+             |  SELECT event_type,
+             |    min(CASE WHEN cu >= cast(floor((nj + 1) / 2) as bigint) THEN v END)
+             |      + min(CASE WHEN cu >= cast(floor(nj / 2) + 1 as bigint) THEN v END) AS dmed
+             |  FROM cum GROUP BY event_type),
+             |z AS (
+             |  SELECT e.event_type, abs(2 * e.x - m.dmed) AS z
+             |  FROM (SELECT event_type,
+             |          cast(cast(value as decimal(18,2)) * 100 as bigint) AS x
+             |        FROM events) e
+             |  JOIN med m USING (event_type)),
+             |g AS (
+             |  SELECT event_type, count(*) AS nj, cast(sum(z) as bigint) AS sj,
+             |    sum(cast(z as decimal(38,0)) * cast(z as decimal(38,0))) AS s2j
+             |  FROM z GROUP BY event_type),
+             |f AS (
+             |  SELECT count(*) AS k, sum(nj) AS n, sum(sj) AS s, sum(s2j) AS s2,
+             |    coalesce(list_sum(list(cast(sj as double) * cast(sj as double) / cast(nj as double)
+             |      ORDER BY event_type)), 0.0) AS t1
+             |  FROM g)
+             |SELECT cast(k as bigint) AS k_groups,
+             |  cast(coalesce(n, 0) as bigint) AS n_rows,
+             |  round(((t1 - cast(s as double) * cast(s as double) / nullif(cast(n as double), 0.0))
+             |          / nullif(cast(k as double) - 1.0, 0.0))
+             |        / nullif((cast(s2 as double) - t1)
+             |          / nullif(cast(n as double) - cast(k as double), 0.0), 0.0), 4) AS w_stat
+             |FROM f""".stripMargin),
+    ),
+    // FRIEDMAN TEST — the repeated-measures rank test: blocks = days,
+    // treatments = event_type, response = daily value mass. Within
+    // each COMPLETE day (all k treatments present) the k masses get
+    // doubled average ranks (the Kruskal grid device, per-day); with
+    // Rⱼ = dRⱼ/2, Q = 12/(nk(k+1))·ΣRⱼ² − 3n(k+1) = 3·ΣdRⱼ²/(nk(k+1))
+    // − 3n(k+1) — ΣdRⱼ² is an exact decimal(38,0), so the ONLY float
+    // is the final division. The whole computation runs on a ≤
+    // 31·k-row frame.
+    OpSpec(
+      "agg_friedman_test",
+      (s, d) => {
+        val ev = T.events(s, d)
+        val cell = ev
+          .groupBy(dayofmonth(col("ts")).cast("bigint").as("i"), col("event_type"))
+          .agg(sum(cents(col("value"))).as("m"))
+        val ktot = ev.agg(countDistinct(col("event_type")).as("ktot"))
+        val full = cell.groupBy("i").agg(count(lit(1)).as("c"))
+          .crossJoin(broadcast(ktot)).filter(col("c") === col("ktot")).select("i")
+        val cc = cell.join(broadcast(full), "i")
+        val grid = cc.groupBy("i", "m").agg(count(lit(1)).as("t"))
+        val byDay = Window.partitionBy("i").orderBy("m")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val rk = grid.select(col("i"), col("m"),
+          (sum(col("t")).over(byDay) * 2 - col("t") + 1).as("dr"))
+        cc.join(rk, Seq("i", "m"))
+          .groupBy("event_type")
+          .agg(sum(col("dr")).as("drj"), count(lit(1)).as("nd"))
+          .agg(
+            count(lit(1)).as("k"),
+            min(col("nd")).as("n"),
+            sum(d38(col("drj")) * d38(col("drj"))).as("sd2"))
+          .selectExpr(
+            "cast(k as bigint) AS k_treatments",
+            "cast(coalesce(n, 0) as bigint) AS n_blocks",
+            """round(3.0 * cast(sd2 as double)
+              |    / nullif(cast(n as double) * cast(k as double) * (cast(k as double) + 1.0), 0D)
+              |  - 3.0 * cast(n as double) * (cast(k as double) + 1.0), 4) AS friedman_q""".stripMargin)
+      },
+      Some("""WITH cell AS (
+             |  SELECT cast(extract(day FROM ts) as bigint) AS i, event_type,
+             |    cast(sum(cast(cast(value as decimal(18,2)) * 100 as bigint)) as bigint) AS m
+             |  FROM events GROUP BY 1, 2),
+             |kt AS (SELECT count(DISTINCT event_type) AS ktot FROM events),
+             |full_days AS (
+             |  SELECT i FROM cell GROUP BY i
+             |  HAVING count(*) = (SELECT ktot FROM kt)),
+             |cc AS (SELECT cell.* FROM cell JOIN full_days USING (i)),
+             |grid AS (SELECT i, m, count(*) AS t FROM cc GROUP BY 1, 2),
+             |rk AS (
+             |  SELECT i, m,
+             |    sum(t) OVER (PARTITION BY i ORDER BY m
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 2 - t + 1 AS dr
+             |  FROM grid),
+             |rj AS (
+             |  SELECT event_type, cast(sum(dr) as bigint) AS drj, count(*) AS nd
+             |  FROM cc JOIN rk USING (i, m) GROUP BY event_type),
+             |f AS (
+             |  SELECT count(*) AS k, min(nd) AS n,
+             |    sum(cast(drj as decimal(38,0)) * cast(drj as decimal(38,0))) AS sd2
+             |  FROM rj)
+             |SELECT cast(k as bigint) AS k_treatments,
+             |  cast(coalesce(n, 0) as bigint) AS n_blocks,
+             |  round(3.0 * cast(sd2 as double)
+             |      / nullif(cast(n as double) * cast(k as double) * (cast(k as double) + 1.0), 0.0)
+             |    - 3.0 * cast(n as double) * (cast(k as double) + 1.0), 4) AS friedman_q
+             |FROM f""".stripMargin),
+    ),
+    // DURBIN–WATSON over the daily-trend regression — THE residual
+    // autocorrelation statistic read after any OLS fit. The residuals
+    // ride an EXACT SCALING device: with D = nΣt²−(Σt)² and
+    // num_b = nΣty−ΣtΣy (both exact), Eₜ = n·D·eₜ = D·n·yₜ − n·num_b·t
+    // − D·Σy + num_b·Σt is an EXACT decimal(38,0) — and DW =
+    // Σ(Eₜ−Eₜ₋₁)²/ΣEₜ² because the n·D scale cancels. Every number
+    // before the single final division is exact; the 31-row window is
+    // the only ordered pass.
+    OpSpec(
+      "ts_dw_stat",
+      (s, d) => {
+        val daily = dailyCents(T.events(s, d))
+        val m = daily.agg(
+          count(lit(1)).as("n"),
+          coalesce(sum(col("i")), lit(0L)).as("st"),
+          coalesce(sum(col("i") * col("i")), lit(0L)).as("stt"),
+          coalesce(sum(col("yc")), lit(0L)).as("sy"),
+          coalesce(sum(col("i") * col("yc")), lit(0L)).as("sty"))
+        val et = daily.crossJoin(broadcast(m))
+          .select(col("i"),
+            (d38(col("n") * col("stt") - col("st") * col("st")) * d38(col("n")) * d38(col("yc"))
+              - d38(col("n")) * d38(col("n") * col("sty") - col("st") * col("sy")) * d38(col("i"))
+              - d38(col("n") * col("stt") - col("st") * col("st")) * d38(col("sy"))
+              + d38(col("n") * col("sty") - col("st") * col("sy")) * d38(col("st"))).as("e"),
+            (col("n") * col("stt") - col("st") * col("st")).as("dd"),
+            (col("n") * col("sty") - col("st") * col("sy")).as("nb"))
+        val w = Window.orderBy("i") // 31-row daily frame: bounded
+        et.select(col("e"), lag(col("e"), 1).over(w).as("e1"),
+            col("dd"), col("nb"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(d38(col("e") - col("e1")) * d38(col("e") - col("e1"))).as("sdd"),
+            sum(d38(col("e")) * d38(col("e"))).as("se2"),
+            max(col("dd")).as("dd"),
+            max(col("nb")).as("nb"))
+          .selectExpr(
+            "cast(n as bigint) AS n_days",
+            """round(cast(nb as double) / nullif(cast(dd as double), 0D) / 100.0, 4)
+              | AS slope_per_day""".stripMargin,
+            "round(cast(sdd as double) / nullif(cast(se2 as double), 0D), 4) AS dw_stat")
+      },
+      Some("""WITH daily AS (
+             |  SELECT cast(extract(day FROM ts) as bigint) AS i,
+             |    cast(sum(cast(cast(value as decimal(18,2)) * 100 as bigint)) as bigint) AS yc
+             |  FROM events GROUP BY 1),
+             |m AS (
+             |  SELECT count(*) AS n,
+             |    cast(coalesce(sum(i), 0) as bigint) AS st,
+             |    cast(coalesce(sum(i * i), 0) as bigint) AS stt,
+             |    cast(coalesce(sum(yc), 0) as bigint) AS sy,
+             |    cast(coalesce(sum(i * yc), 0) as bigint) AS sty
+             |  FROM daily),
+             |et AS (
+             |  SELECT i,
+             |    cast(n * stt - st * st as decimal(38,0)) * cast(n as decimal(38,0)) * cast(yc as decimal(38,0))
+             |      - cast(n as decimal(38,0)) * cast(n * sty - st * sy as decimal(38,0)) * cast(i as decimal(38,0))
+             |      - cast(n * stt - st * st as decimal(38,0)) * cast(sy as decimal(38,0))
+             |      + cast(n * sty - st * sy as decimal(38,0)) * cast(st as decimal(38,0)) AS e,
+             |    n * stt - st * st AS dd,
+             |    n * sty - st * sy AS nb
+             |  FROM daily CROSS JOIN m),
+             |l AS (SELECT e, lag(e) OVER (ORDER BY i) AS e1, dd, nb FROM et),
+             |a AS (
+             |  SELECT count(*) AS n,
+             |    sum(cast(e - e1 as decimal(38,0)) * cast(e - e1 as decimal(38,0))) AS sdd,
+             |    sum(cast(e as decimal(38,0)) * cast(e as decimal(38,0))) AS se2,
+             |    max(dd) AS dd, max(nb) AS nb
+             |  FROM l)
+             |SELECT cast(n as bigint) AS n_days,
+             |  round(cast(nb as double) / nullif(cast(dd as double), 0.0) / 100.0, 4)
+             |   AS slope_per_day,
+             |  round(cast(sdd as double) / nullif(cast(se2 as double), 0.0), 4) AS dw_stat
+             |FROM a""".stripMargin),
+    ),
+    // GRANGER CAUSALITY (lag 1): does yesterday's CLICK mass improve
+    // the prediction of today's VIEW mass beyond yesterday's view
+    // mass? Unrestricted y ~ 1 + y₋₁ + x₋₁ by Cramer on the shared
+    // det3 text (the agg_ols device — exact decimal(38,0) moments,
+    // doubles only in ONE shared formula), restricted y ~ 1 + y₋₁ by
+    // the 2-var closed form; F = (SSR_r − SSR_u)·(n−3)/SSR_u. The
+    // whole regression runs on the 30-row lagged daily frame.
+    OpSpec(
+      "ts_granger_f",
+      (s, d) => {
+        val ev = T.events(s, d).filter(col("event_type").isin("view", "click"))
+        val daily = ev
+          .groupBy(dayofmonth(col("ts")).cast("bigint").as("i"))
+          .agg(
+            sum(when(col("event_type") === "view", cents(col("value")))
+              .otherwise(0L)).as("vc"),
+            sum(when(col("event_type") === "click", cents(col("value")))
+              .otherwise(0L)).as("cc"))
+        val w = Window.orderBy("i") // 31-row daily frame: bounded
+        val lg = daily.select(
+            col("vc").as("y"),
+            lag(col("vc"), 1).over(w).as("y1"),
+            lag(col("cc"), 1).over(w).as("x1"))
+          .filter(col("y1").isNotNull && col("x1").isNotNull)
+        val mo = lg.agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(col("y1")).cast("double").as("s1"),
+          sum(col("x1")).cast("double").as("s2"),
+          sum(d38(col("y1")) * d38(col("y1"))).cast("double").as("s11"),
+          sum(d38(col("y1")) * d38(col("x1"))).cast("double").as("s12"),
+          sum(d38(col("x1")) * d38(col("x1"))).cast("double").as("s22"),
+          sum(col("y")).cast("double").as("sy"),
+          sum(d38(col("y")) * d38(col("y"))).cast("double").as("syy"),
+          sum(d38(col("y1")) * d38(col("y"))).cast("double").as("s1y"),
+          sum(d38(col("x1")) * d38(col("y"))).cast("double").as("s2y"))
+        mo.selectExpr(
+            "n", "sy", "syy", "s1y", "s2y", "s1", "s11",
+            s"${det3("n", "s1", "s2", "s1", "s11", "s12", "s2", "s12", "s22")} AS det",
+            s"${det3("sy", "s1", "s2", "s1y", "s11", "s12", "s2y", "s12", "s22")} AS det0",
+            s"${det3("n", "sy", "s2", "s1", "s1y", "s12", "s2", "s2y", "s22")} AS det1",
+            s"${det3("n", "s1", "sy", "s1", "s11", "s1y", "s2", "s12", "s2y")} AS det2")
+          .selectExpr("n", "syy", "sy", "s1y", "s2y", "s1", "s11",
+            "syy - (det0 * sy + det1 * s1y + det2 * s2y) / nullif(det, 0D) AS ssru")
+          .selectExpr(
+            "cast(n as bigint) AS n_obs",
+            """round(syy - ((sy * s11 - s1 * s1y) * sy + (n * s1y - s1 * sy) * s1y)
+              |  / nullif(n * s11 - s1 * s1, 0D), 4) AS ssr_restricted""".stripMargin,
+            "round(ssru, 4) AS ssr_unrestricted",
+            """round(((syy - ((sy * s11 - s1 * s1y) * sy + (n * s1y - s1 * sy) * s1y)
+              |    / nullif(n * s11 - s1 * s1, 0D)) - ssru)
+              |  * (n - 3.0) / nullif(ssru, 0D), 4) AS granger_f""".stripMargin)
+      },
+      Some("""WITH daily AS (
+             |  SELECT cast(extract(day FROM ts) as bigint) AS i,
+             |    cast(sum(CASE WHEN event_type = 'view'
+             |      THEN cast(cast(value as decimal(18,2)) * 100 as bigint) ELSE 0 END) as bigint) AS vc,
+             |    cast(sum(CASE WHEN event_type = 'click'
+             |      THEN cast(cast(value as decimal(18,2)) * 100 as bigint) ELSE 0 END) as bigint) AS cc
+             |  FROM events WHERE event_type IN ('view', 'click') GROUP BY 1),
+             |lg AS (
+             |  SELECT vc AS y, lag(vc) OVER (ORDER BY i) AS y1,
+             |    lag(cc) OVER (ORDER BY i) AS x1
+             |  FROM daily),
+             |mo AS (
+             |  SELECT cast(count(*) as double) AS n,
+             |    cast(sum(y1) as double) AS s1, cast(sum(x1) as double) AS s2,
+             |    cast(sum(cast(y1 as decimal(38,0)) * cast(y1 as decimal(38,0))) as double) AS s11,
+             |    cast(sum(cast(y1 as decimal(38,0)) * cast(x1 as decimal(38,0))) as double) AS s12,
+             |    cast(sum(cast(x1 as decimal(38,0)) * cast(x1 as decimal(38,0))) as double) AS s22,
+             |    cast(sum(y) as double) AS sy,
+             |    cast(sum(cast(y as decimal(38,0)) * cast(y as decimal(38,0))) as double) AS syy,
+             |    cast(sum(cast(y1 as decimal(38,0)) * cast(y as decimal(38,0))) as double) AS s1y,
+             |    cast(sum(cast(x1 as decimal(38,0)) * cast(y as decimal(38,0))) as double) AS s2y
+             |  FROM lg WHERE y1 IS NOT NULL AND x1 IS NOT NULL),
+             |dets AS (
+             |  SELECT n, syy, sy, s1y, s2y, s1, s11,
+             |    (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2)) AS det,
+             |    (sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) + s2 * (s1y * s12 - s11 * s2y)) AS det0,
+             |    (n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) + s2 * (s1 * s2y - s1y * s2)) AS det1,
+             |    (n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) + sy * (s1 * s12 - s11 * s2)) AS det2
+             |  FROM mo),
+             |u AS (
+             |  SELECT n, syy, sy, s1y, s2y, s1, s11,
+             |    syy - (det0 * sy + det1 * s1y + det2 * s2y) / nullif(det, 0.0) AS ssru
+             |  FROM dets)
+             |SELECT cast(n as bigint) AS n_obs,
+             |  round(syy - ((sy * s11 - s1 * s1y) * sy + (n * s1y - s1 * sy) * s1y)
+             |    / nullif(n * s11 - s1 * s1, 0.0), 4) AS ssr_restricted,
+             |  round(ssru, 4) AS ssr_unrestricted,
+             |  round(((syy - ((sy * s11 - s1 * s1y) * sy + (n * s1y - s1 * sy) * s1y)
+             |      / nullif(n * s11 - s1 * s1, 0.0)) - ssru)
+             |    * (n - 3.0) / nullif(ssru, 0.0), 4) AS granger_f
+             |FROM u""".stripMargin),
+    ),
+    // PERIOD DETECTION without transcendentals: for each candidate
+    // period p, bin the hourly value-mass series by PHASE (hour mod p)
+    // and score with the one-way ANOVA F — the variance-ratio
+    // periodogram. A true cycle at p concentrates between-phase
+    // variance, so F peaks at p (and its multiples). Everything is
+    // exact cents until each p's final F division (cos/sin never
+    // appear — a DFT periodogram would hash-diverge on libm ulps;
+    // this is the transcendental-free equivalent a 100 TB gate can
+    // actually verify). Frame: 744 hours × 9 candidates.
+    OpSpec(
+      "ts_period_detect",
+      (s, d) => {
+        val cands = Seq(2, 3, 4, 6, 8, 12, 24, 48, 168)
+        val hourly = T.events(s, d)
+          .groupBy(((dayofmonth(col("ts")) - 1) * 24 + hour(col("ts")))
+            .cast("bigint").as("h"))
+          .agg(sum(cents(col("value"))).as("yc"))
+        hourly
+          .select(col("h"), col("yc"),
+            explode(array(cands.map(c => lit(c.toLong)): _*)).as("p"))
+          .groupBy(col("p"), (col("h") % col("p")).as("ph"))
+          .agg(
+            count(lit(1)).as("nj"),
+            sum(col("yc")).as("sj"),
+            sum(d38(col("yc")) * d38(col("yc"))).as("s2j"))
+          .withColumn("t1term",
+            expr("cast(sj as double) * cast(sj as double) / cast(nj as double)"))
+          .groupBy("p")
+          .agg(
+            count(lit(1)).as("k"),
+            sum(col("nj")).as("n"),
+            sum(col("sj")).as("s"),
+            sum(col("s2j")).as("s2"),
+            expr(foldTerm("ph", "t1term")).as("t1"))
+          .selectExpr(
+            "cast(p as bigint) AS period",
+            "cast(k as bigint) AS k_phases",
+            "cast(n as bigint) AS n_hours",
+            """round(((t1 - cast(s as double) * cast(s as double) / nullif(cast(n as double), 0D))
+              |        / nullif(cast(k as double) - 1.0, 0D))
+              |      / nullif((cast(s2 as double) - t1)
+              |        / nullif(cast(n as double) - cast(k as double), 0D), 0D), 4) AS f_stat""".stripMargin)
+          .orderBy("period")
+      },
+      Some("""WITH hourly AS (
+             |  SELECT cast((extract(day FROM ts) - 1) * 24 + extract(hour FROM ts) as bigint) AS h,
+             |    cast(sum(cast(cast(value as decimal(18,2)) * 100 as bigint)) as bigint) AS yc
+             |  FROM events GROUP BY 1),
+             |c AS (
+             |  SELECT h, yc, unnest([2, 3, 4, 6, 8, 12, 24, 48, 168]) AS p
+             |  FROM hourly),
+             |cell AS (
+             |  SELECT p, h % p AS ph, count(*) AS nj,
+             |    cast(sum(yc) as bigint) AS sj,
+             |    sum(cast(yc as decimal(38,0)) * cast(yc as decimal(38,0))) AS s2j
+             |  FROM c GROUP BY 1, 2),
+             |f AS (
+             |  SELECT p, count(*) AS k, sum(nj) AS n, sum(sj) AS s, sum(s2j) AS s2,
+             |    coalesce(list_sum(list(cast(sj as double) * cast(sj as double) / cast(nj as double)
+             |      ORDER BY ph)), 0.0) AS t1
+             |  FROM cell GROUP BY p)
+             |SELECT cast(p as bigint) AS period, cast(k as bigint) AS k_phases,
+             |  cast(n as bigint) AS n_hours,
+             |  round(((t1 - cast(s as double) * cast(s as double) / nullif(cast(n as double), 0.0))
+             |          / nullif(cast(k as double) - 1.0, 0.0))
+             |        / nullif((cast(s2 as double) - t1)
+             |          / nullif(cast(n as double) - cast(k as double), 0.0), 0.0), 4) AS f_stat
+             |FROM f ORDER BY period""".stripMargin),
+    ),
+    // TWO-PROPORTION Z-TEST: click share on weekends vs weekdays —
+    // the A/B-test primitive. Four exact counts from ONE hash agg over
+    // the fact table; the pooled-variance z is the only float, in one
+    // shared text. (Spark weekday(): Monday = 0, weekend = {5,6};
+    // DuckDB isodow: Monday = 1, weekend = {6,7} — same partition.)
+    OpSpec(
+      "agg_prop_ztest",
+      (s, d) => T.events(s, d)
+        .agg(
+          coalesce(sum(when(weekday(col("ts")) >= 5, 1L).otherwise(0L)), lit(0L)).as("n1"),
+          coalesce(sum(when(weekday(col("ts")) >= 5 && col("event_type") === "click", 1L)
+            .otherwise(0L)), lit(0L)).as("x1"),
+          coalesce(sum(when(weekday(col("ts")) < 5, 1L).otherwise(0L)), lit(0L)).as("n2"),
+          coalesce(sum(when(weekday(col("ts")) < 5 && col("event_type") === "click", 1L)
+            .otherwise(0L)), lit(0L)).as("x2"))
+        .selectExpr(
+          "n1 AS n_weekend", "x1 AS x_weekend",
+          "n2 AS n_weekday", "x2 AS x_weekday",
+          "round(cast(x1 as double) / nullif(cast(n1 as double), 0D), 4) AS p_weekend",
+          "round(cast(x2 as double) / nullif(cast(n2 as double), 0D), 4) AS p_weekday",
+          """round((cast(x1 as double) / nullif(cast(n1 as double), 0D)
+            |    - cast(x2 as double) / nullif(cast(n2 as double), 0D))
+            |  / nullif(sqrt(cast(x1 + x2 as double) / nullif(cast(n1 + n2 as double), 0D)
+            |      * (1.0 - cast(x1 + x2 as double) / nullif(cast(n1 + n2 as double), 0D))
+            |      * (1.0 / nullif(cast(n1 as double), 0D) + 1.0 / nullif(cast(n2 as double), 0D))), 0D), 4) AS z_stat""".stripMargin),
+      Some("""WITH c AS (
+             |  SELECT
+             |    cast(coalesce(sum(CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END), 0) as bigint) AS n1,
+             |    cast(coalesce(sum(CASE WHEN isodow(ts) >= 6 AND event_type = 'click' THEN 1 ELSE 0 END), 0) as bigint) AS x1,
+             |    cast(coalesce(sum(CASE WHEN isodow(ts) < 6 THEN 1 ELSE 0 END), 0) as bigint) AS n2,
+             |    cast(coalesce(sum(CASE WHEN isodow(ts) < 6 AND event_type = 'click' THEN 1 ELSE 0 END), 0) as bigint) AS x2
+             |  FROM events)
+             |SELECT n1 AS n_weekend, x1 AS x_weekend,
+             |  n2 AS n_weekday, x2 AS x_weekday,
+             |  round(cast(x1 as double) / nullif(cast(n1 as double), 0.0), 4) AS p_weekend,
+             |  round(cast(x2 as double) / nullif(cast(n2 as double), 0.0), 4) AS p_weekday,
+             |  round((cast(x1 as double) / nullif(cast(n1 as double), 0.0)
+             |      - cast(x2 as double) / nullif(cast(n2 as double), 0.0))
+             |    / nullif(sqrt(cast(x1 + x2 as double) / nullif(cast(n1 + n2 as double), 0.0)
+             |        * (1.0 - cast(x1 + x2 as double) / nullif(cast(n1 + n2 as double), 0.0))
+             |        * (1.0 / nullif(cast(n1 as double), 0.0) + 1.0 / nullif(cast(n2 as double), 0.0))), 0.0), 4) AS z_stat
+             |FROM c""".stripMargin),
+    ),
+  )
+}

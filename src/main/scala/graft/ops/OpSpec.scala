@@ -19,7 +19,7 @@ object Registry {
   /** All declared ops, every §2 category. Order is the bench order. */
   lazy val all: Seq[OpSpec] =
     Scans.ops ++ StoreOps.ops ++ Filters.ops ++ Joins.ops ++ Aggs.ops ++ Windows.ops ++
-      Sorts.ops ++ SetOps.ops ++ TimeSeries.ops ++ StatsTests.ops ++
+      Sorts.ops ++ SetOps.ops ++ TimeSeries.ops ++ StatsTests.ops ++ Inference.ops ++
       Scalars.ops ++ LlmOps.ops ++
       CurationOps.ops ++
       graft.text.TextOps.ops ++ graft.text.NearDup.ops ++

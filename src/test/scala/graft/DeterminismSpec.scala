@@ -111,7 +111,12 @@ class DeterminismSpec extends AnyFunSuite {
     // distinct-grid doubled ranks, pair-concordance counting, and the
     // exact-demeaned partial-sum cascade
     "agg_anova_oneway", "agg_kruskal_wallis", "agg_cohens_d",
-    "agg_kendall_tau", "ts_kpss")
+    "agg_kendall_tau", "ts_kpss",
+    // round-13 batch 6: Bartlett/B-F/periodogram ordered folds, the
+    // doubled-median grid, per-day doubled ranks, D·n·e residual
+    // cascade, det3 Cramer over the lagged daily frame
+    "agg_bartlett_test", "agg_levene_bf", "agg_friedman_test",
+    "ts_dw_stat", "ts_granger_f", "ts_period_detect")
 
   test("order-sensitive queries return identical results across runs") {
     val failures = sensitive.flatMap { key =>

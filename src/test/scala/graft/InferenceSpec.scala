@@ -1,0 +1,207 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plain-Scala replays of the round-13 batch-6 inference panel
+  * (graft.ops.Inference): Bartlett, Brown–Forsythe, Friedman,
+  * Durbin–Watson, Granger F, phase-binned period detection, and the
+  * two-proportion z-test. Each test recomputes the statistic from
+  * collected raw ingredients with BigInt/Double arithmetic in the SAME
+  * operation order as the shared formula texts, so a drifted formula
+  * or a broken fold fails here before the DuckDB gate sees it. */
+class InferenceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def r4(x: Double) = java.math.BigDecimal.valueOf(x)
+    .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+  private def cents(x: Double) = java.math.BigDecimal.valueOf(x)
+    .setScale(2, java.math.RoundingMode.HALF_UP).unscaledValue().longValueExact()
+
+  /** (event_type, cents) rows of the smoke corpus. */
+  private lazy val rows: Array[(String, Long)] = {
+    graft.core.Tables.events(spark, TestSpark.sfSmoke)
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), cents(r.getDouble(1))))
+  }
+
+  test("Bartlett B replays from exact group moments with ordered folds") {
+    val byG = rows.groupBy(_._1).toSeq.sortBy(_._1).filter(_._2.length >= 2)
+    var (t1, ls, si) = (0.0, 0.0, 0.0)
+    var (n, s2) = (BigInt(0), BigInt(0))
+    byG.foreach { case (_, g) =>
+      val njd = g.length.toDouble
+      val sj = g.map(r => BigInt(r._2)).sum
+      val s2j = g.map(r => BigInt(r._2) * BigInt(r._2)).sum
+      n += g.length; s2 += s2j
+      t1 += sj.toDouble * sj.toDouble / njd
+      ls += (njd - 1.0) * math.log((s2j.toDouble - sj.toDouble * sj.toDouble / njd) / (njd - 1.0))
+      si += 1.0 / (njd - 1.0)
+    }
+    val (nd, kd) = (n.toDouble, byG.length.toDouble)
+    val want = r4(((nd - kd) * math.log((s2.toDouble - t1) / (nd - kd)) - ls) /
+      (1.0 + (si - 1.0 / (nd - kd)) / (3.0 * (kd - 1.0))))
+    val got = graft.ops.Registry.queries("agg_bartlett_test")(spark, TestSpark.sfSmoke).head()
+    assert((got.getLong(0), got.getLong(1), got.getDouble(2))
+      == ((byG.length.toLong, n.toLong, want)))
+  }
+
+  test("Brown-Forsythe W replays from the doubled-median z deviations") {
+    val byG = rows.groupBy(_._1).toSeq.sortBy(_._1)
+    // doubled median from the sorted per-group values (1-based positions
+    // lo = floor((n+1)/2), hi = floor(n/2)+1 — v[lo] + v[hi])
+    val dmed = byG.map { case (t, g) =>
+      val v = g.map(_._2).sorted
+      val n = v.length
+      t -> (v((n + 1) / 2 - 1) + v(n / 2))
+    }.toMap
+    var t1 = 0.0
+    var (n, s, s2) = (BigInt(0), BigInt(0), BigInt(0))
+    byG.foreach { case (t, g) =>
+      val z = g.map(r => BigInt((2 * r._2 - dmed(t)).abs))
+      val sj = z.sum
+      n += z.length; s += sj; s2 += z.map(x => x * x).sum
+      t1 += sj.toDouble * sj.toDouble / z.length.toDouble
+    }
+    val (nd, kd) = (n.toDouble, byG.length.toDouble)
+    val want = r4(((t1 - s.toDouble * s.toDouble / nd) / (kd - 1.0)) /
+      ((s2.toDouble - t1) / (nd - kd)))
+    val got = graft.ops.Registry.queries("agg_levene_bf")(spark, TestSpark.sfSmoke).head()
+    assert((got.getLong(0), got.getLong(1), got.getDouble(2))
+      == ((byG.length.toLong, n.toLong, want)))
+  }
+
+  /** (day, event_type, cents) with Spark-extracted day-of-month, so the
+    * replay shares the engine's calendar exactly. */
+  private lazy val dayRows: Array[(Long, String, Long)] =
+    graft.core.Tables.events(spark, TestSpark.sfSmoke)
+      .select(dayofmonth(col("ts")).cast("long").as("i"), col("event_type"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getString(1), cents(r.getDouble(2))))
+
+  test("Friedman Q replays from per-day doubled ranks over complete days") {
+    val ktot = dayRows.map(_._2).distinct.length
+    val masses = dayRows.groupBy(r => (r._1, r._2))
+      .map { case ((i, t), g) => (i, t, g.map(r => BigInt(r._3)).sum) }.toSeq
+    val completeDays = masses.groupBy(_._1).filter(_._2.length == ktot).keySet
+    val cc = masses.filter(r => completeDays(r._1))
+    // doubled average ranks within each day (ties by grid cum counts)
+    val dr = cc.groupBy(_._1).flatMap { case (i, g) =>
+      val grid = g.groupBy(_._3).map { case (m, gg) => m -> gg.length.toLong }
+      val sortedM = grid.keys.toSeq.sorted
+      val cum = sortedM.scanLeft(0L)((acc, m) => acc + grid(m)).tail
+      val drOf = sortedM.zip(cum).map { case (m, c) => m -> (2 * c - grid(m) + 1) }.toMap
+      g.map(r => (i, r._2) -> drOf(r._3))
+    }
+    val rj = cc.groupBy(_._2).map { case (t, g) =>
+      (t, g.map(r => BigInt(dr((r._1, t)))).sum, g.length)
+    }.toSeq
+    val k = rj.length.toDouble
+    val nB = rj.map(_._3).min
+    val sd2 = rj.map(r => r._2 * r._2).sum
+    val want = r4(3.0 * sd2.toDouble / (nB.toDouble * k * (k + 1.0))
+      - 3.0 * nB.toDouble * (k + 1.0))
+    val got = graft.ops.Registry.queries("agg_friedman_test")(spark, TestSpark.sfSmoke).head()
+    assert((got.getLong(0), got.getLong(1), got.getDouble(2))
+      == ((rj.length.toLong, nB.toLong, want)))
+  }
+
+  /** The daily cents series in day order. */
+  private lazy val dailySeries: Seq[(Long, BigInt)] =
+    dayRows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (i, g) => (i, g.map(r => BigInt(r._3)).sum) }
+
+  test("Durbin-Watson replays from the exact-scaled residual cascade") {
+    val n = BigInt(dailySeries.length)
+    val st = dailySeries.map(r => BigInt(r._1)).sum
+    val stt = dailySeries.map(r => BigInt(r._1) * BigInt(r._1)).sum
+    val sy = dailySeries.map(_._2).sum
+    val sty = dailySeries.map(r => BigInt(r._1) * r._2).sum
+    val dd = n * stt - st * st
+    val nb = n * sty - st * sy
+    val e = dailySeries.map { case (i, yc) => dd * n * yc - n * nb * i - dd * sy + nb * st }
+    val sdd = e.sliding(2).map { case Seq(a, b) => (b - a) * (b - a) }.sum
+    val se2 = e.map(x => x * x).sum
+    val got = graft.ops.Registry.queries("ts_dw_stat")(spark, TestSpark.sfSmoke).head()
+    assert((got.getLong(0), got.getDouble(1), got.getDouble(2))
+      == ((dailySeries.length.toLong,
+        r4(nb.toDouble / dd.toDouble / 100.0),
+        r4(sdd.toDouble / se2.toDouble))))
+  }
+
+  test("Granger F replays from exact moments through the det3 cascade") {
+    val vc = dayRows.filter(r => r._2 == "view" || r._2 == "click")
+    val daily = vc.groupBy(_._1).toSeq.sortBy(_._1).map { case (i, g) =>
+      (i, g.filter(_._2 == "view").map(r => BigInt(r._3)).sum,
+        g.filter(_._2 == "click").map(r => BigInt(r._3)).sum)
+    }
+    val lg = daily.sliding(2).collect { case Seq((_, v0, c0), (_, v1, _)) =>
+      (v1, v0, c0) // (y, y1, x1)
+    }.toSeq
+    val n = lg.length.toDouble
+    val s1 = lg.map(_._2).sum.toDouble; val s2 = lg.map(_._3).sum.toDouble
+    val s11 = lg.map(r => r._2 * r._2).sum.toDouble
+    val s12 = lg.map(r => r._2 * r._3).sum.toDouble
+    val s22 = lg.map(r => r._3 * r._3).sum.toDouble
+    val sy = lg.map(_._1).sum.toDouble
+    val syy = lg.map(r => r._1 * r._1).sum.toDouble
+    val s1y = lg.map(r => r._2 * r._1).sum.toDouble
+    val s2y = lg.map(r => r._3 * r._1).sum.toDouble
+    def det3(a: Double, b: Double, c: Double, d: Double, e: Double,
+             f: Double, g: Double, h: Double, i: Double) =
+      a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+    val det = det3(n, s1, s2, s1, s11, s12, s2, s12, s22)
+    val det0 = det3(sy, s1, s2, s1y, s11, s12, s2y, s12, s22)
+    val det1 = det3(n, sy, s2, s1, s1y, s12, s2, s2y, s22)
+    val det2 = det3(n, s1, sy, s1, s11, s1y, s2, s12, s2y)
+    val ssru = syy - (det0 * sy + det1 * s1y + det2 * s2y) / det
+    val ssrr = syy - ((sy * s11 - s1 * s1y) * sy + (n * s1y - s1 * sy) * s1y) /
+      (n * s11 - s1 * s1)
+    val f = (ssrr - ssru) * (n - 3.0) / ssru
+    val got = graft.ops.Registry.queries("ts_granger_f")(spark, TestSpark.sfSmoke).head()
+    assert((got.getLong(0), got.getDouble(1), got.getDouble(2), got.getDouble(3))
+      == ((lg.length.toLong, r4(ssrr), r4(ssru), r4(f))))
+  }
+
+  test("phase-binned period detection replays the per-candidate ANOVA F") {
+    val hourRows = graft.core.Tables.events(spark, TestSpark.sfSmoke)
+      .select(((dayofmonth(col("ts")) - 1) * 24 + hour(col("ts"))).cast("long").as("h"),
+        col("value"))
+      .collect().map(r => (r.getLong(0), cents(r.getDouble(1))))
+    val hourly = hourRows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (h, g) => (h, g.map(r => BigInt(r._2)).sum) }
+    val got = graft.ops.Registry.queries("ts_period_detect")(spark, TestSpark.sfSmoke)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == Set(2L, 3L, 4L, 6L, 8L, 12L, 24L, 48L, 168L))
+    Seq(2L, 24L, 168L).foreach { p =>
+      val cell = hourly.groupBy(_._1 % p).toSeq.sortBy(_._1)
+      var t1 = 0.0
+      var (n, s, s2) = (BigInt(0), BigInt(0), BigInt(0))
+      cell.foreach { case (_, g) =>
+        val sj = g.map(_._2).sum
+        n += g.length; s += sj; s2 += g.map(r => r._2 * r._2).sum
+        t1 += sj.toDouble * sj.toDouble / g.length.toDouble
+      }
+      val (nd, kd) = (n.toDouble, cell.length.toDouble)
+      val want = r4(((t1 - s.toDouble * s.toDouble / nd) / (kd - 1.0)) /
+        ((s2.toDouble - t1) / (nd - kd)))
+      assert(got(p) == ((cell.length.toLong, hourly.length.toLong, want)), s"period $p")
+    }
+  }
+
+  test("two-proportion z replays from the four weekend/weekday counts") {
+    val wk = graft.core.Tables.events(spark, TestSpark.sfSmoke)
+      .select(weekday(col("ts")).cast("long").as("w"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val n1 = wk.count(_._1 >= 5).toDouble
+    val x1 = wk.count(r => r._1 >= 5 && r._2 == "click").toDouble
+    val n2 = wk.count(_._1 < 5).toDouble
+    val x2 = wk.count(r => r._1 < 5 && r._2 == "click").toDouble
+    val pp = (x1 + x2) / (n1 + n2)
+    val z = (x1 / n1 - x2 / n2) / math.sqrt(pp * (1.0 - pp) * (1.0 / n1 + 1.0 / n2))
+    val got = graft.ops.Registry.queries("agg_prop_ztest")(spark, TestSpark.sfSmoke).head()
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3),
+        got.getDouble(4), got.getDouble(5), got.getDouble(6))
+      == ((n1.toLong, x1.toLong, n2.toLong, x2.toLong,
+        r4(x1 / n1), r4(x2 / n2), r4(z))))
+  }
+}
