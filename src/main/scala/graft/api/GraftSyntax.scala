@@ -1065,5 +1065,45 @@ object syntax {
       * series — the ADF complement). See ts_kpss. */
     def kpss(orderCol: String, valueCol: String): DataFrame =
       graft.ops.StatsTests.kpssOf(df, orderCol, valueCol)
+
+    /** Bartlett's variance-homogeneity B of a 2-dp `valueCol` across
+      * `byCol` groups (the parametric ANOVA pre-check). See
+      * agg_bartlett_test. */
+    def bartlett(byCol: String, valueCol: String): DataFrame =
+      graft.ops.Inference.bartlettOf(df, byCol, valueCol)
+
+    /** Brown–Forsythe (median-centered Levene) W of a 2-dp `valueCol`
+      * across `byCol` groups — the robust variance-homogeneity test.
+      * See agg_levene_bf. */
+    def leveneBf(byCol: String, valueCol: String): DataFrame =
+      graft.ops.Inference.leveneBfOf(df, byCol, valueCol)
+
+    /** Friedman Q over a CELL frame (block × treatment × exact-integer
+      * response); only blocks carrying all treatments rank. See
+      * agg_friedman_test. */
+    def friedman(blockCol: String, treatCol: String, respCol: String): DataFrame =
+      graft.ops.Inference.friedmanOf(df, blockCol, treatCol, respCol)
+
+    /** Durbin–Watson of the `valueCol` ~ `orderCol` trend residuals
+      * over a BOUNDED exact-integer series. See ts_dw_stat. */
+    def durbinWatson(orderCol: String, valueCol: String): DataFrame =
+      graft.ops.Inference.dwStatOf(df, orderCol, valueCol)
+
+    /** Lag-1 Granger F of `xCol` → `yCol` over a BOUNDED exact-integer
+      * aligned series keyed by `orderCol`. See ts_granger_f. */
+    def grangerF(orderCol: String, yCol: String, xCol: String): DataFrame =
+      graft.ops.Inference.grangerFOf(df, orderCol, yCol, xCol)
+
+    /** Phase-binned ANOVA F per candidate period over a BOUNDED
+      * exact-integer series keyed by non-negative `hCol` — the
+      * transcendental-free periodogram. See ts_period_detect. */
+    def periodDetect(hCol: String, valueCol: String,
+                     periods: Seq[Long]): DataFrame =
+      graft.ops.Inference.periodDetectOf(df, hCol, valueCol, periods)
+
+    /** Two-proportion z of success rate where `grp` is true vs false.
+      * See agg_prop_ztest. */
+    def propZTest(grp: Column, success: Column): DataFrame =
+      graft.ops.Inference.propZTestOf(df, grp, success)
   }
 }

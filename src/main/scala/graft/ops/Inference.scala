@@ -100,6 +100,227 @@ object Inference {
            |        / nullif(cast(n as double) - cast(k as double), 0D), 0D), 4) AS $statAlias""".stripMargin)
   }
 
+  /** Bartlett's variance-homogeneity B of a 2-dp `valueCol` across
+    * `byCol` groups — the reusable form behind agg_bartlett_test. */
+  def bartlettOf(df: DataFrame, byCol: String, valueCol: String): DataFrame = {
+    ident(byCol) // spliced into the fold texts — validate before any parse
+    val xi = cents(col(valueCol))
+    df.groupBy(byCol)
+      .agg(
+        count(lit(1)).as("nj"),
+        sum(xi).as("sj"),
+        sum(d38(xi) * d38(xi)).as("s2j"))
+      .filter(col("nj") >= 2)
+      .withColumn("t1term",
+        expr("cast(sj as double) * cast(sj as double) / cast(nj as double)"))
+      .withColumn("lterm",
+        expr("""(cast(nj as double) - 1.0)
+               |  * ln(nullif((cast(s2j as double)
+               |      - cast(sj as double) * cast(sj as double) / cast(nj as double))
+               |    / (cast(nj as double) - 1.0), 0D))""".stripMargin))
+      .withColumn("iterm", expr("1.0 / (cast(nj as double) - 1.0)"))
+      .agg(
+        count(lit(1)).as("k"),
+        sum(col("nj")).as("n"),
+        sum(col("s2j")).as("s2"),
+        expr(foldTerm(byCol, "t1term")).as("t1"),
+        expr(foldTerm(byCol, "lterm")).as("ls"),
+        expr(foldTerm(byCol, "iterm")).as("si"))
+      .selectExpr(
+        "cast(k as bigint) AS k_groups",
+        "cast(coalesce(n, 0) as bigint) AS n_rows",
+        """round(((cast(n as double) - cast(k as double))
+          |    * ln(nullif((cast(s2 as double) - t1)
+          |        / nullif(cast(n as double) - cast(k as double), 0D), 0D))
+          |  - ls)
+          |  / nullif(1.0 + (si - 1.0 / nullif(cast(n as double) - cast(k as double), 0D))
+          |      / nullif(3.0 * (cast(k as double) - 1.0), 0D), 0D), 4) AS bartlett_b""".stripMargin)
+  }
+
+  /** Brown–Forsythe (median-centered Levene) W of a 2-dp `valueCol`
+    * across `byCol` groups — the reusable form behind agg_levene_bf.
+    * The group median is the EXACT doubled-median over the per-group
+    * distinct-cents grid; W is the one-way ANOVA F over
+    * zᵢⱼ = |2xᵢⱼ − 2medⱼ|. */
+  def leveneBfOf(df: DataFrame, byCol: String, valueCol: String): DataFrame = {
+    val xi = cents(col(valueCol))
+    val cell = df.groupBy(col(byCol), xi.as("v")).agg(count(lit(1)).as("cnt"))
+    val byType = Window.partitionBy(byCol).orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = cell
+      .withColumn("cu", sum(col("cnt")).over(byType))
+      .withColumn("nj", sum(col("cnt")).over(Window.partitionBy(byCol)))
+    val med = cum.groupBy(byCol).agg(
+      (min(when(col("cu") >= expr("cast(floor((nj + 1) / 2) as bigint)"), col("v"))) +
+        min(when(col("cu") >= expr("cast(floor(nj / 2) + 1 as bigint)"), col("v"))))
+        .as("dmed"))
+    val z = df.select(col(byCol), xi.as("x"))
+      .join(broadcast(med), byCol)
+      .select(col(byCol), abs(lit(2L) * col("x") - col("dmed")).as("z"))
+    anovaOnInt(z, byCol, "z", "w_stat")
+  }
+
+  /** Friedman Q over a CELL frame (one row per block × treatment with
+    * an exact integer response) — the reusable form behind
+    * agg_friedman_test. Only blocks carrying ALL treatments rank. */
+  def friedmanOf(cell0: DataFrame, blockCol: String, treatCol: String,
+                 respCol: String): DataFrame = {
+    val cell = cell0.select(col(blockCol).as("i"), col(treatCol).as("trt"),
+      col(respCol).as("m"))
+    val ktot = cell.agg(countDistinct(col("trt")).as("ktot"))
+    val fullDays = cell.groupBy("i").agg(count(lit(1)).as("c"))
+      .crossJoin(broadcast(ktot)).filter(col("c") === col("ktot")).select("i")
+    val cc = cell.join(broadcast(fullDays), "i")
+    val grid = cc.groupBy("i", "m").agg(count(lit(1)).as("t"))
+    val byBlock = Window.partitionBy("i").orderBy("m")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rk = grid.select(col("i"), col("m"),
+      (sum(col("t")).over(byBlock) * 2 - col("t") + 1).as("dr"))
+    cc.join(rk, Seq("i", "m"))
+      .groupBy("trt")
+      .agg(sum(col("dr")).as("drj"), count(lit(1)).as("nd"))
+      .agg(
+        count(lit(1)).as("k"),
+        min(col("nd")).as("n"),
+        sum(d38(col("drj")) * d38(col("drj"))).as("sd2"))
+      .selectExpr(
+        "cast(k as bigint) AS k_treatments",
+        "cast(coalesce(n, 0) as bigint) AS n_blocks",
+        """round(3.0 * cast(sd2 as double)
+          |    / nullif(cast(n as double) * cast(k as double) * (cast(k as double) + 1.0), 0D)
+          |  - 3.0 * cast(n as double) * (cast(k as double) + 1.0), 4) AS friedman_q""".stripMargin)
+  }
+
+  /** Durbin–Watson of the `valueCol` ~ `orderCol` trend residuals over
+    * a BOUNDED exact-integer series — the reusable form behind
+    * ts_dw_stat. slope_per_day is reported in value units (cents/100)
+    * per `orderCol` step. */
+  def dwStatOf(series: DataFrame, orderCol: String, valueCol: String): DataFrame = {
+    val daily = series.select(col(orderCol).as("i"), col(valueCol).as("yc"))
+    val m = daily.agg(
+      count(lit(1)).as("n"),
+      coalesce(sum(col("i")), lit(0L)).as("st"),
+      coalesce(sum(col("i") * col("i")), lit(0L)).as("stt"),
+      coalesce(sum(col("yc")), lit(0L)).as("sy"),
+      coalesce(sum(col("i") * col("yc")), lit(0L)).as("sty"))
+    val et = daily.crossJoin(broadcast(m))
+      .select(col("i"),
+        (d38(col("n") * col("stt") - col("st") * col("st")) * d38(col("n")) * d38(col("yc"))
+          - d38(col("n")) * d38(col("n") * col("sty") - col("st") * col("sy")) * d38(col("i"))
+          - d38(col("n") * col("stt") - col("st") * col("st")) * d38(col("sy"))
+          + d38(col("n") * col("sty") - col("st") * col("sy")) * d38(col("st"))).as("e"),
+        (col("n") * col("stt") - col("st") * col("st")).as("dd"),
+        (col("n") * col("sty") - col("st") * col("sy")).as("nb"))
+    val w = Window.orderBy("i") // bounded pre-aggregated series
+    et.select(col("e"), lag(col("e"), 1).over(w).as("e1"),
+        col("dd"), col("nb"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(d38(col("e") - col("e1")) * d38(col("e") - col("e1"))).as("sdd"),
+        sum(d38(col("e")) * d38(col("e"))).as("se2"),
+        max(col("dd")).as("dd"),
+        max(col("nb")).as("nb"))
+      .selectExpr(
+        "cast(n as bigint) AS n_days",
+        """round(cast(nb as double) / nullif(cast(dd as double), 0D) / 100.0, 4)
+          | AS slope_per_day""".stripMargin,
+        "round(cast(sdd as double) / nullif(cast(se2 as double), 0D), 4) AS dw_stat")
+  }
+
+  /** Lag-1 Granger F of `xCol` → `yCol` over a BOUNDED exact-integer
+    * aligned series keyed by `orderCol` — the reusable form behind
+    * ts_granger_f. */
+  def grangerFOf(series: DataFrame, orderCol: String, yCol: String,
+                 xCol: String): DataFrame = {
+    val w = Window.orderBy(orderCol) // bounded pre-aggregated series
+    val lg = series.select(
+        col(yCol).as("y"),
+        lag(col(yCol), 1).over(w).as("y1"),
+        lag(col(xCol), 1).over(w).as("x1"))
+      .filter(col("y1").isNotNull && col("x1").isNotNull)
+    val mo = lg.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("y1")).cast("double").as("s1"),
+      sum(col("x1")).cast("double").as("s2"),
+      sum(d38(col("y1")) * d38(col("y1"))).cast("double").as("s11"),
+      sum(d38(col("y1")) * d38(col("x1"))).cast("double").as("s12"),
+      sum(d38(col("x1")) * d38(col("x1"))).cast("double").as("s22"),
+      sum(col("y")).cast("double").as("sy"),
+      sum(d38(col("y")) * d38(col("y"))).cast("double").as("syy"),
+      sum(d38(col("y1")) * d38(col("y"))).cast("double").as("s1y"),
+      sum(d38(col("x1")) * d38(col("y"))).cast("double").as("s2y"))
+    mo.selectExpr(
+        "n", "sy", "syy", "s1y", "s2y", "s1", "s11",
+        s"${det3("n", "s1", "s2", "s1", "s11", "s12", "s2", "s12", "s22")} AS det",
+        s"${det3("sy", "s1", "s2", "s1y", "s11", "s12", "s2y", "s12", "s22")} AS det0",
+        s"${det3("n", "sy", "s2", "s1", "s1y", "s12", "s2", "s2y", "s22")} AS det1",
+        s"${det3("n", "s1", "sy", "s1", "s11", "s1y", "s2", "s12", "s2y")} AS det2")
+      .selectExpr("n", "syy", "sy", "s1y", "s2y", "s1", "s11",
+        "syy - (det0 * sy + det1 * s1y + det2 * s2y) / nullif(det, 0D) AS ssru")
+      .selectExpr(
+        "cast(n as bigint) AS n_obs",
+        """round(syy - ((sy * s11 - s1 * s1y) * sy + (n * s1y - s1 * sy) * s1y)
+          |  / nullif(n * s11 - s1 * s1, 0D), 4) AS ssr_restricted""".stripMargin,
+        "round(ssru, 4) AS ssr_unrestricted",
+        """round(((syy - ((sy * s11 - s1 * s1y) * sy + (n * s1y - s1 * sy) * s1y)
+          |    / nullif(n * s11 - s1 * s1, 0D)) - ssru)
+          |  * (n - 3.0) / nullif(ssru, 0D), 4) AS granger_f""".stripMargin)
+  }
+
+  /** Phase-binned ANOVA F per candidate period over a BOUNDED
+    * exact-integer series keyed by non-negative `hCol` — the reusable
+    * form behind ts_period_detect. */
+  def periodDetectOf(series: DataFrame, hCol: String, valueCol: String,
+                     periods: Seq[Long]): DataFrame = {
+    require(periods.nonEmpty && periods.forall(_ >= 2), "periods must be >= 2")
+    series
+      .select(col(hCol).as("h"), col(valueCol).as("yc"),
+        explode(array(periods.map(lit): _*)).as("p"))
+      .groupBy(col("p"), (col("h") % col("p")).as("ph"))
+      .agg(
+        count(lit(1)).as("nj"),
+        sum(col("yc")).as("sj"),
+        sum(d38(col("yc")) * d38(col("yc"))).as("s2j"))
+      .withColumn("t1term",
+        expr("cast(sj as double) * cast(sj as double) / cast(nj as double)"))
+      .groupBy("p")
+      .agg(
+        count(lit(1)).as("k"),
+        sum(col("nj")).as("n"),
+        sum(col("sj")).as("s"),
+        sum(col("s2j")).as("s2"),
+        expr(foldTerm("ph", "t1term")).as("t1"))
+      .selectExpr(
+        "cast(p as bigint) AS period",
+        "cast(k as bigint) AS k_phases",
+        "cast(n as bigint) AS n_hours",
+        """round(((t1 - cast(s as double) * cast(s as double) / nullif(cast(n as double), 0D))
+          |        / nullif(cast(k as double) - 1.0, 0D))
+          |      / nullif((cast(s2 as double) - t1)
+          |        / nullif(cast(n as double) - cast(k as double), 0D), 0D), 4) AS f_stat""".stripMargin)
+      .orderBy("period")
+  }
+
+  /** Two-proportion z of success rate where `grpCol` (boolean) is true
+    * vs false — the reusable form behind agg_prop_ztest. Output labels
+    * follow the declared query (weekend = grp true). */
+  def propZTestOf(df: DataFrame, grpCol: Column, successCol: Column): DataFrame =
+    df.agg(
+        coalesce(sum(when(grpCol, 1L).otherwise(0L)), lit(0L)).as("n1"),
+        coalesce(sum(when(grpCol && successCol, 1L).otherwise(0L)), lit(0L)).as("x1"),
+        coalesce(sum(when(!grpCol, 1L).otherwise(0L)), lit(0L)).as("n2"),
+        coalesce(sum(when(!grpCol && successCol, 1L).otherwise(0L)), lit(0L)).as("x2"))
+      .selectExpr(
+        "n1 AS n_weekend", "x1 AS x_weekend",
+        "n2 AS n_weekday", "x2 AS x_weekday",
+        "round(cast(x1 as double) / nullif(cast(n1 as double), 0D), 4) AS p_weekend",
+        "round(cast(x2 as double) / nullif(cast(n2 as double), 0D), 4) AS p_weekday",
+        """round((cast(x1 as double) / nullif(cast(n1 as double), 0D)
+          |    - cast(x2 as double) / nullif(cast(n2 as double), 0D))
+          |  / nullif(sqrt(cast(x1 + x2 as double) / nullif(cast(n1 + n2 as double), 0D)
+          |      * (1.0 - cast(x1 + x2 as double) / nullif(cast(n1 + n2 as double), 0D))
+          |      * (1.0 / nullif(cast(n1 as double), 0D) + 1.0 / nullif(cast(n2 as double), 0D))), 0D), 4) AS z_stat""".stripMargin)
+
   val ops: Seq[OpSpec] = Seq(
     // BARTLETT'S TEST of variance homogeneity across event_type — the
     // parametric pre-check run before trusting ANOVA's pooled-variance
@@ -114,40 +335,7 @@ object Inference {
     // in BOTH engines via the list_reduce device).
     OpSpec(
       "agg_bartlett_test",
-      (s, d) => {
-        val xi = cents(col("value"))
-        T.events(s, d)
-          .groupBy("event_type")
-          .agg(
-            count(lit(1)).as("nj"),
-            sum(xi).as("sj"),
-            sum(d38(xi) * d38(xi)).as("s2j"))
-          .filter(col("nj") >= 2)
-          .withColumn("t1term",
-            expr("cast(sj as double) * cast(sj as double) / cast(nj as double)"))
-          .withColumn("lterm",
-            expr("""(cast(nj as double) - 1.0)
-                   |  * ln(nullif((cast(s2j as double)
-                   |      - cast(sj as double) * cast(sj as double) / cast(nj as double))
-                   |    / (cast(nj as double) - 1.0), 0D))""".stripMargin))
-          .withColumn("iterm", expr("1.0 / (cast(nj as double) - 1.0)"))
-          .agg(
-            count(lit(1)).as("k"),
-            sum(col("nj")).as("n"),
-            sum(col("s2j")).as("s2"),
-            expr(foldTerm("event_type", "t1term")).as("t1"),
-            expr(foldTerm("event_type", "lterm")).as("ls"),
-            expr(foldTerm("event_type", "iterm")).as("si"))
-          .selectExpr(
-            "cast(k as bigint) AS k_groups",
-            "cast(coalesce(n, 0) as bigint) AS n_rows",
-            """round(((cast(n as double) - cast(k as double))
-              |    * ln(nullif((cast(s2 as double) - t1)
-              |        / nullif(cast(n as double) - cast(k as double), 0D), 0D))
-              |  - ls)
-              |  / nullif(1.0 + (si - 1.0 / nullif(cast(n as double) - cast(k as double), 0D))
-              |      / nullif(3.0 * (cast(k as double) - 1.0), 0D), 0D), 4) AS bartlett_b""".stripMargin)
-      },
+      (s, d) => bartlettOf(T.events(s, d), "event_type", "value"),
       Some("""WITH g AS (
              |  SELECT event_type, count(*) AS nj,
              |    cast(sum(x) as bigint) AS sj,
@@ -194,26 +382,7 @@ object Inference {
     // hash agg — two fact passes, zero fact shuffles beyond the aggs.
     OpSpec(
       "agg_levene_bf",
-      (s, d) => {
-        val xi = cents(col("value"))
-        val cell = T.events(s, d)
-          .groupBy(col("event_type"), xi.as("v"))
-          .agg(count(lit(1)).as("cnt"))
-        val byType = Window.partitionBy("event_type").orderBy("v")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val cum = cell
-          .withColumn("cu", sum(col("cnt")).over(byType))
-          .withColumn("nj", sum(col("cnt")).over(Window.partitionBy("event_type")))
-        val med = cum.groupBy("event_type").agg(
-          (min(when(col("cu") >= expr("cast(floor((nj + 1) / 2) as bigint)"), col("v"))) +
-            min(when(col("cu") >= expr("cast(floor(nj / 2) + 1 as bigint)"), col("v"))))
-            .as("dmed"))
-        val z = T.events(s, d)
-          .select(col("event_type"), xi.as("x"))
-          .join(broadcast(med), "event_type")
-          .select(col("event_type"), abs(lit(2L) * col("x") - col("dmed")).as("z"))
-        anovaOnInt(z, "event_type", "z", "w_stat")
-      },
+      (s, d) => leveneBfOf(T.events(s, d), "event_type", "value"),
       Some("""WITH cell AS (
              |  SELECT event_type,
              |    cast(cast(value as decimal(18,2)) * 100 as bigint) AS v,
@@ -263,34 +432,11 @@ object Inference {
     // 31·k-row frame.
     OpSpec(
       "agg_friedman_test",
-      (s, d) => {
-        val ev = T.events(s, d)
-        val cell = ev
+      (s, d) => friedmanOf(
+        T.events(s, d)
           .groupBy(dayofmonth(col("ts")).cast("bigint").as("i"), col("event_type"))
-          .agg(sum(cents(col("value"))).as("m"))
-        val ktot = ev.agg(countDistinct(col("event_type")).as("ktot"))
-        val full = cell.groupBy("i").agg(count(lit(1)).as("c"))
-          .crossJoin(broadcast(ktot)).filter(col("c") === col("ktot")).select("i")
-        val cc = cell.join(broadcast(full), "i")
-        val grid = cc.groupBy("i", "m").agg(count(lit(1)).as("t"))
-        val byDay = Window.partitionBy("i").orderBy("m")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val rk = grid.select(col("i"), col("m"),
-          (sum(col("t")).over(byDay) * 2 - col("t") + 1).as("dr"))
-        cc.join(rk, Seq("i", "m"))
-          .groupBy("event_type")
-          .agg(sum(col("dr")).as("drj"), count(lit(1)).as("nd"))
-          .agg(
-            count(lit(1)).as("k"),
-            min(col("nd")).as("n"),
-            sum(d38(col("drj")) * d38(col("drj"))).as("sd2"))
-          .selectExpr(
-            "cast(k as bigint) AS k_treatments",
-            "cast(coalesce(n, 0) as bigint) AS n_blocks",
-            """round(3.0 * cast(sd2 as double)
-              |    / nullif(cast(n as double) * cast(k as double) * (cast(k as double) + 1.0), 0D)
-              |  - 3.0 * cast(n as double) * (cast(k as double) + 1.0), 4) AS friedman_q""".stripMargin)
-      },
+          .agg(sum(cents(col("value"))).as("m")),
+        "i", "event_type", "m"),
       Some("""WITH cell AS (
              |  SELECT cast(extract(day FROM ts) as bigint) AS i, event_type,
              |    cast(sum(cast(cast(value as decimal(18,2)) * 100 as bigint)) as bigint) AS m
@@ -330,37 +476,7 @@ object Inference {
     // the only ordered pass.
     OpSpec(
       "ts_dw_stat",
-      (s, d) => {
-        val daily = dailyCents(T.events(s, d))
-        val m = daily.agg(
-          count(lit(1)).as("n"),
-          coalesce(sum(col("i")), lit(0L)).as("st"),
-          coalesce(sum(col("i") * col("i")), lit(0L)).as("stt"),
-          coalesce(sum(col("yc")), lit(0L)).as("sy"),
-          coalesce(sum(col("i") * col("yc")), lit(0L)).as("sty"))
-        val et = daily.crossJoin(broadcast(m))
-          .select(col("i"),
-            (d38(col("n") * col("stt") - col("st") * col("st")) * d38(col("n")) * d38(col("yc"))
-              - d38(col("n")) * d38(col("n") * col("sty") - col("st") * col("sy")) * d38(col("i"))
-              - d38(col("n") * col("stt") - col("st") * col("st")) * d38(col("sy"))
-              + d38(col("n") * col("sty") - col("st") * col("sy")) * d38(col("st"))).as("e"),
-            (col("n") * col("stt") - col("st") * col("st")).as("dd"),
-            (col("n") * col("sty") - col("st") * col("sy")).as("nb"))
-        val w = Window.orderBy("i") // 31-row daily frame: bounded
-        et.select(col("e"), lag(col("e"), 1).over(w).as("e1"),
-            col("dd"), col("nb"))
-          .agg(
-            count(lit(1)).as("n"),
-            sum(d38(col("e") - col("e1")) * d38(col("e") - col("e1"))).as("sdd"),
-            sum(d38(col("e")) * d38(col("e"))).as("se2"),
-            max(col("dd")).as("dd"),
-            max(col("nb")).as("nb"))
-          .selectExpr(
-            "cast(n as bigint) AS n_days",
-            """round(cast(nb as double) / nullif(cast(dd as double), 0D) / 100.0, 4)
-              | AS slope_per_day""".stripMargin,
-            "round(cast(sdd as double) / nullif(cast(se2 as double), 0D), 4) AS dw_stat")
-      },
+      (s, d) => dwStatOf(dailyCents(T.events(s, d)), "i", "yc"),
       Some("""WITH daily AS (
              |  SELECT cast(extract(day FROM ts) as bigint) AS i,
              |    cast(sum(cast(cast(value as decimal(18,2)) * 100 as bigint)) as bigint) AS yc
@@ -403,49 +519,15 @@ object Inference {
     // whole regression runs on the 30-row lagged daily frame.
     OpSpec(
       "ts_granger_f",
-      (s, d) => {
-        val ev = T.events(s, d).filter(col("event_type").isin("view", "click"))
-        val daily = ev
+      (s, d) => grangerFOf(
+        T.events(s, d).filter(col("event_type").isin("view", "click"))
           .groupBy(dayofmonth(col("ts")).cast("bigint").as("i"))
           .agg(
             sum(when(col("event_type") === "view", cents(col("value")))
               .otherwise(0L)).as("vc"),
             sum(when(col("event_type") === "click", cents(col("value")))
-              .otherwise(0L)).as("cc"))
-        val w = Window.orderBy("i") // 31-row daily frame: bounded
-        val lg = daily.select(
-            col("vc").as("y"),
-            lag(col("vc"), 1).over(w).as("y1"),
-            lag(col("cc"), 1).over(w).as("x1"))
-          .filter(col("y1").isNotNull && col("x1").isNotNull)
-        val mo = lg.agg(
-          count(lit(1)).cast("double").as("n"),
-          sum(col("y1")).cast("double").as("s1"),
-          sum(col("x1")).cast("double").as("s2"),
-          sum(d38(col("y1")) * d38(col("y1"))).cast("double").as("s11"),
-          sum(d38(col("y1")) * d38(col("x1"))).cast("double").as("s12"),
-          sum(d38(col("x1")) * d38(col("x1"))).cast("double").as("s22"),
-          sum(col("y")).cast("double").as("sy"),
-          sum(d38(col("y")) * d38(col("y"))).cast("double").as("syy"),
-          sum(d38(col("y1")) * d38(col("y"))).cast("double").as("s1y"),
-          sum(d38(col("x1")) * d38(col("y"))).cast("double").as("s2y"))
-        mo.selectExpr(
-            "n", "sy", "syy", "s1y", "s2y", "s1", "s11",
-            s"${det3("n", "s1", "s2", "s1", "s11", "s12", "s2", "s12", "s22")} AS det",
-            s"${det3("sy", "s1", "s2", "s1y", "s11", "s12", "s2y", "s12", "s22")} AS det0",
-            s"${det3("n", "sy", "s2", "s1", "s1y", "s12", "s2", "s2y", "s22")} AS det1",
-            s"${det3("n", "s1", "sy", "s1", "s11", "s1y", "s2", "s12", "s2y")} AS det2")
-          .selectExpr("n", "syy", "sy", "s1y", "s2y", "s1", "s11",
-            "syy - (det0 * sy + det1 * s1y + det2 * s2y) / nullif(det, 0D) AS ssru")
-          .selectExpr(
-            "cast(n as bigint) AS n_obs",
-            """round(syy - ((sy * s11 - s1 * s1y) * sy + (n * s1y - s1 * sy) * s1y)
-              |  / nullif(n * s11 - s1 * s1, 0D), 4) AS ssr_restricted""".stripMargin,
-            "round(ssru, 4) AS ssr_unrestricted",
-            """round(((syy - ((sy * s11 - s1 * s1y) * sy + (n * s1y - s1 * sy) * s1y)
-              |    / nullif(n * s11 - s1 * s1, 0D)) - ssru)
-              |  * (n - 3.0) / nullif(ssru, 0D), 4) AS granger_f""".stripMargin)
-      },
+              .otherwise(0L)).as("cc")),
+        "i", "vc", "cc"),
       Some("""WITH daily AS (
              |  SELECT cast(extract(day FROM ts) as bigint) AS i,
              |    cast(sum(CASE WHEN event_type = 'view'
@@ -499,39 +581,12 @@ object Inference {
     // actually verify). Frame: 744 hours × 9 candidates.
     OpSpec(
       "ts_period_detect",
-      (s, d) => {
-        val cands = Seq(2, 3, 4, 6, 8, 12, 24, 48, 168)
-        val hourly = T.events(s, d)
+      (s, d) => periodDetectOf(
+        T.events(s, d)
           .groupBy(((dayofmonth(col("ts")) - 1) * 24 + hour(col("ts")))
             .cast("bigint").as("h"))
-          .agg(sum(cents(col("value"))).as("yc"))
-        hourly
-          .select(col("h"), col("yc"),
-            explode(array(cands.map(c => lit(c.toLong)): _*)).as("p"))
-          .groupBy(col("p"), (col("h") % col("p")).as("ph"))
-          .agg(
-            count(lit(1)).as("nj"),
-            sum(col("yc")).as("sj"),
-            sum(d38(col("yc")) * d38(col("yc"))).as("s2j"))
-          .withColumn("t1term",
-            expr("cast(sj as double) * cast(sj as double) / cast(nj as double)"))
-          .groupBy("p")
-          .agg(
-            count(lit(1)).as("k"),
-            sum(col("nj")).as("n"),
-            sum(col("sj")).as("s"),
-            sum(col("s2j")).as("s2"),
-            expr(foldTerm("ph", "t1term")).as("t1"))
-          .selectExpr(
-            "cast(p as bigint) AS period",
-            "cast(k as bigint) AS k_phases",
-            "cast(n as bigint) AS n_hours",
-            """round(((t1 - cast(s as double) * cast(s as double) / nullif(cast(n as double), 0D))
-              |        / nullif(cast(k as double) - 1.0, 0D))
-              |      / nullif((cast(s2 as double) - t1)
-              |        / nullif(cast(n as double) - cast(k as double), 0D), 0D), 4) AS f_stat""".stripMargin)
-          .orderBy("period")
-      },
+          .agg(sum(cents(col("value"))).as("yc")),
+        "h", "yc", Seq(2L, 3L, 4L, 6L, 8L, 12L, 24L, 48L, 168L)),
       Some("""WITH hourly AS (
              |  SELECT cast((extract(day FROM ts) - 1) * 24 + extract(hour FROM ts) as bigint) AS h,
              |    cast(sum(cast(cast(value as decimal(18,2)) * 100 as bigint)) as bigint) AS yc
@@ -564,24 +619,8 @@ object Inference {
     // DuckDB isodow: Monday = 1, weekend = {6,7} — same partition.)
     OpSpec(
       "agg_prop_ztest",
-      (s, d) => T.events(s, d)
-        .agg(
-          coalesce(sum(when(weekday(col("ts")) >= 5, 1L).otherwise(0L)), lit(0L)).as("n1"),
-          coalesce(sum(when(weekday(col("ts")) >= 5 && col("event_type") === "click", 1L)
-            .otherwise(0L)), lit(0L)).as("x1"),
-          coalesce(sum(when(weekday(col("ts")) < 5, 1L).otherwise(0L)), lit(0L)).as("n2"),
-          coalesce(sum(when(weekday(col("ts")) < 5 && col("event_type") === "click", 1L)
-            .otherwise(0L)), lit(0L)).as("x2"))
-        .selectExpr(
-          "n1 AS n_weekend", "x1 AS x_weekend",
-          "n2 AS n_weekday", "x2 AS x_weekday",
-          "round(cast(x1 as double) / nullif(cast(n1 as double), 0D), 4) AS p_weekend",
-          "round(cast(x2 as double) / nullif(cast(n2 as double), 0D), 4) AS p_weekday",
-          """round((cast(x1 as double) / nullif(cast(n1 as double), 0D)
-            |    - cast(x2 as double) / nullif(cast(n2 as double), 0D))
-            |  / nullif(sqrt(cast(x1 + x2 as double) / nullif(cast(n1 + n2 as double), 0D)
-            |      * (1.0 - cast(x1 + x2 as double) / nullif(cast(n1 + n2 as double), 0D))
-            |      * (1.0 / nullif(cast(n1 as double), 0D) + 1.0 / nullif(cast(n2 as double), 0D))), 0D), 4) AS z_stat""".stripMargin),
+      (s, d) => propZTestOf(T.events(s, d),
+        weekday(col("ts")) >= 5, col("event_type") === "click"),
       Some("""WITH c AS (
              |  SELECT
              |    cast(coalesce(sum(CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END), 0) as bigint) AS n1,

@@ -766,4 +766,37 @@ class ApiSpec extends AnyFunSuite {
     val kp = ser.kpss("d", "m").head()
     assert(kp.getLong(0) > 0 && !kp.isNullAt(1))
   }
+
+  test("inference-panel wrappers equal their gated queries") {
+    val ev = graft.core.Tables.events(spark, TestSpark.sfSmoke)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSeq
+    def gated(k: String) =
+      rows(graft.ops.Registry.queries(k)(spark, TestSpark.sfSmoke))
+    assert(rows(ev.bartlett("event_type", "value")) == gated("agg_bartlett_test"))
+    assert(rows(ev.leveneBf("event_type", "value")) == gated("agg_levene_bf"))
+    assert(rows(ev.propZTest(weekday(col("ts")) >= 5,
+      col("event_type") === "click")) == gated("agg_prop_ztest"))
+    // series-frame wrappers over an arbitrary prepared frame
+    val daily = ev.groupBy(dayofmonth(col("ts")).cast("long").as("d"))
+      .agg(sum((col("value").cast("decimal(18,2)") * 100).cast("long")).as("m"),
+        count(lit(1)).as("c"))
+    val dw = daily.durbinWatson("d", "m").head()
+    assert(dw.getLong(0) > 0 && dw.getDouble(2) > 0.0 && dw.getDouble(2) < 4.0)
+    val gf = daily.grangerF("d", "m", "c").head()
+    assert(gf.getLong(0) == dw.getLong(0) - 1 && !gf.isNullAt(3))
+    val pdR = daily.periodDetect("d", "m", Seq(7L)).head()
+    assert(pdR.getLong(0) == 7L && pdR.getLong(1) == 7L)
+    intercept[IllegalArgumentException] {
+      daily.periodDetect("d", "m", Seq(1L)) // periods must be >= 2
+    }
+    val cellF = ev.groupBy(dayofmonth(col("ts")).cast("long").as("d"),
+        col("event_type"))
+      .agg(sum((col("value").cast("decimal(18,2)") * 100).cast("long")).as("m"))
+    assert(rows(cellF.friedman("d", "event_type", "m")) == gated("agg_friedman_test"))
+    // fold keys are spliced into expr() text — reject non-identifiers
+    intercept[IllegalArgumentException] {
+      ev.bartlett("event_type; drop", "value")
+    }
+  }
 }

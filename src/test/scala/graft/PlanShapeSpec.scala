@@ -351,6 +351,38 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("Window ".r.findAllIn(kp).size == 1, kp)
   }
 
+  test("the inference-panel queries keep their designed shapes") {
+    // Bartlett: pure partial+final hash aggs + three ordered folds —
+    // windowless, joinless, one fact scan
+    val bt = plan("agg_bartlett_test")
+    assert(!bt.contains("Window ") && !bt.contains("Join"), bt)
+    // Brown–Forsythe: the doubled-median windows run over the bounded
+    // distinct-cents grid, and the k-row median frame broadcasts back
+    // onto the fact scan — the fact table itself never enters a window
+    val lv = plan("agg_levene_bf")
+    assert(lv.contains("BroadcastHashJoin"), lv)
+    assert(!lv.contains("SortMergeJoin"), lv)
+    // Friedman: complete-day filter + rank join are broadcasts over
+    // the ≤31·k cell frame; one bounded per-day rank window
+    val fr = plan("agg_friedman_test")
+    assert(fr.contains("BroadcastHashJoin") && !fr.contains("CartesianProduct"), fr)
+    // DW + Granger: moments broadcast / lag over the bounded daily
+    // frame — exactly one window pass each, no shuffled join
+    Seq("ts_dw_stat", "ts_granger_f").foreach { k =>
+      val p = plan(k)
+      assert("Window ".r.findAllIn(p).size == 1, s"$k: window count != 1\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$k\n$p")
+    }
+    // Period detection: windowless — the candidate explode and both
+    // phase aggs are hash aggregations over the bounded hourly frame
+    val pd = plan("ts_period_detect")
+    assert(!pd.contains("Window ") && !pd.contains("Join"), pd)
+    // Proportion z: ONE hash agg over the fact scan, nothing else
+    val pz = plan("agg_prop_ztest")
+    assert(!pz.contains("Window ") && !pz.contains("Join") &&
+      !pz.contains("Exchange hashpartitioning"), pz)
+  }
+
   test("no CartesianProduct outside the deliberate cross/pairs queries") {
     val allowed = Set("join_cross", "sim_cosine_topk", "text_tfidf")
     val offenders = Registry.all
