@@ -639,5 +639,55 @@ object Inference {
              |        * (1.0 / nullif(cast(n1 as double), 0.0) + 1.0 / nullif(cast(n2 as double), 0.0))), 0.0), 4) AS z_stat
              |FROM c""".stripMargin),
     ),
+    // KALMAN FILTER, local-level model (state-space inference — the
+    // probabilistic twin of ts_ewm whose smoothing weight ADAPTS to
+    // accumulated uncertainty): per step, pp = p + q; k = pp/(pp + r);
+    // l += k(x − l); p = (1−k)·pp, with q = 4 (process var), r = 16
+    // (observation var), p₀ = 100 (diffuse init), l₀ = x₁. Rides the
+    // ts_holt_linear PREFIX-FOLD device — Spark folds each cumulative
+    // prefix through a struct accumulator while the oracle runs the
+    // IDENTICAL recursion as a recursive CTE, the same IEEE op
+    // sequence op-for-op, so level / error variance / next gain go out
+    // UNROUNDED and bit-exact. Single-series by the documented O(n²)
+    // prefix-fold policy (user 7's ~67-event series; the keyed linear
+    // path is the flatMapGroups pattern already proven by udaf/Holt).
+    OpSpec(
+      "ts_kalman_level",
+      (s, d) => {
+        val cum = Window.partitionBy("user_id").orderBy("event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        T.events(s, d)
+          .select(col("user_id"), col("event_id"), col("value"))
+          .filter(col("user_id") === 7)
+          .withColumn("pl", collect_list(col("value")).over(cum))
+          .select(col("event_id"),
+            expr("""aggregate(slice(pl, 2, size(pl) - 1),
+                   |  named_struct('l', element_at(pl, 1), 'p', CAST(100.0 AS DOUBLE)),
+                   |  (acc, x) -> named_struct(
+                   |    'l', acc.l + ((acc.p + 4.0) / (acc.p + 4.0 + 16.0)) * (x - acc.l),
+                   |    'p', (1.0 - (acc.p + 4.0) / (acc.p + 4.0 + 16.0)) * (acc.p + 4.0)))""".stripMargin)
+              .as("st"))
+          .select(col("event_id"), col("st.l").as("level"),
+            col("st.p").as("err_var"),
+            expr("(st.p + 4.0) / (st.p + 4.0 + 16.0)").as("gain_next"))
+          .orderBy("event_id")
+      },
+      Some("""WITH RECURSIVE s AS (
+             |  SELECT cast(row_number() OVER (ORDER BY event_id) as bigint) AS i,
+             |    event_id, value AS x
+             |  FROM events WHERE user_id = 7),
+             |rec AS (
+             |  -- CAST: a bare 100.0 would type p DECIMAL for the whole
+             |  -- recursion and truncate every variance
+             |  SELECT i, event_id, x, x AS l, CAST(100.0 AS DOUBLE) AS p FROM s WHERE i = 1
+             |  UNION ALL
+             |  SELECT s.i, s.event_id, s.x,
+             |    rec.l + ((rec.p + 4.0) / (rec.p + 4.0 + 16.0)) * (s.x - rec.l) AS l,
+             |    (1.0 - (rec.p + 4.0) / (rec.p + 4.0 + 16.0)) * (rec.p + 4.0) AS p
+             |  FROM rec JOIN s ON s.i = rec.i + 1)
+             |SELECT event_id, l AS level, p AS err_var,
+             |  (p + 4.0) / (p + 4.0 + 16.0) AS gain_next
+             |FROM rec ORDER BY event_id""".stripMargin),
+    ),
   )
 }

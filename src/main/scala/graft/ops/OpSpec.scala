@@ -23,7 +23,7 @@ object Registry {
       Scalars.ops ++ LlmOps.ops ++
       CurationOps.ops ++
       graft.text.TextOps.ops ++ graft.text.NearDup.ops ++
-      graft.vec.VecOps.ops ++ graft.vec.Pq.ops ++ graft.vec.IvfPq.ops ++
+      graft.vec.VecOps.ops ++ graft.vec.Pq.ops ++ graft.vec.IvfPq.ops ++ graft.vec.Pca.ops ++
       Udfs.ops
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =

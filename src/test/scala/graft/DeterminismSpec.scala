@@ -116,7 +116,10 @@ class DeterminismSpec extends AnyFunSuite {
     // doubled-median grid, per-day doubled ranks, D·n·e residual
     // cascade, det3 Cramer over the lagged daily frame
     "agg_bartlett_test", "agg_levene_bf", "agg_friedman_test",
-    "ts_dw_stat", "ts_granger_f", "ts_period_detect")
+    "ts_dw_stat", "ts_granger_f", "ts_period_detect",
+    // round-13 batch 7: literal-rotation projections with quantized
+    // exact sums; the Kalman prefix fold
+    "vec_pca_project", "vec_pca_var_report", "ts_kalman_level")
 
   test("order-sensitive queries return identical results across runs") {
     val failures = sensitive.flatMap { key =>

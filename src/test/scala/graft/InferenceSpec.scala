@@ -188,6 +188,36 @@ class InferenceSpec extends AnyFunSuite {
     }
   }
 
+  test("Kalman local-level filter replays the predict/update recursion") {
+    val xs = graft.core.Tables.events(spark, TestSpark.sfSmoke)
+      .filter(col("user_id") === 7)
+      .select("event_id", "value")
+      .orderBy("event_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(xs.length > 10)
+    var l = xs(0)._2; var p = 100.0
+    val want = scala.collection.mutable.ArrayBuffer((xs(0)._1, l, p))
+    xs.drop(1).foreach { case (id, x) =>
+      val k = (p + 4.0) / (p + 4.0 + 16.0)
+      l = l + k * (x - l)
+      p = (1.0 - k) * (p + 4.0)
+      want += ((id, l, p))
+    }
+    val got = graft.ops.Registry.queries("ts_kalman_level")(spark, TestSpark.sfSmoke)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.length == xs.length)
+    got.zip(want).foreach { case ((gid, gl, gp, gk), (wid, wl, wp)) =>
+      assert(gid == wid && gl == wl && gp == wp, s"event $gid")
+      assert(gk == (wp + 4.0) / (wp + 4.0 + 16.0))
+    }
+    // the error variance starts at the diffuse init and contracts
+    // toward its fixed point p* = (−q + √(q² + 4rq))/2 ≈ 6.2462
+    // (monotone up to ulp wobble once converged)
+    val ps = got.map(_._3)
+    assert(ps.head == 100.0 && ps.last < 10.0 &&
+      ps.sliding(2).forall { case Array(a, b) => b <= a + 1e-9 })
+  }
+
   test("two-proportion z replays from the four weekend/weekday counts") {
     val wk = graft.core.Tables.events(spark, TestSpark.sfSmoke)
       .select(weekday(col("ts")).cast("long").as("w"), col("event_type"))
