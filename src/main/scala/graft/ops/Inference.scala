@@ -689,5 +689,139 @@ object Inference {
              |  (p + 4.0) / (p + 4.0 + 16.0) AS gain_next
              |FROM rec ORDER BY event_id""".stripMargin),
     ),
+    // COCHRAN'S Q — the k-treatment BINARY repeated-measures test
+    // (Friedman's 0/1 sibling; McNemar's k-group generalization):
+    // blocks = users, treatments = event types, Xᵢⱼ = 1 iff user i
+    // fired type j HEAVILY (≥ 15 events — the mean is ~13.4/type at
+    // every sf, so the mark genuinely varies; plain "ever fired" is
+    // all-ones on this corpus and Q degenerates to 0/0).
+    // Q = (k−1)(k·ΣCⱼ² − N²)/(k·N − ΣRᵢ²) — EVERY term an exact
+    // integer (decimal(38,0) squares), the final division the only
+    // float. All-0 and all-k blocks are ALGEBRAICALLY neutral (they
+    // cancel in the numerator shifts and add k·R − R² = 0 to the
+    // denominator), so no block filter is needed. Plan: two hash
+    // aggs over the fact table — it never joins or windows. k is
+    // the FULL treatment count (a type nobody marks still widens
+    // the design), read from the fact table.
+    OpSpec(
+      "agg_cochran_q",
+      (s, d) => {
+        val inc = T.events(s, d).groupBy("user_id", "event_type")
+          .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 15L)
+          .select("user_id", "event_type")
+        val kct = T.events(s, d).agg(countDistinct(col("event_type")).as("k"))
+          .crossJoin(broadcast(inc.agg(count(lit(1)).as("n"))))
+        val cj = inc.groupBy("event_type").agg(count(lit(1)).as("c"))
+          .agg(sum(d38(col("c")) * d38(col("c"))).as("sc2"))
+        val ri = inc.groupBy("user_id").agg(count(lit(1)).as("r"))
+          .agg(sum(d38(col("r")) * d38(col("r"))).as("sr2"),
+            count(lit(1)).as("n_blocks"))
+        kct.crossJoin(broadcast(cj)).crossJoin(broadcast(ri))
+          .selectExpr(
+            "cast(k as bigint) AS k_treatments",
+            "cast(n_blocks as bigint) AS n_blocks",
+            "cast(n as bigint) AS n_marks",
+            """round((cast(k as double) - 1.0)
+              |    * (cast(k as double) * cast(sc2 as double) - cast(n as double) * cast(n as double))
+              |  / nullif(cast(k as double) * cast(n as double) - cast(sr2 as double), 0D), 4) AS cochran_q""".stripMargin)
+      },
+      Some("""WITH inc AS (
+             |  SELECT user_id, event_type FROM events
+             |  GROUP BY user_id, event_type HAVING count(*) >= 15),
+             |kct AS (
+             |  SELECT (SELECT count(DISTINCT event_type) FROM events) AS k,
+             |    count(*) AS n
+             |  FROM inc),
+             |cj AS (
+             |  SELECT sum(cast(c as decimal(38,0)) * cast(c as decimal(38,0))) AS sc2
+             |  FROM (SELECT event_type, count(*) AS c FROM inc GROUP BY event_type)),
+             |ri AS (
+             |  SELECT sum(cast(r as decimal(38,0)) * cast(r as decimal(38,0))) AS sr2,
+             |    count(*) AS n_blocks
+             |  FROM (SELECT user_id, count(*) AS r FROM inc GROUP BY user_id))
+             |SELECT cast(k as bigint) AS k_treatments,
+             |  cast(n_blocks as bigint) AS n_blocks,
+             |  cast(n as bigint) AS n_marks,
+             |  round((cast(k as double) - 1.0)
+             |      * (cast(k as double) * cast(sc2 as double) - cast(n as double) * cast(n as double))
+             |    / nullif(cast(k as double) * cast(n as double) - cast(sr2 as double), 0.0), 4) AS cochran_q
+             |FROM kct CROSS JOIN cj CROSS JOIN ri""".stripMargin),
+    ),
+    // WILCOXON SIGNED-RANK — the PAIRED two-sample test completing the
+    // rank family (Mann–Whitney is the unpaired member): pairs =
+    // (view mass, click mass) per day, dᵢ = vᵢ − cᵢ exact cents, zero
+    // diffs dropped per the classic procedure, |d| ranked with average
+    // ties via the DOUBLED-RANK grid (exact integers), W± = Σdr/2 over
+    // each sign. The normal approximation z uses the tie-corrected
+    // variance n(n+1)(2n+1)/24 − Σ(t³−t)/48 — every moment exact until
+    // the one final division.
+    OpSpec(
+      "agg_wilcoxon_signed",
+      (s, d) => {
+        val daily = T.events(s, d)
+          .filter(col("event_type").isin("view", "click"))
+          .groupBy(dayofmonth(col("ts")).cast("bigint").as("i"))
+          .agg(
+            sum(when(col("event_type") === "view", cents(col("value")))
+              .otherwise(0L)).as("vc"),
+            sum(when(col("event_type") === "click", cents(col("value")))
+              .otherwise(0L)).as("cc"))
+          .select((col("vc") - col("cc")).as("dd"))
+          .filter(col("dd") =!= 0L)
+          .select(abs(col("dd")).as("ad"), signum(col("dd")).cast("bigint").as("sg"))
+        val grid = daily.groupBy("ad").agg(count(lit(1)).as("t"))
+        val byA = Window.orderBy("ad") // distinct-|d| grid: bounded
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val ranked = grid.select(col("ad"), col("t"),
+          (sum(col("t")).over(byA) * 2 - col("t") + 1).as("dr"))
+        val ties = grid.agg(
+          coalesce(sum(col("t") * col("t") * col("t") - col("t")), lit(0L)).as("tie_sum"))
+        daily.join(broadcast(ranked.select("ad", "dr")), "ad")
+          .agg(
+            count(lit(1)).as("n"),
+            coalesce(sum(when(col("sg") === 1L, col("dr")).otherwise(0L)), lit(0L)).as("wp2"),
+            coalesce(sum(when(col("sg") === -1L, col("dr")).otherwise(0L)), lit(0L)).as("wm2"))
+          .crossJoin(broadcast(ties))
+          .selectExpr(
+            "cast(n as bigint) AS n_pairs",
+            "cast(wp2 as double) / 2.0 AS w_plus",
+            "cast(wm2 as double) / 2.0 AS w_minus",
+            """round((cast(wp2 as double) / 2.0
+              |    - cast(n as double) * (cast(n as double) + 1.0) / 4.0)
+              |  / nullif(sqrt(cast(n as double) * (cast(n as double) + 1.0)
+              |      * (2.0 * cast(n as double) + 1.0) / 24.0
+              |    - cast(tie_sum as double) / 48.0), 0D), 4) AS z_stat""".stripMargin)
+      },
+      Some("""WITH daily AS (
+             |  SELECT cast(extract(day FROM ts) as bigint) AS i,
+             |    cast(sum(CASE WHEN event_type = 'view'
+             |      THEN cast(cast(value as decimal(18,2)) * 100 as bigint) ELSE 0 END) as bigint)
+             |    - cast(sum(CASE WHEN event_type = 'click'
+             |      THEN cast(cast(value as decimal(18,2)) * 100 as bigint) ELSE 0 END) as bigint) AS dd
+             |  FROM events WHERE event_type IN ('view', 'click') GROUP BY 1),
+             |dz AS (SELECT abs(dd) AS ad, cast(sign(dd) as bigint) AS sg
+             |       FROM daily WHERE dd <> 0),
+             |grid AS (SELECT ad, count(*) AS t FROM dz GROUP BY ad),
+             |ranked AS (
+             |  SELECT ad,
+             |    sum(t) OVER (ORDER BY ad ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 2
+             |      - t + 1 AS dr
+             |  FROM grid),
+             |ti AS (SELECT cast(coalesce(sum(t * t * t - t), 0) as bigint) AS tie_sum FROM grid),
+             |a AS (
+             |  SELECT count(*) AS n,
+             |    cast(coalesce(sum(CASE WHEN sg = 1 THEN dr ELSE 0 END), 0) as bigint) AS wp2,
+             |    cast(coalesce(sum(CASE WHEN sg = -1 THEN dr ELSE 0 END), 0) as bigint) AS wm2
+             |  FROM dz JOIN ranked USING (ad))
+             |SELECT cast(n as bigint) AS n_pairs,
+             |  cast(wp2 as double) / 2.0 AS w_plus,
+             |  cast(wm2 as double) / 2.0 AS w_minus,
+             |  round((cast(wp2 as double) / 2.0
+             |      - cast(n as double) * (cast(n as double) + 1.0) / 4.0)
+             |    / nullif(sqrt(cast(n as double) * (cast(n as double) + 1.0)
+             |        * (2.0 * cast(n as double) + 1.0) / 24.0
+             |      - cast(tie_sum as double) / 48.0), 0.0), 4) AS z_stat
+             |FROM a CROSS JOIN ti""".stripMargin),
+    ),
   )
 }

@@ -596,5 +596,59 @@ object TextOps {
              |  cast(sum(CASE WHEN p > 0 THEN 1 ELSE 0 END) as bigint) AS n_words
              |FROM t GROUP BY source ORDER BY source""".stripMargin),
     ),
+    // LEXICAL DIVERSITY per source — type-token ratio + hapax fraction,
+    // the repetitiveness signals a curation pipeline reads next to
+    // text_top_ngram_frac (low TTR / low hapax = template or spam).
+    // MICRO-averaged by design: per-doc type/token/hapax counts are
+    // exact integers, per-source totals are exact integer sums
+    // (order-free at any corpus size — no per-doc float ratio is ever
+    // averaged), and the two ratios are single final divisions. Plan:
+    // token explode → (doc, token) hash agg → doc agg → source agg,
+    // all partial+final — the explode is the only corpus-linear stage.
+    OpSpec(
+      "text_ttr",
+      (s, d) => {
+        val toks = T.documents(s, d)
+          .select(col("source"), col("doc_id"),
+            explode(split(col("text"), " ")).as("w"))
+        val perDoc = toks
+          .groupBy("source", "doc_id", "w").agg(count(lit(1)).as("c"))
+          .groupBy("source", "doc_id")
+          .agg(
+            sum(col("c")).as("n_tok"),
+            count(lit(1)).as("n_type"),
+            sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+        perDoc.groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("tok"),
+            sum(col("n_type")).as("typ"),
+            sum(col("n_hapax")).as("hap"))
+          .selectExpr("source",
+            "cast(n_docs as bigint) AS n_docs",
+            "cast(tok as bigint) AS tok_total",
+            "cast(typ as bigint) AS type_total",
+            "cast(hap as bigint) AS hapax_total",
+            "round(cast(typ as double) / nullif(cast(tok as double), 0D), 4) AS ttr_micro",
+            "round(cast(hap as double) / nullif(cast(tok as double), 0D), 4) AS hapax_frac")
+          .orderBy("source")
+      },
+      Some("""WITH tok AS (
+             |  SELECT source, doc_id, unnest(string_split(text, ' ')) AS w
+             |  FROM documents),
+             |cell AS (SELECT source, doc_id, w, count(*) AS c
+             |         FROM tok GROUP BY 1, 2, 3),
+             |perdoc AS (
+             |  SELECT source, doc_id, sum(c) AS n_tok, count(*) AS n_type,
+             |    sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n_hapax
+             |  FROM cell GROUP BY 1, 2)
+             |SELECT source, count(*) AS n_docs,
+             |  cast(sum(n_tok) as bigint) AS tok_total,
+             |  cast(sum(n_type) as bigint) AS type_total,
+             |  cast(sum(n_hapax) as bigint) AS hapax_total,
+             |  round(cast(sum(n_type) as double) / nullif(cast(sum(n_tok) as double), 0.0), 4) AS ttr_micro,
+             |  round(cast(sum(n_hapax) as double) / nullif(cast(sum(n_tok) as double), 0.0), 4) AS hapax_frac
+             |FROM perdoc GROUP BY source ORDER BY source""".stripMargin),
+    ),
   )
 }

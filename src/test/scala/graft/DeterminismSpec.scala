@@ -119,7 +119,10 @@ class DeterminismSpec extends AnyFunSuite {
     "ts_dw_stat", "ts_granger_f", "ts_period_detect",
     // round-13 batch 7: literal-rotation projections with quantized
     // exact sums; the Kalman prefix fold
-    "vec_pca_project", "vec_pca_var_report", "ts_kalman_level")
+    "vec_pca_project", "vec_pca_var_report", "ts_kalman_level",
+    // round-13 batch 8: the |d| doubled-rank grid, exact incidence
+    // squares, per-doc token grids
+    "agg_wilcoxon_signed", "agg_cochran_q", "text_ttr")
 
   test("order-sensitive queries return identical results across runs") {
     val failures = sensitive.flatMap { key =>

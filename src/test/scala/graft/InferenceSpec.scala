@@ -218,6 +218,62 @@ class InferenceSpec extends AnyFunSuite {
       ps.sliding(2).forall { case Array(a, b) => b <= a + 1e-9 })
   }
 
+  test("Cochran's Q replays from the heavy-use incidence matrix") {
+    val ut = graft.core.Tables.events(spark, TestSpark.sfSmoke)
+      .select(col("user_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val k = ut.map(_._2).distinct.length.toDouble
+    val inc = ut.groupBy(identity).filter(_._2.length >= 15).keys.toSeq
+    val n = inc.length.toDouble
+    val sc2 = inc.groupBy(_._2).values.map(g => BigInt(g.length) * g.length).sum.toDouble
+    val rGroups = inc.groupBy(_._1).values.toSeq
+    val sr2 = rGroups.map(g => BigInt(g.length) * g.length).sum.toDouble
+    val q = r4((k - 1.0) * (k * sc2 - n * n) / (k * n - sr2))
+    val got = graft.ops.Registry.queries("agg_cochran_q")(spark, TestSpark.sfSmoke).head()
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getDouble(3))
+      == ((k.toLong, rGroups.length.toLong, n.toLong, q)))
+  }
+
+  test("Wilcoxon signed-rank replays from the doubled-rank |d| grid") {
+    val vc = dayRows.filter(r => r._2 == "view" || r._2 == "click")
+    val dz = vc.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, g) =>
+      g.filter(_._2 == "view").map(r => BigInt(r._3)).sum -
+        g.filter(_._2 == "click").map(r => BigInt(r._3)).sum
+    }.filter(_ != 0)
+    val grid = dz.map(_.abs).groupBy(identity).map { case (a, g) => a -> g.length.toLong }
+    val sortedA = grid.keys.toSeq.sorted
+    val cum = sortedA.scanLeft(0L)((acc, a) => acc + grid(a)).tail
+    val dr = sortedA.zip(cum).map { case (a, c) => a -> (2 * c - grid(a) + 1) }.toMap
+    val n = dz.length.toDouble
+    val wp = dz.filter(_ > 0).map(d => dr(d.abs)).sum.toDouble / 2.0
+    val wm = dz.filter(_ < 0).map(d => dr(d.abs)).sum.toDouble / 2.0
+    val tieSum = grid.values.map(t => BigInt(t) * t * t - t).sum.toDouble
+    val z = r4((wp - n * (n + 1.0) / 4.0) /
+      math.sqrt(n * (n + 1.0) * (2.0 * n + 1.0) / 24.0 - tieSum / 48.0))
+    val got = graft.ops.Registry.queries("agg_wilcoxon_signed")(spark, TestSpark.sfSmoke).head()
+    assert((got.getLong(0), got.getDouble(1), got.getDouble(2), got.getDouble(3))
+      == ((dz.length.toLong, wp, wm, z)))
+  }
+
+  test("lexical-diversity totals replay from plain string splits") {
+    val docs = graft.core.Tables.documents(spark, TestSpark.sfSmoke)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val want = docs.groupBy(_._1).toSeq.sortBy(_._1).map { case (src, g) =>
+      val per = g.map { case (_, t) =>
+        val counts = t.split(" ", -1).groupBy(identity).map(_._2.length)
+        (counts.sum.toLong, counts.size.toLong, counts.count(_ == 1).toLong)
+      }
+      val (tok, typ, hap) = (per.map(_._1).sum, per.map(_._2).sum, per.map(_._3).sum)
+      (src, g.length.toLong, tok, typ, hap,
+        r4(typ.toDouble / tok.toDouble), r4(hap.toDouble / tok.toDouble))
+    }
+    val got = graft.ops.Registry.queries("text_ttr")(spark, TestSpark.sfSmoke)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6))).toSeq
+    assert(got == want)
+  }
+
   test("two-proportion z replays from the four weekend/weekday counts") {
     val wk = graft.core.Tables.events(spark, TestSpark.sfSmoke)
       .select(weekday(col("ts")).cast("long").as("w"), col("event_type"))
