@@ -628,6 +628,49 @@ object StreamOps {
         TimeMode.None(), OutputMode.Append())
   }
 
+  /** Streaming Kalman local-level filter — the live twin of the
+    * declared ts_kalman_level: 16 BYTES of state per key (level +
+    * error variance), the same predict/update arithmetic in the same
+    * IEEE order as the batch prefix fold, so stream ≡ batch
+    * bit-for-bit when fed per-key in event_id order. The natural
+    * streaming smoother: unlike the batch O(n²) prefix device, each
+    * arrival costs O(1). */
+  case class KalIn(user_id: Long, event_id: Long, value: Double)
+  case class KalPoint(user_id: Long, event_id: Long, level: Double,
+                      err_var: Double, gain_next: Double)
+  case class KalState(l: Double, p: Double)
+
+  private class KalmanProcessor(q: Double, r: Double, p0: Double)
+      extends StatefulProcessor[Long, KalIn, KalPoint] {
+    @transient private var st: ValueState[KalState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[KalState](
+        "kal", Encoders.product[KalState], TTLConfig.NONE)
+    override def handleInputRows(
+        user: Long, rows: Iterator[KalIn], tv: TimerValues): Iterator[KalPoint] = {
+      var s = Option(st.get()).orNull
+      val out = rows.toSeq.sortBy(_.event_id).map { rr =>
+        if (s == null) s = KalState(rr.value, p0)
+        else {
+          val k = (s.p + q) / (s.p + q + r)
+          s = KalState(s.l + k * (rr.value - s.l), (1.0 - k) * (s.p + q))
+        }
+        KalPoint(user, rr.event_id, s.l, s.p, (s.p + q) / (s.p + q + r))
+      }
+      st.update(s)
+      out.iterator
+    }
+  }
+
+  def streamingKalmanLevel(events: Dataset[KalIn], q: Double = 4.0,
+                           r: Double = 16.0,
+                           p0: Double = 100.0): Dataset[KalPoint] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new KalmanProcessor(q, r, p0),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** Streaming heavy hitters — the SPACE-SAVING sketch (Metwally,
     * Agrawal, El Abbadi 2005): per shard at most `k` counters live in
     * a [[org.apache.spark.sql.streaming.MapState]] (the third state

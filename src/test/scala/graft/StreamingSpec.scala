@@ -436,6 +436,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch) // bit-exact, all four columns
   }
 
+  test("streaming Kalman local-level equals the declared batch query bit-for-bit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val inRows = eventRows.filter(_.user_id == 7)
+      .map(e => StreamOps.KalIn(e.user_id, e.event_id, e.value))
+      .sortBy(_.event_id) // per-key in-order feed = the contract
+    val ms = MemoryStream[StreamOps.KalIn]
+    val q = StreamOps.streamingKalmanLevel(ms.toDS())
+      .writeStream.format("memory").queryName("t_kal").outputMode("append").start()
+    val (a, b) = inRows.splitAt(inRows.size / 2)
+    ms.addData(a); q.processAllAvailable()
+    ms.addData(b); q.processAllAvailable() // (l, p) crosses the boundary
+    q.stop()
+    val streamed = spark.table("t_kal").collect()
+      .map(r => r.getLong(1) -> ((r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    val batch = graft.ops.Registry.queries("ts_kalman_level")(spark, TestSpark.sfSmoke)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(streamed.nonEmpty && streamed == batch) // bit-exact
+  }
+
   test("streaming CUSUM drift detector equals the declared batch ts_cusum_flag EXACTLY") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
