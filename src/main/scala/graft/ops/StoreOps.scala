@@ -189,6 +189,33 @@ object StoreOps {
               |FROM store
               |GROUP BY 1, 2 ORDER BY hour_ts, event_type""".stripMargin),
     ),
+    // INCREMENTAL rollup refresh — the continuous-aggregate
+    // maintenance job every production TSDB runs beside the full
+    // rollup: v1 materialized from the base load, then the update
+    // batch lands and ONLY its touched day partitions are re-
+    // aggregated and swapped (dynamic partition overwrite; untouched
+    // days stay byte-identical — StoreSpec asserts mtimes). The gated
+    // read returns the final rollup; the oracle recomputes the FULL
+    // hourly aggregate from the events+update CTE — so the gate
+    // proves incremental refresh ≡ full recompute, row for row. At
+    // 100 TB this is the difference between re-aggregating one
+    // ingested day and re-aggregating the store.
+    OpSpec(
+      "store_rollup_incremental",
+      (s, d) => {
+        val path = TsdbStore.ensureIncRollupStore(s, d)
+        TsdbStore.read(s, path)
+          .select(graft.core.Policy.tsOut(col("hour_ts")).as("hour_ts"),
+            col("event_type"), col("n"), col("sum_value"))
+          .orderBy("hour_ts", "event_type")
+      },
+      Some(s"""WITH $storeSql
+              |SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+              |  count(*) AS n,
+              |  cast(sum(cast(value as decimal(18,2))) as double) AS sum_value
+              |FROM store
+              |GROUP BY 1, 2 ORDER BY hour_ts, event_type""".stripMargin),
+    ),
     // TIME-TRAVEL read (round-12 verdict "missing" #2): the store "as
     // of version V" — versions are monotone event_ids, so the as-of
     // state is one row-level filter (`event_id ≤ V`, parquet

@@ -162,6 +162,39 @@ object TsdbStore {
     writeDayPartitioned(rolled, "hour_ts", dstPath)
   }
 
+  /** INCREMENTAL rollup refresh — the continuous-aggregate maintenance
+    * job: recompute ONLY the day partitions `batch` touched and
+    * replace those directories in the rollup store (dynamic partition
+    * overwrite), leaving every other day's files byte-untouched
+    * (StoreSpec asserts via mtimes). The source re-read is
+    * partition-pruned to the touched days, so refresh cost scales with
+    * the DELTA's day count, not the store's size — at 100 TB a
+    * one-day ingest re-aggregates one day. */
+  def rollupRefreshDays(spark: SparkSession, srcPath: String, dstPath: String,
+                        batch: DataFrame, tsCol: String, byCol: String,
+                        valueCol: String): Unit = {
+    // the touched-day list is bounded by the batch's time span
+    val days = batch.select(to_date(col(tsCol)).as("event_date"))
+      .distinct().collect().map(_.getDate(0))
+    if (days.isEmpty) return
+    val rolled = read(spark, srcPath)
+      .filter(col("event_date").isin(days.toIndexedSeq: _*)) // partition-pruned
+      .groupBy(date_trunc("hour", col(tsCol)).as("hour_ts"), col(byCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol).cast("decimal(18,2)")).cast("double")
+          .as(s"sum_$valueCol"))
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try
+      rolled.withColumn("event_date", to_date(col("hour_ts")))
+        .repartition(col("event_date"))
+        .write.mode("overwrite").partitionBy("event_date").parquet(dstPath)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   /** BUCKETED store variant: save the store as a bucketed table
     * (`bucketBy(buckets, keyCol)` + saveAsTable — bucketing metadata
     * needs the catalog; a bare parquet path can't carry it). Reading
@@ -237,13 +270,31 @@ object TsdbStore {
       .digest(s.getBytes("UTF-8")).take(12).map("%02x".format(_)).mkString
   private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def ensureBuilt(key: String)(build: String => Unit): String =
-    built.computeIfAbsent(sha16(key), dg => {
-      val path = new java.io.File(
-        sys.props("java.io.tmpdir"), s"graft_store_${jvmUid}_$dg").getAbsolutePath
-      build(path)
-      path
-    })
+  // per-key lock objects, NOT computeIfAbsent-with-build: ensure*
+  // builds NEST (ensureCompactedStore/ensureRetainedStore/
+  // ensureRollupStore all call ensureEventsStore), and a nested
+  // computeIfAbsent on one ConcurrentHashMap throws
+  // IllegalStateException("Recursive update") whenever the two digests
+  // share a hash bin — the DiskMemo.ensure fix applied here. Build
+  // dependencies form a DAG, so lock order is consistent (no deadlock).
+  private val buildLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def ensureBuilt(key: String)(build: String => Unit): String = {
+    val dg = sha16(key)
+    var path = built.get(dg)
+    if (path == null) {
+      buildLocks.computeIfAbsent(dg, _ => new Object).synchronized {
+        path = built.get(dg)
+        if (path == null) {
+          val p = new java.io.File(
+            sys.props("java.io.tmpdir"), s"graft_store_${jvmUid}_$dg").getAbsolutePath
+          build(p)
+          built.put(dg, p)
+          path = p
+        }
+      }
+    }
+    path
+  }
 
   /** Build (once per JVM+corpus) the gate's events store under
     * java.io.tmpdir: bulk load + appended update batch. Returns the
@@ -306,6 +357,22 @@ object TsdbStore {
     ensureBuilt(s"rollup|$sfDir ${stamp(sfDir)}") { dst =>
       val src = ensureEventsStore(spark, sfDir)
       rollupHourly(spark, src, dst, "ts", "event_type", "value")
+    }
+
+  /** Gate fixture: the hourly rollup maintained INCREMENTALLY — v1
+    * rolled up from the base load only, then the update batch lands in
+    * the source store and [[rollupRefreshDays]] recomputes just the
+    * touched day partitions. The gated read proves incremental ≡ full
+    * recompute (its oracle is the full-store hourly aggregate). */
+  def ensureIncRollupStore(spark: SparkSession, sfDir: String): String =
+    ensureBuilt(s"incroll|$sfDir ${stamp(sfDir)}") { dst =>
+      val srcPath = s"${dst}_src"
+      val events = graft.core.Tables.events(spark, sfDir)
+      writeDayPartitioned(events, "ts", srcPath)
+      rollupHourly(spark, srcPath, dst, "ts", "event_type", "value")
+      val batch = updateBatch(events)
+      appendDayPartitioned(batch, "ts", srcPath)
+      rollupRefreshDays(spark, srcPath, dst, batch, "ts", "event_type", "value")
     }
 
   /** Gate fixture for SCHEMA EVOLUTION: the events store rebuilt with

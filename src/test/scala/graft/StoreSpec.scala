@@ -206,6 +206,55 @@ class StoreSpec extends AnyFunSuite {
     assert(got.exceptAll(expect).count() === 0L)
   }
 
+  test("incremental rollup refresh rewrites ONLY the touched day partitions") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_incroll").toString
+    val src = s"$dir/src"; val dst = s"$dir/rollup"
+    // three-day base store
+    val base = Seq(
+      (1L, "2024-03-01 10:15:00", "view", 10.0),
+      (2L, "2024-03-01 11:20:00", "view", 20.0),
+      (3L, "2024-03-02 10:05:00", "click", 5.0),
+      (4L, "2024-03-03 09:00:00", "view", 7.5))
+      .toDF("event_id", "ts_s", "event_type", "value")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    TsdbStore.writeDayPartitioned(base, "ts", src)
+    TsdbStore.rollupHourly(spark, src, dst, "ts", "event_type", "value")
+    def partFiles(day: String) =
+      Option(new java.io.File(s"$dst/event_date=$day").listFiles)
+        .getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length, f.lastModified)).sortBy(_._1).toSeq
+    val d1Before = partFiles("2024-03-01")
+    val d3Before = partFiles("2024-03-03")
+    assert(d1Before.nonEmpty && d3Before.nonEmpty)
+    // a batch touching ONLY day 2
+    val batch = Seq((5L, "2024-03-02 10:40:00", "click", 3.0))
+      .toDF("event_id", "ts_s", "event_type", "value")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    TsdbStore.appendDayPartitioned(batch, "ts", src)
+    Thread.sleep(1100) // mtime granularity can be a full second
+    TsdbStore.rollupRefreshDays(spark, src, dst, batch, "ts", "event_type", "value")
+    // untouched day partitions are byte-identical (same files, same
+    // sizes, same mtimes) — the refresh never rewrote them
+    assert(partFiles("2024-03-01") == d1Before)
+    assert(partFiles("2024-03-03") == d3Before)
+    // the refreshed rollup equals the full recompute of base + batch
+    val got = TsdbStore.read(spark, dst)
+      .select("hour_ts", "event_type", "n", "sum_value")
+      .collect().map(_.toString).sorted.toSeq
+    val full = s"$dir/full"
+    TsdbStore.rollupHourly(spark, src, full, "ts", "event_type", "value")
+    val want = TsdbStore.read(spark, full)
+      .select("hour_ts", "event_type", "n", "sum_value")
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == want && got.nonEmpty)
+    // and the day-2 cell actually absorbed the batch row
+    val d2 = TsdbStore.read(spark, dst)
+      .filter(col("event_type") === "click").agg(sum(col("n"))).head().getLong(0)
+    assert(d2 === 2L)
+  }
+
   test("as-of-version read at V = 10^7 - 1 reproduces the exact pre-append state") {
     val path = TsdbStore.ensureEventsStore(spark, TestSpark.sfSmoke)
     val asof = TsdbStore.latestByKey(
