@@ -823,5 +823,90 @@ object Inference {
              |      - cast(tie_sum as double) / 48.0), 0.0), 4) AS z_stat
              |FROM a CROSS JOIN ti""".stripMargin),
     ),
+    // MULTIPLE TESTING with FDR control — the statistic→p-value→
+    // correction pipeline completed: per DAY, a two-proportion z of
+    // that day's click share vs the rest of the month, p-values via
+    // the Abramowitz–Stegun 26.2.17 normal-tail polynomial (max error
+    // 7.5e-8; ONE shared Horner text — exp/sqrt on bit-identical
+    // inputs, the ln-in-shared-text precedent), then BENJAMINI–
+    // HOCHBERG adjustment over the 30-day panel: p̃ᵢ = min_{j≥i}
+    // p₍ⱼ₎·n/j as a reverse running-min window, ties ordered (p, day)
+    // so the sort is total. BH runs on the ROUNDED 4-dp p's by
+    // declared semantics — an ulp wobble in exp can never reorder the
+    // panel. Counts exact; the windows run on the 30-row frame only.
+    OpSpec(
+      "agg_prop_ztest_bh",
+      (s, d) => {
+        val daily = T.events(s, d)
+          .groupBy(dayofmonth(col("ts")).cast("bigint").as("i"))
+          .agg(
+            count(lit(1)).as("nd"),
+            coalesce(sum(when(col("event_type") === "click", 1L).otherwise(0L)),
+              lit(0L)).as("xd"))
+        val tot = daily.agg(
+          coalesce(sum(col("nd")), lit(0L)).as("n"),
+          coalesce(sum(col("xd")), lit(0L)).as("x"))
+        val z = daily.crossJoin(broadcast(tot))
+          .selectExpr("i", "nd", "xd",
+            """(cast(xd as double) / nullif(cast(nd as double), 0D)
+              |  - cast(x - xd as double) / nullif(cast(n - nd as double), 0D))
+              |/ nullif(sqrt(cast(x as double) / nullif(cast(n as double), 0D)
+              |    * (1.0 - cast(x as double) / nullif(cast(n as double), 0D))
+              |    * (1.0 / nullif(cast(nd as double), 0D)
+              |       + 1.0 / nullif(cast(n - nd as double), 0D))), 0D) AS z""".stripMargin)
+          .withColumn("t", expr("1.0 / (1.0 + 0.2316419 * abs(z))"))
+          .withColumn("p4", expr(
+            """round(2.0 * 0.3989422804014327 * exp(-(abs(z) * abs(z)) / 2.0)
+              |  * (((((1.330274429 * t - 1.821255978) * t + 1.781477937) * t
+              |      - 0.356563782) * t + 0.319381530) * t), 4)""".stripMargin))
+        val byP = Window.orderBy("p4", "i") // 30-row panel: bounded
+        val tail = Window.orderBy("p4", "i")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        z.withColumn("m", count(lit(1)).over(Window.partitionBy()))
+          .withColumn("rnk", row_number().over(byP))
+          .withColumn("cand",
+            expr("p4 * cast(m as double) / cast(rnk as double)"))
+          .select(col("i").as("day"), col("nd").as("n_day"), col("xd").as("x_day"),
+            expr("round(z, 4)").as("z_stat"), col("p4").as("p_value"),
+            round(min(col("cand")).over(tail), 4).as("p_bh"))
+          .withColumn("significant", expr("p_bh <= 0.1"))
+          .orderBy("day")
+      },
+      Some("""WITH daily AS (
+             |  SELECT cast(extract(day FROM ts) as bigint) AS i, count(*) AS nd,
+             |    cast(coalesce(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END), 0) as bigint) AS xd
+             |  FROM events GROUP BY 1),
+             |tot AS (SELECT cast(coalesce(sum(nd), 0) as bigint) AS n,
+             |        cast(coalesce(sum(xd), 0) as bigint) AS x FROM daily),
+             |zt AS (
+             |  SELECT i, nd, xd,
+             |    (cast(xd as double) / nullif(cast(nd as double), 0.0)
+             |      - cast(x - xd as double) / nullif(cast(n - nd as double), 0.0))
+             |    / nullif(sqrt(cast(x as double) / nullif(cast(n as double), 0.0)
+             |        * (1.0 - cast(x as double) / nullif(cast(n as double), 0.0))
+             |        * (1.0 / nullif(cast(nd as double), 0.0)
+             |           + 1.0 / nullif(cast(n - nd as double), 0.0))), 0.0) AS z
+             |  FROM daily CROSS JOIN tot),
+             |pt AS (
+             |  SELECT i, nd, xd, z, t,
+             |    round(2.0 * 0.3989422804014327 * exp(-(abs(z) * abs(z)) / 2.0)
+             |      * (((((1.330274429 * t - 1.821255978) * t + 1.781477937) * t
+             |          - 0.356563782) * t + 0.319381530) * t), 4) AS p4
+             |  FROM (SELECT *, 1.0 / (1.0 + 0.2316419 * abs(z)) AS t FROM zt)),
+             |bh AS (
+             |  SELECT i, nd, xd, z, p4,
+             |    count(*) OVER () AS m,
+             |    row_number() OVER (ORDER BY p4, i) AS rnk
+             |  FROM pt),
+             |adj AS (
+             |  SELECT i, nd, xd, z, p4,
+             |    round(min(p4 * cast(m as double) / cast(rnk as double))
+             |      OVER (ORDER BY p4, i ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 4) AS p_bh
+             |  FROM bh)
+             |SELECT i AS day, nd AS n_day, xd AS x_day,
+             |  round(z, 4) AS z_stat, p4 AS p_value, p_bh,
+             |  p_bh <= 0.1 AS significant
+             |FROM adj ORDER BY day""".stripMargin),
+    ),
   )
 }

@@ -122,7 +122,8 @@ class DeterminismSpec extends AnyFunSuite {
     "vec_pca_project", "vec_pca_var_report", "ts_kalman_level",
     // round-13 batch 8: the |d| doubled-rank grid, exact incidence
     // squares, per-doc token grids
-    "agg_wilcoxon_signed", "agg_cochran_q", "text_ttr")
+    "agg_wilcoxon_signed", "agg_cochran_q", "text_ttr",
+    "agg_prop_ztest_bh", "store_rollup_incremental")
 
   test("order-sensitive queries return identical results across runs") {
     val failures = sensitive.flatMap { key =>

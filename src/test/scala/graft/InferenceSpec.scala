@@ -274,6 +274,40 @@ class InferenceSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("per-day proportion z + Benjamini-Hochberg replays end to end") {
+    val daily = dayRows.groupBy(_._1).toSeq.sortBy(_._1).map { case (i, g) =>
+      (i, g.length.toLong, g.count(_._2 == "click").toLong)
+    }
+    val n = daily.map(_._2).sum.toDouble
+    val x = daily.map(_._3).sum.toDouble
+    val withP = daily.map { case (i, nd, xd) =>
+      val z = (xd.toDouble / nd - (x - xd) / (n - nd)) /
+        math.sqrt(x / n * (1.0 - x / n) * (1.0 / nd + 1.0 / (n - nd)))
+      val t = 1.0 / (1.0 + 0.2316419 * math.abs(z))
+      val p = r4(2.0 * 0.3989422804014327 * math.exp(-(math.abs(z) * math.abs(z)) / 2.0)
+        * (((((1.330274429 * t - 1.821255978) * t + 1.781477937) * t
+            - 0.356563782) * t + 0.319381530) * t))
+      (i, nd, xd, r4(z), p)
+    }
+    val m = withP.length
+    val ranked = withP.sortBy(r => (r._5, r._1)).zipWithIndex
+    val cands = ranked.map { case (r, idx) => (r._1, r._5 * m / (idx + 1).toDouble) }
+    // reverse running min of the BH candidates in (p, day) order
+    val adj = cands.scanRight(Double.MaxValue)((c, acc) => math.min(c._2, acc)).init
+    val pBh = cands.map(_._1).zip(adj.map(r4)).toMap
+    val got = graft.ops.Registry.queries("agg_prop_ztest_bh")(spark, TestSpark.sfSmoke)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getBoolean(6))).toSeq
+    val want = withP.map { case (i, nd, xd, z, p) =>
+      (i, nd, xd, z, p, pBh(i), pBh(i) <= 0.1)
+    }
+    assert(got == want)
+    // p-value sanity: two-sided, so z = 0 would map to p = 1; all in (0, 1]
+    assert(got.forall(r => r._5 > 0.0 && r._5 <= 1.0))
+    // BH never decreases a raw p and is monotone in the p-order
+    assert(got.forall(r => r._6 >= r._5 - 1e-12))
+  }
+
   test("two-proportion z replays from the four weekend/weekday counts") {
     val wk = graft.core.Tables.events(spark, TestSpark.sfSmoke)
       .select(weekday(col("ts")).cast("long").as("w"), col("event_type"))
