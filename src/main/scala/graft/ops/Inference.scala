@@ -908,5 +908,92 @@ object Inference {
              |  p_bh <= 0.1 AS significant
              |FROM adj ORDER BY day""".stripMargin),
     ),
+    // ONE-SAMPLE t-TEST per group: H₀ μ = 250.00 (the generator's
+    // design center). t = (x̄ − μ₀)/(s/√n) from the same exact
+    // integer-cent moments as agg_stddev_var — μ₀ enters as exact
+    // cents (25000), so the numerator n·Σx − n²μ₀ stays exact and one
+    // shared text does the whole float tail. Completes the t family:
+    // one-sample here, Welch two-sample (agg_welch_t), paired
+    // (agg_ttest_paired below).
+    OpSpec(
+      "agg_ttest_1samp",
+      (s, d) => {
+        val xi = cents(col("value"))
+        T.events(s, d)
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("nj"),
+            sum(xi).as("sj"),
+            sum(d38(xi) * d38(xi)).as("s2j"))
+          .selectExpr("event_type", "cast(nj as bigint) AS n_rows",
+            "round(cast(sj as double) / nullif(cast(nj as double), 0D) / 100.0, 4) AS mean_value",
+            """round((cast(sj as double) / nullif(cast(nj as double), 0D) - 25000.0)
+              |  / nullif(sqrt((cast(s2j as double)
+              |      - cast(sj as double) * cast(sj as double) / nullif(cast(nj as double), 0D))
+              |    / nullif(cast(nj as double) - 1.0, 0D)
+              |    / nullif(cast(nj as double), 0D)), 0D), 4) AS t_stat""".stripMargin)
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, cast(nj as bigint) AS n_rows,
+             |  round(cast(sj as double) / nullif(cast(nj as double), 0.0) / 100.0, 4) AS mean_value,
+             |  round((cast(sj as double) / nullif(cast(nj as double), 0.0) - 25000.0)
+             |    / nullif(sqrt((cast(s2j as double)
+             |        - cast(sj as double) * cast(sj as double) / nullif(cast(nj as double), 0.0))
+             |      / nullif(cast(nj as double) - 1.0, 0.0)
+             |      / nullif(cast(nj as double), 0.0)), 0.0), 4) AS t_stat
+             |FROM (
+             |  SELECT event_type, count(*) AS nj,
+             |    cast(sum(x) as bigint) AS sj,
+             |    sum(cast(x as decimal(38,0)) * cast(x as decimal(38,0))) AS s2j
+             |  FROM (SELECT event_type,
+             |          cast(cast(value as decimal(18,2)) * 100 as bigint) AS x
+             |        FROM events)
+             |  GROUP BY event_type)
+             |ORDER BY event_type""".stripMargin),
+    ),
+    // PAIRED t-TEST on the daily (view, click) value-mass pairs —
+    // the parametric twin of agg_wilcoxon_signed: t = d̄/(s_d/√n)
+    // over dᵢ = vᵢ − cᵢ, all moments exact integer cents
+    // (decimal(38,0) squares — daily masses square past int64), one
+    // shared float tail.
+    OpSpec(
+      "agg_ttest_paired",
+      (s, d) => T.events(s, d)
+        .filter(col("event_type").isin("view", "click"))
+        .groupBy(dayofmonth(col("ts")).cast("bigint").as("i"))
+        .agg((sum(when(col("event_type") === "view", cents(col("value"))).otherwise(0L))
+          - sum(when(col("event_type") === "click", cents(col("value"))).otherwise(0L)))
+          .as("dd"))
+        .agg(
+          count(lit(1)).as("n"),
+          coalesce(sum(col("dd")), lit(0L)).as("sd"),
+          coalesce(sum(d38(col("dd")) * d38(col("dd"))), lit(0L).cast("decimal(38,0)")).as("s2d"))
+        .selectExpr("cast(n as bigint) AS n_pairs",
+          "round(cast(sd as double) / nullif(cast(n as double), 0D) / 100.0, 4) AS mean_diff",
+          """round(cast(sd as double) / nullif(cast(n as double), 0D)
+            |  / nullif(sqrt((cast(s2d as double)
+            |      - cast(sd as double) * cast(sd as double) / nullif(cast(n as double), 0D))
+            |    / nullif(cast(n as double) - 1.0, 0D)
+            |    / nullif(cast(n as double), 0D)), 0D), 4) AS t_stat""".stripMargin),
+      Some("""WITH daily AS (
+             |  SELECT cast(extract(day FROM ts) as bigint) AS i,
+             |    cast(sum(CASE WHEN event_type = 'view'
+             |      THEN cast(cast(value as decimal(18,2)) * 100 as bigint) ELSE 0 END) as bigint)
+             |    - cast(sum(CASE WHEN event_type = 'click'
+             |      THEN cast(cast(value as decimal(18,2)) * 100 as bigint) ELSE 0 END) as bigint) AS dd
+             |  FROM events WHERE event_type IN ('view', 'click') GROUP BY 1),
+             |a AS (
+             |  SELECT count(*) AS n, cast(coalesce(sum(dd), 0) as bigint) AS sd,
+             |    coalesce(sum(cast(dd as decimal(38,0)) * cast(dd as decimal(38,0))), 0) AS s2d
+             |  FROM daily)
+             |SELECT cast(n as bigint) AS n_pairs,
+             |  round(cast(sd as double) / nullif(cast(n as double), 0.0) / 100.0, 4) AS mean_diff,
+             |  round(cast(sd as double) / nullif(cast(n as double), 0.0)
+             |    / nullif(sqrt((cast(s2d as double)
+             |        - cast(sd as double) * cast(sd as double) / nullif(cast(n as double), 0.0))
+             |      / nullif(cast(n as double) - 1.0, 0.0)
+             |      / nullif(cast(n as double), 0.0)), 0.0), 4) AS t_stat
+             |FROM a""".stripMargin),
+    ),
   )
 }

@@ -123,7 +123,8 @@ class DeterminismSpec extends AnyFunSuite {
     // round-13 batch 8: the |d| doubled-rank grid, exact incidence
     // squares, per-doc token grids
     "agg_wilcoxon_signed", "agg_cochran_q", "text_ttr",
-    "agg_prop_ztest_bh", "store_rollup_incremental")
+    "agg_prop_ztest_bh", "store_rollup_incremental",
+    "agg_ttest_1samp", "agg_ttest_paired")
 
   test("order-sensitive queries return identical results across runs") {
     val failures = sensitive.flatMap { key =>

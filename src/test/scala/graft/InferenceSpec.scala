@@ -308,6 +308,34 @@ class InferenceSpec extends AnyFunSuite {
     assert(got.forall(r => r._6 >= r._5 - 1e-12))
   }
 
+  test("one-sample and paired t replay from exact moments") {
+    // one-sample vs mu0 = 25000 cents, per event_type
+    val byG = rows.groupBy(_._1).toSeq.sortBy(_._1)
+    val want1 = byG.map { case (tname, g) =>
+      val n = g.length.toDouble
+      val sj = g.map(r => BigInt(r._2)).sum.toDouble
+      val s2j = g.map(r => BigInt(r._2) * BigInt(r._2)).sum.toDouble
+      (tname, g.length.toLong, r4(sj / n / 100.0),
+        r4((sj / n - 25000.0) / math.sqrt((s2j - sj * sj / n) / (n - 1.0) / n)))
+    }
+    val got1 = graft.ops.Registry.queries("agg_ttest_1samp")(spark, TestSpark.sfSmoke)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(got1 == want1)
+    // paired over daily view-click diffs
+    val vc = dayRows.filter(r => r._2 == "view" || r._2 == "click")
+    val dz = vc.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, g) =>
+      g.filter(_._2 == "view").map(r => BigInt(r._3)).sum -
+        g.filter(_._2 == "click").map(r => BigInt(r._3)).sum
+    }
+    val n = dz.length.toDouble
+    val sd = dz.sum.toDouble
+    val s2d = dz.map(d => d * d).sum.toDouble
+    val tP = r4(sd / n / math.sqrt((s2d - sd * sd / n) / (n - 1.0) / n))
+    val got2 = graft.ops.Registry.queries("agg_ttest_paired")(spark, TestSpark.sfSmoke).head()
+    assert((got2.getLong(0), got2.getDouble(1), got2.getDouble(2))
+      == ((dz.length.toLong, r4(sd / n / 100.0), tP)))
+  }
+
   test("two-proportion z replays from the four weekend/weekday counts") {
     val wk = graft.core.Tables.events(spark, TestSpark.sfSmoke)
       .select(weekday(col("ts")).cast("long").as("w"), col("event_type"))

@@ -381,6 +381,23 @@ class PlanShapeSpec extends AnyFunSuite {
     val pz = plan("agg_prop_ztest")
     assert(!pz.contains("Window ") && !pz.contains("Join") &&
       !pz.contains("Exchange hashpartitioning"), pz)
+    // t family: windowless joinless hash aggs
+    Seq("agg_ttest_1samp", "agg_ttest_paired", "agg_cochran_q").foreach { k =>
+      val p = plan(k)
+      assert(!p.contains("Window "), s"$k\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), s"$k\n$p")
+    }
+    // Wilcoxon: the rank window runs over the bounded |d| grid ONCE;
+    // the grid joins back by broadcast
+    val wx = plan("agg_wilcoxon_signed")
+    assert(wx.contains("BroadcastHashJoin") && !wx.contains("SortMergeJoin"), wx)
+    // PCA: projections are scan-fused row-local folds — the per-label
+    // report is hash aggs with NO window, NO join, NO collect fold
+    Seq("vec_pca_project", "vec_pca_var_report").foreach { k =>
+      val p = plan(k)
+      assert(!p.contains("Window ") && !p.contains("Join"), s"$k\n$p")
+      assert(!p.contains("CollectList"), s"$k: ordered fold crept in\n$p")
+    }
   }
 
   test("no CartesianProduct outside the deliberate cross/pairs queries") {
