@@ -995,5 +995,59 @@ object Inference {
              |      / nullif(cast(n as double), 0.0)), 0.0), 4) AS t_stat
              |FROM a""".stripMargin),
     ),
+    // McNEMAR'S TEST — paired binary before/after (Cochran's Q at
+    // k = 2, kept as its own op because the 2×2 discordant-cell form
+    // is what an A/B analyst actually reads): per user, "clicked
+    // HEAVILY (≥ 7 times; the per-half mean is ~6.7, so users
+    // genuinely straddle the mark — plain ever-clicked is all-ones
+    // here and χ² degenerates 0/0) in the first half of the month"
+    // vs the same in the second half; χ² = (b−c)²/(b+c) over the
+    // discordant cells, plus the continuity-corrected
+    // (|b−c|−1)²/(b+c). Four exact cell counts from one users×2 hash
+    // agg; the divisions are the only floats.
+    OpSpec(
+      "agg_mcnemar",
+      (s, d) => {
+        val perUser = T.events(s, d)
+          .groupBy("user_id")
+          .agg(
+            when(sum(when(col("event_type") === "click" && dayofmonth(col("ts")) <= 15, 1L)
+              .otherwise(0L)) >= 7L, 1L).otherwise(0L).as("x1"),
+            when(sum(when(col("event_type") === "click" && dayofmonth(col("ts")) > 15, 1L)
+              .otherwise(0L)) >= 7L, 1L).otherwise(0L).as("x2"))
+        perUser.agg(
+            count(lit(1)).as("n"),
+            coalesce(sum(when(col("x1") === 1L && col("x2") === 1L, 1L).otherwise(0L)), lit(0L)).as("a"),
+            coalesce(sum(when(col("x1") === 1L && col("x2") === 0L, 1L).otherwise(0L)), lit(0L)).as("b"),
+            coalesce(sum(when(col("x1") === 0L && col("x2") === 1L, 1L).otherwise(0L)), lit(0L)).as("c"),
+            coalesce(sum(when(col("x1") === 0L && col("x2") === 0L, 1L).otherwise(0L)), lit(0L)).as("dd"))
+          .selectExpr(
+            "cast(n as bigint) AS n_users",
+            "a AS both_halves", "b AS first_only", "c AS second_only", "dd AS neither",
+            """round(cast((b - c) * (b - c) as double)
+              |  / nullif(cast(b + c as double), 0D), 4) AS mcnemar_chi2""".stripMargin,
+            """round((abs(cast(b - c as double)) - 1.0) * (abs(cast(b - c as double)) - 1.0)
+              |  / nullif(cast(b + c as double), 0D), 4) AS mcnemar_chi2_cc""".stripMargin)
+      },
+      Some("""WITH pu AS (
+             |  SELECT user_id,
+             |    CASE WHEN sum(CASE WHEN event_type = 'click' AND extract(day FROM ts) <= 15 THEN 1 ELSE 0 END) >= 7 THEN 1 ELSE 0 END AS x1,
+             |    CASE WHEN sum(CASE WHEN event_type = 'click' AND extract(day FROM ts) > 15 THEN 1 ELSE 0 END) >= 7 THEN 1 ELSE 0 END AS x2
+             |  FROM events GROUP BY user_id),
+             |cells AS (
+             |  SELECT count(*) AS n,
+             |    cast(coalesce(sum(CASE WHEN x1 = 1 AND x2 = 1 THEN 1 ELSE 0 END), 0) as bigint) AS a,
+             |    cast(coalesce(sum(CASE WHEN x1 = 1 AND x2 = 0 THEN 1 ELSE 0 END), 0) as bigint) AS b,
+             |    cast(coalesce(sum(CASE WHEN x1 = 0 AND x2 = 1 THEN 1 ELSE 0 END), 0) as bigint) AS c,
+             |    cast(coalesce(sum(CASE WHEN x1 = 0 AND x2 = 0 THEN 1 ELSE 0 END), 0) as bigint) AS dd
+             |  FROM pu)
+             |SELECT cast(n as bigint) AS n_users,
+             |  a AS both_halves, b AS first_only, c AS second_only, dd AS neither,
+             |  round(cast((b - c) * (b - c) as double)
+             |    / nullif(cast(b + c as double), 0.0), 4) AS mcnemar_chi2,
+             |  round((abs(cast(b - c as double)) - 1.0) * (abs(cast(b - c as double)) - 1.0)
+             |    / nullif(cast(b + c as double), 0.0), 4) AS mcnemar_chi2_cc
+             |FROM cells""".stripMargin),
+    ),
   )
 }

@@ -623,5 +623,87 @@ object LlmOps {
              |  round(list_sum(list(term ORDER BY word)) / cast(sum(tf) as double), 4) AS avg_logprob
              |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     ),
+    // BIGRAM-LM PERPLEXITY per document (the unigram op's conditional
+    // big brother — the quality score that actually penalizes
+    // improbable word ORDER, not just rare words): add-one-smoothed
+    // p(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁·)+V), NLL = −Σ tf·ln p / n, ppl =
+    // exp(NLL). The LM tables are the corpus's OWN bigram/context
+    // counts (self-perplexity — the novelty/templated-text signal).
+    // Counts exact; the per-doc float sum rides the ordered fold
+    // keyed by the bigram text (the text_unigram_logprob device);
+    // ln/exp on bit-identical doubles. Context counts and V are
+    // vocab-bounded (≤ |V|² rows), broadcast back onto the per-doc
+    // frame — at 100 TB only the bigram explode is corpus-sized.
+    OpSpec(
+      "text_bigram_perplexity",
+      (s, d) => {
+        val bi = T.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .filter(size(col("w")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(w) - 1), i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+            .as("bigram"))
+        val tf = bi.groupBy("doc_id", "bigram").agg(count(lit(1)).as("tf"))
+        // the LM table is vocab²-bounded but its PLAN holds a corpus
+        // explode; it feeds the join AND the context-count derivation,
+        // so DISK-memoize it (the NearDup shingle device) — one corpus
+        // pass, both consumers read the file
+        val cb = graft.core.DiskMemo.persist(
+          bi.groupBy("bigram").agg(count(lit(1)).as("cb"))
+            .withColumn("w1", expr("split_part(bigram, ' ', 1)")),
+          "bigram_lm")
+        // context counts DERIVED from the (vocab-bounded) bigram table
+        // — c(w1·) = Σ_w2 c(w1,w2) — not a second corpus explode
+        val cu = cb.groupBy("w1").agg(sum(col("cb")).as("cu"))
+        val vocab = T.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("word"))
+          .agg(countDistinct(col("word")).as("v"))
+        tf.join(broadcast(cb.join(cu, "w1").crossJoin(vocab)), Seq("bigram"))
+          .filter(col("doc_id") < 20)
+          .withColumn("term",
+            expr("""-cast(tf as double)
+                   |  * ln((cast(cb as double) + 1.0)
+                   |      / (cast(cu as double) + cast(v as double)))""".stripMargin))
+          .groupBy("doc_id")
+          .agg(
+            sum(col("tf")).as("n_bigrams"),
+            (expr(
+              """aggregate(
+                |  transform(array_sort(collect_list(struct(bigram, term))), s -> s.term),
+                |  0D, (acc, x) -> acc + x)""".stripMargin) /
+              sum(col("tf")).cast("double")).as("nll"))
+          .selectExpr("doc_id", "cast(n_bigrams as bigint) AS n_bigrams",
+            "round(nll, 4) AS avg_nll", "round(exp(nll), 4) AS ppl")
+          .orderBy("doc_id")
+      },
+      Some("""WITH bi AS (
+             |  SELECT doc_id, p[1] || ' ' || p[2] AS bigram, p[1] AS w1
+             |  FROM (SELECT doc_id, unnest(list_zip(w, w[2:])) AS p
+             |        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+             |        WHERE len(w) >= 2)
+             |  WHERE p[2] IS NOT NULL),
+             |tf AS (SELECT doc_id, bigram, count(*) AS tf FROM bi GROUP BY 1, 2),
+             |cb AS (SELECT bigram, string_split(bigram, ' ')[1] AS w1, count(*) AS cb
+             |       FROM bi GROUP BY 1, 2),
+             |cu AS (SELECT w1, cast(sum(cb) as bigint) AS cu FROM cb GROUP BY 1),
+             |vocab AS (
+             |  SELECT count(DISTINCT word) AS v
+             |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)),
+             |terms AS (
+             |  SELECT doc_id, tf.bigram AS bigram, tf,
+             |    -cast(tf as double)
+             |      * ln((cast(cb as double) + 1.0)
+             |          / (cast(cu as double) + cast(v as double))) AS term
+             |  FROM tf JOIN cb ON tf.bigram = cb.bigram
+             |  JOIN cu ON cb.w1 = cu.w1 CROSS JOIN vocab
+             |  WHERE doc_id < 20),
+             |docs AS (
+             |  SELECT doc_id, cast(sum(tf) as bigint) AS n_bigrams,
+             |    list_sum(list(term ORDER BY bigram)) / cast(sum(tf) as double) AS nll
+             |  FROM terms GROUP BY doc_id)
+             |SELECT doc_id, n_bigrams, round(nll, 4) AS avg_nll,
+             |  round(exp(nll), 4) AS ppl
+             |FROM docs ORDER BY doc_id""".stripMargin),
+    ),
   )
 }

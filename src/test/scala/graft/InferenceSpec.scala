@@ -336,6 +336,58 @@ class InferenceSpec extends AnyFunSuite {
       == ((dz.length.toLong, r4(sd / n / 100.0), tP)))
   }
 
+  test("McNemar replays from the heavy-click half-month cells") {
+    val rowsU = graft.core.Tables.events(spark, TestSpark.sfSmoke)
+      .select(col("user_id"), col("event_type"), dayofmonth(col("ts")).as("dd"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val cells = rowsU.groupBy(_._1).values.map { g =>
+      val x1 = if (g.count(r => r._2 == "click" && r._3 <= 15) >= 7) 1 else 0
+      val x2 = if (g.count(r => r._2 == "click" && r._3 > 15) >= 7) 1 else 0
+      (x1, x2)
+    }.toSeq
+    val b = cells.count(_ == ((1, 0))).toDouble
+    val c = cells.count(_ == ((0, 1))).toDouble
+    val got = graft.ops.Registry.queries("agg_mcnemar")(spark, TestSpark.sfSmoke).head()
+    assert((got.getLong(0), got.getLong(2), got.getLong(3))
+      == ((cells.length.toLong, b.toLong, c.toLong)))
+    assert(got.getLong(1) + got.getLong(2) + got.getLong(3) + got.getLong(4)
+      == cells.length.toLong)
+    if (b + c > 0) {
+      assert(got.getDouble(5) == r4((b - c) * (b - c) / (b + c)))
+      assert(got.getDouble(6) ==
+        r4((math.abs(b - c) - 1.0) * (math.abs(b - c) - 1.0) / (b + c)))
+    }
+  }
+
+  test("bigram perplexity replays the smoothed LM end to end") {
+    val docs = graft.core.Tables.documents(spark, TestSpark.sfSmoke)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSeq))
+    val bi = docs.flatMap { case (id, w) =>
+      if (w.length < 2) Nil
+      else w.sliding(2).map(p => (id, p(0) + " " + p(1), p(0))).toSeq
+    }
+    val cb = bi.groupBy(_._2).map { case (bg, g) => bg -> g.length.toLong }
+    val cu = bi.groupBy(_._3).map { case (w1, g) => w1 -> g.length.toLong }
+    val v = docs.flatMap(_._2).distinct.length.toDouble
+    val want = bi.filter(_._1 < 20).groupBy(_._1).toSeq.sortBy(_._1).map { case (id, g) =>
+      val tf = g.groupBy(_._2).map { case (bg, gg) => bg -> gg.length.toLong }
+      val n = g.length.toDouble
+      var s = 0.0
+      tf.toSeq.sortBy(_._1).foreach { case (bg, t) =>
+        s += -t.toDouble * math.log((cb(bg).toDouble + 1.0) /
+          (cu(bg.split(" ")(0)).toDouble + v))
+      }
+      val nll = s / n
+      (id, g.length.toLong, r4(nll), r4(math.exp(nll)))
+    }
+    val got = graft.ops.Registry.queries("text_bigram_perplexity")(spark, TestSpark.sfSmoke)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(got == want)
+    // self-perplexity over a |V|-word vocab must land in (1, V+1)
+    assert(got.forall(r => r._4 > 1.0 && r._4 < v + 1.0))
+  }
+
   test("two-proportion z replays from the four weekend/weekday counts") {
     val wk = graft.core.Tables.events(spark, TestSpark.sfSmoke)
       .select(weekday(col("ts")).cast("long").as("w"), col("event_type"))
