@@ -1105,5 +1105,59 @@ object syntax {
       * See agg_prop_ztest. */
     def propZTest(grp: Column, success: Column): DataFrame =
       graft.ops.Inference.propZTestOf(df, grp, success)
+
+    /** Per-panel-cell proportion z vs the rest + Benjamini–Hochberg
+      * FDR over the (bounded) panel keyed by `panel`. See
+      * agg_prop_ztest_bh. */
+    def propZTestBh(panel: Column, success: Column,
+                    alphaFdr: Double = 0.1): DataFrame =
+      graft.ops.Inference.propZTestBhOf(df, panel, success, alphaFdr)
+
+    /** One-sample t of a 2-dp `valueCol` per `byCol` group against
+      * μ₀ = mu0Cents/100. See agg_ttest_1samp. */
+    def ttest1Samp(byCol: String, valueCol: String, mu0Cents: Long): DataFrame =
+      graft.ops.Inference.ttest1SampOf(df, byCol, valueCol, mu0Cents)
+
+    /** Paired t over a frame of EXACT-INTEGER cent diffs `dCol`. See
+      * agg_ttest_paired. */
+    def ttestPaired(dCol: String): DataFrame =
+      graft.ops.Inference.ttestPairedOf(df, dCol)
+
+    /** Wilcoxon signed-rank over exact-integer paired diffs `dCol`
+      * (zero diffs dropped). See agg_wilcoxon_signed. */
+    def wilcoxonSigned(dCol: String): DataFrame =
+      graft.ops.Inference.wilcoxonSignedOf(df, dCol)
+
+    /** Cochran's Q over the "block carries ≥ minCount rows of the
+      * treatment" incidence. See agg_cochran_q. */
+    def cochranQ(blockCol: String, treatCol: String, minCount: Long): DataFrame =
+      graft.ops.Inference.cochranQOf(df, blockCol, treatCol, minCount)
+
+    /** McNemar's paired before/after over the heavy-use marks
+      * "≥ minCount rows matching cond1 / cond2" per block. See
+      * agg_mcnemar. */
+    def mcnemar(blockCol: String, cond1: Column, cond2: Column,
+                minCount: Long): DataFrame =
+      graft.ops.Inference.mcnemarOf(df, blockCol, cond1, cond2, minCount)
+
+    /** Kalman local-level filter per `keyCol` series ordered by
+      * `orderCol` (q/r/p0 = process var, observation var, diffuse
+      * init). See ts_kalman_level; the O(1)-per-arrival streaming twin
+      * is StreamOps.streamingKalmanLevel. */
+    def kalmanLevel(keyCol: String, orderCol: String, valueCol: String,
+                    q: Double = 4.0, r: Double = 16.0,
+                    p0: Double = 100.0): DataFrame =
+      graft.ops.Inference.kalmanLevelOf(df, keyCol, orderCol, valueCol, q, r, p0)
+
+    /** Per-`byCol` lexical diversity: micro-averaged type-token ratio
+      * + hapax fraction from exact integer totals. See text_ttr. */
+    def lexicalDiversity(byCol: String, idCol: String, textCol: String): DataFrame =
+      graft.text.TextOps.ttrOf(df, byCol, idCol, textCol)
+
+    /** Add-one bigram-LM self-perplexity per document (ids <
+      * docLimit reported). See text_bigram_perplexity. */
+    def bigramPerplexity(idCol: String, textCol: String,
+                         docLimit: Long): DataFrame =
+      graft.ops.LlmOps.bigramPerplexityOf(df, idCol, textCol, docLimit)
   }
 }

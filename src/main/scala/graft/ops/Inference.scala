@@ -301,6 +301,197 @@ object Inference {
       .orderBy("period")
   }
 
+  /** Per-panel-cell proportion z vs the rest + Benjamini–Hochberg FDR
+    * over the panel — the reusable form behind agg_prop_ztest_bh.
+    * `panelCol` keys the (BOUNDED) panel; `successCol` is the boolean
+    * success mark. BH runs on the rounded 4-dp p's with (p, key) tie
+    * order by declared semantics. */
+  def propZTestBhOf(df: DataFrame, panelCol: Column, successCol: Column,
+                    alphaFdr: Double = 0.1): DataFrame = {
+    val daily = df
+      .groupBy(panelCol.as("i"))
+      .agg(
+        count(lit(1)).as("nd"),
+        coalesce(sum(when(successCol, 1L).otherwise(0L)), lit(0L)).as("xd"))
+    val tot = daily.agg(
+      coalesce(sum(col("nd")), lit(0L)).as("n"),
+      coalesce(sum(col("xd")), lit(0L)).as("x"))
+    val z = daily.crossJoin(broadcast(tot))
+      .selectExpr("i", "nd", "xd",
+        """(cast(xd as double) / nullif(cast(nd as double), 0D)
+          |  - cast(x - xd as double) / nullif(cast(n - nd as double), 0D))
+          |/ nullif(sqrt(cast(x as double) / nullif(cast(n as double), 0D)
+          |    * (1.0 - cast(x as double) / nullif(cast(n as double), 0D))
+          |    * (1.0 / nullif(cast(nd as double), 0D)
+          |       + 1.0 / nullif(cast(n - nd as double), 0D))), 0D) AS z""".stripMargin)
+      .withColumn("t", expr("1.0 / (1.0 + 0.2316419 * abs(z))"))
+      .withColumn("p4", expr(
+        """round(2.0 * 0.3989422804014327 * exp(-(abs(z) * abs(z)) / 2.0)
+          |  * (((((1.330274429 * t - 1.821255978) * t + 1.781477937) * t
+          |      - 0.356563782) * t + 0.319381530) * t), 4)""".stripMargin))
+    val byP = Window.orderBy("p4", "i") // bounded panel
+    val tail = Window.orderBy("p4", "i")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    z.withColumn("m", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("rnk", row_number().over(byP))
+      .withColumn("cand",
+        expr("p4 * cast(m as double) / cast(rnk as double)"))
+      .select(col("i").as("day"), col("nd").as("n_day"), col("xd").as("x_day"),
+        expr("round(z, 4)").as("z_stat"), col("p4").as("p_value"),
+        round(min(col("cand")).over(tail), 4).as("p_bh"))
+      .withColumn("significant", expr(s"p_bh <= ${alphaFdr}"))
+      .orderBy("day")
+  }
+
+  /** One-sample t of a 2-dp `valueCol` per `byCol` group against
+    * μ₀ = `mu0Cents`/100 — the reusable form behind agg_ttest_1samp. */
+  def ttest1SampOf(df: DataFrame, byCol: String, valueCol: String,
+                   mu0Cents: Long): DataFrame = {
+    val xi = cents(col(valueCol))
+    val mu = s"${mu0Cents.toDouble}"
+    df.groupBy(byCol)
+      .agg(
+        count(lit(1)).as("nj"),
+        sum(xi).as("sj"),
+        sum(d38(xi) * d38(xi)).as("s2j"))
+      .selectExpr(byCol, "cast(nj as bigint) AS n_rows",
+        "round(cast(sj as double) / nullif(cast(nj as double), 0D) / 100.0, 4) AS mean_value",
+        s"""round((cast(sj as double) / nullif(cast(nj as double), 0D) - $mu)
+           |  / nullif(sqrt((cast(s2j as double)
+           |      - cast(sj as double) * cast(sj as double) / nullif(cast(nj as double), 0D))
+           |    / nullif(cast(nj as double) - 1.0, 0D)
+           |    / nullif(cast(nj as double), 0D)), 0D), 4) AS t_stat""".stripMargin)
+      .orderBy(byCol)
+  }
+
+  /** Paired t over a frame of EXACT-INTEGER cent diffs (`dCol`) — the
+    * reusable form behind agg_ttest_paired. */
+  def ttestPairedOf(diffs: DataFrame, dCol: String): DataFrame =
+    diffs.select(col(dCol).as("dd"))
+      .agg(
+        count(lit(1)).as("n"),
+        coalesce(sum(col("dd")), lit(0L)).as("sd"),
+        coalesce(sum(d38(col("dd")) * d38(col("dd"))), lit(0L).cast("decimal(38,0)")).as("s2d"))
+      .selectExpr("cast(n as bigint) AS n_pairs",
+        "round(cast(sd as double) / nullif(cast(n as double), 0D) / 100.0, 4) AS mean_diff",
+        """round(cast(sd as double) / nullif(cast(n as double), 0D)
+          |  / nullif(sqrt((cast(s2d as double)
+          |      - cast(sd as double) * cast(sd as double) / nullif(cast(n as double), 0D))
+          |    / nullif(cast(n as double) - 1.0, 0D)
+          |    / nullif(cast(n as double), 0D)), 0D), 4) AS t_stat""".stripMargin)
+
+  /** McNemar's paired before/after over a heavy-use mark: per
+    * `blockCol`, X₁ = "≥ `minCount` rows matching `cond1`", X₂
+    * likewise for `cond2` — the reusable form behind agg_mcnemar. */
+  def mcnemarOf(df: DataFrame, blockCol: String, cond1: Column,
+                cond2: Column, minCount: Long): DataFrame = {
+    val perBlock = df
+      .groupBy(blockCol)
+      .agg(
+        when(sum(when(cond1, 1L).otherwise(0L)) >= minCount, 1L)
+          .otherwise(0L).as("x1"),
+        when(sum(when(cond2, 1L).otherwise(0L)) >= minCount, 1L)
+          .otherwise(0L).as("x2"))
+    perBlock.agg(
+        count(lit(1)).as("n"),
+        coalesce(sum(when(col("x1") === 1L && col("x2") === 1L, 1L).otherwise(0L)), lit(0L)).as("a"),
+        coalesce(sum(when(col("x1") === 1L && col("x2") === 0L, 1L).otherwise(0L)), lit(0L)).as("b"),
+        coalesce(sum(when(col("x1") === 0L && col("x2") === 1L, 1L).otherwise(0L)), lit(0L)).as("c"),
+        coalesce(sum(when(col("x1") === 0L && col("x2") === 0L, 1L).otherwise(0L)), lit(0L)).as("dd"))
+      .selectExpr(
+        "cast(n as bigint) AS n_users",
+        "a AS both_halves", "b AS first_only", "c AS second_only", "dd AS neither",
+        """round(cast((b - c) * (b - c) as double)
+          |  / nullif(cast(b + c as double), 0D), 4) AS mcnemar_chi2""".stripMargin,
+        """round((abs(cast(b - c as double)) - 1.0) * (abs(cast(b - c as double)) - 1.0)
+          |  / nullif(cast(b + c as double), 0D), 4) AS mcnemar_chi2_cc""".stripMargin)
+  }
+
+  /** Cochran's Q over the heavy-use incidence matrix: blocks =
+    * `blockCol`, treatments = `treatCol`, mark = "block carries ≥
+    * `minCount` rows of the treatment" — the reusable form behind
+    * agg_cochran_q. k counts EVERY distinct treatment in `df` (a
+    * treatment nobody marks still widens the design). */
+  def cochranQOf(df: DataFrame, blockCol: String, treatCol: String,
+                 minCount: Long): DataFrame = {
+    val inc = df.groupBy(blockCol, treatCol)
+      .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= minCount)
+      .select(blockCol, treatCol)
+    val kct = df.agg(countDistinct(col(treatCol)).as("k"))
+      .crossJoin(broadcast(inc.agg(count(lit(1)).as("n"))))
+    val cj = inc.groupBy(treatCol).agg(count(lit(1)).as("c"))
+      .agg(sum(d38(col("c")) * d38(col("c"))).as("sc2"))
+    val ri = inc.groupBy(blockCol).agg(count(lit(1)).as("r"))
+      .agg(sum(d38(col("r")) * d38(col("r"))).as("sr2"),
+        count(lit(1)).as("n_blocks"))
+    kct.crossJoin(broadcast(cj)).crossJoin(broadcast(ri))
+      .selectExpr(
+        "cast(k as bigint) AS k_treatments",
+        "cast(n_blocks as bigint) AS n_blocks",
+        "cast(n as bigint) AS n_marks",
+        """round((cast(k as double) - 1.0)
+          |    * (cast(k as double) * cast(sc2 as double) - cast(n as double) * cast(n as double))
+          |  / nullif(cast(k as double) * cast(n as double) - cast(sr2 as double), 0D), 4) AS cochran_q""".stripMargin)
+  }
+
+  /** Wilcoxon signed-rank over a frame of EXACT-INTEGER paired diffs
+    * (`dCol`; zero diffs dropped per the classic procedure) — the
+    * reusable form behind agg_wilcoxon_signed. */
+  def wilcoxonSignedOf(diffs: DataFrame, dCol: String): DataFrame = {
+    val dz = diffs.select(col(dCol).as("dd"))
+      .filter(col("dd") =!= 0L)
+      .select(abs(col("dd")).as("ad"), signum(col("dd")).cast("bigint").as("sg"))
+    val grid = dz.groupBy("ad").agg(count(lit(1)).as("t"))
+    val byA = Window.orderBy("ad") // distinct-|d| grid: bounded
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = grid.select(col("ad"), col("t"),
+      (sum(col("t")).over(byA) * 2 - col("t") + 1).as("dr"))
+    val ties = grid.agg(
+      coalesce(sum(col("t") * col("t") * col("t") - col("t")), lit(0L)).as("tie_sum"))
+    dz.join(broadcast(ranked.select("ad", "dr")), "ad")
+      .agg(
+        count(lit(1)).as("n"),
+        coalesce(sum(when(col("sg") === 1L, col("dr")).otherwise(0L)), lit(0L)).as("wp2"),
+        coalesce(sum(when(col("sg") === -1L, col("dr")).otherwise(0L)), lit(0L)).as("wm2"))
+      .crossJoin(broadcast(ties))
+      .selectExpr(
+        "cast(n as bigint) AS n_pairs",
+        "cast(wp2 as double) / 2.0 AS w_plus",
+        "cast(wm2 as double) / 2.0 AS w_minus",
+        """round((cast(wp2 as double) / 2.0
+          |    - cast(n as double) * (cast(n as double) + 1.0) / 4.0)
+          |  / nullif(sqrt(cast(n as double) * (cast(n as double) + 1.0)
+          |      * (2.0 * cast(n as double) + 1.0) / 24.0
+          |    - cast(tie_sum as double) / 48.0), 0D), 4) AS z_stat""".stripMargin)
+  }
+
+  /** Kalman local-level filter over a per-key BOUNDED series (the
+    * caller pre-filters/partitions; q = process var, r = observation
+    * var, p0 = diffuse init) — the reusable form behind
+    * ts_kalman_level. The ts_holt_linear prefix-fold device: O(n²)
+    * per key by policy; the O(1)-per-arrival twin is
+    * streaming.StreamOps.streamingKalmanLevel. */
+  def kalmanLevelOf(series: DataFrame, keyCol: String, orderCol: String,
+                    valueCol: String, q: Double = 4.0, r: Double = 16.0,
+                    p0: Double = 100.0): DataFrame = {
+    val cum = Window.partitionBy(keyCol).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val (qs, rs, ps) = (s"${q}", s"${r}", s"${p0}")
+    series
+      .withColumn("pl", collect_list(col(valueCol)).over(cum))
+      .select(col(orderCol),
+        expr(s"""aggregate(slice(pl, 2, size(pl) - 1),
+               |  named_struct('l', element_at(pl, 1), 'p', CAST($ps AS DOUBLE)),
+               |  (acc, x) -> named_struct(
+               |    'l', acc.l + ((acc.p + $qs) / (acc.p + $qs + $rs)) * (x - acc.l),
+               |    'p', (1.0 - (acc.p + $qs) / (acc.p + $qs + $rs)) * (acc.p + $qs)))""".stripMargin)
+          .as("st"))
+      .select(col(orderCol), col("st.l").as("level"),
+        col("st.p").as("err_var"),
+        expr(s"(st.p + $qs) / (st.p + $qs + $rs)").as("gain_next"))
+      .orderBy(orderCol)
+  }
+
   /** Two-proportion z of success rate where `grpCol` (boolean) is true
     * vs false — the reusable form behind agg_prop_ztest. Output labels
     * follow the declared query (weekend = grp true). */
@@ -653,25 +844,10 @@ object Inference {
     // path is the flatMapGroups pattern already proven by udaf/Holt).
     OpSpec(
       "ts_kalman_level",
-      (s, d) => {
-        val cum = Window.partitionBy("user_id").orderBy("event_id")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        T.events(s, d)
-          .select(col("user_id"), col("event_id"), col("value"))
-          .filter(col("user_id") === 7)
-          .withColumn("pl", collect_list(col("value")).over(cum))
-          .select(col("event_id"),
-            expr("""aggregate(slice(pl, 2, size(pl) - 1),
-                   |  named_struct('l', element_at(pl, 1), 'p', CAST(100.0 AS DOUBLE)),
-                   |  (acc, x) -> named_struct(
-                   |    'l', acc.l + ((acc.p + 4.0) / (acc.p + 4.0 + 16.0)) * (x - acc.l),
-                   |    'p', (1.0 - (acc.p + 4.0) / (acc.p + 4.0 + 16.0)) * (acc.p + 4.0)))""".stripMargin)
-              .as("st"))
-          .select(col("event_id"), col("st.l").as("level"),
-            col("st.p").as("err_var"),
-            expr("(st.p + 4.0) / (st.p + 4.0 + 16.0)").as("gain_next"))
-          .orderBy("event_id")
-      },
+      (s, d) => kalmanLevelOf(
+        T.events(s, d).filter(col("user_id") === 7)
+          .select(col("user_id"), col("event_id"), col("value")),
+        "user_id", "event_id", "value"),
       Some("""WITH RECURSIVE s AS (
              |  SELECT cast(row_number() OVER (ORDER BY event_id) as bigint) AS i,
              |    event_id, value AS x
@@ -705,26 +881,7 @@ object Inference {
     // the design), read from the fact table.
     OpSpec(
       "agg_cochran_q",
-      (s, d) => {
-        val inc = T.events(s, d).groupBy("user_id", "event_type")
-          .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 15L)
-          .select("user_id", "event_type")
-        val kct = T.events(s, d).agg(countDistinct(col("event_type")).as("k"))
-          .crossJoin(broadcast(inc.agg(count(lit(1)).as("n"))))
-        val cj = inc.groupBy("event_type").agg(count(lit(1)).as("c"))
-          .agg(sum(d38(col("c")) * d38(col("c"))).as("sc2"))
-        val ri = inc.groupBy("user_id").agg(count(lit(1)).as("r"))
-          .agg(sum(d38(col("r")) * d38(col("r"))).as("sr2"),
-            count(lit(1)).as("n_blocks"))
-        kct.crossJoin(broadcast(cj)).crossJoin(broadcast(ri))
-          .selectExpr(
-            "cast(k as bigint) AS k_treatments",
-            "cast(n_blocks as bigint) AS n_blocks",
-            "cast(n as bigint) AS n_marks",
-            """round((cast(k as double) - 1.0)
-              |    * (cast(k as double) * cast(sc2 as double) - cast(n as double) * cast(n as double))
-              |  / nullif(cast(k as double) * cast(n as double) - cast(sr2 as double), 0D), 4) AS cochran_q""".stripMargin)
-      },
+      (s, d) => cochranQOf(T.events(s, d), "user_id", "event_type", 15L),
       Some("""WITH inc AS (
              |  SELECT user_id, event_type FROM events
              |  GROUP BY user_id, event_type HAVING count(*) >= 15),
@@ -757,8 +914,8 @@ object Inference {
     // the one final division.
     OpSpec(
       "agg_wilcoxon_signed",
-      (s, d) => {
-        val daily = T.events(s, d)
+      (s, d) => wilcoxonSignedOf(
+        T.events(s, d)
           .filter(col("event_type").isin("view", "click"))
           .groupBy(dayofmonth(col("ts")).cast("bigint").as("i"))
           .agg(
@@ -766,32 +923,8 @@ object Inference {
               .otherwise(0L)).as("vc"),
             sum(when(col("event_type") === "click", cents(col("value")))
               .otherwise(0L)).as("cc"))
-          .select((col("vc") - col("cc")).as("dd"))
-          .filter(col("dd") =!= 0L)
-          .select(abs(col("dd")).as("ad"), signum(col("dd")).cast("bigint").as("sg"))
-        val grid = daily.groupBy("ad").agg(count(lit(1)).as("t"))
-        val byA = Window.orderBy("ad") // distinct-|d| grid: bounded
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val ranked = grid.select(col("ad"), col("t"),
-          (sum(col("t")).over(byA) * 2 - col("t") + 1).as("dr"))
-        val ties = grid.agg(
-          coalesce(sum(col("t") * col("t") * col("t") - col("t")), lit(0L)).as("tie_sum"))
-        daily.join(broadcast(ranked.select("ad", "dr")), "ad")
-          .agg(
-            count(lit(1)).as("n"),
-            coalesce(sum(when(col("sg") === 1L, col("dr")).otherwise(0L)), lit(0L)).as("wp2"),
-            coalesce(sum(when(col("sg") === -1L, col("dr")).otherwise(0L)), lit(0L)).as("wm2"))
-          .crossJoin(broadcast(ties))
-          .selectExpr(
-            "cast(n as bigint) AS n_pairs",
-            "cast(wp2 as double) / 2.0 AS w_plus",
-            "cast(wm2 as double) / 2.0 AS w_minus",
-            """round((cast(wp2 as double) / 2.0
-              |    - cast(n as double) * (cast(n as double) + 1.0) / 4.0)
-              |  / nullif(sqrt(cast(n as double) * (cast(n as double) + 1.0)
-              |      * (2.0 * cast(n as double) + 1.0) / 24.0
-              |    - cast(tie_sum as double) / 48.0), 0D), 4) AS z_stat""".stripMargin)
-      },
+          .select((col("vc") - col("cc")).as("dd")),
+        "dd"),
       Some("""WITH daily AS (
              |  SELECT cast(extract(day FROM ts) as bigint) AS i,
              |    cast(sum(CASE WHEN event_type = 'view'
@@ -836,42 +969,9 @@ object Inference {
     // panel. Counts exact; the windows run on the 30-row frame only.
     OpSpec(
       "agg_prop_ztest_bh",
-      (s, d) => {
-        val daily = T.events(s, d)
-          .groupBy(dayofmonth(col("ts")).cast("bigint").as("i"))
-          .agg(
-            count(lit(1)).as("nd"),
-            coalesce(sum(when(col("event_type") === "click", 1L).otherwise(0L)),
-              lit(0L)).as("xd"))
-        val tot = daily.agg(
-          coalesce(sum(col("nd")), lit(0L)).as("n"),
-          coalesce(sum(col("xd")), lit(0L)).as("x"))
-        val z = daily.crossJoin(broadcast(tot))
-          .selectExpr("i", "nd", "xd",
-            """(cast(xd as double) / nullif(cast(nd as double), 0D)
-              |  - cast(x - xd as double) / nullif(cast(n - nd as double), 0D))
-              |/ nullif(sqrt(cast(x as double) / nullif(cast(n as double), 0D)
-              |    * (1.0 - cast(x as double) / nullif(cast(n as double), 0D))
-              |    * (1.0 / nullif(cast(nd as double), 0D)
-              |       + 1.0 / nullif(cast(n - nd as double), 0D))), 0D) AS z""".stripMargin)
-          .withColumn("t", expr("1.0 / (1.0 + 0.2316419 * abs(z))"))
-          .withColumn("p4", expr(
-            """round(2.0 * 0.3989422804014327 * exp(-(abs(z) * abs(z)) / 2.0)
-              |  * (((((1.330274429 * t - 1.821255978) * t + 1.781477937) * t
-              |      - 0.356563782) * t + 0.319381530) * t), 4)""".stripMargin))
-        val byP = Window.orderBy("p4", "i") // 30-row panel: bounded
-        val tail = Window.orderBy("p4", "i")
-          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        z.withColumn("m", count(lit(1)).over(Window.partitionBy()))
-          .withColumn("rnk", row_number().over(byP))
-          .withColumn("cand",
-            expr("p4 * cast(m as double) / cast(rnk as double)"))
-          .select(col("i").as("day"), col("nd").as("n_day"), col("xd").as("x_day"),
-            expr("round(z, 4)").as("z_stat"), col("p4").as("p_value"),
-            round(min(col("cand")).over(tail), 4).as("p_bh"))
-          .withColumn("significant", expr("p_bh <= 0.1"))
-          .orderBy("day")
-      },
+      (s, d) => propZTestBhOf(T.events(s, d),
+        dayofmonth(col("ts")).cast("bigint"),
+        col("event_type") === "click"),
       Some("""WITH daily AS (
              |  SELECT cast(extract(day FROM ts) as bigint) AS i, count(*) AS nd,
              |    cast(coalesce(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END), 0) as bigint) AS xd
@@ -917,23 +1017,7 @@ object Inference {
     // (agg_ttest_paired below).
     OpSpec(
       "agg_ttest_1samp",
-      (s, d) => {
-        val xi = cents(col("value"))
-        T.events(s, d)
-          .groupBy("event_type")
-          .agg(
-            count(lit(1)).as("nj"),
-            sum(xi).as("sj"),
-            sum(d38(xi) * d38(xi)).as("s2j"))
-          .selectExpr("event_type", "cast(nj as bigint) AS n_rows",
-            "round(cast(sj as double) / nullif(cast(nj as double), 0D) / 100.0, 4) AS mean_value",
-            """round((cast(sj as double) / nullif(cast(nj as double), 0D) - 25000.0)
-              |  / nullif(sqrt((cast(s2j as double)
-              |      - cast(sj as double) * cast(sj as double) / nullif(cast(nj as double), 0D))
-              |    / nullif(cast(nj as double) - 1.0, 0D)
-              |    / nullif(cast(nj as double), 0D)), 0D), 4) AS t_stat""".stripMargin)
-          .orderBy("event_type")
-      },
+      (s, d) => ttest1SampOf(T.events(s, d), "event_type", "value", 25000L),
       Some("""SELECT event_type, cast(nj as bigint) AS n_rows,
              |  round(cast(sj as double) / nullif(cast(nj as double), 0.0) / 100.0, 4) AS mean_value,
              |  round((cast(sj as double) / nullif(cast(nj as double), 0.0) - 25000.0)
@@ -958,23 +1042,14 @@ object Inference {
     // shared float tail.
     OpSpec(
       "agg_ttest_paired",
-      (s, d) => T.events(s, d)
-        .filter(col("event_type").isin("view", "click"))
-        .groupBy(dayofmonth(col("ts")).cast("bigint").as("i"))
-        .agg((sum(when(col("event_type") === "view", cents(col("value"))).otherwise(0L))
-          - sum(when(col("event_type") === "click", cents(col("value"))).otherwise(0L)))
-          .as("dd"))
-        .agg(
-          count(lit(1)).as("n"),
-          coalesce(sum(col("dd")), lit(0L)).as("sd"),
-          coalesce(sum(d38(col("dd")) * d38(col("dd"))), lit(0L).cast("decimal(38,0)")).as("s2d"))
-        .selectExpr("cast(n as bigint) AS n_pairs",
-          "round(cast(sd as double) / nullif(cast(n as double), 0D) / 100.0, 4) AS mean_diff",
-          """round(cast(sd as double) / nullif(cast(n as double), 0D)
-            |  / nullif(sqrt((cast(s2d as double)
-            |      - cast(sd as double) * cast(sd as double) / nullif(cast(n as double), 0D))
-            |    / nullif(cast(n as double) - 1.0, 0D)
-            |    / nullif(cast(n as double), 0D)), 0D), 4) AS t_stat""".stripMargin),
+      (s, d) => ttestPairedOf(
+        T.events(s, d)
+          .filter(col("event_type").isin("view", "click"))
+          .groupBy(dayofmonth(col("ts")).cast("bigint").as("i"))
+          .agg((sum(when(col("event_type") === "view", cents(col("value"))).otherwise(0L))
+            - sum(when(col("event_type") === "click", cents(col("value"))).otherwise(0L)))
+            .as("dd")),
+        "dd"),
       Some("""WITH daily AS (
              |  SELECT cast(extract(day FROM ts) as bigint) AS i,
              |    cast(sum(CASE WHEN event_type = 'view'
@@ -1007,28 +1082,10 @@ object Inference {
     // agg; the divisions are the only floats.
     OpSpec(
       "agg_mcnemar",
-      (s, d) => {
-        val perUser = T.events(s, d)
-          .groupBy("user_id")
-          .agg(
-            when(sum(when(col("event_type") === "click" && dayofmonth(col("ts")) <= 15, 1L)
-              .otherwise(0L)) >= 7L, 1L).otherwise(0L).as("x1"),
-            when(sum(when(col("event_type") === "click" && dayofmonth(col("ts")) > 15, 1L)
-              .otherwise(0L)) >= 7L, 1L).otherwise(0L).as("x2"))
-        perUser.agg(
-            count(lit(1)).as("n"),
-            coalesce(sum(when(col("x1") === 1L && col("x2") === 1L, 1L).otherwise(0L)), lit(0L)).as("a"),
-            coalesce(sum(when(col("x1") === 1L && col("x2") === 0L, 1L).otherwise(0L)), lit(0L)).as("b"),
-            coalesce(sum(when(col("x1") === 0L && col("x2") === 1L, 1L).otherwise(0L)), lit(0L)).as("c"),
-            coalesce(sum(when(col("x1") === 0L && col("x2") === 0L, 1L).otherwise(0L)), lit(0L)).as("dd"))
-          .selectExpr(
-            "cast(n as bigint) AS n_users",
-            "a AS both_halves", "b AS first_only", "c AS second_only", "dd AS neither",
-            """round(cast((b - c) * (b - c) as double)
-              |  / nullif(cast(b + c as double), 0D), 4) AS mcnemar_chi2""".stripMargin,
-            """round((abs(cast(b - c as double)) - 1.0) * (abs(cast(b - c as double)) - 1.0)
-              |  / nullif(cast(b + c as double), 0D), 4) AS mcnemar_chi2_cc""".stripMargin)
-      },
+      (s, d) => mcnemarOf(T.events(s, d), "user_id",
+        col("event_type") === "click" && dayofmonth(col("ts")) <= 15,
+        col("event_type") === "click" && dayofmonth(col("ts")) > 15,
+        7L),
       Some("""WITH pu AS (
              |  SELECT user_id,
              |    CASE WHEN sum(CASE WHEN event_type = 'click' AND extract(day FROM ts) <= 15 THEN 1 ELSE 0 END) >= 7 THEN 1 ELSE 0 END AS x1,

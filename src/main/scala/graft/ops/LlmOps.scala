@@ -32,6 +32,50 @@ object LlmOps {
 
   private def toDouble(c: String) = expr(s"transform($c, x -> cast(x as double))")
 
+  /** Add-one-smoothed bigram-LM self-perplexity per document (docs
+    * with `idCol` < `docLimit` reported) — the reusable form behind
+    * text_bigram_perplexity. The vocab²-bounded LM table is
+    * DISK-memoized: its plan holds a corpus explode feeding two
+    * consumers (the join and the context-count derivation). */
+  def bigramPerplexityOf(df: org.apache.spark.sql.DataFrame, idCol: String,
+                         textCol: String, docLimit: Long): org.apache.spark.sql.DataFrame = {
+    val bi = df
+      .select(col(idCol).as("_doc"), split(col(textCol), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("_doc"), explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+        .as("bigram"))
+    val tf = bi.groupBy("_doc", "bigram").agg(count(lit(1)).as("tf"))
+    val cb = graft.core.DiskMemo.persist(
+      bi.groupBy("bigram").agg(count(lit(1)).as("cb"))
+        .withColumn("w1", expr("split_part(bigram, ' ', 1)")),
+      "bigram_lm")
+    // context counts DERIVED from the (vocab-bounded) bigram table
+    // — c(w1·) = Σ_w2 c(w1,w2) — not a second corpus explode
+    val cu = cb.groupBy("w1").agg(sum(col("cb")).as("cu"))
+    val vocab = df
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .agg(countDistinct(col("word")).as("v"))
+    tf.join(broadcast(cb.join(cu, "w1").crossJoin(vocab)), Seq("bigram"))
+      .filter(col("_doc") < docLimit)
+      .withColumn("term",
+        expr("""-cast(tf as double)
+               |  * ln((cast(cb as double) + 1.0)
+               |      / (cast(cu as double) + cast(v as double)))""".stripMargin))
+      .groupBy("_doc")
+      .agg(
+        sum(col("tf")).as("n_bigrams"),
+        (expr(
+          """aggregate(
+            |  transform(array_sort(collect_list(struct(bigram, term))), s -> s.term),
+            |  0D, (acc, x) -> acc + x)""".stripMargin) /
+          sum(col("tf")).cast("double")).as("nll"))
+      .select(col("_doc").as(idCol), col("n_bigrams").cast("bigint").as("n_bigrams"),
+        round(col("nll"), 4).as("avg_nll"),
+        round(exp(col("nll")), 4).as("ppl"))
+      .orderBy(idCol)
+  }
+
   /** ONE normalization definition for the whole pipeline family
     * (text_normalize + pipeline_dedup_clean use the same transform by
     * construction): lower -> strip non-[a-z0-9 ] -> collapse space
@@ -636,46 +680,7 @@ object LlmOps {
     // frame — at 100 TB only the bigram explode is corpus-sized.
     OpSpec(
       "text_bigram_perplexity",
-      (s, d) => {
-        val bi = T.documents(s, d)
-          .select(col("doc_id"), split(col("text"), " ").as("w"))
-          .filter(size(col("w")) >= 2)
-          .select(col("doc_id"), explode(expr(
-            "transform(sequence(1, size(w) - 1), i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
-            .as("bigram"))
-        val tf = bi.groupBy("doc_id", "bigram").agg(count(lit(1)).as("tf"))
-        // the LM table is vocab²-bounded but its PLAN holds a corpus
-        // explode; it feeds the join AND the context-count derivation,
-        // so DISK-memoize it (the NearDup shingle device) — one corpus
-        // pass, both consumers read the file
-        val cb = graft.core.DiskMemo.persist(
-          bi.groupBy("bigram").agg(count(lit(1)).as("cb"))
-            .withColumn("w1", expr("split_part(bigram, ' ', 1)")),
-          "bigram_lm")
-        // context counts DERIVED from the (vocab-bounded) bigram table
-        // — c(w1·) = Σ_w2 c(w1,w2) — not a second corpus explode
-        val cu = cb.groupBy("w1").agg(sum(col("cb")).as("cu"))
-        val vocab = T.documents(s, d)
-          .select(explode(split(col("text"), " ")).as("word"))
-          .agg(countDistinct(col("word")).as("v"))
-        tf.join(broadcast(cb.join(cu, "w1").crossJoin(vocab)), Seq("bigram"))
-          .filter(col("doc_id") < 20)
-          .withColumn("term",
-            expr("""-cast(tf as double)
-                   |  * ln((cast(cb as double) + 1.0)
-                   |      / (cast(cu as double) + cast(v as double)))""".stripMargin))
-          .groupBy("doc_id")
-          .agg(
-            sum(col("tf")).as("n_bigrams"),
-            (expr(
-              """aggregate(
-                |  transform(array_sort(collect_list(struct(bigram, term))), s -> s.term),
-                |  0D, (acc, x) -> acc + x)""".stripMargin) /
-              sum(col("tf")).cast("double")).as("nll"))
-          .selectExpr("doc_id", "cast(n_bigrams as bigint) AS n_bigrams",
-            "round(nll, 4) AS avg_nll", "round(exp(nll), 4) AS ppl")
-          .orderBy("doc_id")
-      },
+      (s, d) => bigramPerplexityOf(T.documents(s, d), "doc_id", "text", 20L),
       Some("""WITH bi AS (
              |  SELECT doc_id, p[1] || ' ' || p[2] AS bigram, p[1] AS w1
              |  FROM (SELECT doc_id, unnest(list_zip(w, w[2:])) AS p

@@ -208,6 +208,37 @@ object TextOps {
         sum(when(col("_jp") > 0, 1L).otherwise(0L)).as("n_words"))
   }
 
+  /** Per-`byCol` lexical diversity (micro-averaged type-token ratio +
+    * hapax fraction over exact integer totals) — the reusable form
+    * behind text_ttr. */
+  def ttrOf(df: DataFrame, byCol: String, idCol: String,
+            textCol: String): DataFrame = {
+    val toks = df
+      .select(col(byCol), col(idCol).as("_doc"),
+        explode(split(col(textCol), " ")).as("w"))
+    val perDoc = toks
+      .groupBy(col(byCol), col("_doc"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(byCol, "_doc")
+      .agg(
+        sum(col("c")).as("n_tok"),
+        count(lit(1)).as("n_type"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+    perDoc.groupBy(byCol)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("tok"),
+        sum(col("n_type")).as("typ"),
+        sum(col("n_hapax")).as("hap"))
+      .selectExpr(byCol,
+        "cast(n_docs as bigint) AS n_docs",
+        "cast(tok as bigint) AS tok_total",
+        "cast(typ as bigint) AS type_total",
+        "cast(hap as bigint) AS hapax_total",
+        "round(cast(typ as double) / nullif(cast(tok as double), 0D), 4) AS ttr_micro",
+        "round(cast(hap as double) / nullif(cast(tok as double), 0D), 4) AS hapax_frac")
+      .orderBy(byCol)
+  }
+
   val ops: Seq[OpSpec] = Seq(
     // Whitespace tokenizer vs a BPE-ish lowercase-run regex tokenizer.
     OpSpec(
@@ -607,32 +638,7 @@ object TextOps {
     // all partial+final — the explode is the only corpus-linear stage.
     OpSpec(
       "text_ttr",
-      (s, d) => {
-        val toks = T.documents(s, d)
-          .select(col("source"), col("doc_id"),
-            explode(split(col("text"), " ")).as("w"))
-        val perDoc = toks
-          .groupBy("source", "doc_id", "w").agg(count(lit(1)).as("c"))
-          .groupBy("source", "doc_id")
-          .agg(
-            sum(col("c")).as("n_tok"),
-            count(lit(1)).as("n_type"),
-            sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_hapax"))
-        perDoc.groupBy("source")
-          .agg(
-            count(lit(1)).as("n_docs"),
-            sum(col("n_tok")).as("tok"),
-            sum(col("n_type")).as("typ"),
-            sum(col("n_hapax")).as("hap"))
-          .selectExpr("source",
-            "cast(n_docs as bigint) AS n_docs",
-            "cast(tok as bigint) AS tok_total",
-            "cast(typ as bigint) AS type_total",
-            "cast(hap as bigint) AS hapax_total",
-            "round(cast(typ as double) / nullif(cast(tok as double), 0D), 4) AS ttr_micro",
-            "round(cast(hap as double) / nullif(cast(tok as double), 0D), 4) AS hapax_frac")
-          .orderBy("source")
-      },
+      (s, d) => ttrOf(T.documents(s, d), "source", "doc_id", "text"),
       Some("""WITH tok AS (
              |  SELECT source, doc_id, unnest(string_split(text, ' ')) AS w
              |  FROM documents),

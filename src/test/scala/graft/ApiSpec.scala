@@ -799,4 +799,37 @@ class ApiSpec extends AnyFunSuite {
       ev.bartlett("event_type; drop", "value")
     }
   }
+
+  test("batch 8-11 wrappers equal their gated queries") {
+    val ev = graft.core.Tables.events(spark, TestSpark.sfSmoke)
+    val docs = graft.core.Tables.documents(spark, TestSpark.sfSmoke)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSeq
+    def gated(k: String) =
+      rows(graft.ops.Registry.queries(k)(spark, TestSpark.sfSmoke))
+    assert(rows(ev.ttest1Samp("event_type", "value", 25000L)) == gated("agg_ttest_1samp"))
+    assert(rows(ev.cochranQ("user_id", "event_type", 15L)) == gated("agg_cochran_q"))
+    assert(rows(ev.mcnemar("user_id",
+      col("event_type") === "click" && dayofmonth(col("ts")) <= 15,
+      col("event_type") === "click" && dayofmonth(col("ts")) > 15,
+      7L)) == gated("agg_mcnemar"))
+    assert(rows(ev.propZTestBh(dayofmonth(col("ts")).cast("bigint"),
+      col("event_type") === "click")) == gated("agg_prop_ztest_bh"))
+    assert(rows(ev.filter(col("user_id") === 7)
+      .select("user_id", "event_id", "value")
+      .kalmanLevel("user_id", "event_id", "value")) == gated("ts_kalman_level"))
+    assert(rows(docs.lexicalDiversity("source", "doc_id", "text")) == gated("text_ttr"))
+    assert(rows(docs.bigramPerplexity("doc_id", "text", 20L))
+      == gated("text_bigram_perplexity"))
+    // diff-frame wrappers
+    val diffs = ev.filter(col("event_type").isin("view", "click"))
+      .groupBy(dayofmonth(col("ts")).cast("bigint").as("i"))
+      .agg((sum(when(col("event_type") === "view",
+          (col("value").cast("decimal(18,2)") * 100).cast("long")).otherwise(0L))
+        - sum(when(col("event_type") === "click",
+          (col("value").cast("decimal(18,2)") * 100).cast("long")).otherwise(0L)))
+        .as("dd"))
+    assert(rows(diffs.ttestPaired("dd")) == gated("agg_ttest_paired"))
+    assert(rows(diffs.wilcoxonSigned("dd")) == gated("agg_wilcoxon_signed"))
+  }
 }
