@@ -301,6 +301,39 @@ object Inference {
       .orderBy("period")
   }
 
+  /** Generalized ESD (iterative Grubbs, k rounds) over a BOUNDED
+    * exact-integer series — the reusable form behind ts_esd_outliers.
+    * Each round's moment update is an exact subtraction (the removed
+    * row's n/Σ/Σ² leave integer moments), so no float drift crosses
+    * rounds; the base series is DISK-memoized since every unrolled
+    * stage re-reads it. */
+  def esdOutliersOf(series: DataFrame, orderCol: String, valueCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 1 && k <= 10, s"k rounds must be in [1, 10], got $k")
+    val gText =
+      """abs(cast(yc as double) - cast(sv as double) / nullif(cast(n as double), 0D))
+        |  / nullif(sqrt((cast(s2 as double)
+        |      - cast(sv as double) * cast(sv as double) / nullif(cast(n as double), 0D))
+        |    / nullif(cast(n as double) - 1.0, 0D)), 0D)""".stripMargin
+    var cur = graft.core.DiskMemo.persist(
+      series.select(col(orderCol).as("i"), col(valueCol).as("yc")), "esd_base")
+    var out = Seq.empty[DataFrame]
+    for (it <- 1 to k) {
+      val m = cur.agg(
+        count(lit(1)).as("n"),
+        coalesce(sum(col("yc")), lit(0L)).as("sv"),
+        coalesce(sum(d38(col("yc")) * d38(col("yc"))), lit(0L).cast("decimal(38,0)")).as("s2"))
+      val g = cur.crossJoin(broadcast(m)).withColumn("g", expr(gText))
+      val x = g.orderBy(desc("g"), col("i")).limit(1) // argmax; ties → min day
+      out :+= x.select(lit(it).as("iteration"), col("i").as("day"),
+        round(col("yc").cast("double") / 100.0, 4).as("day_value"),
+        round(col("g"), 4).as("g_stat"), col("n").cast("bigint").as("n_remaining"))
+      cur = g.join(broadcast(x.select(col("i").as("_xi"))),
+        col("i") === col("_xi"), "left_anti").select("i", "yc")
+    }
+    out.reduce(_ union _).orderBy("iteration")
+  }
+
   /** Per-panel-cell proportion z vs the rest + Benjamini–Hochberg FDR
     * over the panel — the reusable form behind agg_prop_ztest_bh.
     * `panelCol` keys the (BOUNDED) panel; `successCol` is the boolean
@@ -1069,6 +1102,52 @@ object Inference {
              |      / nullif(cast(n as double) - 1.0, 0.0)
              |      / nullif(cast(n as double), 0.0)), 0.0), 4) AS t_stat
              |FROM a""".stripMargin),
+    ),
+    // GENERALIZED ESD (Rosner 1983; the iterative Grubbs behind the
+    // classic production anomaly detectors): k = 3 rounds over the
+    // daily cents series — each round scores every SURVIVING day by
+    // G = |y − x̄|/s, removes the argmax (ties → smallest day), and
+    // RECOMPUTES the moments without it. The moment updates are EXACT
+    // SUBTRACTIONS (n, Σy, Σy² all integer cents — no refit, no
+    // float drift across rounds); only each round's G division
+    // floats, in one shared text. The plan is 3 unrolled stages of
+    // windows over the 30-row daily frame (bounded by construction).
+    OpSpec(
+      "ts_esd_outliers",
+      (s, d) => esdOutliersOf(dailyCents(T.events(s, d)), "i", "yc", 3),
+      Some {
+        val stages = (1 to 3).map { k =>
+          val prev = if (k == 1) "d0" else s"d${k - 1}"
+          s"""m$k AS (
+             |  SELECT count(*) AS n, cast(coalesce(sum(yc), 0) as bigint) AS sv,
+             |    coalesce(sum(cast(yc as decimal(38,0)) * cast(yc as decimal(38,0))), 0) AS s2
+             |  FROM $prev),
+             |g$k AS (
+             |  SELECT i, yc,
+             |    abs(cast(yc as double) - cast(sv as double) / nullif(cast(n as double), 0.0))
+             |      / nullif(sqrt((cast(s2 as double)
+             |          - cast(sv as double) * cast(sv as double) / nullif(cast(n as double), 0.0))
+             |        / nullif(cast(n as double) - 1.0, 0.0)), 0.0) AS g,
+             |    cast(n as bigint) AS n
+             |  FROM $prev CROSS JOIN m$k),
+             |x$k AS (SELECT * FROM g$k ORDER BY g DESC, i LIMIT 1),
+             |d$k AS (SELECT i, yc FROM g$k WHERE i <> (SELECT i FROM x$k))""".stripMargin
+        }.mkString(",\n")
+        s"""WITH daily AS (
+           |  SELECT cast(extract(day FROM ts) as bigint) AS i,
+           |    cast(sum(cast(cast(value as decimal(18,2)) * 100 as bigint)) as bigint) AS yc
+           |  FROM events GROUP BY 1),
+           |d0 AS (SELECT i, yc FROM daily),
+           |$stages
+           |SELECT * FROM (
+           |  SELECT 1 AS iteration, i AS day, round(cast(yc as double) / 100.0, 4) AS day_value,
+           |    round(g, 4) AS g_stat, n AS n_remaining FROM x1
+           |  UNION ALL
+           |  SELECT 2, i, round(cast(yc as double) / 100.0, 4), round(g, 4), n FROM x2
+           |  UNION ALL
+           |  SELECT 3, i, round(cast(yc as double) / 100.0, 4), round(g, 4), n FROM x3)
+           |ORDER BY iteration""".stripMargin
+      },
     ),
     // McNEMAR'S TEST — paired binary before/after (Cochran's Q at
     // k = 2, kept as its own op because the 2×2 discordant-cell form

@@ -125,7 +125,7 @@ class DeterminismSpec extends AnyFunSuite {
     "agg_wilcoxon_signed", "agg_cochran_q", "text_ttr",
     "agg_prop_ztest_bh", "store_rollup_incremental",
     "agg_ttest_1samp", "agg_ttest_paired",
-    "agg_mcnemar", "text_bigram_perplexity")
+    "agg_mcnemar", "text_bigram_perplexity", "ts_esd_outliers")
 
   test("order-sensitive queries return identical results across runs") {
     val failures = sensitive.flatMap { key =>

@@ -388,6 +388,30 @@ class InferenceSpec extends AnyFunSuite {
     assert(got.forall(r => r._4 > 1.0 && r._4 < v + 1.0))
   }
 
+  test("generalized ESD replays three argmax-remove-recompute rounds") {
+    var cur = dailySeries.map { case (i, yc) => (i, yc) }
+    val want = (1 to 3).map { it =>
+      val n = cur.length.toDouble
+      val sv = cur.map(_._2).sum.toDouble
+      val s2 = cur.map(r => r._2 * r._2).sum.toDouble
+      val scored = cur.map { case (i, yc) =>
+        val g = math.abs(yc.toDouble - sv / n) /
+          math.sqrt((s2 - sv * sv / n) / (n - 1.0))
+        (i, yc, g)
+      }
+      val top = scored.minBy(r => (-r._3, r._1))
+      cur = cur.filterNot(_._1 == top._1)
+      (it.toLong, top._1, r4(top._2.toDouble / 100.0), r4(top._3), (n + 0.5).toLong)
+    }
+    val got = graft.ops.Registry.queries("ts_esd_outliers")(spark, TestSpark.sfSmoke)
+      .collect().map(r => (r.getInt(0).toLong, r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4))).toSeq
+    assert(got == want)
+    // rounds remove distinct days and n_remaining steps down by one
+    assert(got.map(_._2).distinct.length == 3)
+    assert(got.map(_._5) == Seq(got.head._5, got.head._5 - 1, got.head._5 - 2))
+  }
+
   test("two-proportion z replays from the four weekend/weekday counts") {
     val wk = graft.core.Tables.events(spark, TestSpark.sfSmoke)
       .select(weekday(col("ts")).cast("long").as("w"), col("event_type"))
