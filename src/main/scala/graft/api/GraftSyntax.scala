@@ -1159,5 +1159,10 @@ object syntax {
     def bigramPerplexity(idCol: String, textCol: String,
                          docLimit: Long): DataFrame =
       graft.ops.LlmOps.bigramPerplexityOf(df, idCol, textCol, docLimit)
+
+    /** Generalized ESD: `k` argmax-remove-recompute outlier rounds
+      * over a BOUNDED exact-integer series. See ts_esd_outliers. */
+    def esdOutliers(orderCol: String, valueCol: String, k: Int): DataFrame =
+      graft.ops.Inference.esdOutliersOf(df, orderCol, valueCol, k)
   }
 }

@@ -831,5 +831,9 @@ class ApiSpec extends AnyFunSuite {
         .as("dd"))
     assert(rows(diffs.ttestPaired("dd")) == gated("agg_ttest_paired"))
     assert(rows(diffs.wilcoxonSigned("dd")) == gated("agg_wilcoxon_signed"))
+    val daily = ev.groupBy(dayofmonth(col("ts")).cast("bigint").as("i"))
+      .agg(sum((col("value").cast("decimal(18,2)") * 100).cast("long")).as("yc"))
+    assert(rows(daily.esdOutliers("i", "yc", 3)) == gated("ts_esd_outliers"))
+    intercept[IllegalArgumentException] { daily.esdOutliers("i", "yc", 0) }
   }
 }
