@@ -1198,6 +1198,112 @@ object VecOps {
               |        / cast(count(*) as double), 4) AS acc
               |FROM pred GROUP BY qlabel ORDER BY label""".stripMargin),
     ),
+  ) ++ mmrOps
+
+  /** Maximal Marginal Relevance (Carbonell & Goldstein 1998) top-k:
+    * greedy diverse-exemplar selection — round r picks the surviving
+    * candidate maximizing λ·rel − (1−λ)·max-cos-to-selected. The
+    * curation read: "give me the k most relevant AND mutually
+    * dissimilar neighbors" (dedup's prevention twin — don't put five
+    * near-copies in the context or training batch). Candidate panel =
+    * brute-force top-`panelSize` cosine (bounded), DISK-memoized since
+    * every greedy round re-reads it; all cosines are explicit
+    * zip-folds (bit-identical cross-engine); ties → smallest vec_id.
+    * k rounds unroll the ESD chained-stage device. */
+  def mmrTopkOf(vecs: DataFrame, idCol: String, vecCol: String,
+                queryId: Long, panelSize: Int, k: Int,
+                lambda: Double, omLambda: Double): DataFrame = {
+    require(k >= 1 && k <= panelSize && panelSize <= 64, s"bad (k=$k, panel=$panelSize)")
+    // omLambda is passed EXPLICITLY, not derived: 1.0 − 0.7 is
+    // 0.30000000000000004 in IEEE while the oracle's literal 0.3 is a
+    // different double — both engines must parse the SAME literal
+    val (ls, ols) = (s"${lambda}", s"${omLambda}")
+    val v = vecs.select(col(idCol).as("vec_id"),
+      expr(s"transform(${ident(vecCol)}, x -> cast(x as double))").as("e"))
+    val q = v.filter(col("vec_id") === queryId)
+      .select(col("e").as("qe"))
+    val panel = graft.core.DiskMemo.persist(
+      v.filter(col("vec_id") =!= queryId)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("e"),
+          sqrt(dot("e", "e")).as("nrm"),
+          (dot("e", "qe") / (sqrt(dot("e", "e")) * sqrt(dot("qe", "qe")))).as("rel"))
+        .orderBy(desc("rel"), col("vec_id")).limit(panelSize),
+      "mmr_panel")
+    var surv = panel
+    var sel: DataFrame = null
+    var out = Seq.empty[DataFrame]
+    for (it <- 1 to k) {
+      val scored =
+        if (it == 1) surv.withColumn("mmr", expr(s"$ls * rel"))
+        else surv.crossJoin(broadcast(sel.select(col("e").as("se"), col("nrm").as("snrm"))))
+          .groupBy("vec_id", "e", "nrm", "rel")
+          .agg(max(dot("e", "se") / (col("nrm") * col("snrm"))).as("msim"))
+          .withColumn("mmr", expr(s"$ls * rel - $ols * msim"))
+      val x = scored.orderBy(desc("mmr"), col("vec_id")).limit(1)
+      out :+= x.select(lit(it).as("iteration"), col("vec_id"),
+        round(col("rel"), 4).as("rel"), round(col("mmr"), 4).as("mmr_score"))
+      val picked = x.select(col("vec_id").as("_xi"), col("e"), col("nrm"))
+      sel = if (sel == null) picked.select(col("e"), col("nrm"))
+        else sel.union(picked.select(col("e"), col("nrm")))
+      surv = surv.join(broadcast(x.select(col("vec_id").as("_xi"))),
+        col("vec_id") === col("_xi"), "left_anti")
+    }
+    out.reduce(_ union _).orderBy("iteration")
+  }
+
+  private lazy val mmrOps: Seq[OpSpec] = Seq(
+    // MMR TOP-5 for query vector 0 over the top-12 cosine panel,
+    // λ = 0.7 — the diversity-aware serving/curation pick. The greedy
+    // recursion unrolls into 5 chained stages in BOTH engines; every
+    // cosine is an explicit fold; argmax ties break to the smallest
+    // vec_id; the bounded panel is disk-memoized so the corpus scan
+    // runs once, not once per round.
+    OpSpec(
+      "sim_mmr_topk",
+      (s, d) => mmrTopkOf(graft.core.Tables.embeddings(s, d),
+        "vec_id", "embedding", 0L, 12, 5, 0.7, 0.3),
+      Some {
+        def dd(a: String, b: String) = dotDuck(a, b)
+        val stages = (1 to 5).map { it =>
+          val prev = if (it == 1) "panel" else s"surv${it - 1}"
+          val scored =
+            if (it == 1)
+              s"""sc$it AS (SELECT vec_id, e, nrm, rel, 0.7 * rel AS mmr FROM $prev)"""
+            else
+              s"""sc$it AS (
+                 |  SELECT c.vec_id, c.e, c.nrm, c.rel,
+                 |    0.7 * c.rel - 0.3 * max(${dd("c.e", "s.se")} / (c.nrm * s.snrm)) AS mmr
+                 |  FROM $prev c CROSS JOIN sel${it - 1} s
+                 |  GROUP BY c.vec_id, c.e, c.nrm, c.rel)""".stripMargin
+          val sel =
+            if (it == 1) s"sel$it AS (SELECT e AS se, nrm AS snrm FROM x$it)"
+            else s"""sel$it AS (SELECT se, snrm FROM sel${it - 1}
+                    |  UNION ALL SELECT e, nrm FROM x$it)""".stripMargin
+          s"""$scored,
+             |x$it AS (SELECT * FROM sc$it ORDER BY mmr DESC, vec_id LIMIT 1),
+             |$sel,
+             |surv$it AS (SELECT vec_id, e, nrm, rel FROM sc$it
+             |  WHERE vec_id <> (SELECT vec_id FROM x$it))""".stripMargin
+        }.mkString(",\n")
+        val outs = (1 to 5).map(it =>
+          s"SELECT $it AS iteration, vec_id, round(rel, 4) AS rel, round(mmr, 4) AS mmr_score FROM x$it")
+          .mkString("\n  UNION ALL\n  ")
+        s"""WITH q AS (
+           |  SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+           |v AS (
+           |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id <> 0),
+           |panel AS (
+           |  SELECT vec_id, e, sqrt(${dd("e", "e")}) AS nrm,
+           |    ${dd("e", "qe")} / (sqrt(${dd("e", "e")}) * sqrt(${dd("qe", "qe")})) AS rel
+           |  FROM v CROSS JOIN q
+           |  ORDER BY rel DESC, vec_id LIMIT 12),
+           |$stages
+           |SELECT * FROM (
+           |  $outs)
+           |ORDER BY iteration""".stripMargin
+      },
+    ),
   )
 
   /** DuckDB dot product as an EXPLICIT list_zip fold — the exact

@@ -278,4 +278,47 @@ class AnnSpec extends AnyFunSuite {
       assert(acc == r4(nC.toDouble / nQ))
     }
   }
+
+  test("MMR top-5 replays the greedy diversify loop exactly") {
+    def r4(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    val vecs = graft.core.Tables.embeddings(spark, TestSpark.sfSmoke)
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) AS e")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var j = 0
+      while (j < a.length) { s += a(j) * b(j); j += 1 }
+      s
+    }
+    val qe = vecs.find(_._1 == 0L).get._2
+    val qn = math.sqrt(dot(qe, qe))
+    val panel = vecs.filter(_._1 != 0L)
+      .map { case (id, e) =>
+        (id, e, math.sqrt(dot(e, e)), dot(e, qe) / (math.sqrt(dot(e, e)) * qn))
+      }
+      .sortBy(r => (-r._4, r._1)).take(12)
+    var surv = panel.toSeq
+    var sel = Seq.empty[(Array[Double], Double)]
+    val want = (1 to 5).map { it =>
+      val scored = surv.map { case (id, e, nrm, rel) =>
+        val mmr =
+          if (sel.isEmpty) 0.7 * rel
+          else 0.7 * rel - 0.3 * sel.map { case (se, snrm) =>
+            dot(e, se) / (nrm * snrm) }.max
+        (id, rel, mmr, e, nrm)
+      }
+      val top = scored.minBy(r => (-r._3, r._1))
+      sel :+= ((top._4, top._5))
+      surv = surv.filterNot(_._1 == top._1)
+      (it, top._1, r4(top._2), r4(top._3))
+    }
+    val got = graft.ops.Registry.queries("sim_mmr_topk")(spark, TestSpark.sfSmoke)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(got == want)
+    // the diversity penalty must bind after round 1: mmr ≠ λ·rel
+    // (a zero max-cos across a 12-near-neighbor panel would mean the
+    // scoring never saw the selected set)
+    assert(got.tail.forall(r => math.abs(r._4 - r4(0.7 * r._3)) > 0.0))
+    assert(got.map(_._2).distinct.length == 5)
+  }
 }

@@ -125,7 +125,8 @@ class DeterminismSpec extends AnyFunSuite {
     "agg_wilcoxon_signed", "agg_cochran_q", "text_ttr",
     "agg_prop_ztest_bh", "store_rollup_incremental",
     "agg_ttest_1samp", "agg_ttest_paired",
-    "agg_mcnemar", "text_bigram_perplexity", "ts_esd_outliers")
+    "agg_mcnemar", "text_bigram_perplexity", "ts_esd_outliers",
+    "sim_mmr_topk")
 
   test("order-sensitive queries return identical results across runs") {
     val failures = sensitive.flatMap { key =>
