@@ -1164,5 +1164,14 @@ object syntax {
       * over a BOUNDED exact-integer series. See ts_esd_outliers. */
     def esdOutliers(orderCol: String, valueCol: String, k: Int): DataFrame =
       graft.ops.Inference.esdOutliersOf(df, orderCol, valueCol, k)
+
+    /** MMR diversified top-k for `queryId` over the top-`panelSize`
+      * cosine panel (pass λ and 1−λ explicitly — deriving 1−λ yields
+      * a different IEEE double than its literal). See sim_mmr_topk. */
+    def mmrTopk(idCol: String, vecCol: String, queryId: Long,
+                panelSize: Int, k: Int, lambda: Double,
+                omLambda: Double): DataFrame =
+      graft.vec.VecOps.mmrTopkOf(df, idCol, vecCol, queryId, panelSize, k,
+        lambda, omLambda)
   }
 }

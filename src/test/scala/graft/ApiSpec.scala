@@ -835,5 +835,8 @@ class ApiSpec extends AnyFunSuite {
       .agg(sum((col("value").cast("decimal(18,2)") * 100).cast("long")).as("yc"))
     assert(rows(daily.esdOutliers("i", "yc", 3)) == gated("ts_esd_outliers"))
     intercept[IllegalArgumentException] { daily.esdOutliers("i", "yc", 0) }
+    val emb = graft.core.Tables.embeddings(spark, TestSpark.sfSmoke)
+    assert(rows(emb.mmrTopk("vec_id", "embedding", 0L, 12, 5, 0.7, 0.3))
+      == gated("sim_mmr_topk"))
   }
 }
