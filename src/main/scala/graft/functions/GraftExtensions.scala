@@ -166,7 +166,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SimHash near-dup retrieval from SQL text — the dedup family's SQL
     // entry (the DataFrame path is graft.api df.simhashPairs):
     //   SELECT * FROM simhash_pairs('view', 'id_col', 'text_col',
-    //                               bits, max_dist)
+    //                               bits, max_dist[, max_df])
     //     -> (a bigint, b bigint, hamming bigint), a < b, distinct
     // Expands to the EXACT pigeonhole plan the DataFrame form builds —
     // 60-bit sha-token sketch, (max_dist+1)-part split via
@@ -180,14 +180,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("simhash_pairs"),
       new ExpressionInfo(classOf[GraftExtensions].getName, "simhash_pairs"),
       (args: Seq[Expression]) => {
-        require(args.length == 5,
-          "simhash_pairs(view, id_col, text_col, bits, max_dist)")
+        require(args.length == 5 || args.length == 6,
+          "simhash_pairs(view, id_col, text_col, bits, max_dist[, max_df])")
         val Seq(view, id, text) = args.take(3).map(TvfSql.str)
         val bits = args(3).eval().asInstanceOf[Number].intValue()
         val maxDist = args(4).eval().asInstanceOf[Number].intValue()
+        // optional bucket-occupancy cap (ADVICE r12 / verdict r13 item
+        // 4, mirroring substring_pairs' max_df): the default stays
+        // UNCAPPED — exact-by-contract, the all-pairs oracle proves
+        // losslessness — but a caller who accepts approximate blocking
+        // on a boilerplate-heavy corpus can bound the per-task pair
+        // explode (a hot (pid, pv) bucket otherwise concentrates
+        // O(|bucket|²) pairs on one task).
+        val maxDf = if (args.length == 6)
+          args(5).eval().asInstanceOf[Number].intValue() else Int.MaxValue
         require(bits >= 1 && bits <= 60, s"bits must be in [1, 60], got $bits")
         require(maxDist >= 1 && maxDist < bits,
           s"max_dist must be in [1, bits), got $maxDist")
+        require(maxDf >= 2, s"max_df must be >= 2, got $maxDf")
         val sums = (0 until bits).map { b =>
           s"sum(((_x div ${1L << b}L) % 2L) * 2L - 1L) AS _s$b"
         }.mkString(",\n      ")
@@ -221,13 +231,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         // old self-join spread the same pairs across tasks. Both
         // spellings emit the identical Θ(|bucket|²) pair mass (that
         // quadratic is inherent to lossless retrieval), so the trade
-        // is task balance vs a duplicated sketch agg. The TVF is
-        // exact-by-contract and so takes no occupancy cap (a capped
-        // bucket would drop true pairs and split from the all-pairs
-        // oracle); a corpus with boilerplate-heavy part collisions
-        // should dedup exact duplicates first (dedup_exact) or use the
-        // DataFrame tier's capped devices (CappedCollect /
-        // maxShingleDf) where approximate blocking is acceptable.
+        // is task balance vs a duplicated sketch agg. The TVF default
+        // is exact-by-contract and UNCAPPED (a capped bucket would
+        // drop true pairs and split from the all-pairs oracle); the
+        // optional 6th arg max_df (round-14, mirroring
+        // substring_pairs) bounds bucket occupancy for callers who
+        // accept approximate blocking on a boilerplate-heavy corpus —
+        // otherwise dedup exact duplicates first (dedup_exact) or use
+        // the DataFrame tier's capped devices (CappedCollect /
+        // maxShingleDf).
         val parts =
           s"""(SELECT _id, _h, _p.pid AS _pid, _p.pv AS _pv
              |   FROM (
@@ -253,7 +265,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
              |  FROM (
              |    SELECT array_sort(collect_list(named_struct('id', _id, 'h', _h))) AS _g
              |    FROM $parts _pp GROUP BY _pid, _pv)
-             |  WHERE size(_g) >= 2)
+             |  WHERE size(_g) ${
+               if (maxDf == Int.MaxValue) ">= 2" else s"BETWEEN 2 AND $maxDf"})
              |WHERE bit_count(_q.l.h ^ _q.r.h) <= $maxDist""".stripMargin)
       }))
     // Sliding-window exact-substring pair mining from SQL text — the
@@ -287,15 +300,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
              |  FROM (
              |    SELECT array_sort(collect_list(_id)) AS _g
              |    FROM (
-             |      SELECT DISTINCT _id,
-             |        cast(conv(substring(sha2(_kg, 256), 1, 15), 16, 10) as bigint) AS _x
+             |      SELECT DISTINCT _id, _x
              |      FROM (
-             |        SELECT _id, explode(transform(sequence(1, size(_ws) - ${k - 1}),
-             |          i -> array_join(slice(_ws, i, $k), ' '))) AS _kg
+             |        SELECT _id, explode(transform(sequence(1, size(_hs) - ${k - 1}),
+             |          i -> xxhash64(slice(_hs, i, $k)))) AS _x
              |        FROM (SELECT ${TvfSql.id(id)} AS _id,
-             |                split(${TvfSql.id(text)}, ' ') AS _ws
+             |                transform(split(${TvfSql.id(text)}, ' '),
+             |                  _w -> xxhash64(_w)) AS _hs
              |              FROM ${TvfSql.id(view)})
-             |        WHERE size(_ws) >= $k))
+             |        WHERE size(_hs) >= $k))
              |    GROUP BY _x)
              |  WHERE size(_g) BETWEEN 2 AND $maxDf)
              |GROUP BY _q.a, _q.b""".stripMargin)

@@ -362,8 +362,13 @@ object Inference {
         """round(2.0 * 0.3989422804014327 * exp(-(abs(z) * abs(z)) / 2.0)
           |  * (((((1.330274429 * t - 1.821255978) * t + 1.781477937) * t
           |      - 0.356563782) * t + 0.319381530) * t), 4)""".stripMargin))
-    val byP = Window.orderBy("p4", "i") // bounded panel
-    val tail = Window.orderBy("p4", "i")
+    // NULLS LAST explicitly on both engines: Spark defaults ASC NULLS
+    // FIRST where DuckDB defaults NULLS LAST, so a degenerate panel
+    // (NULL z/p4: zero or all successes, or a single-day panel) would
+    // rank differently (ADVICE r13 item 2). `i` is a groupBy key,
+    // never NULL.
+    val byP = Window.orderBy(asc_nulls_last("p4"), col("i")) // bounded panel
+    val tail = Window.orderBy(asc_nulls_last("p4"), col("i"))
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     z.withColumn("m", count(lit(1)).over(Window.partitionBy()))
       .withColumn("rnk", row_number().over(byP))
@@ -371,7 +376,10 @@ object Inference {
         expr("p4 * cast(m as double) / cast(rnk as double)"))
       .select(col("i").as("day"), col("nd").as("n_day"), col("xd").as("x_day"),
         expr("round(z, 4)").as("z_stat"), col("p4").as("p_value"),
-        round(min(col("cand")).over(tail), 4).as("p_bh"))
+        // min(1, ·): BH adjusted p is a probability — the largest raw
+        // p's cand = p·m/rank can exceed 1 (scipy/statsmodels clip
+        // too; ADVICE r13 item 1)
+        round(least(lit(1.0), min(col("cand")).over(tail)), 4).as("p_bh"))
       .withColumn("significant", expr(s"p_bh <= ${alphaFdr}"))
       .orderBy("day")
   }
@@ -510,19 +518,23 @@ object Inference {
     val cum = Window.partitionBy(keyCol).orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val (qs, rs, ps) = (s"${q}", s"${r}", s"${p0}")
+    // keyCol rides through the output and the final sort is
+    // (key, order): a multi-key input keeps every row attributable
+    // (ADVICE r13 item 3 — the prefix fold was already per-key, but
+    // the projection dropped the key).
     series
       .withColumn("pl", collect_list(col(valueCol)).over(cum))
-      .select(col(orderCol),
+      .select(col(keyCol), col(orderCol),
         expr(s"""aggregate(slice(pl, 2, size(pl) - 1),
                |  named_struct('l', element_at(pl, 1), 'p', CAST($ps AS DOUBLE)),
                |  (acc, x) -> named_struct(
                |    'l', acc.l + ((acc.p + $qs) / (acc.p + $qs + $rs)) * (x - acc.l),
                |    'p', (1.0 - (acc.p + $qs) / (acc.p + $qs + $rs)) * (acc.p + $qs)))""".stripMargin)
           .as("st"))
-      .select(col(orderCol), col("st.l").as("level"),
+      .select(col(keyCol), col(orderCol), col("st.l").as("level"),
         col("st.p").as("err_var"),
         expr(s"(st.p + $qs) / (st.p + $qs + $rs)").as("gain_next"))
-      .orderBy(orderCol)
+      .orderBy(keyCol, orderCol)
   }
 
   /** Two-proportion z of success rate where `grpCol` (boolean) is true
@@ -882,21 +894,22 @@ object Inference {
           .select(col("user_id"), col("event_id"), col("value")),
         "user_id", "event_id", "value"),
       Some("""WITH RECURSIVE s AS (
-             |  SELECT cast(row_number() OVER (ORDER BY event_id) as bigint) AS i,
+             |  SELECT user_id, cast(row_number() OVER (ORDER BY event_id) as bigint) AS i,
              |    event_id, value AS x
              |  FROM events WHERE user_id = 7),
              |rec AS (
              |  -- CAST: a bare 100.0 would type p DECIMAL for the whole
              |  -- recursion and truncate every variance
-             |  SELECT i, event_id, x, x AS l, CAST(100.0 AS DOUBLE) AS p FROM s WHERE i = 1
+             |  SELECT user_id, i, event_id, x, x AS l, CAST(100.0 AS DOUBLE) AS p
+             |  FROM s WHERE i = 1
              |  UNION ALL
-             |  SELECT s.i, s.event_id, s.x,
+             |  SELECT s.user_id, s.i, s.event_id, s.x,
              |    rec.l + ((rec.p + 4.0) / (rec.p + 4.0 + 16.0)) * (s.x - rec.l) AS l,
              |    (1.0 - (rec.p + 4.0) / (rec.p + 4.0 + 16.0)) * (rec.p + 4.0) AS p
              |  FROM rec JOIN s ON s.i = rec.i + 1)
-             |SELECT event_id, l AS level, p AS err_var,
+             |SELECT user_id, event_id, l AS level, p AS err_var,
              |  (p + 4.0) / (p + 4.0 + 16.0) AS gain_next
-             |FROM rec ORDER BY event_id""".stripMargin),
+             |FROM rec ORDER BY user_id, event_id""".stripMargin),
     ),
     // COCHRAN'S Q — the k-treatment BINARY repeated-measures test
     // (Friedman's 0/1 sibling; McNemar's k-group generalization):
@@ -1029,12 +1042,13 @@ object Inference {
              |bh AS (
              |  SELECT i, nd, xd, z, p4,
              |    count(*) OVER () AS m,
-             |    row_number() OVER (ORDER BY p4, i) AS rnk
+             |    row_number() OVER (ORDER BY p4 ASC NULLS LAST, i) AS rnk
              |  FROM pt),
              |adj AS (
              |  SELECT i, nd, xd, z, p4,
-             |    round(min(p4 * cast(m as double) / cast(rnk as double))
-             |      OVER (ORDER BY p4, i ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 4) AS p_bh
+             |    round(least(1.0, min(p4 * cast(m as double) / cast(rnk as double))
+             |      OVER (ORDER BY p4 ASC NULLS LAST, i
+             |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)), 4) AS p_bh
              |  FROM bh)
              |SELECT i AS day, nd AS n_day, xd AS x_day,
              |  round(z, 4) AS z_stat, p4 AS p_value, p_bh,

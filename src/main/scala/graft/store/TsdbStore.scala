@@ -183,16 +183,16 @@ object TsdbStore {
       .agg(count(lit(1)).as("n"),
         sum(col(valueCol).cast("decimal(18,2)")).cast("double")
           .as(s"sum_$valueCol"))
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try
-      rolled.withColumn("event_date", to_date(col("hour_ts")))
-        .repartition(col("event_date"))
-        .write.mode("overwrite").partitionBy("event_date").parquet(dstPath)
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
+    // WRITER-scoped dynamic overwrite: the per-write option takes
+    // precedence over the session conf, so no session-global
+    // set/restore — a concurrent partitioned overwrite on the same
+    // SparkSession can never inherit (or restore over) this write's
+    // mode (ADVICE r13 item 4).
+    rolled.withColumn("event_date", to_date(col("hour_ts")))
+      .repartition(col("event_date"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("event_date").parquet(dstPath)
   }
 
   /** BUCKETED store variant: save the store as a bucketed table

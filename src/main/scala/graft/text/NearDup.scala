@@ -64,8 +64,10 @@ object NearDup {
     * column names are normalized to (doc_id, x). */
   private[graft] def shingleNumsOf(
       docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs
-      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
+    // Spread.wide: a one-row-group corpus scans as ONE partition, so
+    // the shingle sha-256 pass would run on one core (no-op at scale).
+    graft.core.Spread.wide(
+        docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w")))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(w) - 2), i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))"))
@@ -852,8 +854,11 @@ object NearDup {
   def simhashOf(docs: DataFrame, idCol: String, textCol: String,
                 bits: Int): DataFrame = {
     require(bits >= 1 && bits <= 60, s"bits must be in [1, 60], got $bits")
-    val toks = docs
-      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("w"))
+    // Spread.wide: see shingleNumsOf — parallelize the token sha pass
+    // on narrow scans (no-op at scale; streaming frames pass through).
+    val toks = graft.core.Spread.wide(
+        docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws")))
+      .select(col("doc_id"), explode(col("ws")).as("w"))
       .select(col("doc_id"), expr(TextOps.tokenNumExpr60("w")).as("x"))
     val bitSums: Seq[Column] = (0 until bits).map { b =>
       sum(expr(s"((x div ${1L << b}) % 2) * 2 - 1")).as(s"s$b")

@@ -86,6 +86,34 @@ object TextOps {
         (col("n_distinct").cast("double") / col("n_tokens") * 0.5 +
           col("sum_len").cast("double") / col("n_tokens") * 0.05).as("quality"))
 
+  /** TRAINED template/spam classifier scores: (doc_id, n_tokens,
+    * spam_prob, is_spam) — logistic regression on the text_hash_embed
+    * bit-balance squares + length/diversity/stopword signals, weights
+    * trained offline by graft.tools.TrainQuality and inlined in
+    * [[QualityModel]] (provenance: docs/quality_model.md). One token
+    * explode + one hash agg (map-side combine — at 100 TB the agg
+    * carries 12 small ints per doc, never the tokens); the score is a
+    * row-local shared-formula evaluation over those exact integers. */
+  def qualityModelScoreOf(docs: DataFrame, idCol: String,
+                          textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("t"))
+      .withColumn("b", expr("cast(conv(substring(sha2(t, 256), 1, 4), 16, 10) as int)"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        (countDistinct(col("t")).as("n_distinct") +:
+          sum(length(col("t"))).cast("bigint").as("sum_len") +:
+          sum(when(col("t").isin("the", "a", "of", "to"), 1L).otherwise(0L))
+            .as("n_stop") +:
+          (0 until 8).map(i =>
+            sum(when(expr(s"(shiftright(b, $i) & 1) = 1"), 1L).otherwise(-1L))
+              .as(s"h$i"))): _*)
+      .selectExpr("doc_id", "n_tokens",
+        s"${QualityModel.probText} AS spam_prob",
+        s"${QualityModel.flagText} AS is_spam")
+      .orderBy("doc_id")
+
   /** Append Gopher-style quality-filter flags (Rae et al. 2021 §A1.1):
     * n_words, mean_word_len, has_stop, keep. Row-local HOF folds —
     * no explode, no shuffle; the whole filter fuses into the scan. */
@@ -378,6 +406,38 @@ object TextOps {
              |        FROM documents WHERE doc_id < 50)
              |  GROUP BY doc_id)
              |ORDER BY doc_id""".stripMargin),
+    ),
+    // TRAINED document-quality model (the production complement of the
+    // fixed-weight text_quality_score): logistic regression over the
+    // text_hash_embed bit-balance squares + ln-length + diversity +
+    // token-length + stopword ratios, weights trained OFFLINE on a
+    // deterministic synthetic fixture (graft.tools.TrainQuality — the
+    // TrainPca/TrainBpe inlined-literal pattern; provenance note in
+    // docs/quality_model.md; QualityModelSpec re-derives every weight
+    // bit-exactly and proves the model separates template/spam from
+    // natural text). Both engines aggregate the SAME exact integers
+    // and evaluate ONE shared formula text; the sigmoid is r4-rounded
+    // and the decision bit is exp-free (z > 0).
+    OpSpec(
+      "text_quality_model",
+      (s, d) => qualityModelScoreOf(T.documents(s, d), "doc_id", "text"),
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, w, ('0x' || substr(sha256(w), 1, 4))::INT AS b
+              |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              |        FROM documents)),
+              |agg AS (
+              |  SELECT doc_id, count(*) AS n_tokens,
+              |    count(DISTINCT w) AS n_distinct,
+              |    cast(sum(length(w)) as bigint) AS sum_len,
+              |    cast(sum(CASE WHEN w IN ('the', 'a', 'of', 'to') THEN 1 ELSE 0 END) as bigint) AS n_stop,
+              |    ${(0 until 8).map(i =>
+                     s"cast(sum(CASE WHEN ((b >> $i) & 1) = 1 THEN 1 ELSE -1 END) as bigint) AS h$i")
+                     .mkString(",\n              |    ")}
+              |  FROM t GROUP BY doc_id)
+              |SELECT doc_id, n_tokens,
+              |  ${QualityModel.probText} AS spam_prob,
+              |  ${QualityModel.flagText} AS is_spam
+              |FROM agg ORDER BY doc_id""".stripMargin),
     ),
     // Polynomial rolling hash over characters, h = (31·h + ord(c)) mod
     // FEATURE-HASHING doc embedding (the hashing trick, Weinberger et

@@ -204,7 +204,7 @@ class InferenceSpec extends AnyFunSuite {
       want += ((id, l, p))
     }
     val got = graft.ops.Registry.queries("ts_kalman_level")(spark, TestSpark.sfSmoke)
-      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
     assert(got.length == xs.length)
     got.zip(want).foreach { case ((gid, gl, gp, gk), (wid, wl, wp)) =>
       assert(gid == wid && gl == wl && gp == wp, s"event $gid")
@@ -292,9 +292,10 @@ class InferenceSpec extends AnyFunSuite {
     val m = withP.length
     val ranked = withP.sortBy(r => (r._5, r._1)).zipWithIndex
     val cands = ranked.map { case (r, idx) => (r._1, r._5 * m / (idx + 1).toDouble) }
-    // reverse running min of the BH candidates in (p, day) order
+    // reverse running min of the BH candidates in (p, day) order,
+    // clipped at 1 (BH adjusted p is a probability — ADVICE r13 item 1)
     val adj = cands.scanRight(Double.MaxValue)((c, acc) => math.min(c._2, acc)).init
-    val pBh = cands.map(_._1).zip(adj.map(r4)).toMap
+    val pBh = cands.map(_._1).zip(adj.map(v => r4(math.min(1.0, v)))).toMap
     val got = graft.ops.Registry.queries("agg_prop_ztest_bh")(spark, TestSpark.sfSmoke)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
         r.getDouble(4), r.getDouble(5), r.getBoolean(6))).toSeq

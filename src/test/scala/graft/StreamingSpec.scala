@@ -454,7 +454,7 @@ class StreamingSpec extends AnyFunSuite {
       .toMap
     val batch = graft.ops.Registry.queries("ts_kalman_level")(spark, TestSpark.sfSmoke)
       .collect()
-      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3))))
+      .map(r => r.getLong(1) -> ((r.getDouble(2), r.getDouble(3), r.getDouble(4))))
       .toMap
     assert(streamed.nonEmpty && streamed == batch) // bit-exact
   }

@@ -131,6 +131,35 @@ class TvfSpec extends AnyFunSuite {
     viaSql.zip(viaApi).foreach { case (a, b) => assert(a == b, s"$a vs $b") }
   }
 
+  test("simhash_pairs TVF optional max_df caps a manufactured hot bucket") {
+    import spark.implicits._
+    // 12 near-identical docs (one shared template) land in ONE
+    // (pid, pv) bucket per part: uncapped → C(12,2)-scale pair mass
+    // concentrated on one task; max_df drops that bucket. Two
+    // outlier twins share a separate small bucket and must SURVIVE
+    // the cap.
+    val template = "alpha beta gamma delta epsilon zeta eta theta"
+    val hot = (0L until 12L).map(i => (i, template))
+    val twins = Seq((100L, "iota kappa lambda mu nu xi omicron pi"),
+      (101L, "iota kappa lambda mu nu xi omicron pi"))
+    (hot ++ twins).toDF("doc_id", "text").createOrReplaceTempView("tvf_spec_hot")
+    val uncapped = spark.sql(
+      "SELECT * FROM simhash_pairs('tvf_spec_hot', 'doc_id', 'text', 24, 3) ORDER BY a, b")
+      .collect()
+    val capped = spark.sql(
+      "SELECT * FROM simhash_pairs('tvf_spec_hot', 'doc_id', 'text', 24, 3, 5) ORDER BY a, b")
+      .collect()
+    // uncapped finds the full hot clique (66 pairs) + the twin pair
+    assert(uncapped.length == 66 + 1, s"uncapped=${uncapped.length}")
+    // capped drops every >5-occupancy bucket: the hot clique is gone,
+    // the twins survive
+    assert(capped.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((100L, 101L)),
+      s"capped=${capped.toSeq}")
+    // cap validation
+    assertThrows[Exception](spark.sql(
+      "SELECT * FROM simhash_pairs('tvf_spec_hot', 'doc_id', 'text', 24, 3, 1)").collect())
+  }
+
   test("latest_by TVF equals the TsdbStore.latestByKey DataFrame form") {
     val path = graft.store.TsdbStore.ensureEventsStore(spark, TestSpark.sfSmoke)
     val store = graft.store.TsdbStore.read(spark, path)
