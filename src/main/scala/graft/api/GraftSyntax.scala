@@ -128,7 +128,59 @@ object syntax {
   private[graft] def floorBucket(c: Column, stepMicros: Long): Column =
     timestamp_micros(unix_micros(c) - pmod(unix_micros(c), lit(stepMicros)))
 
+  /** pandas `query`/`eval` expression dialect → Spark SQL text.
+    * Spark's parser natively accepts the pandas boolean spellings
+    * (`and`/`or`/`not`, `==`, `!=`, backtick-quoted names), so the
+    * translation is small and explicit:
+    *  - `@variable` environment references are REJECTED (there is no
+    *    Python environment here — inline the value);
+    *  - `in [a, b]` / `not in [a, b]` list literals become SQL tuples
+    *    `in (a, b)` (bracket lists are translated ONLY after in/not
+    *    in, so array-index syntax elsewhere is left alone). */
+  private[graft] def pandasExprText(s: String): String = {
+    require(!s.contains("@"),
+      s"'@variable' references are not supported (no Python environment) " +
+        s"— inline the value: '$s'")
+    "(?i)(\\bin\\s*)\\[([^\\]]*)\\]".r
+      .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
+        s"${m.group(1)}(${m.group(2)})"))
+  }
+
+  private val evalAssignRe =
+    "(?s)\\A\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*=(?![=])\\s*(.+?)\\s*\\z".r
+
   implicit class GraftDataFrameOps(private val df: DataFrame) extends AnyVal {
+
+    // ----------------------------------------------------------------
+    // §2.L pandas string surfaces: query / eval
+    // ----------------------------------------------------------------
+
+    /** pandas `DataFrame.query(expr)` — filter rows with a boolean
+      * expression STRING in the pandas spellings (`and`/`or`/`not`,
+      * `==`, backticked names, `in [..]` lists; `@var` rejected — see
+      * [[syntax.pandasExprText]]). The predicate plans as an ordinary
+      * Catalyst Filter: it pushes down to the scan and fuses into
+      * codegen exactly like `filter(col(...))` — the string surface
+      * costs nothing at 100 TB. */
+    def query(predicate: String): DataFrame =
+      df.filter(expr(syntax.pandasExprText(predicate)))
+
+    /** pandas `DataFrame.eval("target = expression")` — append (or
+      * replace) columns from assignment STRINGS, newline- or
+      * `;`-separated; later assignments may reference earlier targets
+      * (pandas multiline-eval semantics). Same dialect as [[query]].
+      * Each assignment is a row-local Project — fused into one
+      * codegen stage, no shuffle. */
+    def eval(assignments: String): DataFrame =
+      assignments.split("[\n;]").map(_.trim).filter(_.nonEmpty)
+        .foldLeft(df) { (acc, line) =>
+          line match {
+            case syntax.evalAssignRe(name, rhs) =>
+              acc.withColumn(name, expr(syntax.pandasExprText(rhs)))
+            case _ => throw new IllegalArgumentException(
+              s"eval expects 'name = expression' assignments, got '$line'")
+          }
+        }
 
     // ----------------------------------------------------------------
     // §2.H resample / calendar
@@ -404,6 +456,36 @@ object syntax {
         .drop("_i", "_sw", "_sww", "_swx", "_swxx", "_nn")
     }
 
+    /** pandas `ewm(span=…)` spelling: α = 2/(span+1) (span ≥ 1),
+      * computed HERE so both spellings provably share one code path. */
+    def ewmMeanSpan(span: Double, valueCol: String, orderCol: String,
+                    by: Seq[String], as: String): DataFrame = {
+      require(span >= 1, s"span must be >= 1, got $span")
+      ewmMean(2.0 / (span + 1.0), valueCol, orderCol, by, as)
+    }
+
+    /** pandas `ewm(com=…)` spelling: α = 1/(1+com) (com ≥ 0, strict
+      * so α < 1 needs com > 0). */
+    def ewmMeanCom(com: Double, valueCol: String, orderCol: String,
+                   by: Seq[String], as: String): DataFrame = {
+      require(com > 0, s"com must be > 0, got $com")
+      ewmMean(1.0 / (1.0 + com), valueCol, orderCol, by, as)
+    }
+
+    /** `ewm(span=…).std()` — [[ewmStd]] under the span spelling. */
+    def ewmStdSpan(span: Double, valueCol: String, orderCol: String,
+                   by: Seq[String], as: String): DataFrame = {
+      require(span >= 1, s"span must be >= 1, got $span")
+      ewmStd(2.0 / (span + 1.0), valueCol, orderCol, by, as)
+    }
+
+    /** `ewm(com=…).std()` — [[ewmStd]] under the com spelling. */
+    def ewmStdCom(com: Double, valueCol: String, orderCol: String,
+                  by: Seq[String], as: String): DataFrame = {
+      require(com > 0, s"com must be > 0, got $com")
+      ewmStd(1.0 / (1.0 + com), valueCol, orderCol, by, as)
+    }
+
     // ----------------------------------------------------------------
     // §2.E rolling / expanding / shift-derived
     // ----------------------------------------------------------------
@@ -541,6 +623,73 @@ object syntax {
             P.r4(sqrt((col("_esq") - col("_esx") * col("_esx") / col("_en")) /
               (col("_en") - 1)))))
         .drop("_en", "_esx", "_esq")
+    }
+
+    /** `rolling(n).sem()` — standard error of the mean over the n-row
+      * frame: the [[rollingStd]] moment device divided by √n (one
+      * extra row-local division, same single fused WindowExec). */
+    def rollingSem(n: Int, valueCol: String, orderCol: String, by: Seq[String],
+                   as: String): DataFrame = {
+      val w = ordered(by, Seq(col(orderCol))).rowsBetween(-(n - 1), 0)
+      val x = P.dec2(col(valueCol))
+      df.select(col("*"), // one projection level -> ONE fused WindowExec
+          count(lit(1)).over(w).as("_rn"),
+          sum(x).over(w).cast("double").as("_sx"),
+          sum((x * x).cast("decimal(38,4)")).over(w).cast("double").as("_sq"))
+        .withColumn(as,
+          when(col("_rn") === n,
+            P.r4(sqrt((col("_sq") - col("_sx") * col("_sx") / n) / (n - 1)) /
+              math.sqrt(n.toDouble))))
+        .drop("_rn", "_sx", "_sq")
+    }
+
+    /** `expanding().skew()` — the [[rollingSkew]] population-moment
+      * device with the frame OPENED and n per-row; NULL below 3 rows
+      * (pandas expanding min_periods). Same formula text with _rn in
+      * place of the literal n, so at a prefix of length k it equals
+      * rollingSkew(k)'s last row bit-for-bit (ApiSpec asserts). */
+    def expandingSkew(valueCol: String, orderCol: String, by: Seq[String],
+                      as: String): DataFrame = {
+      val cum = ordered(by, Seq(col(orderCol)))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val x = col(valueCol).cast("decimal(12,2)")
+      val nd = "cast(_rn as double)"
+      val mean = s"(_s1 / $nd)"
+      val m2 = s"(_s2 / $nd - $mean * $mean)"
+      val m3 = s"(_s3 / $nd - 3 * $mean * _s2 / $nd + 2 * $mean * $mean * $mean)"
+      df.select(col("*"),
+          count(lit(1)).over(cum).as("_rn"),
+          sum(x).over(cum).cast("double").as("_s1"),
+          sum((x * x).cast("decimal(38,4)")).over(cum).cast("double").as("_s2"),
+          sum((x * x * x).cast("decimal(38,6)")).over(cum).cast("double").as("_s3"))
+        .withColumn(as, expr(
+          s"CASE WHEN _rn >= 3 AND $m2 > 0 THEN round($m3 / ($m2 * sqrt($m2)), 4) END"))
+        .drop("_rn", "_s1", "_s2", "_s3")
+    }
+
+    /** `expanding().kurt()` — the [[rollingKurt]] excess-kurtosis
+      * device with the frame opened; NULL below 4 rows (pandas
+      * expanding min_periods). */
+    def expandingKurt(valueCol: String, orderCol: String, by: Seq[String],
+                      as: String): DataFrame = {
+      val cum = ordered(by, Seq(col(orderCol)))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val x = col(valueCol).cast("decimal(8,2)")
+      val x2 = (x * x).cast("decimal(17,4)")
+      val nd = "cast(_rn as double)"
+      val mean = s"(_s1 / $nd)"
+      val m2 = s"(_s2 / $nd - $mean * $mean)"
+      val m4 = s"(_s4 / $nd - 4 * $mean * _s3 / $nd + 6 * $mean * $mean * _s2 / $nd" +
+        s" - 3 * $mean * $mean * $mean * $mean)"
+      df.select(col("*"),
+          count(lit(1)).over(cum).as("_rn"),
+          sum(x).over(cum).cast("double").as("_s1"),
+          sum(x2).over(cum).cast("double").as("_s2"),
+          sum((x2 * x).cast("decimal(26,6)")).over(cum).cast("double").as("_s3"),
+          sum((x2 * x2).cast("decimal(35,8)")).over(cum).cast("double").as("_s4"))
+        .withColumn(as, expr(
+          s"CASE WHEN _rn >= 4 AND $m2 > 0 THEN round($m4 / ($m2 * $m2) - 3, 4) END"))
+        .drop("_rn", "_s1", "_s2", "_s3", "_s4")
     }
 
     /** `expanding().mean()` — exact-decimal running mean. */

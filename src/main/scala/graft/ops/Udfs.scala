@@ -91,5 +91,40 @@ object Udfs {
              |      FROM events WHERE user_id < 10)))
              |GROUP BY user_id ORDER BY user_id""".stripMargin),
     ),
+    // pandas' STRING surfaces df.query / df.eval (round-13 verdict
+    // item 6): the thin api layer translates the pandas dialect
+    // (and/or/not, ==, `in [..]` lists; @var rejected) and hands the
+    // text to Catalyst — so the predicate PUSHES DOWN like any native
+    // filter and the eval projections fuse into one codegen stage
+    // (plan-asserted in ApiSpec). The declared composition: filter
+    // orders with query(), derive two columns with a multiline
+    // eval(), aggregate per status.
+    OpSpec(
+      "api_query_eval",
+      (s, d) => {
+        import graft.api.syntax._
+        T.orders(s, d)
+          .query("o_orderstatus == 'F' and not (o_totalprice < 1000.0) " +
+            "and o_orderpriority in ['1-URGENT', '2-HIGH']")
+          // price goes through exact cents (decimal policy §2.0) so the
+          // per-group sum is order-free at any partitioning
+          .eval("""price_c = cast(o_totalprice as decimal(18,2))
+                  |is_low_cust = o_custkey < 500""".stripMargin)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            (sum(col("price_c")).cast("double") / 1000.0).as("sum_price_k"),
+            sum(when(col("is_low_cust"), 1L).otherwise(0L)).as("n_low_cust"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+             |  cast(sum(cast(o_totalprice as decimal(18,2))) as double) / 1000.0
+             |    AS sum_price_k,
+             |  cast(sum(CASE WHEN o_custkey < 500 THEN 1 ELSE 0 END) as bigint)
+             |    AS n_low_cust
+             |FROM orders
+             |WHERE o_orderstatus = 'F' AND NOT (o_totalprice < 1000.0)
+             |  AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+    ),
   )
 }

@@ -839,4 +839,86 @@ class ApiSpec extends AnyFunSuite {
     assert(rows(emb.mmrTopk("vec_id", "embedding", 0L, 12, 5, 0.7, 0.3))
       == gated("sim_mmr_topk"))
   }
+
+  test("ewm span=/com= spellings equal the alpha form; expanding skew/kurt equal the rolling device at the prefix; rolling sem = std/sqrt(n)") {
+    val ev = graft.core.Tables.events(spark, TestSpark.sfSmoke)
+      .filter(col("user_id") === 7)
+      .select("user_id", "event_id", "value")
+    def vals(df: org.apache.spark.sql.DataFrame, c: String): Seq[Any] =
+      df.orderBy("event_id").select(c).collect().map(r => r.get(0)).toSeq
+    // span=5 <=> alpha=2/6; com=3 <=> alpha=0.25 — same code path, same bits
+    assert(vals(ev.ewmMeanSpan(5, "value", "event_id", Seq("user_id"), as = "e"), "e")
+      == vals(ev.ewmMean(2.0 / 6.0, "value", "event_id", Seq("user_id"), as = "e"), "e"))
+    assert(vals(ev.ewmMeanCom(3, "value", "event_id", Seq("user_id"), as = "e"), "e")
+      == vals(ev.ewmMean(0.25, "value", "event_id", Seq("user_id"), as = "e"), "e"))
+    assert(vals(ev.ewmStdSpan(5, "value", "event_id", Seq("user_id"), as = "e"), "e")
+      == vals(ev.ewmStd(2.0 / 6.0, "value", "event_id", Seq("user_id"), as = "e"), "e"))
+    assert(vals(ev.ewmStdCom(3, "value", "event_id", Seq("user_id"), as = "e"), "e")
+      == vals(ev.ewmStd(0.25, "value", "event_id", Seq("user_id"), as = "e"), "e"))
+    intercept[IllegalArgumentException] {
+      ev.ewmMeanSpan(0.5, "value", "event_id", Seq("user_id"), as = "e")
+    }
+    // expanding skew/kurt at prefix length k == rolling(k) last row
+    val n = ev.count().toInt
+    assert(n >= 6)
+    for (k <- Seq(5, n)) {
+      val expSkew = vals(ev.expandingSkew("value", "event_id", Seq("user_id"), as = "s"), "s")
+      val rollSkew = vals(ev.rollingSkew(k, "value", "event_id", Seq("user_id"), as = "s"), "s")
+      assert(expSkew(k - 1) == rollSkew(k - 1), s"skew prefix $k")
+      val expKurt = vals(ev.expandingKurt("value", "event_id", Seq("user_id"), as = "s"), "s")
+      val rollKurt = vals(ev.rollingKurt(k, "value", "event_id", Seq("user_id"), as = "s"), "s")
+      assert(expKurt(k - 1) == rollKurt(k - 1), s"kurt prefix $k")
+    }
+    // expanding emits NULL below its min_periods
+    val es = vals(ev.expandingSkew("value", "event_id", Seq("user_id"), as = "s"), "s")
+    assert(es.take(2).forall(_ == null) && es.drop(3).forall(_ != null))
+    val ek = vals(ev.expandingKurt("value", "event_id", Seq("user_id"), as = "s"), "s")
+    assert(ek.take(3).forall(_ == null) && ek.drop(4).forall(_ != null))
+    // sem: the only extra arithmetic after the r4'd std is /sqrt(n) —
+    // assert against the unrounded relationship within an r4 quantum
+    val sem = vals(ev.rollingSem(5, "value", "event_id", Seq("user_id"), as = "m"), "m")
+    val std = vals(ev.rollingStd(5, "value", "event_id", Seq("user_id"), as = "m"), "m")
+    sem.zip(std).foreach {
+      case (null, null) => ()
+      case (a: Double, b: Double) =>
+        assert(math.abs(a - b / math.sqrt(5.0)) <= 1e-4, s"$a vs $b")
+      case other => fail(s"null mismatch: $other")
+    }
+  }
+
+  test("query translates the pandas dialect and equals the native filter") {
+    val orders = graft.core.Tables.orders(spark, TestSpark.sfSmoke)
+    val viaQuery = orders
+      .query("o_orderstatus == 'F' and not (o_totalprice < 1000.0) " +
+        "and o_orderpriority in ['1-URGENT', '2-HIGH']")
+      .orderBy("o_orderkey").collect()
+    val native = orders
+      .filter(col("o_orderstatus") === "F" && !(col("o_totalprice") < 1000.0) &&
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .orderBy("o_orderkey").collect()
+    assert(viaQuery.nonEmpty && viaQuery.toSeq == native.toSeq)
+    // @variable environment references are rejected before any parse
+    intercept[IllegalArgumentException] { orders.query("o_custkey == @k") }
+  }
+
+  test("query predicate pushes down to the parquet scan") {
+    val plan = graft.core.Tables.orders(spark, TestSpark.sfSmoke)
+      .query("o_totalprice > 100000.0 and o_orderstatus == 'F'")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThan(o_totalprice,100000.0)"), plan)
+  }
+
+  test("eval appends columns, allows chained references, rejects non-assignments") {
+    val orders = graft.core.Tables.orders(spark, TestSpark.sfSmoke).limit(20)
+    val out = orders.eval(
+      """price_k = cast(o_totalprice as double) / 1000.0
+        |price_2k = price_k * 2.0""".stripMargin)
+    assert(out.columns.takeRight(2).toSeq == Seq("price_k", "price_2k"))
+    out.select("price_k", "price_2k").collect().foreach { r =>
+      assert(r.getDouble(1) == r.getDouble(0) * 2.0)
+    }
+    intercept[IllegalArgumentException] { orders.eval("o_totalprice + 1") }
+    intercept[IllegalArgumentException] { orders.eval("x == 3") }
+  }
 }
