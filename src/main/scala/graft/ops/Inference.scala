@@ -305,33 +305,82 @@ object Inference {
     * exact-integer series — the reusable form behind ts_esd_outliers.
     * Each round's moment update is an exact subtraction (the removed
     * row's n/Σ/Σ² leave integer moments), so no float drift crosses
-    * rounds; the base series is DISK-memoized since every unrolled
-    * stage re-reads it. */
+    * rounds; only each round's G division floats, in the SAME
+    * expression text the oracle uses.
+    *
+    * Shape (round-14 rewrite): the series is bounded by contract, so
+    * the whole loop is ONE plan — pack the series into an i-sorted
+    * struct list (one agg), then run every round as row-local HOF
+    * folds over the list (moments, argmax-G with ties → smallest i,
+    * filter-out) on the single packed row. The r13 spelling unrolled
+    * k stages of agg + crossJoin + sort-limit + anti-join whose plans
+    * NESTED (round 3 re-contained rounds 1–2), and measured 8.2 s at
+    * sf0.1 under load for 30 rows; this is one job, no DiskMemo
+    * needed. Argmax ties and the all-null-G regime (zero variance /
+    * n ≤ 1: G's denominator is row-independent, so G is null for ALL
+    * surviving rows or none) reproduce the old ORDER BY g DESC
+    * NULLS LAST, i: the fold keeps the first (= smallest-i) element
+    * unless a strictly greater non-null G appears. */
   def esdOutliersOf(series: DataFrame, orderCol: String, valueCol: String,
                     k: Int): DataFrame = {
     require(k >= 1 && k <= 10, s"k rounds must be in [1, 10], got $k")
-    val gText =
-      """abs(cast(yc as double) - cast(sv as double) / nullif(cast(n as double), 0D))
-        |  / nullif(sqrt((cast(s2 as double)
-        |      - cast(sv as double) * cast(sv as double) / nullif(cast(n as double), 0D))
-        |    / nullif(cast(n as double) - 1.0, 0D)), 0D)""".stripMargin
-    var cur = graft.core.DiskMemo.persist(
-      series.select(col(orderCol).as("i"), col(valueCol).as("yc")), "esd_base")
-    var out = Seq.empty[DataFrame]
-    for (it <- 1 to k) {
-      val m = cur.agg(
-        count(lit(1)).as("n"),
-        coalesce(sum(col("yc")), lit(0L)).as("sv"),
-        coalesce(sum(d38(col("yc")) * d38(col("yc"))), lit(0L).cast("decimal(38,0)")).as("s2"))
-      val g = cur.crossJoin(broadcast(m)).withColumn("g", expr(gText))
-      val x = g.orderBy(desc("g"), col("i")).limit(1) // argmax; ties → min day
-      out :+= x.select(lit(it).as("iteration"), col("i").as("day"),
-        round(col("yc").cast("double") / 100.0, 4).as("day_value"),
-        round(col("g"), 4).as("g_stat"), col("n").cast("bigint").as("n_remaining"))
-      cur = g.join(broadcast(x.select(col("i").as("_xi"))),
-        col("i") === col("_xi"), "left_anti").select("i", "yc")
-    }
-    out.reduce(_ union _).orderBy("iteration")
+    def gOf(st: String, p: String): String =
+      s"""abs(cast($p.yc as double) - cast($st.sv as double) / nullif(cast($st.n as double), 0D))
+         |  / nullif(sqrt((cast($st.s2 as double)
+         |      - cast($st.sv as double) * cast($st.sv as double) / nullif(cast($st.n as double), 0D))
+         |    / nullif(cast($st.n as double) - 1.0, 0D)), 0D)""".stripMargin
+    // exact integer moments of the surviving rows (s2 decimal(38,0)
+    // like the old agg — yc² can pass int64 at large SF)
+    val stText =
+      """aggregate(acc.rem,
+        |  named_struct('n', 0L, 'sv', 0L, 's2', cast(0 as decimal(38,0))),
+        |  (a, p) -> named_struct('n', a.n + 1L, 'sv', a.sv + p.yc,
+        |    's2', cast(a.s2 + cast(p.yc as decimal(19,0)) * cast(p.yc as decimal(19,0))
+        |               as decimal(38,0))))""".stripMargin
+    val bestText =
+      s"""aggregate(acc.rem,
+         |  cast(null as struct<g: double, i: bigint, yc: bigint>),
+         |  (b, p) -> if(b.i is null
+         |               or (${gOf("st", "p")} is not null
+         |                   and ${gOf("st", "p")} > b.g),
+         |    named_struct('g', ${gOf("st", "p")}, 'i', p.i, 'yc', p.yc), b))"""
+        .stripMargin
+    // ONE fold over the k rounds: the accumulator carries (rem, out)
+    // as VALUES, so round r+1 re-reads round r's result instead of
+    // re-containing its plan (and instead of a withColumn chain whose
+    // CollapseProject re-substitution compounds the expression tree
+    // round over round — measured seconds of driver-side analysis).
+    // Intermediates bind through the transform(array(x), v -> body)
+    // LET-device — without it the moment aggregate's text would embed
+    // once per reference (~60 copies) and both the analyzer pass and
+    // the interpreted evaluation go superlinear (measured: 22 s for a
+    // 30-row series). The 'out' seed is slice(array(<proto>), 1, 0):
+    // a correctly-TYPED empty array (bare array() is array<void>).
+    val foldText =
+      s"""(aggregate(sequence(1, $k),
+         |  named_struct('rem', _rem0,
+         |    'out', slice(array(named_struct('iteration', 0, 'day', 0L,
+         |      'day_value', cast(0.0 as double), 'g_stat', cast(0.0 as double),
+         |      'n_remaining', 0L)), 1, 0)),
+         |  (acc, it) -> element_at(transform(array($stText), st ->
+         |    element_at(transform(array($bestText), best -> named_struct(
+         |      'rem', filter(acc.rem, p -> p.i != best.i),
+         |      'out', if(st.n > 0 and best.i is not null,
+         |        array_append(acc.out, named_struct(
+         |          'iteration', cast(it as int),
+         |          'day', best.i,
+         |          'day_value', round(cast(best.yc as double) / 100.0, 4),
+         |          'g_stat', round(best.g, 4),
+         |          'n_remaining', st.n)),
+         |        acc.out))), 1)), 1))).out""".stripMargin
+    series.agg(sort_array(collect_list(struct(
+        col(orderCol).cast("bigint").as("i"),
+        col(valueCol).cast("bigint").as("yc")))).as("_rem0"))
+      .select(explode(expr(foldText)).as("_r"))
+      .select(col("_r.iteration").as("iteration"), col("_r.day").as("day"),
+        col("_r.day_value").as("day_value"), col("_r.g_stat").as("g_stat"),
+        col("_r.n_remaining").as("n_remaining"))
+      .orderBy("iteration")
   }
 
   /** Per-panel-cell proportion z vs the rest + Benjamini–Hochberg FDR

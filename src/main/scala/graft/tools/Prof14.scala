@@ -22,6 +22,16 @@ object Prof14 {
       println(f"PROF $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
     }
 
+    t("esd run 1") {
+      graft.ops.Registry.queries("ts_esd_outliers")(spark, sfDir).count()
+    }
+    t("esd run 2") {
+      graft.ops.Registry.queries("ts_esd_outliers")(spark, sfDir).count()
+    }
+    t("esd run 3") {
+      graft.ops.Registry.queries("ts_esd_outliers")(spark, sfDir).count()
+    }
+
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val k = 10
     println(s"PROF docs partitions: ${docs.rdd.getNumPartitions}")
