@@ -1222,34 +1222,60 @@ object VecOps {
       expr(s"transform(${ident(vecCol)}, x -> cast(x as double))").as("e"))
     val q = v.filter(col("vec_id") === queryId)
       .select(col("e").as("qe"))
-    val panel = graft.core.DiskMemo.persist(
-      v.filter(col("vec_id") =!= queryId)
-        .crossJoin(broadcast(q))
-        .select(col("vec_id"), col("e"),
-          sqrt(dot("e", "e")).as("nrm"),
-          (dot("e", "qe") / (sqrt(dot("e", "e")) * sqrt(dot("qe", "qe")))).as("rel"))
-        .orderBy(desc("rel"), col("vec_id")).limit(panelSize),
-      "mmr_panel")
-    var surv = panel
-    var sel: DataFrame = null
-    var out = Seq.empty[DataFrame]
-    for (it <- 1 to k) {
-      val scored =
-        if (it == 1) surv.withColumn("mmr", expr(s"$ls * rel"))
-        else surv.crossJoin(broadcast(sel.select(col("e").as("se"), col("nrm").as("snrm"))))
-          .groupBy("vec_id", "e", "nrm", "rel")
-          .agg(max(dot("e", "se") / (col("nrm") * col("snrm"))).as("msim"))
-          .withColumn("mmr", expr(s"$ls * rel - $ols * msim"))
-      val x = scored.orderBy(desc("mmr"), col("vec_id")).limit(1)
-      out :+= x.select(lit(it).as("iteration"), col("vec_id"),
-        round(col("rel"), 4).as("rel"), round(col("mmr"), 4).as("mmr_score"))
-      val picked = x.select(col("vec_id").as("_xi"), col("e"), col("nrm"))
-      sel = if (sel == null) picked.select(col("e"), col("nrm"))
-        else sel.union(picked.select(col("e"), col("nrm")))
-      surv = surv.join(broadcast(x.select(col("vec_id").as("_xi"))),
-        col("vec_id") === col("_xi"), "left_anti")
-    }
-    out.reduce(_ union _).orderBy("iteration")
+    val panel = v.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("e"),
+        sqrt(dot("e", "e")).as("nrm"),
+        (dot("e", "qe") / (sqrt(dot("e", "e")) * sqrt(dot("qe", "qe")))).as("rel"))
+      .orderBy(desc("rel"), col("vec_id")).limit(panelSize)
+    // The greedy loop runs as ONE row-local fold over the packed
+    // panel (the ESD pack-and-fold device, round 14): the r13
+    // spelling unrolled k chained stages of crossJoin + agg +
+    // sort-limit + anti-join whose plans NESTED round over round —
+    // 2.6 s steady-state for a 12-row panel (dozens of tiny jobs +
+    // driver analysis); this is one job after the panel sort-limit,
+    // and the panel no longer needs DiskMemo (it is read once).
+    // Arithmetic is unchanged: the same zip_with dot fold, msim as a
+    // null-skipping max (greatest skips nulls like the old max agg),
+    // argmax ties -> smallest vec_id (vec_id-sorted scan, strict >),
+    // round 1 ≡ empty-selection branch. Intermediates bind through
+    // the transform(array(x), v -> body) LET-device.
+    val dotL = "aggregate(zip_with(p.e, s.se, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    val mmrText =
+      s"""if(size(acc.sel) = 0, $ls * p.rel,
+         |  $ls * p.rel - $ols * aggregate(acc.sel, cast('-Infinity' as double),
+         |    (m, s) -> greatest(m, $dotL / (p.nrm * s.snrm))))""".stripMargin
+    val bestText =
+      s"""aggregate(acc.rem,
+         |  cast(null as struct<mmr: double, vec_id: bigint, e: array<double>,
+         |                      nrm: double, rel: double>),
+         |  (b, p) -> if(b.vec_id is null or ($mmrText) > b.mmr,
+         |    named_struct('mmr', $mmrText, 'vec_id', p.vec_id,
+         |      'e', p.e, 'nrm', p.nrm, 'rel', p.rel), b))""".stripMargin
+    val foldText =
+      s"""(aggregate(sequence(1, $k),
+         |  named_struct('rem', _p0,
+         |    'sel', slice(array(named_struct('se', cast(null as array<double>),
+         |      'snrm', cast(0.0 as double))), 1, 0),
+         |    'out', slice(array(named_struct('iteration', 0, 'vec_id', 0L,
+         |      'rel', cast(0.0 as double), 'mmr_score', cast(0.0 as double))), 1, 0)),
+         |  (acc, it) -> element_at(transform(array($bestText), best -> named_struct(
+         |    'rem', filter(acc.rem, p -> p.vec_id != best.vec_id),
+         |    'sel', if(best.vec_id is not null,
+         |      array_append(acc.sel, named_struct('se', best.e, 'snrm', best.nrm)),
+         |      acc.sel),
+         |    'out', if(best.vec_id is not null,
+         |      array_append(acc.out, named_struct(
+         |        'iteration', cast(it as int), 'vec_id', best.vec_id,
+         |        'rel', round(best.rel, 4), 'mmr_score', round(best.mmr, 4))),
+         |      acc.out))), 1))).out""".stripMargin
+    panel.agg(sort_array(collect_list(struct(
+        col("vec_id").cast("bigint").as("vec_id"), col("e"),
+        col("nrm"), col("rel")))).as("_p0"))
+      .select(explode(expr(foldText)).as("_r"))
+      .select(col("_r.iteration").as("iteration"), col("_r.vec_id").as("vec_id"),
+        col("_r.rel").as("rel"), col("_r.mmr_score").as("mmr_score"))
+      .orderBy("iteration")
   }
 
   private lazy val mmrOps: Seq[OpSpec] = Seq(
