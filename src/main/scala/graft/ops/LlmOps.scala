@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.core.{Policy => P, Tables => T}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** §2.J LLM-data-pipeline operators over `documents` / `embeddings`.
@@ -87,6 +88,39 @@ object LlmOps {
   private val normSql =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '  +', ' ', 'g'))"
 
+  /** PII redaction patterns — the Java-regex ∩ RE2 common subset (no
+    * backrefs, no lookaround), so Spark and DuckDB match identically.
+    * Application order matters and is FIXED (email → IPv4 → phone):
+    * each replacement's token cannot be re-matched by a later
+    * pattern, and the IPv4 dots keep an address out of the phone
+    * pattern's digit/space/hyphen class. */
+  private[graft] val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("phone", "\\+?\\d[\\d -]{7,}\\d", "<PHONE>"))
+
+  /** PII REDACTION — the curation pass every shipped-corpus pipeline
+    * runs (emails, IPv4 addresses, phone-shaped numbers → typed
+    * tokens): per doc, match counts per class + the redacted text.
+    * ROW-LOCAL (regexp_count + a fixed regexp_replace chain) — fuses
+    * into the scan; nothing shuffles but the emitted row. */
+  def piiRedactOf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val redacted = PiiPatterns.foldLeft(col(textCol)) {
+      case (c, (_, re, tok)) => regexp_replace(c, re, tok)
+    }
+    val counts = PiiPatterns.zipWithIndex.foldLeft(Seq.empty[Column]) {
+      // counts run on the PARTIALLY redacted text (classes already
+      // replaced), mirroring the replacement chain exactly
+      case (acc, ((name, re, _), i)) =>
+        val base = PiiPatterns.take(i).foldLeft(col(textCol)) {
+          case (c, (_, r, t)) => regexp_replace(c, r, t)
+        }
+        acc :+ regexp_count(base, lit(re)).cast("bigint").as(s"n_$name")
+    }
+    docs.select(col(idCol) +: counts :+
+      substring(redacted, 1, 80).as("redacted_prefix"): _*)
+  }
+
   val ops: Seq[OpSpec] = Seq(
     OpSpec(
       "dedup_exact",
@@ -151,6 +185,47 @@ object LlmOps {
     // text_tfidf's shape); the min-doc table joins back on the same
     // key, so at 100 TB both sides co-partition. All counts — exact;
     // one r4 division out.
+    // PII REDACTION end-to-end (the curation pass shipped corpora run
+    // before release — C4/Dolma-class scrubbing): email / IPv4 /
+    // phone-shaped matches become typed tokens, with per-class match
+    // counts. The corpus carries no natural PII, so the gated query
+    // SEEDS each doc with a deterministic doc_id-derived contact tail
+    // (both engines build the identical string), proving the match +
+    // replace + count machinery on text where the answer is known.
+    // Patterns live in the Java-regex ∩ RE2 common subset; counts run
+    // on the partially-redacted text, mirroring the fixed replacement
+    // chain (email → IPv4 → phone) exactly.
+    OpSpec(
+      "text_pii_redact",
+      (s, d) => {
+        val seeded = T.documents(s, d).select(col("doc_id"),
+          concat(col("text"),
+            lit(" reach user"), col("doc_id").cast("string"),
+            lit("@example.com or 10.0."),
+            (col("doc_id") % 256).cast("string"), lit("."),
+            ((col("doc_id") * 7) % 256).cast("string"), lit(" call +1-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("text"))
+        piiRedactOf(seeded, "doc_id", "text").orderBy("doc_id")
+      },
+      Some {
+        val Seq((_, reE, tokE), (_, reI, tokI), (_, reP, tokP)) = PiiPatterns
+        s"""WITH seeded AS (
+           |  SELECT doc_id,
+           |    text || ' reach user' || doc_id || '@example.com or 10.0.'
+           |      || (doc_id % 256) || '.' || ((doc_id * 7) % 256)
+           |      || ' call +1-555-' || lpad(cast(doc_id % 10000 as varchar), 4, '0') AS t
+           |  FROM documents),
+           |r1 AS (SELECT doc_id, t, regexp_replace(t, '$reE', '$tokE', 'g') AS t1 FROM seeded),
+           |r2 AS (SELECT doc_id, t, t1, regexp_replace(t1, '$reI', '$tokI', 'g') AS t2 FROM r1),
+           |r3 AS (SELECT doc_id, t, t1, t2, regexp_replace(t2, '$reP', '$tokP', 'g') AS t3 FROM r2)
+           |SELECT doc_id,
+           |  cast(len(regexp_extract_all(t, '$reE')) as bigint) AS n_email,
+           |  cast(len(regexp_extract_all(t1, '$reI')) as bigint) AS n_ip,
+           |  cast(len(regexp_extract_all(t2, '$reP')) as bigint) AS n_phone,
+           |  substr(t3, 1, 80) AS redacted_prefix
+           |FROM r3 ORDER BY doc_id""".stripMargin
+      },
+    ),
     OpSpec(
       "text_ngram_novelty",
       (s, d) => {

