@@ -90,29 +90,43 @@ object TextOps {
     * spam_prob, is_spam) — logistic regression on the text_hash_embed
     * bit-balance squares + length/diversity/stopword signals, weights
     * trained offline by graft.tools.TrainQuality and inlined in
-    * [[QualityModel]] (provenance: docs/quality_model.md). One token
-    * explode + one hash agg (map-side combine — at 100 TB the agg
-    * carries 12 small ints per doc, never the tokens); the score is a
-    * row-local shared-formula evaluation over those exact integers. */
+    * [[QualityModel]] (provenance: docs/quality_model.md).
+    *
+    * Fully ROW-LOCAL (round-14 rewrite of the first explode+groupBy
+    * spelling): every per-doc aggregate — token count, distinct
+    * count, length sum, stopword count, the 8 signed sha-bit sums —
+    * comes from one HOF fold over the split array (sha once per token
+    * via the transform-array let-device), so at 100 TB the scorer
+    * fuses into the scan with ZERO shuffle — and the same function
+    * scores an unbounded STREAM (stateless select; StreamingSpec
+    * asserts stream == batch). The score formula evaluates the same
+    * exact integers the oracle aggregates relationally. No sort here
+    * (streams can't sort) — the gated query adds its own orderBy. */
   def qualityModelScoreOf(docs: DataFrame, idCol: String,
-                          textCol: String): DataFrame =
+                          textCol: String): DataFrame = {
+    val bitsInit = (0 until 8).map(i => s"'h$i', 0L").mkString(", ")
+    val bitsUpd = (0 until 8).map(i =>
+      s"'h$i', a.h$i + if((shiftright(b, $i) & 1) = 1, 1L, -1L)").mkString(",\n          ")
     docs
-      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("t"))
-      .withColumn("b", expr("cast(conv(substring(sha2(t, 256), 1, 4), 16, 10) as int)"))
-      .groupBy("doc_id")
-      .agg(
-        count(lit(1)).as("n_tokens"),
-        (countDistinct(col("t")).as("n_distinct") +:
-          sum(length(col("t"))).cast("bigint").as("sum_len") +:
-          sum(when(col("t").isin("the", "a", "of", "to"), 1L).otherwise(0L))
-            .as("n_stop") +:
-          (0 until 8).map(i =>
-            sum(when(expr(s"(shiftright(b, $i) & 1) = 1"), 1L).otherwise(-1L))
-              .as(s"h$i"))): _*)
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("_ws"))
+      .withColumn("_st", expr(
+        s"""aggregate(_ws,
+           |  named_struct('sl', 0L, 'ns', 0L, $bitsInit),
+           |  (a, w) -> element_at(transform(
+           |    array(cast(conv(substring(sha2(w, 256), 1, 4), 16, 10) as int)), b ->
+           |      named_struct(
+           |        'sl', a.sl + length(w),
+           |        'ns', a.ns + if(w in ('the', 'a', 'of', 'to'), 1L, 0L),
+           |        $bitsUpd)), 1))""".stripMargin))
+      .select(col("doc_id") +:
+        size(col("_ws")).cast("bigint").as("n_tokens") +:
+        size(array_distinct(col("_ws"))).cast("bigint").as("n_distinct") +:
+        col("_st.sl").as("sum_len") +: col("_st.ns").as("n_stop") +:
+        (0 until 8).map(i => col(s"_st.h$i").as(s"h$i")): _*)
       .selectExpr("doc_id", "n_tokens",
         s"${QualityModel.probText} AS spam_prob",
         s"${QualityModel.flagText} AS is_spam")
-      .orderBy("doc_id")
+  }
 
   /** Append Gopher-style quality-filter flags (Rae et al. 2021 §A1.1):
     * n_words, mean_word_len, has_stop, keep. Row-local HOF folds —
@@ -420,7 +434,8 @@ object TextOps {
     // and the decision bit is exp-free (z > 0).
     OpSpec(
       "text_quality_model",
-      (s, d) => qualityModelScoreOf(T.documents(s, d), "doc_id", "text"),
+      (s, d) => qualityModelScoreOf(T.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id"),
       Some(s"""WITH t AS (
               |  SELECT doc_id, w, ('0x' || substr(sha256(w), 1, 4))::INT AS b
               |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w

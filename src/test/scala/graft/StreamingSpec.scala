@@ -58,6 +58,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("streaming quality-model scoring equals the declared batch query (stateless row-local)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.core.Tables.documents(spark, TestSpark.sfSmoke)
+      .select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val ms = MemoryStream[(Long, String)]
+    val q = graft.text.TextOps
+      .qualityModelScoreOf(ms.toDS().toDF("doc_id", "text"), "doc_id", "text")
+      .writeStream.format("memory").queryName("t_qm").outputMode("append").start()
+    val (a, b) = docs.splitAt(docs.size / 2)
+    ms.addData(a); q.processAllAvailable()
+    ms.addData(b); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("t_qm").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      .sortBy(_._1).toSeq
+    val batch = graft.ops.Registry.queries("text_quality_model")(spark, TestSpark.sfSmoke)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))).toSeq
+    assert(streamed.nonEmpty && streamed == batch) // bit-exact
+  }
+
   test("streaming dedup drops the duplicate, keeps the original") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
