@@ -56,30 +56,42 @@ object TextOps {
         regexp_count(col(textCol), lit("[a-z]+")).cast("bigint"))
 
   /** Per-document stopword-ratio language ID: (doc_id, stop_ratio,
-    * lang_pred). One token explode + hash agg; ratio is int/int IEEE. */
+    * lang_pred). ROW-LOCAL (round-14 — was explode + hash agg): the
+    * stopword count is a size(filter(...)) over the split array, so
+    * at 100 TB this fuses into the scan with zero shuffle. Same
+    * exact-integer ratio, same output; null-text rows drop like the
+    * old explode form. */
   def langIdOf(docs: DataFrame, idCol: String, textCol: String,
                stopwords: Seq[String] = Seq("the", "a"),
-               minStopRatio: Double = 0.03): DataFrame =
+               minStopRatio: Double = 0.03): DataFrame = {
+    val stopList = stopwords.map(w => s"'${word(w)}'").mkString(", ")
     docs
-      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("w"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n"),
-        sum(when(col("w").isin(stopwords: _*), 1L).otherwise(0L)).as("n_stop"))
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("_ws"))
+      .filter(col("_ws").isNotNull)
+      .select(col("doc_id"),
+        size(col("_ws")).cast("bigint").as("n"),
+        expr(s"size(filter(_ws, w -> w in ($stopList)))").cast("bigint").as("n_stop"))
       .select(col("doc_id"),
         (col("n_stop").cast("double") / col("n")).as("stop_ratio"),
         when(col("n_stop").cast("double") / col("n") >= minStopRatio, "en")
           .otherwise("und").as("lang_pred"))
+  }
 
   /** Per-document lexical-quality aggregates: (doc_id, n_tokens,
     * distinct_ratio, avg_token_len, quality) — the curation-score
-    * formula the survivor-selection queries also use. */
+    * formula the survivor-selection queries also use. ROW-LOCAL
+    * (round-14 — was explode + hash agg with countDistinct): counts
+    * come from size/array_distinct and one length fold over the split
+    * array — zero shuffle at any corpus size; same exact integers,
+    * same output. */
   def qualityOf(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
-      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("w"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"),
-        countDistinct(col("w")).as("n_distinct"),
-        sum(length(col("w"))).as("sum_len"))
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("_ws"))
+      .filter(col("_ws").isNotNull)
+      .select(col("doc_id"),
+        size(col("_ws")).cast("bigint").as("n_tokens"),
+        size(array_distinct(col("_ws"))).cast("bigint").as("n_distinct"),
+        expr("aggregate(_ws, 0L, (a, w) -> a + length(w))").as("sum_len"))
       .select(col("doc_id"), col("n_tokens"),
         (col("n_distinct").cast("double") / col("n_tokens")).as("distinct_ratio"),
         (col("sum_len").cast("double") / col("n_tokens")).as("avg_token_len"),
