@@ -80,8 +80,18 @@ object IvfPq {
         expr("zip_with(e, best.c, (x, y) -> x - y)").as("r"))
   }
 
-  /** IVF-PQ encode of a corpus: id ++ (cell, rc0.., qerr). */
-  def ivfPqEncodeOf(emb: DataFrame): DataFrame = {
+  /** IVF-PQ encode of a corpus: id ++ (cell, rc0.., qerr).
+    * DISK-memoized (round 14): the assignment + residual + m argmin
+    * folds run ONCE per corpus; the encode gate and the ADC search
+    * read the same codes artifact (persisting the codes IS the
+    * production index build). */
+  def ivfPqEncodeOf(emb: DataFrame): DataFrame =
+    graft.core.DiskMemo.persist(ivfPqEncodeRawOf(emb), "ivfpq_codes")
+
+  /** The un-memoized encode pipeline — the plan IvfPqSpec's shape
+    * assertions inspect (the memoized form reads a parquet artifact,
+    * hiding the broadcast + partial-shuffle shape behind the write). */
+  private[graft] def ivfPqEncodeRawOf(emb: DataFrame): DataFrame = {
     val books = PqResidualCodebooks.codebooks
     Pq.encFrame(residuals(emb), "r", Seq("vec_id", "cell"), books)
       .select((col("vec_id") +: col("cell") +:

@@ -195,8 +195,15 @@ object Pq {
                   excludeSelf: Boolean = true): org.apache.spark.sql.DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
     ident(idCol); ident(vecCol)
-    val enc = encFrame(corpus, vecCol, Seq(idCol), books)
-      .select((col(idCol) +: books.indices.map(sub => col(s"c$sub"))): _*)
+    // DISK-memoized (round 14): the corpus-side encode is the m
+    // argmin folds per row — every ADC consumer over the same corpus
+    // (top-k, recall report) reads ONE codes artifact instead of
+    // re-encoding (the codes are 128× smaller than the vectors, the
+    // point of PQ — persisting them IS the production index build)
+    val enc = graft.core.DiskMemo.persist(
+      encFrame(corpus, vecCol, Seq(idCol), books)
+        .select((col(idCol) +: books.indices.map(sub => col(s"c$sub"))): _*),
+      "pq_codes")
     val lutCols = books.indices.map { sub =>
       expr("array(" + books(sub).indices.map(j => dSparkB(books, sub, j)).mkString(", ") + ")")
         .as(s"l$sub")

@@ -52,7 +52,12 @@ class IvfPqSpec extends AnyFunSuite {
   }
 
   test("encode plan: one broadcast for cells, one map-side-partial shuffle per vector") {
-    val plan = q("vec_ivfpq_encode").queryExecution.executedPlan.toString
+    // the RAW pipeline: the gated query memoizes it to a parquet codes
+    // artifact (round 14), which would hide the build shape
+    val plan = graft.vec.IvfPq
+      .ivfPqEncodeRawOf(graft.core.Tables.embeddings(spark, TestSpark.sfSmoke))
+      .orderBy("vec_id")
+      .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
       s"cells not broadcast:\n${plan.take(2000)}")
     // exchanges: the vec_id hash agg + the final sort range partition —
