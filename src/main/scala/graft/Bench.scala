@@ -9,6 +9,17 @@ object Bench {
     val loadavg =
       try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0)
       catch { case _: Throwable => "-1" }
+    // Cumulative CPU-steal jiffies (/proc/stat field 8): the
+    // VM-noisy-neighbor covariate loadavg CANNOT see — round-14
+    // measured a uniform ~1.5× total inflation at loadavg < 1.8 that
+    // only hypervisor steal explains. The JSON ships the during-run
+    // DELTA so a slow total can be attributed to the host, not the
+    // code.
+    def stealJiffies(): Long =
+      try scala.io.Source.fromFile("/proc/stat").getLines()
+        .find(_.startsWith("cpu ")).map(_.trim.split("\\s+")(8).toLong).getOrElse(-1L)
+      catch { case _: Throwable => -1L }
+    val steal0 = stealJiffies()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -59,7 +70,8 @@ object Bench {
           infos.map(_.numPartitions.toLong).sum)
       } catch { case _: Throwable => (-1L, -1L, -1L, -1L) }
     val cov =
-      s""""loadavg1m_end":$loadavgEnd,"storage_mem_used":$memUsed,""" +
+      s""""loadavg1m_end":$loadavgEnd,"cpu_steal_jiffies":${stealJiffies() - steal0},""" +
+        s""""storage_mem_used":$memUsed,""" +
         s""""storage_mem_total":$memTotal,"cached_rdd_mem_bytes":$rddMem,""" +
         s""""cached_rdd_disk_bytes":$rddDisk,"cached_rdd_parts":$rddPartsCached,""" +
         s""""cached_rdd_parts_expected":$rddPartsTotal"""
