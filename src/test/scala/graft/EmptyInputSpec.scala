@@ -72,4 +72,45 @@ class EmptyInputSpec extends AnyFunSuite {
     }
     assert(failures.isEmpty, s"${failures.size} queries throw on 1-row input:\n${failures.mkString("\n")}")
   }
+
+  /** ALL-IDENTICAL corpus (distinct primary keys, every other column
+    * constant): the ZERO-VARIANCE regime — σ = 0 denominators, one
+    * giant dedup clique, saturated hash bits, a single event type and
+    * a single instant. Exercises the §2.0 nullif-guard policy for
+    * real: under ANSI mode an unguarded x/0 THROWS, it doesn't NaN.
+    * NaN/NULL outputs are fine — crashes are not. */
+  private lazy val constantDir: String = {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_const").toString
+    val idCols = Map(
+      "region" -> "r_regionkey", "nation" -> "n_nationkey",
+      "customer" -> "c_custkey", "supplier" -> "s_suppkey",
+      "part" -> "p_partkey", "orders" -> "o_orderkey",
+      "lineitem" -> "l_orderkey", "documents" -> "doc_id",
+      "embeddings" -> "vec_id")
+    idCols.foreach { case (t, id) =>
+      val one = spark.read.parquet(s"${TestSpark.sfSmoke}/$t.parquet").limit(1)
+      one.crossJoin(spark.range(20).toDF("_i"))
+        .withColumn(id, col(id) * 1000L + col("_i"))
+        .drop("_i")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    graft.core.Tables.eventsRaw(spark, TestSpark.sfSmoke).limit(1)
+      .crossJoin(spark.range(20).toDF("_i"))
+      .withColumn("event_id", col("event_id") * 1000L + col("_i"))
+      .drop("_i")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("every declared query executes on an all-identical (zero-variance) corpus") {
+    val failures = Registry.all.flatMap { op =>
+      try { Registry.queries(op.key)(spark, constantDir).count(); None }
+      catch { case e: Throwable =>
+        Some(s"${op.key}: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+      }
+    }
+    assert(failures.isEmpty,
+      s"${failures.size} queries throw on the zero-variance corpus:\n${failures.mkString("\n")}")
+  }
 }
