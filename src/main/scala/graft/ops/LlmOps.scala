@@ -359,6 +359,9 @@ object LlmOps {
       (s, d) => {
         val v = T.embeddings(s, d)
           .select(col("vec_id"), toDouble("embedding").as("e"))
+          // cosine contract: zero vectors excluded (under ANSI a
+          // zero-norm denominator throws — hostile-corpus sweep)
+          .filter(graft.vec.VecOps.nonZeroVec("e"))
         val q = v.filter(col("vec_id") === 0)
           .select(col("e").as("qe"))
         v.crossJoin(broadcast(q))

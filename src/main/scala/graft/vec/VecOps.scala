@@ -23,6 +23,18 @@ object VecOps {
   private def dot(a: String, b: String) =
     expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
 
+  /** Zero-norm guard for cosine-retrieval preps: the zero vector has
+    * no direction, and under ANSI mode (the Spark 4 default) a
+    * ‖·‖ = 0 cosine denominator THROWS DIVIDE_BY_ZERO rather than
+    * NaN-ing — found by the hostile-corpus sweep (EmptyInputSpec;
+    * failed-embedding rows DO occur in production corpora). Zero
+    * vectors are EXCLUDED from cosine ops by contract.
+    * `exists(x ≠ 0)` ⟺ ‖e‖ > 0 for any float32 input (a squared sum
+    * of float32 values cannot underflow to 0 at double precision),
+    * evaluated row-locally with short-circuit — fused into the scan. */
+  private[graft] def nonZeroVec(eCol: String): org.apache.spark.sql.Column =
+    expr(s"exists(${ident(eCol)}, x -> x != 0D)")
+
   /** Plain-identifier guard before splicing a caller-supplied column
     * name into generated expression text (the TvfSql discipline). */
   private def ident(s: String): String = {
@@ -53,6 +65,7 @@ object VecOps {
     T.embeddings(s, d)
       .select(col("vec_id"),
         expr("transform(embedding, x -> cast(x as double))").as("e"))
+      .filter(nonZeroVec("e")) // cosine contract: zero vectors excluded
       .withColumn("nrm", sqrt(dot("e", "e")))
 
   // ----------------------------------------------------------------
@@ -136,6 +149,7 @@ object VecOps {
     val base = vecs
       .select(col(idCol).as("vec_id"),
         expr(s"transform($vecCol, x -> cast(x as double))").as("e"))
+      .filter(nonZeroVec("e")) // cosine contract: zero vectors excluded
       .withColumn("nrm", sqrt(dot("e", "e")))
     val va = base.select(col("vec_id").as("a"), col("e").as("ea"), col("nrm").as("na"))
     val vb = base.select(col("vec_id").as("b"), col("e").as("eb"), col("nrm").as("nb"))
@@ -186,6 +200,7 @@ object VecOps {
     def norm(vecs: DataFrame, idAs: String, eAs: String, nAs: String) =
       vecs.select(col(idCol).as(idAs),
           expr(s"transform($vecCol, x -> cast(x as double))").as(eAs))
+        .filter(nonZeroVec(eAs)) // cosine contract: zero vectors excluded
         .withColumn(nAs, sqrt(expr(
           s"aggregate(zip_with($eAs, $eAs, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")))
     val vq = norm(queries, "qid", "qe", "qn")
@@ -249,6 +264,7 @@ object VecOps {
     def asVec(f: DataFrame, idAs: String) =
       f.select(col(idCol).as(idAs),
         expr(s"transform($vecCol, x -> cast(x as double))").as("e"))
+        .filter(nonZeroVec("e")) // cosine contract: zero vectors excluded
     val withCell = assignCells(asVec(corpus, "vec_id"), centsDf)
     val q = asVec(queries, "qid")
       .crossJoin(broadcast(centsDf))
@@ -399,6 +415,7 @@ object VecOps {
         val cents = centroidsDf(s)
         val v = T.embeddings(s, d)
           .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("e"))
+          .filter(nonZeroVec("e")) // cosine contract: zero vectors excluded
         val withCell = assignCells(v, cents)
         // query branch: its own one-row scan (vec_id=0 pushed to
         // parquet) ⨯ broadcast centroids → the NPROBE nearest cells by
@@ -453,6 +470,7 @@ object VecOps {
         val v = T.embeddings(s, d)
           .select(col("vec_id"), expr(cellExpr).as("cell"),
             expr("transform(embedding, x -> cast(x as double))").as("e"))
+          .filter(nonZeroVec("e")) // cosine contract: zero vectors excluded
         val q = v.filter(col("vec_id") === 0)
           .select(col("cell").as("qcell"), col("e").as("qe"))
         val probed = col("cell") === col("qcell") ||
@@ -487,6 +505,7 @@ object VecOps {
       (s, d) => {
         val v = T.embeddings(s, d).filter(col("label") === 3)
           .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("e"))
+          .filter(nonZeroVec("e")) // cosine contract: zero vectors excluded
         val withCell = assignCells(v, centroidsDf(s))
         val a = withCell.select(col("vec_id").as("id_a"), col("cell"), col("e").as("ea"))
         val b = withCell.select(col("vec_id").as("id_b"), col("cell"), col("e").as("eb"))
@@ -520,6 +539,7 @@ object VecOps {
         val v = T.embeddings(s, d)
           .select(col("vec_id"), expr(cellExpr).as("cell"),
             expr("transform(embedding, x -> cast(x as double))").as("e"))
+          .filter(nonZeroVec("e")) // cosine contract: zero vectors excluded
         val q = v.filter(col("vec_id") === 0)
           .select(col("cell").as("qcell"), col("e").as("qe"))
         v.join(broadcast(q), col("cell") === col("qcell"))
@@ -799,9 +819,13 @@ object VecOps {
             expr("transform(embedding, x -> cast(x as double))").as("e"))
           .withColumn("amax",
             expr("aggregate(e, 0D, (acc, x) -> greatest(acc, abs(x)))"))
+          // if(amax = 0): the zero vector quantizes to ITSELF exactly
+          // (all-zero codes), err 0 — and under ANSI the unguarded
+          // x/amax would throw, not NaN (hostile-corpus sweep)
           .withColumn("err", P.r4(
             expr("""aggregate(
-                   |  zip_with(e, transform(e, x -> round(x * 127.0 / amax) * amax / 127.0),
+                   |  zip_with(e, if(amax = 0D, e,
+                   |               transform(e, x -> round(x * 127.0 / amax) * amax / 127.0)),
                    |           (x, y) -> abs(x - y)),
                    |  0D, (acc, x) -> acc + x)""".stripMargin) /
             size(col("e")).cast("double")))
@@ -844,6 +868,7 @@ object VecOps {
         val v = T.embeddings(s, d)
           .select(col("vec_id"), expr(cellExpr).as("cell"),
             expr("transform(embedding, x -> cast(x as double))").as("e"))
+          .filter(nonZeroVec("e")) // cosine contract: zero vectors excluded
         val q = v.filter(col("vec_id") < 5)
           .select(col("vec_id").as("qid"), col("cell").as("qcell"), col("e").as("qe"))
         val scored = v.crossJoin(broadcast(q))
@@ -901,6 +926,7 @@ object VecOps {
         val v = T.embeddings(s, d)
           .select(col("vec_id"), expr(cellExpr).as("cell"),
             expr("transform(embedding, x -> cast(x as double))").as("e"))
+          .filter(nonZeroVec("e")) // cosine contract: zero vectors excluded
         val q = v.filter(col("vec_id") < 5)
           .select(col("vec_id").as("qid"), col("cell").as("qcell"), col("e").as("qe"))
         val scored = v.crossJoin(broadcast(q))
@@ -1036,6 +1062,7 @@ object VecOps {
         val v = T.embeddings(s, d)
           .select(col("vec_id"),
             expr("transform(embedding, x -> cast(x as double))").as("e"))
+          .filter(nonZeroVec("e")) // cosine contract + amax=0 guard
           .withColumn("amax",
             expr("aggregate(e, 0D, (acc, x) -> greatest(acc, abs(x)))"))
           .withColumn("eq",
@@ -1148,6 +1175,7 @@ object VecOps {
         val v = T.embeddings(s, d)
           .select(col("vec_id"), col("label"),
             expr("transform(embedding, x -> cast(x as double))").as("e"))
+          .filter(nonZeroVec("e")) // cosine contract: zero vectors excluded
         val q = v.filter(col("vec_id") < 50)
           .select(col("vec_id").as("qid"), col("label").as("qlabel"),
             col("e").as("qe"))
@@ -1220,6 +1248,7 @@ object VecOps {
     val (ls, ols) = (s"${lambda}", s"${omLambda}")
     val v = vecs.select(col(idCol).as("vec_id"),
       expr(s"transform(${ident(vecCol)}, x -> cast(x as double))").as("e"))
+      .filter(nonZeroVec("e")) // cosine contract: zero vectors excluded
     val q = v.filter(col("vec_id") === queryId)
       .select(col("e").as("qe"))
     val panel = v.filter(col("vec_id") =!= queryId)
@@ -1410,6 +1439,10 @@ object VecOps {
       .select(col(idCol).as("vec_id"),
         expr(s"transform($vecCol, x -> cast(x as double))").as("e"))
       .withColumn("ep", expr(s"slice(e, 1, $dims)"))
+      // cosine contract: zero vectors excluded — INCLUDING a zero
+      // truncation prefix (nonzero tail, zero head would still divide
+      // by the truncated norm)
+      .filter(nonZeroVec("e") && nonZeroVec("ep"))
     val q = v.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("e").as("qe"), col("ep").as("qep"))
     val scored = v.crossJoin(broadcast(q))

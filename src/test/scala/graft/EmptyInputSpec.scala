@@ -113,4 +113,54 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(failures.isEmpty,
       s"${failures.size} queries throw on the zero-variance corpus:\n${failures.mkString("\n")}")
   }
+
+  /** HOSTILE corpus: pathological text (empty, whitespace-only, one
+    * 10k-char token, unicode, tabs/newlines, stopword-only) and
+    * pathological embeddings — above all the ZERO VECTOR at vec_id 0,
+    * which is every sim query's QUERY id: cosine's ‖q‖ = 0 denominator
+    * either nullif-guards or, under ANSI mode, throws. Crash-only
+    * assertion (weird outputs are legal on weird inputs). */
+  private lazy val hostileDir: String = {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_hostile").toString
+    Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem").foreach { t =>
+      spark.read.parquet(s"${TestSpark.sfSmoke}/$t.parquet")
+        .limit(1).coalesce(1).write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    graft.core.Tables.eventsRaw(spark, TestSpark.sfSmoke)
+      .limit(1).coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    import spark.implicits._
+    val texts = Seq(
+      "", " ", "a", "ü ü 中文 中文 ü",
+      "x" * 10000,
+      "the a the a the a the a",
+      "tab\there newline\nhere mixed",
+      "normal words appear here exactly once each")
+    texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", s"src${i % 3}", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val dim = 64
+    (0 until 20).map { i =>
+      val e: Seq[Float] =
+        if (i == 0) Seq.fill(dim)(0f) // zero vector AS THE QUERY id
+        else if (i == 1) Seq.fill(dim)(1e-30f) // denormal-ish norms
+        else Seq.tabulate(dim)(j => ((i * 31 + j * 7) % 13 - 6).toFloat)
+      (i.toLong, e, i % 4)
+    }.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("every declared query executes on the hostile corpus (zero vectors, empty/huge/unicode text)") {
+    val failures = Registry.all.flatMap { op =>
+      try { Registry.queries(op.key)(spark, hostileDir).count(); None }
+      catch { case e: Throwable =>
+        Some(s"${op.key}: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+      }
+    }
+    assert(failures.isEmpty,
+      s"${failures.size} queries throw on the hostile corpus:\n${failures.mkString("\n")}")
+  }
 }
