@@ -136,9 +136,13 @@ class EmptyInputSpec extends AnyFunSuite {
       "x" * 10000,
       "the a the a the a the a",
       "tab\there newline\nhere mixed",
-      "normal words appear here exactly once each")
+      "normal words appear here exactly once each",
+      null) // NULL text — real corpora have null fields
     texts.zipWithIndex
-      .map { case (t, i) => (i.toLong, t, "en", s"src${i % 3}", t.length.toLong) }
+      .map { case (t, i) =>
+        (i.toLong, t, "en", s"src${i % 3}",
+          if (t == null) 0L else t.length.toLong)
+      }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val dim = 64
@@ -146,6 +150,7 @@ class EmptyInputSpec extends AnyFunSuite {
       val e: Seq[Float] =
         if (i == 0) Seq.fill(dim)(0f) // zero vector AS THE QUERY id
         else if (i == 1) Seq.fill(dim)(1e-30f) // denormal-ish norms
+        else if (i == 2) null // NULL embedding
         else Seq.tabulate(dim)(j => ((i * 31 + j * 7) % 13 - 6).toFloat)
       (i.toLong, e, i % 4)
     }.toDF("vec_id", "embedding", "label")
