@@ -81,6 +81,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch) // bit-exact
   }
 
+  test("row-local curation passes stream bit-exactly: PII redact, lang-id, quality score") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.core.Tables.documents(spark, TestSpark.sfSmoke)
+      .select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    def roundTrip(name: String)(f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+        : (Seq[String], Seq[String]) = {
+      val ms = MemoryStream[(Long, String)]
+      val q = f(ms.toDS().toDF("doc_id", "text"))
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      val (a, b) = docs.splitAt(docs.size / 2)
+      ms.addData(a); q.processAllAvailable()
+      ms.addData(b); q.processAllAvailable()
+      q.stop()
+      import spark.implicits._
+      val streamed = spark.table(name).collect().map(_.toString).sorted.toSeq
+      val batch = f(docs.toDF("doc_id", "text")).collect().map(_.toString).sorted.toSeq
+      (streamed, batch)
+    }
+    val (sPii, bPii) = roundTrip("t_pii")(df =>
+      graft.ops.LlmOps.piiRedactOf(df, "doc_id", "text"))
+    assert(sPii.nonEmpty && sPii == bPii)
+    val (sLang, bLang) = roundTrip("t_lang")(df =>
+      graft.text.TextOps.langIdOf(df, "doc_id", "text"))
+    assert(sLang.nonEmpty && sLang == bLang)
+    val (sQ, bQ) = roundTrip("t_qual")(df =>
+      graft.text.TextOps.qualityOf(df, "doc_id", "text"))
+    assert(sQ.nonEmpty && sQ == bQ)
+  }
+
   test("streaming dedup drops the duplicate, keeps the original") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
