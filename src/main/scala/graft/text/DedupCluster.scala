@@ -49,10 +49,15 @@ object DedupCluster {
                iters: Int = 6, checkConvergence: Boolean = true,
                minRounds: Int = 0): DataFrame = {
     // undirected edges, both directions
-    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
-      .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
-      .distinct()
-      .cache()
+    // DISK-memoized (round 14 — was .cache()): every propagation round
+    // re-reads the edge set, and an evicted cache re-paid the caller's
+    // whole pair pipeline once per round under memory pressure (the
+    // r12 disease class); a file read cannot be evicted.
+    val edges = graft.core.DiskMemo.persist(
+      pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+        .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+        .distinct(),
+      "dc_edges")
     // seed = one plain propagation round for free: label(u) = min(u,
     // min neighbor) off the edge list directly (one agg, no join) —
     // near-clique components (the dedup norm) converge in the seed and

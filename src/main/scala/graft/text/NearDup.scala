@@ -249,11 +249,15 @@ object NearDup {
     // explode+hash pipeline is paid once per corpus (shared with the
     // whole minhash family) — and a contended-box rebuild of THIS
     // frame starts from a parquet scan, not a corpus scan.
-    val grouped = shingleNums(s, d)
-      .groupBy("x").agg(cappedDocs(col("doc_id")).as("cd"))
-      .filter(size(col("cd.items")) <= maxShingleDf)
-      .select(sort_array(col("cd.items")).as("ds"))
-      .cache()
+    // DISK-memoized (round 14 — was .cache()): feeds BOTH the sizes
+    // agg and the pair explode; an eviction re-paid the capped-collect
+    // agg per consumer under pressure (the r12 disease class).
+    val grouped = graft.core.DiskMemo.persist(
+      shingleNums(s, d)
+        .groupBy("x").agg(cappedDocs(col("doc_id")).as("cd"))
+        .filter(size(col("cd.items")) <= maxShingleDf)
+        .select(sort_array(col("cd.items")).as("ds")),
+      "nd_grouped")
     val sizes = grouped.select(explode(col("ds")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = grouped.filter(size(col("ds")) >= 2)

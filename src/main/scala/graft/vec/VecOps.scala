@@ -214,10 +214,11 @@ object VecOps {
           .select(col("qid"), col("vec_id"),
             P.r4(dot("e", "qe") / (col("nrm") * col("qn"))).as("cos_sim"))
       case "lsh" =>
+        // no cache: each signature frame feeds exactly ONE join — a
+        // cache here stored blocks nothing re-reads (round 14)
         val qSig = lshBandsOf(queries, idCol, vecCol, bands, bitsPerBand, dim)
-          .select(col("vec_id").as("qid"), col("band"), col("bucket")).cache()
+          .select(col("vec_id").as("qid"), col("band"), col("bucket"))
         val cSig = lshBandsOf(corpus, idCol, vecCol, bands, bitsPerBand, dim)
-          .cache()
         val cand = qSig.join(cSig, Seq("band", "bucket"))
           .filter(col("vec_id") =!= col("qid"))
           .select("qid", "vec_id").distinct()
