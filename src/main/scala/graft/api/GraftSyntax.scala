@@ -136,14 +136,58 @@ object syntax {
     *    Python environment here — inline the value);
     *  - `in [a, b]` / `not in [a, b]` list literals become SQL tuples
     *    `in (a, b)` (bracket lists are translated ONLY after in/not
-    *    in, so array-index syntax elsewhere is left alone). */
+    *    in, so array-index syntax elsewhere is left alone).
+    * Both rules apply ONLY outside quoted string literals — pandas
+    * scans tokens, not raw text, so `email == 'a@b.co'` is a plain
+    * comparison and an `in [..]`-shaped substring inside a literal is
+    * data, not syntax ([[literalMask]]). */
   private[graft] def pandasExprText(s: String): String = {
-    require(!s.contains("@"),
+    val mask = literalMask(s)
+    require(!s.zipWithIndex.exists { case (c, i) => c == '@' && !mask(i) },
       s"'@variable' references are not supported (no Python environment) " +
         s"— inline the value: '$s'")
     "(?i)(\\bin\\s*)\\[([^\\]]*)\\]".r
-      .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
-        s"${m.group(1)}(${m.group(2)})"))
+      .replaceAllIn(s, m =>
+        if (mask(m.start) || mask(m.end - 1)) // keyword or bracket inside a literal
+          java.util.regex.Matcher.quoteReplacement(m.matched)
+        else java.util.regex.Matcher.quoteReplacement(
+          s"${m.group(1)}(${m.group(2)})"))
+  }
+
+  /** Per-character flag: true where `s(i)` lies inside (or on the
+    * delimiters of) a single- or double-quoted string literal. Used by
+    * [[pandasExprText]] and `eval`'s assignment splitter so quoted data
+    * never triggers dialect rules. Unterminated literals mask to end of
+    * string (the SQL parser will produce the real error). */
+  private[graft] def literalMask(s: String): Array[Boolean] = {
+    val mask = new Array[Boolean](s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'' || c == '"') {
+        mask(i) = true; i += 1
+        while (i < s.length && s.charAt(i) != c) { mask(i) = true; i += 1 }
+        if (i < s.length) { mask(i) = true; i += 1 }
+      } else i += 1
+    }
+    mask
+  }
+
+  /** Split `s` on `\n` / `;` occurring OUTSIDE string literals — the
+    * eval-assignment separator that leaves `concat(a, '; ', b)` whole. */
+  private[graft] def splitAssignments(s: String): Seq[String] = {
+    val mask = literalMask(s)
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if ((c == '\n' || c == ';') && !mask(i)) { out += cur.result(); cur.clear() }
+      else cur.append(c)
+      i += 1
+    }
+    out += cur.result()
+    out.result()
   }
 
   private val evalAssignRe =
@@ -172,7 +216,7 @@ object syntax {
       * Each assignment is a row-local Project — fused into one
       * codegen stage, no shuffle. */
     def eval(assignments: String): DataFrame =
-      assignments.split("[\n;]").map(_.trim).filter(_.nonEmpty)
+      syntax.splitAssignments(assignments).map(_.trim).filter(_.nonEmpty)
         .foldLeft(df) { (acc, line) =>
           line match {
             case syntax.evalAssignRe(name, rhs) =>
@@ -417,7 +461,12 @@ object syntax {
       * the general-length path is graft.udaf.Ewm (tested vs this form). */
     def ewmMean(alpha: Double, valueCol: String, orderCol: String,
                 by: Seq[String], as: String): DataFrame = {
-      require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+      require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+      // α = 1 (pandas span=1): all weight on the current row — the ewm
+      // mean IS the series. Short-circuit so the closed-form weights
+      // below never divide by 1−α = 0.
+      if (alpha == 1.0)
+        return df.withColumn(as, P.r4(col(valueCol).cast("double")))
       val w = ordered(by, Seq(col(orderCol)))
       val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val base = 1.0 / (1.0 - alpha)
@@ -434,7 +483,12 @@ object syntax {
       * series can't emit NaN from a −1 ulp residue. */
     def ewmStd(alpha: Double, valueCol: String, orderCol: String,
                by: Seq[String], as: String): DataFrame = {
-      require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+      require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+      // α = 1 (pandas span=1): only the current row carries weight, so
+      // the bias-corrected variance's denominator Σw²−Σw² is 0 — pandas
+      // emits NaN for every row; we emit NULL (the engine-parity NaN).
+      if (alpha == 1.0)
+        return df.withColumn(as, lit(null).cast("double"))
       val w = ordered(by, Seq(col(orderCol)))
       val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val b = 1.0 / (1.0 - alpha)
@@ -1028,6 +1082,14 @@ object syntax {
     // ----------------------------------------------------------------
     // §2.J corpus curation (round-11 batch 3)
     // ----------------------------------------------------------------
+
+    /** Unicode NFKC + ROOT-locale casefold of `textCol` appended as
+      * `as` — the C4/Dolma-class pre-tokenization normalization
+      * (pandas `str.normalize('NFKC') + str.lower()`). Row-local
+      * native expression ([[graft.functions.NfkcCasefold]], codegen'd
+      * — fuses into the scan, zero shuffle at any scale). */
+    def normalizeNfkc(textCol: String, as: String): DataFrame =
+      df.withColumn(as, call_function("nfkc_casefold", col(textCol)))
 
     /** Deterministic per-group token-budget subsample: keep each
       * group's rows in Knuth-hash pseudo-random order until `budget`

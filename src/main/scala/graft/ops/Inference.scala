@@ -373,7 +373,11 @@ object Inference {
          |          'g_stat', round(best.g, 4),
          |          'n_remaining', st.n)),
          |        acc.out))), 1)), 1))).out""".stripMargin
-    series.agg(sort_array(collect_list(struct(
+    // NULL values are excluded BEFORE packing: the exact fold computes
+    // 'a.sv + p.yc', so one NULL yc would poison every round's moments
+    // (the pre-pack sum()-based spelling skipped NULLs — keep that).
+    series.filter(col(valueCol).isNotNull)
+      .agg(sort_array(collect_list(struct(
         col(orderCol).cast("bigint").as("i"),
         col(valueCol).cast("bigint").as("yc")))).as("_rem0"))
       .select(explode(expr(foldText)).as("_r"))

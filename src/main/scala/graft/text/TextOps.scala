@@ -121,6 +121,10 @@ object TextOps {
       s"'h$i', a.h$i + if((shiftright(b, $i) & 1) = 1, 1L, -1L)").mkString(",\n          ")
     docs
       .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("_ws"))
+      // NULL-text docs drop, matching langIdOf/qualityOf and the
+      // oracle's unnest (which emits no rows for a NULL array) — a
+      // NULL _ws would otherwise carry all-NULL aggregates downstream.
+      .filter(col("_ws").isNotNull)
       .withColumn("_st", expr(
         s"""aggregate(_ws,
            |  named_struct('sl', 0L, 'ns', 0L, $bitsInit),

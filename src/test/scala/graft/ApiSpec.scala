@@ -899,6 +899,19 @@ class ApiSpec extends AnyFunSuite {
     assert(viaQuery.nonEmpty && viaQuery.toSeq == native.toSeq)
     // @variable environment references are rejected before any parse
     intercept[IllegalArgumentException] { orders.query("o_custkey == @k") }
+    // …but ONLY outside string literals (ADVICE round 14): an '@' inside
+    // quoted data — the email shape a PII/curation framework filters on
+    // constantly — is a plain comparison, and an 'in [..]'-shaped
+    // substring inside a literal is data, not a list to rewrite
+    assert(orders.query("o_orderstatus == 'a@b.co'").count() == 0)
+    assert(orders.query("o_orderstatus != 'x in [a, b] y'").count() == orders.count())
+    // a real list rewrite still fires in the same expression as a
+    // literal containing '[':
+    val mixed = orders.query(
+      "o_orderpriority in ['1-URGENT'] and o_orderstatus != 'keep [this]'")
+    assert(mixed.collect().toSeq ==
+      orders.filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_orderstatus") =!= "keep [this]").collect().toSeq)
   }
 
   test("query predicate pushes down to the parquet scan") {
@@ -920,5 +933,27 @@ class ApiSpec extends AnyFunSuite {
     }
     intercept[IllegalArgumentException] { orders.eval("o_totalprice + 1") }
     intercept[IllegalArgumentException] { orders.eval("x == 3") }
+    // separator characters INSIDE string literals don't split an
+    // assignment (ADVICE round 14): the rhs below contains both ';'
+    // and a newline as data
+    val lit = orders.eval("tag = concat(o_orderstatus, '; ', 'a\nb')")
+    assert(lit.columns.last == "tag")
+    assert(lit.select("tag").head.getString(0).contains("; a\nb"))
+  }
+
+  test("ewm span=1 (alpha=1) degenerates per pandas: mean = series, std = all NULL") {
+    val ev = graft.core.Tables.events(spark, TestSpark.sfSmoke)
+      .filter(col("user_id") === 7)
+      .select("user_id", "event_id", "value")
+    def vals(df: org.apache.spark.sql.DataFrame, c: String): Seq[Any] =
+      df.orderBy("event_id").select(c).collect().map(r => r.get(0)).toSeq
+    // all weight on the current row: the ewm mean IS the (r4'd) series
+    val m = vals(ev.ewmMeanSpan(1, "value", "event_id", Seq("user_id"), as = "e"), "e")
+    val raw = vals(ev.selectExpr("user_id", "event_id",
+      "value", "round(cast(value as double), 4) AS r"), "r")
+    assert(m == raw)
+    // bias-corrected variance denominator is 0 → pandas NaN → NULL here
+    val s = vals(ev.ewmStdSpan(1, "value", "event_id", Seq("user_id"), as = "e"), "e")
+    assert(s.nonEmpty && s.forall(_ == null))
   }
 }

@@ -413,6 +413,36 @@ class InferenceSpec extends AnyFunSuite {
     assert(got.map(_._5) == Seq(got.head._5, got.head._5 - 1, got.head._5 - 2))
   }
 
+  test("ESD skips NULL values instead of poisoning the packed moments (ADVICE r14)") {
+    // the packed fold computes 'a.sv + p.yc' — before the fix one NULL
+    // value nulled sv/s2 for the whole series, so every round's G was
+    // NULL and rounds degenerated to remove-smallest-i. With the NULL
+    // row filtered out pre-pack, the result equals running on the
+    // non-null subset.
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("i",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("yc",
+        org.apache.spark.sql.types.LongType, nullable = true)))
+    val base: Seq[(Long, java.lang.Long)] =
+      (1L to 12L).map(i => (i, java.lang.Long.valueOf(i * 100))) :+
+        (13L, java.lang.Long.valueOf(99999L))
+    val withNull = spark.createDataFrame(
+      (base :+ ((14L, null: java.lang.Long)))
+        .map { case (i, v) => org.apache.spark.sql.Row(i, v) }.asJava, schema)
+    val noNull = spark.createDataFrame(
+      base.map { case (i, v) => org.apache.spark.sql.Row(i, v) }.asJava, schema)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Inference.esdOutliersOf(df, "i", "yc", k = 2)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getLong(4))).toSeq
+    val got = run(withNull)
+    assert(got == run(noNull))
+    // and the genuine outlier is still round 1's pick, with a real G
+    assert(got.head._2 == 13L && !got.head._4.isNaN)
+  }
+
   test("two-proportion z replays from the four weekend/weekday counts") {
     val wk = graft.core.Tables.events(spark, TestSpark.sfSmoke)
       .select(weekday(col("ts")).cast("long").as("w"), col("event_type"))

@@ -61,6 +61,26 @@ class QualityModelSpec extends AnyFunSuite {
     })
   }
 
+  test("NULL-text docs drop from the scorer, matching langIdOf and the oracle's unnest") {
+    // ADVICE round 14: a NULL text made split() emit a NULL array and
+    // the row survived with all-NULL aggregates, while the DuckDB
+    // oracle's unnest emits no rows for it — a latent gated-parity
+    // divergence on any corpus with NULL text.
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType, nullable = true)))
+    val df = spark.createDataFrame(Seq(
+      org.apache.spark.sql.Row(1L, "the quick brown fox"),
+      org.apache.spark.sql.Row(2L, null),
+      org.apache.spark.sql.Row(3L, "a of to the spam spam spam")).asJava, schema)
+    val out = graft.text.TextOps.qualityModelScoreOf(df, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 3L))
+  }
+
   test("the Spark formula replays the trainer's feature arithmetic on the smoke corpus") {
     // pull the exact-integer aggregates for a handful of docs and
     // re-evaluate z in plain Scala via featuresOf on the raw tokens;
