@@ -79,7 +79,13 @@ object DiskMemo {
     * caller-provided key — fold a content stamp in when the source can
     * regenerate) materializes `build` to parquet; every call returns a
     * scan of that artifact. */
-  def ensure(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+  def ensure(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
+    spark.read.parquet(ensurePath(key)(build))
+
+  /** [[ensure]]'s artifact PATH — for consumers that splice the
+    * artifact into generated SQL (`parquet.\`path\``) instead of
+    * reading it through the DataFrame API (the TVF tier). */
+  def ensurePath(key: String)(build: => DataFrame): String = {
     val dg = sha16(key)
     var path = built.get(dg)
     if (path == null) {
@@ -94,7 +100,7 @@ object DiskMemo {
         }
       }
     }
-    spark.read.parquet(path)
+    path
   }
 
   /** name:size:mtime stamp of every file-source root feeding `df` —
@@ -159,8 +165,18 @@ object DiskMemo {
     * frames return unchanged. */
   def persist(df: DataFrame, tag: String = ""): DataFrame = {
     if (df.isStreaming) return df
-    ensure(df.sparkSession,
-      s"$tag|${df.schema.catalogString}|${planKey(df)}|${sourceStamp(df)}")(df)
+    df.sparkSession.read.parquet(persistPath(df, tag).get)
+  }
+
+  /** [[persist]]'s artifact PATH (None for streaming frames, which
+    * cannot materialize). Same plan-keyed digest as persist, so a TVF
+    * expansion that keys off the identical frame construction resolves
+    * to the artifact its DataFrame twin built — TVF tier artifact
+    * parity (round-14 verdict item 1). */
+  def persistPath(df: DataFrame, tag: String = ""): Option[String] = {
+    if (df.isStreaming) return None
+    Some(ensurePath(
+      s"$tag|${df.schema.catalogString}|${planKey(df)}|${sourceStamp(df)}")(df))
   }
 
   /** Forget every memo entry (artifacts are overwritten on rebuild, so

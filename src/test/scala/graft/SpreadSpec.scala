@@ -37,17 +37,58 @@ class SpreadSpec extends AnyFunSuite {
     assert(out.isStreaming && (out eq sdf))
   }
 
-  test("the substring_pairs TVF digest pipeline is xxhash64, not sha") {
-    // round-14 swap receipt: the digest is output-invariant (pairs
-    // derive from grouping on it; oracles keep their own sha). The
-    // DataFrame tier's artifact hides behind a DiskMemo parquet read,
-    // so the inspectable twin is the TVF expansion.
+  test("the substring_pairs TVF expansion reads the shared digest artifact") {
+    // round-15 artifact-parity receipt (round-14 verdict item 1): the
+    // TVF expansion must NOT re-run the digest pipeline per call — it
+    // reads the SAME DiskMemo distinct-(doc_id, digest) parquet
+    // artifact its DataFrame twin (substringDupsOf) reads, so the plan
+    // contains a graft_diskmemo file scan and no hash pipeline at all.
     graft.core.Tables.documents(spark, TestSpark.sfSmoke)
       .createOrReplaceTempView("spread_spec_docs")
-    val plan = spark.sql(
+    val df = spark.sql(
       "SELECT * FROM substring_pairs('spread_spec_docs', 'doc_id', 'text', 10, 50)")
-      .queryExecution.analyzed.toString
-    assert(plan.contains("xxhash64"), "xxhash64 missing from the TVF digest path")
-    assert(!plan.toLowerCase.contains("sha2"), "sha2 left in the TVF digest path")
+    assert(scanRoots(df).exists(_.contains("graft_diskmemo")),
+      "TVF expansion does not read the DiskMemo digest artifact")
+    val plan = df.queryExecution.analyzed.toString
+    assert(!plan.contains("xxhash64") && !plan.toLowerCase.contains("sha2"),
+      "TVF expansion still re-runs a digest pipeline")
+    // cross-tier key parity: the TVF resolves to the SAME artifact its
+    // DataFrame twin reads (plan-keying strips the temp-view alias)
+    val twin = graft.ops.CurationOps.substringDupsOf(
+      graft.core.Tables.documents(spark, TestSpark.sfSmoke), "doc_id", "text", 10, 50)
+    assert(scanRoots(df).filter(_.contains("graft_diskmemo")).toSet ==
+      scanRoots(twin).filter(_.contains("graft_diskmemo")).toSet,
+      "TVF and DataFrame tiers resolved different artifacts")
+  }
+
+  test("the simhash_pairs TVF expansion reads the shared sketch artifact") {
+    // same contract for the sketch family: no token-explode + 60-column
+    // sketch agg in the expansion — one artifact scan + pair explode.
+    graft.core.Tables.documents(spark, TestSpark.sfSmoke)
+      .createOrReplaceTempView("spread_spec_docs_sh")
+    val df = spark.sql(
+      "SELECT * FROM simhash_pairs('spread_spec_docs_sh', 'doc_id', 'text', 60, 2)")
+    assert(scanRoots(df).exists(_.contains("graft_diskmemo")),
+      "TVF expansion does not read the DiskMemo sketch artifact")
+    assert(!df.queryExecution.analyzed.toString.toLowerCase.contains("sha2"),
+      "TVF expansion still re-runs the sketch pipeline")
+    val twin = graft.text.NearDup.simhashPairs(
+      graft.core.Tables.documents(spark, TestSpark.sfSmoke), "doc_id", "text",
+      bits = 60, maxDist = 2, blocking = "pigeonhole")
+    assert(scanRoots(df).filter(_.contains("graft_diskmemo")).toSet ==
+      scanRoots(twin).filter(_.contains("graft_diskmemo")).toSet,
+      "TVF and DataFrame tiers resolved different artifacts")
+  }
+
+  /** File-source root paths of every scan in `df`'s analyzed plan (the
+    * plan toString never prints locations). */
+  private def scanRoots(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    df.queryExecution.analyzed.collect {
+      case l: LogicalRelation => l.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+        case _ => Seq.empty[String]
+      }
+    }.flatten
   }
 }
