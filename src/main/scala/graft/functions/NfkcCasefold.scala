@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression: Unicode NFKC normalization + ROOT-locale
+  * lowercasing — the C4/Dolma-class pre-tokenization pass (round-14
+  * verdict "missing" item 1; reference stand-in: pandas
+  * `str.normalize('NFKC') + str.lower()`).
+  *
+  * NFKC folds compatibility variants a byte-level dedup/tokenizer would
+  * otherwise treat as distinct text: full-width Ａ→A, ligature ﬁ→fi,
+  * circled ①→1, combining sequences compose (e + U+0301 → é). The fold
+  * is `java.text.Normalizer` — deterministic, JVM-stable, row-local —
+  * followed by `toLowerCase(Locale.ROOT)` (locale-pinned: the default
+  * locale would turn I→ı on a Turkish-locale executor).
+  *
+  * Registered as SQL `nfkc_casefold(s)` via [[GraftExtensions]]; the
+  * Scala surface is `graft.api`'s normalizeNfkc. Codegen is a direct
+  * static-style call on the companion — stays inside whole-stage
+  * codegen, no UDF wrapper, no serialization boundary: at 100 TB this
+  * fuses into the scan like any other string function. */
+case class NfkcCasefold(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nfkc_casefold expects a string argument, got ${other.catalogString}")
+  }
+  override def dataType: DataType = child.dataType
+  override def prettyName: String = "nfkc_casefold"
+
+  override def nullSafeEval(s: Any): Any =
+    NfkcCasefold.normalize(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.NfkcCasefold$$.MODULE$$.normalize($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NfkcCasefold =
+    copy(child = newChild)
+}
+
+object NfkcCasefold {
+  /** NFKC + Locale.ROOT lowercase over UTF8String — the eval/codegen
+    * shared kernel. Already-normalized ASCII short-circuits through
+    * Normalizer.isNormalized's fast path inside the JDK. */
+  def normalize(s: UTF8String): UTF8String =
+    UTF8String.fromString(
+      java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFKC)
+        .toLowerCase(java.util.Locale.ROOT))
+}

@@ -1227,6 +1227,81 @@ object VecOps {
               |        / cast(count(*) as double), 4) AS acc
               |FROM pred GROUP BY qlabel ORDER BY label""".stripMargin),
     ),
+    // The SCALE PATH for the k-NN eval (round-14 verdict item 4 —
+    // sim_knn_classify was the one ANN family member without a pruned
+    // twin): the SAME leave-self-out 10-NN vote, but candidates come
+    // only from the query's IVF cell plus its 4 Hamming-1 neighbor
+    // cells (the sim_cosine_ivf_nprobe knob, nprobe=5/16) — the corpus
+    // side is cell-pruned BEFORE any scoring, so the eval reads
+    // ~5/16 of corpus×panel instead of all of it, and at 100 TB the
+    // probed cells are partition keys. Vote/rank determinism rules
+    // identical to sim_knn_classify; AnnSpec measures accuracy
+    // against the full eval side by side.
+    OpSpec(
+      "sim_knn_classify_ivf",
+      (s, d) => {
+        val v = T.embeddings(s, d)
+          .select(col("vec_id"), col("label"), expr(cellExpr).as("cell"),
+            expr("transform(embedding, x -> cast(x as double))").as("e"))
+          .filter(nonZeroVec("e")) // cosine contract: zero vectors excluded
+        val q = v.filter(col("vec_id") < 50)
+          .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+            col("cell").as("qcell"), col("e").as("qe"))
+        val probed = col("cell") === col("qcell") ||
+          (0 until 4).map(b => col("cell") === (col("qcell").bitwiseXOR(1L << b)))
+            .reduce(_ || _)
+        val scored = v.join(broadcast(q), probed && col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("qlabel"), col("vec_id"), col("label"),
+            P.r4(dot("e", "qe") /
+              (sqrt(dot("e", "e")) * sqrt(dot("qe", "qe")))).as("cos_sim"))
+        val byQ = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(desc("cos_sim"), col("vec_id"))
+        val byVote = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(desc("n_votes"), col("label"))
+        val pred = scored
+          .withColumn("rk", row_number().over(byQ)).filter(col("rk") <= 10)
+          .groupBy("qid", "qlabel", "label")
+          .agg(count(lit(1)).as("n_votes"))
+          .withColumn("vr", row_number().over(byVote)).filter(col("vr") === 1)
+        pred.groupBy("qlabel")
+          .agg(count(lit(1)).as("n_q"),
+            sum(when(col("label") === col("qlabel"), 1L).otherwise(0L))
+              .as("n_correct"))
+          .select(col("qlabel").cast("int").as("label"), col("n_q"),
+            col("n_correct"),
+            P.r4(col("n_correct").cast("double") / col("n_q").cast("double"))
+              .as("acc"))
+          .orderBy("label")
+      },
+      Some(s"""WITH v AS (SELECT vec_id, label, $cellSql AS cell,
+              |  embedding::DOUBLE[] AS e FROM embeddings),
+              |q AS (SELECT vec_id AS qid, label AS qlabel, cell AS qcell, e AS qe
+              |      FROM v WHERE vec_id < 50),
+              |scored AS (
+              |  SELECT q.qid, q.qlabel, v.vec_id, v.label,
+              |    round(${dotDuck("e", "qe")} /
+              |      (sqrt(${dotDuck("e", "e")}) * sqrt(${dotDuck("qe", "qe")})), 4) AS cos_sim
+              |  FROM v, q
+              |  WHERE v.vec_id <> q.qid
+              |    AND (v.cell = q.qcell OR v.cell = xor(q.qcell, 1)
+              |         OR v.cell = xor(q.qcell, 2) OR v.cell = xor(q.qcell, 4)
+              |         OR v.cell = xor(q.qcell, 8))),
+              |nn AS (SELECT qid, qlabel, label FROM (
+              |    SELECT qid, qlabel, label,
+              |      row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rk
+              |    FROM scored) WHERE rk <= 10),
+              |votes AS (SELECT qid, qlabel, label, count(*) AS n_votes
+              |          FROM nn GROUP BY qid, qlabel, label),
+              |pred AS (SELECT qid, qlabel, label AS pred_label FROM (
+              |    SELECT qid, qlabel, label,
+              |      row_number() OVER (PARTITION BY qid ORDER BY n_votes DESC, label) AS vr
+              |    FROM votes) WHERE vr = 1)
+              |SELECT cast(qlabel as int) AS label, count(*) AS n_q,
+              |  cast(sum(CASE WHEN pred_label = qlabel THEN 1 ELSE 0 END) as bigint) AS n_correct,
+              |  round(cast(sum(CASE WHEN pred_label = qlabel THEN 1 ELSE 0 END) as double)
+              |        / cast(count(*) as double), 4) AS acc
+              |FROM pred GROUP BY qlabel ORDER BY label""".stripMargin),
+    ),
   ) ++ mmrOps
 
   /** Maximal Marginal Relevance (Carbonell & Goldstein 1998) top-k:

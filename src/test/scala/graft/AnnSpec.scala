@@ -279,6 +279,65 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF-pruned knn vote equals a cell-pruned re-derivation and measures against the full eval") {
+    // sim_knn_classify_ivf (round-15): the same leave-self-out vote
+    // over nprobe=5 sign-quantizer cells. Re-derive every vote with
+    // the pruning applied, then read the accuracy DIAL against the
+    // full eval — on near-isotropic embeddings both sit at the uniform
+    // prior, and what must be exact is the accounting.
+    def r4(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    val all = graft.core.Tables.embeddings(spark, TestSpark.sfSmoke)
+      .selectExpr("vec_id", "label", "transform(embedding, x -> cast(x as double)) AS e")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    def dot(a: Array[Double], b: Array[Double]) = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }; acc
+    }
+    def cell(e: Array[Double]): Int =
+      (0 until 4).map(i => if (e(i) > 0) 1 << i else 0).sum
+    var candRows = 0L
+    val expected = all.filter(_._1 < 50).map { case (qid, qlabel, qe) =>
+      val probes = Set(0, 1, 2, 4, 8).map(_ ^ cell(qe))
+      val cands = all.filter(v => v._1 != qid && probes.contains(cell(v._3)))
+      candRows += cands.length
+      val top10 = cands
+        .map { case (id, lbl, e) =>
+          (id, lbl, r4(dot(e, qe) / (math.sqrt(dot(e, e)) * math.sqrt(dot(qe, qe)))))
+        }
+        .sortBy { case (id, _, cos) => (-cos, id) }.take(10)
+      val pred = top10.groupBy(_._2).view.mapValues(_.length).toSeq
+        .sortBy { case (lbl, n) => (-n, lbl) }.head._1
+      (qlabel, pred)
+    }
+    val perLabel = expected.groupBy(_._1).view.mapValues { ps =>
+      (ps.length.toLong, ps.count { case (t, p) => t == p }.toLong)
+    }.toMap
+    val rows = ops.Registry.queries("sim_knn_classify_ivf")(spark, TestSpark.sfSmoke)
+      .collect()
+    assert(rows.map(_.getLong(1)).sum == 50L, "panel must be exactly 50 queries")
+    assert(rows.length == perLabel.size)
+    rows.foreach { r =>
+      val (lbl, nQ, nC, acc) =
+        (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      val (eQ, eC) = perLabel(lbl)
+      assert(nQ == eQ && nC == eC, s"label $lbl: ($nQ,$nC) != expected ($eQ,$eC)")
+      assert(acc == r4(nC.toDouble / nQ))
+    }
+    // the pruning is REAL: nprobe=5/16 cells reads well under half of
+    // the full eval's corpus×panel candidate mass
+    assert(candRows < 50L * all.length / 2,
+      s"cell pruning did not engage ($candRows candidate rows)")
+    // and the accuracy dial sits near the full eval (uniform prior on
+    // this corpus): overall |ivf − full| within 0.2
+    val full = ops.Registry.queries("sim_knn_classify")(spark, TestSpark.sfSmoke)
+      .collect()
+    def overall(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(_.getLong(2)).sum.toDouble / rs.map(_.getLong(1)).sum
+    assert(math.abs(overall(rows) - overall(full)) <= 0.2)
+  }
+
   test("MMR top-5 replays the greedy diversify loop exactly") {
     def r4(x: Double) = java.math.BigDecimal.valueOf(x)
       .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()

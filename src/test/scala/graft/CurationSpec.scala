@@ -13,6 +13,27 @@ class CurationSpec extends AnyFunSuite {
 
   private def docs = graft.core.Tables.documents(spark, TestSpark.sfSmoke)
 
+  test("nfkc_casefold folds width variants, ligatures, circled digits and combining sequences") {
+    // the fixture the gated seed can't fully reach: each class checked
+    // individually, plus composed≡decomposed equality and the ROOT
+    // locale pin (I → i, never Turkish dotless ı)
+    def fold(s: String): String = Seq((s, 1)).toDF("t", "i")
+      .normalizeNfkc("t", "n").select("n").head.getString(0)
+    assert(fold("ＡＢａ") == "aba")          // full-width
+    assert(fold("ﬁsh ﬂow") == "fish flow")     // ligatures
+    assert(fold("①②⑩") == "1210")         // circled digits
+    assert(fold("Café") == "café")            // combining composes
+    assert(fold("Café") == fold("Café"))      // composed ≡ decomposed
+    assert(fold("Ångström") == "ångström")
+    assert(fold("½") == "1⁄2")                 // vulgar fraction
+    assert(fold("IJK") == "ijk")                         // ROOT locale
+    assert(fold("plain ascii 123") == "plain ascii 123") // fixpoint on ASCII
+    // NULL propagates (null-intolerant unary expression)
+    val n = Seq(("x", 1)).toDF("t", "i")
+      .select(expr("nfkc_casefold(cast(null as string))").as("n")).head
+    assert(n.isNullAt(0))
+  }
+
   test("tokenBudgetSample keeps a per-group prefix under the budget") {
     val out = docs.tokenBudgetSample("source", "doc_id", "text", 500L).collect()
     assert(out.nonEmpty)

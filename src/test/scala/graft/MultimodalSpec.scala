@@ -20,6 +20,34 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("the gated multimodal_bytes_profile payload IS syntheticWav, byte for byte, and the real parser decodes it") {
+    // the round-15 gated byte-tier row builds its binary column from
+    // doc_id IN-QUERY (DuckDB can't decode media, but it can hash
+    // bytes); this test closes the loop the gate can't: the expression
+    // emits a REAL RIFF/WAVE container equal to the codec fixture
+    // generator, and decodeWav (via extractFeatures) parses it — rate,
+    // channels, sample count all land where the generator put them.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rows = spark.range(0, 8).toDF("doc_id")
+      .select(col("doc_id"), expr(graft.ops.LlmOps.wavPayloadSqlExpr).as("payload"))
+      .collect()
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val n = 16 * (1 + (id % 4).toInt)
+      assert(r.getAs[Array[Byte]](1).sameElements(
+        Multimodal.syntheticWav(id, nFrames = n)), s"doc $id bytes differ")
+    }
+    val media = spark.createDataset(rows.toSeq.map(r =>
+      Multimodal.MediaRow(r.getLong(0), "audio", r.getAs[Array[Byte]](1),
+        Multimodal.MediaMeta(0, 0, "wav"))))
+    Multimodal.extractFeatures(media).collect().sortBy(_.media_id).foreach { f =>
+      val n = 16 * (1 + (f.media_id % 4).toInt)
+      assert(f.features(0) == 8000f && f.features(1) == 1f &&
+        f.features(2) == n.toFloat, s"media ${f.media_id} did not decode as PCM-16 WAV")
+    }
+  }
+
   test("real image codec: exact dimensions and channel stats from a pinned PNG") {
     import spark.implicits._
     val img = new java.awt.image.BufferedImage(
