@@ -400,6 +400,31 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("exchange budget of the 10 most expensive bench keys (regression guard)") {
+    // round-14 verdict item 7: the re-plan rounds kept proving these
+    // shapes by hand — pin them. Budgets are the MEASURED Exchange
+    // counts of the round-15 plans (local, smoke corpus); an added
+    // shuffle anywhere in these pipelines fails this test by design.
+    // (Counts are plan-shape, not data-size: broadcasts, DiskMemo
+    // artifact scans and in-group pair explodes contribute zero.)
+    val budget = Seq(
+      "dedup_ngram_jaccard" -> 1,
+      "dedup_substring_exact" -> 3,
+      "dedup_substring_survivors" -> 3,
+      "store_rollup_incremental" -> 1,
+      "store_read_pruned" -> 2,
+      "dedup_substring_tvf" -> 3,
+      "sample_token_budget_bpe" -> 6,
+      "dedup_simhash_pairs_tvf" -> 3,
+      "sim_mmr_topk" -> 1,
+      "dedup_minhash_lsh" -> 9)
+    val over = budget.flatMap { case (k, n) =>
+      val got = "Exchange ".r.findAllIn(plan(k)).size
+      if (got > n) Some(s"$k: $got exchanges > budget $n") else None
+    }
+    assert(over.isEmpty, over.mkString("; "))
+  }
+
   test("no CartesianProduct outside the deliberate cross/pairs queries") {
     val allowed = Set("join_cross", "sim_cosine_topk", "text_tfidf")
     val offenders = Registry.all
