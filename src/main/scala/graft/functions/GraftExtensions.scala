@@ -288,19 +288,40 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
              |   FROM $sketchSrc
              |   LATERAL VIEW explode(array(
              |       $structs)) _t AS _p)""".stripMargin
+        // Pair generation, two spellings:
+        //  - artifact-backed + UNCAPPED (the default): a (pid, pv)
+        //    SELF-JOIN of the exploded parts — exactly the DataFrame
+        //    twin's pigeonhole plan. The round-12 reason for avoiding
+        //    the self-join (it spliced and COMPUTED the inline sketch
+        //    agg twice) is gone once both sides scan the parquet
+        //    artifact, and the self-join spreads a hot bucket's
+        //    Θ(|bucket|²) pairs across tasks where the in-bucket
+        //    collect+explode concentrated them on ONE task (measured
+        //    at sf3's 150k-doc vocab-31 corpus: 22.8 s in-bucket vs
+        //    2.2 s for the twin's self-join).
+        //  - max_df-capped or inline fallback: the in-bucket
+        //    collect+explode (the cap is a bucket-occupancy bound —
+        //    only expressible where the bucket is materialized).
         TvfSql.parse(
-          s"""SELECT DISTINCT _q.l.id AS a, _q.r.id AS b,
-             |  cast(bit_count(_q.l.h ^ _q.r.h) as bigint) AS hamming
-             |FROM (
-             |  SELECT explode(flatten(transform(sequence(1, size(_g) - 1),
-             |    i -> transform(slice(_g, i + 1, size(_g) - i),
-             |         y -> named_struct('l', element_at(_g, i), 'r', y))))) AS _q
-             |  FROM (
-             |    SELECT array_sort(collect_list(named_struct('id', _id, 'h', _h))) AS _g
-             |    FROM $parts _pp GROUP BY _pid, _pv)
-             |  WHERE size(_g) ${
-               if (maxDf == Int.MaxValue) ">= 2" else s"BETWEEN 2 AND $maxDf"})
-             |WHERE bit_count(_q.l.h ^ _q.r.h) <= $maxDist""".stripMargin)
+          if (artifact.isDefined && maxDf == Int.MaxValue)
+            s"""SELECT DISTINCT x._id AS a, y._id AS b,
+               |  cast(bit_count(x._h ^ y._h) as bigint) AS hamming
+               |FROM $parts x JOIN $parts y
+               |  ON x._pid = y._pid AND x._pv = y._pv AND x._id < y._id
+               |WHERE bit_count(x._h ^ y._h) <= $maxDist""".stripMargin
+          else
+            s"""SELECT DISTINCT _q.l.id AS a, _q.r.id AS b,
+               |  cast(bit_count(_q.l.h ^ _q.r.h) as bigint) AS hamming
+               |FROM (
+               |  SELECT explode(flatten(transform(sequence(1, size(_g) - 1),
+               |    i -> transform(slice(_g, i + 1, size(_g) - i),
+               |         y -> named_struct('l', element_at(_g, i), 'r', y))))) AS _q
+               |  FROM (
+               |    SELECT array_sort(collect_list(named_struct('id', _id, 'h', _h))) AS _g
+               |    FROM $parts _pp GROUP BY _pid, _pv)
+               |  WHERE size(_g) ${
+                 if (maxDf == Int.MaxValue) ">= 2" else s"BETWEEN 2 AND $maxDf"})
+               |WHERE bit_count(_q.l.h ^ _q.r.h) <= $maxDist""".stripMargin)
       }))
     // Sliding-window exact-substring pair mining from SQL text — the
     // substring family's SQL entry (DataFrame path:
