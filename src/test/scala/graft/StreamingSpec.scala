@@ -110,6 +110,13 @@ class StreamingSpec extends AnyFunSuite {
     val (sQ, bQ) = roundTrip("t_qual")(df =>
       graft.text.TextOps.qualityOf(df, "doc_id", "text"))
     assert(sQ.nonEmpty && sQ == bQ)
+    // round-15 row-local op: NFKC+casefold fuses into the stream the
+    // same way (stateless select — stream == batch bit-exactly)
+    val (sN, bN) = roundTrip("t_nfkc") { df =>
+      import graft.api.syntax._
+      df.normalizeNfkc("text", "nt").select("doc_id", "nt")
+    }
+    assert(sN.nonEmpty && sN == bN)
   }
 
   test("streaming dedup drops the duplicate, keeps the original") {
