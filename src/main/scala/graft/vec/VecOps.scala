@@ -1244,13 +1244,21 @@ object VecOps {
           .select(col("vec_id"), col("label"), expr(cellExpr).as("cell"),
             expr("transform(embedding, x -> cast(x as double))").as("e"))
           .filter(nonZeroVec("e")) // cosine contract: zero vectors excluded
-        val q = v.filter(col("vec_id") < 50)
+        // probe rows EXPLODED (qid × 5 cells) so the candidate join is
+        // a broadcast HASH join on the cell key — not the OR-predicate
+        // nested loop a disjunction compiles to. At 100 TB the cell is
+        // the corpus partition key and the 250-row probe table hashes
+        // against it; PlanShapeSpec pins the equi-join.
+        val qprobes = v.filter(col("vec_id") < 50)
           .select(col("vec_id").as("qid"), col("label").as("qlabel"),
-            col("cell").as("qcell"), col("e").as("qe"))
-        val probed = col("cell") === col("qcell") ||
-          (0 until 4).map(b => col("cell") === (col("qcell").bitwiseXOR(1L << b)))
-            .reduce(_ || _)
-        val scored = v.join(broadcast(q), probed && col("vec_id") =!= col("qid"))
+            col("e").as("qe"), col("cell").as("qcell"))
+          .select(col("qid"), col("qlabel"), col("qe"), col("qcell"),
+            explode(array(
+              (lit(0L) +: (0 until 4).map(b => lit(1L << b))): _*)).as("flip"))
+          .select(col("qid"), col("qlabel"), col("qe"),
+            col("qcell").bitwiseXOR(col("flip")).as("cell"))
+        val scored = v.join(broadcast(qprobes), Seq("cell"))
+          .filter(col("vec_id") =!= col("qid"))
           .select(col("qid"), col("qlabel"), col("vec_id"), col("label"),
             P.r4(dot("e", "qe") /
               (sqrt(dot("e", "e")) * sqrt(dot("qe", "qe")))).as("cos_sim"))

@@ -400,6 +400,15 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("sim_knn_classify_ivf candidates come from a broadcast HASH join on the cell key") {
+    // the probe rows are exploded (qid × 5 cells) precisely so the
+    // candidate join hashes on cell — an OR-of-equalities predicate
+    // would compile to a BroadcastNestedLoopJoin over corpus×panel
+    val p = plan("sim_knn_classify_ivf")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("exchange budget of the 10 most expensive bench keys (regression guard)") {
     // round-14 verdict item 7: the re-plan rounds kept proving these
     // shapes by hand — pin them. Budgets are the MEASURED Exchange
