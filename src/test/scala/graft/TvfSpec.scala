@@ -131,6 +131,26 @@ class TvfSpec extends AnyFunSuite {
     viaSql.zip(viaApi).foreach { case (a, b) => assert(a == b, s"$a vs $b") }
   }
 
+  test("TVF inline fallback: a STREAMING view expands to the full pipeline (no artifact can back it)") {
+    // the artifact-parity path requires a materializable batch frame;
+    // a streaming view must fall back to the inline digest/sketch
+    // pipeline and still analyze cleanly
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    ms.toDS().toDF("doc_id", "text").createOrReplaceTempView("tvf_spec_stream")
+    val sub = spark.sql(
+      "SELECT * FROM substring_pairs('tvf_spec_stream', 'doc_id', 'text', 5, 10)")
+    assert(sub.isStreaming)
+    val subPlan = sub.queryExecution.analyzed.toString
+    assert(subPlan.contains("xxhash64"), "streaming fallback lost the inline digest pipeline")
+    val sh = spark.sql(
+      "SELECT * FROM simhash_pairs('tvf_spec_stream', 'doc_id', 'text', 24, 2)")
+    assert(sh.isStreaming)
+    assert(sh.queryExecution.analyzed.toString.toLowerCase.contains("sha2"),
+      "streaming fallback lost the inline sketch pipeline")
+  }
+
   test("simhash_pairs TVF optional max_df caps a manufactured hot bucket") {
     import spark.implicits._
     // 12 near-identical docs (one shared template) land in ONE
