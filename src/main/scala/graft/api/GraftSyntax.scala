@@ -518,11 +518,11 @@ object syntax {
       ewmMean(2.0 / (span + 1.0), valueCol, orderCol, by, as)
     }
 
-    /** pandas `ewm(com=…)` spelling: α = 1/(1+com) (com ≥ 0, strict
-      * so α < 1 needs com > 0). */
+    /** pandas `ewm(com=…)` spelling: α = 1/(1+com), com ≥ 0 (com = 0
+      * is pandas-valid and maps to the α = 1 degenerate). */
     def ewmMeanCom(com: Double, valueCol: String, orderCol: String,
                    by: Seq[String], as: String): DataFrame = {
-      require(com > 0, s"com must be > 0, got $com")
+      require(com >= 0, s"com must be >= 0, got $com")
       ewmMean(1.0 / (1.0 + com), valueCol, orderCol, by, as)
     }
 
@@ -533,10 +533,11 @@ object syntax {
       ewmStd(2.0 / (span + 1.0), valueCol, orderCol, by, as)
     }
 
-    /** `ewm(com=…).std()` — [[ewmStd]] under the com spelling. */
+    /** `ewm(com=…).std()` — [[ewmStd]] under the com spelling
+      * (com = 0 → the α = 1 all-NULL degenerate, like pandas NaN). */
     def ewmStdCom(com: Double, valueCol: String, orderCol: String,
                   by: Seq[String], as: String): DataFrame = {
-      require(com > 0, s"com must be > 0, got $com")
+      require(com >= 0, s"com must be >= 0, got $com")
       ewmStd(1.0 / (1.0 + com), valueCol, orderCol, by, as)
     }
 
@@ -1090,6 +1091,13 @@ object syntax {
       * — fuses into the scan, zero shuffle at any scale). */
     def normalizeNfkc(textCol: String, as: String): DataFrame =
       df.withColumn(as, call_function("nfkc_casefold", col(textCol)))
+
+    /** pandas `str.normalize(form)` — Unicode normalization to an
+      * explicit form (NFC/NFD/NFKC/NFKD), NO casefold (pandas doesn't
+      * lower-case here; [[normalizeNfkc]] is the curation composite).
+      * Row-local native expression, scan-fused. */
+    def normalizeUnicode(form: String, textCol: String, as: String): DataFrame =
+      df.withColumn(as, call_function("unicode_normalize", col(textCol), lit(form)))
 
     /** Deterministic per-group token-budget subsample: keep each
       * group's rows in Knuth-hash pseudo-random order until `budget`

@@ -67,6 +67,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("nfkc_casefold"),
       new ExpressionInfo(classOf[NfkcCasefold].getName, "nfkc_casefold"),
       (args: Seq[Expression]) => NfkcCasefold(args(0))))
+    ext.injectFunction((
+      new FunctionIdentifier("unicode_normalize"),
+      new ExpressionInfo(classOf[UnicodeNormalize].getName, "unicode_normalize"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "unicode_normalize(s, 'NFC'|'NFD'|'NFKC'|'NFKD')")
+        UnicodeNormalize(args(0), args(1))
+      }))
     ext.injectOptimizerRule(_ => DotProductRewrite)
     ext.injectOptimizerRule(_ => CosineRewrite)
     ext.injectOptimizerRule(_ => graft.plans.AsofRangePushdown)

@@ -53,3 +53,53 @@ object NfkcCasefold {
       java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFKC)
         .toLowerCase(java.util.Locale.ROOT))
 }
+
+/** The general pandas `str.normalize(form)` surface: Unicode
+  * normalization to an explicit form, NO casefold (pandas doesn't
+  * lower-case here — [[NfkcCasefold]] is the curation-pass composite).
+  * `form` must be a foldable string in {NFC, NFD, NFKC, NFKD},
+  * validated at analysis time so a typo fails the query, not a task.
+  * Registered as SQL `unicode_normalize(s, 'NFKC')`; Scala surface
+  * `df.normalizeUnicode(form, col, as)`. Same codegen shape as
+  * NfkcCasefold — row-local, scan-fused. */
+case class UnicodeNormalize(child: Expression, formExpr: Expression)
+    extends UnaryExpression {
+
+  private lazy val form: java.text.Normalizer.Form = {
+    val t = formExpr.eval() match {
+      case s: UTF8String => s.toString.toUpperCase(java.util.Locale.ROOT)
+      case other => String.valueOf(other)
+    }
+    java.text.Normalizer.Form.valueOf(t)
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (!child.dataType.isInstanceOf[StringType])
+      return TypeCheckResult.TypeCheckFailure(
+        s"unicode_normalize expects a string argument, got ${child.dataType.catalogString}")
+    if (!formExpr.foldable || !formExpr.dataType.isInstanceOf[StringType])
+      return TypeCheckResult.TypeCheckFailure(
+        "unicode_normalize's form must be a string literal")
+    val t = String.valueOf(formExpr.eval()).toUpperCase(java.util.Locale.ROOT)
+    if (!Set("NFC", "NFD", "NFKC", "NFKD").contains(t))
+      return TypeCheckResult.TypeCheckFailure(
+        s"unicode_normalize form must be NFC|NFD|NFKC|NFKD, got '$t'")
+    TypeCheckResult.TypeCheckSuccess
+  }
+  override def dataType: DataType = child.dataType
+  override def prettyName: String = "unicode_normalize"
+
+  override def nullSafeEval(s: Any): Any =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      s.asInstanceOf[UTF8String].toString, form))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val formRef = ctx.addReferenceObj("form", form, classOf[java.text.Normalizer.Form].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"java.text.Normalizer.normalize($c.toString(), $formRef))")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): UnicodeNormalize =
+    copy(child = newChild)
+}

@@ -955,5 +955,8 @@ class ApiSpec extends AnyFunSuite {
     // bias-corrected variance denominator is 0 → pandas NaN → NULL here
     val s = vals(ev.ewmStdSpan(1, "value", "event_id", Seq("user_id"), as = "e"), "e")
     assert(s.nonEmpty && s.forall(_ == null))
+    // com=0 is the same degenerate under the other spelling
+    assert(vals(ev.ewmMeanCom(0, "value", "event_id", Seq("user_id"), as = "e"), "e") == m)
+    assert(vals(ev.ewmStdCom(0, "value", "event_id", Seq("user_id"), as = "e"), "e") == s)
   }
 }

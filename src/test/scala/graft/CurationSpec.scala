@@ -34,6 +34,23 @@ class CurationSpec extends AnyFunSuite {
     assert(n.isNullAt(0))
   }
 
+  test("normalizeUnicode covers the four pandas str.normalize forms, no casefold") {
+    def norm(form: String, s: String): String = Seq((s, 1)).toDF("t", "i")
+      .normalizeUnicode(form, "t", "n").select("n").head.getString(0)
+    val composed = "Café"        // é = U+00E9
+    val decomposed = "Café"     // e + combining acute
+    assert(norm("NFC", decomposed) == composed)
+    assert(norm("NFD", composed) == decomposed)
+    assert(norm("NFKC", "ﬁ①") == "fi1")
+    assert(norm("NFKD", "ﬁ" + composed) == "fi" + decomposed)
+    // NO casefold — case is preserved (normalizeNfkc is the composite)
+    assert(norm("NFC", "ABC") == "ABC")
+    // an invalid form fails analysis loudly
+    intercept[Exception] {
+      Seq(("x", 1)).toDF("t", "i").normalizeUnicode("NFX", "t", "n").collect()
+    }
+  }
+
   test("tokenBudgetSample keeps a per-group prefix under the budget") {
     val out = docs.tokenBudgetSample("source", "doc_id", "text", 500L).collect()
     assert(out.nonEmpty)
