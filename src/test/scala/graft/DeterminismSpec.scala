@@ -126,7 +126,12 @@ class DeterminismSpec extends AnyFunSuite {
     "agg_prop_ztest_bh", "store_rollup_incremental",
     "agg_ttest_1samp", "agg_ttest_paired",
     "agg_mcnemar", "text_bigram_perplexity", "ts_esd_outliers",
-    "sim_mmr_topk")
+    "sim_mmr_topk",
+    // round 15: cell-pruned vote (rank + vote ties under a hash-join
+    // candidate order), binary-payload sha envelope + distinct count,
+    // the artifact-backed TVF pair spellings
+    "sim_knn_classify_ivf", "multimodal_bytes_profile",
+    "dedup_substring_tvf", "dedup_simhash_pairs_tvf")
 
   test("order-sensitive queries return identical results across runs") {
     val failures = sensitive.flatMap { key =>
