@@ -158,7 +158,11 @@ object syntax {
     * delimiters of) a single- or double-quoted string literal. Used by
     * [[pandasExprText]] and `eval`'s assignment splitter so quoted data
     * never triggers dialect rules. Unterminated literals mask to end of
-    * string (the SQL parser will produce the real error). */
+    * string (the SQL parser will produce the real error). Backslash
+    * escapes are NOT interpreted (Spark SQL's doubled-quote escaping
+    * masks correctly by construction — each half reads as a literal);
+    * a predicate needing `\'` inside a literal should use the other
+    * quote style. */
   private[graft] def literalMask(s: String): Array[Boolean] = {
     val mask = new Array[Boolean](s.length)
     var i = 0

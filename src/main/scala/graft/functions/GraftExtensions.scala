@@ -72,6 +72,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[UnicodeNormalize].getName, "unicode_normalize"),
       (args: Seq[Expression]) => {
         require(args.length == 2, "unicode_normalize(s, 'NFC'|'NFD'|'NFKC'|'NFKD')")
+        // form must arrive as a literal: it is not a child of the
+        // expression (the analyzer never resolves it), so a column
+        // reference here would surface as an UnresolvedException
+        // instead of this message
+        require(args(1).isInstanceOf[Literal],
+          "unicode_normalize's form must be a string literal")
         UnicodeNormalize(args(0), args(1))
       }))
     ext.injectOptimizerRule(_ => DotProductRewrite)
