@@ -39,13 +39,24 @@ object Bench {
     // driver never sets it — full registry runs by default)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // Per-key failures are caught so one broken key can't zero the
+    // whole artifact — but they are COUNTED and shipped (round-15
+    // lesson: a silently-swallowed ARITHMETIC_OVERFLOW made two
+    // "zero failures" envelope rows wrong; the error cost ~0 s so the
+    // total looked healthy while a key was down).
+    val failed = Seq.newBuilder[String]
     val results: Seq[(String, Double)] = ops.Registry.all
       .filter(op => only.forall(_.contains(op.key)))
       .map { op =>
       val t0 = System.nanoTime()
-      try { op.build(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { op.build(spark, sfDir).count() }
+      catch { case e: Throwable =>
+        failed += op.key
+        System.err.println(s"[bench] ${op.key} failed: ${e.getMessage}")
+      }
       op.key -> (System.nanoTime() - t0) / 1e9
     }
+    val failedKeys = failed.result()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
@@ -75,8 +86,11 @@ object Bench {
         s""""storage_mem_total":$memTotal,"cached_rdd_mem_bytes":$rddMem,""" +
         s""""cached_rdd_disk_bytes":$rddDisk,"cached_rdd_parts":$rddPartsCached,""" +
         s""""cached_rdd_parts_expected":$rddPartsTotal"""
+    val failJson = failedKeys.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","loadavg1m":$loadavg,$cov,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","loadavg1m":$loadavg,$cov,""" +
+        s""""failures":${failedKeys.length},"failed_keys":$failJson,""" +
+        s""""queries":$qs,"sf":"$sfDir"}"""
     // The driver truncates long stdout tails, losing most of the
     // per-query map from the shipped artifact; persist the full line
     // to a stable path as well (round-10 verdict item 6). Printed

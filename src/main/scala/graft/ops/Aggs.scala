@@ -1603,9 +1603,13 @@ object Aggs {
     // JARQUE–BERA normality test per group: JB = n/6·(S² + K²/4) from
     // the same population moments as agg_skew_kurt — skew/kurt are
     // SCALE-INVARIANT, so the moments run over exact integer CENTS
-    // (value·100) and every sum is exact (Σx⁴ as decimal(38,0) —
-    // 49002⁴ fits a long per element, never in the sum). One shared
-    // formula text end to end.
+    // (value·100) and every sum is exact. The per-element POWERS are
+    // computed in decimal (Spark) / hugeint (DuckDB), NOT int64: the
+    // corpus ceiling for x⁴ in a long is |cents| ≤ 55,108 and the
+    // regenerated round-15 sf0.1 corpus carries 56,021 — an int64
+    // x*x*x*x throws ARITHMETIC_OVERFLOW under ANSI in BOTH engines
+    // (56021⁴ ≈ 9.85e18 > 2⁶³−1; it fits decimal(38,0)/hugeint with
+    // 19 more digits of headroom). One shared formula text end to end.
     {
       val mean = "(s1 / n)"
       val m2 = s"(s2 / n - $mean * $mean)"
@@ -1622,14 +1626,18 @@ object Aggs {
         "agg_jarque_bera",
         (s, d) => {
           val xi = (col("value").cast("decimal(18,2)") * 100).cast("bigint")
+          val xd = xi.cast("decimal(19,0)")
+          val x2 = (xd * xd).cast("decimal(38,0)")
+          val x3 = (x2 * xd).cast("decimal(38,0)")
+          val x4 = (x3 * xd).cast("decimal(38,0)")
           T.events(s, d)
             .groupBy("event_type")
             .agg(
               count(lit(1)).cast("double").as("n"),
               sum(xi).cast("double").as("s1"),
-              sum((xi * xi).cast("decimal(38,0)")).cast("double").as("s2"),
-              sum((xi * xi * xi).cast("decimal(38,0)")).cast("double").as("s3"),
-              sum((xi * xi * xi * xi).cast("decimal(38,0)")).cast("double").as("s4"))
+              sum(x2).cast("double").as("s2"),
+              sum(x3).cast("double").as("s3"),
+              sum(x4).cast("double").as("s4"))
             .selectExpr("event_type", "cast(n as bigint) AS n_rows",
               s"round($sk, 4) AS skew", s"round($ku, 4) AS kurt",
               s"$jb AS jb")
@@ -1642,11 +1650,12 @@ object Aggs {
                 |  SELECT event_type,
                 |    cast(count(*) as double) AS n,
                 |    cast(sum(x) as double) AS s1,
-                |    cast(sum(x * x) as double) AS s2,
-                |    cast(sum(x * x * x) as double) AS s3,
-                |    cast(sum(x * x * x * x) as double) AS s4
+                |    cast(sum(xh * xh) as double) AS s2,
+                |    cast(sum(xh * xh * xh) as double) AS s3,
+                |    cast(sum(xh * xh * xh * xh) as double) AS s4
                 |  FROM (SELECT event_type,
-                |          cast(cast(value as decimal(18,2)) * 100 as bigint) AS x
+                |          cast(cast(value as decimal(18,2)) * 100 as bigint) AS x,
+                |          cast(cast(cast(value as decimal(18,2)) * 100 as bigint) as hugeint) AS xh
                 |        FROM events)
                 |  GROUP BY event_type)
                 |ORDER BY event_type""".stripMargin),
