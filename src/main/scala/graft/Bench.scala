@@ -45,19 +45,34 @@ object Bench {
     // "zero failures" envelope rows wrong; the error cost ~0 s so the
     // total looked healthy while a key was down).
     val failed = Seq.newBuilder[String]
-    val results: Seq[(String, Double)] = ops.Registry.all
+    // Per-key steal sampling (round-16, verdict item 3): the run-level
+    // steal delta proved decisive for attributing slow totals to the
+    // hypervisor; sampling /proc/stat around EACH key attributes a
+    // contended run at key granularity (which keys ate the stolen
+    // jiffies) instead of leaving the total's inflation anonymous.
+    // One ~50 µs file read per key — invisible at 400 keys.
+    val results: Seq[(String, Double, Long)] = ops.Registry.all
       .filter(op => only.forall(_.contains(op.key)))
       .map { op =>
+      val s0 = stealJiffies()
       val t0 = System.nanoTime()
       try { op.build(spark, sfDir).count() }
       catch { case e: Throwable =>
         failed += op.key
         System.err.println(s"[bench] ${op.key} failed: ${e.getMessage}")
       }
-      op.key -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      val s1 = stealJiffies()
+      (op.key, dt, if (s0 < 0 || s1 < 0) -1L else s1 - s0)
     }
     val failedKeys = failed.result()
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    // top-10 stolen keys ride the (truncation-exposed) stdout line;
+    // the full per-key steal map ships in target/bench_full.json
+    val stealTop = results.sortBy(-_._3).take(10)
+      .map { case (k, _, s) => s"\"" + k + "\":" + s }.mkString("{", ",", "}")
+    val stealAll = results.map { case (k, _, s) => s"\"" + k + "\":" + s }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // Post-run covariates (round-12 verdict item 7): storage-memory
@@ -90,15 +105,18 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","loadavg1m":$loadavg,$cov,""" +
         s""""failures":${failedKeys.length},"failed_keys":$failJson,""" +
+        s""""steal_top10":$stealTop,""" +
         s""""queries":$qs,"sf":"$sfDir"}"""
     // The driver truncates long stdout tails, losing most of the
     // per-query map from the shipped artifact; persist the full line
-    // to a stable path as well (round-10 verdict item 6). Printed
-    // BEFORE the metric line so that stays the final stdout line.
+    // (plus the FULL per-key steal map, too wide for stdout) to a
+    // stable path as well (round-10 verdict item 6). Printed BEFORE
+    // the metric line so that stays the final stdout line.
     try {
       val p = java.nio.file.Paths.get("target/bench_full.json")
       java.nio.file.Files.createDirectories(p.getParent)
-      java.nio.file.Files.write(p, line.getBytes("UTF-8"))
+      val fileLine = line.dropRight(1) + s""","steal_by_key":$stealAll}"""
+      java.nio.file.Files.write(p, fileLine.getBytes("UTF-8"))
       println(s"""{"metric":"bench_full_path","path":"${p.toAbsolutePath}"}""")
     } catch { case _: Throwable => () }
     println(line)

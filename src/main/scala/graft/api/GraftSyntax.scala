@@ -146,12 +146,27 @@ object syntax {
     require(!s.zipWithIndex.exists { case (c, i) => c == '@' && !mask(i) },
       s"'@variable' references are not supported (no Python environment) " +
         s"— inline the value: '$s'")
-    "(?i)(\\bin\\s*)\\[([^\\]]*)\\]".r
-      .replaceAllIn(s, m =>
-        if (mask(m.start) || mask(m.end - 1)) // keyword or bracket inside a literal
-          java.util.regex.Matcher.quoteReplacement(m.matched)
-        else java.util.regex.Matcher.quoteReplacement(
-          s"${m.group(1)}(${m.group(2)})"))
+    // The closing bracket is found by scanning FORWARD with the mask
+    // (first unmasked ']'), not by the regex — a '[^\]]*' span stops at
+    // a ']' INSIDE a quoted element ("x in ['a]b', 'c']") and would
+    // leave a legitimate list unrewritten (ADVICE round 15).
+    val inOpenRe = "(?i)\\bin\\s*\\[".r
+    val sb = new StringBuilder
+    var pos = 0
+    for (m <- inOpenRe.findAllMatchIn(s)) {
+      if (m.start >= pos && !mask(m.start)) { // keyword inside a literal is data
+        val open = m.end - 1
+        var close = open + 1
+        while (close < s.length && (mask(close) || s.charAt(close) != ']')) close += 1
+        if (close < s.length) {
+          sb.append(s.substring(pos, open)).append('(')
+            .append(s.substring(open + 1, close)).append(')')
+          pos = close + 1
+        }
+      }
+    }
+    sb.append(s.substring(pos))
+    sb.result()
   }
 
   /** Per-character flag: true where `s(i)` lies inside (or on the

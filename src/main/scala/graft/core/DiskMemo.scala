@@ -154,7 +154,29 @@ object DiskMemo {
       case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
         s"${l.data.length}:${l.data.map(_.hashCode()).mkString(",")}"
     }.mkString("|")
-    s"$rendered#$localData"
+    s"$rendered#$localData#${opaqueLeafIds(df)}"
+  }
+
+  /** Identity fold for leaves the key cannot otherwise discriminate
+    * (ADVICE round 15): a LogicalRDD / ExternalRDD from
+    * `createDataFrame(rdd, schema)` canonicalizes to nothing but its
+    * schema — two same-shape RDD-backed frames would share one digest
+    * and the second would silently read the first's rows. File sources
+    * are covered by [[sourceStamp]] and LocalRelation by the row-hash
+    * fold, so those contribute nothing here (sharing across identical
+    * constructions is preserved); every OTHER leaf folds a per-instance
+    * identity on the ORIGINAL analyzed plan, trading cross-construction
+    * sharing for correctness. Same-DataFrame re-persist still shares
+    * (same leaf objects → same ids). */
+  private def opaqueLeafIds(df: DataFrame): String = {
+    import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, OneRowRelation, Range => LRange}
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    df.queryExecution.analyzed.collectLeaves().flatMap {
+      case _: LocalRelation | _: OneRowRelation | _: LRange => Nil
+      case l: LogicalRelation if l.relation.isInstanceOf[
+        org.apache.spark.sql.execution.datasources.HadoopFsRelation] => Nil
+      case other => Seq(s"${other.nodeName}@${System.identityHashCode(other)}")
+    }.mkString(",")
   }
 
   /** Drop-in for `.cache()` on a deterministic batch frame: memoized on

@@ -53,6 +53,30 @@ object DotProductRewrite extends Rule[LogicalPlan] {
   *   // or .config("spark.sql.extensions", "graft.functions.GraftExtensions")
   * }}}
   */
+object GraftExtensions {
+  private val log = org.slf4j.LoggerFactory.getLogger(classOf[GraftExtensions])
+
+  /** Resolve-or-fallback for TVF artifact splicing (ADVICE round 15):
+    * an unresolvable view (AnalysisException from `table(view)`) is the
+    * DESIGNED fallback — return None and let the parsed inline SQL
+    * surface the standard analysis error. Any OTHER failure is a
+    * genuine artifact-build fault (disk full mid-parquet-write,
+    * executor loss) that must not be silently indistinguishable from
+    * "no artifact possible": log it loudly, then degrade to the inline
+    * pipeline so the query still answers — visibly slower, not wrong. */
+  private[functions] def tvfArtifact(tvf: String)(
+      resolve: => Option[String]): Option[String] =
+    try resolve
+    catch {
+      case _: org.apache.spark.sql.AnalysisException => None
+      case scala.util.control.NonFatal(e) =>
+        log.warn(s"$tvf: artifact build failed " +
+          s"(${e.getClass.getSimpleName}: ${e.getMessage}); degrading to " +
+          "the inline pipeline — every call re-pays the un-memoized cost", e)
+        None
+    }
+}
+
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
@@ -276,10 +300,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         // unresolvable table — the parsed SQL then surfaces the
         // standard analysis error).
         val artifact: Option[String] =
-          try graft.text.NearDup.simhashPath(
-            org.apache.spark.sql.SparkSession.active.table(view),
-            TvfSql.name(id), TvfSql.name(text), bits)
-          catch { case scala.util.control.NonFatal(_) => None }
+          GraftExtensions.tvfArtifact("simhash_pairs")(
+            graft.text.NearDup.simhashPath(
+              org.apache.spark.sql.SparkSession.active.table(view),
+              TvfSql.name(id), TvfSql.name(text), bits))
         val sketchSrc = artifact match {
           case Some(p) =>
             s"(SELECT `doc_id` AS _id, `simhash` AS _h FROM parquet.`$p`)"
@@ -375,10 +399,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         // exist (streaming view, unresolvable table — the parsed SQL
         // then surfaces the standard analysis error).
         val artifact: Option[String] =
-          try graft.ops.CurationOps.kgDistinctPath(
-            org.apache.spark.sql.SparkSession.active.table(view),
-            TvfSql.name(id), TvfSql.name(text), k)
-          catch { case scala.util.control.NonFatal(_) => None }
+          GraftExtensions.tvfArtifact("substring_pairs")(
+            graft.ops.CurationOps.kgDistinctPath(
+              org.apache.spark.sql.SparkSession.active.table(view),
+              TvfSql.name(id), TvfSql.name(text), k))
         val kgSrc = artifact match {
           case Some(p) =>
             s"(SELECT `doc_id` AS _id, `x` AS _x FROM parquet.`$p`)"

@@ -1061,28 +1061,27 @@ object TimeSeries {
     // pure power-of-two denominators, so exact 4-dp ties occur (round
     // split at row 56), and unrounded the engines' window-SUM
     // association differs in the last ulp (split at row 229). The fix
-    // is the ordered-fold device on the LITERAL recurrence: each row
-    // folds its running-frame prefix list left-to-right in both
-    // engines (Spark `aggregate` seeded with x₁ ≡ DuckDB
-    // `list_reduce`), making every intermediate bit-identical — no
-    // round needed. Deliberately single-series (user_id = 7, the
-    // single-partition-window policy): the prefix lists are O(n²)
-    // memory, the documented cost of exactness here; the linear-time
-    // general path is graft.udaf.Ewm / streaming transformWithState.
+    // is the ordered-fold device on the LITERAL recurrence: the oracle
+    // folds each prefix list left-to-right (DuckDB `list_reduce`) while
+    // Spark — LINEAR declared spelling since round 16 (verdict item 4)
+    // — runs graft.udaf.Ewm's flatMapGroups pass: one shuffle on the
+    // key, one ordered O(n) pass per series. Both execute the same two
+    // exact-by-0.5 products per step and IEEE addition is commutative,
+    // so every intermediate is bit-identical — no round needed. (The
+    // old O(n²) prefix-fold Spark spelling survives only as the
+    // oracle's windowed-SQL form; EwmSpec pins the bit-equality.)
+    // Single series (user_id = 7) kept so the oracle row set is
+    // unchanged; the same code is partition-parallel across keys
+    // (ts_ewm_linear declares the 10-key form).
     OpSpec(
       "ts_ewm_adjust_false",
-      (s, d) => {
-        val cum = Window.partitionBy("user_id").orderBy("event_id")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ev(s, d)
-          .filter(col("user_id") === 7)
-          .withColumn("l", collect_list(col("value")).over(cum))
-          .select(col("event_id"),
-            expr("""aggregate(slice(l, 2, size(l) - 1), element_at(l, 1),
-                   |  (acc, x) -> 0.5D * acc + 0.5D * x)""".stripMargin)
-              .as("ewm_value"))
-          .orderBy("event_id")
-      },
+      (s, d) =>
+        graft.udaf.Ewm.ewmDf(
+            ev(s, d).filter(col("user_id") === 7)
+              .select("user_id", "event_id", "value"),
+            alpha = 0.5, adjusted = false)
+          .select(col("event_id"), col("ewm").as("ewm_value"))
+          .orderBy("event_id"),
       Some("""SELECT event_id,
              |  list_reduce(l, (acc, x) -> 0.5 * acc + 0.5 * x) AS ewm_value
              |FROM (SELECT event_id,
@@ -1176,33 +1175,24 @@ object TimeSeries {
     ),
     // Holt's linear-trend exponential smoothing (α=.3, β=.1, b₁=0) —
     // the forecasting staple one step past the EWM family: a COUPLED
-    // two-state recursion (level, trend), carried per row by the
-    // prefix-fold device with a STRUCT accumulator (Spark aggregate
-    // allows acc type ≠ element type). The oracle runs the SAME
-    // recursion as a linear recursive CTE — different spelling, the
-    // identical IEEE op sequence, so the chain is bit-exact and
-    // emitted UNROUNDED. Single-series by the documented O(n²)
-    // prefix-fold policy (ts_ewm_adjust_false's); the linear path for
-    // many keys is a flatMapGroups Aggregator (udaf/Ewm precedent).
+    // two-state recursion (level, trend). LINEAR declared spelling
+    // since round 16 (verdict item 4): graft.udaf.Holt's flatMapGroups
+    // pass — one shuffle on the key, one ordered O(n) pass per series
+    // — while the oracle runs the SAME recursion as a linear recursive
+    // CTE: the identical IEEE op sequence (complements as literals),
+    // so the chain is bit-exact and emitted UNROUNDED. Single series
+    // (user_id = 7) kept so the oracle row set is unchanged;
+    // ts_holt_linear_keyed declares the partition-parallel 10-key form.
     OpSpec(
       "ts_holt_linear",
-      (s, d) => {
-        val cum = Window.partitionBy("user_id").orderBy("event_id")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ev(s, d)
-          .filter(col("user_id") === 7)
-          .withColumn("pl", collect_list(col("value")).over(cum))
-          .select(col("event_id"),
-            expr("""aggregate(slice(pl, 2, size(pl) - 1),
-                   |  named_struct('l', element_at(pl, 1), 'b', CAST(0.0 AS DOUBLE)),
-                   |  (acc, x) -> named_struct(
-                   |    'l', 0.3D * x + 0.7D * (acc.l + acc.b),
-                   |    'b', 0.1D * (0.3D * x + 0.7D * (acc.l + acc.b) - acc.l) + 0.9D * acc.b))""".stripMargin)
-              .as("st"))
-          .select(col("event_id"), col("st.l").as("level"), col("st.b").as("trend"),
-            (col("st.l") + col("st.b")).as("forecast_next"))
-          .orderBy("event_id")
-      },
+      (s, d) =>
+        graft.udaf.Holt.holtDf(
+            ev(s, d).filter(col("user_id") === 7)
+              .select("user_id", "event_id", "value"),
+            alpha = 0.3, omAlpha = 0.7, beta = 0.1, omBeta = 0.9)
+          .select(col("event_id"), col("level"), col("trend"),
+            (col("level") + col("trend")).as("forecast_next"))
+          .orderBy("event_id"),
       Some("""WITH RECURSIVE s AS (
              |  SELECT cast(row_number() OVER (ORDER BY event_id) as bigint) AS i,
              |    event_id, value AS x
@@ -1222,39 +1212,28 @@ object TimeSeries {
     // HOLT-WINTERS additive (α=.3, β=.1, γ=.05, season m=24) — the
     // classical seasonal forecaster completing the exponential family
     // (EWM → Holt → HW). THREE coupled states per step: level, trend,
-    // and a 24-slot seasonal vector carried as a ROTATING array inside
-    // the struct accumulator (head = the step's seasonal, rotate-and-
-    // append writes the updated one) — the prefix-fold device extended
-    // to vector state. The oracle runs the identical recursion as a
-    // recursive CTE over LIST(DOUBLE) (sv[2:24] || [s1']), the same
-    // IEEE op sequence op-for-op, so level/trend/seasonal/forecast all
-    // go out UNROUNDED and bit-exact. Single-series by the documented
-    // O(n²) prefix-fold policy; the keyed linear path is the same
-    // flatMapGroups pattern as udaf/Holt.
+    // and a 24-slot seasonal vector (a rotating queue). LINEAR declared
+    // spelling since round 16 (verdict item 4): graft.udaf.HoltWinters'
+    // flatMapGroups pass — one shuffle on the key, one ordered O(n·m)
+    // pass per series — while the oracle runs the identical recursion
+    // as a recursive CTE over LIST(DOUBLE) (sv[2:24] || [s1']), the
+    // same IEEE op sequence op-for-op, so level/trend/seasonal/forecast
+    // all go out UNROUNDED and bit-exact. Single series (user_id = 7)
+    // kept so the oracle row set is unchanged; ts_holt_winters_keyed
+    // declares the partition-parallel 10-key form.
     OpSpec(
       "ts_holt_winters",
-      (s, d) => {
-        val cum = Window.partitionBy("user_id").orderBy("event_id")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ev(s, d)
-          .filter(col("user_id") === 7)
-          .withColumn("pl", collect_list(col("value")).over(cum))
-          .select(col("event_id"),
-            expr(s"""aggregate(slice(pl, 2, size(pl) - 1),
-                   |  named_struct('l', element_at(pl, 1), 'b', CAST(0.0 AS DOUBLE),
-                   |    's', transform(sequence(1, 24), i -> CAST(0.0 AS DOUBLE))),
-                   |  (acc, x) -> named_struct(
-                   |    'l', $hwL,
-                   |    'b', 0.1D * (($hwL) - acc.l) + 0.9D * acc.b,
-                   |    's', concat(slice(acc.s, 2, 23),
-                   |           array(0.05D * (x - ($hwL)) + 0.95D * element_at(acc.s, 1)))))""".stripMargin)
-              .as("st"))
-          .select(col("event_id"), col("st.l").as("level"), col("st.b").as("trend"),
-            expr("element_at(st.s, 1)").as("seasonal_next"),
-            (col("st.l") + col("st.b") + expr("element_at(st.s, 1)"))
+      (s, d) =>
+        graft.udaf.HoltWinters.holtWintersDf(
+            ev(s, d).filter(col("user_id") === 7)
+              .select("user_id", "event_id", "value"),
+            m = 24, alpha = 0.3, omAlpha = 0.7, beta = 0.1, omBeta = 0.9,
+            gamma = 0.05, omGamma = 0.95)
+          .select(col("event_id"), col("level"), col("trend"),
+            col("seasonal_next"),
+            (col("level") + col("trend") + col("seasonal_next"))
               .as("forecast_next"))
-          .orderBy("event_id")
-      },
+          .orderBy("event_id"),
       Some(s"""WITH RECURSIVE s AS (
               |  SELECT cast(row_number() OVER (ORDER BY event_id) as bigint) AS i,
               |    event_id, value AS x

@@ -1204,7 +1204,8 @@ object VecOps {
               .as("acc"))
           .orderBy("label")
       },
-      Some(s"""WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+      Some(s"""WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+              |  WHERE len(list_filter(embedding::DOUBLE[], x -> x <> 0)) > 0),
               |q AS (SELECT vec_id AS qid, label AS qlabel, e AS qe FROM v WHERE vec_id < 50),
               |scored AS (
               |  SELECT q.qid, q.qlabel, v.vec_id, v.label,
@@ -1282,7 +1283,8 @@ object VecOps {
           .orderBy("label")
       },
       Some(s"""WITH v AS (SELECT vec_id, label, $cellSql AS cell,
-              |  embedding::DOUBLE[] AS e FROM embeddings),
+              |  embedding::DOUBLE[] AS e FROM embeddings
+              |  WHERE len(list_filter(embedding::DOUBLE[], x -> x <> 0)) > 0),
               |q AS (SELECT vec_id AS qid, label AS qlabel, cell AS qcell, e AS qe
               |      FROM v WHERE vec_id < 50),
               |scored AS (

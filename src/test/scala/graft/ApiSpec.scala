@@ -912,6 +912,13 @@ class ApiSpec extends AnyFunSuite {
     assert(mixed.collect().toSeq ==
       orders.filter(col("o_orderpriority") === "1-URGENT" &&
         col("o_orderstatus") =!= "keep [this]").collect().toSeq)
+    // a ']' INSIDE a quoted list element must not terminate the list —
+    // the closing bracket is the first UNMASKED ']' (ADVICE round 15)
+    val bracketElem = orders.query(
+      "o_orderstatus in ['F]x', 'O'] and o_totalprice > 0.0")
+    assert(bracketElem.collect().toSeq ==
+      orders.filter(col("o_orderstatus").isin("F]x", "O") &&
+        col("o_totalprice") > 0.0).collect().toSeq)
   }
 
   test("query predicate pushes down to the parquet scan") {

@@ -64,6 +64,22 @@ class DiskMemoSpec extends AnyFunSuite {
     assert(scanPaths(a) !== scanPaths(b))
   }
 
+  test("same-schema RDD-backed frames get DISTINCT artifacts (opaque-leaf identity)") {
+    // LogicalRDD canonicalizes to schema only — without the identity
+    // fold both frames digest identically and the second silently
+    // reads the first's rows (ADVICE round 15, medium)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("k", LongType), StructField("v", StringType)))
+    val rddA = spark.sparkContext.parallelize(Seq(Row(1L, "a"), Row(2L, "b")))
+    val rddB = spark.sparkContext.parallelize(Seq(Row(9L, "z")))
+    val a = DiskMemo.persist(spark.createDataFrame(rddA, schema), "dm_rdd")
+    val b = DiskMemo.persist(spark.createDataFrame(rddB, schema), "dm_rdd")
+    assert(scanPaths(a) !== scanPaths(b))
+    assert(a.collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+    assert(b.collect().map(_.getLong(0)).toSet === Set(9L))
+  }
+
   test("streaming frames pass through untouched") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext

@@ -48,6 +48,39 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("the gated wav-decode expression equals the REAL decodeWav on the same bytes") {
+    // multimodal_wav_decode reconstructs PCM-16 samples from the
+    // payload BYTES in SQL (round-16 verdict item 2); this ties that
+    // expression to the real parser: frames, RMS, and peak computed
+    // from the SQL-decoded samples must land exactly where
+    // Multimodal.decodeWav (via extractFeatures) puts them.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val decoded = spark.range(0, 8).toDF("doc_id")
+      .select(col("doc_id"), expr(graft.ops.LlmOps.wavPayloadSqlExpr).as("payload"))
+      .select(col("doc_id"), col("payload"),
+        expr(graft.ops.LlmOps.wavDecodeSamplesExpr).as("smp"))
+      .select(col("doc_id"), col("payload"),
+        expr("cast(size(smp) as bigint)").as("nf"),
+        expr("aggregate(smp, cast(0 as bigint), (acc, x) -> acc + x * x)").as("sq"),
+        expr("array_max(transform(smp, x -> abs(x)))").as("pk"))
+      .collect().sortBy(_.getLong(0))
+    val media = spark.createDataset(decoded.toSeq.map(r =>
+      Multimodal.MediaRow(r.getLong(0), "audio", r.getAs[Array[Byte]](1),
+        Multimodal.MediaMeta(0, 0, "wav"))))
+    val real = Multimodal.extractFeatures(media).collect()
+      .map(f => f.media_id -> f).toMap
+    decoded.foreach { r =>
+      val (id, nf, sq, pk) = (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4))
+      val f = real(id)
+      assert(f.features(2) == nf.toFloat, s"doc $id: frame count differs")
+      // decodeWav's RMS is the float of the same exact-int64 sqrt
+      assert(f.features(4) == math.sqrt(sq.toDouble / nf).toFloat,
+        s"doc $id: RMS differs")
+      assert(f.features(6) == pk.toFloat, s"doc $id: peak differs")
+    }
+  }
+
   test("real image codec: exact dimensions and channel stats from a pinned PNG") {
     import spark.implicits._
     val img = new java.awt.image.BufferedImage(

@@ -319,9 +319,19 @@ class PlanShapeSpec extends AnyFunSuite {
     }
     // prefix-fold recursions ride exactly ONE window pass (the
     // collect_list), never a second sort/window
-    Seq("ts_cusum_page", "ts_ewma_chart", "ts_holt_winters").foreach { k =>
+    Seq("ts_cusum_page", "ts_ewma_chart").foreach { k =>
       val p = plan(k)
       assert("Window ".r.findAllIn(p).size == 1, s"$k: window count != 1\n$p")
+    }
+    // round-16 (verdict item 4): the declared exponential-family
+    // recursions run the LINEAR flatMapGroups path — no window pass,
+    // no collect_list prefix explosion anywhere in the plan
+    Seq("ts_ewm_adjust_false", "ts_holt_linear", "ts_holt_winters",
+      "ts_kalman_level").foreach { k =>
+      val p = plan(k)
+      assert(!p.contains("Window ") && !p.contains("collect_list"),
+        s"$k: expected the linear flatMapGroups plan (no window/prefix fold)\n$p")
+      assert(p.contains("MapGroups"), s"$k: no flatMapGroups pass\n$p")
     }
   }
 
