@@ -53,9 +53,9 @@ object TimeSeries {
   private val adfDet2 = det3t("n", "s1", "sy", "s1", "s11", "s1y", "s2", "s12", "s2y")
 
   // Holt-Winters level update l' = α(x − s₁) + (1−α)(l + b), spelled
-  // once per engine so every repetition inside the step is the same
-  // text (ts_holt_winters; complements as literals, never 1−α).
-  private val hwL = "0.3D * (x - element_at(acc.s, 1)) + 0.7D * (acc.l + acc.b)"
+  // once so every repetition inside the oracle CTE step is the same
+  // text (ts_holt_winters; complements as literals, never 1−α). The
+  // Spark-side twin is now udaf/HoltWinters' linear pass (round 16).
   private val hwLSql = "0.3 * (s.x - rec.sv[1]) + 0.7 * (rec.l + rec.b)"
 
   val ops: Seq[OpSpec] = Seq(
@@ -1680,31 +1680,26 @@ object TimeSeries {
     // alarm when either exceeds h — the RESETTING drift detector the
     // declared ts_cusum_flag's cumulative form complements (Page
     // resets at zero, so it localizes WHERE the shift starts). A
-    // max-recursion — non-associative, no window expresses it — so the
-    // prefix-fold device carries the (S⁺, S⁻) pair; μ is the exact
-    // decimal series mean broadcast in; k = 5, h = 50 literals both
-    // engines. The oracle runs the identical recursion as a recursive
-    // CTE; greatest/adds share text ⇒ unrounded bit-exact.
+    // max-recursion — non-associative, no window expresses it.
+    // LINEAR declared spelling since round 16: graft.udaf.Spc's
+    // flatMapGroups pass carries the (S⁺, S⁻) pair in one ordered
+    // O(n) sweep per series; μ is the exact decimal series mean
+    // broadcast in; k = 5, h = 50 literals both engines. The oracle
+    // runs the identical recursion as a recursive CTE; max/adds share
+    // the op sequence ⇒ unrounded bit-exact.
     OpSpec(
       "ts_cusum_page",
       (s, d) => {
         val base = ev(s, d).filter(col("user_id") === 7)
         val mu = base.agg(
           (sum(P.dec2(col("value"))).cast("double") / count(lit(1))).as("mu"))
-        val cum = Window.partitionBy("user_id").orderBy("event_id")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        base.crossJoin(broadcast(mu))
-          .withColumn("pl", collect_list(col("value")).over(cum))
+        graft.udaf.Spc.cusumDf(
+            base.crossJoin(broadcast(mu))
+              .select("user_id", "event_id", "value", "mu"),
+            k = 5.0)
           .select(col("event_id"), col("value"),
-            expr("""aggregate(pl,
-                   |  named_struct('sp', CAST(0.0 AS DOUBLE), 'sn', CAST(0.0 AS DOUBLE)),
-                   |  (acc, x) -> named_struct(
-                   |    'sp', greatest(CAST(0.0 AS DOUBLE), acc.sp + (x - mu) - 5.0D),
-                   |    'sn', greatest(CAST(0.0 AS DOUBLE), acc.sn - (x - mu) - 5.0D)))""".stripMargin)
-              .as("st"))
-          .select(col("event_id"), col("value"),
-            col("st.sp").as("cusum_pos"), col("st.sn").as("cusum_neg"),
-            (col("st.sp") > 50.0d || col("st.sn") > 50.0d).as("alarm"))
+            col("cusum_pos"), col("cusum_neg"),
+            (col("cusum_pos") > 50.0d || col("cusum_neg") > 50.0d).as("alarm"))
           .orderBy("event_id")
       },
       Some("""WITH RECURSIVE s AS (
@@ -1732,10 +1727,13 @@ object TimeSeries {
     // ts_cusum_flag, the SPC triad): zₜ = λxₜ + (1−λ)zₜ₋₁ from z₀ = μ,
     // with the TIME-VARYING limit ±L·σ·√(λ/(2−λ)·(1−(1−λ)^{2t})) that
     // tightens as the chart warms up. (1−λ)^{2t} is carried as a
-    // MULTIPLICATIVE fold state (q ← q·(0.7·0.7)) — pow() is banned by
-    // the determinism policy (libm-vs-Math.pow last-ulp split), a
-    // product recursion is exact-same-ops both engines. μ, σ from the
-    // exact-moment closed form, broadcast in. Unrounded bit-exact.
+    // MULTIPLICATIVE recursion state (q ← q·(0.7·0.7)) — pow() is
+    // banned by the determinism policy (libm-vs-Math.pow last-ulp
+    // split), a product recursion is exact-same-ops both engines.
+    // LINEAR declared spelling since round 16: graft.udaf.Spc's
+    // flatMapGroups pass carries (z, q) in one ordered O(n) sweep per
+    // series. μ, σ from the exact-moment closed form, broadcast in.
+    // Unrounded bit-exact.
     OpSpec(
       "ts_ewma_chart",
       (s, d) => {
@@ -1747,18 +1745,12 @@ object TimeSeries {
             .cast("double").as("syy"))
           .selectExpr("sy / nd AS mu",
             "sqrt((syy - sy * sy / nd) / (nd - 1)) AS sd")
-        val cum = Window.partitionBy("user_id").orderBy("event_id")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        base.crossJoin(broadcast(stats))
-          .withColumn("pl", collect_list(col("value")).over(cum))
-          .select(col("event_id"), col("value"), col("mu"), col("sd"),
-            expr("""aggregate(pl,
-                   |  named_struct('z', mu, 'q', CAST(1.0 AS DOUBLE)),
-                   |  (acc, x) -> named_struct(
-                   |    'z', 0.3D * x + 0.7D * acc.z,
-                   |    'q', acc.q * (0.7D * 0.7D)))""".stripMargin).as("st"))
-          .selectExpr("event_id", "value", "mu", "st.z AS ewma",
-            "3.0D * sd * sqrt(0.3D / (2.0D - 0.3D) * (1.0D - st.q)) AS ctrl_limit")
+        graft.udaf.Spc.ewmaChartDf(
+            base.crossJoin(broadcast(stats))
+              .select("user_id", "event_id", "value", "mu", "sd"),
+            lambda = 0.3, omLambda = 0.7)
+          .selectExpr("event_id", "value", "mu", "ewma",
+            "3.0D * sd * sqrt(0.3D / (2.0D - 0.3D) * (1.0D - q)) AS ctrl_limit")
           .selectExpr("event_id", "value", "ewma", "ctrl_limit",
             "abs(ewma - mu) > ctrl_limit AS alarm")
           .orderBy("event_id")
@@ -1800,39 +1792,32 @@ object TimeSeries {
     // sim_recall_report is to the ANN tier): one-step-ahead MAE of
     // naive (xₜ₋₁), Holt, and Holt-Winters on the same series, side by
     // side — the number that DECIDES which smoother a pipeline ships.
-    // Forecasts come from the exact gated recursions (both folds reuse
-    // the declared expression text), errors via one lag window, MAE as
-    // the ordered fold over event order, r4. The oracle reruns both
-    // recursive CTEs and the same lag/fold — every double identical
-    // until the final rounds.
+    // Forecasts come from the SAME linear udaf passes the declared
+    // smoothers run (round 16 — the last inline prefix folds retired;
+    // udaf/Holt and udaf/HoltWinters are bit-exact vs the old folds,
+    // EwmSpec), broadcast-joined back by event_id; errors via one lag
+    // window, MAE as the ordered fold over event order, r4. The
+    // oracle reruns both recursive CTEs and the same lag/fold — every
+    // double identical until the final rounds.
     OpSpec(
       "ts_backtest_report",
       (s, d) => {
-        val cum = Window.partitionBy("user_id").orderBy("event_id")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val withF = ev(s, d)
-          .filter(col("user_id") === 7)
-          .withColumn("pl", collect_list(col("value")).over(cum))
-          .withColumn("sth", expr(
-            """aggregate(slice(pl, 2, size(pl) - 1),
-              |  named_struct('l', element_at(pl, 1), 'b', CAST(0.0 AS DOUBLE)),
-              |  (acc, x) -> named_struct(
-              |    'l', 0.3D * x + 0.7D * (acc.l + acc.b),
-              |    'b', 0.1D * (0.3D * x + 0.7D * (acc.l + acc.b) - acc.l) + 0.9D * acc.b))""".stripMargin))
-          .withColumn("stw", expr(
-            s"""aggregate(slice(pl, 2, size(pl) - 1),
-               |  named_struct('l', element_at(pl, 1), 'b', CAST(0.0 AS DOUBLE),
-               |    's', transform(sequence(1, 24), i -> CAST(0.0 AS DOUBLE))),
-               |  (acc, x) -> named_struct(
-               |    'l', $hwL,
-               |    'b', 0.1D * (($hwL) - acc.l) + 0.9D * acc.b,
-               |    's', concat(slice(acc.s, 2, 23),
-               |           array(0.05D * (x - ($hwL)) + 0.95D * element_at(acc.s, 1)))))""".stripMargin))
+        val base = ev(s, d).filter(col("user_id") === 7)
+          .select("user_id", "event_id", "value")
+        val holtF = graft.udaf.Holt.holtDf(base,
+            alpha = 0.3, omAlpha = 0.7, beta = 0.1, omBeta = 0.9)
+          .select(col("event_id").as("h_eid"),
+            (col("level") + col("trend")).as("f_holt"))
+        val hwF = graft.udaf.HoltWinters.holtWintersDf(base,
+            m = 24, alpha = 0.3, omAlpha = 0.7, beta = 0.1, omBeta = 0.9,
+            gamma = 0.05, omGamma = 0.95)
+          .select(col("event_id").as("w_eid"),
+            (col("level") + col("trend") + col("seasonal_next")).as("f_hw"))
+        val withF = base
+          .join(broadcast(holtF), col("event_id") === col("h_eid"))
+          .join(broadcast(hwF), col("event_id") === col("w_eid"))
           .select(col("event_id"), col("value"),
-            col("value").as("f_naive"),
-            (col("sth.l") + col("sth.b")).as("f_holt"),
-            (col("stw.l") + col("stw.b") + expr("element_at(stw.s, 1)"))
-              .as("f_hw"))
+            col("value").as("f_naive"), col("f_holt"), col("f_hw"))
         val lagE = Window.orderBy("event_id") // single declared series
         val errs = withF
           .select(col("event_id"), col("value"),

