@@ -56,7 +56,13 @@ object Bench {
       .map { op =>
       val s0 = stealJiffies()
       val t0 = System.nanoTime()
-      try { op.build(spark, sfDir).count() }
+      // toRdd.count(), NOT df.count() (round-16 honesty fix): count()
+      // re-optimizes with zero required columns, and ColumnPruning then
+      // DELETES every Window (and any projection-only compute) from the
+      // measured plan — verified: win_rolling_time's count() plan has no
+      // Window node at all. toRdd executes the query's OWN optimized
+      // plan, materializing every output column — what a consumer pays.
+      try { op.build(spark, sfDir).queryExecution.toRdd.count() }
       catch { case e: Throwable =>
         failed += op.key
         System.err.println(s"[bench] ${op.key} failed: ${e.getMessage}")

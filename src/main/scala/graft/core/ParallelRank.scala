@@ -1,0 +1,76 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale-safe tie-averaged ranking (round 16) — the parallel twin of
+  * `rank().over(partitionBy(group).orderBy(v))`, whose parallelism is
+  * bounded by the number of GROUPS (a 3-group fact table serializes
+  * into 3 sort tasks no matter the cluster — measured: the honest-
+  * basis agg_spearman spent its whole budget in two such sorts).
+  *
+  * Device (the AsofJoin.backwardGlobal bucketing, applied to ranks):
+  *   1. collapse to the per-(group, value) GRID with occurrence counts
+  *      — one hash-agg shuffle, full parallelism;
+  *   2. bucket the grid by a PURE FUNCTION of the value (quantile
+  *      bounds; equal values always share a bucket, and the id is not
+  *      lineage-nondeterministic like spark_partition_id);
+  *   3. per-(group, bucket) ordered local cumsum — a window whose
+  *      partition count is groups × buckets, parallel;
+  *   4. per-(group, bucket) totals prefix-summed over the tiny
+  *      (groups × buckets)-row frame, broadcast-joined back;
+  *   5. doubled average rank = 2·(#strictly-smaller) + #equal + 1 —
+  *      an exact int64 (the Mann–Whitney doubled-rank device), so
+  *      results are bit-identical to the serial window spelling.
+  *
+  * Returns the GRID (group cols, value col, `_c` occurrence count,
+  * `out` doubled rank): rank-moment sums can usually be computed on
+  * the grid directly (Σ c·r, Σ c·r² …) without joining back to the
+  * fact table.
+  */
+object ParallelRank {
+
+  def doubledAvgRankGrid(df: DataFrame, groupCols: Seq[String],
+                         valueCol: String, out: String,
+                         numBuckets: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val n = if (numBuckets > 0) numBuckets
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val g = groupCols.map(col)
+    val grid = df.groupBy((g :+ col(valueCol)): _*)
+      .agg(count(lit(1)).as("_c"))
+    // deterministic value buckets — bounds only balance work, any
+    // monotone bucketing gives the same rank
+    val probs = (1 until n).map(_.toDouble / n).toArray
+    val bounds =
+      if (probs.isEmpty) Array.empty[Double]
+      else try grid.select(col(valueCol).cast("double").as("_v"))
+        .stat.approxQuantile("_v", probs, 0.01).distinct.sorted
+      catch { case _: java.util.NoSuchElementException => Array.empty[Double] } // empty input
+    val pid: Column =
+      if (bounds.isEmpty) lit(0)
+      else size(filter(array(bounds.map(lit(_)): _*),
+        b => b <= col(valueCol).cast("double")))
+    val bucketed = grid.withColumn("_b", pid)
+    // 3. local cumsum of counts BEFORE each value, parallel across
+    //    (group, bucket) partitions
+    val wLocal = Window.partitionBy((g :+ col("_b")): _*).orderBy(valueCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = bucketed
+      .withColumn("_before_local", sum(col("_c")).over(wLocal) - col("_c"))
+    // 4. counts in EARLIER buckets of the same group — a
+    //    (groups × buckets)-row frame, prefix-carried and broadcast back
+    val wBucket = Window.partitionBy(g: _*).orderBy("_b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketTotals = bucketed
+      .groupBy((g :+ col("_b")): _*).agg(sum(col("_c")).as("_bt"))
+      .withColumn("_before_buckets", coalesce(sum(col("_bt")).over(wBucket), lit(0L)))
+      .select((g :+ col("_b") :+ col("_before_buckets")): _*)
+    local
+      .join(broadcast(bucketTotals), groupCols :+ "_b")
+      .withColumn(out,
+        lit(2L) * (col("_before_local") + col("_before_buckets")) + col("_c") + 1L)
+      .drop("_b", "_before_local", "_before_buckets")
+  }
+}

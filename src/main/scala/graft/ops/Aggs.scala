@@ -1268,9 +1268,17 @@ object Aggs {
     // exact int64, the co-moment sums accumulate as decimal(38,0)
     // (operands cast BEFORE the multiply — a bigint product of two
     // 2n-scale ranks overflows int64 past ~1e9-row groups, the
-    // agg_mad lesson), and the factors of 2 cancel in the closed
-    // form. Rank windows shard by the GROUP key (no global sort —
-    // the reshape_qcut scale trap avoided by construction).
+    // agg_mad lesson). Rank windows shard by the GROUP key (no global
+    // sort — the reshape_qcut scale trap avoided by construction).
+    // SCALE NOTE (round 16): this spelling's parallelism is bounded
+    // by the group count (3 flags ⇒ 3 sort tasks). Two re-plans were
+    // MEASURED at sf0.1 honest-basis and both lost to it (this: 3.4 s;
+    // rank_asc−rank_desc identity: 6.0 s — doubles the serial sorts;
+    // ParallelRank joint-grid: 9.1 s — five shuffles + two quantile
+    // sketches of orchestration), so the declared query keeps the
+    // window form; the group-count-independent scale path is
+    // graft.core.ParallelRank (bit-identical by ParallelRankSpec,
+    // crossover measured in BASELINE round-16).
     OpSpec(
       "agg_spearman",
       (s, d) => {

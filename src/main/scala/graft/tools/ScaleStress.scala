@@ -10,7 +10,11 @@ import org.apache.spark.sql.SparkSession
   * Usage:
   *   runMain graft.tools.ScaleStress <dirA> <dirB> <key1,key2,...> [reps]
   *
-  * Per (dir, key): `reps` timed runs of `op.build(spark, dir).count()`,
+  * Per (dir, key): `reps` timed runs driving the query's own optimized
+  * plan via `queryExecution.toRdd.count()` (NOT df.count(), which
+  * re-optimizes with zero required columns and prunes every
+  * projection-only Window out of the measured plan — Bench.scala's
+  * round-16 honesty fix, same device here),
   * reporting min (steady-state cost — what a warm 1000-executor cluster
   * sees) and max (includes any per-plan codegen compile). One JSON line
   * per dir at the end, BENCH-style, plus a growth table across dirs.
@@ -41,7 +45,7 @@ object ScaleStress {
     for (d <- dirs; op <- ops) {
       val ts = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        op.build(spark, d).count()
+        op.build(spark, d).queryExecution.toRdd.count()
         (System.nanoTime() - t0) / 1e9
       }
       res((d, op.key)) = ts
