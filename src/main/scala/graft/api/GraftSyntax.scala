@@ -1380,8 +1380,12 @@ object syntax {
 
     /** Kalman local-level filter per `keyCol` series ordered by
       * `orderCol` (q/r/p0 = process var, observation var, diffuse
-      * init). See ts_kalman_level; the O(1)-per-arrival streaming twin
-      * is StreamOps.streamingKalmanLevel. */
+      * init). Integral key/order route through the linear udaf/Kalman
+      * flatMapGroups pass (round 16); any other types (string keys,
+      * timestamp order) keep the type-generic prefix-fold spelling —
+      * same values either way. See ts_kalman_level; the
+      * O(1)-per-arrival streaming twin is
+      * StreamOps.streamingKalmanLevel. */
     def kalmanLevel(keyCol: String, orderCol: String, valueCol: String,
                     q: Double = 4.0, r: Double = 16.0,
                     p0: Double = 100.0): DataFrame =

@@ -167,7 +167,20 @@ object DiskMemo {
     * constructions is preserved); every OTHER leaf folds a per-instance
     * identity on the ORIGINAL analyzed plan, trading cross-construction
     * sharing for correctness. Same-DataFrame re-persist still shares
-    * (same leaf objects → same ids). */
+    * (same leaf objects → same ids). The identity is a monotonic
+    * counter in an IdentityHashMap, NOT System.identityHashCode — the
+    * latter is a non-unique 32-bit value whose collision would
+    * silently serve another frame's rows (round-16 review); the map's
+    * strong refs are bounded by the number of distinct opaque frames
+    * persisted per JVM, the same lifetime as the artifacts
+    * themselves. */
+  private val leafSeq = new java.util.concurrent.atomic.AtomicLong()
+  private val leafIds = new java.util.IdentityHashMap[AnyRef, java.lang.Long]()
+  private def leafId(o: AnyRef): Long = leafIds.synchronized {
+    var id = leafIds.get(o)
+    if (id == null) { id = leafSeq.incrementAndGet(); leafIds.put(o, id) }
+    id
+  }
   private def opaqueLeafIds(df: DataFrame): String = {
     import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, OneRowRelation, Range => LRange}
     import org.apache.spark.sql.execution.datasources.LogicalRelation
@@ -175,7 +188,7 @@ object DiskMemo {
       case _: LocalRelation | _: OneRowRelation | _: LRange => Nil
       case l: LogicalRelation if l.relation.isInstanceOf[
         org.apache.spark.sql.execution.datasources.HadoopFsRelation] => Nil
-      case other => Seq(s"${other.nodeName}@${System.identityHashCode(other)}")
+      case other => Seq(s"${other.nodeName}@${leafId(other)}")
     }.mkString(",")
   }
 

@@ -38,8 +38,12 @@ object ParallelRank {
     val n = if (numBuckets > 0) numBuckets
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
     val g = groupCols.map(col)
-    val grid = df.groupBy((g :+ col(valueCol)): _*)
-      .agg(count(lit(1)).as("_c"))
+    // the grid is read THREE times (quantile sketch, local cumsum,
+    // bucket totals) — materialize it once through the eviction-proof
+    // memo instead of re-running the dominant shuffle per consumer
+    val grid = DiskMemo.persist(
+      df.groupBy((g :+ col(valueCol)): _*).agg(count(lit(1)).as("_c")),
+      "parallel_rank_grid")
     // deterministic value buckets — bounds only balance work, any
     // monotone bucketing gives the same rank
     val probs = (1 until n).map(_.toDouble / n).toArray
@@ -67,10 +71,20 @@ object ParallelRank {
       .groupBy((g :+ col("_b")): _*).agg(sum(col("_c")).as("_bt"))
       .withColumn("_before_buckets", coalesce(sum(col("_bt")).over(wBucket), lit(0L)))
       .select((g :+ col("_b") :+ col("_before_buckets")): _*)
+    // NULL-SAFE join keys: a null group key is a real group to the
+    // serial rank-window spelling (partitionBy puts nulls in their own
+    // partition), so the equi-join's null != null semantics would
+    // silently DROP the whole null group — <=> keeps it
+    val bt = bucketTotals.select(
+      (groupCols.map(c => col(c).as(s"_r_$c")) :+ col("_b").as("_r_b") :+
+        col("_before_buckets")): _*)
+    val cond = (groupCols.map(c => col(c) <=> col(s"_r_$c")) :+
+      (col("_b") === col("_r_b"))).reduce(_ && _)
     local
-      .join(broadcast(bucketTotals), groupCols :+ "_b")
+      .join(broadcast(bt), cond)
       .withColumn(out,
         lit(2L) * (col("_before_local") + col("_before_buckets")) + col("_c") + 1L)
-      .drop("_b", "_before_local", "_before_buckets")
+      .drop((groupCols.map(c => s"_r_$c") :+ "_r_b" :+ "_b" :+
+        "_before_local" :+ "_before_buckets"): _*)
   }
 }

@@ -561,19 +561,57 @@ object Inference {
 
   /** Kalman local-level filter per `keyCol` series (q = process var,
     * r = observation var, p0 = diffuse init) — the reusable form behind
-    * ts_kalman_level. LINEAR since round 16 (verdict item 4): the
+    * ts_kalman_level. LINEAR since round 16 (verdict item 4) when
+    * key/order are integral (the udaf-family encoder shape): the
     * graft.udaf.Kalman flatMapGroups pass — one shuffle on the key,
     * one ordered O(n) pass per series, partition-parallel across keys;
     * bit-exact vs the old O(n²) prefix fold (identical IEEE op
     * sequence; the fold survives as the oracle's recursive CTE and the
-    * EwmSpec cross-check). key/order must be long-castable (the udaf
-    * family contract). The O(1)-per-arrival streaming twin is
+    * EwmSpec cross-check). NON-integral key/order types (string keys,
+    * timestamp order — accepted here since round 13) keep the original
+    * window prefix-fold spelling, which is type-generic: the round-16
+    * review caught that routing everything through the long-encoder
+    * udaf silently broke that public contract (df.kalmanLevel).
+    * The O(1)-per-arrival streaming twin is
     * streaming.StreamOps.streamingKalmanLevel. */
   def kalmanLevelOf(series: DataFrame, keyCol: String, orderCol: String,
                     valueCol: String, q: Double = 4.0, r: Double = 16.0,
-                    p0: Double = 100.0): DataFrame =
-    graft.udaf.Kalman.kalmanDf(series, keyCol, orderCol, valueCol, q, r, p0)
+                    p0: Double = 100.0): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val integral = Set[org.apache.spark.sql.types.DataType](
+      ByteType, ShortType, IntegerType, LongType)
+    val dt = series.schema.fieldIndex _
+    val (kt, ot) = (series.schema(dt(keyCol)).dataType,
+      series.schema(dt(orderCol)).dataType)
+    if (integral(kt) && integral(ot))
+      graft.udaf.Kalman.kalmanDf(series, keyCol, orderCol, valueCol, q, r, p0)
+        .orderBy(keyCol, orderCol)
+    else kalmanLevelFoldOf(series, keyCol, orderCol, valueCol, q, r, p0)
+  }
+
+  /** Type-generic prefix-fold spelling (O(n²) memory per series — fine
+    * for the bounded per-key series this API documents; the integral-
+    * typed fast path above is the scale form). */
+  private def kalmanLevelFoldOf(series: DataFrame, keyCol: String,
+                                orderCol: String, valueCol: String,
+                                q: Double, r: Double, p0: Double): DataFrame = {
+    val cum = Window.partitionBy(keyCol).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val (qs, rs, ps) = (s"${q}", s"${r}", s"${p0}")
+    series
+      .withColumn("pl", collect_list(col(valueCol)).over(cum))
+      .select(col(keyCol), col(orderCol),
+        expr(s"""aggregate(slice(pl, 2, size(pl) - 1),
+               |  named_struct('l', element_at(pl, 1), 'p', CAST($ps AS DOUBLE)),
+               |  (acc, x) -> named_struct(
+               |    'l', acc.l + ((acc.p + $qs) / (acc.p + $qs + $rs)) * (x - acc.l),
+               |    'p', (1.0 - (acc.p + $qs) / (acc.p + $qs + $rs)) * (acc.p + $qs)))""".stripMargin)
+          .as("st"))
+      .select(col(keyCol), col(orderCol), col("st.l").as("level"),
+        col("st.p").as("err_var"),
+        expr(s"(st.p + $qs) / (st.p + $qs + $rs)").as("gain_next"))
       .orderBy(keyCol, orderCol)
+  }
 
   /** Two-proportion z of success rate where `grpCol` (boolean) is true
     * vs false — the reusable form behind agg_prop_ztest. Output labels

@@ -118,13 +118,21 @@ object LlmOps {
     * MultimodalSpec asserts these samples reproduce
     * Multimodal.decodeWav's frames/RMS/peak on the same bytes. */
   private[graft] val wavDecodeSamplesExpr: String =
-    """element_at(transform(array(hex(payload)), h ->
-      |  transform(
-      |    transform(sequence(0, cast((octet_length(payload) - 44) div 2 as int) - 1),
-      |      i -> cast(conv(substring(h, 91 + 4 * i, 2) ||
-      |                     substring(h, 89 + 4 * i, 2), 16, 10) as int)),
-      |    u -> cast(u - if(u >= 32768, 65536, 0) as bigint))), 1)"""
+    """if(octet_length(payload) < 46,
+      |  slice(array(cast(0 as bigint)), 1, 0),
+      |  element_at(transform(array(hex(payload)), h ->
+      |    transform(
+      |      transform(sequence(0, cast((octet_length(payload) - 44) div 2 as int) - 1),
+      |        i -> cast(conv(substring(h, 91 + 4 * i, 2) ||
+      |                       substring(h, 89 + 4 * i, 2), 16, 10) as int)),
+      |      u -> cast(u - if(u >= 32768, 65536, 0) as bigint))), 1))"""
       .stripMargin
+  // ^ the < 46 guard (header + at least one 2-byte frame): a data-less
+  //   44-byte payload would make Spark's sequence(0, -1) produce the
+  //   DESCENDING [0, -1] and decode two header bytes as samples, while
+  //   DuckDB's range(0, 0) is empty — an engine split on exactly the
+  //   degenerate payload (round-16 review); the typed-empty slice
+  //   matches DuckDB's empty list on both engines.
 
   /** PII redaction patterns — the Java-regex ∩ RE2 common subset (no
     * backrefs, no lookaround), so Spark and DuckDB match identically.

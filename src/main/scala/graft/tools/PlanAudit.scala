@@ -15,11 +15,24 @@ import org.apache.spark.sql.SparkSession
   * window offenders. Evidence consumer: PlanShapeSpec budgets.
   */
 object PlanAudit {
+  /** True iff any window spec in `plan` has NO partition columns: the
+    * spec text is `windowspecdefinition(part..., order..., frame)`, so
+    * unpartitioned means the FIRST argument is already an ordering
+    * (" ASC"/" DESC") or — for by-less NO-ORDER windows like a global
+    * unbounded frame — the frame spec itself (round-16 review: the
+    * original ordering-only probe missed that class). */
   private[graft] def unpartitionedWindow(plan: String): Boolean =
     "windowspecdefinition\\(([^)]*)\\)".r.findAllMatchIn(plan).exists { m =>
-      val firstArg = m.group(1).split(",").headOption.getOrElse("")
-      firstArg.contains(" ASC") || firstArg.contains(" DESC")
+      val firstArg = m.group(1).split(",").headOption.getOrElse("").trim
+      firstArg.contains(" ASC") || firstArg.contains(" DESC") ||
+        firstArg.startsWith("specifiedwindowframe")
     }
+
+  /** SHUFFLE exchanges only — "Exchange " as a bare word also matches
+    * inside BroadcastExchange/ReusedExchange, which move no shuffle
+    * data (round-16 review; PlanShapeSpec budgets use this counter). */
+  private[graft] def shuffleExchanges(plan: String): Int =
+    "(?<!Broadcast)(?<!Reused)Exchange ".r.findAllIn(plan).size
 
   def main(args: Array[String]): Unit = {
     val only = args.headOption.map(_.split(",").map(_.trim).toSet)
@@ -37,7 +50,7 @@ object PlanAudit {
       .foreach { op =>
         try {
           val p = op.build(spark, sfDir).queryExecution.executedPlan.toString
-          val ex = "Exchange ".r.findAllIn(p).size
+          val ex = shuffleExchanges(p)
           val win = "Window ".r.findAllIn(p).size
           val unpart = unpartitionedWindow(p)
           if (unpart) offenders += op.key

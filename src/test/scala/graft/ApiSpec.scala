@@ -818,6 +818,20 @@ class ApiSpec extends AnyFunSuite {
     assert(rows(ev.filter(col("user_id") === 7)
       .select("user_id", "event_id", "value")
       .kalmanLevel("user_id", "event_id", "value")) == gated("ts_kalman_level"))
+    // NON-integral key/order (string key, timestamp order) must keep
+    // working through the type-generic fold path (round-16 review:
+    // routing everything into the long-encoder udaf broke this), and
+    // the two paths must agree on the shared integral-typed series
+    val viaFold = ev.filter(col("user_id") === 7)
+      .select(col("user_id").cast("string").as("k"), col("event_id"), col("value"))
+      .kalmanLevel("k", "event_id", "value")
+      .collect().map(r => (r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    val viaUdaf = ev.filter(col("user_id") === 7)
+      .select("user_id", "event_id", "value")
+      .kalmanLevel("user_id", "event_id", "value")
+      .collect().map(r => (r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(viaFold.toSeq == viaUdaf.toSeq,
+      "string-key fold path diverged from the integral udaf path")
     assert(rows(docs.lexicalDiversity("source", "doc_id", "text")) == gated("text_ttr"))
     assert(rows(docs.bigramPerplexity("doc_id", "text", 20L))
       == gated("text_bigram_perplexity"))

@@ -81,6 +81,21 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("the wav-decode expression yields an EMPTY sample list for a data-less payload") {
+    // round-16 review: Spark's sequence(0, -1) is the DESCENDING
+    // [0, -1] — without the octet-length guard a 44-byte header-only
+    // payload would decode two header bytes as samples while DuckDB's
+    // range(0, 0) is empty
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val headerOnly = Multimodal.syntheticWav(1L, nFrames = 0)
+    assert(headerOnly.length == 44)
+    val smp = spark.createDataset(Seq(headerOnly)).toDF("payload")
+      .select(expr(graft.ops.LlmOps.wavDecodeSamplesExpr).as("smp"))
+      .head().getSeq[Long](0)
+    assert(smp.isEmpty, s"expected no samples, got $smp")
+  }
+
   test("real image codec: exact dimensions and channel stats from a pinned PNG") {
     import spark.implicits._
     val img = new java.awt.image.BufferedImage(

@@ -47,6 +47,20 @@ class ParallelRankSpec extends AnyFunSuite {
     assert(one == ranks(7) && one == ranks(64))
   }
 
+  test("a null group key is a real group, exactly like the serial window") {
+    // round-16 review: the equi-join back to bucket totals would drop
+    // the null group (null != null); the null-safe join keeps it
+    import spark.implicits._
+    val df = Seq((Some("a"), 1L), (Some("a"), 2L), (None, 5L), (None, 5L), (None, 9L))
+      .toDF("g", "v")
+    val got = ParallelRank.doubledAvgRankGrid(df, Seq("g"), "v", "r")
+      .collect().map(x => (Option(x.getAs[String]("g")), x.getAs[Long]("v")) ->
+        (x.getAs[Long]("_c"), x.getAs[Long]("r"))).toMap
+    // null group: values 5,5,9 → doubled avg ranks: 5→(1+2)/2·2=3, 9→6
+    assert(got((None, 5L)) == ((2L, 3L)) && got((None, 9L)) == ((1L, 6L)))
+    assert(got((Some("a"), 1L)) == ((1L, 2L)) && got((Some("a"), 2L)) == ((1L, 4L)))
+  }
+
   test("empty input yields an empty grid, no throw") {
     import spark.implicits._
     val empty = Seq.empty[(String, Long)].toDF("g", "v")

@@ -434,34 +434,37 @@ class PlanShapeSpec extends AnyFunSuite {
     val budget = Seq(
       "dedup_ngram_jaccard" -> 1,
       "dedup_substring_exact" -> 3,
-      "dedup_substring_survivors" -> 3,
+      "dedup_substring_survivors" -> 2,
       "store_rollup_incremental" -> 1,
       "store_read_pruned" -> 2,
       "dedup_substring_tvf" -> 3,
-      "sample_token_budget_bpe" -> 6,
-      "dedup_simhash_pairs_tvf" -> 3,
-      "sim_mmr_topk" -> 1,
-      "dedup_minhash_lsh" -> 9,
+      "sample_token_budget_bpe" -> 4,
+      "dedup_simhash_pairs_tvf" -> 2,
+      "sim_mmr_topk" -> 0,
+      "dedup_minhash_lsh" -> 4,
       // round-16 widening: the rest of the bench top-25
       "dedup_cluster_resolve" -> 1,
-      "text_token_count_bpe" -> 4,
+      "text_token_count_bpe" -> 3,
       "dedup_simhash" -> 1,
       "store_compact" -> 2,
-      "dedup_embed_survivors" -> 3,
-      "text_bigram_perplexity" -> 9,
+      "dedup_embed_survivors" -> 2,
+      "text_bigram_perplexity" -> 6,
       "pipeline_dedup_clean" -> 3,
       "store_rollup_hourly" -> 1,
       "store_schema_evolution" -> 2,
-      "dedup_simhash_pairs" -> 3,
-      "dedup_simhash_pairs2" -> 3,
-      "sim_pq_recall_report" -> 8,
-      "dedup_embed_lsh" -> 5,
+      "dedup_simhash_pairs" -> 2,
+      "dedup_simhash_pairs2" -> 2,
+      "sim_pq_recall_report" -> 6,
+      "dedup_embed_lsh" -> 2,
       "ts_funnel_stateful" -> 2,
-      "text_strip_dup_spans" -> 7,
-      "text_decontaminate_fuzzy" -> 14,
+      "text_strip_dup_spans" -> 5,
+      "text_decontaminate_fuzzy" -> 7,
       "scan_sample_hash" -> 2)
     val over = budget.flatMap { case (k, n) =>
-      val got = "Exchange ".r.findAllIn(plan(k)).size
+      // SHUFFLE exchanges only (round-16 review: a bare "Exchange "
+      // count also matched Broadcast/ReusedExchange, inflating the
+      // ruler the budgets were measured with)
+      val got = graft.tools.PlanAudit.shuffleExchanges(plan(k))
       if (got > n) Some(s"$k: $got exchanges > budget $n") else None
     }
     assert(over.isEmpty, over.mkString("; "))
@@ -482,6 +485,12 @@ class PlanShapeSpec extends AnyFunSuite {
       "join_asof_backward", "join_asof_global",
       "agg_mannwhitney_u", "agg_ks_test", "agg_kruskal_wallis",
       "agg_wilcoxon_signed", "agg_prop_ztest_bh",
+      // global NO-ORDER windows over already-aggregated bounded
+      // frames (grand-total ratios on value/digit/contingency grids,
+      // per-source mix reports) — caught by the round-16 stricter
+      // probe, which also sees frame-only specs
+      "agg_value_counts_norm", "agg_benford", "agg_chi2_independence",
+      "agg_cramers_v", "mix_temperature_weights", "mix_epoch_report",
       "ts_upsample_ffill", "ts_upsample_15min",
       "ts_interpolate_linear", "ts_interpolate_limit",
       "ts_interpolate_backward", "ts_interpolate_both",
