@@ -92,6 +92,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[NfkcCasefold].getName, "nfkc_casefold"),
       (args: Seq[Expression]) => NfkcCasefold(args(0))))
     ext.injectFunction((
+      new FunctionIdentifier("sha16_bits"),
+      new ExpressionInfo(classOf[Sha16Bits].getName, "sha16_bits"),
+      (args: Seq[Expression]) => Sha16Bits(args(0))))
+    ext.injectFunction((
       new FunctionIdentifier("unicode_normalize"),
       new ExpressionInfo(classOf[UnicodeNormalize].getName, "unicode_normalize"),
       (args: Seq[Expression]) => {

@@ -119,26 +119,71 @@ object TextOps {
     val bitsInit = (0 until 8).map(i => s"'h$i', 0L").mkString(", ")
     val bitsUpd = (0 until 8).map(i =>
       s"'h$i', a.h$i + if((shiftright(b, $i) & 1) = 1, 1L, -1L)").mkString(",\n          ")
+    // HOFs never enter codegen, so every per-token expression here is
+    // INTERPRETED — the round-16 honest-basis stress caught the
+    // original one-fold spelling (sha + a 10-field struct + an
+    // array/transform/element_at LET wrapper allocated PER TOKEN) at
+    // 205 s for sf10's 27.5 M tokens. Two fixes, same exact integers:
+    // the fold is restructured into lean passes (sha once per token in
+    // a bare transform, the bit fold over plain ints, sum_len/n_stop
+    // as their own cheap folds — 205 → 164 s, the struct overhead),
+    // and the per-token hash is the NATIVE sha16_bits kernel
+    // (thread-local digest, two bytes read directly — no MessageDigest
+    // alloc, no 64-char hex render, no conv re-parse; bit-identical by
+    // NativeFunctionSpec). Still row-local and stateless — the
+    // streaming twin's contract (stream == batch in StreamingSpec) is
+    // untouched.
     docs
       .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("_ws"))
       // NULL-text docs drop, matching langIdOf/qualityOf and the
       // oracle's unnest (which emits no rows for a NULL array) — a
       // NULL _ws would otherwise carry all-NULL aggregates downstream.
       .filter(col("_ws").isNotNull)
+      .withColumn("_bits", expr("transform(_ws, w -> sha16_bits(w))"))
       .withColumn("_st", expr(
-        s"""aggregate(_ws,
-           |  named_struct('sl', 0L, 'ns', 0L, $bitsInit),
-           |  (a, w) -> element_at(transform(
-           |    array(cast(conv(substring(sha2(w, 256), 1, 4), 16, 10) as int)), b ->
-           |      named_struct(
-           |        'sl', a.sl + length(w),
-           |        'ns', a.ns + if(w in ('the', 'a', 'of', 'to'), 1L, 0L),
-           |        $bitsUpd)), 1))""".stripMargin))
+        s"""aggregate(_bits, named_struct($bitsInit),
+           |  (a, b) -> named_struct($bitsUpd))""".stripMargin))
       .select(col("doc_id") +:
         size(col("_ws")).cast("bigint").as("n_tokens") +:
         size(array_distinct(col("_ws"))).cast("bigint").as("n_distinct") +:
-        col("_st.sl").as("sum_len") +: col("_st.ns").as("n_stop") +:
+        expr("aggregate(_ws, cast(0 as bigint), (a, w) -> a + length(w))")
+          .as("sum_len") +:
+        expr("cast(size(filter(_ws, w -> w in ('the', 'a', 'of', 'to'))) as bigint)")
+          .as("n_stop") +:
         (0 until 8).map(i => col(s"_st.h$i").as(s"h$i")): _*)
+      .selectExpr("doc_id", "n_tokens",
+        s"${QualityModel.probText} AS spam_prob",
+        s"${QualityModel.flagText} AS is_spam")
+  }
+
+  /** BATCH twin of [[qualityModelScoreOf]] — the explode + hash-agg
+    * spelling (the oracle's own relational shape): per-token work runs
+    * CODEGEN'D on the exploded column instead of interpreted inside
+    * HOFs, and the agg carries 12 small ints per doc (map-side
+    * combine). Same exact integers ⇒ same doubles; QualityModelSpec
+    * asserts batch ≡ row-local row for row. The row-local form above
+    * remains the STREAMING path (stateless select — a stream can't
+    * shuffle-agg without a watermark); this one is what the declared
+    * key and any 100 TB batch pipeline should run (round-16
+    * honest-basis stress at sf10's 27.5 M tokens: 205 s original fold
+    * → 127 s restructured+native-sha → 36.6 s this spelling; the
+    * remaining cost is dominated by countDistinct's expand). */
+  def qualityModelScoreBatchOf(docs: DataFrame, idCol: String,
+                               textCol: String): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("_ws"))
+      .filter(col("_ws").isNotNull)
+      .select(col("doc_id"), explode(col("_ws")).as("w"))
+      .withColumn("b", expr("sha16_bits(w)"))
+    toks.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        (countDistinct(col("w")).as("n_distinct") +:
+          sum(length(col("w")).cast("bigint")).as("sum_len") +:
+          sum(when(col("w").isin("the", "a", "of", "to"), 1L).otherwise(0L))
+            .as("n_stop") +:
+          (0 until 8).map(i =>
+            sum(when(expr(s"(shiftright(b, $i) & 1) = 1"), 1L).otherwise(-1L))
+              .as(s"h$i"))): _*)
       .selectExpr("doc_id", "n_tokens",
         s"${QualityModel.probText} AS spam_prob",
         s"${QualityModel.flagText} AS is_spam")
@@ -450,7 +495,10 @@ object TextOps {
     // and the decision bit is exp-free (z > 0).
     OpSpec(
       "text_quality_model",
-      (s, d) => qualityModelScoreOf(T.documents(s, d), "doc_id", "text")
+      // the BATCH spelling (explode + codegen'd sha16_bits + one hash
+      // agg — round 16); the row-local qualityModelScoreOf remains the
+      // streaming path and QualityModelSpec pins batch ≡ row-local
+      (s, d) => qualityModelScoreBatchOf(T.documents(s, d), "doc_id", "text")
         .orderBy("doc_id"),
       Some(s"""WITH t AS (
               |  SELECT doc_id, w, ('0x' || substr(sha256(w), 1, 4))::INT AS b
@@ -483,7 +531,10 @@ object TextOps {
       (s, d) => {
         val toks = T.documents(s, d)
           .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-          .withColumn("b", expr("cast(conv(substring(sha2(t, 256), 1, 4), 16, 10) as int)"))
+          // native sha16_bits kernel (round 16): same value as
+          // cast(conv(substring(sha2(t,256),1,4),16,10) as int) with no
+          // digest alloc / hex render / conv re-parse per token
+          .withColumn("b", expr("sha16_bits(t)"))
         toks.groupBy("doc_id")
           .agg(count(lit(1)).as("n_tokens"),
             (0 until 8).map(i =>

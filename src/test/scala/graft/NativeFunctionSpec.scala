@@ -145,4 +145,29 @@ class NativeFunctionSpec extends AnyFunSuite {
     assert(plan.linesIterator.exists(l => l.contains("cosine_native") && l.contains("*(")), plan)
     assert(df.filter(col("c").isNotNull).count() > 0)
   }
+
+  test("sha16_bits equals the composite sha2/conv spelling on real tokens") {
+    // the feature-hashing kernel (text_hash_embed/text_quality_model):
+    // first two digest bytes ≡ first four hex chars, token by token —
+    // including empty strings and non-ASCII (UTF-8 bytes hashed)
+    val docs = graft.core.Tables.documents(spark, TestSpark.sfSmoke)
+    val toks = docs
+      .selectExpr("explode(split(text, ' ')) AS t")
+      .unionAll(spark.sql("SELECT '' AS t UNION ALL SELECT 'Čafé ☃' AS t"))
+    val diff = toks.selectExpr("t", "sha16_bits(t) AS a",
+        "cast(conv(substring(sha2(t, 256), 1, 4), 16, 10) as int) AS b")
+      .filter(col("a") =!= col("b"))
+    assert(diff.isEmpty, diff.limit(5).collect().mkString(", "))
+    // both eval modes agree: interpreted (inside a HOF) vs codegen'd
+    val viaHof = docs.limit(50)
+      .selectExpr("doc_id", "transform(split(text, ' '), w -> sha16_bits(w)) AS bs")
+      .selectExpr("doc_id", "aggregate(bs, 0L, (a, b) -> a + b) AS s")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaExplode = docs.limit(50)
+      .selectExpr("doc_id", "explode(split(text, ' ')) AS t")
+      .selectExpr("doc_id", "cast(sha16_bits(t) as bigint) AS b")
+      .groupBy("doc_id").agg(sum("b").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaHof == viaExplode)
+  }
 }

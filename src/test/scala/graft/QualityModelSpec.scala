@@ -61,6 +61,20 @@ class QualityModelSpec extends AnyFunSuite {
     })
   }
 
+  test("batch explode+agg spelling equals the row-local streaming form row for row") {
+    // round 16: the declared key runs qualityModelScoreBatchOf (codegen
+    // per-token work, one hash agg); the stateless row-local form stays
+    // as the streaming path — both aggregate the SAME exact integers,
+    // so every column is bit-identical
+    val docs = graft.core.Tables.documents(spark, TestSpark.sfSmoke)
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toMap
+    val rowLocal = keyed(graft.text.TextOps.qualityModelScoreOf(docs, "doc_id", "text"))
+    val batch = keyed(graft.text.TextOps.qualityModelScoreBatchOf(docs, "doc_id", "text"))
+    assert(rowLocal.nonEmpty && rowLocal == batch)
+  }
+
   test("NULL-text docs drop from the scorer, matching langIdOf and the oracle's unnest") {
     // ADVICE round 14: a NULL text made split() emit a NULL array and
     // the row survived with all-NULL aggregates, while the DuckDB
