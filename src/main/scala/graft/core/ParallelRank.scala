@@ -31,12 +31,28 @@ import org.apache.spark.sql.functions._
   */
 object ParallelRank {
 
+  /** CONTRACT: `valueCol` must be numeric or temporal. The bucketing
+    * casts the value to double, which is order-preserving w.r.t. the
+    * window's `orderBy(valueCol)` only for those types — a STRING
+    * column ('10' < '9' lexicographically but 10.0 > 9.0 numerically)
+    * would bucket by numeric value yet rank lexicographically within
+    * buckets, silently diverging from the serial rank-window spelling
+    * (ADVICE round 16). Rejected up front instead. */
+  private def requireOrderedCastable(df: DataFrame, valueCol: String): Unit = {
+    import org.apache.spark.sql.types._
+    df.schema(df.schema.fieldIndex(valueCol)).dataType match {
+      case _: NumericType | DateType | TimestampType | TimestampNTZType |
+          _: DayTimeIntervalType | _: YearMonthIntervalType => ()
+      case other => throw new IllegalArgumentException(
+        s"ParallelRank: valueCol '$valueCol' must be numeric or temporal " +
+          s"(double-cast bucketing is only monotone for those types), " +
+          s"got ${other.catalogString}")
+    }
+  }
+
   def doubledAvgRankGrid(df: DataFrame, groupCols: Seq[String],
                          valueCol: String, out: String,
                          numBuckets: Int = 0): DataFrame = {
-    val spark = df.sparkSession
-    val n = if (numBuckets > 0) numBuckets
-      else spark.conf.get("spark.sql.shuffle.partitions").toInt
     val g = groupCols.map(col)
     // the grid is read THREE times (quantile sketch, local cumsum,
     // bucket totals) — materialize it once through the eviction-proof
@@ -44,6 +60,22 @@ object ParallelRank {
     val grid = DiskMemo.persist(
       df.groupBy((g :+ col(valueCol)): _*).agg(count(lit(1)).as("_c")),
       "parallel_rank_grid")
+    fromCounts(grid, groupCols, valueCol, "_c", out, numBuckets)
+  }
+
+  /** [[doubledAvgRankGrid]] over a PRE-AGGREGATED (groupCols, valueCol,
+    * countCol) grid — for callers that already hold the per-value
+    * occurrence counts (e.g. marginals of a joint grid) and should not
+    * pay a second corpus shuffle. Same exact doubled-rank output. */
+  def fromCounts(counts: DataFrame, groupCols: Seq[String],
+                 valueCol: String, countCol: String, out: String,
+                 numBuckets: Int = 0): DataFrame = {
+    requireOrderedCastable(counts, valueCol)
+    val spark = counts.sparkSession
+    val n = if (numBuckets > 0) numBuckets
+      else spark.sessionState.conf.numShufflePartitions
+    val g = groupCols.map(col)
+    val grid = counts.withColumn("_c", col(countCol).cast("long"))
     // deterministic value buckets — bounds only balance work, any
     // monotone bucketing gives the same rank
     val probs = (1 until n).map(_.toDouble / n).toArray
@@ -85,6 +117,7 @@ object ParallelRank {
       .withColumn(out,
         lit(2L) * (col("_before_local") + col("_before_buckets")) + col("_c") + 1L)
       .drop((groupCols.map(c => s"_r_$c") :+ "_r_b" :+ "_b" :+
-        "_before_local" :+ "_before_buckets"): _*)
+        "_before_local" :+ "_before_buckets") ++
+        (if (countCol == "_c") Nil else Seq(countCol)): _*)
   }
 }

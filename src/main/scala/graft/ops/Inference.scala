@@ -572,6 +572,8 @@ object Inference {
     * window prefix-fold spelling, which is type-generic: the round-16
     * review caught that routing everything through the long-encoder
     * udaf silently broke that public contract (df.kalmanLevel).
+    * Rows with a NULL key, order, or value are EXCLUDED (both paths —
+    * see the null-contract note below; round-17 ADVICE fix).
     * The O(1)-per-arrival streaming twin is
     * streaming.StreamOps.streamingKalmanLevel. */
   def kalmanLevelOf(series: DataFrame, keyCol: String, orderCol: String,
@@ -583,10 +585,22 @@ object Inference {
     val dt = series.schema.fieldIndex _
     val (kt, ot) = (series.schema(dt(keyCol)).dataType,
       series.schema(dt(orderCol)).dataType)
+    // NULL CONTRACT (ADVICE round 16): the fast path's Ewm.Point
+    // encoder has primitive Long/Double fields, so a null key/order/
+    // value row would throw NullPointerException at encoding — a
+    // runtime-failure regression from the fold spelling's accidental
+    // null juggling. A Kalman recursion has no null semantics (a null
+    // observation is not a measurement; a null key/order is not a
+    // series position), so BOTH spellings now exclude such rows
+    // explicitly — defined behavior at every type, no NPE. Null-free
+    // frames (every declared query) see the identical plan modulo one
+    // scan-fused IsNotNull filter.
+    val nn = series.filter(
+      col(keyCol).isNotNull && col(orderCol).isNotNull && col(valueCol).isNotNull)
     if (integral(kt) && integral(ot))
-      graft.udaf.Kalman.kalmanDf(series, keyCol, orderCol, valueCol, q, r, p0)
+      graft.udaf.Kalman.kalmanDf(nn, keyCol, orderCol, valueCol, q, r, p0)
         .orderBy(keyCol, orderCol)
-    else kalmanLevelFoldOf(series, keyCol, orderCol, valueCol, q, r, p0)
+    else kalmanLevelFoldOf(nn, keyCol, orderCol, valueCol, q, r, p0)
   }
 
   /** Type-generic prefix-fold spelling (O(n²) memory per series — fine

@@ -218,6 +218,34 @@ class InferenceSpec extends AnyFunSuite {
       ps.sliding(2).forall { case Array(a, b) => b <= a + 1e-9 })
   }
 
+  test("kalmanLevel excludes null key/order/value rows on both paths (ADVICE round 16)") {
+    // the integral fast path's primitive encoder NPE'd on nulls where
+    // the fold path juggled them — both now share one explicit
+    // contract: null rows are excluded, non-null series unchanged
+    import spark.implicits._
+    val withNulls = Seq(
+      (Option(1L), Option(1L), Option(10.0)),
+      (Option(1L), Option(2L), Option(12.0)),
+      (Option(1L), Option(3L), None), // null value
+      (Option(1L), None, Option(9.0)), // null order
+      (None, Option(1L), Option(7.0)), // null key
+      (Option(2L), Option(1L), Option(5.0)))
+      .toDF("k", "o", "v")
+    val got = graft.ops.Inference.kalmanLevelOf(withNulls, "k", "o", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val clean = Seq((1L, 1L, 10.0), (1L, 2L, 12.0), (2L, 1L, 5.0))
+    val want = graft.ops.Inference.kalmanLevelOf(clean.toDF("k", "o", "v"), "k", "o", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == want.toSeq)
+    // string key → the type-generic fold path; same null contract
+    val gotFold = graft.ops.Inference.kalmanLevelOf(
+      Seq((Option("a"), Option(1L), Option(10.0)),
+        (Option("a"), Option(2L), None),
+        (None: Option[String], Option(1L), Option(3.0))).toDF("k", "o", "v"),
+      "k", "o", "v").collect()
+    assert(gotFold.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("a", 1L)))
+  }
+
   test("Cochran's Q replays from the heavy-use incidence matrix") {
     val ut = graft.core.Tables.events(spark, TestSpark.sfSmoke)
       .select(col("user_id"), col("event_type"))

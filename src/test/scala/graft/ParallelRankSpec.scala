@@ -67,6 +67,33 @@ class ParallelRankSpec extends AnyFunSuite {
     assert(ParallelRank.doubledAvgRankGrid(empty, Seq("g"), "v", "r").count() == 0L)
   }
 
+  test("a string valueCol is rejected up front (ADVICE round 16)") {
+    // double-cast bucketing is only monotone for numeric/temporal
+    // types; '10' vs '9' would bucket numerically but rank
+    // lexicographically within buckets — silent divergence
+    import spark.implicits._
+    val df = Seq(("a", "10"), ("a", "9")).toDF("g", "v")
+    val e = intercept[IllegalArgumentException] {
+      ParallelRank.doubledAvgRankGrid(df, Seq("g"), "v", "r")
+    }
+    assert(e.getMessage.contains("numeric or temporal"))
+  }
+
+  test("fromCounts over a pre-aggregated grid equals the raw-frame form") {
+    val base = graft.core.Tables.lineitem(spark, TestSpark.sfSmoke)
+      .select(col("l_returnflag").as("g"),
+        col("l_quantity").cast("bigint").as("v"))
+    val counts = base.groupBy("g", "v").agg(count(lit(1)).as("n"))
+    val direct = ParallelRank.doubledAvgRankGrid(base, Seq("g"), "v", "r")
+      .collect().map(x => (x.getAs[String]("g"), x.getAs[Long]("v")) ->
+        (x.getAs[Long]("_c"), x.getAs[Long]("r"))).toMap
+    val viaCounts = ParallelRank.fromCounts(counts, Seq("g"), "v", "n", "r")
+    assert(!viaCounts.columns.contains("n")) // caller's count col dropped
+    val got = viaCounts.collect().map(x => (x.getAs[String]("g"), x.getAs[Long]("v")) ->
+      (x.getAs[Long]("_c"), x.getAs[Long]("r"))).toMap
+    assert(got == direct)
+  }
+
   private object P {
     def cents(c: org.apache.spark.sql.Column) =
       (c.cast("decimal(18,2)") * 100).cast("bigint")
