@@ -24,6 +24,35 @@ object Aggs {
   private def dsumsq(c: org.apache.spark.sql.Column) =
     sum((P.dec2(c) * P.dec2(c)).cast("decimal(38,4)")).cast("double")
 
+  /** ONE oracle text for both Spearman spellings (`agg_spearman` /
+    * `agg_spearman_grid`): the two queries are bit-identical by
+    * construction — identical integer rank/co-moment sums, identical
+    * final formula — so they gate against the same SQL. */
+  private val spearmanOracleSql: String =
+    """SELECT l_returnflag, n,
+      |  round((cast(n as double) * cast(sab as double) - cast(sa as double) * cast(sb as double))
+      |        / sqrt((cast(n as double) * cast(saa as double) - cast(sa as double) * cast(sa as double))
+      |               * (cast(n as double) * cast(sbb as double) - cast(sb as double) * cast(sb as double))), 4)
+      |    AS spearman_rho
+      |FROM (
+      |  SELECT l_returnflag, count(*) AS n,
+      |    cast(sum(ax) as bigint) AS sa, cast(sum(bx) as bigint) AS sb,
+      |    sum(cast(ax as decimal(19,0)) * cast(ax as decimal(19,0))) AS saa,
+      |    sum(cast(bx as decimal(19,0)) * cast(bx as decimal(19,0))) AS sbb,
+      |    sum(cast(ax as decimal(19,0)) * cast(bx as decimal(19,0))) AS sab
+      |  FROM (
+      |    SELECT l_returnflag,
+      |      cast(rank() OVER (PARTITION BY l_returnflag ORDER BY q) as bigint) * 2
+      |        + count(*) OVER (PARTITION BY l_returnflag, q) - 1 AS ax,
+      |      cast(rank() OVER (PARTITION BY l_returnflag ORDER BY p) as bigint) * 2
+      |        + count(*) OVER (PARTITION BY l_returnflag, p) - 1 AS bx
+      |    FROM (
+      |      SELECT l_returnflag, cast(l_quantity as bigint) AS q,
+      |        cast(l_extendedprice as decimal(18,2)) AS p
+      |      FROM lineitem))
+      |  GROUP BY l_returnflag)
+      |ORDER BY l_returnflag""".stripMargin
+
   val ops: Seq[OpSpec] = baseOps ++ histogramOps
 
   private lazy val baseOps: Seq[OpSpec] = Seq(
@@ -1276,9 +1305,10 @@ object Aggs {
     // rank_asc−rank_desc identity: 6.0 s — doubles the serial sorts;
     // ParallelRank joint-grid: 9.1 s — five shuffles + two quantile
     // sketches of orchestration), so the declared query keeps the
-    // window form; the group-count-independent scale path is
-    // graft.core.ParallelRank (bit-identical by ParallelRankSpec,
-    // crossover measured in BASELINE round-16).
+    // window form; the group-count-independent scale path is the
+    // GATED `agg_spearman_grid` below (round 17 — bit-identical by
+    // ParallelRankSpec + the shared oracle, crossover in BASELINE
+    // round-16: 31× at 10 M rows).
     OpSpec(
       "agg_spearman",
       (s, d) => {
@@ -1310,29 +1340,68 @@ object Aggs {
               .as("spearman_rho"))
           .orderBy("l_returnflag")
       },
-      Some("""SELECT l_returnflag, n,
-             |  round((cast(n as double) * cast(sab as double) - cast(sa as double) * cast(sb as double))
-             |        / sqrt((cast(n as double) * cast(saa as double) - cast(sa as double) * cast(sa as double))
-             |               * (cast(n as double) * cast(sbb as double) - cast(sb as double) * cast(sb as double))), 4)
-             |    AS spearman_rho
-             |FROM (
-             |  SELECT l_returnflag, count(*) AS n,
-             |    cast(sum(ax) as bigint) AS sa, cast(sum(bx) as bigint) AS sb,
-             |    sum(cast(ax as decimal(19,0)) * cast(ax as decimal(19,0))) AS saa,
-             |    sum(cast(bx as decimal(19,0)) * cast(bx as decimal(19,0))) AS sbb,
-             |    sum(cast(ax as decimal(19,0)) * cast(bx as decimal(19,0))) AS sab
-             |  FROM (
-             |    SELECT l_returnflag,
-             |      cast(rank() OVER (PARTITION BY l_returnflag ORDER BY q) as bigint) * 2
-             |        + count(*) OVER (PARTITION BY l_returnflag, q) - 1 AS ax,
-             |      cast(rank() OVER (PARTITION BY l_returnflag ORDER BY p) as bigint) * 2
-             |        + count(*) OVER (PARTITION BY l_returnflag, p) - 1 AS bx
-             |    FROM (
-             |      SELECT l_returnflag, cast(l_quantity as bigint) AS q,
-             |        cast(l_extendedprice as decimal(18,2)) AS p
-             |      FROM lineitem))
-             |  GROUP BY l_returnflag)
-             |ORDER BY l_returnflag""".stripMargin),
+      Some(spearmanOracleSql),
+    ),
+    // The GROUP-COUNT-INDEPENDENT Spearman (round-17; round-16 verdict
+    // item 1): the declared window spelling above is exact and wins at
+    // bench scale, but its two rank sorts partition by the GROUP key —
+    // on a 3-flag fact table that is 3 sort tasks no matter the
+    // cluster. This spelling ranks on GRIDS instead: one joint
+    // (flag, q, p) hash agg over the fact table (full parallelism),
+    // marginal counts derived from it (grid-sized, never re-touching
+    // facts), ParallelRank's bucketed doubled-avg-rank device per
+    // marginal (parallelism = groups × buckets), and the co-moment
+    // sums accumulated over the joint grid weighted by occurrence
+    // count. Every integer equals the window spelling's bit-for-bit
+    // (ParallelRankSpec proves the rank device; the shared oracle
+    // proves the composition), so both keys gate against ONE oracle
+    // text. Measured crossover: 31× at 10 M rows single-key
+    // (BASELINE round-16); at bench sf the window form stays cheaper,
+    // which is why BOTH are declared — the ts_ewm/ts_ewm_linear
+    // precedent. The q-rank grid is value-domain bounded (50
+    // quantities × flags) and broadcast; the p-rank grid is
+    // distinct-price-sized — broadcast-able at bench SF, a
+    // co-partitioned shuffle join at 100 TB (unhinted: AQE decides).
+    OpSpec(
+      "agg_spearman_grid",
+      (s, d) => {
+        val d19 = (c: org.apache.spark.sql.Column) => c.cast("decimal(19,0)")
+        val fact = T.lineitem(s, d).select(col("l_returnflag"),
+          col("l_quantity").cast("bigint").as("q"),
+          P.dec2(col("l_extendedprice")).as("p"))
+        // the joint grid feeds three consumers (two marginals + the
+        // final weighted agg) — one corpus shuffle, memoized
+        val joint = graft.core.DiskMemo.persist(
+          fact.groupBy("l_returnflag", "q", "p").agg(count(lit(1)).as("c")),
+          "spearman_joint")
+        val qRank = graft.core.ParallelRank.fromCounts(
+          joint.groupBy("l_returnflag", "q").agg(sum("c").as("cq")),
+          Seq("l_returnflag"), "q", "cq", "ax")
+        val pRank = graft.core.ParallelRank.fromCounts(
+          joint.groupBy("l_returnflag", "p").agg(sum("c").as("cp")),
+          Seq("l_returnflag"), "p", "cp", "bx")
+        joint
+          .join(broadcast(qRank.select("l_returnflag", "q", "ax")),
+            Seq("l_returnflag", "q"))
+          .join(pRank.select("l_returnflag", "p", "bx"), Seq("l_returnflag", "p"))
+          .groupBy("l_returnflag")
+          .agg(
+            sum(col("c")).as("n"),
+            sum(col("c") * col("ax")).as("sa"), sum(col("c") * col("bx")).as("sb"),
+            sum(d19(col("c")) * d19(col("ax")) * d19(col("ax"))).as("saa"),
+            sum(d19(col("c")) * d19(col("bx")) * d19(col("bx"))).as("sbb"),
+            sum(d19(col("c")) * d19(col("ax")) * d19(col("bx"))).as("sab"))
+          .select(col("l_returnflag"), col("n"),
+            P.r4((col("n").cast("double") * col("sab").cast("double") -
+              col("sa").cast("double") * col("sb").cast("double")) /
+              sqrt((col("n").cast("double") * col("saa").cast("double") -
+                col("sa").cast("double") * col("sa").cast("double")) *
+                (col("n").cast("double") * col("sbb").cast("double") -
+                  col("sb").cast("double") * col("sb").cast("double"))))
+              .as("spearman_rho"))
+          .orderBy("l_returnflag")
+      },
+      Some(spearmanOracleSql),
     ),
     // Two-sample Kolmogorov–Smirnov statistic (scipy.stats.ks_2samp's
     // D) between the 'view' and 'click' value distributions — the

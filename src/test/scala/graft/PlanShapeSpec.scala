@@ -422,6 +422,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("agg_spearman_grid has no group-partitioned fact-table rank sort") {
+    // round-16 verdict item 1: the grid spelling's whole point is that
+    // NO window sorts the fact table partitioned by the group key
+    // alone (parallelism = group count). The serial spelling's rank
+    // windows are windowspecdefinition(l_returnflag, q|p ASC …); the
+    // grid plan must contain none of those, and must carry the
+    // bucketed (group, _b)-partitioned cumsum instead.
+    val p = plan("agg_spearman_grid")
+    val serialRank = """windowspecdefinition\(l_returnflag#\d+, [qp]#\d+""".r
+    assert(serialRank.findFirstIn(p).isEmpty,
+      s"group-partitioned fact-table rank sort crept back in:\n$p")
+    val bucketed = """windowspecdefinition\(l_returnflag#\d+, _b#\d+""".r
+    assert(bucketed.findFirstIn(p).isDefined ||
+      p.contains("_b#"), s"bucketed rank windows missing:\n$p")
+  }
+
   test("exchange budget of the 25 most expensive bench keys (regression guard)") {
     // round-14 verdict item 7 (top-10), widened to the top-25 in
     // round 16 (verdict item 5): the re-plan rounds kept proving
