@@ -96,6 +96,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[Sha16Bits].getName, "sha16_bits"),
       (args: Seq[Expression]) => Sha16Bits(args(0))))
     ext.injectFunction((
+      new FunctionIdentifier("pii_scan"),
+      new ExpressionInfo(classOf[PiiScan].getName, "pii_scan"),
+      (args: Seq[Expression]) => PiiScan(args(0))))
+    ext.injectFunction((
       new FunctionIdentifier("unicode_normalize"),
       new ExpressionInfo(classOf[UnicodeNormalize].getName, "unicode_normalize"),
       (args: Seq[Expression]) => {

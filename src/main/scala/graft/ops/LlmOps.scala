@@ -148,9 +148,29 @@ object LlmOps {
   /** PII REDACTION — the curation pass every shipped-corpus pipeline
     * runs (emails, IPv4 addresses, phone-shaped numbers → typed
     * tokens): per doc, match counts per class + the redacted text.
-    * ROW-LOCAL (regexp_count + a fixed regexp_replace chain) — fuses
-    * into the scan; nothing shuffles but the emitted row. */
-  def piiRedactOf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * ROW-LOCAL and scan-fused; since round 17 the whole chain runs in
+    * ONE native codegen'd expression ([[graft.functions.PiiScan]] —
+    * three hand-rolled linear byte scans) instead of six interpreted
+    * java.util.regex passes (135.8 s at the sf10 stress, the worst
+    * single key on the 100× axis). Bit-parity with the chained regex
+    * spelling ([[piiRedactChainOf]]) is asserted in
+    * NativeFunctionSpec; the DuckDB oracle still replays the regex
+    * chain, so the gate proves the kernel every round. */
+  def piiRedactOf(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+        call_function("pii_scan", col(textCol)).as("_pii"))
+      .select(col(idCol),
+        col("_pii.n_email").as("n_email"),
+        col("_pii.n_ip").as("n_ip"),
+        col("_pii.n_phone").as("n_phone"),
+        substring(col("_pii.redacted"), 1, 80).as("redacted_prefix"))
+
+  /** The chained-regex spelling of [[piiRedactOf]] — six interpreted
+    * regex passes. Retained as the parity witness for the native
+    * kernel (NativeFunctionSpec) and as the registration-free
+    * fallback; not on any declared path. */
+  private[graft] def piiRedactChainOf(docs: DataFrame, idCol: String,
+                                      textCol: String): DataFrame = {
     val redacted = PiiPatterns.foldLeft(col(textCol)) {
       case (c, (_, re, tok)) => regexp_replace(c, re, tok)
     }

@@ -170,4 +170,73 @@ class NativeFunctionSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(viaHof == viaExplode)
   }
+
+  test("pii_scan equals the chained regex spelling on the gated corpus") {
+    // the round-17 kernel replays the WHOLE email→ip→phone chain
+    // (counts on partially-redacted text) in one native expression;
+    // parity is checked on exactly the text the declared query scans —
+    // the corpus with the deterministic doc_id-derived contact tail
+    val seeded = graft.core.Tables.documents(spark, TestSpark.sfSmoke)
+      .selectExpr("doc_id",
+        """text || ' reach user' || doc_id || '@example.com or 10.0.'
+          | || (doc_id % 256) || '.' || ((doc_id * 7) % 256)
+          | || ' call +1-555-' || lpad(cast(doc_id % 10000 as string), 4, '0')
+          | AS text""".stripMargin.replaceAll("\n", ""))
+    val native = graft.ops.LlmOps.piiRedactOf(seeded, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val chain = graft.ops.LlmOps.piiRedactChainOf(seeded, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(native.size == chain.size && native.keySet == chain.keySet)
+    native.foreach { case (id, got) =>
+      assert(got == chain(id), s"doc $id: $got != ${chain(id)}") }
+  }
+
+  test("pii_scan matches java.util.regex on adversarial edge cases") {
+    // each string stresses one backtracking/boundary subtlety the
+    // byte scanners reimplement by hand
+    val cases = Seq(
+      "", " ", "plain text no pii at all",
+      "a@b.com", "a@b.com.", "a@b.co.uk", "x@y", "a@b@c.com", "a@_b@c.com",
+      "%%%a@b.com", ".a@b.com", "a@b.c1.com", "a@b-c.org extra", "a@@b.com",
+      "user.name+tag@sub.domain-x.example.travel trailing",
+      "1.2.3.user@x.com4.5.6.7", "5@x.com5",
+      "1.2.3.4", "1234.5.6.7", "1.2.3.4567", "a1.2.3.4", "1.2.3.4a",
+      "1.2.3.4.5.6.7.8", "10.0.0.1 and 255.255.255.255", "1.23.456.7.8",
+      "ip 1.2.3.4, done", "v1.2.3.4", "x 1.2.3.4_y",
+      "é1.2.3.4", "☃1.2.3.4☃", "_1.2.3.4_", "1.2.3.4é end", "😀 1.2.3.4 😀",
+      "+1-555-0123", "call 12345678 now", "call 123456789 now",
+      "123 456 7890", "5+12345678901", "12+34567890", "+x 123",
+      "num 1 2 3 4 5 6 7 8 9 end", "-- 555-123-4567 --",
+      "+12345678 9", "9876543210- -x", "++12345678901",
+      "mixed a@b.com 1.2.3.4 +1-555-0123 a@b.com",
+      "émail é@b.com naïve 1.2.3.4é +1 555 0123 4",
+      "Čafé ☃ user@host.org ☃ 8.8.8.8 ☃ 00 11 22 33 44")
+    import spark.implicits._
+    val df = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val native = graft.ops.LlmOps.piiRedactOf(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val chain = graft.ops.LlmOps.piiRedactChainOf(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    cases.indices.foreach { i =>
+      assert(native(i.toLong) == chain(i.toLong),
+        s"case '${cases(i)}': ${native(i.toLong)} != ${chain(i.toLong)}")
+    }
+    // the full redacted text (not just the 80-char prefix) also agrees
+    // with the java chain, via the raw struct
+    val full = df.selectExpr("doc_id", "pii_scan(text).redacted AS r")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val re = graft.ops.LlmOps.PiiPatterns
+    val javaFull = cases.zipWithIndex.map { case (t, i) =>
+      i.toLong -> re.foldLeft(t) { case (s, (_, p, tok)) => s.replaceAll(p, tok) }
+    }.toMap
+    assert(full == javaFull)
+  }
+
+  test("pii_scan evaluates inside whole-stage codegen") {
+    val df = graft.core.Tables.documents(spark, TestSpark.sfSmoke)
+      .selectExpr("pii_scan(text) AS p")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("pii_scan") && l.contains("*(")), plan)
+    assert(df.limit(3).collect().length == 3)
+  }
 }
