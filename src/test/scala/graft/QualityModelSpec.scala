@@ -73,6 +73,11 @@ class QualityModelSpec extends AnyFunSuite {
     val rowLocal = keyed(graft.text.TextOps.qualityModelScoreOf(docs, "doc_id", "text"))
     val batch = keyed(graft.text.TextOps.qualityModelScoreBatchOf(docs, "doc_id", "text"))
     assert(rowLocal.nonEmpty && rowLocal == batch)
+    // round 17: the DECLARED key runs the Expand-free per-(doc,word)
+    // pre-agg spelling — same exact count-weighted integers, so it
+    // too is bit-identical to both earlier forms
+    val batch2 = keyed(graft.text.TextOps.qualityModelScoreBatch2Of(docs, "doc_id", "text"))
+    assert(batch2 == batch)
   }
 
   test("NULL-text docs drop from the scorer, matching langIdOf and the oracle's unnest") {
