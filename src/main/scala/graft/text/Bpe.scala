@@ -106,13 +106,26 @@ object Bpe {
   }
 
   /** Per-doc whitespace vs BPE token counts →
-    * (idCol, n_ws_tokens, n_bpe_tokens). */
+    * (idCol, n_ws_tokens, n_bpe_tokens).
+    *
+    * DISK-MEMOIZED (round 17; round-16 verdict item 5): the tokenizer
+    * chain — corpus explode + distinct-words unrolled greedy scan +
+    * broadcast join + per-doc agg — was rebuilt identically by BOTH
+    * declared consumers (`text_token_count_bpe`,
+    * `sample_token_budget_bpe`, the top bench key). The per-doc count
+    * frame is slim (3 ints/doc), so it now rides the plan-keyed
+    * DiskMemo like the span-dedup family's positioned-digest
+    * artifact: the first consumer pays the build honestly, siblings
+    * scan the parquet artifact. Streaming frames pass through
+    * unmemoized (the streaming path is [[docTokExpr]] anyway). */
   def bpeTokenCountsOf(docs: DataFrame, idCol: String,
                        textCol: String): DataFrame =
-    docs.select(col(idCol), explode(split(col(textCol), " ")).as("_bw"))
-      .join(broadcast(wordTokenCounts(docs, textCol)), "_bw")
-      .groupBy(idCol)
-      .agg(count(lit(1)).as("n_ws_tokens"), sum("_bn").as("n_bpe_tokens"))
+    graft.core.DiskMemo.persist(
+      docs.select(col(idCol), explode(split(col(textCol), " ")).as("_bw"))
+        .join(broadcast(wordTokenCounts(docs, textCol)), "_bw")
+        .groupBy(idCol)
+        .agg(count(lit(1)).as("n_ws_tokens"), sum("_bn").as("n_bpe_tokens")),
+      "bpe_doc_tok")
 
   /** Deterministic per-group BPE-token-budget subsample — the
     * tokenizer-faithful twin of CurationOps.tokenBudgetSampleOf (same
