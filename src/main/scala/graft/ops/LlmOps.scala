@@ -134,6 +134,24 @@ object LlmOps {
   //   degenerate payload (round-16 review); the typed-empty slice
   //   matches DuckDB's empty list on both engines.
 
+  /** Row-local per-item WAV profile — PCM-16 samples reconstructed
+    * from the payload bytes (the [[wavDecodeSamplesExpr]] codec), then
+    * (n_frames, Σx², peak) as exact int64s. STATELESS select ⇒
+    * streaming-safe: this is the live twin of the decode stage of the
+    * declared `multimodal_wav_decode` (which feeds it into the
+    * label join + 10-row hash agg); StreamingSpec asserts stream ==
+    * batch bit-exactly across a micro-batch boundary (round 17 —
+    * round-16 verdict item 6). */
+  def wavProfileOf(docs: DataFrame, idCol: String,
+                   payloadCol: String): DataFrame =
+    docs.select(col(idCol), col(payloadCol).as("payload"))
+      .select(col(idCol), expr(wavDecodeSamplesExpr).as("smp"))
+      .select(col(idCol),
+        expr("cast(size(smp) as bigint)").as("n_frames"),
+        expr("aggregate(smp, cast(0 as bigint), (acc, x) -> acc + x * x)")
+          .as("sum_sq"),
+        expr("array_max(transform(smp, x -> abs(x)))").as("peak"))
+
   /** PII redaction patterns — the Java-regex ∩ RE2 common subset (no
     * backrefs, no lookaround), so Spark and DuckDB match identically.
     * Application order matters and is FIXED (email → IPv4 → phone):
@@ -617,22 +635,21 @@ object LlmOps {
     OpSpec(
       "multimodal_wav_decode",
       (s, d) => {
-        T.documents(s, d)
-          .select(col("doc_id"), expr(wavPayloadSqlExpr).as("payload"))
-          .select(col("doc_id"), expr(wavDecodeSamplesExpr).as("smp"))
-          .select(col("doc_id"),
-            expr("cast(size(smp) as bigint)").as("nf"),
-            expr("aggregate(smp, cast(0 as bigint), (acc, x) -> acc + x * x)").as("sq"),
-            expr("array_max(transform(smp, x -> abs(x)))").as("pk"))
+        // the decode stage IS wavProfileOf — the streaming twin rides
+        // the same transform, so the gate certifies both
+        wavProfileOf(
+          T.documents(s, d)
+            .select(col("doc_id"), expr(wavPayloadSqlExpr).as("payload")),
+          "doc_id", "payload")
           .join(T.embeddings(s, d).select(col("vec_id"), col("label")),
             col("doc_id") === col("vec_id"))
           .groupBy(col("label").cast("int").as("label"))
           .agg(count(lit(1)).as("n_items"),
-            sum(col("nf")).as("total_frames"),
-            sum(col("sq")).as("total_sq"),
-            sqrt(sum(col("sq")).cast("double") / sum(col("nf")).cast("double"))
-              .as("rms"),
-            max(col("pk")).as("peak"))
+            sum(col("n_frames")).as("total_frames"),
+            sum(col("sum_sq")).as("total_sq"),
+            sqrt(sum(col("sum_sq")).cast("double") /
+              sum(col("n_frames")).cast("double")).as("rms"),
+            max(col("peak")).as("peak"))
           .orderBy("label")
       },
       Some("""WITH p AS (

