@@ -105,6 +105,85 @@ def gen_events(n, n_users, seed):
     })
 
 
+def gen_tpch(n_orders, n_cust, n_part, n_supp, seed):
+    """Mirror the driver's sf0.1 orders/lineitem/customer statistics
+    (profiled with DuckDB this round):
+      orders   o_orderkey dense 0..n-1; o_custkey uniform (=> ~Poisson(10)
+               orders/customer); status F/O/P uniform; priority 5-way
+               uniform; totalprice U(1000, 500000) 2dp; orderdate
+               1995-01-01 + U(0..2403) days
+      lineitem ~4.08 lines/order Poisson (1.8% of orders lineless, like
+               the measured 147236/150000 distinct); partkey/suppkey
+               uniform; quantity U{1..50}; extendedprice U(900, 105000)
+               2dp; discount U{0..0.10}; tax U{0..0.08}; returnflag
+               A/N/R, linestatus F/O; shipdate = orderdate + U(1..95)d
+      customer c_custkey dense; nationkey k%25; acctbal U(-1000, 10000)
+               2dp; mktsegment 5-way
+    Only join-relevant SHAPE matters here (fan-out, key cardinality,
+    value ranges) — the correctness gate runs on the driver corpus."""
+    npr = np.random.default_rng(seed)
+    day_us = np.int64(24 * 3600) * np.int64(1_000_000)
+    t0 = np.datetime64("1995-01-01T00:00:00", "us").astype(np.int64)
+
+    seg = np.array(["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+                    "MACHINERY"])
+    cust = pa.table({
+        "c_custkey": pa.array(np.arange(n_cust), pa.int64()),
+        "c_name": pa.array([f"Customer#{k:09d}" for k in range(n_cust)],
+                           pa.string()),
+        "c_nationkey": pa.array((np.arange(n_cust) % 25).astype(np.int32),
+                                pa.int32()),
+        "c_acctbal": pa.array(
+            np.round(npr.uniform(-1000.0, 10000.0, n_cust), 2), pa.float64()),
+        "c_mktsegment": pa.array(seg[npr.integers(0, 5, n_cust)], pa.string()),
+    })
+
+    status = np.array(["F", "O", "P"])
+    prio = np.array(["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+                     "5-LOW"])
+    odate = t0 + npr.integers(0, 2404, n_orders) * day_us
+    orders = pa.table({
+        "o_orderkey": pa.array(np.arange(n_orders), pa.int64()),
+        "o_custkey": pa.array(npr.integers(0, n_cust, n_orders), pa.int64()),
+        "o_orderstatus": pa.array(status[npr.integers(0, 3, n_orders)],
+                                  pa.string()),
+        "o_totalprice": pa.array(
+            np.round(npr.uniform(1000.0, 500000.0, n_orders), 2),
+            pa.float64()),
+        "o_orderdate": pa.array(odate, pa.timestamp("us")),
+        "o_orderpriority": pa.array(prio[npr.integers(0, 5, n_orders)],
+                                    pa.string()),
+    })
+
+    nl = npr.poisson(4.08, n_orders)
+    okeys = np.repeat(np.arange(n_orders), nl)
+    n_li = okeys.size
+    linenum = (np.arange(n_li) -
+               np.repeat(np.cumsum(nl) - nl, nl) + 1).astype(np.int32)
+    flag = np.array(["A", "N", "R"])
+    lstat = np.array(["F", "O"])
+    ship = (np.repeat(odate, nl) +
+            npr.integers(1, 96, n_li) * day_us)
+    lineitem = pa.table({
+        "l_orderkey": pa.array(okeys, pa.int64()),
+        "l_partkey": pa.array(npr.integers(0, n_part, n_li), pa.int64()),
+        "l_suppkey": pa.array(npr.integers(0, n_supp, n_li), pa.int64()),
+        "l_linenumber": pa.array(linenum, pa.int32()),
+        "l_quantity": pa.array(npr.integers(1, 51, n_li).astype(np.float64),
+                               pa.float64()),
+        "l_extendedprice": pa.array(
+            np.round(npr.uniform(900.0, 105000.0, n_li), 2), pa.float64()),
+        "l_discount": pa.array(npr.integers(0, 11, n_li) / 100.0,
+                               pa.float64()),
+        "l_tax": pa.array(npr.integers(0, 9, n_li) / 100.0, pa.float64()),
+        "l_returnflag": pa.array(flag[npr.integers(0, 3, n_li)], pa.string()),
+        "l_linestatus": pa.array(lstat[npr.integers(0, 2, n_li)],
+                                 pa.string()),
+        "l_shipdate": pa.array(ship, pa.timestamp("us")),
+    })
+    return cust, orders, lineitem
+
+
 def main():
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_sf1"
     scale = int(sys.argv[2]) if len(sys.argv) > 2 else 10
@@ -117,8 +196,15 @@ def main():
     pq.write_table(emb, f"{out}/embeddings.parquet")
     ev = gen_events(100000 * scale, 1500 * scale, seed=4242)
     pq.write_table(ev, f"{out}/events.parquet")
+    cust, orders, li = gen_tpch(
+        n_orders=15000 * scale, n_cust=1500 * scale,
+        n_part=2000 * scale, n_supp=100 * scale, seed=4242)
+    pq.write_table(cust, f"{out}/customer.parquet")
+    pq.write_table(orders, f"{out}/orders.parquet")
+    pq.write_table(li, f"{out}/lineitem.parquet")
     print(f"wrote {docs.num_rows} docs, {emb.num_rows} embeddings, "
-          f"{ev.num_rows} events -> {out}")
+          f"{ev.num_rows} events, {orders.num_rows} orders, "
+          f"{li.num_rows} lineitems, {cust.num_rows} customers -> {out}")
 
 
 if __name__ == "__main__":
