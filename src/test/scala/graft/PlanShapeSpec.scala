@@ -294,10 +294,14 @@ class PlanShapeSpec extends AnyFunSuite {
     // substring dedup: in-group pair explode — no join node anywhere
     val sd = plan("dedup_substring_exact")
     assert(!sd.contains("Join"), sd)
-    // BPE counting: the word-token table is BROADCAST back (vocab-
-    // bounded side), never shuffled against the corpus
+    // BPE counting: since round 17 the per-doc count frame is a
+    // DiskMemo artifact scan (the tokenizer chain — whose word-token
+    // table is broadcast, never shuffled against the corpus — runs
+    // once at build time, shared with sample_token_budget_bpe); the
+    // declared plan must be that slim scan, with no join and no
+    // corpus re-tokenization
     val bp = plan("text_token_count_bpe")
-    assert(bp.contains("BroadcastHashJoin"), bp)
+    assert(bp.contains("graft_diskmemo") && !bp.contains("Join"), bp)
     // panel evals: the query panel is the BROADCAST side (corpus
     // streams once past it — never a shuffled or cartesian pair build)
     Seq("sim_knn_classify", "sim_recall_int8", "sim_recall_truncated")
