@@ -31,28 +31,46 @@ import org.apache.spark.sql.functions._
   */
 object ParallelRank {
 
-  /** CONTRACT: `valueCol` must be numeric or temporal. The bucketing
-    * casts the value to double, which is order-preserving w.r.t. the
-    * window's `orderBy(valueCol)` only for those types — a STRING
-    * column ('10' < '9' lexicographically but 10.0 > 9.0 numerically)
-    * would bucket by numeric value yet rank lexicographically within
-    * buckets, silently diverging from the serial rank-window spelling
-    * (ADVICE round 16). Rejected up front instead. */
+  /** CONTRACT: `valueCol` must be numeric, a date, or a timestamp.
+    * The bucketing needs a DOUBLE key that is order-preserving w.r.t.
+    * the window's `orderBy(valueCol)` — a STRING column ('10' < '9'
+    * lexicographically but 10.0 > 9.0 numerically) would bucket by
+    * numeric value yet rank lexicographically within buckets,
+    * silently diverging from the serial rank-window spelling (ADVICE
+    * round 16). The allowlist is exactly the types [[orderKeyDouble]]
+    * can key monotonically on this Spark (round-17 review: DATE and
+    * TIMESTAMP_NTZ don't CAST to double at all, and an NTZ→LTZ cast
+    * is non-monotone across DST gaps in a zoned session — DATE rides
+    * unix_date instead, NTZ/intervals are rejected). Checked BEFORE
+    * any eager materialization. */
   private def requireOrderedCastable(df: DataFrame, valueCol: String): Unit = {
     import org.apache.spark.sql.types._
     df.schema(df.schema.fieldIndex(valueCol)).dataType match {
-      case _: NumericType | DateType | TimestampType | TimestampNTZType |
-          _: DayTimeIntervalType | _: YearMonthIntervalType => ()
+      case _: NumericType | DateType | TimestampType => ()
       case other => throw new IllegalArgumentException(
         s"ParallelRank: valueCol '$valueCol' must be numeric or temporal " +
-          s"(double-cast bucketing is only monotone for those types), " +
-          s"got ${other.catalogString}")
+          s"(numeric, date, or timestamp — the bucketing needs a " +
+          s"monotone double key), got ${other.catalogString}")
+    }
+  }
+
+  /** Monotone DOUBLE bucketing key for an allowlisted valueCol. */
+  private def orderKeyDouble(df: DataFrame, valueCol: String):
+      org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types._
+    df.schema(df.schema.fieldIndex(valueCol)).dataType match {
+      case DateType => unix_date(col(valueCol)).cast("double")
+      case _ => col(valueCol).cast("double")
     }
   }
 
   def doubledAvgRankGrid(df: DataFrame, groupCols: Seq[String],
                          valueCol: String, out: String,
                          numBuckets: Int = 0): DataFrame = {
+    // validate BEFORE the eager persist below — a rejected valueCol
+    // must not first pay the corpus shuffle + artifact write
+    // (round-17 review)
+    requireOrderedCastable(df, valueCol)
     val g = groupCols.map(col)
     // the grid is read THREE times (quantile sketch, local cumsum,
     // bucket totals) — materialize it once through the eviction-proof
@@ -71,6 +89,13 @@ object ParallelRank {
                  valueCol: String, countCol: String, out: String,
                  numBuckets: Int = 0): DataFrame = {
     requireOrderedCastable(counts, valueCol)
+    // '_c' is this device's occurrence-count output column; a caller
+    // frame that already carries an UNRELATED '_c' would be silently
+    // overwritten by the withColumn below (round-17 review)
+    require(countCol == "_c" || !counts.columns.contains("_c"),
+      s"ParallelRank.fromCounts: counts already has a column '_c' " +
+        s"(reserved for the occurrence count) while countCol is " +
+        s"'$countCol' — rename one of them")
     val spark = counts.sparkSession
     val n = if (numBuckets > 0) numBuckets
       else spark.sessionState.conf.numShufflePartitions
@@ -79,15 +104,15 @@ object ParallelRank {
     // deterministic value buckets — bounds only balance work, any
     // monotone bucketing gives the same rank
     val probs = (1 until n).map(_.toDouble / n).toArray
+    val key = orderKeyDouble(counts, valueCol)
     val bounds =
       if (probs.isEmpty) Array.empty[Double]
-      else try grid.select(col(valueCol).cast("double").as("_v"))
+      else try grid.select(key.as("_v"))
         .stat.approxQuantile("_v", probs, 0.01).distinct.sorted
       catch { case _: java.util.NoSuchElementException => Array.empty[Double] } // empty input
     val pid: Column =
       if (bounds.isEmpty) lit(0)
-      else size(filter(array(bounds.map(lit(_)): _*),
-        b => b <= col(valueCol).cast("double")))
+      else size(filter(array(bounds.map(lit(_)): _*), b => b <= key))
     val bucketed = grid.withColumn("_b", pid)
     // 3. local cumsum of counts BEFORE each value, parallel across
     //    (group, bucket) partitions

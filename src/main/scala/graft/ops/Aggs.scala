@@ -24,6 +24,57 @@ object Aggs {
   private def dsumsq(c: org.apache.spark.sql.Column) =
     sum((P.dec2(c) * P.dec2(c)).cast("decimal(38,4)")).cast("double")
 
+  /** The group-count-independent Spearman composition behind
+    * `agg_spearman_grid`: one joint (group, q, p) hash agg over
+    * `fact` (columns l_returnflag, q, p — q integral, p exact
+    * decimal), ParallelRank marginal rank grids, count-weighted exact
+    * co-moment sums. NULL-SAFE throughout (round-17 review): null
+    * groups/values survive the joint grid (groupBy keeps null keys),
+    * the rank grids (ParallelRank's <=> internals), and the join-back
+    * (<=> conditions here) — exactly like the window spelling, whose
+    * partitionBy gives nulls their own partition. Bit-identical to
+    * `agg_spearman`; both gate against [[spearmanOracleSql]]. */
+  private[graft] def spearmanGridOf(
+      fact: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val d19 = (c: org.apache.spark.sql.Column) => c.cast("decimal(19,0)")
+    // the joint grid feeds three consumers (two marginals + the
+    // final weighted agg) — one corpus shuffle, memoized
+    val joint = graft.core.DiskMemo.persist(
+      fact.groupBy("l_returnflag", "q", "p").agg(count(lit(1)).as("c")),
+      "spearman_joint")
+    val qRank = graft.core.ParallelRank.fromCounts(
+      joint.groupBy("l_returnflag", "q").agg(sum("c").as("cq")),
+      Seq("l_returnflag"), "q", "cq", "ax")
+    val pRank = graft.core.ParallelRank.fromCounts(
+      joint.groupBy("l_returnflag", "p").agg(sum("c").as("cp")),
+      Seq("l_returnflag"), "p", "cp", "bx")
+    val qr = qRank.select(col("l_returnflag").as("_qg"),
+      col("q").as("_qv"), col("ax"))
+    val pr = pRank.select(col("l_returnflag").as("_pg"),
+      col("p").as("_pv"), col("bx"))
+    joint
+      .join(broadcast(qr),
+        col("l_returnflag") <=> col("_qg") && col("q") <=> col("_qv"))
+      .join(pr,
+        col("l_returnflag") <=> col("_pg") && col("p") <=> col("_pv"))
+      .groupBy("l_returnflag")
+      .agg(
+        sum(col("c")).as("n"),
+        sum(col("c") * col("ax")).as("sa"), sum(col("c") * col("bx")).as("sb"),
+        sum(d19(col("c")) * d19(col("ax")) * d19(col("ax"))).as("saa"),
+        sum(d19(col("c")) * d19(col("bx")) * d19(col("bx"))).as("sbb"),
+        sum(d19(col("c")) * d19(col("ax")) * d19(col("bx"))).as("sab"))
+      .select(col("l_returnflag"), col("n"),
+        P.r4((col("n").cast("double") * col("sab").cast("double") -
+          col("sa").cast("double") * col("sb").cast("double")) /
+          sqrt((col("n").cast("double") * col("saa").cast("double") -
+            col("sa").cast("double") * col("sa").cast("double")) *
+            (col("n").cast("double") * col("sbb").cast("double") -
+              col("sb").cast("double") * col("sb").cast("double"))))
+          .as("spearman_rho"))
+      .orderBy("l_returnflag")
+  }
+
   /** ONE oracle text for both Spearman spellings (`agg_spearman` /
     * `agg_spearman_grid`): the two queries are bit-identical by
     * construction — identical integer rank/co-moment sums, identical
@@ -1364,43 +1415,10 @@ object Aggs {
     // co-partitioned shuffle join at 100 TB (unhinted: AQE decides).
     OpSpec(
       "agg_spearman_grid",
-      (s, d) => {
-        val d19 = (c: org.apache.spark.sql.Column) => c.cast("decimal(19,0)")
-        val fact = T.lineitem(s, d).select(col("l_returnflag"),
+      (s, d) => spearmanGridOf(
+        T.lineitem(s, d).select(col("l_returnflag"),
           col("l_quantity").cast("bigint").as("q"),
-          P.dec2(col("l_extendedprice")).as("p"))
-        // the joint grid feeds three consumers (two marginals + the
-        // final weighted agg) — one corpus shuffle, memoized
-        val joint = graft.core.DiskMemo.persist(
-          fact.groupBy("l_returnflag", "q", "p").agg(count(lit(1)).as("c")),
-          "spearman_joint")
-        val qRank = graft.core.ParallelRank.fromCounts(
-          joint.groupBy("l_returnflag", "q").agg(sum("c").as("cq")),
-          Seq("l_returnflag"), "q", "cq", "ax")
-        val pRank = graft.core.ParallelRank.fromCounts(
-          joint.groupBy("l_returnflag", "p").agg(sum("c").as("cp")),
-          Seq("l_returnflag"), "p", "cp", "bx")
-        joint
-          .join(broadcast(qRank.select("l_returnflag", "q", "ax")),
-            Seq("l_returnflag", "q"))
-          .join(pRank.select("l_returnflag", "p", "bx"), Seq("l_returnflag", "p"))
-          .groupBy("l_returnflag")
-          .agg(
-            sum(col("c")).as("n"),
-            sum(col("c") * col("ax")).as("sa"), sum(col("c") * col("bx")).as("sb"),
-            sum(d19(col("c")) * d19(col("ax")) * d19(col("ax"))).as("saa"),
-            sum(d19(col("c")) * d19(col("bx")) * d19(col("bx"))).as("sbb"),
-            sum(d19(col("c")) * d19(col("ax")) * d19(col("bx"))).as("sab"))
-          .select(col("l_returnflag"), col("n"),
-            P.r4((col("n").cast("double") * col("sab").cast("double") -
-              col("sa").cast("double") * col("sb").cast("double")) /
-              sqrt((col("n").cast("double") * col("saa").cast("double") -
-                col("sa").cast("double") * col("sa").cast("double")) *
-                (col("n").cast("double") * col("sbb").cast("double") -
-                  col("sb").cast("double") * col("sb").cast("double"))))
-              .as("spearman_rho"))
-          .orderBy("l_returnflag")
-      },
+          P.dec2(col("l_extendedprice")).as("p"))),
       Some(spearmanOracleSql),
     ),
     // Two-sample Kolmogorov–Smirnov statistic (scipy.stats.ks_2samp's

@@ -116,7 +116,13 @@ object Bpe {
     * frame is slim (3 ints/doc), so it now rides the plan-keyed
     * DiskMemo like the span-dedup family's positioned-digest
     * artifact: the first consumer pays the build honestly, siblings
-    * scan the parquet artifact. Streaming frames pass through
+    * scan the parquet artifact. NOTE the DiskMemo contract this
+    * inherits (same as the span-dedup/simhash families): the build is
+    * EAGER — calling this runs the tokenizer job at CONSTRUCTION time
+    * and leaves one per-JVM tmpdir artifact per distinct input frame
+    * (deleted at JVM exit) — so a caller who only wants a lazy plan
+    * over a frame no sibling will share should use [[docTokExpr]]'s
+    * row-local spelling instead. Streaming frames pass through
     * unmemoized (the streaming path is [[docTokExpr]] anyway). */
   def bpeTokenCountsOf(docs: DataFrame, idCol: String,
                        textCol: String): DataFrame =

@@ -79,6 +79,41 @@ class ParallelRankSpec extends AnyFunSuite {
     assert(e.getMessage.contains("numeric or temporal"))
   }
 
+  test("a DATE valueCol ranks via unix_date, equal to the serial window") {
+    // round-17 review: DATE does not CAST to double on this Spark, so
+    // the bucketing key must ride unix_date — and the guard must not
+    // advertise types the key cannot handle (NTZ/intervals rejected)
+    import spark.implicits._
+    val df = Seq(("a", "2024-01-05"), ("a", "2023-12-31"), ("a", "2024-01-05"),
+        ("b", "2024-02-01"), ("a", "2024-03-01"))
+      .toDF("g", "vs").select(col("g"), col("vs").cast("date").as("v"))
+    val byV = Window.partitionBy("g").orderBy("v")
+    val cV = Window.partitionBy("g", "v")
+    val want = df.select(col("g"), col("v"),
+        (rank().over(byV).cast("bigint") * 2 + count(lit(1)).over(cV) - 1).as("r"))
+      .distinct().collect()
+      .map(x => (x.getString(0), x.getDate(1).toString) -> x.getLong(2)).toMap
+    val got = ParallelRank.doubledAvgRankGrid(df, Seq("g"), "v", "r")
+      .collect()
+      .map(x => (x.getAs[String]("g"), x.getAs[java.sql.Date]("v").toString) ->
+        x.getAs[Long]("r")).toMap
+    assert(got == want)
+    val ntz = df.select(col("g"), col("v").cast("timestamp_ntz").as("v"))
+    assert(intercept[IllegalArgumentException] {
+      ParallelRank.doubledAvgRankGrid(ntz, Seq("g"), "v", "r")
+    }.getMessage.contains("numeric or temporal"))
+  }
+
+  test("fromCounts refuses a caller frame with a conflicting '_c' column") {
+    // round-17 review: withColumn("_c", ...) would silently overwrite
+    // unrelated caller data
+    import spark.implicits._
+    val counts = Seq(("a", 1L, 2L, 99L)).toDF("g", "v", "n", "_c")
+    assert(intercept[IllegalArgumentException] {
+      ParallelRank.fromCounts(counts, Seq("g"), "v", "n", "r")
+    }.getMessage.contains("_c"))
+  }
+
   test("fromCounts over a pre-aggregated grid equals the raw-frame form") {
     val base = graft.core.Tables.lineitem(spark, TestSpark.sfSmoke)
       .select(col("l_returnflag").as("g"),
@@ -92,6 +127,60 @@ class ParallelRankSpec extends AnyFunSuite {
     val got = viaCounts.collect().map(x => (x.getAs[String]("g"), x.getAs[Long]("v")) ->
       (x.getAs[Long]("_c"), x.getAs[Long]("r"))).toMap
     assert(got == direct)
+  }
+
+  test("spearman grid composition keeps null groups and values (round-17 review)") {
+    // an equi-join back to the rank grids would silently drop rows the
+    // window spelling ranks; the composition must agree on a frame
+    // that actually carries nulls
+    import spark.implicits._
+    val fact = Seq(
+      (Option("x"), Option(1L), Option(BigDecimal("10.00"))),
+      (Option("x"), Option(2L), Option(BigDecimal("11.00"))),
+      (Option("x"), Option(3L), Option(BigDecimal("9.00"))),
+      (Option("x"), Option(3L), Option(BigDecimal("12.00"))),
+      (None, Option(1L), Option(BigDecimal("5.00"))),
+      (None, Option(2L), Option(BigDecimal("6.00"))),
+      (None, Option(4L), Option(BigDecimal("7.00"))),
+      (Option("y"), None, Option(BigDecimal("3.00"))),
+      (Option("y"), Option(1L), None),
+      (Option("y"), Option(2L), Option(BigDecimal("4.00"))),
+      (Option("y"), Option(5L), Option(BigDecimal("2.00"))))
+      .toDF("l_returnflag", "q", "pd")
+      .select(col("l_returnflag"), col("q"),
+        col("pd").cast("decimal(18,2)").as("p"))
+    val grid = graft.ops.Aggs.spearmanGridOf(fact)
+      .collect().map(r => Option(r.getString(0)) ->
+        (r.getLong(1), Option(r.get(2)).map(_.toString))).toMap
+    // the serial window spelling, verbatim from agg_spearman
+    val byQ = Window.partitionBy("l_returnflag").orderBy("q")
+    val byP = Window.partitionBy("l_returnflag").orderBy("p")
+    val cq = Window.partitionBy("l_returnflag", "q")
+    val cp = Window.partitionBy("l_returnflag", "p")
+    val d19 = (c: org.apache.spark.sql.Column) => c.cast("decimal(19,0)")
+    val want = fact
+      .select(col("l_returnflag"),
+        (rank().over(byQ).cast("bigint") * 2 + count(lit(1)).over(cq) - 1).as("ax"),
+        (rank().over(byP).cast("bigint") * 2 + count(lit(1)).over(cp) - 1).as("bx"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("ax")).as("sa"), sum(col("bx")).as("sb"),
+        sum(d19(col("ax")) * d19(col("ax"))).as("saa"),
+        sum(d19(col("bx")) * d19(col("bx"))).as("sbb"),
+        sum(d19(col("ax")) * d19(col("bx"))).as("sab"))
+      .select(col("l_returnflag"), col("n"),
+        round((col("n").cast("double") * col("sab").cast("double") -
+          col("sa").cast("double") * col("sb").cast("double")) /
+          sqrt((col("n").cast("double") * col("saa").cast("double") -
+            col("sa").cast("double") * col("sa").cast("double")) *
+            (col("n").cast("double") * col("sbb").cast("double") -
+              col("sb").cast("double") * col("sb").cast("double"))), 4)
+          .as("spearman_rho"))
+      .collect().map(r => Option(r.getString(0)) ->
+        (r.getLong(1), Option(r.get(2)).map(_.toString))).toMap
+    assert(grid.keySet == want.keySet) // null group survives
+    assert(grid == want)
+    assert(grid.contains(None) && grid(None)._1 == 3L)
   }
 
   private object P {
