@@ -479,7 +479,13 @@ class PlanShapeSpec extends AnyFunSuite {
       "ts_funnel_stateful" -> 2,
       "text_strip_dup_spans" -> 5,
       "text_decontaminate_fuzzy" -> 7,
-      "scan_sample_hash" -> 2)
+      "scan_sample_hash" -> 2,
+      // round 17: the new top bench key — 14 exchanges, but the CORPUS
+      // shuffles exactly once (into the memoized joint grid at build);
+      // everything else operates on grid/marginal frames (PlanAudit
+      // r17). The declared window twin stays at 2.
+      "agg_spearman_grid" -> 14,
+      "agg_spearman" -> 2)
     val over = budget.flatMap { case (k, n) =>
       // SHUFFLE exchanges only (round-16 review: a bare "Exchange "
       // count also matched Broadcast/ReusedExchange, inflating the
