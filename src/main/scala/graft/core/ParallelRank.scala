@@ -1,6 +1,6 @@
 package graft.core
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -85,9 +85,14 @@ object ParallelRank {
     * countCol) grid — for callers that already hold the per-value
     * occurrence counts (e.g. marginals of a joint grid) and should not
     * pay a second corpus shuffle. Same exact doubled-rank output. */
+  /** Default bucket count: the session's shuffle parallelism. */
+  def defaultBuckets(spark: SparkSession): Int =
+    spark.sessionState.conf.numShufflePartitions
+
   def fromCounts(counts: DataFrame, groupCols: Seq[String],
                  valueCol: String, countCol: String, out: String,
-                 numBuckets: Int = 0): DataFrame = {
+                 numBuckets: Int = 0,
+                 precomputedBounds: Option[Array[Double]] = None): DataFrame = {
     requireOrderedCastable(counts, valueCol)
     // '_c' is this device's occurrence-count output column; a caller
     // frame that already carries an UNRELATED '_c' would be silently
@@ -105,11 +110,16 @@ object ParallelRank {
     // monotone bucketing gives the same rank
     val probs = (1 until n).map(_.toDouble / n).toArray
     val key = orderKeyDouble(counts, valueCol)
-    val bounds =
+    // callers holding several marginals of one frame can sketch ALL
+    // their bounds in a single approxQuantile action and pass them in
+    // (bounds only balance work — ANY sorted monotone-key cut set
+    // yields the same exact ranks)
+    val bounds = precomputedBounds.map(_.distinct.sorted).getOrElse {
       if (probs.isEmpty) Array.empty[Double]
       else try grid.select(key.as("_v"))
         .stat.approxQuantile("_v", probs, 0.01).distinct.sorted
       catch { case _: java.util.NoSuchElementException => Array.empty[Double] } // empty input
+    }
     val pid: Column =
       if (bounds.isEmpty) lit(0)
       else size(filter(array(bounds.map(lit(_)): _*), b => b <= key))

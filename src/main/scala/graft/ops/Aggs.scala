@@ -42,12 +42,29 @@ object Aggs {
     val joint = graft.core.DiskMemo.persist(
       fact.groupBy("l_returnflag", "q", "p").agg(count(lit(1)).as("c")),
       "spearman_joint")
+    // ONE quantile action sketches both marginals' bucket bounds off
+    // the joint artifact (round 17; bounds only balance work, so
+    // joint-mass cuts are as good as marginal-mass cuts) — instead of
+    // one approxQuantile job per rank
+    val n = graft.core.ParallelRank.defaultBuckets(joint.sparkSession)
+    val probs = (1 until n).map(_.toDouble / n).toArray
+    val Seq(qb, pb) =
+      if (probs.isEmpty) Seq(Array.empty[Double], Array.empty[Double])
+      else try {
+        val bs = joint.select(col("q").cast("double").as("_qd"),
+            col("p").cast("double").as("_pd"))
+          .stat.approxQuantile(Array("_qd", "_pd"), probs, 0.01)
+        Seq(bs(0), bs(1))
+      } catch { // empty corpus: no quantiles, single bucket
+        case _: java.util.NoSuchElementException =>
+          Seq(Array.empty[Double], Array.empty[Double])
+      }
     val qRank = graft.core.ParallelRank.fromCounts(
       joint.groupBy("l_returnflag", "q").agg(sum("c").as("cq")),
-      Seq("l_returnflag"), "q", "cq", "ax")
+      Seq("l_returnflag"), "q", "cq", "ax", precomputedBounds = Some(qb))
     val pRank = graft.core.ParallelRank.fromCounts(
       joint.groupBy("l_returnflag", "p").agg(sum("c").as("cp")),
-      Seq("l_returnflag"), "p", "cp", "bx")
+      Seq("l_returnflag"), "p", "cp", "bx", precomputedBounds = Some(pb))
     val qr = qRank.select(col("l_returnflag").as("_qg"),
       col("q").as("_qv"), col("ax"))
     val pr = pRank.select(col("l_returnflag").as("_pg"),
