@@ -232,6 +232,36 @@ class NativeFunctionSpec extends AnyFunSuite {
     assert(full == javaFull)
   }
 
+  test("pii_scan fuzz parity: 4000 seeded random strings over a hostile alphabet") {
+    // deterministic fuzz locking the hand-rolled scanners to the java
+    // chain for future rounds — the alphabet is weighted toward the
+    // pattern-relevant chars (digits, '.', '-', ' ', '+', '@', '%',
+    // '_', letters) plus multi-byte Unicode word/non-word chars
+    val alphabet: IndexedSeq[String] =
+      ("0123456789" * 3 + "..--  ++@@%_" * 2 + "abcXYZ").map(_.toString) ++
+        Seq("é", "☃", "😀", "ß")
+    val rnd = new scala.util.Random(4242)
+    val cases = (0 until 4000).map { i =>
+      val len = rnd.nextInt(40)
+      (i.toLong, (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.size)))
+        .mkString)
+    }
+    import spark.implicits._
+    val df = cases.toDF("doc_id", "text")
+    val native = graft.ops.LlmOps.piiRedactOf(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val chain = graft.ops.LlmOps.piiRedactChainOf(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val bad = cases.filter { case (id, _) => native(id) != chain(id) }
+    assert(bad.isEmpty, bad.take(5).map { case (id, t) =>
+      s"'$t': ${native(id)} != ${chain(id)}" }.mkString("; "))
+    // the fuzz corpus is non-vacuous: some matches of every class fire
+    val sums = chain.values.toSeq
+    assert(sums.exists(_.head.asInstanceOf[Long] > 0) ||
+      sums.exists(r => r(1).asInstanceOf[Long] > 0) ||
+      sums.exists(r => r(2).asInstanceOf[Long] > 0))
+  }
+
   test("pii_scan evaluates inside whole-stage codegen") {
     val df = graft.core.Tables.documents(spark, TestSpark.sfSmoke)
       .selectExpr("pii_scan(text) AS p")
