@@ -818,6 +818,14 @@ object TextOps {
     // all partial+final — the explode is the only corpus-linear stage.
     OpSpec(
       "text_ttr",
+      // RE-PLAN MEASURED AND REJECTED (round 17): a fully row-local
+      // spelling (size/array_distinct + a sorted-neighbors hapax
+      // filter, zero token shuffle) lost to this relational form at
+      // the sf10 stress — 26.9 s vs 18.9 s — because the hapax HOF is
+      // interpreted per element while the (doc, word) pre-agg rides
+      // codegen + map-side combine. The r16 lesson cuts both ways:
+      // per-token work belongs on exploded codegen'd columns even
+      // when that costs a shuffle.
       (s, d) => ttrOf(T.documents(s, d), "source", "doc_id", "text"),
       Some("""WITH tok AS (
              |  SELECT source, doc_id, unnest(string_split(text, ' ')) AS w
