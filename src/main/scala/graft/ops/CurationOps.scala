@@ -578,8 +578,13 @@ object CurationOps {
     // budget needed a BPE twin; CurationSpec pins the divergence.
     OpSpec(
       "text_token_count_bpe",
-      (s, d) => graft.text.Bpe.bpeTokenCountsOf(
-        T.documents(s, d), "doc_id", "text").orderBy("doc_id"),
+      // grid-fed since round 17: the bpe_doc_tok artifact build reads
+      // the shared docWordGrid parquet instead of re-exploding the
+      // corpus (source projected away — this key is per-doc only)
+      (s, d) => graft.text.Bpe.bpeTokenCountsFromGrid(
+          graft.text.TextOps.docWordGrid(T.documents(s, d)))
+        .select("doc_id", "n_ws_tokens", "n_bpe_tokens")
+        .orderBy("doc_id"),
       Some(s"""WITH ${graft.text.Bpe.wordTokSql("documents", "text")},
               |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
               |        FROM documents)
@@ -594,8 +599,10 @@ object CurationOps {
     // 5000 BPE tokens ≈ the whitespace op's 1500-word coverage).
     OpSpec(
       "sample_token_budget_bpe",
-      (s, d) => graft.text.Bpe.tokenBudgetSampleBpe(
-        T.documents(s, d), "source", "doc_id", "text", 5000L),
+      // grid-fed since round 17: source rides the shared artifact, so
+      // the per-doc count frame needs no join back to the corpus
+      (s, d) => graft.text.Bpe.tokenBudgetSampleBpeFromGrid(
+        graft.text.TextOps.docWordGrid(T.documents(s, d)), 5000L),
       Some(s"""WITH ${graft.text.Bpe.wordTokSql("documents", "text")},
               |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
               |        FROM documents),

@@ -230,10 +230,11 @@ object LlmOps {
     ),
     OpSpec(
       "text_tokenize_count",
+      // corpus word totals = Σ cnt over the shared docWordGrid
+      // artifact (round 17) — same integers, no corpus re-tokenize
       (s, d) =>
-        T.documents(s, d)
-          .select(explode(split(col("text"), " ")).as("word"))
-          .groupBy("word").agg(count(lit(1)).as("n"))
+        graft.text.TextOps.docWordGrid(T.documents(s, d))
+          .groupBy(col("w").as("word")).agg(sum("cnt").as("n"))
           .orderBy(desc("n"), col("word"))
           .limit(20),
       Some("""SELECT word, count(*) AS n
@@ -350,11 +351,14 @@ object LlmOps {
     OpSpec(
       "text_tfidf",
       (s, d) => {
-        val tokens = T.documents(s, d)
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-        val tf = tokens.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-        val df = tokens.groupBy("word")
-          .agg(countDistinct(col("doc_id")).as("df"))
+        // shared docWordGrid artifact (round 17): tf IS the grid row;
+        // df = one grid row per (doc, word) ⇒ a plain count per word —
+        // the countDistinct Expand over the token stream is GONE
+        val grid = graft.text.TextOps.docWordGrid(T.documents(s, d))
+        val tf = grid.select(col("doc_id"), col("w").as("word"),
+          col("cnt").as("tf"))
+        val df = grid.groupBy(col("w").as("word"))
+          .agg(count(lit(1)).as("df"))
         val n = T.documents(s, d).agg(count(lit(1)).as("n_docs"))
         tf.join(broadcast(df), Seq("word"))
           .crossJoin(broadcast(n))
@@ -382,11 +386,12 @@ object LlmOps {
     OpSpec(
       "text_keyword_extract",
       (s, d) => {
-        val tokens = T.documents(s, d)
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-        val tf = tokens.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-        val df = tokens.groupBy("word")
-          .agg(countDistinct(col("doc_id")).as("df"))
+        // same shared-grid tf/df derivation as text_tfidf (round 17)
+        val grid = graft.text.TextOps.docWordGrid(T.documents(s, d))
+        val tf = grid.select(col("doc_id"), col("w").as("word"),
+          col("cnt").as("tf"))
+        val df = grid.groupBy(col("w").as("word"))
+          .agg(count(lit(1)).as("df"))
         val n = T.documents(s, d).agg(count(lit(1)).as("n_docs"))
         val byDoc = org.apache.spark.sql.expressions.Window
           .partitionBy("doc_id").orderBy(desc("tfidf"), col("word"))
@@ -970,13 +975,16 @@ object LlmOps {
     OpSpec(
       "text_unigram_logprob",
       (s, d) => {
-        val tokens = T.documents(s, d)
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-        val tf = tokens.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-        val freq = tokens.groupBy("word").agg(count(lit(1)).as("wc"))
-          .crossJoin(broadcast(
-            T.documents(s, d).select(explode(split(col("text"), " ")).as("w"))
-              .agg(count(lit(1)).as("total"))))
+        // shared docWordGrid artifact (round 17): tf = grid rows,
+        // corpus unigram freq = Σ cnt per word, total = Σ cnt — the
+        // THREE corpus tokenizations this key ran all collapse into
+        // grid reads
+        val grid = graft.text.TextOps.docWordGrid(T.documents(s, d))
+        val tf = grid.select(col("doc_id"), col("w").as("word"),
+          col("cnt").as("tf"))
+        val freq = grid.groupBy(col("w").as("word"))
+          .agg(sum("cnt").as("wc"))
+          .crossJoin(broadcast(grid.agg(sum("cnt").as("total"))))
         tf.join(broadcast(freq), Seq("word"))
           .filter(col("doc_id") < 20)
           .withColumn("term",

@@ -87,9 +87,16 @@ object Bpe {
   /** Per-word BPE token count over the DISTINCT words of
     * `docs.textCol` → (_bw, _bn). The greedy scan is the unrolled
     * (pos, count) advance chain. */
-  def wordTokenCounts(docs: DataFrame, textCol: String): DataFrame = {
-    var t = docs
-      .select(explode(split(col(textCol), " ")).as("_bw")).distinct()
+  def wordTokenCounts(docs: DataFrame, textCol: String): DataFrame =
+    wordTokenCountsFromWords(
+      docs.select(explode(split(col(textCol), " ")).as("_bw")).distinct())
+
+  /** [[wordTokenCounts]]'s greedy-scan core over an already-distinct
+    * word frame (column `_bw`) — the grid-fed path projects the shared
+    * TextOps.docWordGrid artifact here instead of re-exploding the
+    * corpus (round 17). */
+  def wordTokenCountsFromWords(words: DataFrame): DataFrame = {
+    var t = words
       .withColumn("_p0", lit(1L)).withColumn("_c0", lit(0L))
     for (k <- 1 to unrollSteps) {
       val (p0, c0) = (s"_p${k - 1}", s"_c${k - 1}")
@@ -133,6 +140,28 @@ object Bpe {
         .agg(count(lit(1)).as("n_ws_tokens"), sum("_bn").as("n_bpe_tokens")),
       "bpe_doc_tok")
 
+  /** [[bpeTokenCountsOf]] fed from the shared per-(doc, source, lang,
+    * word) count grid (TextOps.docWordGrid — round 17): the artifact
+    * build reads the GRID parquet instead of re-exploding the corpus,
+    * the greedy scan still runs once per DISTINCT word, and the
+    * per-doc sums are count-weighted — identical integers to the
+    * explode spelling (BpeSpec). Carries `source` through the
+    * artifact (doc-determined ⇒ zero extra rows) so the budget
+    * sampler below needs NO join back to the corpus; doc-only
+    * consumers project it away. Same DiskMemo contract as the
+    * explode form (EAGER build; one artifact per corpus, both
+    * declared consumers share it). */
+  def bpeTokenCountsFromGrid(grid: DataFrame): DataFrame =
+    graft.core.DiskMemo.persist(
+      grid.select(col("doc_id"), col("source"), col("w").as("_bw"),
+          col("cnt"))
+        .join(broadcast(wordTokenCountsFromWords(
+          grid.select(col("w").as("_bw")).distinct())), "_bw")
+        .groupBy("doc_id", "source")
+        .agg(sum(col("cnt")).as("n_ws_tokens"),
+          sum(col("cnt") * col("_bn")).as("n_bpe_tokens")),
+      "bpe_doc_tok")
+
   /** Deterministic per-group BPE-token-budget subsample — the
     * tokenizer-faithful twin of CurationOps.tokenBudgetSampleOf (same
     * Knuth-hash order, same one-window-per-group shape; only the unit
@@ -150,6 +179,24 @@ object Bpe {
       .filter(col("cum_tok") <= budget)
       .select(byCol, idCol, "n_tok", "cum_tok")
       .orderBy(byCol, idCol)
+  }
+
+  /** [[tokenBudgetSampleBpe]] over the shared docWordGrid artifact
+    * (round 17): the grid-fed count frame already carries `source`,
+    * so the corpus join the generic form pays disappears entirely —
+    * the sampler is one window over the doc-sized artifact. Same
+    * Knuth-hash order, same budget rule, same output columns. */
+  def tokenBudgetSampleBpeFromGrid(grid: DataFrame, budget: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      .orderBy(col("shuf"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    bpeTokenCountsFromGrid(grid)
+      .select(col("source"), col("doc_id"), col("n_bpe_tokens").as("n_tok"),
+        ((col("doc_id") * 2654435761L) % 4294967296L).as("shuf"))
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .filter(col("cum_tok") <= budget)
+      .select("source", "doc_id", "n_tok", "cum_tok")
+      .orderBy("source", "doc_id")
   }
 
   /** DuckDB CTE chain `wordtok(w, bn)` mirroring [[wordTokenCounts]] —

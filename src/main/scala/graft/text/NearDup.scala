@@ -778,12 +778,15 @@ object NearDup {
         // integer arithmetic, because round(double, 4) splits engines
         // when the rational lands exactly on a half 4-dp tie (first
         // seen at sf0.1 doc 693 — the ts_cusum_flag class, SURVEY §2.0).
-        val quality = docs
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        // shared docWordGrid artifact (round 17): the per-doc moments
+        // are count-weighted grid sums — no corpus re-tokenize, and no
+        // countDistinct-beside-plain-aggs Expand doubling the token
+        // stream (n_distinct = one grid row per (doc, word))
+        val quality = graft.text.TextOps.docWordGrid(docs)
           .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_tokens"),
-            countDistinct(col("w")).as("n_distinct"),
-            sum(length(col("w"))).as("sum_len"))
+          .agg(sum(col("cnt")).as("n_tokens"),
+            count(lit(1)).as("n_distinct"),
+            sum(length(col("w")) * col("cnt")).as("sum_len"))
           .select(col("doc_id"),
             (col("n_distinct").cast("double") / col("n_tokens") * 0.5 +
               col("sum_len").cast("double") / col("n_tokens") * 0.05).as("quality"),
