@@ -238,11 +238,13 @@ object TextOps {
   /** THE word-tier tokenization artifact (round 17): ONE disk-memoized
     * per-(doc_id, source, lang, w) occurrence grid over the documents
     * corpus, shared by every declared full-corpus word statistic.
-    * Before this, TEN declared keys each re-ran the identical corpus
-    * explode + map-side combine (quality model, ttr, tfidf, keyword
-    * extract, unigram logprob, hash embed, tokenize count, zipf, JS
-    * divergence, jaccard matrix) — the BPE-family lesson (round-16
-    * verdict item 5) applied to the raw-word tier. Consumers derive
+    * Before this, THIRTEEN declared keys each re-ran the identical
+    * corpus explode + map-side combine (quality model, ttr, tfidf,
+    * keyword extract, unigram logprob, hash embed, tokenize count,
+    * zipf, JS divergence, jaccard matrix, dedup_survivors_quality,
+    * and the two BPE keys via bpeTokenCountsFromGrid) — the
+    * BPE-family lesson (round-16 verdict item 5) applied to the
+    * raw-word tier. Consumers derive
     * their frames by projection / re-aggregation of the grid, and
     * every derivation is integer-exact (tf = cnt; df = one row per
     * (doc, w); corpus freq = Σ cnt; per-source counts = Σ cnt within
