@@ -100,6 +100,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[PiiScan].getName, "pii_scan"),
       (args: Seq[Expression]) => PiiScan(args(0))))
     ext.injectFunction((
+      new FunctionIdentifier("wav_profile"),
+      new ExpressionInfo(classOf[WavProfile].getName, "wav_profile"),
+      (args: Seq[Expression]) => WavProfile(args(0))))
+    ext.injectFunction((
       new FunctionIdentifier("unicode_normalize"),
       new ExpressionInfo(classOf[UnicodeNormalize].getName, "unicode_normalize"),
       (args: Seq[Expression]) => {

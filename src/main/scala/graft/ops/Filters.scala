@@ -16,6 +16,17 @@ import org.apache.spark.sql.functions._
 object Filters {
   private def li(s: org.apache.spark.sql.SparkSession, d: String) = T.lineitem(s, d)
 
+  /** ONE oracle text for both top-percent spellings — bit-identical
+    * by construction (exact integer rank, identical final division). */
+  private val topPercentOracleSql: String =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice, pr
+      |FROM (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+      |    percent_rank() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice) AS pr
+      |  FROM orders)
+      |WHERE pr > 0.9
+      |ORDER BY o_orderkey""".stripMargin
+
   val ops: Seq[OpSpec] = Seq(
     OpSpec(
       "proj_select_rename",
@@ -194,13 +205,49 @@ object Filters {
           .filter(col("pr") > 0.9)
           .select("o_orderkey", "o_orderstatus", "o_totalprice", "pr")
           .orderBy("o_orderkey"),
-      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice, pr
-             |FROM (
-             |  SELECT o_orderkey, o_orderstatus, o_totalprice,
-             |    percent_rank() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice) AS pr
-             |  FROM orders)
-             |WHERE pr > 0.9
-             |ORDER BY o_orderkey""".stripMargin),
+      Some(topPercentOracleSql),
+    ),
+    // The GROUP-COUNT-INDEPENDENT top-percent filter (round 17): the
+    // window spelling above sorts the fact table partitioned by
+    // o_orderstatus ALONE — 3 sort tasks no matter the cluster — and
+    // the full-registry 100× sweep measured it 4.61× at 3.33× data
+    // (the agg_spearman disease surfacing in the filter tier). This
+    // spelling derives percent_rank EXACTLY from ParallelRank's
+    // bucketed doubled-rank grid: #strictly-smaller b = (dr − c − 1)/2
+    // (exact int64 — dr is the Mann–Whitney doubled rank), then
+    // percent_rank = b/(n−1), the IDENTICAL IEEE division Spark's
+    // PercentRank evaluates, so the filtered pr values are
+    // bit-identical to the window form. Qualifying (status, price)
+    // pairs join back to orders UNHINTED (AQE picks broadcast at
+    // bench SF, a co-partitioned shuffle join at 100 TB). Both keys
+    // gate against ONE oracle text — the ts_ewm_linear /
+    // agg_spearman_grid scale-twin precedent.
+    OpSpec(
+      "filter_top_percent_grid",
+      (s, d) => {
+        val orders = T.orders(s, d)
+        val grid = graft.core.ParallelRank.doubledAvgRankGrid(
+          orders.select(col("o_orderstatus"), col("o_totalprice")),
+          Seq("o_orderstatus"), "o_totalprice", "dr")
+        val totals = grid.groupBy("o_orderstatus").agg(sum("_c").as("n"))
+        val qualify = grid
+          .join(broadcast(totals), Seq("o_orderstatus"))
+          .withColumn("pr", when(col("n") > 1L,
+              expr("cast((dr - _c - 1) div 2 as double)") /
+                (col("n") - 1L).cast("double"))
+            .otherwise(lit(0.0)))
+          .filter(col("pr") > 0.9)
+          .select(col("o_orderstatus").as("_qs"),
+            col("o_totalprice").as("_qp"), col("pr"))
+        orders
+          .join(qualify,
+            col("o_orderstatus") <=> col("_qs") &&
+              col("o_totalprice") <=> col("_qp"))
+          .select("o_orderkey", "o_orderstatus", "o_totalprice", "pr")
+          .orderBy("o_orderkey")
+      },
+      Some(topPercentOracleSql),
     ),
   )
+
 }

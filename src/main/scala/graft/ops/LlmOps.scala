@@ -144,6 +144,27 @@ object LlmOps {
     * round-16 verdict item 6). */
   def wavProfileOf(docs: DataFrame, idCol: String,
                    payloadCol: String): DataFrame =
+    // NATIVE since round 17: one codegen'd byte scan
+    // (graft.functions.WavProfile) replaces the hex-render +
+    // per-sample substring/conv HOF chain — 72.7 s at the sf10 stress
+    // was pure constant factor. The HOF spelling survives as the
+    // parity witness ([[wavProfileFoldOf]], NativeFunctionSpec) and
+    // the oracle still recomputes from raw bytes in SQL, so the gate
+    // proves the kernel every round. Still a stateless select —
+    // streaming-safe, same twin contract.
+    docs.select(col(idCol), col(payloadCol).as("payload"))
+      .select(col(idCol), expr("wav_profile(payload)").as("_wp"))
+      .select(col(idCol),
+        col("_wp.n_frames").as("n_frames"),
+        col("_wp.sum_sq").as("sum_sq"),
+        col("_wp.peak").as("peak"))
+
+  /** The HOF spelling of [[wavProfileOf]] — retained as the
+    * registration-free fallback and the parity witness for the native
+    * kernel (NativeFunctionSpec asserts equality on the gated corpus
+    * plus degenerate payloads). */
+  private[graft] def wavProfileFoldOf(docs: DataFrame, idCol: String,
+                                      payloadCol: String): DataFrame =
     docs.select(col(idCol), col(payloadCol).as("payload"))
       .select(col(idCol), expr(wavDecodeSamplesExpr).as("smp"))
       .select(col(idCol),

@@ -41,26 +41,38 @@ object ScaleStress {
     // warmup: touch both dirs once so IO caches + codegen are even
     dirs.foreach(d => spark.read.parquet(s"$d/documents.parquet").count())
 
+    // per-key try/catch (round 17): the stress fixtures ship only the
+    // six driver-profile tables (no part/supplier/region/nation), so a
+    // key over a missing table must SKIP, not kill the whole sweep
     val res = scala.collection.mutable.Map[(String, String), Seq[Double]]()
     for (d <- dirs; op <- ops) {
-      val ts = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        op.build(spark, d).queryExecution.toRdd.count()
-        (System.nanoTime() - t0) / 1e9
+      try {
+        val ts = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          op.build(spark, d).queryExecution.toRdd.count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        res((d, op.key)) = ts
+        println(f"[stress] $d ${op.key} min=${ts.min}%.2f max=${ts.max}%.2f")
+      } catch { case e: Throwable =>
+        println(s"[stress] $d ${op.key} SKIP ${e.getClass.getSimpleName}: " +
+          s"${Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString}")
       }
-      res((d, op.key)) = ts
-      println(f"[stress] $d ${op.key} min=${ts.min}%.2f max=${ts.max}%.2f")
     }
     for (d <- dirs) {
-      val qs = ops.map(op => s""""${op.key}":${res((d, op.key)).min}""")
+      val qs = ops.flatMap(op => res.get((d, op.key))
+          .map(ts => s""""${op.key}":${ts.min}"""))
         .mkString("{", ",", "}")
       println(s"""{"metric":"stress","dir":"$d","reps":$reps,"min_sec":$qs}""")
     }
     println("key".padTo(28, ' ') + "   A_min    B_min     B/A")
     ops.foreach { op =>
-      val a = res((dirs(0), op.key)).min
-      val b = res((dirs(1), op.key)).min
-      println(f"${op.key}%-28s $a%8.2f $b%8.2f ${b / a}%7.2f")
+      (res.get((dirs(0), op.key)), res.get((dirs(1), op.key))) match {
+        case (Some(as), Some(bs)) =>
+          val (a, b) = (as.min, bs.min)
+          println(f"${op.key}%-28s $a%8.2f $b%8.2f ${b / a}%7.2f")
+        case _ => println(f"${op.key}%-28s    (skipped)")
+      }
     }
     spark.stop()
   }

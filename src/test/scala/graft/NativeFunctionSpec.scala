@@ -269,4 +269,64 @@ class NativeFunctionSpec extends AnyFunSuite {
     assert(plan.linesIterator.exists(l => l.contains("pii_scan") && l.contains("*(")), plan)
     assert(df.limit(3).collect().length == 3)
   }
+
+  test("wav_profile equals the HOF decode spelling on the gated payloads") {
+    // the round-17 kernel computes (n_frames, sum_sq, peak) in one
+    // byte scan; parity on exactly the synthetic payloads the declared
+    // multimodal_wav_decode scans — all-int64 arithmetic, so equality
+    // is exact
+    val docs = graft.core.Tables.documents(spark, TestSpark.sfSmoke)
+      .selectExpr("doc_id", s"${graft.ops.LlmOps.wavPayloadSqlExpr} AS payload")
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val native = keyed(graft.ops.LlmOps.wavProfileOf(docs, "doc_id", "payload"))
+    val fold = keyed(graft.ops.LlmOps.wavProfileFoldOf(docs, "doc_id", "payload"))
+    assert(native.nonEmpty && native == fold)
+  }
+
+  test("wav_profile degenerate payloads: header-only, odd tail, extreme samples") {
+    import spark.implicits._
+    // bytes: empty, header-only (44), header+1 stray byte (45 — still
+    // no full frame), one frame (46), one frame + odd tail (47),
+    // extreme samples (-32768 = 00 80, 32767 = ff 7f), all-zero frames
+    val mk = (n: Int, tail: Seq[Int]) =>
+      (Array.fill(n)(0.toByte) ++ tail.map(_.toByte)).toArray
+    val cases: Seq[(Long, Array[Byte])] = Seq(
+      1L -> mk(0, Nil),
+      2L -> mk(44, Nil),
+      3L -> mk(45, Nil),
+      4L -> mk(44, Seq(0x34, 0x12)),            // frame 0x1234 = 4660
+      5L -> mk(44, Seq(0x34, 0x12, 0x56)),      // + ignored odd tail
+      6L -> mk(44, Seq(0x00, 0x80)),            // -32768
+      7L -> mk(44, Seq(0xff, 0x7f)),            // 32767
+      8L -> mk(44, Seq(0x00, 0x80, 0xff, 0x7f, 0x00, 0x00)))
+    val df = cases.toDF("doc_id", "payload")
+    def keyed(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val native = keyed(graft.ops.LlmOps.wavProfileOf(df, "doc_id", "payload"))
+    val fold = keyed(graft.ops.LlmOps.wavProfileFoldOf(df, "doc_id", "payload"))
+    assert(native == fold, s"$native != $fold")
+    // spot-check the arithmetic the parity rides on
+    assert(native(4L) == Seq(1L, 4660L * 4660L, 4660L))
+    assert(native(6L) == Seq(1L, 32768L * 32768L, 32768L))
+    assert(native(8L) == Seq(3L,
+      32768L * 32768L + 32767L * 32767L, 32768L))
+    assert(native(2L) == Seq(0L, 0L, null))
+  }
+
+  test("wav_profile evaluates inside whole-stage codegen") {
+    // the kernel itself codegens (defineCodeGen). NOTE the declared
+    // key's payload SYNTHESIS (wavPayloadSqlExpr) contains lambda
+    // transforms, which are CodegenFallback — that Project runs
+    // interpreted with or without the kernel; the kernel's win there
+    // is the one-pass byte scan replacing the hex-render + per-sample
+    // conv chain, not the codegen span. Here a plain binary cast
+    // keeps the whole span codegen'd so the kernel's own path is
+    // exercised.
+    val df = graft.core.Tables.documents(spark, TestSpark.sfSmoke)
+      .selectExpr("wav_profile(cast(text as binary)) AS p")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("wav_profile") && l.contains("*(")), plan)
+    assert(df.limit(3).collect().length == 3)
+  }
 }

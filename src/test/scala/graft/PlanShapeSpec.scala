@@ -442,6 +442,19 @@ class PlanShapeSpec extends AnyFunSuite {
       p.contains("_b#"), s"bucketed rank windows missing:\n$p")
   }
 
+  test("filter_top_percent_grid has no group-partitioned fact-table rank sort") {
+    // the agg_spearman_grid assertion applied to the filter tier
+    // (round 17): the window spelling's percent_rank is
+    // windowspecdefinition(o_orderstatus, o_totalprice ASC …) — a
+    // 3-task sort of the orders table; the grid spelling must carry
+    // only the bucketed (status, _b)-partitioned cumsum.
+    val p = plan("filter_top_percent_grid")
+    val serialRank = """windowspecdefinition\(o_orderstatus#\d+, o_totalprice#\d+""".r
+    assert(serialRank.findFirstIn(p).isEmpty,
+      s"group-partitioned fact-table rank sort crept back in:\n$p")
+    assert(p.contains("_b#"), s"bucketed rank windows missing:\n$p")
+  }
+
   test("exchange budget of the 25 most expensive bench keys (regression guard)") {
     // round-14 verdict item 7 (top-10), widened to the top-25 in
     // round 16 (verdict item 5): the re-plan rounds kept proving
