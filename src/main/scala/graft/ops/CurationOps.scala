@@ -275,9 +275,15 @@ object CurationOps {
       // superlinear at the sf10 stress (5.06× growth at 3.33× data,
       // 23.1 s) because dup coverage itself grows with corpus size.
       // Same kept list, bit-for-bit (positions ascending either way).
+      // if-guard on size(ws)=0: sequence(1, 0) yields the DESCENDING
+      // [1, 0] and element_at(ws, 0) throws — unreachable today only
+      // because the inner join with covl implies ≥ k words, but a
+      // future loosening (e.g. left join to keep uncovered docs) must
+      // not turn into a runtime crash
       .select(col("doc_id"),
-        expr("transform(array_except(sequence(1, size(ws)), cv)," +
-          " j -> element_at(ws, j))").as("kept"))
+        expr("if(size(ws) = 0, array()," +
+          " transform(array_except(sequence(1, size(ws)), cv)," +
+          " j -> element_at(ws, j)))").as("kept"))
       .select(col("doc_id"), size(col("kept")).cast("bigint").as("n_kept"),
         substring(array_join(col("kept"), " "), 1, 120).as("kept_prefix"))
       .orderBy("doc_id")

@@ -302,7 +302,16 @@ object TsdbStore {
     * corpus regen yields byte-equivalent content. */
   def ensureEventsStore(spark: SparkSession, sfDir: String): String =
     ensureBuilt(s"events|$sfDir ${stamp(sfDir)}") { path =>
+      // STORE INVARIANT, enforced at load: (user_id, ts) — the upsert
+      // key — is non-null. The day-profile/vacuum grid rewrites count
+      // pre-agg rows where the oracle counts DISTINCT user_id; a NULL
+      // would form a grid row countDistinct excludes, silently
+      // breaking oracle exactness on a future corpus. raise_error
+      // rides the existing write pass — no extra scan.
       val events = graft.core.Tables.events(spark, sfDir)
+        .withColumn("user_id", expr(
+          "if(user_id IS NULL OR ts IS NULL, " +
+            "raise_error('events store invariant violated: NULL user_id/ts'), user_id)"))
       writeDayPartitioned(events, "ts", path)
       appendDayPartitioned(updateBatch(events), "ts", path)
     }

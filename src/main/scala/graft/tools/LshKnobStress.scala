@@ -47,9 +47,15 @@ object LshKnobStress {
             .queryExecution.toRdd.count()
           ((System.nanoTime() - t0) / 1e9, pairs)
         }
+        // reps must agree on the pair count — a divergence means the
+        // measurement itself is broken, not just slow
+        require(ts.map(_._2).distinct.size == 1,
+          s"family $label: reps disagree on pairs ${ts.map(_._2)}")
         println(f"[lsh] family $label min=${ts.map(_._1).min}%.2f " +
           f"max=${ts.map(_._1).max}%.2f pairs=${ts.head._2}%d")
-      } catch { case e: Throwable =>
+      } catch { case scala.util.control.NonFatal(e) =>
+        // NonFatal only: an OOM/JVM error must kill the sweep, not
+        // silently skew every later family's measurement
         println(s"[lsh] family $label DNF ${e.getClass.getSimpleName}")
       }
     }

@@ -54,7 +54,9 @@ object ScaleStress {
         }
         res((d, op.key)) = ts
         println(f"[stress] $d ${op.key} min=${ts.min}%.2f max=${ts.max}%.2f")
-      } catch { case e: Throwable =>
+      } catch { case scala.util.control.NonFatal(e) =>
+        // NonFatal only: an OOM/JVM error must kill the sweep — a
+        // partially-broken JVM would skew every later measurement
         println(s"[stress] $d ${op.key} SKIP ${e.getClass.getSimpleName}: " +
           s"${Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString}")
       }

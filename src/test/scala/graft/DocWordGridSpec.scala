@@ -17,8 +17,11 @@ class DocWordGridSpec extends AnyFunSuite {
   private lazy val docs = graft.core.Tables.documents(spark, TestSpark.sfSmoke)
   private lazy val grid = graft.text.TextOps.docWordGrid(docs)
 
-  private def rows(df: DataFrame): Set[String] =
-    df.collect().map(_.toString).toSet
+  // sorted Seq, NOT Set: parity here must be MULTISET equality — a
+  // grid-fed spelling that duplicated or dropped repeated rows would
+  // still pass a Set compare
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq.sorted
 
   test("grid totals reproduce the raw token stream (cnt sums, pair distinctness)") {
     val tokens = docs.select(col("doc_id"),
