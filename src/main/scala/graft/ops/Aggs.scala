@@ -96,6 +96,39 @@ object Aggs {
     * `agg_spearman_grid`): the two queries are bit-identical by
     * construction — identical integer rank/co-moment sums, identical
     * final formula — so they gate against the same SQL. */
+  /** agg_trimmed_mean's oracle — shared verbatim by the window and
+    * grid spellings (the scale-twin single-oracle discipline). */
+  private val trimmedMeanOracleSql: String =
+    """SELECT o_orderstatus, count(*) AS n,
+      |  cast(sum(CASE WHEN keep THEN 1 ELSE 0 END) as bigint) AS n_kept,
+      |  cast(sum(CASE WHEN keep THEN cast(o_totalprice as decimal(18,2)) END) as double)
+      |    / cast(sum(CASE WHEN keep THEN 1 ELSE 0 END) as double) AS tmean
+      |FROM (
+      |  SELECT o_orderstatus, o_totalprice,
+      |    i > ceil(n * 0.1) AND i <= ceil(n * 0.9) AS keep
+      |  FROM (
+      |    SELECT o_orderstatus, o_totalprice,
+      |      cast(row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice) as bigint) AS i,
+      |      count(*) OVER (PARTITION BY o_orderstatus) AS n
+      |    FROM orders))
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** agg_lorenz_curve's oracle — shared verbatim by the window and
+    * grid spellings. */
+  private val lorenzOracleSql: String =
+    """SELECT o_orderstatus, dec,
+      |  round(cast(sum(s) OVER (PARTITION BY o_orderstatus ORDER BY dec
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as double)
+      |        / cast(sum(s) OVER (PARTITION BY o_orderstatus) as double), 4) AS cum_share
+      |FROM (
+      |  SELECT o_orderstatus, dec, sum(cast(o_totalprice as decimal(18,2))) AS s
+      |  FROM (
+      |    SELECT o_orderstatus, o_totalprice,
+      |      cast(ntile(10) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice) as bigint) AS dec
+      |    FROM orders)
+      |  GROUP BY 1, 2)
+      |ORDER BY o_orderstatus, dec""".stripMargin
+
   private val spearmanOracleSql: String =
     """SELECT l_returnflag, n,
       |  round((cast(n as double) * cast(sab as double) - cast(sa as double) * cast(sb as double))
@@ -1136,19 +1169,44 @@ object Aggs {
             (sum(when(col("keep"), P.dec2(col("o_totalprice")))).cast("double") /
               sum(when(col("keep"), 1L).otherwise(0L)).cast("double")).as("tmean"))
           .orderBy("o_orderstatus"),
-      Some("""SELECT o_orderstatus, count(*) AS n,
-             |  cast(sum(CASE WHEN keep THEN 1 ELSE 0 END) as bigint) AS n_kept,
-             |  cast(sum(CASE WHEN keep THEN cast(o_totalprice as decimal(18,2)) END) as double)
-             |    / cast(sum(CASE WHEN keep THEN 1 ELSE 0 END) as double) AS tmean
-             |FROM (
-             |  SELECT o_orderstatus, o_totalprice,
-             |    i > ceil(n * 0.1) AND i <= ceil(n * 0.9) AS keep
-             |  FROM (
-             |    SELECT o_orderstatus, o_totalprice,
-             |      cast(row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice) as bigint) AS i,
-             |      count(*) OVER (PARTITION BY o_orderstatus) AS n
-             |    FROM orders))
-             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+      Some(trimmedMeanOracleSql),
+    ),
+    // The GROUP-COUNT-INDEPENDENT trimmed mean (round 18, the
+    // window-parallelism census + 100× sweep intersection: the window
+    // spelling above sorts orders in 3 o_orderstatus partitions and
+    // measured 2.93× at 3.33× data). ParallelRank's doubled-rank grid
+    // gives each (status, value) row its strictly-smaller count lo =
+    // (dr − c − 1)/2 exactly, so the number of KEPT occurrences of a
+    // value is the overlap of its rank interval (lo, lo+c] with the
+    // kept band (⌈0.1n⌉, ⌈0.9n⌉] — pure int64 arithmetic, and the
+    // kept SUM Σ dec2(v)·overlap is the identical exact decimal the
+    // row-wise conditional sum produces (rank ties order arbitrarily
+    // but the kept multiset is tie-order-invariant). Both keys gate
+    // against ONE oracle text — the filter_top_percent_grid /
+    // agg_spearman_grid scale-twin precedent.
+    OpSpec(
+      "agg_trimmed_mean_grid",
+      (s, d) => {
+        val grid = graft.core.ParallelRank.doubledAvgRankGrid(
+          T.orders(s, d).select(col("o_orderstatus"), col("o_totalprice")),
+          Seq("o_orderstatus"), "o_totalprice", "dr")
+        val totals = grid.groupBy("o_orderstatus").agg(sum("_c").as("n"))
+        grid.join(broadcast(totals), Seq("o_orderstatus"))
+          .withColumn("lo", expr("(dr - `_c` - 1) div 2"))
+          .withColumn("kept",
+            greatest(lit(0L),
+              least(col("lo") + col("_c"), ceil(col("n") * 0.9)) -
+                greatest(col("lo"), ceil(col("n") * 0.1))))
+          .groupBy("o_orderstatus")
+          .agg(
+            max(col("n")).as("n"),
+            sum(col("kept")).as("n_kept"),
+            (sum((P.dec2(col("o_totalprice")) * col("kept"))
+              .cast("decimal(38,2)")).cast("double") /
+              sum(col("kept")).cast("double")).as("tmean"))
+          .orderBy("o_orderstatus")
+      },
+      Some(trimmedMeanOracleSql),
     ),
     // Benford first-digit profile — the data-QA / fraud-screening
     // staple: observed leading-digit frequency vs the Benford
@@ -1253,18 +1311,52 @@ object Aggs {
               sum(col("s")).over(tot).cast("double")).as("cum_share"))
           .orderBy("o_orderstatus", "dec")
       },
-      Some("""SELECT o_orderstatus, dec,
-             |  round(cast(sum(s) OVER (PARTITION BY o_orderstatus ORDER BY dec
-             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as double)
-             |        / cast(sum(s) OVER (PARTITION BY o_orderstatus) as double), 4) AS cum_share
-             |FROM (
-             |  SELECT o_orderstatus, dec, sum(cast(o_totalprice as decimal(18,2))) AS s
-             |  FROM (
-             |    SELECT o_orderstatus, o_totalprice,
-             |      cast(ntile(10) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice) as bigint) AS dec
-             |    FROM orders)
-             |  GROUP BY 1, 2)
-             |ORDER BY o_orderstatus, dec""".stripMargin),
+      Some(lorenzOracleSql),
+    ),
+    // The GROUP-COUNT-INDEPENDENT Lorenz curve (round 18, census +
+    // sweep intersection: the ntile window above sorts orders in 3
+    // status partitions, 2.33× at 3.33× data). ntile(10)'s bucket for
+    // 1-indexed rank i is a PURE FUNCTION of (i, n): the first
+    // n mod 10 deciles take ⌈n/10⌉ ranks, the rest ⌊n/10⌋, so decile
+    // d covers ranks (end(d−1), end(d)] with end(d) = d·(n div 10) +
+    // min(d, n mod 10). Each doubled-rank grid row occupies ranks
+    // (lo, lo+c] and contributes v · overlap(d) to decile d — ties
+    // split across a boundary carry EQUAL values, so the per-decile
+    // exact-decimal sums match the row-wise ntile grouping, and the
+    // two cum-share windows run over the tiny (status × 10)-row
+    // frame. One oracle text for both spellings.
+    OpSpec(
+      "agg_lorenz_curve_grid",
+      (s, d) => {
+        val byDec = Window.partitionBy("o_orderstatus").orderBy("dec")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = Window.partitionBy("o_orderstatus")
+        val grid = graft.core.ParallelRank.doubledAvgRankGrid(
+          T.orders(s, d).select(col("o_orderstatus"), col("o_totalprice")),
+          Seq("o_orderstatus"), "o_totalprice", "dr")
+        val totals = grid.groupBy("o_orderstatus").agg(sum("_c").as("n"))
+        grid.join(broadcast(totals), Seq("o_orderstatus"))
+          .withColumn("lo", expr("(dr - `_c` - 1) div 2"))
+          .withColumn("q", expr("n div 10"))
+          .withColumn("r", expr("n % 10"))
+          .withColumn("dec", explode(expr("sequence(1L, 10L)")))
+          .withColumn("ov",
+            greatest(lit(0L),
+              least(col("lo") + col("_c"),
+                col("dec") * col("q") + least(col("dec"), col("r"))) -
+                greatest(col("lo"),
+                  (col("dec") - 1L) * col("q") +
+                    least(col("dec") - 1L, col("r")))))
+          .filter(col("ov") > 0L)
+          .groupBy("o_orderstatus", "dec")
+          .agg(sum((P.dec2(col("o_totalprice")) * col("ov"))
+            .cast("decimal(38,2)")).as("s"))
+          .select(col("o_orderstatus"), col("dec"),
+            P.r4(sum(col("s")).over(byDec).cast("double") /
+              sum(col("s")).over(tot).cast("double")).as("cum_share"))
+          .orderBy("o_orderstatus", "dec")
+      },
+      Some(lorenzOracleSql),
     ),
     // Welch's two-sample t (scipy.stats.ttest_ind(equal_var=False),
     // view vs click) — the parametric member of the drift-test family

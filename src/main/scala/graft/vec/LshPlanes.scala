@@ -31,6 +31,27 @@ object LshPlanes {
   val bitsPerBand: Int = nPlanes / nBands
   val dim = 64
 
+  /** Per-band plane-row STRIDE (round 18): band `b`'s bit `k` draws
+    * plane `b * stride + k`, so every band owns a fixed row of 30
+    * planes (the packing bound) and WIDENING a band — the bits/band ≈
+    * log₂(n/c) scale knob — only APPENDS bits: a band's first j
+    * buckets are the same function of the vector at every width ≥ j.
+    * Under the old contiguous indexing (plane b·bits+k) changing the
+    * width re-dealt every band's planes, so no two widths of "the
+    * same" family were comparable. Refinement property: a width-j
+    * bucket collision is IMPLIED by a width-i collision for i ≥ j —
+    * widening monotonically prunes candidates, never re-draws them. */
+  val stride = 30
+
+  /** Bits cap for the ADAPTIVE gate family (the declared dedup_embed_*
+    * queries): the DuckDB oracle text inlines `adaptCap` plane
+    * literals per band behind CASE masks, so the cap bounds oracle
+    * size, not the library — [[graft.vec.VecOps.autoEmbedLshFamily]]
+    * keeps the full 30-bit range. 16 bits = 65k buckets/band ≈ 10⁶
+    * vectors at target occupancy 16 — past any corpus you'd gate
+    * against a single-node oracle. */
+  val adaptCap = 16
+
   /** The SCALE family (dedup_embed_lsh_scale): same band count, twice
     * the bits per band → 256 buckets/band instead of 16. E[bucket
     * size] drops 16×, so within-bucket pair mining — the Θ(n²/buckets)
@@ -54,10 +75,8 @@ object LshPlanes {
     (z >>> 11).toDouble / (1L << 53).toDouble - 0.5
   }
 
-  /** Plane j (at vector width `d`) is a pure function of (j, d) — the
-    * base family's 16 planes are the first 16 of the scale family's 32,
-    * so widening bands never perturbs the existing gate, and ANY
-    * (bands × bits) family a graft.api caller asks for draws further
+  /** Plane j (at vector width `d`) is a pure function of (j, d) — ANY
+    * (bands × bits) family a graft.api caller asks for draws its
     * planes from the same sequence on demand (memoized — plane text is
     * spliced into generated SQL, so each is computed once). */
   private val planeCache =
@@ -65,10 +84,6 @@ object LshPlanes {
   def plane(j: Int, d: Int = dim): Array[Double] =
     planeCache.computeIfAbsent((j, d),
       _ => Array.tabulate(d)(k => u(j.toLong * d + k)))
-
-  /** The gate families' planes (compat view of [[plane]]). */
-  val planes: Array[Array[Double]] =
-    Array.tabulate(Scale.nPlanes max nPlanes)(plane(_))
 
   /** Sign bit of e·plane(j), Spark spelling (ordered fold over the
     * double array column `e` — the bit-equal dot device). */
@@ -84,21 +99,35 @@ object LshPlanes {
   }
 
   /** Band b's bucket value (`bits` bits packed little-endian), Spark
-    * text over array column `e`. */
+    * text over array column `e` — bit k reads plane b·[[stride]]+k
+    * (the refinement-property indexing). */
   def bandSparkG(b: Int, bits: Int, d: Int = dim): String = {
-    require(bits >= 1 && bits <= 30, s"bitsPerBand must be in [1, 30], got $bits")
+    require(bits >= 1 && bits <= stride, s"bitsPerBand must be in [1, $stride], got $bits")
     "cast(" + (0 until bits).map { k =>
-      s"(${bitSpark(b * bits + k, d)} * ${1 << k})"
+      s"(${bitSpark(b * stride + k, d)} * ${1 << k})"
     }.mkString(" + ") + " as bigint)"
   }
 
   /** DuckDB twin of [[bandSparkG]]. */
   def bandDuckG(b: Int, bits: Int, d: Int = dim): String = {
-    require(bits >= 1 && bits <= 30, s"bitsPerBand must be in [1, 30], got $bits")
+    require(bits >= 1 && bits <= stride, s"bitsPerBand must be in [1, $stride], got $bits")
     "cast(" + (0 until bits).map { k =>
-      s"(${bitDuck(b * bits + k, d)} * ${1 << k})"
+      s"(${bitDuck(b * stride + k, d)} * ${1 << k})"
     }.mkString(" + ") + " as bigint)"
   }
+
+  /** Band b's bucket at a RUNTIME width, DuckDB text: all [[adaptCap]]
+    * bit terms are inlined, each behind `CASE WHEN k < bits`, so ONE
+    * static SQL string computes the same integer [[bandDuckG]] would
+    * emit for whatever `bits` column is in scope (masked terms are
+    * exactly the zero terms of the shorter packing — the refinement
+    * indexing makes the widths prefix-compatible). DuckDB evaluates a
+    * CASE branch only on its selection vector and `k < bits` is
+    * query-constant, so planes past `bits` cost nothing per row. */
+  def bandDuckMasked(b: Int, d: Int = dim): String =
+    "cast(" + (0 until adaptCap).map { k =>
+      s"(CASE WHEN $k < bits THEN ${bitDuck(b * stride + k, d)} * ${1 << k} ELSE 0 END)"
+    }.mkString(" + ") + " as bigint)"
 
   /** Base-family band texts (the round-8 gate queries). */
   def bandSpark(b: Int): String = bandSparkG(b, bitsPerBand)

@@ -43,23 +43,28 @@ object VecOps {
     s
   }
 
-  /** The SCALE band family's signatures (LshPlanes.Scale: 4 bands ×
-    * 8 bits = 256 buckets/band) — slim (vec_id, band, bucket), one row
-    * per (vector, band), deliberately carrying NO embedding: only
-    * three int64s per row are pinned when cached, so the payload is
-    * O(1) per row regardless of embedding width — the verify side
-    * re-reads `e` from parquet via [[vecsWithNorm]] (column-pruned
-    * scan) instead of shipping it through the banded shuffle ×nBands.
-    * Thin call into [[lshBandsOf]] so every gate consumer shares ONE
-    * cached signature plan with the graft.api pair/dedup entry points. */
-  private def bandedSigScale(
-      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
-    lshBandsOf(T.embeddings(s, d), "vec_id", "embedding",
-      LshPlanes.Scale.nBands, LshPlanes.Scale.bitsPerBand)
+  /** The ADAPTIVE gate family's signatures (round 18 —
+    * [[adaptiveEmbedLshFamily]] of the corpus count: 4×8 at the gate
+    * corpora, 4×12/4×14 at the sf3/sf10 stress corpora) — slim
+    * (vec_id, band, bucket), one row per (vector, band), deliberately
+    * carrying NO embedding: only three int64s per row are pinned when
+    * cached, so the payload is O(1) per row regardless of embedding
+    * width — the verify side re-reads `e` from parquet via
+    * [[vecsWithNorm]] (column-pruned scan) instead of shipping it
+    * through the banded shuffle ×nBands. Thin call into
+    * [[lshBandsOf]] with the SAME plan shape [[embedLshPairs]]
+    * persists, so every gate consumer shares ONE DiskMemo artifact
+    * with the graft.api pair/dedup entry points. */
+  private def bandedSigAdapt(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val emb = T.embeddings(s, d)
+    val (nb, bits) = adaptiveEmbedLshFamily(emb.count())
+    lshBandsOf(emb, "vec_id", "embedding", nb, bits)
+  }
 
   /** (vec_id, e double[], nrm) — the verify-side embedding read:
     * recomputed from parquet per use, never cached (see
-    * [[bandedSigScale]]). */
+    * [[bandedSigAdapt]]). */
   private def vecsWithNorm(
       s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
     T.embeddings(s, d)
@@ -108,9 +113,31 @@ object VecOps {
     * (the bandSparkG packing bound ≈ 10¹⁰ vectors at c = 16).
     * Monotone in n and never narrower than the gate family (ApiSpec). */
   def autoEmbedLshFamily(n: Long): (Int, Int) = {
-    val bits = math.max(LshPlanes.Scale.bitsPerBand,
-      math.ceil(math.log(math.max(16L, n).toDouble / 16.0) / math.log(2.0)).toInt)
-    (LshPlanes.Scale.nBands, math.min(30, bits))
+    // INTEGER-EXACT spelling (round 18): smallest b with 2^b·16 ≥ n,
+    // clamped to [8, 30]. Same values as the old ceil(log₂(n/16))
+    // float spelling at every non-degenerate n, but with no float
+    // rounding at exact powers of two — it must agree bit-for-bit
+    // with the DuckDB oracle's integer-shift twin (bandedSqlAdapt),
+    // which gates the adaptive dedup_embed_* family.
+    val bits = (1 to 30).find(b => (1L << b) * 16 >= n).getOrElse(30)
+    (LshPlanes.Scale.nBands, math.min(30, math.max(LshPlanes.Scale.bitsPerBand, bits)))
+  }
+
+  /** The ADAPTIVE gate family (round 18, the scale-true declared
+    * construction): [[autoEmbedLshFamily]] capped at
+    * [[LshPlanes.adaptCap]] bits — the cap bounds the ORACLE text
+    * (16 masked plane literals per band), not the library. The four
+    * declared dedup_embed_* queries derive this from `count(*)` of the
+    * corpus, and their DuckDB oracles derive the SAME bits from the
+    * same count with integer shifts, so the gate is exact at every SF
+    * while the family follows the measured bits ≈ log₂(n/16) policy:
+    * 4×8 at the 500/2000-vector gate corpora, 4×12 at sf3's 60k,
+    * 4×14 at sf10's 200k (the BASELINE knob receipt's operating
+    * points — 3.0× time at 3.33× data, at-or-below linear, where the
+    * old static 4×8 family saturated its 256 buckets/band and DNF'd). */
+  def adaptiveEmbedLshFamily(n: Long): (Int, Int) = {
+    val (nb, bits) = autoEmbedLshFamily(n)
+    (nb, math.min(LshPlanes.adaptCap, bits))
   }
 
   /** Hyperplane-LSH near-duplicate PAIRS with exact cosine verification
@@ -300,15 +327,25 @@ object VecOps {
        |FROM v)""".stripMargin
   }
 
-  /** DuckDB twin of the SCALE band family: `sgs(vec_id, e, b0..b3)`. */
-  private lazy val bandedSqlScale: String = {
+  /** DuckDB twin of the ADAPTIVE band family: `sgs(vec_id, e,
+    * b0..b3)`. ONE static SQL text for every corpus size: `bb` derives
+    * bits = min(adaptCap, max(8, smallest b with 2^b·16 ≥ count(*)))
+    * with integer shifts — the exact [[adaptiveEmbedLshFamily]] rule —
+    * and the band exprs inline all adaptCap plane literals behind
+    * `k < bits` CASE masks ([[LshPlanes.bandDuckMasked]]), so the
+    * oracle computes the same buckets the Spark side derives
+    * numerically, at whatever width the corpus demands. */
+  private lazy val bandedSqlAdapt: String = {
     val bands = (0 until LshPlanes.Scale.nBands)
-      .map(b => s"${LshPlanes.bandDuckG(b, LshPlanes.Scale.bitsPerBand)} AS b$b")
+      .map(b => s"${LshPlanes.bandDuckMasked(b)} AS b$b")
       .mkString(",\n  ")
     s"""v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |bb AS (SELECT least(${LshPlanes.adaptCap}, greatest(${LshPlanes.Scale.bitsPerBand},
+       |  (SELECT min(b)::INT FROM range(1, 31) t(b)
+       |   WHERE (1::BIGINT << b) * 16 >= (SELECT count(*) FROM embeddings)))) AS bits),
        |sgs AS (SELECT vec_id, e,
        |  $bands
-       |FROM v)""".stripMargin
+       |FROM v CROSS JOIN bb)""".stripMargin
   }
 
   /** 4-bit sign-quantizer cell id (shared with LlmOps.sim_pairs_threshold
@@ -564,39 +601,41 @@ object VecOps {
     // fixed random-hyperplane sign bits (LshPlanes — literals in both
     // plans, bit-identical dots) → banded bucket EQUI-join (the
     // text/NearDup.scala MinHash banding applied to embeddings) →
-    // exact cosine verify ≥ 0.4 on candidates only. Since round 11 the
-    // DECLARED query runs the Scale band family (4 bands × 8 bits =
-    // 256 buckets/band) — the construction you'd run at 100×, after
-    // the sf1 stress run measured the original 16-bucket bands at 46×
-    // growth for 10× data (BASELINE.md); the 16-bucket form survives
-    // as a test-only fixture (AnnSpec's recall-vs-bits comparison).
-    // The declared semantic is the banded-LSH candidate rule (any band
-    // collides ∧ cos ≥ τ) and the oracle computes THE SAME rule
-    // all-pairs, so the gate is exact by construction; recall vs the
-    // unblocked all-pairs truth is the honest LSH trade-off, measured
-    // in AnnSpec. At 100 TB: one signature pass, bands-per-doc rows
-    // shuffled on a bucket key whose cardinality GROWS with the plane
-    // count (bits/band ≈ log₂(n/c)) — no all-pairs product ever
-    // forms, and no fixed 1/16-of-corpus cell. τ = 0.4 is the strict
-    // dedup threshold; dedup_embed_lsh_scale keeps the wider τ = 0.25
+    // exact cosine verify ≥ 0.4 on candidates only. Since round 18 the
+    // DECLARED query runs the ADAPTIVE family: bits/band = min(16,
+    // max(8, ⌈log₂(n/16)⌉)) derived INTEGER-EXACTLY from count(*) in
+    // BOTH engines, so the declared construction IS the measured
+    // 100 TB policy (bucket count tracks corpus size; the static 4×8
+    // family saturated its 256 buckets/band and DNF'd the sf10
+    // stress, while the policy-sized family measured 3.0× time at
+    // 3.33× data — BASELINE "Embed-LSH knob receipt"). The declared
+    // semantic is the banded-LSH candidate rule (any band collides ∧
+    // cos ≥ τ) and the oracle computes THE SAME rule with the SAME
+    // width all-pairs, so the gate is exact by construction at every
+    // SF; recall vs the unblocked all-pairs truth is the honest LSH
+    // trade-off, measured in AnnSpec. At 100 TB: one signature pass,
+    // bands-per-doc rows shuffled on a bucket key whose cardinality
+    // GROWS with the corpus — no all-pairs product ever forms, and no
+    // fixed 1/16-of-corpus cell. τ = 0.4 is the strict dedup
+    // threshold; dedup_embed_lsh_scale keeps the wider τ = 0.25
     // candidate-mining cut that feeds dedup_threshold_profile.
     OpSpec(
       "dedup_embed_lsh",
-      // thin call into the parameterized API (embedLshPairs PINNED at
-      // the Scale family — not auto — so the oracle stays byte-
-      // identical at every SF; auto derives the same 4×8 up to 4k
-      // vectors and is exercised by ApiSpec + AutoSizeStress) — the
-      // gate proves the API form; the slim-signature-cache /
-      // verify-reads-parquet discipline lives in embedLshPairs now
-      (s, d) =>
-        embedLshPairs(T.embeddings(s, d), "vec_id", "embedding", tau = 0.4,
-          bands = LshPlanes.Scale.nBands, bitsPerBand = LshPlanes.Scale.bitsPerBand)
+      // thin call into the parameterized API at the adaptively-derived
+      // width (the count is a parquet-footer statistic — no data
+      // scan); the slim-signature-cache / verify-reads-parquet
+      // discipline lives in embedLshPairs
+      (s, d) => {
+        val emb = T.embeddings(s, d)
+        val (nb, bits) = adaptiveEmbedLshFamily(emb.count())
+        embedLshPairs(emb, "vec_id", "embedding", tau = 0.4, nb, bits)
           .select(col("a").as("keep_id"), col("b").as("dup_id"), col("cos_sim"))
-          .orderBy("keep_id", "dup_id"),
+          .orderBy("keep_id", "dup_id")
+      },
       Some {
         val anyBand = (0 until LshPlanes.Scale.nBands)
           .map(b => s"a.b$b = b.b$b").mkString(" OR ")
-        s"""WITH $bandedSqlScale
+        s"""WITH $bandedSqlAdapt
            |SELECT a.vec_id AS keep_id, b.vec_id AS dup_id,
            |  round(list_inner_product(a.e, b.e) /
            |        (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))), 4) AS cos_sim
@@ -606,32 +645,30 @@ object VecOps {
            |ORDER BY keep_id, dup_id""".stripMargin
       },
     ),
-    // The SCALE form of dedup_embed_lsh, forced by measurement: the sf1
-    // stress run (BASELINE.md "sf1 scale-stress") showed the 16-bucket
-    // band family going 46× slower at 10× data — E[bucket] = n/16, so
-    // within-bucket pair mining is Θ(n²/16). This twin runs the SAME
-    // pipeline over LshPlanes.Scale (4 bands × 8 bits = 256
-    // buckets/band, the first 32 planes of the same splitmix64 family):
-    // E[bucket] drops 16×, candidate pairs drop ~16× at equal corpus,
-    // and the knob doubles per added bit — bits/band ≈ log₂(n/c) keeps
-    // bucket size (hence per-bucket work) CONSTANT as n grows. τ = 0.25
-    // (vs 0.4) keeps the gate output non-trivial at sf0.01: wider bands
-    // collide only truly-close pairs, so the moderate-similarity tail
-    // the 4-bit family retrieves is gone — the honest recall trade
-    // (AnnSpec pins the subset relation to all-pairs truth).
+    // The candidate-MINING form of dedup_embed_lsh: same adaptive
+    // band family, wider τ = 0.25 cut — the feed for
+    // dedup_threshold_profile's histogram. History: this key was born
+    // (round 11) as the "scale twin" when dedup_embed_lsh was still
+    // pinned at 16-bucket bands (measured 46× at 10× data); since
+    // round 18 BOTH keys run the adaptive policy family, and this one
+    // keeps its distinct role as the τ-mining cut. The bits ≈
+    // log₂(n/c) knob doubles bucket count per added bit, keeping
+    // bucket size (hence per-bucket work) CONSTANT as n grows.
     OpSpec(
       "dedup_embed_lsh_scale",
       // thin call into the parameterized API — τ=0.25 candidate-mining
-      // twin of dedup_embed_lsh, same pinned Scale bands
-      (s, d) =>
-        embedLshPairs(T.embeddings(s, d), "vec_id", "embedding", tau = 0.25,
-          bands = LshPlanes.Scale.nBands, bitsPerBand = LshPlanes.Scale.bitsPerBand)
+      // twin of dedup_embed_lsh, same adaptively-derived bands
+      (s, d) => {
+        val emb = T.embeddings(s, d)
+        val (nb, bits) = adaptiveEmbedLshFamily(emb.count())
+        embedLshPairs(emb, "vec_id", "embedding", tau = 0.25, nb, bits)
           .select(col("a").as("keep_id"), col("b").as("dup_id"), col("cos_sim"))
-          .orderBy("keep_id", "dup_id"),
+          .orderBy("keep_id", "dup_id")
+      },
       Some {
         val anyBand = (0 until LshPlanes.Scale.nBands)
           .map(b => s"a.b$b = b.b$b").mkString(" OR ")
-        s"""WITH $bandedSqlScale
+        s"""WITH $bandedSqlAdapt
            |SELECT a.vec_id AS keep_id, b.vec_id AS dup_id,
            |  round(list_inner_product(a.e, b.e) /
            |        (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))), 4) AS cos_sim
@@ -651,7 +688,7 @@ object VecOps {
     OpSpec(
       "dedup_threshold_profile",
       (s, d) => {
-        val sig = graft.core.DiskMemo.persist(bandedSigScale(s, d), "vec_lsh")
+        val sig = graft.core.DiskMemo.persist(bandedSigAdapt(s, d), "vec_lsh")
         val cand = sig.select(col("vec_id").as("keep_id"), col("band"), col("bucket"))
           .join(sig.select(col("vec_id").as("dup_id"), col("band"), col("bucket")),
             Seq("band", "bucket"))
@@ -670,7 +707,7 @@ object VecOps {
       Some {
         val anyBand = (0 until LshPlanes.Scale.nBands)
           .map(b => s"a.b$b = b.b$b").mkString(" OR ")
-        s"""WITH $bandedSqlScale
+        s"""WITH $bandedSqlAdapt
            |SELECT cast(floor(10 * round(list_inner_product(a.e, b.e) /
            |        (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))), 4)) as bigint) AS bucket,
            |  count(*) AS n_pairs
@@ -766,14 +803,17 @@ object VecOps {
     OpSpec(
       "dedup_embed_survivors",
       (s, d) => {
-        // thin call into the parameterized API: embedLshPairs (Scale
-        // bands, τ=0.4 — the dedup_embed_lsh rule) → DedupCluster
-        // survivors, composed by dedupEmbedLsh. minRounds=1 inside:
-        // the sum-fingerprint convergence test (DedupCluster round-11)
-        // makes an early failed check nearly free, while a lazy round
-        // past the fixpoint wastes a real propagation shuffle.
-        dedupEmbedLsh(T.embeddings(s, d), "vec_id", "embedding", tau = 0.4,
-          bands = LshPlanes.Scale.nBands, bitsPerBand = LshPlanes.Scale.bitsPerBand)
+        // thin call into the parameterized API: embedLshPairs
+        // (adaptive bands, τ=0.4 — the dedup_embed_lsh rule) →
+        // DedupCluster survivors, composed by dedupEmbedLsh.
+        // minRounds=1 inside: the sum-fingerprint convergence test
+        // (DedupCluster round-11) makes an early failed check nearly
+        // free, while a lazy round past the fixpoint wastes a real
+        // propagation shuffle.
+        val emb = T.embeddings(s, d)
+        val (nb, bits) = adaptiveEmbedLshFamily(emb.count())
+        dedupEmbedLsh(emb, "vec_id", "embedding", tau = 0.4,
+          bands = nb, bitsPerBand = bits)
           .groupBy("label")
           .agg(count(lit(1)).as("n_survivors"))
           .orderBy("label")
@@ -781,7 +821,7 @@ object VecOps {
       Some {
         val anyBand = (0 until LshPlanes.Scale.nBands)
           .map(b => s"a.b$b = b.b$b").mkString(" OR ")
-        s"""WITH RECURSIVE $bandedSqlScale,
+        s"""WITH RECURSIVE $bandedSqlAdapt,
            |prs AS (
            |  SELECT a.vec_id AS a, b.vec_id AS b
            |  FROM sgs a JOIN sgs b ON a.vec_id < b.vec_id AND ($anyBand)

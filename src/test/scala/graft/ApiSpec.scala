@@ -587,6 +587,18 @@ class ApiSpec extends AnyFunSuite {
     val el = ns.map(autoEmbedLshFamily)
     assert(el.map(_._2) === el.map(_._2).sorted, "bitsPerBand must be monotone")
     el.foreach { case (b, bits) => assert(b == 4 && bits >= 8 && bits <= 30) }
+    // integer-exact boundary behavior (round 18): at n = 16·2^k the
+    // smallest satisfying width is EXACTLY k — the float ceil(log₂)
+    // spelling could round either way here, and the DuckDB oracle's
+    // integer-shift twin must see the same value
+    import graft.vec.VecOps.adaptiveEmbedLshFamily
+    assert(autoEmbedLshFamily(65536L) === ((4, 12)))      // 16·2^12, exact
+    assert(autoEmbedLshFamily(65537L) === ((4, 13)))      // one past
+    assert(adaptiveEmbedLshFamily(65537L) === ((4, 13)))  // below cap: same
+    assert(adaptiveEmbedLshFamily(10000000L) === ((4, 16)),
+      "adaptive family must cap at the oracle-text bound")
+    assert(autoEmbedLshFamily(10000000L) === ((4, 20)),
+      "API auto keeps the full 30-bit range")
   }
 
   test("auto mode equals the pinned family it derives (pairs identical)") {

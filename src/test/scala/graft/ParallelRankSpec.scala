@@ -183,6 +183,44 @@ class ParallelRankSpec extends AnyFunSuite {
     assert(grid.contains(None) && grid(None)._1 == 3L)
   }
 
+  test("round-18 grid twins are row-for-row equal to their window spellings") {
+    // the census-driven twins (agg_trimmed_mean_grid /
+    // agg_lorenz_curve_grid) gate against the SAME oracle text as
+    // their window forms — this pins the unit-level claim directly:
+    // identical row multisets on real data (sorted-Seq compare, not
+    // Set — multiplicity matters)
+    for ((win, grid) <- Seq(
+        "agg_trimmed_mean" -> "agg_trimmed_mean_grid",
+        "agg_lorenz_curve" -> "agg_lorenz_curve_grid")) {
+      val a = ops.Registry.queries(win)(spark, TestSpark.sfSmoke)
+        .collect().map(_.toString).toSeq.sorted
+      val b = ops.Registry.queries(grid)(spark, TestSpark.sfSmoke)
+        .collect().map(_.toString).toSeq.sorted
+      assert(a == b, s"$grid diverges from $win")
+    }
+  }
+
+  test("describeColGrid is bit-identical to describeCol (exact percentile interpolation)") {
+    import graft.api.syntax._
+    val orders = graft.core.Tables.orders(spark, TestSpark.sfSmoke)
+    val a = orders.describeCol("o_totalprice").collect().map(_.toString).toSeq
+    val b = orders.describeColGrid("o_totalprice").collect().map(_.toString).toSeq
+    assert(a == b)
+    // n = 2 edge: h = p·1 is fractional for every p — both order
+    // statistics of each interpolation live on distinct rows (n = 1 is
+    // untestable: std_v's (n−1) divisor is an ANSI 0/0 in BOTH
+    // spellings, identically)
+    val two = orders.orderBy("o_orderkey").limit(2)
+    assert(two.describeColGrid("o_totalprice").collect().map(_.toString).toSeq
+      == two.describeCol("o_totalprice").collect().map(_.toString).toSeq)
+    // empty edge: no throw, cnt = 0 both sides
+    val empty = orders.filter(col("o_orderkey") < 0)
+    val ge = empty.describeColGrid("o_totalprice").collect()
+    val we = empty.describeCol("o_totalprice").collect()
+    assert(ge.length == 1 && we.length == 1)
+    assert(ge.head.getLong(0) == 0L && we.head.getLong(0) == 0L)
+  }
+
   private object P {
     def cents(c: org.apache.spark.sql.Column) =
       (c.cast("decimal(18,2)") * 100).cast("bigint")

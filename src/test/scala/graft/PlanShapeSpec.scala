@@ -455,6 +455,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("_b#"), s"bucketed rank windows missing:\n$p")
   }
 
+  test("agg_trimmed_mean_grid / agg_lorenz_curve_grid have no group-partitioned fact sort") {
+    // round-18 window-parallelism census: these two were the only
+    // census-LOW windows whose 100× sweep growth exceeded 2× — both
+    // sort orders in 3 o_orderstatus partitions. Their grid twins
+    // must carry only the bucketed (status, _b)-partitioned cumsum.
+    for (k <- Seq("agg_trimmed_mean_grid", "agg_lorenz_curve_grid")) {
+      val p = plan(k)
+      val serialRank = """windowspecdefinition\(o_orderstatus#\d+, o_totalprice#\d+""".r
+      assert(serialRank.findFirstIn(p).isEmpty,
+        s"$k: group-partitioned fact-table rank sort crept back in:\n$p")
+      assert(p.contains("_b#"), s"$k: bucketed rank windows missing:\n$p")
+    }
+  }
+
   test("exchange budget of the 25 most expensive bench keys (regression guard)") {
     // round-14 verdict item 7 (top-10), widened to the top-25 in
     // round 16 (verdict item 5): the re-plan rounds kept proving

@@ -184,6 +184,45 @@ def gen_tpch(n_orders, n_cust, n_part, n_supp, seed):
     return cust, orders, lineitem
 
 
+def gen_part(n_part, seed):
+    """Mirror the driver part profile (sf0.1: 20,000 rows): p_name =
+    adj + ' ' + noun over an 8x8 vocabulary, p_brand = Brand#0..24,
+    p_type uniform over 6 classes, p_size 1..50, p_retailprice =
+    900 + (p_partkey % 1000) / 10 (measured at sf0.1)."""
+    npr = np.random.default_rng(seed + 7)
+    adjs = np.array(["blue", "old", "new", "large", "hot", "red",
+                     "small", "cold"])
+    nouns = np.array(["widget", "ring", "gear", "anvil", "bolt",
+                      "plate", "rod", "gizmo"])
+    types = np.array(["ECONOMY", "LARGE", "STANDARD", "MEDIUM",
+                      "SMALL", "PROMO"])
+    keys = np.arange(n_part)
+    names = np.char.add(np.char.add(
+        adjs[npr.integers(0, 8, n_part)], " "),
+        nouns[npr.integers(0, 8, n_part)])
+    return pa.table({
+        "p_partkey": pa.array(keys, pa.int64()),
+        "p_name": pa.array(names, pa.string()),
+        "p_brand": pa.array(
+            np.char.add("Brand#", npr.integers(0, 25, n_part).astype(str)),
+            pa.string()),
+        "p_type": pa.array(types[npr.integers(0, 6, n_part)], pa.string()),
+        "p_size": pa.array(npr.integers(1, 51, n_part).astype(np.int32),
+                           pa.int32()),
+        "p_retailprice": pa.array(900.0 + (keys % 1000) / 10.0,
+                                  pa.float64()),
+    })
+
+
+def gen_region():
+    """The driver's fixed 5-row region table (scale-invariant)."""
+    return pa.table({
+        "r_regionkey": pa.array(np.arange(5, dtype=np.int32), pa.int32()),
+        "r_name": pa.array(["AFRICA", "AMERICA", "ASIA", "EUROPE",
+                            "MIDDLE EAST"], pa.string()),
+    })
+
+
 def main():
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_sf1"
     scale = int(sys.argv[2]) if len(sys.argv) > 2 else 10
@@ -202,9 +241,13 @@ def main():
     pq.write_table(cust, f"{out}/customer.parquet")
     pq.write_table(orders, f"{out}/orders.parquet")
     pq.write_table(li, f"{out}/lineitem.parquet")
+    part = gen_part(2000 * scale, seed=4242)
+    pq.write_table(part, f"{out}/part.parquet")
+    pq.write_table(gen_region(), f"{out}/region.parquet")
     print(f"wrote {docs.num_rows} docs, {emb.num_rows} embeddings, "
           f"{ev.num_rows} events, {orders.num_rows} orders, "
-          f"{li.num_rows} lineitems, {cust.num_rows} customers -> {out}")
+          f"{li.num_rows} lineitems, {cust.num_rows} customers, "
+          f"{part.num_rows} parts -> {out}")
 
 
 if __name__ == "__main__":
