@@ -526,8 +526,23 @@ object LlmOps {
     // Embedding-cosine near-dup (the vector-space member of the dedup
     // family): candidate pairs from the same IVF sign-cell, scored
     // exactly, survivor = the lower vec_id. Same cell-blocked shape as
-    // sim_pairs_threshold but over ALL vectors — at 100 TB the cell is
-    // the shuffle key and pair generation never leaves a cell.
+    // sim_pairs_threshold but over ALL vectors.
+    //
+    // SCALE CONTRACT (round 18, pinned after the full-registry 100×
+    // sweep): this key is QUADRATIC BY DESIGN — the 16-cell sign
+    // blocking has no knob, so per-cell occupancy is n/16 and
+    // within-cell pair mining is Θ(n²/16) (measured 29.6 s → 275.8 s
+    // = 9.3× at 3.33× data, BASELINE r17). It stays declared because
+    // its oracle is the EXACT all-pairs-within-cell rule — the
+    // ground-truth reference the LSH tier's recall is judged against.
+    // Its scale twin is dedup_embed_lsh: the same pairs semantics
+    // under the ADAPTIVE band family whose bucket count tracks
+    // count(*) (bits ≈ log₂(n/16)), which holds per-bucket work
+    // constant as n grows. Run THAT at 100 TB; run THIS to certify it
+    // at oracle-tractable size. No pair cap is applied here — a cap
+    // exact enough to keep the oracle byte-identical would have to be
+    // rank-based per cell, which is the LSH family's job, not a
+    // bolt-on.
     OpSpec(
       "dedup_embed_cosine",
       (s, d) => {

@@ -37,7 +37,7 @@ object WindowCensus {
     val session = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val threshold = cpus.toInt
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val low = Seq.newBuilder[(String, Int, Long, String)]
+    val low = Seq.newBuilder[(String, Int, Long, Long, String)]
     graft.ops.Registry.all
       .filter(op => only.forall(_.contains(op.key)))
       .foreach { op =>
@@ -55,9 +55,14 @@ object WindowCensus {
                 Project(w.partitionSpec.zipWithIndex.map { case (e, j) =>
                   Alias(e, s"p$j")()
                 }, w.child)).distinct().count()
+            // the frame the window actually sorts: LOW over a
+            // corpus-sized child is the disease; LOW over a tiny
+            // grid/report frame is the device's own prefix window
+            val rows = org.apache.spark.sql.graftshim.GraftShims
+              .ofRows(session, w.child).count()
             val isLow = card < threshold
-            if (isLow) low += ((op.key, i, card, keys))
-            println(s"[census] ${op.key} window=$i card=$card " +
+            if (isLow) low += ((op.key, i, card, rows, keys))
+            println(s"[census] ${op.key} window=$i card=$card rows=$rows " +
               s"low=$isLow keys=[$keys]")
           }
           if (wins.isEmpty) println(s"[census] ${op.key} windows=0")
@@ -66,10 +71,10 @@ object WindowCensus {
             s"${Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString}")
         }
       }
-    val rows = low.result()
-    println(s"[census] LOW (< $threshold distinct keys at $sfDir): ${rows.size}")
-    rows.foreach { case (k, i, c, keys) =>
-      println(s"[census]   $k window=$i card=$c keys=[$keys]")
+    val hits = low.result()
+    println(s"[census] LOW (< $threshold distinct keys at $sfDir): ${hits.size}")
+    hits.foreach { case (k, i, c, r, keys) =>
+      println(s"[census]   $k window=$i card=$c rows=$r keys=[$keys]")
     }
     spark.stop()
   }
