@@ -226,6 +226,18 @@ object Scalars {
     // of the three exploded band values). The oracle stays the all-pairs
     // SQL, so the hash gate proves the blocking is lossless. No
     // nested-loop product anywhere (asserted in PlanShapeSpec).
+    //
+    // SCALE CONTRACT (round 18, found by the sf3→sf10 receipt once
+    // part shipped in the stress fixtures): the %50 sample grows
+    // LINEARLY with the corpus and short names span only ~3 length
+    // bands, so candidate pairs grow QUADRATICALLY in the sample —
+    // the same exact-pairwise shape as dedup_embed_cosine, kept for
+    // the same reason (the oracle is the exact all-pairs rule; the
+    // blocking is lossless, not lossy). At 100 TB you do not
+    // Levenshtein-join whole corpora: bound one side (a dimension
+    // lexicon / a fixed sample), or use the declared SCALABLE near-dup
+    // tier (dedup_ngram_jaccard / minhash banding) whose candidate
+    // mass tracks real similarity instead of length.
     OpSpec(
       "str_fuzzy_match",
       (s, d) => {
