@@ -96,6 +96,23 @@ object Aggs {
     * `agg_spearman_grid`): the two queries are bit-identical by
     * construction — identical integer rank/co-moment sums, identical
     * final formula — so they gate against the same SQL. */
+  /** agg_gini's oracle — shared verbatim by the window and grid
+    * spellings (the scale-twin single-oracle discipline). */
+  private val giniOracleSql: String =
+    """SELECT o_orderstatus, n,
+      |  round((2.0 * six - cast(n + 1 as double) * sx) /
+      |        (cast(n as double) * sx), 4) AS gini
+      |FROM (
+      |  SELECT o_orderstatus, count(*) AS n,
+      |    cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS sx,
+      |    cast(sum(cast(i * cast(o_totalprice as decimal(18,2)) as decimal(38,2))) as double) AS six
+      |  FROM (
+      |    SELECT o_orderstatus, o_totalprice,
+      |      cast(row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice) as bigint) AS i
+      |    FROM orders)
+      |  GROUP BY o_orderstatus)
+      |ORDER BY o_orderstatus""".stripMargin
+
   /** agg_trimmed_mean's oracle — shared verbatim by the window and
     * grid spellings (the scale-twin single-oracle discipline). */
   private val trimmedMeanOracleSql: String =
@@ -364,8 +381,14 @@ object Aggs {
     // percentile ≡ quantile_cont, exact min/max).
     OpSpec(
       "agg_describe",
-      // thin call into graft.api (describeCol)
-      (s, d) => T.orders(s, d).describeCol("o_totalprice"),
+      // thin call into graft.api — the GRID device since round 18:
+      // bit-identical to describeCol (ParallelRankSpec pins it; same
+      // oracle) but the exact percentiles come from doubled-rank
+      // order statistics instead of the serial per-partition
+      // value→count buffer — measured 10.69 s → 2.21 s at sf10
+      // (DescribeKnobStress, steal 552; approx_percentile measured
+      // 0.06 s as the documented looser-still knob)
+      (s, d) => T.orders(s, d).describeColGrid("o_totalprice"),
       Some("""SELECT cnt, s / cnt AS mean_v,
              |  round(sqrt((q - s * s / cnt) / (cnt - 1)), 4) AS std_v,
              |  min_v, p25, p50, p75, max_v
@@ -937,19 +960,39 @@ object Aggs {
             P.r4((lit(2.0) * col("six") - (col("n") + 1).cast("double") * col("sx")) /
               (col("n").cast("double") * col("sx"))).as("gini"))
           .orderBy("o_orderstatus"),
-      Some("""SELECT o_orderstatus, n,
-             |  round((2.0 * six - cast(n + 1 as double) * sx) /
-             |        (cast(n as double) * sx), 4) AS gini
-             |FROM (
-             |  SELECT o_orderstatus, count(*) AS n,
-             |    cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS sx,
-             |    cast(sum(cast(i * cast(o_totalprice as decimal(18,2)) as decimal(38,2))) as double) AS six
-             |  FROM (
-             |    SELECT o_orderstatus, o_totalprice,
-             |      cast(row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice) as bigint) AS i
-             |    FROM orders)
-             |  GROUP BY o_orderstatus)
-             |ORDER BY o_orderstatus""".stripMargin),
+      Some(giniOracleSql),
+    ),
+    // The GROUP-COUNT-INDEPENDENT Gini (round-18 census ∩ sweep: the
+    // rank window above sorts orders in 3 status partitions, measured
+    // 2.44× at 3.33× data — the last census-LOW key above the 2×
+    // twin threshold). Σ i·x over a value's rank interval (lo, lo+c]
+    // is x·(c·lo + c·(c+1)/2) — pure int64 on the doubled-rank grid
+    // (c·(c+1) is even, the div exact), and the decimal accumulation
+    // Σ dec2(v)·ranksum is the identical exact decimal the row-wise
+    // Σ cast(i·dec2) produces. One oracle text for both spellings.
+    OpSpec(
+      "agg_gini_grid",
+      (s, d) => {
+        val grid = graft.core.ParallelRank.doubledAvgRankGrid(
+          T.orders(s, d).select(col("o_orderstatus"), col("o_totalprice")),
+          Seq("o_orderstatus"), "o_totalprice", "dr")
+        grid
+          .withColumn("lo", expr("(dr - `_c` - 1) div 2"))
+          .withColumn("rsum",
+            col("lo") * col("_c") + expr("(`_c` * (`_c` + 1)) div 2"))
+          .groupBy("o_orderstatus")
+          .agg(
+            sum(col("_c")).as("n"),
+            sum((P.dec2(col("o_totalprice")) * col("_c"))
+              .cast("decimal(38,2)")).cast("double").as("sx"),
+            sum((P.dec2(col("o_totalprice")) * col("rsum"))
+              .cast("decimal(38,2)")).cast("double").as("six"))
+          .select(col("o_orderstatus"), col("n"),
+            P.r4((lit(2.0) * col("six") - (col("n") + 1).cast("double") * col("sx")) /
+              (col("n").cast("double") * col("sx"))).as("gini"))
+          .orderBy("o_orderstatus")
+      },
+      Some(giniOracleSql),
     ),
     // Winsorized mean per group — robust mean with tails clamped to
     // the [p10, p90] ORDER STATISTICS. Deliberately rank-based, not

@@ -191,7 +191,8 @@ class ParallelRankSpec extends AnyFunSuite {
     // Set — multiplicity matters)
     for ((win, grid) <- Seq(
         "agg_trimmed_mean" -> "agg_trimmed_mean_grid",
-        "agg_lorenz_curve" -> "agg_lorenz_curve_grid")) {
+        "agg_lorenz_curve" -> "agg_lorenz_curve_grid",
+        "agg_gini" -> "agg_gini_grid")) {
       val a = ops.Registry.queries(win)(spark, TestSpark.sfSmoke)
         .collect().map(_.toString).toSeq.sorted
       val b = ops.Registry.queries(grid)(spark, TestSpark.sfSmoke)

@@ -460,7 +460,8 @@ class PlanShapeSpec extends AnyFunSuite {
     // census-LOW windows whose 100× sweep growth exceeded 2× — both
     // sort orders in 3 o_orderstatus partitions. Their grid twins
     // must carry only the bucketed (status, _b)-partitioned cumsum.
-    for (k <- Seq("agg_trimmed_mean_grid", "agg_lorenz_curve_grid")) {
+    for (k <- Seq("agg_trimmed_mean_grid", "agg_lorenz_curve_grid",
+        "agg_gini_grid")) {
       val p = plan(k)
       val serialRank = """windowspecdefinition\(o_orderstatus#\d+, o_totalprice#\d+""".r
       assert(serialRank.findFirstIn(p).isEmpty,
@@ -553,7 +554,12 @@ class PlanShapeSpec extends AnyFunSuite {
       "ts_downsample_lttb", "ts_wow_growth",
       "ts_seasonal_decompose", "ts_seasonal_strength",
       "ts_kpss", "ts_dw_stat", "ts_granger_f",
-      "reshape_qcut", "reshape_factorize")
+      "reshape_qcut", "reshape_factorize",
+      // round 18: the describe grid device ranks ONE global column, so
+      // ParallelRank's bucket-totals prefix window has no group key —
+      // it runs over the ≤ numBuckets-row (32) bucket-totals frame,
+      // the same bounded-frame class as the report keys above
+      "agg_describe")
     val offenders = Registry.all
       .filterNot(op => allowed.contains(op.key))
       .filter(op => graft.tools.PlanAudit.unpartitionedWindow(plan(op.key)))
