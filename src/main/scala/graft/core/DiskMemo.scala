@@ -203,6 +203,25 @@ object DiskMemo {
     df.sparkSession.read.parquet(persistPath(df, tag).get)
   }
 
+  /** Memoize a DERIVED frame keyed on its INPUT's construction
+    * (round-18 optimization): like [[persist]], but the artifact holds
+    * `build` while the digest comes from `keyDf` (plan + local rows +
+    * source stamps + tag). The point is to let `build` embed values
+    * that only exist after an eager driver action on `keyDf` (e.g.
+    * ParallelRank's approxQuantile bucket bounds): with [[persist]]
+    * every sibling caller must re-run that action just to CONSTRUCT
+    * the plan being looked up, paying the sketch job on every hit —
+    * keying on the input makes a hit a pure parquet read. Safe iff
+    * `build` is a deterministic pure function of `keyDf` and `tag`
+    * (callers fold every other parameter into the tag). `build` is
+    * by-name: a hit never evaluates it. */
+  def persistDerived(keyDf: DataFrame, tag: String)(build: => DataFrame): DataFrame = {
+    if (keyDf.isStreaming) return build
+    keyDf.sparkSession.read.parquet(ensurePath(
+      s"derived|$tag|${keyDf.schema.catalogString}|${planKey(keyDf)}|${sourceStamp(keyDf)}")(
+      build))
+  }
+
   /** [[persist]]'s artifact PATH (None for streaming frames, which
     * cannot materialize). Same plan-keyed digest as persist, so a TVF
     * expansion that keys off the identical frame construction resolves

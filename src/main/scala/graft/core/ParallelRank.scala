@@ -72,13 +72,40 @@ object ParallelRank {
     // (round-17 review)
     requireOrderedCastable(df, valueCol)
     val g = groupCols.map(col)
-    // the grid is read THREE times (quantile sketch, local cumsum,
-    // bucket totals) — materialize it once through the eviction-proof
-    // memo instead of re-running the dominant shuffle per consumer
-    val grid = DiskMemo.persist(
-      df.groupBy((g :+ col(valueCol)): _*).agg(count(lit(1)).as("_c")),
-      "parallel_rank_grid")
-    fromCounts(grid, groupCols, valueCol, "_c", out, numBuckets)
+    val counts = df.groupBy((g :+ col(valueCol)): _*).agg(count(lit(1)).as("_c"))
+    // The RANKED grid is memoized keyed on the COUNT grid's
+    // construction (round-18 optimization): four declared twins rank
+    // the identical (o_orderstatus, o_totalprice) grid, and under the
+    // old spelling every one of them re-paid the quantile-sketch job
+    // plus the full bucket machinery (~1.0-1.4 s each at sf0.1,
+    // measured) just to reproduce the same artifact. Keying on the
+    // input means sibling callers resolve to ONE ranked artifact with
+    // no sketch action at all — a pure parquet read. The build is a
+    // deterministic pure function of (counts, groupCols, valueCol,
+    // out, numBuckets); everything but `counts` rides the tag.
+    DiskMemo.persistDerived(counts,
+      s"pr_ranked|${groupCols.mkString(",")}|$valueCol|$out|$numBuckets") {
+      // Bucket bounds are sketched on the RAW input, not the count
+      // grid (round-18 optimization): bounds only balance work — ANY
+      // monotone cut set yields the same exact ranks — so the sketch
+      // does not need the deduplicated grid, and taking it from the
+      // input parquet scan (no shuffle) removes the build's inner
+      // count-grid materialization entirely. The build plan then
+      // references `counts` twice (local cumsum + bucket totals), and
+      // Spark's ReuseExchange dedups the corpus agg shuffle within
+      // the single plan — one corpus shuffle, zero intermediate
+      // artifacts, one ranked-grid write.
+      val n = if (numBuckets > 0) numBuckets
+        else counts.sparkSession.sessionState.conf.numShufflePartitions
+      val probs = (1 until n).map(_.toDouble / n).toArray
+      val bounds =
+        if (probs.isEmpty) Array.empty[Double]
+        else try df.select(orderKeyDouble(df, valueCol).as("_v"))
+          .stat.approxQuantile("_v", probs, 0.05)
+        catch { case _: java.util.NoSuchElementException => Array.empty[Double] }
+      fromCounts(counts, groupCols, valueCol, "_c", out, numBuckets,
+        precomputedBounds = Some(bounds))
+    }
   }
 
   /** [[doubledAvgRankGrid]] over a PRE-AGGREGATED (groupCols, valueCol,

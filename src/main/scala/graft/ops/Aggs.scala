@@ -42,31 +42,42 @@ object Aggs {
     val joint = graft.core.DiskMemo.persist(
       fact.groupBy("l_returnflag", "q", "p").agg(count(lit(1)).as("c")),
       "spearman_joint")
-    // ONE quantile action sketches both marginals' bucket bounds off
-    // the joint artifact (round 17; bounds only balance work, so
-    // joint-mass cuts are as good as marginal-mass cuts) — instead of
-    // one approxQuantile job per rank
+    // ONE single-column quantile action sketches the P marginal's
+    // bucket bounds off the joint artifact (round 18 — was a 2-column
+    // sketch; the q marginal no longer needs bounds at all, below).
+    // Bounds only balance work, so joint-mass cuts are as good as
+    // marginal-mass cuts.
     val n = graft.core.ParallelRank.defaultBuckets(joint.sparkSession)
     val probs = (1 until n).map(_.toDouble / n).toArray
-    val Seq(qb, pb) =
-      if (probs.isEmpty) Seq(Array.empty[Double], Array.empty[Double])
-      else try {
-        val bs = joint.select(col("q").cast("double").as("_qd"),
-            col("p").cast("double").as("_pd"))
-          .stat.approxQuantile(Array("_qd", "_pd"), probs, 0.01)
-        Seq(bs(0), bs(1))
-      } catch { // empty corpus: no quantiles, single bucket
-        case _: java.util.NoSuchElementException =>
-          Seq(Array.empty[Double], Array.empty[Double])
+    val pb =
+      if (probs.isEmpty) Array.empty[Double]
+      else try
+        joint.select(col("p").cast("double").as("_pd"))
+          .stat.approxQuantile("_pd", probs, 0.01)
+      catch { // empty corpus: no quantiles, single bucket
+        case _: java.util.NoSuchElementException => Array.empty[Double]
       }
-    val qRank = graft.core.ParallelRank.fromCounts(
-      joint.groupBy("l_returnflag", "q").agg(sum("c").as("cq")),
-      Seq("l_returnflag"), "q", "cq", "ax", precomputedBounds = Some(qb))
+    // The q marginal is VALUE-DOMAIN BOUNDED (l_quantity is integral
+    // 1..50), so its rank grid never exceeds flags × 50 rows at ANY
+    // corpus size — a serial cumsum window over that tiny frame
+    // computes the identical doubled average rank (2·cum − c + 1 =
+    // 2·#strictly-smaller + #equal + 1, nulls-first ordering both
+    // spellings) with none of ParallelRank's bucket machinery, which
+    // cost a measured 1.2 s of quantile + window + broadcast-join
+    // orchestration for a 150-row frame (round-18 probe). Columns are
+    // pre-renamed to the join-side names so the window spec reads
+    // (_qg, _qv) — grid-frame names, distinguishing it from the
+    // fact-table rank sorts PlanShapeSpec forbids.
+    val qMarg = joint.groupBy("l_returnflag", "q").agg(sum("c").as("cq"))
+      .select(col("l_returnflag").as("_qg"), col("q").as("_qv"), col("cq"))
+    val wq = Window.partitionBy("_qg").orderBy("_qv")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val qr = qMarg
+      .withColumn("ax", sum(col("cq")).over(wq) * 2L - col("cq") + 1L)
+      .select(col("_qg"), col("_qv"), col("ax"))
     val pRank = graft.core.ParallelRank.fromCounts(
       joint.groupBy("l_returnflag", "p").agg(sum("c").as("cp")),
       Seq("l_returnflag"), "p", "cp", "bx", precomputedBounds = Some(pb))
-    val qr = qRank.select(col("l_returnflag").as("_qg"),
-      col("q").as("_qv"), col("ax"))
     val pr = pRank.select(col("l_returnflag").as("_pg"),
       col("p").as("_pv"), col("bx"))
     joint

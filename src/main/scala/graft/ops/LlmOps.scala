@@ -38,8 +38,18 @@ object LlmOps {
     * text_bigram_perplexity. The vocab²-bounded LM table is
     * DISK-memoized: its plan holds a corpus explode feeding two
     * consumers (the join and the context-count derivation). */
+  /** `vocab`: optionally a precomputed 1-row (v: bigint) distinct-word
+    * count — the declared key feeds it off the shared docWordGrid
+    * artifact (round-18 optimization: countDistinct(w) over the grid
+    * is integer-identical to countDistinct over the corpus explode,
+    * and the grid is already materialized for the 13-key word-stats
+    * family, so the third full-corpus explode in this plan becomes a
+    * tiny artifact agg). Default: derived from the corpus (the
+    * generic-API path, unchanged). */
   def bigramPerplexityOf(df: org.apache.spark.sql.DataFrame, idCol: String,
-                         textCol: String, docLimit: Long): org.apache.spark.sql.DataFrame = {
+                         textCol: String, docLimit: Long,
+                         vocab: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame = {
     val bi = df
       .select(col(idCol).as("_doc"), split(col(textCol), " ").as("w"))
       .filter(size(col("w")) >= 2)
@@ -54,10 +64,10 @@ object LlmOps {
     // context counts DERIVED from the (vocab-bounded) bigram table
     // — c(w1·) = Σ_w2 c(w1,w2) — not a second corpus explode
     val cu = cb.groupBy("w1").agg(sum(col("cb")).as("cu"))
-    val vocab = df
-      .select(explode(split(col(textCol), " ")).as("word"))
-      .agg(countDistinct(col("word")).as("v"))
-    tf.join(broadcast(cb.join(cu, "w1").crossJoin(vocab)), Seq("bigram"))
+    val vocabDf = vocab.getOrElse(
+      df.select(explode(split(col(textCol), " ")).as("word"))
+        .agg(countDistinct(col("word")).as("v")))
+    tf.join(broadcast(cb.join(cu, "w1").crossJoin(vocabDf)), Seq("bigram"))
       .filter(col("_doc") < docLimit)
       .withColumn("term",
         expr("""-cast(tf as double)
@@ -1062,7 +1072,11 @@ object LlmOps {
     // frame — at 100 TB only the bigram explode is corpus-sized.
     OpSpec(
       "text_bigram_perplexity",
-      (s, d) => bigramPerplexityOf(T.documents(s, d), "doc_id", "text", 20L),
+      (s, d) => bigramPerplexityOf(T.documents(s, d), "doc_id", "text", 20L,
+        // V from the shared word grid (one artifact agg, not a third
+        // corpus explode) — integer-identical countDistinct
+        vocab = Some(graft.text.TextOps.docWordGrid(T.documents(s, d))
+          .agg(countDistinct(col("w")).as("v")))),
       Some("""WITH bi AS (
              |  SELECT doc_id, p[1] || ' ' || p[2] AS bigram, p[1] AS w1
              |  FROM (SELECT doc_id, unnest(list_zip(w, w[2:])) AS p

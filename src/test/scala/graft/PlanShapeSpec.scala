@@ -446,28 +446,51 @@ class PlanShapeSpec extends AnyFunSuite {
     // the agg_spearman_grid assertion applied to the filter tier
     // (round 17): the window spelling's percent_rank is
     // windowspecdefinition(o_orderstatus, o_totalprice ASC …) — a
-    // 3-task sort of the orders table; the grid spelling must carry
-    // only the bucketed (status, _b)-partitioned cumsum.
+    // 3-task sort of the orders table. Since the round-18 ranked-grid
+    // memo, the bucketed machinery lives in the ARTIFACT BUILD plan
+    // (asserted separately below); the declared plan must still be
+    // free of the serial fact sort.
     val p = plan("filter_top_percent_grid")
     val serialRank = """windowspecdefinition\(o_orderstatus#\d+, o_totalprice#\d+""".r
     assert(serialRank.findFirstIn(p).isEmpty,
       s"group-partitioned fact-table rank sort crept back in:\n$p")
-    assert(p.contains("_b#"), s"bucketed rank windows missing:\n$p")
   }
 
   test("agg_trimmed_mean_grid / agg_lorenz_curve_grid have no group-partitioned fact sort") {
     // round-18 window-parallelism census: these two were the only
     // census-LOW windows whose 100× sweep growth exceeded 2× — both
     // sort orders in 3 o_orderstatus partitions. Their grid twins
-    // must carry only the bucketed (status, _b)-partitioned cumsum.
+    // read the memoized ranked artifact (build plan asserted below).
     for (k <- Seq("agg_trimmed_mean_grid", "agg_lorenz_curve_grid",
         "agg_gini_grid")) {
       val p = plan(k)
       val serialRank = """windowspecdefinition\(o_orderstatus#\d+, o_totalprice#\d+""".r
       assert(serialRank.findFirstIn(p).isEmpty,
         s"$k: group-partitioned fact-table rank sort crept back in:\n$p")
-      assert(p.contains("_b#"), s"$k: bucketed rank windows missing:\n$p")
     }
+  }
+
+  test("the ranked-grid ARTIFACT BUILD carries the bucketed cumsum, not a serial sort") {
+    // Round 18 moved the ParallelRank machinery of the four
+    // orders-twins (filter_top_percent_grid + the trimmed/lorenz/gini
+    // trio) into ONE memoized ranked-grid artifact keyed on the count
+    // grid — the declared plans are now artifact scans, so the
+    // scale claim ("rank parallelism = groups × buckets, never a
+    // 3-task fact sort") must be asserted on the BUILD plan itself:
+    // same machinery the memo materializes on first call.
+    import org.apache.spark.sql.functions._
+    val counts = Registry.queries("scan_parquet")(spark, TestSpark.sfSmoke)
+      .sparkSession.read.parquet(s"${TestSpark.sfSmoke}/orders.parquet")
+      .select(col("o_orderstatus"), col("o_totalprice"))
+      .groupBy(col("o_orderstatus"), col("o_totalprice"))
+      .agg(count(lit(1)).as("_c"))
+    val build = graft.core.ParallelRank.fromCounts(
+      counts, Seq("o_orderstatus"), "o_totalprice", "_c", "dr")
+    val p = build.queryExecution.executedPlan.toString
+    val serialRank = """windowspecdefinition\(o_orderstatus#\d+, o_totalprice#\d+""".r
+    assert(serialRank.findFirstIn(p).isEmpty,
+      s"serial fact-ordered rank sort in the ranked-grid build:\n$p")
+    assert(p.contains("_b#"), s"bucketed rank windows missing from the build:\n$p")
   }
 
   test("exchange budget of the 25 most expensive bench keys (regression guard)") {
