@@ -27,6 +27,25 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // Join-strategy knobs (round-18 optimization; guide §3.1/§9
+      // production baseline), env-parameterized so a smaller host —
+      // or an A/B — can restore Spark defaults ("true"/"0"/"10m"):
+      //  - preferSortMergeJoin=false lets the planner pick
+      //    shuffled-hash when its per-partition build side fits (its
+      //    own size checks still gate it — SMJ stays the fallback);
+      //  - the AQE localMap threshold rewrites SMJ→SHJ at runtime per
+      //    measured partition size — scale-adaptive by construction;
+      //  - 64m broadcast threshold is sized to this box (128 GiB, 32
+      //    tasks → worst-case ~2 GiB of concurrent build relations);
+      //    production sizes it to executor memory the same way.
+      // Strategy choice never changes results — every declared query
+      // re-certified against its unchanged DuckDB oracle after this.
+      .config("spark.sql.join.preferSortMergeJoin",
+        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_SHJ_LOCALMAP", "64m"))
+      .config("spark.sql.autoBroadcastJoinThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BROADCAST", "64m"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // One throwaway action absorbs JVM/codegen/task-pool warmup so it

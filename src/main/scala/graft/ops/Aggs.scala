@@ -52,8 +52,11 @@ object Aggs {
     val pb =
       if (probs.isEmpty) Array.empty[Double]
       else try
+        // 0.05 relative error (was 0.01): bounds only balance work,
+        // so the sketch can run with smaller buffers — same exact
+        // ranks for any cut set (round-18 optimization)
         joint.select(col("p").cast("double").as("_pd"))
-          .stat.approxQuantile("_pd", probs, 0.01)
+          .stat.approxQuantile("_pd", probs, 0.05)
       catch { // empty corpus: no quantiles, single bucket
         case _: java.util.NoSuchElementException => Array.empty[Double]
       }
