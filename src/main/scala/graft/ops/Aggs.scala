@@ -78,23 +78,41 @@ object Aggs {
     val qr = qMarg
       .withColumn("ax", sum(col("cq")).over(wq) * 2L - col("cq") + 1L)
       .select(col("_qg"), col("_qv"), col("ax"))
+    // Round-19 optimization (guide §2.4 "remove shuffles outright"):
+    // the old spelling joined the FULL joint grid back to the ranked
+    // p marginal — a shuffle join of two ~|distinct (flag,q,p)|-row
+    // frames — just to pair ax·bx per cell. But every ax-dependent
+    // co-moment is a sum over cells, and sums regroup associatively:
+    // Σ_cells c·f(ax)·g(bx) = Σ_p g(bx) · (Σ_q c·f(ax)). So attach ax
+    // first (broadcast — the q marginal is value-domain bounded),
+    // pre-aggregate the ax partials PER (flag, p) in the SAME
+    // aggregation that builds the p marginal, and ride them through
+    // ParallelRank.fromCounts (which passes non-machinery columns
+    // untouched and exposes the count as `_c`). The final reduce then
+    // runs directly on the ranked grid — the joint⋈pr shuffle join and
+    // its two exchanges are gone. Exactness: sax/n/sb are int64 sums
+    // of non-negative terms (partials fit whenever the total fits —
+    // the pre-existing bound), saxd/saxx are exact decimal sums; both
+    // forms regroup losslessly, so the result stays bit-identical
+    // (same oracle as agg_spearman, hash-gated).
+    val jointAx = joint.join(broadcast(qr),
+      col("l_returnflag") <=> col("_qg") && col("q") <=> col("_qv"))
+    val pGrid = jointAx.groupBy(col("l_returnflag"), col("p"))
+      .agg(
+        sum(col("c")).as("cp"),
+        sum(col("c") * col("ax")).as("sax"),
+        sum(d19(col("c")) * d19(col("ax"))).as("saxd"),
+        sum(d19(col("c")) * d19(col("ax")) * d19(col("ax"))).as("saxx"))
     val pRank = graft.core.ParallelRank.fromCounts(
-      joint.groupBy("l_returnflag", "p").agg(sum("c").as("cp")),
-      Seq("l_returnflag"), "p", "cp", "bx", precomputedBounds = Some(pb))
-    val pr = pRank.select(col("l_returnflag").as("_pg"),
-      col("p").as("_pv"), col("bx"))
-    joint
-      .join(broadcast(qr),
-        col("l_returnflag") <=> col("_qg") && col("q") <=> col("_qv"))
-      .join(pr,
-        col("l_returnflag") <=> col("_pg") && col("p") <=> col("_pv"))
+      pGrid, Seq("l_returnflag"), "p", "cp", "bx", precomputedBounds = Some(pb))
+    pRank
       .groupBy("l_returnflag")
       .agg(
-        sum(col("c")).as("n"),
-        sum(col("c") * col("ax")).as("sa"), sum(col("c") * col("bx")).as("sb"),
-        sum(d19(col("c")) * d19(col("ax")) * d19(col("ax"))).as("saa"),
-        sum(d19(col("c")) * d19(col("bx")) * d19(col("bx"))).as("sbb"),
-        sum(d19(col("c")) * d19(col("ax")) * d19(col("bx"))).as("sab"))
+        sum(col("_c")).as("n"),
+        sum(col("sax")).as("sa"), sum(col("_c") * col("bx")).as("sb"),
+        sum(col("saxx")).as("saa"),
+        sum(d19(col("_c")) * d19(col("bx")) * d19(col("bx"))).as("sbb"),
+        sum(col("saxd") * d19(col("bx"))).as("sab"))
       .select(col("l_returnflag"), col("n"),
         P.r4((col("n").cast("double") * col("sab").cast("double") -
           col("sa").cast("double") * col("sb").cast("double")) /

@@ -296,12 +296,17 @@ object TsdbStore {
     path
   }
 
-  /** Build (once per JVM+corpus) the gate's events store under
-    * java.io.tmpdir: bulk load + appended update batch. Returns the
-    * store path. Idempotent: overwrite-then-append, so a rebuild after
-    * corpus regen yields byte-equivalent content. */
-  def ensureEventsStore(spark: SparkSession, sfDir: String): String =
-    ensureBuilt(s"events|$sfDir ${stamp(sfDir)}") { path =>
+  /** The BASE LOAD alone (no update batch), built once per JVM+corpus
+    * — the staging store the batch-carrying fixtures derive from by
+    * FILE COPY (round-19 optimization, guide §6): the events store and
+    * the schema-evolution store share an identical base load, and the
+    * old spelling re-ran the full clustered partitioned write for each
+    * (~1.2 s of shuffle + 30-directory commit apiece at sf0.1) to
+    * produce byte-equivalent directories. Copying the staged base
+    * (2.8 MB / 30 day dirs → tens of ms) is content-identical —
+    * the copyRec device ensureRetainedStore already uses. */
+  private def ensureBaseStore(spark: SparkSession, sfDir: String): String =
+    ensureBuilt(s"base|$sfDir ${stamp(sfDir)}") { path =>
       // STORE INVARIANT, enforced at load: (user_id, ts) — the upsert
       // key — is non-null. The day-profile/vacuum grid rewrites count
       // pre-agg rows where the oracle counts DISTINCT user_id; a NULL
@@ -313,6 +318,18 @@ object TsdbStore {
           "if(user_id IS NULL OR ts IS NULL, " +
             "raise_error('events store invariant violated: NULL user_id/ts'), user_id)"))
       writeDayPartitioned(events, "ts", path)
+    }
+
+  /** Build (once per JVM+corpus) the gate's events store under
+    * java.io.tmpdir: bulk load (copied from [[ensureBaseStore]]) +
+    * appended update batch. Returns the store path. Idempotent:
+    * overwrite-then-append, so a rebuild after corpus regen yields
+    * byte-equivalent content. */
+  def ensureEventsStore(spark: SparkSession, sfDir: String): String =
+    ensureBuilt(s"events|$sfDir ${stamp(sfDir)}") { path =>
+      copyRec(new java.io.File(ensureBaseStore(spark, sfDir)),
+        new java.io.File(path))
+      val events = graft.core.Tables.events(spark, sfDir)
       appendDayPartitioned(updateBatch(events), "ts", path)
     }
 
@@ -407,8 +424,13 @@ object TsdbStore {
     * [[readMerged]]; base rows surface NULL tags. */
   def ensureEvolvedStore(spark: SparkSession, sfDir: String): String =
     ensureBuilt(s"evolve|$sfDir ${stamp(sfDir)}") { dst =>
+      // base load COPIED from the shared staging store (round-19 —
+      // identical bytes, no second full clustered write; see
+      // ensureBaseStore), then the tagged batch appends on top,
+      // exactly the "a later ingest added a field" shape under test.
+      copyRec(new java.io.File(ensureBaseStore(spark, sfDir)),
+        new java.io.File(dst))
       val events = graft.core.Tables.events(spark, sfDir)
-      writeDayPartitioned(events, "ts", dst)
       appendDayPartitioned(
         updateBatch(events).withColumn("batch_tag", lit("u1")), "ts", dst)
     }
